@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line the driver records as BENCH_r{N}.json.
+
+Timing = full query execution to a count-ish action that materializes every
+row (``df.write.format("noop")`` would skip result serialization; we use a
+cheap aggregate-all action so the measured cost is the query, not toPandas).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "ref_enrich",
+    "filter_compound",
+    "date_funcs",
+    "json_access",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import etl_pipeline_aws_spark as engine
+
+    spark = engine.get_spark("bench")
+    qs = engine.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm the JVM + parquet footers once with the first query
+    qs[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 4)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Table catalog over the driver's Parquet zones.
+
+The reference keeps data as S3 objects in a landing/transformed bucket pair
+(``/root/reference/infra/index.ts:35,50``); the engine's curated storage is
+columnar Parquet with a fixed schema per table (SURVEY.md §1.4).  A *zone* is
+just a directory (locally) or an ``s3a://bucket/prefix`` (on a cluster) —
+``spark.read.parquet`` handles both identically.
+
+At 100 TB each logical table is a partitioned directory of Parquet files, not
+one file; ``load_table`` takes whatever path layout sits under ``sf_dir`` and
+lets the DataSource enumerate splits, so the same call works for the driver's
+single-file tables and a 10k-file production table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor
+# (region=5 rows, nation=25 rows always; supplier/part/customer grow with sf
+# but stay orders of magnitude under the fact tables).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Columnar Parquet scan => Catalyst gets predicate
+    pushdown, column pruning, and row-group skipping for free."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    Parquet reader rejects ([PARQUET_TYPE_ILLEGAL]).  Read nanos as long
+    (legacy conf, runtime-settable) and truncate to microseconds with exact
+    integer division — ``ts div 1000`` — matching DuckDB's ns→µs truncation.
+    A double division would silently lose µs precision at 1.7e18 ns."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so operators can be written in
+    SQL when that is the clearer declaration (same Catalyst plan either way)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,388 @@
+"""Projection / filter / scalar-function operators (SURVEY.md §2.B, rows
+"select/alias/drop", "filter", "string fns", "date/time", "math",
+"conditional", "casts", "JSON access", "array fns", "null handling").
+
+Generalizes the reference's only transform (R3–R5, glue/job.py:27-34) from
+one hard-coded enrichment to the full scalar surface.  All expressions are
+built-in ``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd, no
+Python in the hot path.  Filters and projections here are written directly
+against the Parquet scan so Catalyst pushes them into the reader
+(PushedFilters / ReadSchema pruning) — at 100 TB these queries read only the
+columns and row groups they touch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.functions.numeric import davg, dec, dsum
+from etl_pipeline_aws_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (scan → filter → groupBy agg → sort), TPC-H-Q1
+# style.  Decimal-exact aggregation per functions/numeric.py.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice)
+               AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 4)))
+            .cast("double")
+            .alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-fidelity enrichment as an oracle-checked query (R3–R5): keep all
+# fields, add processed=TRUE and uppercase_name=upper(coalesce(name, '')).
+# The coalesce is the exact-semantics point: upper(NULL) must become '', not
+# NULL (glue/job.py:31).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ref_enrich",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           TRUE AS processed,
+           UPPER(COALESCE(c_name, '')) AS uppercase_name
+    FROM customer
+    """,
+)
+def ref_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.withColumn("processed", F.lit(True)).withColumn(
+        "uppercase_name", F.upper(F.coalesce(F.col("c_name"), F.lit("")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# select / alias / drop / rename
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "project_rename",
+    oracle="""
+    SELECT p_partkey AS part_id,
+           p_name AS part_name,
+           p_retailprice AS price
+    FROM part
+    """,
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.withColumnRenamed("p_partkey", "part_id")
+        .select("part_id", F.col("p_name").alias("part_name"), "p_retailprice")
+        .withColumnRenamed("p_retailprice", "price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# filter: comparison / boolean / IN / BETWEEN / LIKE / IS NULL
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_compound",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 50000 AND 150000
+      AND o_orderpriority LIKE '1-%'
+      AND o_custkey IS NOT NULL
+    """,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(50000, 150000)
+        & F.col("o_orderpriority").like("1-%")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# string functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           TRIM(c_name) AS name_trim,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           CONCAT(c_name, '#', c_mktsegment) AS name_seg,
+           LENGTH(c_name) AS name_len,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_replaced,
+           CAST(STRPOS(c_name, '#') AS INT) AS hash_pos
+    FROM customer
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.trim("c_name").alias("name_trim"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("name_seg"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_replaced"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+    )
+
+
+@query(
+    "regexp_extract_tokens",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(regexp_extract(text, '([a-z]+)', 1), '') AS first_word,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens_sep
+    FROM documents
+    """,
+)
+def regexp_extract_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1)
+        .cast("long")
+        .alias("n_tokens_sep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# null handling: nullif → coalesce → fillna
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "null_handling",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_tax, 0.0), -1.0) AS tax_or_flag,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none
+    FROM lineitem
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(-1.0)).alias("tax_or_flag"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# date / time functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(DAY(o_orderdate) AS INT) AS order_day,
+           DATE_TRUNC('month', o_orderdate) AS order_month_start,
+           CAST(DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
+               AS days_since_1995,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(EPOCH(o_orderdate) AS BIGINT) AS order_unix_ts
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_1995"
+        ),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.unix_timestamp("o_orderdate").alias("order_unix_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# math functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(p_retailprice, 1) AS price_round1,
+           ABS(p_retailprice - 1000.0) AS price_dist_1000,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE) AS size_sq,
+           SQRT(p_retailprice) AS price_sqrt, -- sqrt is IEEE correctly-rounded in both engines; ln/log differ in the last ulp between libm implementations
+           MOD(p_partkey, 7) AS key_mod7
+    FROM part
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_round1"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dist_1000"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").alias("price_floor"),
+        (F.col("p_size").cast("double") * F.col("p_size").cast("double")).alias("size_sq"),
+        F.sqrt(F.col("p_retailprice")).alias("price_sqrt"),
+        (F.col("p_partkey") % 7).alias("key_mod7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# conditional: CASE WHEN
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "case_when_segments",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 9000 THEN 'mid'
+                ELSE 'high' END AS balance_band
+    FROM customer
+    """,
+)
+def case_when_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .when(F.col("c_acctbal") < 9000, "mid")
+        .otherwise("high")
+        .alias("balance_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# casts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "casts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec, -- surfaced as double: decimal columns round-trip to pandas as Decimal objects in Spark but float64 in DuckDB, breaking value comparison
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int, -- Spark CAST(double AS BIGINT) truncates; DuckDB rounds
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    """,
+)
+def casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("price_dec"),
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON access on events.props (reference's schema-less JSON records live on)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_access",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS prop_k
+    FROM events
+    """,
+)
+def json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# array functions on embeddings.embedding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[64] AS DOUBLE) AS last_val
+    FROM embeddings
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", 64).cast("double").alias("last_val"),
+    )
