@@ -1,1 +1,332 @@
-"""Placeholder — filled in by build stage (SURVEY.md §7)."""
+"""Aggregation operators (SURVEY.md §2.B "Aggregation"): grouped and global
+aggregates, count-distinct (exact + approx), HAVING, rollup/cube/grouping
+sets, percentiles/median, moment statistics, min_by/max_by, collect_list,
+pivot.
+
+Scale posture: every groupBy below benefits from Spark's partial aggregation
+(map-side combine) — the shuffle carries pre-aggregated partials, not rows.
+Determinism rules for the oracle (functions/numeric.py): double sums via
+exact decimals; variance/corr computed from exact decimal power sums with an
+explicit double formula instead of the engines' (order-sensitive) built-in
+accumulators; collect_list sorted + joined to a string so multiset order
+cannot leak into the comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.functions.numeric import davg, dec, dsum
+from etl_pipeline_aws_spark.registry import query, rows_only_query
+
+
+@query(
+    "agg_grouped_basic",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice)
+               AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_grouped_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        davg("o_totalprice").alias("avg_price"),
+    )
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) aggregate: Spark plans a two-stage partial/final agg
+    collapsing to a single row — no full-table shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_quantity").alias("total_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column count-distinct: Spark expands to two shuffles
+    (expand + final) — the price of exactness; see agg_approx_distinct for
+    the 100 TB-friendly single-pass sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@rows_only_query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct: one pass, fixed memory, the only
+    viable distinct-count at 100 TB.  No oracle — DuckDB's approx sketch is
+    a different algorithm; tests/test_aggregates.py asserts <2% error vs the
+    exact count instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals; rolled-up levels surface as NULL keys in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via spark.sql — DataFrame API has no direct
+    grouping-sets builder; the SQL route produces the identical plan."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(MEDIAN(l_quantity) AS DOUBLE) AS median_qty,
+           CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25_qty,
+           CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS p75_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/quartiles over l_quantity (whole numbers, so the linear
+    interpolation a + 0.5*(b-a) is exactly representable and both engines
+    agree bit-for-bit).  At 100 TB use percentile_approx instead — exact
+    percentile requires a per-group sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25_qty"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75_qty"),
+    )
+
+
+@rows_only_query("agg_percentile_approx")
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch approximate percentiles — single pass, mergeable, the
+    scale path.  Sketch internals differ from DuckDB's, so no value oracle;
+    tests assert the approx lands within the exact p25..p75 envelope."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price")
+    )
+
+
+@query(
+    "agg_variance_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1) AS var_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance from exact decimal power sums (s1, s2) + an explicit
+    double formula.  The built-in stddev/variance accumulators are
+    order-sensitive in double and cannot hash-match across engines; the
+    power-sum formulation is deterministic AND single-pass/mergeable — the
+    same shape a 1000-executor partial aggregation produces."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    s1 = F.sum(dec("l_quantity")).cast("double")
+    s2 = F.sum(dec("l_quantity") * dec("l_quantity")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("var_qty"),
+    )
+
+
+@rows_only_query("agg_builtin_moments")
+def agg_builtin_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in stddev/variance/corr surface (order-sensitive doubles — no
+    cross-engine oracle; tests compare against agg_variance_stats within
+    1e-9 relative)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.stddev("l_quantity").alias("stddev_qty"),
+        F.variance("l_quantity").alias("var_qty"),
+        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+    )
+
+
+@query(
+    "agg_min_by_max_by",
+    oracle="""
+    SELECT o_custkey,
+           MIN_BY(o_orderkey, o_orderkey) AS first_orderkey,
+           MIN_BY(o_totalprice, o_orderkey) AS first_order_price,
+           MAX_BY(o_totalprice, o_orderkey) AS last_order_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last-style selection made deterministic: ordered by the unique
+    o_orderkey instead of Spark's nondeterministic first()/last()."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", "o_orderkey").alias("first_orderkey"),
+        F.min_by("o_totalprice", "o_orderkey").alias("first_order_price"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+    )
+
+
+@query(
+    "agg_collect_list",
+    oracle="""
+    SELECT n.n_regionkey,
+           array_to_string(list_sort(list(n.n_name)), ',') AS nations_sorted,
+           array_to_string(list_sort(list(DISTINCT n.n_regionkey + 0)), ',') AS keys_distinct
+    FROM nation n
+    GROUP BY n.n_regionkey
+    """,
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/collect_set surfaced as sorted joined strings — the
+    collection order is partition-arrival order (nondeterministic), so the
+    canonical form sorts before comparing."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations_sorted"),
+        F.array_join(
+            F.sort_array(F.collect_set((F.col("n_regionkey") + 0).cast("string"))), ","
+        ).alias("keys_distinct"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_o,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — at scale always pass the list so
+    Spark skips the extra distinct-values job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).cast("double").alias("qty_o"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("double").alias("qty_f"),
+    )

@@ -1,1 +1,128 @@
-"""Placeholder — filled in by build stage (SURVEY.md §7)."""
+"""As-of join (SURVEY.md §2.B "as-of (events↔orders nearest-prior-ts)").
+
+Spark has no native as-of join (SURVEY.md §7 hard-point (d)); two
+compositions are provided:
+
+1. ``asof_join_window`` — range join + row_number()==1.  Pure DataFrame
+   ops, Catalyst-optimizable, but the range join multiplies rows before the
+   window prunes them: fine when the per-key match count is bounded (a
+   customer's order history), quadratic-risk when it is not.
+
+2. ``asof_join_merge`` — per-key ``applyInPandas`` running
+   ``pandas.merge_asof`` on each group: rows never multiply, each group is
+   two sorted arrays merged linearly.  This is the 100 TB path — the
+   shuffle is one exchange on the join key, and state per task is one
+   group, not one cross product.
+
+Both use the same tie-break (greatest o_orderdate, then greatest
+o_orderkey) so one DuckDB oracle checks both.  DuckDB's native ASOF JOIN is
+deliberately NOT the oracle: on ties in the as-of key it picks an arbitrary
+row, and the window formulation is deterministic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.registry import query
+
+_ASOF_ORACLE = """
+    SELECT event_id, user_id, ts, o_orderkey AS asof_orderkey,
+           o_orderdate AS asof_orderdate, o_totalprice AS asof_totalprice
+    FROM (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+    WHERE rn = 1
+"""
+
+
+@query("asof_join_window", oracle=_ASOF_ORACLE)
+def asof_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event: the customer's latest order at or before the event
+    timestamp (range join + top-1 window)."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = ev.join(
+        orders,
+        (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
+        "inner",
+    )
+    w = W.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").alias("asof_orderdate"),
+            F.col("o_totalprice").alias("asof_totalprice"),
+        )
+    )
+
+
+@query("asof_join_merge", oracle=_ASOF_ORACLE)
+def asof_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: co-group events and orders on the key, merge_asof within
+    each group (linear, no row multiplication).  Orders are pre-sorted by
+    (o_orderdate, o_orderkey) so merge_asof's 'last match wins' reproduces
+    the (max date, max orderkey) tie-break of the window variant."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+    out_schema = (
+        "event_id long, user_id long, ts timestamp, asof_orderkey long, "
+        "asof_orderdate timestamp, asof_totalprice double"
+    )
+
+    def merge_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=[
+                    "event_id",
+                    "user_id",
+                    "ts",
+                    "asof_orderkey",
+                    "asof_orderdate",
+                    "asof_totalprice",
+                ]
+            )
+        left = left.sort_values(["ts", "event_id"])
+        right = right.sort_values(["o_orderdate", "o_orderkey"]).rename(
+            columns={
+                "o_orderkey": "asof_orderkey",
+                "o_orderdate": "asof_orderdate",
+                "o_totalprice": "asof_totalprice",
+            }
+        )[["asof_orderdate", "asof_orderkey", "asof_totalprice"]]
+        merged = pd.merge_asof(
+            left,
+            right,
+            left_on="ts",
+            right_on="asof_orderdate",
+            allow_exact_matches=True,
+            direction="backward",
+        )
+        merged = merged.dropna(subset=["asof_orderkey"])
+        merged["asof_orderkey"] = merged["asof_orderkey"].astype("int64")
+        return merged[
+            ["event_id", "user_id", "ts", "asof_orderkey", "asof_orderdate", "asof_totalprice"]
+        ]
+
+    return ev.groupBy("user_id").cogroup(orders.groupBy("o_custkey")).applyInPandas(
+        merge_group, schema=out_schema
+    )

@@ -1,1 +1,249 @@
-"""Placeholder — filled in by build stage (SURVEY.md §7)."""
+"""Join operators (SURVEY.md §2.B "Joins"): inner/outer/semi/anti equi
+joins, explicit broadcast, theta (non-equi), cross, and multi-join chains.
+
+The reference has NO joins (SURVEY.md §2.A observation: map-only pipeline);
+this is the declared engine surface.  Physical strategy is Catalyst's call —
+the code only *hints*:
+
+- ``F.broadcast(dim)`` on the star-schema dimension tables (region 5 rows,
+  nation 25, supplier ~1k·sf) so a 100 TB fact scan never shuffles for a
+  dimension lookup;
+- everything else stays declarative so AQE can switch sort-merge ↔
+  broadcast at runtime and split skewed partitions
+  (``spark.sql.adaptive.skewJoin``, on in session.py).
+
+Scale notes per operator are in the docstrings — the test for each plan is
+``.explain("formatted")`` showing BroadcastHashJoin for dim joins and no
+unnecessary Exchange (see tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.functions.numeric import dec, dsum
+from etl_pipeline_aws_spark.registry import query
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi join orders⋈customer. At scale: both sides hash-shuffle on
+    the key unless customer fits the broadcast threshold — AQE decides."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer keeps customers with zero orders (COUNT ignores the null
+    side; SUM coalesced to 0 so both engines agree on the empty group)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0)).cast("double").alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM customer c FULL OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL OR o.o_orderkey IS NULL OR c.c_custkey % 100 = 0
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer: unmatched rows on either side survive as NULLs (the
+    filter keeps the result small but retains every unmatched row)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "full")
+        .filter(
+            F.col("c_custkey").isNull()
+            | F.col("o_orderkey").isNull()
+            | (F.col("c_custkey") % 100 == 0)
+        )
+        .select("c_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi = EXISTS: no row multiplication, right side only probed.
+    At scale this is the cheapest existence check — no payload shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti = NOT EXISTS: customers who never ordered."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim lookup with explicit broadcast hints: at 100 TB the
+    customer scan streams map-side through two BroadcastHashJoins — zero
+    shuffle until the final aggregation (verified in tests/test_plans.py)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT n.n_name AS nation_name, s.s_suppkey, c.c_custkey
+    FROM supplier s
+    JOIN customer c ON s.s_nationkey = c.c_nationkey
+                   AND s.s_acctbal > c.c_acctbal
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE c.c_custkey % 10 = 0
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key (nationkey) + range predicate (acctbal).  The
+    equi component keeps it a hash join with a residual filter — NOT a
+    nested-loop — which is the scale-safe way to write range predicates."""
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        supp.join(
+            cust,
+            (supp.s_nationkey == cust.c_nationkey) & (supp.s_acctbal > cust.c_acctbal),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation_name"), "s_suppkey", "c_custkey")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever sane between tiny dims (5×25 here);
+    Catalyst plans BroadcastNestedLoopJoin."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@query(
+    "join_chain_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'AMERICA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def join_chain_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style multi-join chain: fact⋈fact shuffle join on orderkey,
+    dims broadcast, filters pushed to the scans.  The region filter prunes
+    through two broadcast joins before the fact shuffle — Catalyst pushes
+    ``r_name='AMERICA'`` into the 5-row region scan, shrinking the nation
+    broadcast and the customer probe."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 4)))
+            .cast("double")
+            .alias("revenue")
+        )
+    )

@@ -1,1 +1,178 @@
-"""Placeholder — filled in by build stage (SURVEY.md §7)."""
+"""Sorts / limits / set operations (SURVEY.md §2.B "Sorts / limits / set
+ops"): order-by-limit top-k, union all/distinct, intersect, except,
+distinct / deduplication.
+
+Determinism: any LIMIT is preceded by a total order ending in a unique key;
+subset-dedup is expressed as groupBy+min instead of dropDuplicates([cols])
+(which keeps an arbitrary row — fine operationally, unverifiable against an
+oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.registry import query
+
+
+@query(
+    "order_by_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — each partition
+    keeps its local top-100, the driver merges; no global sort even at
+    100 TB.  Tie-break on the unique o_orderkey keeps the row set stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal
+    FROM supplier
+    ORDER BY s_nationkey ASC, s_acctbal DESC NULLS LAST, s_suppkey
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit null placement.  (The driver compares
+    order-insensitively; the sort itself is the declared operator and feeds
+    deterministic downstream limits.)"""
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.orderBy(
+        F.col("s_nationkey").asc(),
+        F.col("s_acctbal").desc_nulls_last(),
+        F.col("s_suppkey"),
+    ).select("s_suppkey", "s_nationkey", "s_acctbal")
+
+
+@query(
+    "union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union via unionByName — column-name-resolved, the only safe
+    union in a wide pipeline (positional union silently miswires)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return cust.unionByName(supp)
+
+
+@query(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.unionByName(supp).distinct()
+
+
+@query(
+    "intersect_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having both open and finished orders (INTERSECT is
+    set-semantics: dedup built in)."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    done_c = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return open_c.intersect(done_c)
+
+
+@query(
+    "except_keys",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders via EXCEPT (set difference) — semantically
+    the anti-join in joins.py, expressed as a set op."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return cust.subtract(orders)
+
+
+@query(
+    "except_all",
+    oracle="""
+    SELECT l_orderkey AS orderkey FROM lineitem WHERE l_linenumber <= 2
+    EXCEPT ALL
+    SELECT l_orderkey AS orderkey FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): keeps multiplicity — one surviving
+    copy per order with ≥2 lines here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select(F.col("l_orderkey").alias("orderkey"))
+    b = li.filter(F.col("l_linenumber") == 1).select(F.col("l_orderkey").alias("orderkey"))
+    return a.exceptAll(b)
+
+
+@query(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "dedup_by_key_deterministic",
+    oracle="""
+    SELECT o_custkey,
+           MIN(o_orderkey) AS keeper_orderkey,
+           COUNT(*) AS n_dups
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def dedup_by_key_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-subset dedup, deterministic form: dropDuplicates(["o_custkey"])
+    keeps an *arbitrary* row per key (fine for pipelines, untestable against
+    an oracle); groupBy+min pins which row survives."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.min("o_orderkey").alias("keeper_orderkey"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )

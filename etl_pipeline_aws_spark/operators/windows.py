@@ -1,1 +1,174 @@
-"""Placeholder — filled in by build stage (SURVEY.md §7)."""
+"""Window-function operators (SURVEY.md §2.B "Window functions"): ranking,
+analytic (lag/lead/first/last), framed running aggregates, top-k per group.
+
+Determinism: every window ORDER BY ends in a unique key (orderkey+linenumber
+/ event_id) so ranking and frame contents are total-ordered — the rule from
+SURVEY.md §7 stage 5.  Running double sums go through decimal (frame order
+differs between engines' window implementations; exact decimals make order
+irrelevant).
+
+Scale: a window over partitionBy(k) shuffles once on k and sorts within
+partitions — same cost shape as a groupBy on k.  Skewed partition keys hurt
+exactly like skewed join keys; for heavy skew pre-aggregate or salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.functions.numeric import dec
+from etl_pipeline_aws_spark.registry import query
+
+
+@query(
+    "window_ranking",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_quantity DESC, l_orderkey, l_linenumber)
+    """,
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           LAG(value, 2, -1.0) OVER w AS prev2_or_default,
+           CAST(EPOCH_US(ts - LAG(ts) OVER w) AS BIGINT) AS micros_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event deltas — lag/lead plus the time-since-previous-event
+    pattern that feeds sessionization."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_or_default"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).alias("micros_since_prev"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS moving_avg3
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running/moving framed aggregates; decimal inside the frame so both
+    engines' frame-evaluation orders produce the identical exact value.
+    Moving average = exact decimal frame-sum / frame-count divided as
+    doubles (engines' built-in avg-over-decimal differ: Spark widens the
+    decimal scale, DuckDB computes in floating point)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        (
+            F.sum(dec("o_totalprice")).over(w.rowsBetween(-2, W.currentRow)).cast("double")
+            / F.count(F.lit(1)).over(w.rowsBetween(-2, W.currentRow))
+        ).alias("moving_avg3"),
+    )
+
+
+@query(
+    "window_first_last_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey) OVER w AS last_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last over an explicit full-partition frame (the default frame
+    would make LAST_VALUE mean 'current row' — a classic trap both engines
+    share)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        FROM customer)
+    WHERE rn <= 5
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: the window+filter pattern Catalyst rewrites into a
+    per-partition top-k (WindowGroupLimit) — no full sort of each group."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )

@@ -1,0 +1,45 @@
+"""Plan inspection helpers: programmatic access to the physical plan so
+tests can assert the scale posture (SURVEY.md §4.2) instead of eyeballing
+``.explain()`` output.
+
+These are the checks that matter at 100 TB:
+- filters reached the Parquet scan (``PushedFilters``);
+- only referenced columns are read (``ReadSchema``);
+- dimension joins are BroadcastHashJoin, not a shuffle exchange;
+- top-k plans use TakeOrderedAndProject, not a global Sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def assert_in_plan(df: DataFrame, *needles: str) -> None:
+    plan = formatted_plan(df)
+    for needle in needles:
+        assert needle in plan, f"{needle!r} not found in plan:\n{plan}"
+
+
+def assert_not_in_plan(df: DataFrame, *needles: str) -> None:
+    plan = formatted_plan(df)
+    for needle in needles:
+        assert needle not in plan, f"unexpected {needle!r} in plan:\n{plan}"
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Extract the PushedFilters lines from the formatted plan."""
+    return [
+        line.strip()
+        for line in formatted_plan(df).splitlines()
+        if "PushedFilters" in line
+    ]
