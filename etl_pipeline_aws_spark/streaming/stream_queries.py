@@ -1,1 +1,152 @@
-"""Placeholder — filled in by build stage (SURVEY.md §7)."""
+"""Structured Streaming operators — the reference's event-driven chain
+(R12: S3 ObjectCreated notification → processor, R13: metadata-driven output
+routing; SURVEY.md §3) re-expressed as Spark streaming over a file source.
+
+Each query here REALLY streams: ``readStream`` over the events Parquet with
+``trigger(availableNow=True)`` (the exact analog of the reference's
+"process whatever has landed" S3-notify semantics), a memory/foreachBatch
+sink, and the *result* returned as a batch DataFrame.  Because availableNow
+replays the bounded input to completion, the outcome is deterministic and
+shares the DuckDB oracle with the batch twins in operators/events.py —
+that batch/stream parity is the streaming-state correctness argument
+(SURVEY.md §7 stage 6).
+
+At scale the same topology runs unbounded: the file source incrementally
+lists new objects (the S3-notification upgrade), watermarks bound state,
+and foreachBatch routes each micro-batch to its destination exactly once
+per epoch.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_pipeline_aws_spark.catalog import table_path
+from etl_pipeline_aws_spark.functions.numeric import dsum
+from etl_pipeline_aws_spark.operators.events import TUMBLING_ORACLE
+from etl_pipeline_aws_spark.registry import query
+
+# Parquet stores ts as TIMESTAMP(NANOS); with the legacy conf it surfaces as
+# long nanos (see catalog._load_events) — the stream reader applies the same
+# exact ns→µs conversion.
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (reference R12: the
+    landing-zone arrival trigger).  The streaming file source watches a
+    *directory* — we stage a landing zone holding the (symlinked) events
+    file, exactly the reference's landing-bucket shape.  maxFilesPerTrigger
+    bounds each micro-batch like one S3 notification batch."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    landing = tempfile.mkdtemp(prefix="landing_")
+    os.symlink(table_path(sf_dir, "events"), os.path.join(landing, "events-000.parquet"))
+    stream = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the materialized table."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    spark = result.sparkSession
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("stream_tumbling", oracle=TUMBLING_ORACLE)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, genuinely streamed, sharing
+    the batch twin's oracle (window_tumbling) — state is keyed by
+    (window, event_type) and bounded by the 1-hour watermark."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT COUNT(DISTINCT event_id) AS n_unique FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming deduplication on the unique event key
+    (watermark-bounded state), then a batch count of the deduped output."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    out = _run_to_memory(deduped, "append")
+    return out.agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@query(
+    "stream_foreachbatch_routing",
+    oracle="""
+    SELECT event_type AS route, COUNT(*) AS n_rows
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_foreachbatch_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R13 (HeadObject-metadata → output-bucket choice) as
+    foreachBatch dynamic routing: each micro-batch is split by event_type
+    and written to that route's own Parquet zone; the query returns what
+    landed where (read back from the sinks — the round trip is the check)."""
+    out_root = tempfile.mkdtemp(prefix="route_")
+    ev = read_events_stream(spark, sf_dir)
+
+    def route_batch(batch: DataFrame, epoch_id: int) -> None:
+        # partitionBy writes each route to its own directory in one pass —
+        # the per-batch analog of the reference's per-object bucket choice.
+        batch.write.mode("append").partitionBy("event_type").parquet(out_root)
+
+    q = (
+        ev.writeStream.foreachBatch(route_batch)
+        .option("checkpointLocation", os.path.join(out_root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = spark.read.parquet(out_root)
+    return landed.groupBy(F.col("event_type").alias("route")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )

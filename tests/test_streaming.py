@@ -1,0 +1,90 @@
+"""Streaming-specific behavior that the oracle can't see: multi-batch
+watermark advancement actually dropping late data, and exactly-once-per-
+epoch foreachBatch routing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
+    """Recent events are processed in run 1; a file of events 3 hours older
+    lands afterwards and is processed by run 2 sharing the checkpoint.  The
+    watermark persisted by run 1 (12:55 max − 30 min = 12:25) must drop
+    every late 09:xx row in run 2, while run 2's watermark advance flushes
+    the closed 12:xx windows to the append-mode sink."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+
+    def run_once():
+        stream = spark.readStream.schema("id long, ts timestamp").parquet(
+            str(landing) + "/*"
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "10 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    recent = spark.createDataFrame(
+        [(i, f"2024-01-01 12:{m:02d}:00") for i, m in enumerate([0, 5, 10, 55])],
+        "id long, ts_str string",
+    ).select("id", F.col("ts_str").cast("timestamp").alias("ts"))
+    recent.coalesce(1).write.parquet(str(landing / "f1"))
+    run_once()
+
+    late = spark.createDataFrame(
+        [(100 + i, f"2024-01-01 09:{m:02d}:00") for i, m in enumerate([0, 10])],
+        "id long, ts_str string",
+    ).select("id", F.col("ts_str").cast("timestamp").alias("ts"))
+    late.coalesce(1).write.parquet(str(landing / "f2"))
+    run_once()
+
+    out = spark.read.schema("ws timestamp, n long").parquet(sink)
+    rows = sorted((r.ws.hour, r.ws.minute, r.n) for r in out.collect())
+    # every 09:xx row was beyond the restored watermark -> dropped
+    assert all(h != 9 for h, _, _ in rows), rows
+    # run 2's watermark advance emitted the closed 12:00 (n=2) and 12:10
+    # (n=1) windows; 12:50 stays open in state
+    assert (12, 0, 2) in rows and (12, 10, 1) in rows, rows
+
+
+def test_stream_batch_parity_tumbling(spark):
+    """The streamed tumbling aggregate equals the batch twin row-for-row
+    (both already oracle-checked; this pins them to each other directly)."""
+    import etl_pipeline_aws_spark as engine
+
+    qs = engine.queries()
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in qs["window_tumbling"](spark, sf).collect()
+    }
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in qs["stream_tumbling"](spark, sf).collect()
+    }
+    assert batch == streamed
+
+
+def test_foreachbatch_routing_layout(spark):
+    """The routed zone must be partitioned by event_type directories —
+    the R13 dynamic-output contract."""
+    import etl_pipeline_aws_spark as engine
+
+    qs = engine.queries()
+    df = qs["stream_foreachbatch_routing"](spark, "/root/testdata/sf0.001")
+    routes = {r.route for r in df.collect()}
+    assert routes  # at least one route materialized
