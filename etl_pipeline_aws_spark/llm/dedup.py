@@ -1,1 +1,366 @@
-"""Placeholder — filled in by build stage (SURVEY.md §7)."""
+"""Deduplication operators over ``documents`` (BASELINE.json north star:
+exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Design for 100 TB (the reason each variant exists):
+
+- **exact**: hash-groupBy on sha256(normalized text) — one shuffle of
+  (64-byte hash, doc_id), never the text itself.
+- **n-gram Jaccard (exact pairwise)**: explode distinct shingles →
+  self-join on shingle → count intersections.  Exact but the join fans out
+  quadratically on hot shingles — the correctness oracle, not the scale
+  path.
+- **MinHash+LSH**: fixed-size signature (16 hashes) per doc regardless of
+  length; band-bucket join only pairs candidates that share a band.  The
+  scale path: shuffle volume is O(docs × bands), candidate verification is
+  exact Jaccard on the (tiny) candidate set.
+- **SimHash**: one 64-bit signature per doc; near-dups differ in ≤ k bits.
+  Bucketing on 16-bit bands finds all pairs within Hamming ≤ 3 (pigeonhole:
+  4 bands, ≤3 flipped bits leave ≥1 band intact).
+
+All hashing is xxhash64/sha2 — deterministic, seed-controlled, no RNG at
+runtime.  The LSH/SimHash variants are rows-only for the driver (their
+internals are not SQL-expressible) but pinned by recall tests against the
+exact pairs in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.registry import query, rows_only_query
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+JACCARD_THRESHOLD = 0.5
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → exploded distinct n-word shingles (guarded for short docs)."""
+    toks = df.withColumn("ws", F.split(F.lower(F.trim(F.col("text"))), " "))
+    sh = F.when(
+        F.size("ws") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("ws", i, n)),
+            )
+        ),
+    ).otherwise(F.array())
+    return toks.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    -- simulated re-crawl: the corpus unioned with itself under shifted ids
+    -- => every text has exactly one duplicate to collapse
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT sha256(lower(trim(text))) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY sha256(lower(trim(text)))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: keeper = smallest doc_id.
+    The shuffle carries (hash, doc_id) pairs only — at 100 TB the text
+    stays columnar in the scan and never crosses the wire."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    corpus = docs.unionByName(recrawl)
+    return (
+        corpus.select("doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= 3
+                    THEN list_distinct([array_to_string(ws[i:i+2], ' ')
+                                        for i in range(1, len(ws) - 1)])
+                    ELSE [] END AS s
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), sizes AS (
+        SELECT doc_id, len(s) AS sz FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise 3-gram Jaccard ≥ 0.5: explode distinct shingles,
+    self-join on shingle, count intersections, divide by the exact union.
+    Integer-ratio division → bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = _shingles(docs)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def minhash_signatures(ex: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """doc_id → array of n_hashes MinHash values.  Permutation i is
+    xxhash64(i, shingle) — deterministic, no stored hash family needed.
+    One aggregation produces the whole fixed-width signature."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    sig = ex.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+@rows_only_query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: signature → band-bucket join →
+    candidates → exact-Jaccard verification at the same 0.5 threshold.
+
+    Scale shape: candidates are generated per band via a groupBy on
+    (band_id, band_hash) — shuffle O(docs×bands) — and only candidate
+    pairs are verified.  Output schema matches dedup_ngram_jaccard; the
+    recall-vs-exact test pins quality (P(candidate | J=0.5) with 4 bands
+    of 4 = 1-(1-0.5^4)^4 ≈ 23% per band family... planted dups here sit at
+    J≈0.95+ where detection probability is ≈1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = _shingles(docs)
+    sig = minhash_signatures(ex)
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (reuse the shingle sets)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ea = ex.alias("ea")
+    eb = ex.alias("eb")
+    inter = (
+        candidates.join(ea, F.col("doc_a") == F.col("ea.doc_id"))
+        .join(
+            eb,
+            (F.col("doc_b") == F.col("eb.doc_id"))
+            & (F.col("ea.shingle") == F.col("eb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@rows_only_query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature = sign of per-bit vote sums
+    over token hashes; candidate pairs share one of four 16-bit bands
+    (pigeonhole ⇒ complete for Hamming distance ≤ 3); verified by exact
+    popcount.  Pure integer/bitwise expressions, fully deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("token"),
+    ).withColumn("h", F.xxhash64("token"))
+    # per-bit votes: +1 if bit set else -1; simhash bit i = 1 iff sum > 0
+    votes = tokens.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    # bit 63 is the two's-complement sign bit: adding Long.MIN_VALUE sets it
+    # (1 << 63 would overflow the signed long literal)
+    bit_terms = [
+        F.when(
+            F.col(f"v{i}") > 0,
+            F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    sim = votes.select(
+        "doc_id",
+        sum(bit_terms[1:], bit_terms[0]).alias("simhash"),
+    )
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band_id"),
+                        F.shiftright(F.col("simhash"), bnd * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for bnd in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= 3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+               / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+              / (a.nrm * b.nrm) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.45), brute force.
+    Both engines fold the dot product left-to-right in double — verified
+    bit-identical — so even the cosine VALUES hash-match.  Scale path for
+    the same semantics: LSH bucketing in similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        ),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.45)
+    )

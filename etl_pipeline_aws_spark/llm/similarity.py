@@ -1,1 +1,231 @@
-"""Placeholder — filled in by build stage (SURVEY.md §7)."""
+"""Similarity search over ``embeddings`` (BASELINE.json north star:
+approximate-nearest-neighbor over an embedding column).
+
+Three tiers, per the scale ladder:
+
+- **brute force** (oracle-checked): broadcast the query set, one scan of
+  the candidates, window top-k.  Exact, and the dot-product fold is
+  bit-identical to DuckDB's ``list_sum(list_transform(...))`` (verified),
+  so even similarity VALUES are value-hashed.
+- **IVF** (rows-only): partition candidates into coarse cells (the `label`
+  column stands in for k-means cell assignment), route each query to its
+  nearest centroid cells, search only there.  At 100 TB the cell column is
+  the Parquet partition key ⇒ partition pruning turns ANN into a scan of
+  nprobe/ncells of the data.
+- **random-hyperplane LSH** (rows-only): sign-bit signature via a fixed
+  seeded hyperplane matrix (Pandas UDF, Arrow-vectorized numpy matmul),
+  bucket join, search within buckets.
+
+Recall of both approximate tiers is pinned against brute force in
+tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.registry import query, rows_only_query
+
+N_QUERIES = 10  # vec_id < 10 are the query set
+TOP_K = 5
+LSH_TABLES = 8  # L independent tables: recall 1-(1-p^bits)^L
+LSH_BITS = 4  # bits per table signature
+LSH_SEED = 42
+IVF_NPROBE = 3
+
+
+def _normed(emb: DataFrame) -> DataFrame:
+    """vec_id, v (double array), nrm — shared by all tiers."""
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        ),
+    )
+
+
+def _cosine(a_v, b_v, a_nrm, b_nrm):
+    dot = F.aggregate(
+        F.zip_with(a_v, b_v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return dot / (a_nrm * b_nrm)
+
+
+BRUTEFORCE_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    ), q AS (
+        SELECT * FROM n WHERE vec_id < {N_QUERIES}
+    ), sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+                   / (q.nrm * c.nrm) AS cosine
+        FROM q JOIN n c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM sims)
+    WHERE rn <= {TOP_K}
+"""
+
+
+@query("similarity_topk_bruteforce", oracle=BRUTEFORCE_ORACLE)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × one candidate scan; top-k
+    via per-query window (WindowGroupLimit — no global sort)."""
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    sims = (
+        q.join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@rows_only_query("similarity_topk_ivf")
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse cells = `label`; centroids = per-cell mean
+    vector; each query searches its IVF_NPROBE nearest cells only.  Same
+    output schema as brute force; recall pinned in tests (bounded by
+    nprobe/ncells when cells are uncorrelated with geometry — the
+    driver's random embeddings are the worst case).  At scale: cells are
+    the partition layout, centroids a broadcast table, and each query
+    reads ~nprobe/ncells of the corpus."""
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    # centroid per cell: element-wise mean via posexplode + groupBy
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda p: p.cx).alias("cv"),
+        )
+        .withColumn(
+            "cnrm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("cv", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    # route each query to its 2 nearest centroids
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "qv",
+        "qnrm",
+        "cell",
+        _cosine(F.col("qv"), F.col("cv"), F.col("qnrm"), F.col("cnrm")).alias("ccos"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), "cell")
+    probes = qc.withColumn("crank", F.row_number().over(wq)).filter(
+        F.col("crank") <= IVF_NPROBE
+    )
+    # search only within the probed cells
+    sims = (
+        probes.join(e, (e.label == probes.cell) & (e.vec_id != probes.query_id))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@rows_only_query("similarity_topk_lsh")
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN, multi-table: L=8 independent tables of
+    4 sign bits each (recall 1-(1-p^4)^8 ≈ 0.67 even for the ~72° gaps of
+    random vectors); candidates are the union over tables, dedup'd, then
+    exactly reranked.  The signature step is an Arrow-vectorized Pandas
+    UDF (one numpy matmul per batch for ALL tables) — the pattern for any
+    embedding-heavy kernel."""
+    planes = np.random.RandomState(LSH_SEED).randn(64, LSH_TABLES * LSH_BITS)
+
+    @F.pandas_udf("array<long>")
+    def signatures(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy())  # (batch, 64)
+        bits = (mat @ planes) > 0  # (batch, tables*bits)
+        weights = 1 << np.arange(LSH_BITS)
+        sigs = bits.reshape(len(mat), LSH_TABLES, LSH_BITS).dot(weights)
+        return pd.Series(list(sigs.astype("int64")))
+
+    e = _normed(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "sigs", signatures("v")
+    )
+    tabs = e.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.posexplode("sigs").alias("table_id", "bucket"),
+    )
+    q = tabs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("table_id").alias("qtable"),
+        F.col("bucket").alias("qbucket"),
+    )
+    candidates = (
+        q.join(
+            tabs,
+            (tabs.table_id == q.qtable)
+            & (tabs.bucket == q.qbucket)
+            & (tabs.vec_id != q.query_id),
+        )
+        .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    sims = candidates.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )

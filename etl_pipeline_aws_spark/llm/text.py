@@ -1,1 +1,229 @@
-"""Placeholder — filled in by build stage (SURVEY.md §7)."""
+"""Text-analysis operators over ``documents`` (BASELINE.json north star:
+"text analysis" for LLM training-data pipelines): token counting, quality
+scoring, language-ID heuristic, document fingerprinting, TF-IDF.
+
+Everything is built-in expression API (split/filter/transform/sha2 — all
+JVM-side, codegen'd); no Python touches the hot path.  At 100 TB these run
+as a single scan + (for TF-IDF) one shuffle on the term key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.registry import query
+
+# Shared tokenization: whitespace split (the documents table is
+# space-separated word soup; see FIXTURES.md).
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+STOPWORDS = ("the", "a", "data")  # intersecting the corpus vocabulary
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_word_tokens,
+           LENGTH(text) AS n_chars_computed
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, and a BPE-ish
+    regex word count ([a-z0-9]+ runs — the pre-tokenizer split rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        F.size(F.array_distinct(_tokens())).alias("n_unique_tokens"),
+        F.regexp_count("text", F.lit("[a-z0-9]+")).cast("int").alias("n_word_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS lexical_diversity,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> w IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}', '{STOPWORDS[2]}'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                 AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) > 0.05
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals (the C4/Gopher-rule shape): lexical
+    diversity, stopword ratio, mean word length, and a pass/fail gate.
+    Pure integer-ratio arithmetic → bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double") / n).alias("lexical_diversity"),
+        (
+            F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).cast("double") / n
+        ).alias("stopword_ratio"),
+        (F.length(F.regexp_replace("text", " ", "")).cast("double") / n).alias(
+            "mean_word_len"
+        ),
+        F.when(
+            n.between(20, 1000)
+            & (F.size(F.array_distinct(toks)).cast("double") / n > 0.05),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+# Marker-word profiles for the language-ID heuristic.  (The corpus is
+# synthetic word soup; the *operator shape* — n-gram/marker scoring with a
+# deterministic argmax — is what carries to real data.)
+_LANG_MARKERS = {
+    "en": ("the", "fast", "slow"),
+    "es": ("data", "table", "row"),
+    "de": ("spark", "batch", "window"),
+}
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id,
+           CASE
+             WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the','fast','slow')))
+                  >= len(list_filter(string_split(text, ' '), w -> w IN ('data','table','row')))
+              AND len(list_filter(string_split(text, ' '), w -> w IN ('the','fast','slow')))
+                  >= len(list_filter(string_split(text, ' '), w -> w IN ('spark','batch','window')))
+             THEN 'en'
+             WHEN len(list_filter(string_split(text, ' '), w -> w IN ('data','table','row')))
+                  >= len(list_filter(string_split(text, ' '), w -> w IN ('spark','batch','window')))
+             THEN 'es'
+             ELSE 'de'
+           END AS predicted_lang,
+           lang AS labeled_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID: score each language profile by marker hits,
+    deterministic argmax with a fixed preference order on ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    def marker_hits(markers: tuple[str, ...]):
+        # NB: a 2-arg lambda would be treated as the (element, index) HOF
+        # form by F.filter — close over `markers` instead.
+        return F.size(F.filter(toks, lambda w: w.isin(*markers)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in _LANG_MARKERS.items()}
+    return docs.select(
+        "doc_id",
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]), "en"
+        )
+        .when(scores["es"] >= scores["de"], "es")
+        .otherwise("de")
+        .alias("predicted_lang"),
+        F.col("lang").alias("labeled_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    )
+    SELECT doc_id,
+           sha256(array_to_string(ws, ' ')) AS content_hash,
+           CASE WHEN len(ws) >= 3
+                THEN list_sort(list_transform(
+                        [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)],
+                        s -> sha256(s)))[1]
+                ELSE NULL END AS min_shingle_hash
+    FROM toks
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized content hash (exact-dedup key)
+    plus the minimum 3-gram shingle hash (a 1-permutation MinHash — the
+    winnowing-style near-dup fingerprint).  sha256 hex is identical across
+    engines, so even the *hash values* are oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    df = docs.withColumn("ws", F.split(norm, " "))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 2),
+        lambda i: F.concat_ws(" ", F.slice("ws", i, 3)),
+    )
+    return df.select(
+        "doc_id",
+        F.sha2(F.concat_ws(" ", "ws"), 256).alias("content_hash"),
+        F.when(
+            F.size("ws") >= 3,
+            F.array_min(F.transform(shingles, lambda s: F.sha2(s, 256))),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("min_shingle_hash"),
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents
+    ), df_counts AS (
+        SELECT term, COUNT(*) AS doc_freq FROM tokens GROUP BY term
+    ), tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf_counts AS (
+        SELECT doc_id, term, COUNT(*) AS term_freq FROM tf GROUP BY doc_id, term
+    )
+    SELECT doc_id, term,
+           CAST(term_freq AS BIGINT) AS term_freq,
+           CAST(doc_freq AS BIGINT) AS doc_freq
+    FROM tf_counts JOIN df_counts USING (term)
+    WHERE doc_id < 100
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF/DF statistics (the exact-integer core of TF-IDF): explode→count
+    term frequencies, join document frequencies.  The float IDF weight
+    (tf·ln(N/df)) is deliberately NOT in the compared output — ln() differs
+    in the last ulp between JVM and libm (measured) — downstream rankers
+    apply it to these exact counts.  Two shuffles (per-doc TF, per-term DF)
+    + one broadcastable DF join at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("term_freq"))
+    )
+    df_counts = (
+        docs.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    return (
+        tf.join(F.broadcast(df_counts), "term")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "term", "term_freq", "doc_freq")
+    )
