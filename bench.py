@@ -18,11 +18,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    "q1_pricing_summary",
+    # warehouse shapes
+    "q1_pricing_summary",      # scan -> pushed filter -> groupBy agg
+    "q3_shipping_priority",    # selective 3-way join -> agg -> top-k
+    "q10_returned_items",      # broadcast dim chain -> agg -> top-k
+    "join_chain_revenue_by_nation",
+    "window_topk_per_group",
+    "asof_join_window",
+    # reference-fidelity NDJSON path
     "ref_enrich",
-    "filter_compound",
-    "date_funcs",
-    "json_access",
+    # LLM-data operators
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_tfidf_top_terms",
 ]
 
 

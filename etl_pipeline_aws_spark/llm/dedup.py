@@ -119,7 +119,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on shingle, count intersections, divide by the exact union.
     Integer-ratio division → bit-identical across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    ex = _shingles(docs)
+    ex = _shingles(docs).persist()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -169,9 +169,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs are verified.  Output schema matches dedup_ngram_jaccard; the
     recall-vs-exact test pins quality (P(candidate | J=0.5) with 4 bands
     of 4 = 1-(1-0.5^4)^4 ≈ 23% per band family... planted dups here sit at
-    J≈0.95+ where detection probability is ≈1)."""
+    J≈0.95+ where detection probability is ≈1).
+
+    The shingle table feeds four subtrees (signatures, both verification
+    sides, sizes); persist() computes the explode once per action.  At
+    100 TB the same role is played by writing the shingle/signature tables
+    to a Parquet stage and reading them back (cluster-wide, spillable),
+    not by executor-memory cache."""
     docs = load_table(spark, sf_dir, "documents")
-    ex = _shingles(docs)
+    ex = _shingles(docs).persist()
     sig = minhash_signatures(ex)
     rows_per_band = N_MINHASH // N_BANDS
     bands = sig.select(

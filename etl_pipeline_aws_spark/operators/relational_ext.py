@@ -1,0 +1,266 @@
+"""Relational extensions: subqueries, deterministic sampling, series
+generation, unpivot, ordered string aggregation, interval self-join, and
+FILTER-clause aggregates (SURVEY.md §2.B gaps beyond the core tables).
+
+The subquery family is declared through ``spark.sql`` — Catalyst rewrites
+scalar subqueries to broadcast-joined single-row aggregates and IN/EXISTS
+to left-semi/anti joins, so these compile to the same physical plans as the
+DataFrame forms in operators/joins.py.  The reference has no subqueries
+(its one transform is map-only, glue/job.py:27-34); this is the north-star
+generalization.
+
+Determinism notes (driver value-hash): every double aggregate that feeds a
+comparison or output goes through exact decimal (functions/numeric.py), and
+every LIMIT/top-k is total-ordered by a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table, register_views
+from etl_pipeline_aws_spark.functions.numeric import dec, dsum
+from etl_pipeline_aws_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Subqueries.  SQL-declared: Catalyst's RewriteSubquery turns these into
+# joins (scalar -> broadcast single-row, IN -> left semi, NOT EXISTS ->
+# left anti); .explain shows no per-row re-execution, unlike the naive
+# interpretation.
+# ---------------------------------------------------------------------------
+
+_SCALAR_SUBQ = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer
+    )
+"""
+
+
+@query("subquery_scalar", oracle=_SCALAR_SUBQ)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above the global average balance.  The average is an exact
+    decimal sum / count on both engines, so the > cut is deterministic."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ)
+
+
+_IN_SUBQ = """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+"""
+
+
+@query("subquery_in", oracle=_IN_SUBQ)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery -> left semi join under Catalyst."""
+    register_views(spark, sf_dir)
+    return spark.sql(_IN_SUBQ)
+
+
+_EXISTS_SUBQ = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+"""
+
+
+@query("subquery_exists_correlated", oracle=_EXISTS_SUBQ)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS -> left semi join on the correlation key plus the
+    pushed-down price filter; no per-row subquery execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SUBQ)
+
+
+_NOT_EXISTS_SUBQ = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+"""
+
+
+@query("subquery_not_exists", oracle=_NOT_EXISTS_SUBQ)
+def subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders: NOT EXISTS -> left anti join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_EXISTS_SUBQ)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling.  df.sample() is seed-dependent per engine, so the
+# reproducible form — the one a 100 TB pipeline should use for holdout
+# splits anyway — is a hash/mod cut on a stable key.  o_orderkey % 97 < 5
+# keeps ~5.2% with no RNG and identical results everywhere.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_deterministic_mod",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 97 < 5
+    """,
+)
+def sample_deterministic_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 97 < 5).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Series generation: sequence + explode (Spark's generator surface; the
+# lateral-join form of DuckDB's generate_series).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sequence_explode",
+    oracle="""
+    SELECT r_regionkey, CAST(gs.generate_series AS INT) AS step
+    FROM region, generate_series(1, 5) gs
+    """,
+)
+def sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each region crossed with an integer series — explode(sequence)."""
+    r = load_table(spark, sf_dir, "region")
+    return r.select(
+        "r_regionkey",
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("step"),
+    ).withColumn("step", F.col("step").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long).  Spark's df.unpivot plans as an Expand node —
+# one pass, no shuffle; same shape DuckDB's UNPIVOT produces.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val
+    FROM (
+        UNPIVOT (SELECT l_orderkey, l_linenumber,
+                        l_quantity, l_extendedprice, l_discount
+                 FROM lineitem WHERE l_orderkey < 1000)
+        ON l_quantity, l_extendedprice, l_discount
+        INTO NAME measure VALUE val
+    )
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation: collect_list is shuffle-order-nondeterministic,
+# so the deterministic form sorts the collected array before joining —
+# equivalent to DuckDB's string_agg(... ORDER BY ...).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_agg_per_group",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def string_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap self-join (sessions / co-occurrence): pairs of events by
+# the same user within a 5-minute window.  Equi key (user_id) carries the
+# shuffle; the range predicate evaluates post-match, so this stays a
+# sort-merge/shuffled-hash join, NOT a nested-loop cross product.  At
+# 100 TB: same plan — shuffle by user, range-filter within.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "interval_overlap_pairs",
+    oracle="""
+    SELECT a.user_id,
+           CAST(COUNT(*) AS BIGINT) AS pairs_within_5min
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id > a.event_id
+     AND b.ts >= a.ts
+     AND b.ts < a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.event_id") > F.col("a.event_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") < F.col("a.ts") + F.expr("INTERVAL 5 MINUTE")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count("*").alias("pairs_within_5min"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# FILTER-clause aggregation (conditional aggregates in one pass — the
+# pattern that replaces N separate filtered scans with one grouped scan).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan, three conditionally-filtered aggregates (CASE-WHEN inside
+    agg = SQL FILTER clause; partial aggregation still applies)."""
+    o = load_table(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(is_f, 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.sum(F.when(is_f, dec("o_totalprice"))).cast("double").alias("finished_value"),
+    )

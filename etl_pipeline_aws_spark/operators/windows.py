@@ -172,3 +172,66 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 5)
     )
+
+
+@query(
+    "window_percent_cume",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position analytics: percent_rank / cume_dist.  Total order
+    (totalprice then unique orderkey) makes both fractions deterministic;
+    the division (rank-1)/(n-1) is the same two integers on both engines,
+    so the doubles are bit-identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_within_10k_below,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS sum_within_10k_below
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ORDER BY: the frame is value-based
+    (all peers within 10k below the current price), not row-count-based —
+    ties share identical frames, so no unique-key tiebreak is needed.
+    The framed sum goes through exact decimal (frame contents are a set;
+    decimal addition is order-free)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, W.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count("*").over(w).cast("long").alias("n_within_10k_below"),
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("sum_within_10k_below"),
+    )

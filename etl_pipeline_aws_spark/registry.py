@@ -75,9 +75,13 @@ def _load_all() -> None:
         aggregates,
         asof,
         events,
+        flagships,
         joins,
+        maps_arrays,
+        relational_ext,
         scalars,
         setops,
+        udf_surface,
         windows,
     )
     from etl_pipeline_aws_spark.llm import (  # noqa: F401

@@ -40,7 +40,13 @@ def session_builder(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Keep the broadcast threshold at Spark's 10 MB default: a larger
+        # value makes local[32] auto-broadcast *filtered fact tables*
+        # (observed on q3: lineitem post-filter slipped under 64 MB), which
+        # is precisely the plan that OOMs the driver at 100 TB.  True
+        # dimensions (region/nation/supplier) carry explicit broadcast()
+        # hints instead.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     )
 
 
