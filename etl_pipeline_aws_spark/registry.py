@@ -80,6 +80,7 @@ def _load_all() -> None:
         maps_arrays,
         relational_ext,
         scalars,
+        scale,
         setops,
         udf_surface,
         windows,

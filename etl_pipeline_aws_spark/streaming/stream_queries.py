@@ -150,3 +150,86 @@ def stream_foreachbatch_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return landed.groupBy(F.col("event_type").alias("route")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+_SESSIONIZE_ORACLE = """
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM g
+    )
+    SELECT user_id,
+           CAST(sess_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, sess_id
+"""
+
+
+@query("stream_stateful_sessions", oracle=_SESSIONIZE_ORACLE)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: gap-based
+    sessionization (new session when >30 min since the user's previous
+    event) — the arbitrary-state API the built-in ``session_window``
+    (operators/events.py window_session) cannot generalize beyond.
+
+    Each micro-batch delivers a user's events to Python as one pandas
+    frame; sessions are cut on the sorted gaps and the running event count
+    is carried in GroupState (exercised as the cross-batch memory).  Under
+    availableNow over the bounded input every session closes within the
+    run, so the emitted result equals the batch lag/cumsum sessionization
+    the oracle computes.  In an unbounded deployment the trailing open
+    session stays in state behind an event-time timeout instead of being
+    emitted at batch end — that divergence is the documented difference
+    between a bounded replay and a live stream.
+    """
+    import pandas as pd  # local: keep module import light
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "event_id")
+
+    out_schema = (
+        "user_id long, session_id long, session_start timestamp, "
+        "session_end timestamp, n_events long"
+    )
+    state_schema = "n_rows_seen long"
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        seen = state.get[0] if state.exists else 0
+        state.update((seen + len(pdf),))
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        gap = pdf["ts"].diff()
+        new_sess = gap.isna() | (gap > pd.Timedelta(minutes=30))
+        sess_id = new_sess.cumsum()
+        out = (
+            pdf.assign(session_id=sess_id)
+            .groupby("session_id", as_index=False)
+            .agg(
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("ts", "size"),
+            )
+        )
+        out.insert(0, "user_id", key[0])
+        yield out[["user_id", "session_id", "session_start", "session_end", "n_events"]]
+
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(sessions, "append")

@@ -63,3 +63,28 @@ def test_relational_queries_stay_jvm_side(spark):
 def test_topk_per_group_uses_group_limit(spark):
     plan = formatted_plan(_q("window_topk_per_group", spark))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """Both sides bucketed on the join key => the SMJ consumes bucketed
+    scans directly; the only exchange allowed is the post-join groupBy."""
+    df = _q("bucketed_join_colocated", spark)
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    join_subtree = final[final.index("SortMergeJoin"):]
+    assert "Exchange hashpartitioning" not in join_subtree, join_subtree
+    assert "SelectedBucketsCount" in final or "Bucketed: true" in final, final
+
+
+def test_flagship_joins_never_broadcast_fact_side(spark):
+    """The broadcast threshold must not let a (filtered) fact table become
+    a broadcast build side — the plan that OOMs the driver at 100 TB."""
+    for name in ("q3_shipping_priority", "q10_returned_items"):
+        plan = formatted_plan(_q(name, spark))
+        assert "lineitem.parquet" in plan  # sanity: fact scan present
+        # every BroadcastExchange subtree must read a dim, never lineitem;
+        # in the formatted tree the exchange's input scan appears within
+        # the following few hundred chars
+        for sub in plan.split("BroadcastExchange")[1:]:
+            assert "lineitem.parquet" not in sub[:600], name
