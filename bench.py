@@ -22,6 +22,9 @@ HEADLINE = [
     "q1_pricing_summary",      # scan -> pushed filter -> groupBy agg
     "q3_shipping_priority",    # selective 3-way join -> agg -> top-k
     "q10_returned_items",      # broadcast dim chain -> agg -> top-k
+    "q5_local_supplier_volume",  # 6-way join with broadcast dim chain
+    "q6_forecast_revenue",     # pure scan-filter-agg (row-group skipping)
+    "q18_large_volume_customer",  # semi join on aggregate (shuffle reuse)
     "join_chain_revenue_by_nation",
     "window_topk_per_group",
     "asof_join_window",

@@ -36,6 +36,24 @@ def assert_not_in_plan(df: DataFrame, *needles: str) -> None:
         assert needle not in plan, f"unexpected {needle!r} in plan:\n{plan}"
 
 
+def broadcast_subtrees(df: DataFrame) -> list[str]:
+    """treeString of every BroadcastExchange node in the *static* physical
+    plan (pre-AQE — the plan Catalyst's size estimates produce, i.e. the
+    one whose shape must survive a 100× scale-up).  Each returned string
+    contains exactly that exchange's build-side subtree, so callers can
+    assert what is (not) being broadcast without brittle text windows."""
+    out: list[str] = []
+    stack = [df._jdf.queryExecution().sparkPlan()]
+    while stack:
+        node = stack.pop()
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+        if "BroadcastExchange" in node.nodeName():
+            out.append(node.treeString())
+    return out
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Extract the PushedFilters lines from the formatted plan."""
     return [

@@ -82,6 +82,7 @@ def _load_all() -> None:
         scalars,
         scale,
         setops,
+        tpch_suite,
         udf_surface,
         windows,
     )

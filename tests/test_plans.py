@@ -5,7 +5,11 @@ pruning, broadcast joins, top-k without global sort, whole-stage codegen."""
 from __future__ import annotations
 
 import etl_pipeline_aws_spark as engine
-from etl_pipeline_aws_spark.plans.inspect import formatted_plan, pushed_filters
+from etl_pipeline_aws_spark.plans.inspect import (
+    broadcast_subtrees,
+    formatted_plan,
+    pushed_filters,
+)
 from tests.conftest import SF_DIR
 
 
@@ -80,11 +84,15 @@ def test_bucketed_join_has_no_join_exchange(spark):
 def test_flagship_joins_never_broadcast_fact_side(spark):
     """The broadcast threshold must not let a (filtered) fact table become
     a broadcast build side — the plan that OOMs the driver at 100 TB."""
-    for name in ("q3_shipping_priority", "q10_returned_items"):
-        plan = formatted_plan(_q(name, spark))
-        assert "lineitem.parquet" in plan  # sanity: fact scan present
-        # every BroadcastExchange subtree must read a dim, never lineitem;
-        # in the formatted tree the exchange's input scan appears within
-        # the following few hundred chars
-        for sub in plan.split("BroadcastExchange")[1:]:
-            assert "lineitem.parquet" not in sub[:600], name
+    for name in (
+        "q3_shipping_priority",
+        "q10_returned_items",
+        "q5_local_supplier_volume",
+        "q7_volume_shipping",
+        "q9_profit_by_nation_year",
+        "q18_large_volume_customer",
+    ):
+        df = _q(name, spark)
+        assert "lineitem.parquet" in formatted_plan(df)  # fact scan present
+        for sub in broadcast_subtrees(df):
+            assert "lineitem.parquet" not in sub, (name, sub)
