@@ -27,9 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etl_pipeline_aws_spark.catalog import table_path
+from etl_pipeline_aws_spark.catalog import load_table, table_path
 from etl_pipeline_aws_spark.functions.numeric import dsum
-from etl_pipeline_aws_spark.operators.events import TUMBLING_ORACLE
+from etl_pipeline_aws_spark.operators.events import (
+    SESSION_ORACLE,
+    SLIDING_ORACLE,
+    TUMBLING_ORACLE,
+)
 from etl_pipeline_aws_spark.registry import query
 
 # Parquet stores ts as TIMESTAMP(NANOS); with the legacy conf it surfaces as
@@ -102,6 +106,130 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+@query("stream_sliding", oracle=SLIDING_ORACLE)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding-window aggregation (10-minute size, 5-minute
+    slide), genuinely streamed; every event expands into two overlapping
+    window states.  Shares the batch twin's oracle (window_sliding)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@query("stream_session", oracle=SESSION_ORACLE)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute gap) as a streaming aggregation
+    — the merging-window state machine (sessions coalesce when a new event
+    bridges two of them).  Shares the batch twin's oracle
+    (window_session); complete output under availableNow emits every
+    closed-and-open session at end of replay, matching batch."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+_LATE_CUT = "2024-01-08 00:00:00"
+
+LATE_DROP_ORACLE = f"""
+    -- batch 1 = events >= cut; batch 2 (the stragglers, all older than the
+    -- post-batch-1 watermark) is dropped entirely; append mode emits only
+    -- windows finalized by the last watermark (max on-time ts - 1 hour)
+    WITH ontime AS (
+        SELECT ts, value FROM events WHERE ts >= TIMESTAMP '{_LATE_CUT}'
+    )
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM ontime
+    GROUP BY 1
+    HAVING window_start + INTERVAL '10 minutes'
+               <= (SELECT MAX(ts) - INTERVAL '1 hour' FROM ontime)
+"""
+
+
+@query("stream_late_data_drop", oracle=LATE_DROP_ORACLE)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, end to end and deterministic: the
+    landing zone receives the on-time file (ts >= Jan 8) first, then a
+    straggler file holding the oldest week.  After micro-batch 1 the
+    watermark stands at max(on-time ts) - 1 hour, so every straggler row
+    is older than the watermark and is dropped before aggregation; append
+    mode then emits exactly the windows the final watermark passed.  The
+    oracle replays both rules in SQL — this is the one streaming query
+    whose *drop* behavior (not just its happy path) is oracle-checked.
+
+    The on-time data is staged as TWO files (so the stragglers land in
+    micro-batch 3): since Spark 3.4 late-row filtering uses the *previous*
+    batch's watermark (watermarkForLateEvents) while eviction uses the
+    current one — a straggler file in batch 2 would be admitted against
+    the initial epoch-0 watermark and "late-emitted" instead of dropped."""
+    cut = F.lit(_LATE_CUT).cast("timestamp")
+    mid = F.lit("2024-01-19 00:00:00").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    landing = tempfile.mkdtemp(prefix="late_landing_")
+
+    def _stage(df: DataFrame, name: str, mtime: int) -> None:
+        import glob
+        import shutil
+
+        tmp = tempfile.mkdtemp(prefix="late_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(landing, name)
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (mtime, mtime))  # file source processes oldest first
+
+    ontime = ev.filter(F.col("ts") >= cut)
+    _stage(ontime.filter(F.col("ts") < mid), "0-ontime-a.parquet", 1_000_000)
+    _stage(ontime.filter(F.col("ts") >= mid), "1-ontime-b.parquet", 2_000_000)
+    _stage(ev.filter(F.col("ts") < cut), "2-late.parquet", 3_000_000)
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("value", T.DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(landing)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "append")
 
 
 @query(
