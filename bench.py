@@ -27,7 +27,7 @@ HEADLINE = [
     "q18_large_volume_customer",  # semi join on aggregate (shuffle reuse)
     "join_chain_revenue_by_nation",
     "window_topk_per_group",
-    "asof_join_window",
+    "asof_join_maxby",
     # reference-fidelity NDJSON path
     "ref_enrich",
     # LLM-data operators

@@ -73,6 +73,40 @@ def asof_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("asof_join_maxby", oracle=_ASOF_ORACLE)
+def asof_join_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join + ``max_by`` aggregation — usually the fastest
+    composition: unlike the window variant (sort + full fanout through the
+    event_id exchange), a hash aggregate combines map-side, so the shuffle
+    carries at most one partial winner per event per map partition no
+    matter how many orders precede the event.  The struct ordering
+    (o_orderdate, o_orderkey) reproduces the same deterministic
+    tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = ev.join(
+        orders,
+        (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
+        "inner",
+    )
+    best = F.max_by(
+        F.struct("o_orderkey", "o_orderdate", "o_totalprice"),
+        F.struct("o_orderdate", "o_orderkey"),
+    )
+    return (
+        joined.groupBy("event_id", "user_id", "ts")
+        .agg(best.alias("b"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("b.o_orderkey").alias("asof_orderkey"),
+            F.col("b.o_orderdate").alias("asof_orderdate"),
+            F.col("b.o_totalprice").alias("asof_totalprice"),
+        )
+    )
+
+
 @query("asof_join_merge", oracle=_ASOF_ORACLE)
 def asof_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: co-group events and orders on the key, merge_asof within

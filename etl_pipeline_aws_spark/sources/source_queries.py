@@ -61,6 +61,67 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC sink → ORC scan → aggregate.  ORC is Spark's other
+    first-class columnar format (native vectorized reader, predicate
+    pushdown); the aggregate over the round trip holds reader and writer
+    to exact fidelity on doubles/timestamps/strings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    zone = tempfile.mkdtemp(prefix="orc_zone_")
+    out = os.path.join(zone, "lineitem_orc")
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "parquet_schema_evolution",
+    oracle="""
+    SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_with_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_with_totalprice
+    FROM orders
+    """,
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across Parquet file generations: generation 1
+    carries (o_orderkey, o_custkey), generation 2 adds o_totalprice and
+    drops o_custkey; a mergeSchema read unions the schemas and fills the
+    missing columns with NULL.  This is the lake reality at 100 TB — years
+    of files, schema widened in place, one read over all of them.
+    (mergeSchema is a footer-union planning step; keep it off for
+    steady-state reads and on only when generations actually diverge.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    zone = tempfile.mkdtemp(prefix="pq_evo_")
+    orders.select("o_orderkey", "o_custkey").write.mode("overwrite").parquet(
+        os.path.join(zone, "gen=1")
+    )
+    orders.select("o_orderkey", "o_totalprice").write.mode("overwrite").parquet(
+        os.path.join(zone, "gen=2")
+    )
+    back = spark.read.option("mergeSchema", True).option("basePath", zone).parquet(
+        os.path.join(zone, "gen=1"), os.path.join(zone, "gen=2")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("n_with_custkey"),
+        F.count("o_totalprice").alias("n_with_totalprice"),
+    )
+
+
+@query(
     "parquet_partitioned_sink",
     oracle="""
     SELECT event_type, COUNT(*) AS n_rows
