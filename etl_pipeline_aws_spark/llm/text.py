@@ -210,7 +210,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tf·ln(N/df)) is deliberately NOT in the compared output — ln() differs
     in the last ulp between JVM and libm (measured) — downstream rankers
     apply it to these exact counts.  Two shuffles (per-doc TF, per-term DF)
-    + one broadcastable DF join at any scale."""
+    + a DF join that hash-partitions on ``term`` — no static broadcast:
+    vocabulary scales with the corpus (AQE may still broadcast it at
+    runtime if measured small)."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(_tokens()).alias("term"))
@@ -223,7 +225,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
     return (
-        tf.join(F.broadcast(df_counts), "term")
+        tf.join(df_counts, "term")
         .filter(F.col("doc_id") < 100)
         .select("doc_id", "term", "term_freq", "doc_freq")
     )

@@ -100,7 +100,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    # supplier scales with SF (10k rows/SF) — no static broadcast hint;
+    # AQE converts from measured sizes when genuinely small.
+    supp = load_table(spark, sf_dir, "supplier")
     nat = F.broadcast(load_table(spark, sf_dir, "nation"))
     reg = F.broadcast(
         load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -200,7 +202,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(n1, F.col("s_nationkey") == F.col("s_natkey"))
@@ -246,11 +248,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 shape: one supplier-nation's share of a region's spend on one
     part type, by year.  Numerator and denominator are each exact decimal
     sums; the final ratio divides the same two doubles on both engines."""
-    part = F.broadcast(
-        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
-    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     li = load_table(spark, sf_dir, "lineitem")
-    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -311,11 +311,9 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 shape adapted: the driver schema has no partsupp/ps_supplycost
     (FIXTURES.md §B), so profit reduces to discounted revenue per
     supplier-nation per order-year over the same 5-way join tree."""
-    part = F.broadcast(
-        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
-    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     li = load_table(spark, sf_dir, "lineitem")
-    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     nat = F.broadcast(load_table(spark, sf_dir, "nation"))
     return (
@@ -398,7 +396,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp"))
     )
-    part = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     zero = F.lit(0).cast("decimal(18,2)")
     vol = _rev()
     return (
@@ -475,25 +473,29 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 shape (correlated scalar subquery): revenue from orders of less
-    than half a part's average quantity.  The correlated per-part average
-    is decorrelated by hand into one groupBy + re-join — lineitem is
-    scanned twice but never nested-looped; the per-part avg aggregate
-    (200 rows/SF) broadcasts."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = F.broadcast(
-        load_table(spark, sf_dir, "part")
-        .filter(F.col("p_brand") == "Brand#3")
-        .select("p_partkey")
+    than half a part's average quantity.  Decorrelated by hand: lineitem is
+    first semi-restricted to the brand's parts (a per-key average is
+    unchanged by restricting the key set), THEN averaged per part and
+    re-joined.  Both branches shuffle on l_partkey, so the aggregate and
+    the re-join reuse one partitioning; nothing scale-dependent is ever
+    broadcast — at 100 TB the per-part aggregate is |part|-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    li_brand = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
     )
     # exact-decimal avg so the 0.5*avg threshold is bit-identical to DuckDB
-    part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+    part_avg = li_brand.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
         (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias(
             "avg_qty"
         )
     )
     return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(F.broadcast(part_avg), li.l_partkey == F.col("avg_partkey"))
+        li_brand.join(part_avg, li_brand.l_partkey == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7).cast("double"))
@@ -564,9 +566,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays a broadcast-hash equi join on p_partkey with the OR predicate as
     a post-join filter — never a nested loop over the disjunction."""
     li = load_table(spark, sf_dir, "lineitem")
-    part = F.broadcast(
-        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
     pred = (
         ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 20))

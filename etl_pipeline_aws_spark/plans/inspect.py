@@ -37,11 +37,15 @@ def assert_not_in_plan(df: DataFrame, *needles: str) -> None:
 
 
 def broadcast_subtrees(df: DataFrame) -> list[str]:
-    """treeString of every BroadcastExchange node in the *static* physical
-    plan (pre-AQE — the plan Catalyst's size estimates produce, i.e. the
-    one whose shape must survive a 100× scale-up).  Each returned string
-    contains exactly that exchange's build-side subtree, so callers can
-    assert what is (not) being broadcast without brittle text windows."""
+    """treeString of the BUILD side of every broadcast join in the *static*
+    physical plan (pre-AQE — the plan Catalyst's size estimates produce,
+    i.e. the one whose shape must survive a 100× scale-up).  Callers assert
+    what is (not) being broadcast without brittle text windows.
+
+    Walks ``sparkPlan()`` — note BroadcastExchange nodes do NOT exist there
+    (EnsureRequirements inserts them later into ``executedPlan``), so we key
+    on the join nodes themselves and their declared ``buildSide``.
+    """
     out: list[str] = []
     stack = [df._jdf.queryExecution().sparkPlan()]
     while stack:
@@ -49,8 +53,10 @@ def broadcast_subtrees(df: DataFrame) -> list[str]:
         kids = node.children()
         for i in range(kids.size()):
             stack.append(kids.apply(i))
-        if "BroadcastExchange" in node.nodeName():
-            out.append(node.treeString())
+        name = node.nodeName()
+        if "Broadcast" in name and "Join" in name:
+            build_right = "BuildRight" in node.buildSide().toString()
+            out.append(kids.apply(1 if build_right else 0).treeString())
     return out
 
 

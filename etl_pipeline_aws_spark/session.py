@@ -40,13 +40,20 @@ def session_builder(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
-        # Keep the broadcast threshold at Spark's 10 MB default: a larger
-        # value makes local[32] auto-broadcast *filtered fact tables*
-        # (observed on q3: lineitem post-filter slipped under 64 MB), which
-        # is precisely the plan that OOMs the driver at 100 TB.  True
-        # dimensions (region/nation/supplier) carry explicit broadcast()
-        # hints instead.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # Broadcast policy, 100-TB-first: the static planner must NEVER
+        # broadcast on size *estimates* — without CBO stats a filtered fact
+        # table's estimate routinely slips under any threshold (observed on
+        # q3/q10/q18: lineitem post-filter planned as the broadcast build
+        # side), and that plan OOMs the driver at scale.  So estimate-based
+        # auto-broadcast is off (-1); true dimensions carry explicit
+        # broadcast() hints; and AQE may still convert a join to broadcast
+        # at runtime from *measured* shuffle sizes (adaptive threshold),
+        # which is safe at any scale because it is fact, not guess.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(10 * 1024 * 1024),
+        )
     )
 
 

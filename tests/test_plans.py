@@ -81,18 +81,32 @@ def test_bucketed_join_has_no_join_exchange(spark):
     assert "SelectedBucketsCount" in final or "Bucketed: true" in final, final
 
 
-def test_flagship_joins_never_broadcast_fact_side(spark):
-    """The broadcast threshold must not let a (filtered) fact table become
-    a broadcast build side — the plan that OOMs the driver at 100 TB."""
-    for name in (
-        "q3_shipping_priority",
-        "q10_returned_items",
-        "q5_local_supplier_volume",
-        "q7_volume_shipping",
-        "q9_profit_by_nation_year",
-        "q18_large_volume_customer",
-    ):
+def test_no_query_broadcasts_a_fact_side(spark):
+    """No statically-planned broadcast build side may contain a fact-table
+    scan (lineitem/orders/events) — that is the plan that OOMs the driver
+    at 100 TB.  One exception: a build side collapsed by a zero-key (i.e.
+    single-row) aggregate — broadcasting one row is scale-independent
+    (q15's max, scalar subqueries).  Runtime AQE broadcast conversion from
+    *measured* sizes remains allowed; this guards the estimate-based
+    static plan, which is what must survive a 100x scale-up."""
+    qs = engine.queries()
+    relational = [
+        n
+        for n in qs
+        if n.startswith("q")
+        or "join" in n
+        or "asof" in n
+        or "chain" in n
+        or "subquery" in n
+    ]
+    offenders = []
+    for name in sorted(relational):
         df = _q(name, spark)
-        assert "lineitem.parquet" in formatted_plan(df)  # fact scan present
         for sub in broadcast_subtrees(df):
-            assert "lineitem.parquet" not in sub, (name, sub)
+            scans_fact = any(
+                f"{t}.parquet" in sub for t in ("lineitem", "orders", "events")
+            )
+            single_row = "keys=[]" in sub or "Keys: []" in sub
+            if scans_fact and not single_row:
+                offenders.append((name, sub.splitlines()[0]))
+    assert not offenders, offenders
