@@ -66,6 +66,26 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def cpu_parallel(df: DataFrame) -> DataFrame:
+    """Decouple parallelism from input-split count for CPU-dense narrow
+    transforms (shingling, signature hashing, vector math, pandas UDFs).
+
+    Parquet splits at row-group granularity, so a table written as one
+    row group scans as ONE task no matter how many cores the cluster has
+    — the driver's testdata tables are exactly that shape, and small hot
+    tables on a real cluster can be too.  When the scan's parallelism is
+    already >= the cluster's (every multi-file table at 100 TB: scans
+    there yield orders of magnitude more splits than cores), this is a
+    no-op and costs nothing.  Only below that does it round-robin
+    repartition — paying one narrow-input shuffle to light up every core,
+    which is the right trade precisely when per-row CPU dominates row
+    movement."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so operators can be written in
     SQL when that is the clearer declaration (same Catalyst plan either way)."""

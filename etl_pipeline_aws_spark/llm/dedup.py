@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.catalog import cpu_parallel, load_table
 from etl_pipeline_aws_spark.registry import query, rows_only_query
 
 N_MINHASH = 16
@@ -173,17 +173,43 @@ def _shingle_sets(df: DataFrame, n: int = 3) -> DataFrame:
     return toks.select("doc_id", sh.alias("shset"))
 
 
+# Permutation family for MinHash: the classic universal hash
+# h_i(x) = (a_i*x + b_i) mod p over the Mersenne prime p = 2^31-1, with
+# constants derived from splitmix64 of the permutation index — fixed, no
+# runtime RNG.  Chosen over (a) xxhash64(i, h) per permutation, which
+# re-hashes 16 bytes per evaluation, and (b) wrap-around 64-bit linear
+# maps, which ANSI mode (Spark 4 default) rejects as overflow — here
+# x < 2^31 and a_i < 2^31 keep every intermediate under 2^62.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _splitmix64(i: int) -> int:
+    z = (i + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+_PERM_A = [_splitmix64(2 * i) % (_MERSENNE_P - 1) + 1 for i in range(N_MINHASH)]
+_PERM_B = [_splitmix64(2 * i + 1) % _MERSENNE_P for i in range(N_MINHASH)]
+
+
 def minhash_signature_cols(ex: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     """doc_id → n_hashes MinHash columns from exploded shingle hashes.
-    Permutation i is xxhash64(i, shingle_hash) — deterministic, no stored
-    hash family.  Explode + groupBy-min beats a per-row HOF fold here
-    because min aggregates are whole-stage-codegen'd JVM loops with
-    map-side partial aggregation: the shuffle carries n_hashes longs per
-    doc per partition, while the n_hashes × |shingles| hash evaluations
-    run compiled, not interpreted."""
+    Permutation i is ``(a_i * (h & 0x7FFFFFFF) + b_i) mod (2^31-1)`` — a
+    multiply-add-mod in whole-stage codegen per (shingle, permutation);
+    the first cut used xxhash64(i, h), measurably slower because it
+    re-hashes 16 bytes per evaluation.  The 31-bit range is ample: MinHash
+    needs per-doc rank consistency, and intra-doc collision odds at ~1e3
+    shingles/doc are ~1e-4.  Explode + groupBy-min (not a per-row HOF
+    fold): min aggregates are codegen'd with map-side partial aggregation,
+    so the shuffle carries n_hashes longs per doc per partition."""
+    x = F.col("s").bitwiseAND(F.lit(_MERSENNE_P))
     return ex.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh_{i}")
+            F.min(F.pmod(x * F.lit(_PERM_A[i]) + F.lit(_PERM_B[i]), F.lit(_MERSENNE_P))).alias(
+                f"mh_{i}"
+            )
             for i in range(n_hashes)
         ]
     )
@@ -364,22 +390,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.45), brute force.
     Both engines fold the dot product left-to-right in double — verified
-    bit-identical — so even the cosine VALUES hash-match.  Scale path for
-    the same semantics: LSH bucketing in similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn(
-        "nrm",
-        F.sqrt(
-            F.aggregate(
-                F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-            )
-        ),
-    )
-    a = e.alias("a")
-    b = e.alias("b")
+    bit-identical — so even the cosine VALUES hash-match.
+
+    Physical shape: O(n²) pairwise cosine is CPU-bound (interpreted HOF
+    dot per pair), so the stream side is cpu_parallel'd — without it a
+    single-row-group scan evaluates every pair in ONE task — and the
+    build side carries an explicit broadcast so the non-equi join plans
+    as BroadcastNestedLoop with |stream| tasks, not a partition-pair
+    cartesian (32×32 tasks of nothing at bench SF).  Broadcasting the
+    corpus is inherent to brute force — this is the ORACLE path; the
+    scale path for the same semantics is LSH bucketing in similarity.py."""
+
+    def normed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        ).withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+                )
+            ),
+        )
+
+    a = normed(cpu_parallel(load_table(spark, sf_dir, "embeddings"))).alias("a")
+    b = F.broadcast(normed(load_table(spark, sf_dir, "embeddings"))).alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
