@@ -81,6 +81,50 @@ def test_bucketed_join_has_no_join_exchange(spark):
     assert "SelectedBucketsCount" in final or "Bucketed: true" in final, final
 
 
+# Queries whose static plan LEGITIMATELY carries a scale-hostile node, each
+# with the documented reason (docstrings at the definition sites):
+ALLOWED_CARTESIAN = {
+    "join_cross",  # the operator IS a cross join
+}
+ALLOWED_NESTED_LOOP = {
+    "q22_sales_opportunity",  # single-row scalar-subquery broadcast (scale-free)
+    "dedup_embedding_cosine",  # brute-force oracle path; LSH is the scale path
+    "similarity_topk_bruteforce",  # broadcast query set is the operator's design
+    "similarity_topk_ivf",  # centroid table broadcast (|cells| rows)
+}
+ALLOWED_PYTHON_EVAL = {
+    "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)
+    "udf_pandas_vectorized",  # UDF surface demonstrations
+    "udf_scalar_py",
+    "udf_grouped_applyinpandas",
+}
+# Build-time side effects (streams run, sinks write) make these unplannable
+# in a pure sweep; their physical posture is asserted by their own tests.
+SWEEP_SKIP_MODULES = ("stream_queries", "source_queries", "multimodal")
+
+
+def test_registry_sweep_no_scale_hostile_plans(spark):
+    """Every registered query's static physical plan is free of cartesian
+    products, nested-loop joins, and Python row evaluation — except the
+    explicit allowlists above, each a deliberate, documented trade.  This
+    is the guard that a future operator can't silently regress into a
+    plan that dies at 100 TB."""
+    qs = engine.queries()
+    offenders = []
+    for name in sorted(qs):
+        fn = qs[name]
+        if fn.__module__.rsplit(".", 1)[-1] in SWEEP_SKIP_MODULES:
+            continue
+        plan = _q(name, spark)._jdf.queryExecution().sparkPlan().toString()
+        if "CartesianProduct" in plan and name not in ALLOWED_CARTESIAN:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoop" in plan and name not in ALLOWED_NESTED_LOOP:
+            offenders.append((name, "BroadcastNestedLoop"))
+        if "EvalPython" in plan and name not in ALLOWED_PYTHON_EVAL:
+            offenders.append((name, "EvalPython"))
+    assert not offenders, offenders
+
+
 def test_no_query_broadcasts_a_fact_side(spark):
     """No statically-planned broadcast build side may contain a fact-table
     scan (lineitem/orders/events) — that is the plan that OOMs the driver
