@@ -229,3 +229,83 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 100)
         .select("doc_id", "term", "term_freq", "doc_freq")
     )
+
+
+CHUNK_TOKENS = 50  # window size
+CHUNK_STRIDE = 40  # => 10-token overlap between consecutive chunks
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), starts AS (
+        SELECT doc_id, ws, unnest(range(1, len(ws) + 1, {CHUNK_STRIDE})) AS start
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS chunk_start,
+           CAST(len(ws[start:start + {CHUNK_TOKENS} - 1]) AS INT) AS n_chunk_tokens,
+           array_to_string(ws[start:start + {CHUNK_TOKENS} - 1], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for context-window-bound consumers: overlapping
+    fixed-size token windows (50 tokens, stride 40).  One narrow
+    explode per doc — chunk count is ceil(n/stride), rows carry only the
+    window text, so at 100 TB output volume is input x (50/40) with zero
+    shuffles; a partitioned-parquet sink makes it a full chunking job.
+    Generalizes the reference's per-record map shape (glue/job.py:27-34)
+    from enrich-one-record to emit-many-records."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _tokens()
+    starts = F.sequence(F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(CHUNK_STRIDE))
+    return (
+        docs.select("doc_id", ws.alias("ws"), F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            ((F.col("chunk_start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.col("chunk_start").cast("long"),
+            F.size(F.slice("ws", F.col("chunk_start"), CHUNK_TOKENS)).alias(
+                "n_chunk_tokens"
+            ),
+            F.concat_ws(" ", F.slice("ws", F.col("chunk_start"), CHUNK_TOKENS)).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+@query(
+    "text_corpus_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rollup (the pre-training data-mix report):
+    doc counts, token/char volume, exact integer-ratio averages.  One
+    scan, one shuffle on the (tiny) lang key with map-side partial aggs;
+    the avg is sum/count of exact longs so both engines divide the same
+    two integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(_tokens())
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_toks).cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.sum(n_toks).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
