@@ -46,6 +46,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown, column pruning, and row-group skipping for free."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Defensive, idempotent, runtime-settable: the driver may hand us a
+    # vanilla session.  The oracle comparison is only valid when Spark
+    # renders timestamps in UTC (DuckDB's are UTC-naive) — pin it at the
+    # one choke point every registered query passes through.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
