@@ -309,3 +309,92 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '[0-9]{4,}', '<NUM>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS INT) AS n_long_nums
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails and long digit runs replaced by typed
+    placeholder tokens, with per-doc match counts for the scrub report.
+    Pure regexp_replace/regexp_count — JVM regex in one narrow map over
+    the scan, trivially parallel at any scale.  (Both engines use the
+    same RE2-ish subset here; patterns avoid engine-specific syntax.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    email, longnum = r"[a-z0-9.]+@[a-z0-9.]+", r"[0-9]{4,}"
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), longnum, "<NUM>"
+        ).alias("scrubbed"),
+        F.regexp_count("text", F.lit(email)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(longnum)).cast("int").alias("n_long_nums"),
+    )
+
+
+DECONTAM_EVAL_DOCS = 10  # doc_id < 10 stand in for the benchmark/eval set
+DECONTAM_NGRAM = 5
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= {DECONTAM_NGRAM}
+                    THEN list_distinct([array_to_string(ws[i:i+{DECONTAM_NGRAM}-1], ' ')
+                                        for i in range(1, len(ws) - {DECONTAM_NGRAM} + 2)])
+                    ELSE [] END AS gs
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, unnest(gs) AS g FROM grams
+    ), eval_grams AS (
+        SELECT DISTINCT g FROM ex WHERE doc_id < {DECONTAM_EVAL_DOCS}
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(DISTINCT e.g) AS BIGINT) AS n_overlapping_ngrams
+    FROM ex e JOIN eval_grams v ON e.g = v.g
+    WHERE e.doc_id >= {DECONTAM_EVAL_DOCS}
+    GROUP BY e.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 5-gram
+    with the eval set (doc_id < 10 stands in), with the overlap count
+    that drives the drop/keep decision.  Scale shape: the eval side is
+    inherently small (benchmarks are KBs, corpora are TBs), so its
+    distinct n-grams BROADCAST — the corpus side is one narrow
+    explode + broadcast-semi-join + groupBy, no corpus-side self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), " ")
+    grams = F.when(
+        F.size(ws) >= DECONTAM_NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (DECONTAM_NGRAM - 1)),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, DECONTAM_NGRAM)),
+            )
+        ),
+    ).otherwise(F.array())
+    ex = docs.select("doc_id", F.explode(grams).alias("g"))
+    eval_grams = F.broadcast(
+        ex.filter(F.col("doc_id") < DECONTAM_EVAL_DOCS).select("g").distinct()
+    )
+    return (
+        ex.filter(F.col("doc_id") >= DECONTAM_EVAL_DOCS)
+        .join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_overlapping_ngrams"))
+    )
