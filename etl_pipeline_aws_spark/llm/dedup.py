@@ -431,3 +431,81 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.45)
     )
+
+
+@query(
+    "dedup_cluster_keepers",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({NGRAM_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           LEAST(src, MIN(dst)) AS keeper_doc_id,
+           src > LEAST(src, MIN(dst)) AS is_dup
+    FROM reach
+    GROUP BY src
+    """,
+)
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → keeper assignment: connected components over the
+    exact-Jaccard duplicate graph via iterative min-label propagation,
+    keeper = smallest doc_id in the component (``is_dup`` marks the rows
+    a dedup pass drops).
+
+    The loop is log-bounded DataFrame joins, not driver-side graph state:
+    each round every node takes the min label among itself and its
+    neighbors; the propagated-label table persists per round and the
+    previous round unpersists.  Rounds = graph diameter — duplicate
+    clusters are shallow (pairs/triples), so 2-3 rounds in practice; at
+    adversarial diameters the same loop carries (or switch the label
+    exchange to the Hash-to-Min variant for O(log n) rounds).  Every
+    round is one shuffle on doc_id — no collect of anything but the
+    1-row convergence check.  Oracle: DuckDB recursive-CTE transitive
+    closure over the same (oracle-checked) pair set."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(20):  # diameter bound; real clusters converge in 2-3
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("keeper_doc_id"),
+        (F.col("doc_id") > F.col("label")).alias("is_dup"),
+    )
