@@ -107,3 +107,45 @@ def udf_grouped_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_mktsegment").applyInPandas(
         minmax, "c_custkey long, c_mktsegment string, acctbal_minmax double"
     )
+
+
+@query(
+    "udtf_split_props",
+    oracle="""
+    WITH kv AS (
+        SELECT event_id, props, json_keys(props) AS ks
+        FROM events WHERE event_id < 200
+    )
+    SELECT event_id,
+           CAST(i - 1 AS INT) AS pos,
+           ks[i] AS key_name,
+           json_extract_string(props, '$.' || ks[i]) AS val
+    FROM kv, unnest(range(1, len(ks) + 1)) AS t(i)
+    """,
+)
+def udtf_split_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Python UDTF (Spark 4 ``@udtf``): one input row expands to N
+    output rows — here the events ``props`` JSON string exploded into
+    (pos, key, value) rows.  Table functions run on Arrow batches like
+    pandas UDFs; the eval yields per input row, so the expansion is
+    streamed, never materialized per partition.  A built-in
+    ``explode(from_json(...))`` beats this in production (and the oracle
+    mirrors exactly that shape) — registered to prove the UDTF extension
+    point end-to-end against a value-hashing oracle."""
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, key_name string, val string")
+    class SplitProps:
+        def eval(self, props: str):
+            for i, (k, v) in enumerate(json.loads(props).items()):
+                yield i, k, str(v)
+
+    spark.udtf.register("split_props", SplitProps)
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    events.select("event_id", "props").createOrReplaceTempView("events_small")
+    return spark.sql(
+        "SELECT event_id, pos, key_name, val "
+        "FROM events_small, LATERAL split_props(props)"
+    )
