@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_pipeline_aws_spark.catalog import load_table
 from etl_pipeline_aws_spark.functions.numeric import dec
@@ -628,4 +629,140 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
         .orderBy("n_name")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (customer order-count distribution): left outer join with
+    an ON-clause residual on the *inner* side, then two stacked
+    aggregations.  Adapted: no ``o_comment`` column in the fixture schema
+    (FIXTURES.md §B), so the classic ``NOT LIKE '%special%requests%'``
+    residual becomes ``o_orderpriority <> '1-URGENT'``.
+
+    Scale posture: a residual on the preserved-row side's *partner* of a
+    left join is equivalent to pre-filtering that partner, so the filter
+    sits on the orders scan (row-group skipping) instead of in the join.
+    First agg shuffles on c_custkey; second agg's input is one row per
+    customer with tiny cardinality in c_count, so its shuffle is a few
+    bytes after map-side partial aggregation."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    WITH lm AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 75 DAY AS is_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lm l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE l1.is_late
+      AND n_name LIKE 'NATION_1%'
+      AND EXISTS (SELECT 1 FROM lm l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lm l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): the sole-blame
+    predicate over the fact table.  Adapted: the fixture schema has no
+    l_commitdate/l_receiptdate (FIXTURES.md §B), so "late" becomes
+    ``l_shipdate > o_orderdate + 75 days``, and the single-nation filter
+    becomes the NATION_1% prefix (names are synthetic NATION_<k>).
+
+    The oracle keeps the textbook EXISTS / NOT EXISTS self-join pair; the
+    Spark side deliberately rewrites it.  Planned naively (semi + anti
+    self-joins, as first implemented here), Spark scans and shuffles
+    lineitem THREE times — the l2/l3 branches cannot reuse l1's exchange
+    because their pruned column sets differ.  The sole-blame predicate is
+    order-local, so one window pass over the same l_orderkey partitioning
+    the orders⋈lineitem join already established computes it with ONE fact
+    scan and ONE fact shuffle: a late line of supplier s is blamed iff its
+    order has ≥2 distinct suppliers and exactly one distinct *late*
+    supplier (which must then be s).  Orders per key are bounded (≤7
+    lines), so the collect_set window state is O(1) per order.
+    supplier/nation broadcast; the semi/anti self-join shape itself is
+    exercised by q4 / q22 / subquery_exists_correlated."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lm = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 75 DAYS")
+        ).alias("is_late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    blamed = (
+        lm.withColumn("n_supps", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supps",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            F.col("is_late")
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_late_supps") == 1)
+        )
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        blamed.join(supp, blamed.l_suppkey == supp.s_suppkey)
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .filter(F.col("n_name").like("NATION_1%"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
     )
