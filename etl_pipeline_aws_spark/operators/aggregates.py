@@ -330,3 +330,33 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).cast("double").alias("qty_o"),
         F.coalesce(F.col("F"), F.lit(0)).cast("double").alias("qty_f"),
     )
+
+
+@rows_only_query("agg_hll_sketch_rollup")
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup (Apache DataSketches via Spark 4
+    ``hll_sketch_agg`` / ``hll_union_agg``): per-event-type distinct-user
+    sketches, then a global estimate obtained by UNIONING THE SKETCHES —
+    never re-touching the raw data.  This is the pre-aggregation pattern
+    that makes distinct counts tractable at 100 TB: materialize per-
+    partition sketch tables once (bytes per partition, not rows), answer
+    any rollup by sketch union.  Unlike approx_count_distinct's opaque
+    intermediate, these sketches are storable binary columns mergeable
+    across jobs and days.  Rows-only check (the estimate is
+    DataSketches-specific); tests/test_llm.py pins <5% relative error
+    against the exact per-type and global distinct counts."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    per_type_est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    global_est = per_type.agg(
+        F.hll_union_agg("sk").alias("sk_all")
+    ).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("sk_all").alias("approx_users"),
+    )
+    return per_type_est.unionByName(global_est).orderBy("event_type")

@@ -140,3 +140,51 @@ def parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out).filter(F.col("event_type").isin("click", "view"))
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def write_clustered(df: DataFrame, col: str, out: str, n_ranges: int = 8) -> None:
+    """Write ``df`` as Parquet clustered on ``col``: range-repartition (so
+    files cover disjoint value slices, balanced by sampling) then sort
+    within partitions (so row groups inside each file are narrow too)."""
+    (
+        df.repartitionByRange(n_ranges, col)
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
+@query(
+    "parquet_clustered_layout",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def parquet_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered Parquet layout: range-repartition on l_shipdate then
+    sortWithinPartitions before writing, so every output file — and every
+    row group inside it — covers a narrow, disjoint shipdate slice.  A
+    date-range read over that layout skips whole files via row-group
+    min/max stats instead of scanning the table; at 100 TB this layout
+    choice, not the query plan, decides whether a quarter-window query
+    reads 1/40th of the data or all of it.  tests/test_plans.py asserts
+    the per-file min/max spans are disjoint slices of the date range.
+    repartitionByRange samples the column to build balanced range bounds —
+    the same mechanic that keeps the layout skew-proof when one ship-week
+    is hot."""
+    li = load_table(spark, sf_dir, "lineitem")
+    zone = tempfile.mkdtemp(prefix="pq_clustered_")
+    out = os.path.join(zone, "lineitem_by_shipdate")
+    write_clustered(li, "l_shipdate", out)
+    back = spark.read.parquet(out).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )

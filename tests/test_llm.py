@@ -69,3 +69,25 @@ def test_multimodal_real_decoder_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_hll_sketch_rollup_error_bound(spark):
+    """Sketch estimates (per-type and sketch-union global) stay within 5%
+    of the exact distinct counts at lgK=14."""
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in engine.queries()["agg_hll_sketch_rollup"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    import pyspark.sql.functions as F
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) / e < 0.05, (k, est[k], e)

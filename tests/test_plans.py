@@ -155,3 +155,29 @@ def test_no_query_broadcasts_a_fact_side(spark):
             if scans_fact and not single_row:
                 offenders.append((name, sub.splitlines()[0]))
     assert not offenders, offenders
+
+
+def test_clustered_layout_files_are_disjoint_slices(spark, tmp_path):
+    """write_clustered must yield files whose l_shipdate min/max spans are
+    pairwise disjoint (range-repartitioned) — the property row-group
+    skipping at 100 TB depends on."""
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.sources.source_queries import write_clustered
+
+    out = str(tmp_path / "clustered")
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    write_clustered(li, "l_shipdate", out)
+
+    spans = []
+    for f in sorted(p for p in __import__("os").listdir(out) if p.endswith(".parquet")):
+        md = pq.ParquetFile(f"{out}/{f}").metadata
+        idx = md.schema.names.index("l_shipdate")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+    assert len(spans) >= 4  # range partitioner actually split the data
+    spans.sort()
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next, (hi_prev, lo_next)
