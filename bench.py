@@ -25,6 +25,8 @@ HEADLINE = [
     "q5_local_supplier_volume",  # 6-way join with broadcast dim chain
     "q6_forecast_revenue",     # pure scan-filter-agg (row-group skipping)
     "q18_large_volume_customer",  # semi join on aggregate (shuffle reuse)
+    "q13_customer_distribution",  # outer join + stacked double aggregation
+    "q21_suppliers_kept_waiting",  # sole-blame predicate as one-shuffle window
     "join_chain_revenue_by_nation",
     "window_topk_per_group",
     "asof_join_maxby",
