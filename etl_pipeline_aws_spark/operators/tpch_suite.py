@@ -21,6 +21,7 @@ Scale posture shared by all queries here:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -765,4 +766,136 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH nat_supp AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+    ), val AS (
+        SELECT l_partkey, SUM({_REV_SQL}) AS val_dec
+        FROM lineitem JOIN nat_supp ON l_suppkey = s_suppkey
+        GROUP BY l_partkey
+    )
+    SELECT p_partkey, p_name, CAST(val_dec AS DOUBLE) AS value
+    FROM val JOIN part ON p_partkey = l_partkey
+    WHERE CAST(val_dec AS DOUBLE)
+          > 0.0007 * (SELECT CAST(SUM(val_dec) AS DOUBLE) FROM val)
+    ORDER BY value DESC, p_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock positions), adapted: the driver schema
+    has no partsupp (FIXTURES.md §B), so "position value" is the shipped
+    revenue per part from NATION_3's suppliers, kept when it exceeds
+    0.07% of that nation's total — the classic group-agg vs
+    global-scalar-threshold pattern (reference has no analytics at all;
+    capability class from glue/job.py:27-34 generalized).
+
+    Scale posture: the per-part aggregate is a diamond — it feeds both
+    the threshold filter and the global total.  Catalyst/AQE does NOT
+    reuse the exchange here (verified empirically at sf0.01: the two
+    structurally-identical shuffle subtrees canonicalize apart once the
+    branches prune different aggregate outputs, so the fact scan ran
+    twice), so ``val`` is explicitly persisted: one lineitem scan, and
+    the cached |parts|-sized aggregate (a few GB at 100 TB vs a 100 TB
+    rescan) serves both branches.  The total is then a one-row broadcast
+    via cross join — never a single-partition window over the fact
+    table.  Both sides stay exact decimal until the final double cast,
+    so the threshold comparison is bit-identical vs the oracle."""
+    nat = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).alias("val_dec"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = val.agg(F.sum("val_dec").cast("double").alias("total"))
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("val_dec").cast("double") > F.lit(0.0007) * F.col("total"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("val_dec").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+@query(
+    "q20_dominant_supplier",
+    oracle="""
+    WITH sy AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%bolt'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ), pt AS (
+        SELECT l_partkey, l_suppkey, qty,
+               SUM(qty) OVER (PARTITION BY l_partkey) AS total_qty
+        FROM sy
+    )
+    SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_parts_dominated
+    FROM pt JOIN supplier ON s_suppkey = l_suppkey
+    WHERE CAST(qty AS DOUBLE) > 0.5 * CAST(total_qty AS DOUBLE)
+    GROUP BY s_suppkey, s_name
+    ORDER BY s_name
+    """,
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (potential part promotion), adapted: no partsupp availqty
+    (FIXTURES.md §B), so the 50% threshold is against the part's total
+    1996 shipped quantity — suppliers who shipped the majority of a
+    bolt-named part's volume that year.
+
+    Scale posture: part-name filter broadcasts into the lineitem scan
+    (2k parts → broadcast-hash, predicate before the shuffle); the
+    per-(part,supplier) aggregate is the only key shuffle; the part-level
+    total is a window over that aggregate's output — one repartition of
+    the *aggregated* rows (|parts×supps|, not |lineitem|) instead of a
+    second groupBy + self-join.  Dominance compares exact decimals cast
+    to double, identical on both engines."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    sy = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = sy.withColumn("total_qty", F.sum("qty").over(w)).filter(
+        F.col("qty").cast("double") > F.lit(0.5) * F.col("total_qty").cast("double")
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        dominant.join(supp, dominant.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
+        .orderBy("s_name")
     )

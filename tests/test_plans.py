@@ -88,6 +88,7 @@ ALLOWED_CARTESIAN = {
 }
 ALLOWED_NESTED_LOOP = {
     "q22_sales_opportunity",  # single-row scalar-subquery broadcast (scale-free)
+    "q11_important_parts",  # single-row global-total broadcast (scale-free)
     "dedup_embedding_cosine",  # brute-force oracle path; LSH is the scale path
     "similarity_topk_bruteforce",  # broadcast query set is the operator's design
     "similarity_topk_ivf",  # centroid table broadcast (|cells| rows)
