@@ -57,6 +57,7 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
+        engine.clear_caches(spark)  # builder persists don't leak across runs
 
     total = round(sum(timings.values()), 4)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])

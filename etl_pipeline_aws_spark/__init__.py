@@ -12,7 +12,7 @@ the physical strategy.  No RDDs, no custom Catalyst rules, no driver-side
 loops over collected data.
 """
 
-from etl_pipeline_aws_spark.session import get_spark, session_builder
+from etl_pipeline_aws_spark.session import clear_caches, get_spark, session_builder
 from etl_pipeline_aws_spark.catalog import TABLES, load_table, register_views
 from etl_pipeline_aws_spark.registry import (
     oracle_sql,
@@ -22,6 +22,7 @@ from etl_pipeline_aws_spark.registry import (
 )
 
 __all__ = [
+    "clear_caches",
     "get_spark",
     "session_builder",
     "TABLES",

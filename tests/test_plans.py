@@ -90,11 +90,15 @@ ALLOWED_NESTED_LOOP = {
     "q22_sales_opportunity",  # single-row scalar-subquery broadcast (scale-free)
     "q11_important_parts",  # single-row global-total broadcast (scale-free)
     "dedup_embedding_cosine",  # brute-force oracle path; LSH is the scale path
+    "dedup_embedding",  # facade routes fixture-scale corpora to the brute tier
     "similarity_topk_bruteforce",  # broadcast query set is the operator's design
     "similarity_topk_ivf",  # centroid table broadcast (|cells| rows)
 }
 ALLOWED_PYTHON_EVAL = {
     "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)
+    "dedup_minhash_lsh",  # Arrow-vectorized shingle+MinHash kernel (the point)
+    "dedup_cluster_keepers",  # consumes the MinHash kernel's pair set
+    "dedup_embedding_lsh",  # Arrow-vectorized hyperplane signature
     "udf_pandas_vectorized",  # UDF surface demonstrations
     "udf_scalar_py",
     "udf_grouped_applyinpandas",
@@ -156,6 +160,30 @@ def test_no_query_broadcasts_a_fact_side(spark):
             if scans_fact and not single_row:
                 offenders.append((name, sub.splitlines()[0]))
     assert not offenders, offenders
+
+
+def test_keeper_scale_path_has_no_quadratic_shingle_join(spark):
+    """dedup_cluster_keepers must consume the banded MinHash-LSH pair set,
+    never the exact all-pairs shingle self-join (which fans out
+    quadratically on hot shingles at 100 TB).  Two guards: (a) the LSH
+    pair plan joins on fixed-width band hashes, not exploded shingle
+    values; (b) the keeper source code routes through minhash_lsh_pairs,
+    not dedup_ngram_jaccard."""
+    import inspect
+
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.llm.dedup import (
+        dedup_cluster_keepers,
+        minhash_feature_table,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(minhash_feature_table(load_table(spark, SF_DIR, "documents")))
+    plan = pairs._jdf.queryExecution().sparkPlan().toString()
+    assert "band_hash" in plan
+    assert "shingle" not in plan, plan  # the quadratic stage's join column
+    src = inspect.getsource(dedup_cluster_keepers)
+    assert "minhash_lsh_pairs" in src and "dedup_ngram_jaccard" not in src
 
 
 def test_clustered_layout_files_are_disjoint_slices(spark, tmp_path):
