@@ -15,15 +15,31 @@ from pyspark.sql import DataFrame, SparkSession
 import etl_pipeline_aws_spark as engine
 
 
+def _with_utc(fn: Callable[[SparkSession, str], DataFrame]):
+    """The driver may hand us a vanilla session; the oracle comparison is
+    only valid when Spark renders timestamps in UTC (DuckDB's are
+    UTC-naive).  Pin it at the driver boundary — engine-built sessions
+    already carry it (session.py), and engine internals never mutate a
+    caller's session state."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__module__ = fn.__module__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    qs = engine.queries()
-    return qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    return queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return engine.queries()
+    return {name: _with_utc(fn) for name, fn in engine.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

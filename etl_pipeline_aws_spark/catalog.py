@@ -46,11 +46,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown, column pruning, and row-group skipping for free."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    # Defensive, idempotent, runtime-settable: the driver may hand us a
-    # vanilla session.  The oracle comparison is only valid when Spark
-    # renders timestamps in UTC (DuckDB's are UTC-naive) — pin it at the
-    # one choke point every registered query passes through.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Timezone is NOT set here: a per-table reader must not mutate session
+    # state a caller may have deliberately configured.  UTC (required for
+    # the oracle comparison — DuckDB timestamps are UTC-naive) is pinned
+    # where sessions are BUILT (session.py) and at the driver boundary
+    # (__spark_entry__ wraps every query for vanilla driver sessions).
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))

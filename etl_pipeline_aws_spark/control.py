@@ -32,6 +32,7 @@ import json
 import os
 import threading
 import uuid
+from urllib.parse import unquote
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -62,18 +63,28 @@ def ingest(
     output_dir: str | None = None,
 ) -> str:
     """R9/R10: write the NDJSON payload into the landing zone and attach
-    the merged metadata (user metadata + routing hint) as a sidecar."""
+    the merged metadata (user metadata + routing hint) as a sidecar.
+
+    Two local-filesystem hardenings over the S3 original: a key whose
+    normalized path escapes the landing dir is rejected (an S3 key cannot
+    escape its bucket, so the analog must not either), and the sidecar is
+    written BEFORE the payload so a concurrent process_landed that sees
+    the object always sees its routing hint (S3 object metadata is
+    atomic with the object; two files are not)."""
     landing = resolve_bucket(landing_dir, default_landing_dir)
     os.makedirs(landing, exist_ok=True)  # R18 ensureBucket analog
-    dst = os.path.join(landing, key)
+    dst = os.path.normpath(os.path.join(landing, key))
+    landing_abs = os.path.abspath(landing)
+    if not os.path.abspath(dst).startswith(landing_abs + os.sep):
+        raise ValueError(f"key {key!r} escapes the landing zone")
     os.makedirs(os.path.dirname(dst) or landing, exist_ok=True)
-    with open(dst, "w", encoding="utf-8") as f:
-        f.write(content)
     merged = dict(metadata or {})
     if output_dir:
         merged[ROUTING_KEY] = output_dir
     with open(dst + _META_SUFFIX, "w", encoding="utf-8") as f:
         json.dump(merged, f)
+    with open(dst, "w", encoding="utf-8") as f:
+        f.write(content)
     return dst
 
 
@@ -83,9 +94,12 @@ def process_landed(
     default_output_dir: str,
     **pipeline_kwargs,
 ) -> str:
-    """R13/R14: resolve the output location from the landed object's
-    metadata routing hint (fallback: configured default), then run the
-    reference transform on it."""
+    """R13/R14: URL-decode the landed key (S3 event records carry
+    percent-encoded keys; ``decodeURIComponent`` parity with
+    lambda/handler.ts:37), resolve the output location from the landed
+    object's metadata routing hint (fallback: configured default), then
+    run the reference transform on it."""
+    landed_path = unquote(landed_path)
     meta: dict[str, str] = {}
     try:
         with open(landed_path + _META_SUFFIX, encoding="utf-8") as f:

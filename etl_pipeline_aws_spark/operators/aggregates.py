@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_aws_spark.catalog import load_table
 from etl_pipeline_aws_spark.functions.numeric import davg, dec, dsum
-from etl_pipeline_aws_spark.registry import query, rows_only_query
+from etl_pipeline_aws_spark.registry import query
 
 
 @query(
@@ -92,16 +92,32 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@rows_only_query("agg_approx_distinct")
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_2pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct: one pass, fixed memory, the only
-    viable distinct-count at 100 TB.  No oracle — DuckDB's approx sketch is
-    a different algorithm; tests/test_aggregates.py asserts <2% error vs the
-    exact count instead."""
+    viable distinct-count at 100 TB.  DuckDB's sketch is a different
+    algorithm, so the raw estimate can't be value-hashed; instead the
+    query itself PINS the error bound — ``within_2pct`` compares the
+    sketch against the exact twin computed in the same aggregation, and
+    the oracle asserts that claim (plus the exact counts) as values."""
     li = load_table(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_partkey", 0.01)
+    exact = F.countDistinct("l_partkey")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        exact.alias("exact_parts"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
+            < 0.02
+        ).alias("within_2pct"),
     )
 
 
@@ -204,14 +220,26 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@rows_only_query("agg_percentile_approx")
+@query(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT l_returnflag, TRUE AS within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GK-sketch approximate percentiles — single pass, mergeable, the
-    scale path.  Sketch internals differ from DuckDB's, so no value oracle;
-    tests assert the approx lands within the exact p25..p75 envelope."""
+    scale path.  Sketch internals differ from DuckDB's, so the raw
+    estimate can't be value-hashed; the query pins the error bound
+    instead: ``within_1pct`` compares the sketch median against the exact
+    median computed in the same aggregation, and the oracle asserts that
+    claim per group."""
     li = load_table(spark, sf_dir, "lineitem")
+    approx = F.percentile_approx("l_extendedprice", 0.5, 10000)
+    exact = F.median("l_extendedprice")
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price")
+        (F.abs(approx - exact) / exact < 0.01).alias("within_1pct"),
     )
 
 
@@ -248,16 +276,30 @@ def agg_variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@rows_only_query("agg_builtin_moments")
+@query(
+    "agg_builtin_moments",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS stddev_qty,
+           ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_builtin_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Built-in stddev/variance/corr surface (order-sensitive doubles — no
-    cross-engine oracle; tests compare against agg_variance_stats within
-    1e-9 relative)."""
+    """Built-in stddev/variance/corr surface.  The accumulators are
+    order-sensitive in double (partial-aggregation merge order differs
+    between engines), so the last few ulps can't hash-match; both sides
+    round to 6 decimals — far above the ~1e-9 relative wobble, far below
+    anything a caller reads — to make the VALUES comparable.  The exact
+    decimal power-sum twin (agg_variance_stats) remains the bit-identical
+    formulation."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.stddev("l_quantity").alias("stddev_qty"),
-        F.variance("l_quantity").alias("var_qty"),
-        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        F.round(F.stddev("l_quantity"), 6).alias("stddev_qty"),
+        F.round(F.variance("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
     )
 
 
@@ -332,7 +374,17 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@rows_only_query("agg_hll_sketch_rollup")
+@query(
+    "agg_hll_sketch_rollup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type, COUNT(DISTINCT user_id), TRUE
+    FROM events
+    ORDER BY event_type
+    """,
+)
 def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketch rollup (Apache DataSketches via Spark 4
     ``hll_sketch_agg`` / ``hll_union_agg``): per-event-type distinct-user
@@ -342,21 +394,27 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition sketch tables once (bytes per partition, not rows), answer
     any rollup by sketch union.  Unlike approx_count_distinct's opaque
     intermediate, these sketches are storable binary columns mergeable
-    across jobs and days.  Rows-only check (the estimate is
-    DataSketches-specific); tests/test_llm.py pins <5% relative error
-    against the exact per-type and global distinct counts."""
+    across jobs and days.  The DataSketches estimate itself can't be
+    value-hashed cross-engine, so the query pins the claim instead:
+    ``within_5pct`` compares each estimate (including the sketch-union
+    global) against the exact distinct count, and the oracle asserts it
+    per row alongside the exact counts.  The exact twins ride the same
+    aggregations; the 1×1 cross join for the global row is scale-free."""
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
-    per_type_est = per_type.select(
-        "event_type",
-        F.hll_sketch_estimate("sk").alias("approx_users"),
+    est = F.hll_sketch_estimate("sk")
+    within = (
+        F.abs(est.cast("double") - F.col("exact_users").cast("double"))
+        / F.col("exact_users").cast("double")
+        < 0.05
     )
-    global_est = per_type.agg(
-        F.hll_union_agg("sk").alias("sk_all")
-    ).select(
-        F.lit("__all__").alias("event_type"),
-        F.hll_sketch_estimate("sk_all").alias("approx_users"),
+    per_type_rows = per_type.select("event_type", "exact_users", within.alias("within_5pct"))
+    sk_all = per_type.agg(F.hll_union_agg("sk").alias("sk"))
+    exact_all = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    global_row = sk_all.crossJoin(exact_all).select(
+        F.lit("__all__").alias("event_type"), "exact_users", within.alias("within_5pct")
     )
-    return per_type_est.unionByName(global_est).orderBy("event_type")
+    return per_type_rows.unionByName(global_row).orderBy("event_type")

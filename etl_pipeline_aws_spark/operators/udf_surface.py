@@ -140,7 +140,10 @@ def udtf_split_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     class SplitProps:
         def eval(self, props: str):
             for i, (k, v) in enumerate(json.loads(props).items()):
-                yield i, k, str(v)
+                # json_extract_string parity: strings pass through raw,
+                # every other JSON scalar/composite renders in JSON form
+                # (true/1.5/[1,2]); Python str() would yield True/1.5.
+                yield i, k, v if isinstance(v, str) else json.dumps(v)
 
     spark.udtf.register("split_props", SplitProps)
     events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)

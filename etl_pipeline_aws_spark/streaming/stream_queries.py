@@ -304,50 +304,69 @@ _SESSIONIZE_ORACLE = """
 """
 
 
-@query("stream_stateful_sessions", oracle=_SESSIONIZE_ORACLE)
-def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful operator via ``applyInPandasWithState``: gap-based
-    sessionization (new session when >30 min since the user's previous
-    event) — the arbitrary-state API the built-in ``session_window``
-    (operators/events.py window_session) cannot generalize beyond.
+def _sessionize_stream(ev: DataFrame) -> DataFrame:
+    """Gap-based sessionization (30-minute gap) over a (user_id, ts,
+    event_id) stream via ``applyInPandasWithState``, correct across ANY
+    micro-batch split of time-ordered input.
 
-    Each micro-batch delivers a user's events to Python as one pandas
-    frame; sessions are cut on the sorted gaps and the running event count
-    is carried in GroupState (exercised as the cross-batch memory).  Under
-    availableNow over the bounded input every session closes within the
-    run, so the emitted result equals the batch lag/cumsum sessionization
-    the oracle computes.  In an unbounded deployment the trailing open
-    session stays in state behind an event-time timeout instead of being
-    emitted at batch end — that divergence is the documented difference
-    between a bounded replay and a live stream.
-    """
+    GroupState carries the OPEN session — (session id, start, end, event
+    count) as epoch-micros longs — so a batch whose first event falls
+    within the gap of the previous batch's last event EXTENDS that session
+    under the same stable id instead of fragmenting it.  Extended sessions
+    are re-emitted with their id (append mode cannot retract), so the
+    consumer collapses emissions per (user_id, session_id) keeping the
+    widest span — monotone emissions make max() the merge.  Assumes
+    time-ordered arrival per user (the file source processes files in
+    mtime order); true out-of-order bridging needs the watermark+timeout
+    design the docstring of stream_late_data_drop covers."""
     import pandas as pd  # local: keep module import light
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "event_id")
 
     out_schema = (
         "user_id long, session_id long, session_start timestamp, "
         "session_end timestamp, n_events long"
     )
-    state_schema = "n_rows_seen long"
+    state_schema = "open_id long, open_start long, open_end long, open_n long"
+    gap_td = pd.Timedelta(minutes=30)
+
+    def _us(t: "pd.Timestamp") -> int:
+        return int(t.value // 1000)
 
     def sessionize(key, pdf_iter, state: GroupState):
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
-        seen = state.get[0] if state.exists else 0
-        state.update((seen + len(pdf),))
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        if state.exists:
+            open_id, open_start_us, open_end_us, open_n = state.get
+            open_start = pd.Timestamp(open_start_us, unit="us")
+            open_end = pd.Timestamp(open_end_us, unit="us")
+        else:
+            open_id, open_start, open_end, open_n = 0, None, None, 0
         gap = pdf["ts"].diff()
-        new_sess = gap.isna() | (gap > pd.Timedelta(minutes=30))
-        sess_id = new_sess.cumsum()
+        new_sess = gap.isna() | (gap > gap_td)
+        local = new_sess.cumsum()  # 1..K within this batch
+        cont = open_id > 0 and (pdf["ts"].iloc[0] - open_end) <= gap_td
+        pdf["session_id"] = local + (open_id - 1 if cont else open_id)
         out = (
-            pdf.assign(session_id=sess_id)
-            .groupby("session_id", as_index=False)
+            pdf.groupby("session_id", as_index=False)
             .agg(
                 session_start=("ts", "min"),
                 session_end=("ts", "max"),
                 n_events=("ts", "size"),
+            )
+        )
+        if cont:  # merge the carried open session into its continuation
+            out.loc[out.index[0], "session_start"] = min(
+                out.loc[out.index[0], "session_start"], open_start
+            )
+            out.loc[out.index[0], "n_events"] += open_n
+        last = out.iloc[-1]
+        state.update(
+            (
+                int(last["session_id"]),
+                _us(last["session_start"]),
+                _us(last["session_end"]),
+                int(last["n_events"]),
             )
         )
         out.insert(0, "user_id", key[0])
@@ -360,4 +379,26 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(sessions, "append")
+    out = _run_to_memory(sessions, "append")
+    # collapse re-emissions of extended sessions: emissions per id are
+    # monotone (span and count only grow), so max/min is the exact merge
+    return out.groupBy("user_id", "session_id").agg(
+        F.min("session_start").alias("session_start"),
+        F.max("session_end").alias("session_end"),
+        F.max("n_events").alias("n_events"),
+    )
+
+
+@query("stream_stateful_sessions", oracle=_SESSIONIZE_ORACLE)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: gap-based
+    sessionization — the arbitrary-state API the built-in
+    ``session_window`` (operators/events.py window_session) cannot
+    generalize beyond.  The cross-batch state machine lives in
+    _sessionize_stream; under availableNow over the bounded input the
+    final open session has been emitted by its last extension, so the
+    collapsed result equals the batch lag/cumsum sessionization the
+    oracle computes — for any file-to-micro-batch split
+    (tests/test_streaming.py stages a 3-file landing to prove it)."""
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "event_id")
+    return _sessionize_stream(ev)

@@ -69,6 +69,47 @@ def test_process_landed_falls_back_to_default(spark, tmp_path):
     assert out_path.startswith(default_out)
 
 
+def test_process_landed_url_decodes_key(spark, tmp_path):
+    """R14 (lambda/handler.ts:37 decodeURIComponent): the event-analog path
+    arrives percent-encoded; processing must decode it before reading."""
+    landing = str(tmp_path / "landing")
+    default_out = str(tmp_path / "default_out")
+    dst = control.ingest('{"name":"eve"}', "dir with space/k 3.ndjson", landing_dir=landing)
+    encoded = dst.replace("dir with space/k 3", "dir%20with%20space%2Fk%203")
+    out_path = control.process_landed(spark, encoded, default_out)
+    assert out_path.startswith(default_out)
+    parts = sorted(glob.glob(out_path + "/part-*"))
+    assert json.loads(open(parts[0]).readline())["uppercase_name"] == "EVE"
+
+
+def test_ingest_rejects_key_escaping_landing_zone(tmp_path):
+    landing = str(tmp_path / "landing")
+    with pytest.raises(ValueError, match="escapes"):
+        control.ingest("x", "../outside.ndjson", landing_dir=landing)
+    with pytest.raises(ValueError, match="escapes"):
+        control.ingest("x", "a/../../outside.ndjson", landing_dir=landing)
+
+
+def test_ingest_writes_sidecar_before_payload(tmp_path, monkeypatch):
+    """A concurrent processor that can see the payload must already see the
+    routing hint (sidecar-first write order)."""
+    import builtins
+
+    order: list[str] = []
+    real_open = builtins.open
+
+    def spy(path, *a, **k):
+        order.append(str(path))
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", spy)
+    landing = str(tmp_path / "landing")
+    control.ingest("x", "k.ndjson", landing_dir=landing, output_dir="/out")
+    sidecar_idx = order.index(next(p for p in order if p.endswith(control._META_SUFFIX)))
+    payload_idx = order.index(next(p for p in order if p.endswith("k.ndjson")))
+    assert sidecar_idx < payload_idx
+
+
 def test_job_run_lifecycle_success_and_failure():
     run = control.start_job_run(lambda: 42)
     assert control.get_job_run(run.run_id) is run

@@ -96,11 +96,12 @@ def test_multimodal_real_decoder_is_stubbed():
 
 def test_hll_sketch_rollup_error_bound(spark):
     """Sketch estimates (per-type and sketch-union global) stay within 5%
-    of the exact distinct counts at lgK=14."""
+    of the exact distinct counts at lgK=14 — the within_5pct claim the
+    oracle asserts — and the exact twins match an independent recount."""
     from etl_pipeline_aws_spark.catalog import load_table
 
-    est = {
-        r["event_type"]: r["approx_users"]
+    rows = {
+        r["event_type"]: r
         for r in engine.queries()["agg_hll_sketch_rollup"](spark, SF_DIR).collect()
     }
     ev = load_table(spark, SF_DIR, "events")
@@ -111,6 +112,7 @@ def test_hll_sketch_rollup_error_bound(spark):
         for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
     }
     exact["__all__"] = ev.select("user_id").distinct().count()
-    assert set(est) == set(exact)
+    assert set(rows) == set(exact)
     for k, e in exact.items():
-        assert abs(est[k] - e) / e < 0.05, (k, est[k], e)
+        assert rows[k]["exact_users"] == e
+        assert rows[k]["within_5pct"], (k, e)

@@ -85,12 +85,14 @@ def test_bucketed_join_has_no_join_exchange(spark):
 # with the documented reason (docstrings at the definition sites):
 ALLOWED_CARTESIAN = {
     "join_cross",  # the operator IS a cross join
+    "agg_hll_sketch_rollup",  # 1×1 join of two global aggregates (scale-free)
 }
 ALLOWED_NESTED_LOOP = {
     "q22_sales_opportunity",  # single-row scalar-subquery broadcast (scale-free)
     "q11_important_parts",  # single-row global-total broadcast (scale-free)
     "dedup_embedding_cosine",  # brute-force oracle path; LSH is the scale path
     "dedup_embedding",  # facade routes fixture-scale corpora to the brute tier
+    "agg_hll_sketch_rollup",  # 1×1 join of two global aggregates (scale-free)
     "similarity_topk_bruteforce",  # broadcast query set is the operator's design
     "similarity_topk_ivf",  # centroid table broadcast (|cells| rows)
 }

@@ -79,6 +79,107 @@ def test_stream_batch_parity_tumbling(spark):
     assert batch == streamed
 
 
+def test_stateful_sessions_merge_across_micro_batches(spark, tmp_path):
+    """The GroupState session machine must produce the SAME sessions when
+    the input arrives split across three time-ordered micro-batches as it
+    does in one batch (sessions spanning a batch boundary are extended
+    under their original id, not fragmented, and no (user, session) key
+    duplicates)."""
+    import os
+
+    import etl_pipeline_aws_spark as engine
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.streaming.stream_queries import _sessionize_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id")
+    # split by TIME so per-user arrival order holds across files
+    lo, hi = ev.selectExpr("min(ts)", "max(ts)").first()
+    span = hi - lo
+    cut1 = lo + span / 3
+    cut2 = lo + 2 * span / 3
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    parts = [
+        ev.filter(F.col("ts") < cut1),
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+        ev.filter(F.col("ts") >= cut2),
+    ]
+    for i, p in enumerate(parts):
+        d = str(tmp_path / f"stage{i}")
+        p.coalesce(1).write.parquet(d)
+        src = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dst = str(landing / f"{i}-events.parquet")
+        os.rename(os.path.join(d, src), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    multi = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+        for r in _sessionize_stream(stream).collect()
+    }
+    single = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+        for r in engine.queries()["stream_stateful_sessions"](spark, sf).collect()
+    }
+    assert multi == single
+
+
+def test_foreachbatch_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Checkpointed foreachBatch killed mid-stream (crash injected after
+    epoch 1's write but before its commit) and resumed: the restarted query
+    replays the uncommitted epoch under the SAME batch id, so an
+    idempotent per-epoch sink sees every input row exactly once."""
+    import os
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(3):
+        df = spark.range(i * 10, (i + 1) * 10).selectExpr("id")
+        d = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.parquet(d)
+        src = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dst = str(landing / f"{i}.parquet")
+        os.rename(os.path.join(d, src), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    sink_root = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+
+    def run(crash: bool) -> None:
+        def handle(batch, epoch_id: int) -> None:
+            # overwrite-by-epoch = idempotent under epoch replay
+            batch.write.mode("overwrite").parquet(f"{sink_root}/epoch={epoch_id}")
+            if crash and epoch_id == 1:
+                raise RuntimeError("injected crash after write, before commit")
+
+        q = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing))
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        run(crash=True)
+    run(crash=False)  # resume from the checkpoint
+
+    out = spark.read.parquet(sink_root)
+    assert sorted(r.id for r in out.select("id").collect()) == list(range(30))
+    assert {r.epoch for r in out.select("epoch").distinct().collect()} == {0, 1, 2}
+
+
 def test_foreachbatch_routing_layout(spark):
     """The routed zone must be partitioned by event_type directories —
     the R13 dynamic-output contract."""
