@@ -20,10 +20,17 @@ def _with_utc(fn: Callable[[SparkSession, str], DataFrame]):
     only valid when Spark renders timestamps in UTC (DuckDB's are
     UTC-naive).  Pin it at the driver boundary — engine-built sessions
     already carry it (session.py), and engine internals never mutate a
-    caller's session state."""
+    caller's session state.
+
+    Also drops cached blocks left by the PREVIOUS query before building
+    this one: a few operators persist() intermediates their result still
+    depends on (dedup/CC), so they can't unpersist internally; clearing
+    at the next query boundary keeps a 138-query driver sweep from
+    accumulating executor cache."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        engine.clear_caches(spark)
         return fn(spark, sf_dir)
 
     wrapped.__name__ = fn.__name__

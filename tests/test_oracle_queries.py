@@ -23,6 +23,7 @@ def _oracle_names():
 
 @pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(spark, con, name):
+    engine.clear_caches(spark)  # builder persists don't leak across the sweep
     fn = engine.queries()[name]
     sql = engine.oracle_sql()[name]
     compare(fn(spark, SF_DIR), con, sql)
