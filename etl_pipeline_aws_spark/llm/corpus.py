@@ -1,0 +1,258 @@
+"""Training-corpus construction operators over ``documents`` /
+``embeddings`` — the steps between "filtered documents" and "training
+batches" in an LLM data pipeline: sequence packing, repetition filtering
+(Gopher-style), stratified sampling, data-mix rebalancing, and per-class
+embedding centroids.
+
+Everything is built-in expression API on the hot path (split / transform /
+window / explode — JVM-side, codegen'd).  Scale notes per operator; the
+common theme is one narrow scan plus at most one small-key shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.registry import query
+
+SEQ_LEN = 512  # tokens per packed training sequence
+
+
+@query(
+    "text_pack_offsets",
+    oracle=f"""
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST((cum - n_tokens) // {SEQ_LEN} AS BIGINT) AS seq_first,
+           CAST((cum - 1) // {SEQ_LEN} AS BIGINT) AS seq_last
+    FROM (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               SUM(len(string_split(text, ' ')))
+                   OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        FROM documents
+    )
+    """,
+)
+def text_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    doc_id order WITHIN each source shard and cut every SEQ_LEN tokens;
+    each doc gets its global token offset and the [first, last] training
+    sequence indices it lands in (a doc may straddle a cut).
+
+    This is the standard pretraining packing layout (pack per shard, never
+    globally): the running offset is a window prefix-sum partitioned by
+    ``source``, so at 100 TB each shard's cumsum is an independent
+    partition task — no global single-task ordering exists anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum(n_tokens).over(w)
+    start = (cum - n_tokens).cast("long")
+    end = (cum - 1).cast("long")
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / SEQ_LEN).cast("long").alias("seq_first"),
+        F.floor(end / SEQ_LEN).cast("long").alias("seq_last"),
+    )
+
+
+REPETITION_MAX_DUP_FRAC = 0.2
+
+
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                    ELSE CAST([] AS VARCHAR[]) END AS tg
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT doc_id,
+           CAST(len(tg) AS INT) AS n_trigrams,
+           CASE WHEN len(tg) > 0
+                THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+                ELSE 0.0 END AS dup_trigram_frac,
+           (CASE WHEN len(tg) > 0
+                 THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+                 ELSE 0.0 END) <= {REPETITION_MAX_DUP_FRAC} AS keep
+    FROM g
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: fraction of within-document
+    duplicate word trigrams; docs above REPETITION_MAX_DUP_FRAC are
+    flagged for drop.  Entirely array expressions per row (shingle,
+    distinct, ratio) — a single narrow scan, no shuffle, no Python.
+
+    Both engines compute ``1.0 - double(int)/int`` from identical integer
+    operands, so even the double VALUES are bit-identical (IEEE ops are
+    deterministic given identical operands)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    tg = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_frac = F.when(
+        F.size(F.col("tg")) > 0,
+        F.lit(1.0) - F.size(F.array_distinct("tg")) / F.size("tg"),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id", tg.alias("tg"))
+        .select(
+            "doc_id",
+            F.size("tg").alias("n_trigrams"),
+            dup_frac.alias("dup_trigram_frac"),
+        )
+        .withColumn("keep", F.col("dup_trigram_frac") <= REPETITION_MAX_DUP_FRAC)
+    )
+
+
+STRATIFIED_FRAC = 0.2
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    WHERE rn <= CAST(CEIL({STRATIFIED_FRAC} * n) AS BIGINT)
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly ceil(frac·|stratum|) docs
+    per language, lowest doc_id first — reproducible across runs/engines
+    (no RNG).
+
+    Scale tier: rank-per-stratum sorts each stratum; with a handful of
+    bounded strata (languages) that is a few large parallel sorts — fine.
+    For huge or unbounded strata the registry's hash-mod sampler
+    (sample_deterministic_mod) is the constant-memory path: approximate
+    per-stratum counts, zero sorts."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    wc = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .filter(F.col("rn") <= F.ceil(STRATIFIED_FRAC * F.col("n")).cast("long"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "corpus_mix_equalize",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         cap AS (SELECT MIN(n) AS cap FROM c),
+         r AS (SELECT doc_id, lang,
+                      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+               FROM documents)
+    SELECT r.doc_id, r.lang FROM r, cap WHERE r.rn <= cap.cap
+    """,
+)
+def corpus_mix_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix rebalancing: downsample every language to the size of the
+    smallest one (equal-weight mix), deterministically (lowest doc_id
+    first).  The cap is a single-row global aggregate broadcast to the
+    filter — the q11 scalar-threshold pattern — so the only real work is
+    one rank window per (bounded-cardinality) stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    cap = F.broadcast(
+        docs.groupBy("lang").count().agg(F.min("count").alias("cap"))
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .crossJoin(cap)
+        .filter(F.col("rn") <= F.col("cap"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH x AS (
+        SELECT label, vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS val,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings
+    ), per AS (
+        SELECT label, pos,
+               list_sum(list(val ORDER BY vec_id)) AS s,
+               COUNT(*) AS n
+        FROM x GROUP BY label, pos
+    )
+    SELECT label,
+           list(s / n ORDER BY pos) AS centroid,
+           CAST(MAX(n) AS BIGINT) AS n_members
+    FROM per GROUP BY label
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-embedding centroids (the k-means M-step / class
+    prototype table ANN routing builds on): posexplode to (label, pos,
+    val), aggregate per dimension, gather back into an ordered vector.
+
+    Determinism across engines: double summation is order-sensitive, so
+    each (label, pos) group's values are gathered sorted by vec_id and
+    folded left-to-right — both engines then add the same doubles in the
+    same order, making even the centroid VALUES bit-identical (same trick
+    as dedup_embedding_cosine's dot product).  At scale the gather is
+    bounded by group size (rows per label), and the whole job is two
+    shuffles on small keys: (label, pos) then label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+    per = e.groupBy("label", "pos").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                lambda s: s["val"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", F.expr("s / n").alias("m")))),
+            lambda s: s["m"],
+        ).alias("centroid"),
+        F.max("n").alias("n_members"),
+    )

@@ -1,0 +1,78 @@
+"""Upsert / slowly-changing-dimension merge — the warehouse maintenance
+operator the reference's overwrite-only sink (glue/job.py:36 write to
+``transformed/``) never needed, but any dimensional model built on this
+engine does.
+
+Spark has no MERGE INTO against plain Parquet (that's a table-format
+feature), so the SCD2 merge is expressed as a single declarative pass:
+each input row conditionally EXPANDS into its post-merge version rows via
+``explode`` of a per-row array — zero shuffles, zero joins, pure narrow
+map+generate, which scales embarrassingly (and beats the
+full-outer-join formulation whenever updates are derivable or already
+co-partitioned with the base)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.registry import query
+
+_EPOCH = "1990-01-01"
+_NOW = "2026-01-01"
+_FOREVER = "9999-12-31"
+
+
+@query(
+    "scd2_merge_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price,
+           '{_EPOCH}' AS valid_from, '{_FOREVER}' AS valid_to,
+           TRUE AS is_current
+    FROM orders WHERE o_orderkey % 10 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           '{_EPOCH}', '{_NOW}', FALSE
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, 'X', o_totalprice * CAST(1.1 AS DOUBLE),
+           '{_NOW}', '{_FOREVER}', TRUE
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def scd2_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge: a deterministic update batch (every 10th order
+    changes status to 'X' and reprices +10%) is merged into the orders
+    dimension, closing the previous version (valid_to = merge date,
+    is_current = false) and appending the new current version.
+
+    One scan, one Generate: updated keys explode into [closed-old, new],
+    untouched keys into [current] — no join, no shuffle.  The +10% is a
+    double×double product, bit-identical across engines."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def version(status, price, valid_from: str, valid_to: str, current: bool):
+        return F.struct(
+            status.alias("status"),
+            price.alias("price"),
+            F.lit(valid_from).alias("valid_from"),
+            F.lit(valid_to).alias("valid_to"),
+            F.lit(current).alias("is_current"),
+        )
+
+    updated = F.col("o_orderkey") % 10 == 0
+    versions = F.when(
+        updated,
+        F.array(
+            version(F.col("o_orderstatus"), F.col("o_totalprice"), _EPOCH, _NOW, False),
+            version(F.lit("X"), F.col("o_totalprice") * 1.1, _NOW, _FOREVER, True),
+        ),
+    ).otherwise(
+        F.array(
+            version(F.col("o_orderstatus"), F.col("o_totalprice"), _EPOCH, _FOREVER, True)
+        )
+    )
+    return o.select(
+        "o_orderkey", F.explode(versions).alias("v")
+    ).select("o_orderkey", "v.*")

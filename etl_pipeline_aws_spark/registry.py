@@ -78,6 +78,7 @@ def _load_all() -> None:
         flagships,
         joins,
         maps_arrays,
+        merge,
         relational_ext,
         scalars,
         scale,
@@ -87,6 +88,7 @@ def _load_all() -> None:
         windows,
     )
     from etl_pipeline_aws_spark.llm import (  # noqa: F401
+        corpus,
         dedup,
         multimodal,
         similarity,

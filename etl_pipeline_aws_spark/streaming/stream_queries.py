@@ -402,3 +402,89 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_streaming.py stages a 3-file landing to prove it)."""
     ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "event_id")
     return _sessionize_stream(ev)
+
+
+STREAM_STATIC_ORACLE = """
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+"""
+
+
+@query("stream_static_join", oracle=STREAM_STATIC_ORACLE)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the customer
+    dimension (a plain batch DataFrame) and aggregates per (segment,
+    type).  The static side is re-resolved each micro-batch — the
+    streaming analog of the broadcast dim join, and the standard way to
+    decorate a 100 TB/day stream with reference data: the dim is
+    broadcast per epoch, the stream never shuffles before the aggregate's
+    own keys."""
+    ev = read_events_stream(spark, sf_dir)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+STREAM_STREAM_ORACLE = """
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS delay_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+"""
+
+
+@query("stream_stream_interval_join", oracle=STREAM_STREAM_ORACLE)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — click→purchase attribution within a
+    30-minute window, both sides genuinely streaming with watermarks.
+    State on each side is bounded by watermark + the interval condition
+    (Spark derives the state-eviction predicate from the time-range
+    constraint); under availableNow the bounded replay emits exactly the
+    batch join's pairs.  This is THE canonical streaming join shape:
+    equi-key (user) plus event-time range, no unbounded state."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("delay_s"),
+    )
+    return _run_to_memory(joined, "append")
