@@ -1,0 +1,146 @@
+"""Product-analytics operators over ``events`` — funnel conversion,
+retention cohorts, and value histograms: the query shapes an event-stream
+warehouse serves daily, composed from the same primitives the rest of the
+engine uses (conditional aggregation, ordered list gathering, window-free
+binning).
+
+Scale notes: every operator here is one shuffle on ``user_id`` (or none),
+then a tiny-key rollup — the canonical billions-of-events shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.registry import query
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS first_view,
+               list(ts ORDER BY ts) FILTER (WHERE event_type = 'click') AS clicks,
+               list(ts ORDER BY ts) FILTER (WHERE event_type = 'purchase') AS purchases
+        FROM events GROUP BY user_id
+    ), staged AS (
+        SELECT user_id, first_view,
+               list_filter(clicks, x -> x >= first_view)[1] AS first_click,
+               list_filter(purchases,
+                           x -> x >= list_filter(clicks, y -> y >= first_view)[1]
+                          )[1] AS first_purchase
+        FROM per_user
+    )
+    SELECT CAST(COUNT(first_view) AS BIGINT) AS n_viewed,
+           CAST(COUNT(first_click) AS BIGINT) AS n_clicked_after_view,
+           CAST(COUNT(first_purchase) AS BIGINT) AS n_purchased_after_click
+    FROM staged
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user converts
+    at each stage only via an event AT OR AFTER their previous stage's
+    first event (the strict-ordering semantics naive per-type counts get
+    wrong).
+
+    One shuffle: per-user ordered event lists are gathered in a single
+    grouped aggregation (bounded by per-user activity), the stage chain
+    is resolved with array expressions — no self-joins, no window
+    re-sorts — and the final rollup is a scale-free global count."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def sorted_ts(etype: str):
+        return F.array_sort(
+            F.collect_list(F.when(F.col("event_type") == etype, F.col("ts")))
+        )
+
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        sorted_ts("click").alias("clicks"),
+        sorted_ts("purchase").alias("purchases"),
+    )
+    first_click = F.element_at(
+        F.filter("clicks", lambda x: x >= F.col("first_view")), 1
+    )
+    staged = per_user.select(
+        "first_view",
+        first_click.alias("first_click"),
+        F.element_at(
+            F.filter("purchases", lambda x: x >= first_click), 1
+        ).alias("first_purchase"),
+    )
+    return staged.agg(
+        F.count("first_view").alias("n_viewed"),
+        F.count("first_click").alias("n_clicked_after_view"),
+        F.count("first_purchase").alias("n_purchased_after_click"),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
+               AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users are cohorted by their first-activity
+    day; each cell counts distinct cohort members active N days later.
+
+    Two shuffles, both on ``user_id`` (first-day aggregation, then the
+    events⋈cohort join lands on the same partitioning — AQE reuses the
+    exchange), then a distinct-count rollup on the tiny
+    (cohort, offset) key space."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")).cast("date"), F.col("cohort_day"))
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+HIST_BIN_WIDTH = 25.0
+
+
+@query(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT FLOOR(value / {HIST_BIN_WIDTH}) * {HIST_BIN_WIDTH} AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values (bin width 25): binning is a
+    scalar expression, so the whole histogram is one map-side-combined
+    aggregation on a handful of bin keys — the constant-memory shape that
+    histograms a 100 TB column in a single pass.  ``floor(double/double)``
+    and min/max are bit-identical across engines (no summation)."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_lo = F.floor(F.col("value") / HIST_BIN_WIDTH) * HIST_BIN_WIDTH
+    return ev.groupBy(bin_lo.alias("bin_lo")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

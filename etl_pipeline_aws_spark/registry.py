@@ -73,6 +73,7 @@ def _load_all() -> None:
     # Imports deferred to avoid import cycles (operators import `query`).
     from etl_pipeline_aws_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         asof,
         events,
         flagships,
