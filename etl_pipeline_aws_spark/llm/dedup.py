@@ -652,3 +652,45 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("keeper_doc_id"),
         (F.col("doc_id") > F.col("label")).alias("is_dup"),
     )
+
+
+@query(
+    "dedup_normalized_text",
+    oracle="""
+    -- aggressive canonicalization before exact dedup: case, punctuation,
+    -- and whitespace runs carry no identity
+    WITH normed AS (
+        SELECT doc_id,
+               sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                          ' +', ' ', 'g'))) AS norm_hash
+        FROM documents
+    )
+    SELECT norm_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM normed
+    GROUP BY norm_hash
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-keyed dedup: lowercase → strip non-alphanumerics →
+    collapse whitespace runs → sha256, then collapse clusters (keeper =
+    min doc_id), emitting only genuine duplicate clusters.
+
+    The canonicalization catches trivially-reformatted copies exact
+    hashing misses (case/punctuation/spacing variants — the most common
+    web-crawl duplication mode after byte-identity).  Same scale shape as
+    dedup_exact: the shuffle carries (hash, doc_id) only."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        docs.select("doc_id", F.sha2(norm, 256).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )

@@ -398,3 +398,89 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("g").alias("n_overlapping_ngrams"))
     )
+
+
+TFIDF_COSINE_MAX_DF_FRAC = 0.1  # posting lists above this df are pruned
+TFIDF_COSINE_THRESHOLD = 0.5
+
+
+@query(
+    "text_cosine_pairs",
+    oracle=f"""
+    WITH total AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tfc AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY doc_id, term
+    ),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+    kept AS (
+        SELECT t.doc_id, t.term, t.tf
+        FROM tfc t JOIN dfc USING (term), total
+        WHERE df <= {TFIDF_COSINE_MAX_DF_FRAC} * n_docs
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+        FROM kept GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM kept a JOIN kept b USING (term)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosine
+    FROM pairs
+    JOIN norms na ON doc_a = na.doc_id
+    JOIN norms nb ON doc_b = nb.doc_id
+    WHERE CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= {TFIDF_COSINE_THRESHOLD}
+    """,
+)
+def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-vector cosine similarity via posting-list self-join — the
+    text-side similarity-search scale path (no embeddings needed): only
+    documents SHARING a rare term ever meet, so join cost is Σ df² over
+    the kept vocabulary, not |docs|².
+
+    The scale dial is the df cutoff (terms in > 10% of the corpus are
+    pruned): it bounds every posting list, kills the stopword quadratic
+    blow-up, and — since common-term overlap carries no signal — barely
+    moves the scores (this is the same hot-key discipline as the
+    MinHash-LSH band join).  Determinism: dot products and squared norms
+    are exact BIGINTs; cosine is double ops on those exact operands —
+    bit-identical across engines (sqrt is IEEE-exact).  No ln(): pure TF
+    weighting, so no cross-engine libm drift (see text_tfidf_top_terms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        tf.join(dfc, "term")
+        .crossJoin(total)
+        .filter(F.col("df") <= TFIDF_COSINE_MAX_DF_FRAC * F.col("n_docs"))
+        .select("doc_id", "term", "tf")
+    )
+    norms = kept.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    cos = F.col("dot").cast("double") / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= TFIDF_COSINE_THRESHOLD)
+    )

@@ -144,3 +144,53 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+_CA_CUTOFF = "2024-01-20 00:00:00"
+
+
+@query(
+    "continuous_aggregate_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def continuous_aggregate_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable-rollup) maintenance pattern: history
+    before the cutoff exists only as DAILY PARTIAL aggregates (count +
+    exact decimal sum — the mergeable state a materialized rollup would
+    store); the query merges those partials with freshly-aggregated
+    post-cutoff raw events into up-to-date per-type totals.
+
+    The oracle is the direct full aggregation — passing proves
+    partials-then-merge ≡ aggregate-once, which is the entire correctness
+    argument for incremental rollups: at 100 TB you re-aggregate only the
+    new partition and SUM the stored partials (bytes per day-type, not
+    rows), never rescanning history.  Decimal partial sums are exact and
+    associative, so the two-level summation cannot drift."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CA_CUTOFF).cast("timestamp")
+    partial_sum = F.sum(F.col("value").cast("decimal(18,2)"))
+    # stored daily partials (what the rollup table would persist)
+    partials = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), partial_sum.alias("s"))
+    )
+    fresh = (
+        ev.filter(F.col("ts") >= cutoff)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), partial_sum.alias("s"))
+    )
+    return (
+        partials.unionByName(fresh)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").cast("double").alias("sum_value"),
+        )
+    )

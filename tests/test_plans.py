@@ -94,6 +94,7 @@ ALLOWED_NESTED_LOOP = {
     "dedup_embedding",  # facade routes fixture-scale corpora to the brute tier
     "agg_hll_sketch_rollup",  # 1×1 join of two global aggregates (scale-free)
     "corpus_mix_equalize",  # single-row min-count cap broadcast (q11 pattern)
+    "text_cosine_pairs",  # single-row corpus-count broadcast for the df cutoff
     "similarity_topk_bruteforce",  # broadcast query set is the operator's design
     "similarity_topk_ivf",  # centroid table broadcast (|cells| rows)
 }
