@@ -272,3 +272,63 @@ def join_chain_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+RANGE_BIN_US = 600_000_000  # 10-minute bins, microseconds
+
+
+@query(
+    "range_join_binned",
+    oracle="""
+    WITH incidents AS (
+        SELECT event_id AS incident_id, ts AS w_start,
+               ts + INTERVAL '10 minutes' AS w_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT i.incident_id, e.event_id, e.event_type
+    FROM incidents i JOIN events e
+      ON e.ts >= i.w_start AND e.ts < i.w_end
+    """,
+)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key: which events fall inside any error
+    incident's 10-minute window) executed as an EQUI join via time
+    binning — the standard rewrite that turns Spark's worst join shape
+    (nested-loop over every pair) into a shuffle join.
+
+    Each incident interval is exploded onto the 10-minute bins it covers
+    (≤ 2 bins, since interval length == bin width); each event maps to
+    exactly ONE bin, so the bin equi-join meets every qualifying pair
+    exactly once (no post-join dedup) and the range predicate survives
+    only as a cheap residual.  Cost: O(events + 2·incidents) shuffled on
+    a dense time key — at 100 TB this is the difference between a
+    broadcast-nested-loop that cannot run and a plain shuffle join.  Bin
+    width is the tuning dial: ~interval length ⇒ replication ≤ 2×.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    events = ev.select("event_id", "event_type", "ts", F.floor(us / RANGE_BIN_US).alias("bin"))
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("w_start"),
+            (F.unix_micros(F.col("ts")) + F.lit(RANGE_BIN_US)).alias("end_us"),
+        )
+        .select(
+            "incident_id",
+            "w_start",
+            F.timestamp_micros(F.col("end_us")).alias("w_end"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros(F.col("w_start")) / RANGE_BIN_US),
+                    F.floor((F.col("end_us") - 1) / RANGE_BIN_US),
+                )
+            ).alias("bin"),
+        )
+    )
+    return (
+        incidents.join(events, "bin")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .select("incident_id", "event_id", "event_type")
+    )

@@ -264,3 +264,47 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
         F.sum(F.when(is_f, dec("o_totalprice"))).cast("double").alias("finished_value"),
     )
+
+
+@query(
+    "profile_lineitem",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_returnflags,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_quantity,
+           MIN(l_quantity) AS min_quantity,
+           MAX(l_quantity) AS max_quantity,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           MIN(l_shipdate) AS min_shipdate,
+           MAX(l_shipdate) AS max_shipdate
+    FROM lineitem
+    """,
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the ANALYZE/statistics surface): row count, key
+    cardinalities, null counts, and min/max per column in ONE pass.
+
+    Shape note: mixing COUNT(DISTINCT a) and COUNT(DISTINCT b) makes
+    Spark plan an Expand (row multiplication per distinct group) — the
+    documented cost of exact multi-column profiling; at 100 TB you
+    profile with approx_count_distinct instead (same query, one pass, no
+    Expand — the registry's agg_approx_distinct shows that tier).
+    Min/max/null-counts alone are plain map-side-combined aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_returnflag").alias("n_returnflags"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias(
+            "n_null_quantity"
+        ),
+        F.min("l_quantity").alias("min_quantity"),
+        F.max("l_quantity").alias("max_quantity"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )

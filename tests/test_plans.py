@@ -49,6 +49,15 @@ def test_theta_join_is_hash_not_nested_loop(spark):
     assert "NestedLoop" not in plan or "BroadcastNestedLoop" not in plan.split("nation")[0], plan
 
 
+def test_range_join_binned_is_equi_not_nested_loop(spark):
+    """The binning rewrite must turn the pure range join into a shuffle
+    equi join on the bin key — no nested loop anywhere in the plan."""
+    plan = formatted_plan(_q("range_join_binned", spark))
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
 def test_order_by_limit_is_topk(spark):
     plan = formatted_plan(_q("order_by_limit", spark))
     assert "TakeOrderedAndProject" in plan
