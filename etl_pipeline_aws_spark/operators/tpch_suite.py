@@ -5,8 +5,9 @@ transform is a map-only enrichment, glue/job.py:27-34); these queries are
 the north-star warehouse workload the new engine must carry at 100 TB.
 Q1/Q3/Q10 shapes live in scalars.py / flagships.py; this module adds the
 rest of the classic shapes that the driver's columns can express
-(FIXTURES.md §B — no partsupp/shipmode/commitdate, so Q9/Q12/Q22 are
-adapted and documented as such).
+(FIXTURES.md §B — no partsupp/shipmode/commitdate, so Q2/Q9/Q12/Q16/Q22
+are adapted and documented as such; Q2/Q16 derive the partsupp relation
+from lineitem's distinct (partkey, suppkey) pairs).
 
 Scale posture shared by all queries here:
 - dimension chain (region→nation→supplier/customer) is broadcast — never
@@ -898,4 +899,138 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
         .orderBy("s_name")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        -- unit cost in exact integer milli-units: cents*1000 // qty-cents
+        -- (decimal division rounds at engine-specific scales; integer
+        -- division is bit-identical everywhere)
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100000
+                   // CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS supplycost_milli
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           CAST(ps.supplycost_milli AS BIGINT) AS supplycost_milli
+    FROM part p
+    JOIN ps ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND r.r_name = 'AMERICA'
+      AND ps.supplycost_milli = (
+          SELECT MIN(ps2.supplycost_milli)
+          FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'AMERICA'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (minimum-cost supplier), adapted: no partsupp table
+    (FIXTURES.md §B), so the part-supplier relation and its supplycost are
+    derived from lineitem — distinct (partkey, suppkey) pairs with
+    min unit price (extendedprice/quantity, exact decimal division) as
+    the cost.  The correlated min-cost-per-part subquery is
+    hand-decorrelated into a window min over the region-filtered
+    candidates — one pass instead of a rejoin (the q17 discipline).
+
+    Scale posture: region/nation/supplier dim chain broadcasts; the only
+    fact shuffle is the per-(part,supplier) aggregate; the window min
+    rides the same (partkey) partitioning AQE already produced."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    reg = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    # unit cost in exact integer milli-units (cents*1000 div qty-cents):
+    # decimal DIVISION rounds at engine-specific scales, integer division
+    # is bit-identical everywhere (mirrored in the oracle's // expression)
+    price_cents = (dec("l_extendedprice") * 100).cast("long")
+    qty_cents = (dec("l_quantity") * 100).cast("long")
+    cost_milli = ((price_cents * 100000) - (price_cents * 100000) % qty_cents) / qty_cents
+    ps = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            cost_milli.cast("long").alias("cost_milli"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("cost_milli").alias("supplycost_milli"))
+    )
+    cand = (
+        ps.join(sup, ps.l_suppkey == sup.s_suppkey)
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("supplycost_milli").over(w))
+        .filter(F.col("supplycost_milli") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "supplycost_milli",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q16_parts_supplier_relationship",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (5, 15, 25, 35, 45)
+      AND ps.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (parts/supplier relationship), adapted: the partsupp
+    relation is the distinct (partkey, suppkey) projection of lineitem,
+    and the excluded-supplier predicate ("customer complaints") becomes
+    negative account balance.  NOT IN on a non-nullable key compiles to
+    a left-anti join against the (tiny, broadcast) excluded set.
+
+    Scale posture: the distinct pair projection is the only fact shuffle
+    (and map-side combines first); part filters push to the scan; the
+    final COUNT(DISTINCT supp) per brand/type/size group re-uses the
+    pair-level distinctness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 15, 25, 35, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
