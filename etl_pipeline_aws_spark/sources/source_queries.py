@@ -188,3 +188,132 @@ def parquet_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+def _spread_bits_16(c: F.Column) -> F.Column:
+    """Spread the low 16 bits of ``c`` so bit i lands at position 2i —
+    the classic morton-code mask cascade, all JVM-side bitwise exprs."""
+    s = c.cast("long").bitwiseAND(F.lit(0xFFFF))
+    s = (s.bitwiseOR(F.shiftleft(s, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    s = (s.bitwiseOR(F.shiftleft(s, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    s = (s.bitwiseOR(F.shiftleft(s, 2))).bitwiseAND(F.lit(0x33333333))
+    s = (s.bitwiseOR(F.shiftleft(s, 1))).bitwiseAND(F.lit(0x55555555))
+    return s
+
+
+def zorder_value(x: F.Column, y: F.Column) -> F.Column:
+    """32-bit Z-order (Morton) interleave of two 16-bit keys."""
+    return _spread_bits_16(x).bitwiseOR(F.shiftleft(_spread_bits_16(y), 1))
+
+
+def with_zorder(df: DataFrame, col_x: str, col_y: str, out_col: str = "_z") -> DataFrame:
+    """Add a Z-order key over two numeric columns, min-max scaled to 16
+    bits each BEFORE interleaving — without equalizing the bit widths,
+    the wider key's high bits own the top of the Z value and range
+    partitioning degenerates to a linear sort on that key alone (the
+    classic Morton pitfall).  Scaling bounds ride a single-row broadcast
+    (scale-free); a skew-proof production variant would use sampled
+    range-bucket ids per column (what repartitionByRange itself does) —
+    min-max is exact and expression-only for the uniform keys here."""
+    bounds = F.broadcast(
+        df.agg(
+            F.min(col_x).alias("_minx"),
+            F.max(col_x).alias("_maxx"),
+            F.min(col_y).alias("_miny"),
+            F.max(col_y).alias("_maxy"),
+        )
+    )
+    def scaled(c: str, lo: str, hi: str) -> F.Column:
+        span = F.greatest(F.col(hi) - F.col(lo), F.lit(1)).cast("double")
+        return F.floor((F.col(c) - F.col(lo)) * 65535 / span).cast("long")
+    return (
+        df.crossJoin(bounds)
+        .withColumn(out_col, zorder_value(scaled(col_x, "_minx", "_maxx"),
+                                          scaled(col_y, "_miny", "_maxy")))
+        .drop("_minx", "_maxx", "_miny", "_maxy")
+    )
+
+
+@query(
+    "parquet_zorder_layout",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 400
+      AND l_suppkey BETWEEN 10 AND 40
+    """,
+)
+def parquet_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered Parquet layout: lineitem is written
+    sorted by the bit-interleave of (l_partkey, l_suppkey), so every
+    output file covers a bounded RECTANGLE in the 2-D key space instead
+    of a slice of one dimension.  A query filtering on EITHER or BOTH
+    keys then skips most files via row-group min/max stats — the
+    multi-dimension generalization of parquet_clustered_layout, and the
+    layout trick (Delta/Iceberg OPTIMIZE ZORDER) that single-column sort
+    cannot replicate: linear sort gives one dimension span/n_files and
+    leaves the other dimension's span global; Z-order gives BOTH
+    ~span/sqrt(n_files).  The interleave is a mask cascade of shifts/ORs
+    — pure codegen'd JVM expressions (tests assert per-file spans shrink
+    on both dimensions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    zone = tempfile.mkdtemp(prefix="pq_zorder_")
+    out = os.path.join(zone, "lineitem_zorder")
+    (
+        with_zorder(li, "l_partkey", "l_suppkey")
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("l_partkey").between(100, 400) & F.col("l_suppkey").between(10, 40)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+COMPACT_TARGET_FILES = 4
+
+
+@query(
+    "sink_compaction",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts
+    FROM events
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every streaming sink
+    needs: a zone fragmented into 64 shard files (what per-trigger
+    micro-batch writes produce) is rewritten into COMPACT_TARGET_FILES
+    time-range-clustered files.  repartitionByRange on ts keeps the
+    compacted files disjoint in event time (so the compacted zone is
+    also range-skippable), and the oracle proves compaction is
+    content-preserving.  At 100 TB this runs per-partition-directory,
+    embarrassingly parallel across partitions; tests assert the file
+    count actually drops."""
+    ev = load_table(spark, sf_dir, "events")
+    zone = tempfile.mkdtemp(prefix="pq_compact_")
+    frag, compact = os.path.join(zone, "frag"), os.path.join(zone, "compact")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    (
+        spark.read.parquet(frag)
+        .repartitionByRange(COMPACT_TARGET_FILES, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(compact)
+    )
+    back = spark.read.parquet(compact)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_events"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )

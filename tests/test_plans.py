@@ -223,3 +223,69 @@ def test_clustered_layout_files_are_disjoint_slices(spark, tmp_path):
     spans.sort()
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next, (hi_prev, lo_next)
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """Z-order clustering must shrink per-file key spans on BOTH
+    dimensions (a linear sort on one key leaves the other dimension's
+    per-file span ~global).  Assert the mean per-file span is below 60%
+    of the global span for partkey AND suppkey."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.sources.source_queries import with_zorder
+
+    out = str(tmp_path / "zorder")
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    (
+        with_zorder(li, "l_partkey", "l_suppkey")
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    spans = {"l_partkey": [], "l_suppkey": []}
+    globals_ = {}
+    for col in spans:
+        lo, hi = li.agg(F.min(col), F.max(col)).first()
+        globals_[col] = hi - lo
+    files = [p for p in os.listdir(out) if p.endswith(".parquet")]
+    assert len(files) >= 4
+    for f in files:
+        md = pq.ParquetFile(f"{out}/{f}").metadata
+        for col in spans:
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans[col].append(hi - lo)
+    for col, ss in spans.items():
+        mean_span = sum(ss) / len(ss)
+        assert mean_span < 0.6 * globals_[col], (col, mean_span, globals_[col])
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    """sink_compaction's rewrite must actually collapse the fragmented
+    zone to <= COMPACT_TARGET_FILES data files, content-preserving."""
+    import os
+
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.sources.source_queries import COMPACT_TARGET_FILES
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    frag, compact = str(tmp_path / "frag"), str(tmp_path / "compact")
+    ev.repartition(64).write.parquet(frag)
+    (
+        spark.read.parquet(frag)
+        .repartitionByRange(COMPACT_TARGET_FILES, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(compact)
+    )
+    n_frag = len([p for p in os.listdir(frag) if p.endswith(".parquet")])
+    n_compact = len([p for p in os.listdir(compact) if p.endswith(".parquet")])
+    assert n_frag == 64
+    assert n_compact <= COMPACT_TARGET_FILES
+    assert spark.read.parquet(compact).count() == ev.count()
