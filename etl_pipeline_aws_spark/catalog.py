@@ -57,17 +57,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    Parquet reader rejects ([PARQUET_TYPE_ILLEGAL]).  Read nanos as long
-    (legacy conf, runtime-settable) and truncate to microseconds with exact
-    integer division — ``ts div 1000`` — matching DuckDB's ns→µs truncation.
-    A double division would silently lose µs precision at 1.7e18 ns."""
-    from pyspark.sql import functions as F
-
+    """Type-adaptive events reader.  The physical type of ``events.ts`` is a
+    property of whoever wrote the file, not of this engine, and it has
+    already changed once across testdata generations: TIMESTAMP(NANOS)
+    (which Spark's reader rejects outright without the legacy nanos-as-long
+    conf) and later TIMESTAMP(MICROS) with isAdjustedToUTC=false (which
+    surfaces as TIMESTAMP_NTZ).  Rather than hardcoding either generation,
+    read with the nanos shim enabled and normalize whatever arrives via
+    ``normalize_events_ts`` — every downstream consumer then sees one
+    stable session-TZ TIMESTAMP."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(df)
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize an events ``ts`` column to session-TZ TIMESTAMP regardless
+    of the writer's physical choice:
+
+    - ``bigint`` — TIMESTAMP(NANOS) surfaced as long nanos under the legacy
+      conf; truncate to microseconds with exact *integer* division
+      (``ts div 1000``, matching DuckDB's ns→µs truncation — a double
+      division would silently lose µs precision at 1.7e18 ns).
+    - ``timestamp_ntz`` — MICROS, isAdjustedToUTC=false.  The session TZ is
+      pinned UTC (session.py; __spark_entry__ pins it for vanilla driver
+      sessions), so the NTZ→TIMESTAMP cast reinterprets the naive micros as
+      the same UTC instant, byte-identical to what DuckDB reads.
+    - ``timestamp`` — MICROS/UTC-adjusted; already the target type.
+
+    Functions like ``unix_micros``, windowed aggs, and stream watermarks
+    all accept the normalized column; without this, each type flip breaks
+    every ts consumer at once (round 2's headline defect)."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

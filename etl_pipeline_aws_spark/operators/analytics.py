@@ -1,8 +1,8 @@
 """Product-analytics operators over ``events`` — funnel conversion,
 retention cohorts, and value histograms: the query shapes an event-stream
 warehouse serves daily, composed from the same primitives the rest of the
-engine uses (conditional aggregation, ordered list gathering, window-free
-binning).
+engine uses (conditional min aggregation, co-partitioned stage joins,
+window-free binning).
 
 Scale notes: every operator here is one shuffle on ``user_id`` (or none),
 then a tiny-key rollup — the canonical billions-of-events shapes.
@@ -46,32 +46,37 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     first event (the strict-ordering semantics naive per-type counts get
     wrong).
 
-    One shuffle: per-user ordered event lists are gathered in a single
-    grouped aggregation (bounded by per-user activity), the stage chain
-    is resolved with array expressions — no self-joins, no window
-    re-sorts — and the final rollup is a scale-free global count."""
-    ev = load_table(spark, sf_dir, "events")
+    Bounded-state stage chain: each stage is a MIN-based aggregation —
+    first_view = min(view ts); first_click = min(click ts >= first_view);
+    first_purchase = min(purchase ts >= first_click) — so per-user
+    aggregation state is one timestamp at every step.  (An earlier version
+    gathered full per-user timestamp lists with collect_list; a bot user
+    with 10^7 events makes that agg buffer unboundedly at 100 TB.  MIN
+    state is O(1) per key no matter how hot the user.)  Every shuffle —
+    three aggs, three joins — is hash-partitioned on ``user_id``, so AQE
+    reuses one exchange layout end to end; the final rollup is a
+    scale-free global count."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
 
-    def sorted_ts(etype: str):
-        return F.array_sort(
-            F.collect_list(F.when(F.col("event_type") == etype, F.col("ts")))
-        )
+    def of_type(etype: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype)
 
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
-        sorted_ts("click").alias("clicks"),
-        sorted_ts("purchase").alias("purchases"),
+    views = of_type("view").groupBy("user_id").agg(F.min("ts").alias("first_view"))
+    clicks = (
+        of_type("click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
     )
-    first_click = F.element_at(
-        F.filter("clicks", lambda x: x >= F.col("first_view")), 1
+    purchases = (
+        of_type("purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
     )
-    staged = per_user.select(
-        "first_view",
-        first_click.alias("first_click"),
-        F.element_at(
-            F.filter("purchases", lambda x: x >= first_click), 1
-        ).alias("first_purchase"),
-    )
+    staged = views.join(clicks, "user_id", "left").join(purchases, "user_id", "left")
     return staged.agg(
         F.count("first_view").alias("n_viewed"),
         F.count("first_click").alias("n_clicked_after_view"),

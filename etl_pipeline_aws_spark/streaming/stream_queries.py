@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etl_pipeline_aws_spark.catalog import load_table, table_path
+from etl_pipeline_aws_spark.catalog import load_table, normalize_events_ts, table_path
 from etl_pipeline_aws_spark.functions.numeric import dsum
 from etl_pipeline_aws_spark.operators.events import (
     SESSION_ORACLE,
@@ -36,36 +36,30 @@ from etl_pipeline_aws_spark.operators.events import (
 )
 from etl_pipeline_aws_spark.registry import query
 
-# Parquet stores ts as TIMESTAMP(NANOS); with the legacy conf it surfaces as
-# long nanos (see catalog._load_events) — the stream reader applies the same
-# exact ns→µs conversion.
-_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (reference R12: the
     landing-zone arrival trigger).  The streaming file source watches a
     *directory* — we stage a landing zone holding the (symlinked) events
     file, exactly the reference's landing-bucket shape.  maxFilesPerTrigger
-    bounds each micro-batch like one S3 notification batch."""
+    bounds each micro-batch like one S3 notification batch.
+
+    ``readStream`` requires an explicit schema; instead of hardcoding one
+    testdata generation's physical types (round 2's headline defect — the
+    writer moved ts from TIMESTAMP(NANOS) to MICROS/NTZ and the pinned
+    LongType read garbage), probe the file's ACTUAL schema with a batch
+    footer read and normalize ``ts`` exactly as the batch path does
+    (catalog.normalize_events_ts) — stream and batch twins see identical
+    types by construction, which tests/test_streaming.py pins."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     landing = tempfile.mkdtemp(prefix="landing_")
     os.symlink(table_path(sf_dir, "events"), os.path.join(landing, "events-000.parquet"))
     stream = (
-        spark.readStream.schema(_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(stream)
 
 
 def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:

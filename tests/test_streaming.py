@@ -61,6 +61,24 @@ def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
     assert (12, 0, 2) in rows and (12, 10, 1) in rows, rows
 
 
+def test_stream_schema_matches_batch_schema(spark):
+    """The streamed events reader must surface EXACTLY the batch catalog
+    reader's schema.  This is the one-place tripwire for testdata drift:
+    the writer has already changed ts's physical type once (TIMESTAMP
+    NANOS → MICROS/NTZ, round 2's headline breakage) — any future flip
+    must fail HERE, loudly, not as garbage rows in seven queries."""
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.streaming.stream_queries import read_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    stream_schema = read_events_stream(spark, sf).schema
+    batch_schema = load_table(spark, sf, "events").schema
+    assert stream_schema == batch_schema
+    # and both normalize ts to session-TZ TIMESTAMP (what unix_micros,
+    # window(), and watermarks all require)
+    assert dict((f.name, f.dataType.simpleString()) for f in batch_schema)["ts"] == "timestamp"
+
+
 def test_stream_batch_parity_tumbling(spark):
     """The streamed tumbling aggregate equals the batch twin row-for-row
     (both already oracle-checked; this pins them to each other directly)."""
