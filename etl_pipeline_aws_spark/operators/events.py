@@ -149,3 +149,95 @@ def events_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dsum("value").alias("sum_value"),
     )
+
+
+GAPFILL_ORACLE = """
+    WITH actual AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT MIN(time_bucket(INTERVAL '10 minutes', ts)) AS lo,
+               MAX(time_bucket(INTERVAL '10 minutes', ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT t.event_type, g.bucket_start
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL '10 minutes'))
+                        AS bucket_start
+                    FROM bounds) g
+    )
+    SELECT s.event_type, s.bucket_start,
+           CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+           last_value(a.sum_value IGNORE NULLS)
+               OVER (PARTITION BY s.event_type ORDER BY s.bucket_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_value,
+           a.n_events IS NULL AS is_gap
+    FROM spine s
+    LEFT JOIN actual a
+      ON s.event_type = a.event_type AND s.bucket_start = a.bucket_start
+"""
+
+_GAP_BIN_US = 600_000_000  # 10 minutes in microseconds
+
+
+@query("events_gapfill_locf", oracle=GAPFILL_ORACLE)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with last-observation-carried-forward — the
+    hypertable `time_bucket_gapfill + locf` shape: every (event_type,
+    10-minute bucket) slot between the corpus' first and last bucket
+    exists in the output, empty slots carry the previous bucket's value
+    forward, and an ``is_gap`` flag marks the synthesized rows.
+
+    Plan: one shuffle for the bucket aggregation; the spine is a 1-row
+    min/max aggregate crossed with the distinct type set (scale-free
+    broadcast) exploded through ``sequence`` — never a driver loop; the
+    LOCF is one window pass partitioned per series.  At 100 TB the
+    bucket agg is the only data-sized stage (map-side combined on a
+    dense key); the spine's size is #series x #buckets — a property of
+    the *time range*, not the row count."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_micros(
+        (F.floor(F.unix_micros(F.col("ts")) / _GAP_BIN_US) * _GAP_BIN_US).cast("long")
+    )
+    actual = (
+        ev.groupBy("event_type", bucket.alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+    bounds = ev.agg(
+        F.min(bucket).alias("lo"),
+        F.max(bucket).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 10 MINUTES"))
+            ).alias("bucket_start"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(actual, ["event_type", "bucket_start"], "left")
+        .select(
+            "event_type",
+            "bucket_start",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+    )

@@ -76,3 +76,78 @@ def scd2_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", F.explode(versions).alias("v")
     ).select("o_orderkey", "v.*")
+
+
+@query(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, 0 AS seq, 'I' AS op,
+               o_orderstatus AS status, o_totalprice AS price
+        FROM orders
+    ), changes AS (
+        SELECT o_orderkey, 1 AS seq, 'U' AS op,
+               'U' AS status, o_totalprice * CAST(1.05 AS DOUBLE) AS price
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, 2, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        FROM orders WHERE o_orderkey % 21 = 0
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC)
+                      AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+    )
+    SELECT o_orderkey, status, price, CAST(seq AS INT) AS version
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: a keyed changelog of inserts / updates /
+    deletes is folded onto a base snapshot by LAST-WRITER-WINS per key —
+    the standard upsert-compaction a CDC consumer (Debezium-style feed,
+    table-format merge-on-read) runs to materialize current state.
+
+    The changelog is derived deterministically from orders so the oracle
+    can replay it: every 7th key gets an update (seq 1: status 'U',
+    +5% reprice), every 21st additionally a delete (seq 2) — so %21 keys
+    vanish, %7-but-not-%21 keys surface the update, all others keep their
+    base row.
+
+    Plan: union base + changelog (narrow), ONE shuffle on the key for the
+    row_number window, filter.  Per-key state is the single winning row —
+    at 100 TB this is the same single-shuffle shape whether the changelog
+    is 0.1% or 100% of the base, and it beats the join formulation
+    whenever a key can carry several changelog entries (the window
+    resolves seq ordering in the same pass that picks the winner)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.lit("U").alias("status"),
+        (F.col("o_totalprice") * F.lit(1.05)).alias("price"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 21 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    return (
+        base.unionByName(updates)
+        .unionByName(deletes)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("o_orderkey", "status", "price", F.col("seq").alias("version"))
+    )
