@@ -694,3 +694,41 @@ def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+@query(
+    "dedup_incremental_snapshot",
+    oracle="""
+    WITH corpus AS (
+        SELECT sha256(text) AS h FROM documents WHERE doc_id % 5 <> 4
+    ), batch AS (
+        SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 5 = 4
+    )
+    SELECT b.doc_id, b.h AS content_hash
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+    """,
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a NEW batch of documents (every 5th
+    doc_id models the day's arrivals) is deduplicated against the
+    already-indexed corpus by exact content hash, admitting only
+    never-seen content — the cheapest and first tier of a continuously
+    fed training-data pipeline (near-dup tiers run after this gate).
+
+    The anti join carries (hash, doc_id) pairs only — 40 bytes/doc, not
+    documents — so at 100 TB the shuffle is ~0.04% of corpus bytes; in
+    steady state the corpus side is a PERSISTED hash index that never
+    rescans raw text, and the day's batch is the only scanned data.
+    A bloom pre-prune (the join_bloom_pruned pattern over the batch's
+    hash buckets) drops the corpus-index scan further when the batch is
+    small relative to the index."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 5 == 4
+    corpus = docs.filter(~is_batch).select(F.sha2("text", 256).alias("content_hash"))
+    batch = docs.filter(is_batch).select(
+        "doc_id", F.sha2("text", 256).alias("content_hash")
+    )
+    return batch.join(corpus, "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    )

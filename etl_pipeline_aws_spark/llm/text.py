@@ -484,3 +484,75 @@ def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= TFIDF_COSINE_THRESHOLD)
     )
+
+
+@query(
+    "text_bigram_lm",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+    ), bi AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+    ), counts AS (
+        SELECT w1, w2, COUNT(*) AS n FROM bi GROUP BY 1, 2
+    ), tot AS (
+        SELECT w1, CAST(SUM(n) AS BIGINT) AS total FROM counts GROUP BY 1
+    ), ranked AS (
+        SELECT c.w1, c.w2, c.n, t.total,
+               ROW_NUMBER() OVER (PARTITION BY c.w1 ORDER BY c.n DESC, c.w2)
+                   AS rn
+        FROM counts c JOIN tot t USING (w1)
+    )
+    SELECT w1, w2 AS top_w2,
+           CAST(n AS BIGINT) AS n_top,
+           total AS total_w1,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS p_top
+    FROM ranked WHERE rn = 1 AND total >= 5
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model corpus statistics: for every head token seen
+    >= 5 times, the most likely continuation and its conditional
+    probability P(w2 | w1) — the count table a KenLM-style n-gram model
+    or a corpus-drift monitor is built from.
+
+    Plan: consecutive-pair expansion happens INSIDE the row via
+    ``transform`` over the token array (narrow, codegen'd — no
+    self-join on position), then one map-side-combined count on
+    (w1, w2), a head-token rollup that reuses the same hash
+    partitioning, and a top-1-per-head window (rank prunes to
+    WindowGroupLimit).  Token volume dominates: ~|corpus tokens| rows
+    into the first shuffle, which is the floor any bigram count must
+    pay.  P(w2|w1) is one division of two exact counts — deterministic
+    across engines."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = (
+        docs.select(_tokens().alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (w, i) -> struct(w AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.*")
+    )
+    counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("w1").agg(F.sum("n").alias("total_w1"))
+    w = Window.partitionBy("w1").orderBy(F.col("n").desc(), F.col("w2"))
+    return (
+        counts.join(totals, "w1")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("total_w1") >= 5))
+        .select(
+            "w1",
+            F.col("w2").alias("top_w2"),
+            F.col("n").alias("n_top"),
+            "total_w1",
+            (F.col("n").cast("double") / F.col("total_w1").cast("double")).alias("p_top"),
+        )
+    )

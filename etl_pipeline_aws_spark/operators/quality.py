@@ -1,0 +1,90 @@
+"""Data-quality audit operators — the referential-integrity and
+conformance checks a warehouse runs before promoting a load (the
+reference's pipeline trusts its landing data wholesale; any production
+deployment of the same flow needs this gate).
+
+Scale: every audit is an anti-join on the child's foreign key against
+the parent's key set — for small parents a broadcast, for fact-sized
+parents a key-only shuffle (keys, not rows, move).  The four audits are
+independent and the final rollup is a handful of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.registry import query
+
+
+@query(
+    "dq_referential_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS relation,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'events.user_id->customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = e.user_id))
+    """,
+)
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's four foreign
+    keys: per relation, total child rows and orphaned child rows (child
+    key with no parent).  The per-relation result is two numbers, so the
+    whole audit of a 100 TB warehouse returns four rows.
+
+    Each relation audits in ONE pass: the child's key column left-joins
+    the parent's (unique) key set and a single aggregate counts rows and
+    null-probe misses together — no driver-side actions, no second scan.
+    nation (25 rows) broadcasts; for the fact-fact edges only the key
+    columns enter the shuffle."""
+
+    def audit(relation: str, child: DataFrame, child_key: str,
+              parent: DataFrame, parent_key: str) -> DataFrame:
+        hits = parent.select(F.col(parent_key).alias("k")).withColumn(
+            "_hit", F.lit(1)
+        )
+        return (
+            child.select(F.col(child_key).alias("k"))
+            .join(hits, "k", "left")  # parent keys unique => no fan-out
+            .agg(
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.count(F.when(F.col("_hit").isNull(), 1)).alias("n_orphans"),
+            )
+            .select(F.lit(relation).alias("relation"), "n_child_rows", "n_orphans")
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ev = load_table(spark, sf_dir, "events")
+    audits = [
+        audit("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        audit("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        audit("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        audit("events.user_id->customer", ev, "user_id", cust, "c_custkey"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out

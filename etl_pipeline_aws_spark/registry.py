@@ -80,6 +80,7 @@ def _load_all() -> None:
         joins,
         maps_arrays,
         merge,
+        quality,
         relational_ext,
         scalars,
         scale,
