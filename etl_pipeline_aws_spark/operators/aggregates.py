@@ -418,3 +418,63 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__all__").alias("event_type"), "exact_users", within.alias("within_5pct")
     )
     return per_type_rows.unionByName(global_row).orderBy("event_type")
+
+
+_DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@query(
+    "feature_quantile_binning",
+    oracle=f"""
+    WITH b AS (
+        SELECT {", ".join(f"quantile_disc(o_totalprice, {q}) AS b{i}"
+                          for i, q in enumerate(_DECILES))}
+        FROM orders
+    )
+    SELECT 1 {" ".join(f"+ CAST(o_totalprice > b{i} AS INT)"
+                       for i in range(len(_DECILES)))} AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile feature discretization (decile binning) — the
+    feature-engineering step that turns a continuous column into 10
+    equal-population ordinal bins, scale-correctly: boundaries come from
+    ONE aggregation (``percentile_disc``, a discrete pick so both
+    engines select the identical data value — no interpolation ulp
+    risk), ride a single-row broadcast, and bin assignment is a pure
+    scalar expression.  No global sort, no ntile window over a single
+    partition — the formulation that survives 100 TB where
+    ``ntile(10) OVER (ORDER BY x)`` cannot.  Bin populations differ
+    from exactly-10% only by boundary ties, which both engines resolve
+    identically by the > comparison against the same boundary value."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = F.broadcast(
+        o.agg(
+            *[
+                F.expr(
+                    f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)"
+                ).alias(f"b{i}")
+                for i, q in enumerate(_DECILES)
+            ]
+        )
+    )
+    bin_expr = F.lit(1)
+    for i in range(len(_DECILES)):
+        bin_expr = bin_expr + F.when(
+            F.col("o_totalprice") > F.col(f"b{i}"), 1
+        ).otherwise(0)
+    return (
+        o.crossJoin(bounds)
+        .select(bin_expr.alias("bin"), "o_totalprice")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -88,3 +88,86 @@ def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in audits[1:]:
         out = out.unionByName(a)
     return out
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH snap1 AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+        FROM orders
+    ), snap2 AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN o_totalprice * CAST(1.05 AS DOUBLE)
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 11 <> 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT COALESCE(a.k, b.k) AS o_orderkey,
+           CASE WHEN b.k IS NULL THEN 'removed'
+                WHEN a.k IS NULL THEN 'added'
+                ELSE 'changed' END AS change,
+           a.price AS old_price, b.price AS new_price
+    FROM snap1 a FULL OUTER JOIN snap2 b ON a.k = b.k
+    WHERE a.k IS NULL OR b.k IS NULL
+       OR a.price <> b.price OR a.status <> b.status
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-diff between two snapshots of a keyed table — the
+    regression gate a pipeline runs before promoting a rewrite
+    (added / removed / changed per key; unchanged rows drop out).  The
+    second snapshot is derived deterministically from orders so the
+    oracle replays it: every 7th key repriced +5%, every 11th removed,
+    every 13th re-inserted under a shifted key (an add).
+
+    One full-outer join on the key, change classification as scalar
+    expressions — a single co-partitioned shuffle at any scale; at
+    100 TB both sides would be bucketed on the key and the join
+    exchange-free.  Value comparison is column-wise (<>), so widening
+    the compared column set is additive, not a rewrite."""
+    o = load_table(spark, sf_dir, "orders")
+    snap1 = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    snap2 = (
+        o.filter(F.col("o_orderkey") % 11 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * F.lit(1.05))
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+    )
+    a, b = snap1.alias("a"), snap2.alias("b")
+    return (
+        a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+        .filter(
+            F.col("a.k").isNull()
+            | F.col("b.k").isNull()
+            | (F.col("a.price") != F.col("b.price"))
+            | (F.col("a.status") != F.col("b.status"))
+        )
+        .select(
+            F.coalesce(F.col("a.k"), F.col("b.k")).alias("o_orderkey"),
+            F.when(F.col("b.k").isNull(), "removed")
+            .when(F.col("a.k").isNull(), "added")
+            .otherwise("changed")
+            .alias("change"),
+            F.col("a.price").alias("old_price"),
+            F.col("b.price").alias("new_price"),
+        )
+    )

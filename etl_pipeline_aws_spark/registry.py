@@ -77,6 +77,7 @@ def _load_all() -> None:
         asof,
         events,
         flagships,
+        graph,
         joins,
         maps_arrays,
         merge,

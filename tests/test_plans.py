@@ -107,6 +107,7 @@ ALLOWED_NESTED_LOOP = {
     "similarity_topk_bruteforce",  # broadcast query set is the operator's design
     "similarity_topk_ivf",  # centroid table broadcast (|cells| rows)
     "events_gapfill_locf",  # 1-row min/max bounds broadcast to the type spine (scale-free)
+    "feature_quantile_binning",  # 1-row decile-boundary broadcast (scale-free)
 }
 ALLOWED_PYTHON_EVAL = {
     "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)
@@ -320,3 +321,48 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     assert n_frag == 64
     assert n_compact <= COMPACT_TARGET_FILES
     assert spark.read.parquet(compact).count() == ev.count()
+
+
+def test_bloom_prune_actually_prunes(spark):
+    """join_bloom_pruned's membership set must cut the probe side before
+    the exact join: rows surviving the bucket join should be well under
+    the full lineitem row count (the filter keeps ~selectivity + FP
+    fraction), and the bucket-set join must be a broadcast."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.operators.joins import BLOOM_BUCKETS
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    )
+    buckets = F.broadcast(
+        orders.select(
+            F.pmod(F.xxhash64("o_orderkey"), F.lit(BLOOM_BUCKETS)).alias("bucket")
+        ).distinct()
+    )
+    total = li.count()
+    survived = (
+        li.withColumn("bucket", F.pmod(F.xxhash64("l_orderkey"), F.lit(BLOOM_BUCKETS)))
+        .join(buckets, "bucket")
+        .count()
+    )
+    # selective filter keeps ~2% of orders; survivors = true + FP rows.
+    assert survived < 0.2 * total, (survived, total)
+    plan = formatted_plan(_q("join_bloom_pruned", spark))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pagerank_mass_and_determinism(spark):
+    """Integer PageRank: total rank mass is conserved up to floor loss
+    (teleport*n <= sum <= start*n), and two plan builds hash identically
+    (no RNG anywhere)."""
+    df1 = _q("graph_pagerank_parts", spark)
+    rows = {r.node: r.rank_val for r in df1.collect()}
+    n = len(rows)
+    total = sum(rows.values())
+    assert 150_000 * n <= total <= 1_000_000 * n, (n, total)
+    rows2 = {r.node: r.rank_val for r in _q("graph_pagerank_parts", spark).collect()}
+    assert rows == rows2
