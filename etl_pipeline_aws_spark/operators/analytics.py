@@ -199,3 +199,97 @@ def continuous_aggregate_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s").cast("double").alias("sum_value"),
         )
     )
+
+
+_ZS_BIN_US = 600_000_000  # 10-minute buckets
+_ZS_LOOKBACK = 12  # trailing buckets in the rolling baseline
+_ZS_MIN_N = 6  # minimum baseline points before scoring
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ), rolled AS (
+        SELECT event_type, bucket_start, x,
+               CAST(COUNT(x) OVER w AS BIGINT) AS roll_n,
+               CAST(SUM(CAST(x AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_s,
+               CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
+                        OVER w AS DOUBLE) AS roll_ss
+        FROM b
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+                     ROWS BETWEEN {_ZS_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket_start, x, roll_n,
+           CASE WHEN roll_n >= {_ZS_MIN_N}
+                THEN (x - roll_s / roll_n)
+                     / sqrt(GREATEST((roll_ss - roll_s * roll_s / roll_n)
+                                         / (roll_n - 1), 1e-12))
+                END AS z,
+           COALESCE(CASE WHEN roll_n >= {_ZS_MIN_N}
+                         THEN ABS((x - roll_s / roll_n)
+                                  / sqrt(GREATEST((roll_ss - roll_s * roll_s / roll_n)
+                                                      / (roll_n - 1), 1e-12))) > 3
+                    END, FALSE) AS is_anomaly
+    FROM rolled
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per metric series: each
+    (event_type, 10-minute bucket) total is scored against the mean/std
+    of its own TRAILING 12 buckets (current excluded — the baseline must
+    not contain the point it judges), flagged at |z| > 3.
+
+    Determinism across engines: bucket totals and the rolling sum /
+    sum-of-squares are EXACT decimal aggregations; mean, variance, and z
+    are then identical double expressions on identical exact inputs, and
+    the variance is floored at 1e-12 before sqrt so float cancellation
+    can't produce NaN on a constant series.  One shuffle for the bucket
+    aggregation, one per-series window pass — the same two stages at any
+    scale, and the window frame bounds the state at 13 rows per series
+    regardless of data volume."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_micros(
+        (F.floor(F.unix_micros(F.col("ts")) / _ZS_BIN_US) * _ZS_BIN_US).cast("long")
+    )
+    b = ev.groupBy("event_type", bucket.alias("bucket_start")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(-_ZS_LOOKBACK, -1)
+    )
+    xd = F.col("x").cast("decimal(18,2)")
+    rolled = b.select(
+        "event_type",
+        "bucket_start",
+        "x",
+        F.count("x").over(w).alias("roll_n"),
+        F.sum(xd).over(w).cast("double").alias("roll_s"),
+        F.sum(xd * xd).over(w).cast("double").alias("roll_ss"),
+    )
+    mean = F.col("roll_s") / F.col("roll_n")
+    var = F.greatest(
+        (F.col("roll_ss") - F.col("roll_s") * F.col("roll_s") / F.col("roll_n"))
+        / (F.col("roll_n") - 1),
+        F.lit(1e-12),
+    )
+    z = (F.col("x") - mean) / F.sqrt(var)
+    # CASE-guard every use of z: under ANSI mode the divisions inside z
+    # throw on roll_n in {0, 1} unless conditional evaluation masks them
+    scored = F.col("roll_n") >= _ZS_MIN_N
+    return rolled.select(
+        "event_type",
+        "bucket_start",
+        "x",
+        "roll_n",
+        F.when(scored, z).alias("z"),
+        F.coalesce(F.when(scored, F.abs(z) > 3), F.lit(False)).alias("is_anomaly"),
+    )

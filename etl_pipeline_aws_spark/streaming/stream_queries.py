@@ -482,3 +482,84 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("delay_s"),
     )
     return _run_to_memory(joined, "append")
+
+
+CONTINUOUS_AGG_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query("stream_continuous_aggregate", oracle=CONTINUOUS_AGG_ORACLE)
+def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE continuous-aggregate maintenance — the streaming counterpart
+    of operators/analytics.py continuous_aggregate_merge: each
+    micro-batch folds into the rollup store as DAILY PARTIAL aggregates
+    (count + exact decimal sum, the mergeable state), appended by
+    foreachBatch exactly once per epoch; the query then answers from the
+    partials alone — SUM of stored partials, never rescanning events.
+
+    The landing zone is staged as three time-split files processed as
+    three separate micro-batches, so the oracle (the direct full
+    aggregation) proves the invariant that makes incremental rollups
+    correct: partials-per-epoch then merge == aggregate-once, regardless
+    of how ingestion slices the data.  Decimal partial sums are exact
+    and associative, so the two-level summation cannot drift.  At 100 TB
+    the partials table is bytes per (day, type) — the rollup answers in
+    milliseconds while raw events stay cold."""
+    import glob
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    landing = tempfile.mkdtemp(prefix="ca_landing_")
+    partials_zone = os.path.join(tempfile.mkdtemp(prefix="ca_partials_"), "rollup")
+
+    lo, hi = ev.selectExpr("min(ts)", "max(ts)").first()
+    span = hi - lo
+    cuts = [lo + span / 3, lo + 2 * span / 3]
+    parts = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        tmp = tempfile.mkdtemp(prefix="ca_stage_")
+        p.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(landing, f"{i}-events.parquet")
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(landing)
+    )
+
+    def fold_partials(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.groupBy(
+                F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+            )
+            .write.mode("append")
+            .parquet(partials_zone)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold_partials)
+        .option("checkpointLocation", os.path.join(landing, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = spark.read.parquet(partials_zone)
+    return partials.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("s").cast("double").alias("sum_value"),
+    )
