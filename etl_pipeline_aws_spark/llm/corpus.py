@@ -256,3 +256,69 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.max("n").alias("n_members"),
     )
+
+
+MIX_TARGET_TOTAL = 1000  # documents the temperature-mixed corpus keeps
+MIX_WEIGHT_SCALE = 1_000_000  # sqrt weights quantized to integers
+
+
+@query(
+    "corpus_mix_temperature",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ), w AS (
+        SELECT lang, CAST(ROUND(sqrt(n) * {MIX_WEIGHT_SCALE}) AS BIGINT) AS wt
+        FROM c
+    ), s AS (
+        SELECT CAST(SUM(wt) AS BIGINT) AS st FROM w
+    ), t AS (
+        SELECT lang, CAST(({MIX_TARGET_TOTAL} * wt) // st AS BIGINT) AS target
+        FROM w, s
+    ), r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang FROM r JOIN t USING (lang) WHERE r.rn <= t.target
+    """,
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data mixing (tau = 0.5): per-language sampling
+    weights proportional to count^tau — the standard LLM-corpus recipe
+    that upsamples tail languages relative to their raw share without
+    flattening to uniform (corpus_mix_equalize is the tau -> 0 limit).
+
+    Determinism discipline: sqrt(count) is quantized to an integer weight
+    (ROUND(sqrt(n) * 1e6) — sqrt is bit-identical across engines, unlike
+    summed doubles), the weight sum and per-language targets are then
+    pure integer arithmetic, and document selection is the rank-window
+    pick on doc_id.  Scale: weights/targets are #langs rows (broadcast);
+    the rank window is the exact-count oracle tier — at 100 TB the same
+    targets drive hash-mod thinning (the sample_deterministic_mod
+    pattern) so no single-language partition ever sorts alone."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    weights = counts.select(
+        "lang",
+        F.round(F.sqrt("n") * MIX_WEIGHT_SCALE).cast("long").alias("wt"),
+    )
+    total = weights.agg(F.sum("wt").alias("st"))
+    targets = (
+        weights.crossJoin(F.broadcast(total))
+        .select("lang", F.expr(f"({MIX_TARGET_TOTAL} * wt) div st").alias("target"))
+    )
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("doc_id"))
+        .alias("rn"),
+    )
+    return (
+        ranked.join(F.broadcast(targets), "lang")
+        .filter(F.col("rn") <= F.col("target"))
+        .select("doc_id", "lang")
+    )

@@ -245,3 +245,56 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+PROJ_DIMS = 8  # output sketch dimensions
+PROJ_IN_DIMS = 64  # embedding dimensionality
+PROJ_SCALE = 1000  # quantization: component -> round(x * 1000) integer
+
+
+def _proj_sign_sql(i: str, j: int) -> str:
+    """Deterministic ±1 sign matrix entry — a fixed pseudo-random pattern
+    expressible identically in Spark SQL and DuckDB."""
+    return f"(CASE WHEN ({i} * 73 + {j} * 151) % 7 < 4 THEN 1 ELSE -1 END)"
+
+
+@query(
+    "embedding_quantized_projection",
+    oracle=f"""
+    SELECT vec_id,
+           {", ".join(
+               f'''CAST(list_sum(list_transform(range(0, {PROJ_IN_DIMS}),
+                   i -> CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE)
+                                   * {PROJ_SCALE}) AS BIGINT)
+                        * {_proj_sign_sql("i", j)})) AS BIGINT) AS p{j}'''
+               for j in range(PROJ_DIMS))}
+    FROM embeddings
+    """,
+)
+def embedding_quantized_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss-style signed random projection, 64-d -> 8-d,
+    as the dimensionality-reduction sketch an ANN pipeline stores beside
+    raw embeddings: p_j = sum_i q_i * s(i, j) with a FIXED deterministic
+    ±1 sign matrix and components quantized to integers
+    (round(x * 1000)), so the fold is exact integer arithmetic —
+    bit-identical across engines where a float dot product could never
+    hash-match.
+
+    Entirely built-in expression API (``aggregate`` over ``sequence`` —
+    whole-stage codegen, no Python): a narrow per-row map with zero
+    shuffles, which is what makes it free to compute inline during a
+    100 TB ingest; distance computations then run on 8 longs instead of
+    64 floats (the sketch preserves relative distances within the JL
+    bound for any fixed sign matrix that is sign-balanced per output
+    dim, which {PROJ_DIMS}x{PROJ_IN_DIMS} at 4/7 positive density is
+    close enough to for bucketing work)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = [
+        F.expr(
+            f"CAST(aggregate(sequence(0, {PROJ_IN_DIMS - 1}), 0L, (acc, i) -> "
+            f"acc + CAST(ROUND(CAST(element_at(embedding, i + 1) AS DOUBLE)"
+            f" * {PROJ_SCALE}) AS BIGINT) * {_proj_sign_sql('i', j)}) AS BIGINT)"
+        ).alias(f"p{j}")
+        for j in range(PROJ_DIMS)
+    ]
+    return emb.select("vec_id", *cols)

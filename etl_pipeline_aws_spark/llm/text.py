@@ -556,3 +556,64 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("total_w1").cast("double")).alias("p_top"),
         )
     )
+
+
+@query(
+    "corpus_curation_gate",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS diversity,
+               MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper_id
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           (doc_id = keeper_id)
+               AND (n_tokens BETWEEN 20 AND 1000 AND diversity > 0.05) AS keep,
+           CASE WHEN doc_id <> keeper_id THEN 'duplicate'
+                WHEN NOT (n_tokens BETWEEN 20 AND 1000 AND diversity > 0.05)
+                    THEN 'low_quality'
+                ELSE 'keep' END AS reason
+    FROM f
+    """,
+)
+def corpus_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation gate — the composed keep/drop manifest a
+    training-data pipeline actually emits: exact-dup keeper assignment
+    (first doc_id per content hash survives) AND the quality screen
+    (text_quality_score's thresholds), with a reason code per rejected
+    document so curation decisions stay auditable.
+
+    One shuffle: the content-hash window groups exact duplicates (the
+    dedup_exact shape); every other signal is a narrow per-row
+    expression computed in the same pass.  Composing MORE gates
+    (lang-ID allowlist, PII density, repetition score — all existing
+    operators) extends the CASE chain without new shuffles: the gate
+    pattern is one scan + one dedup shuffle regardless of how many
+    screens run."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    keeper_id = F.min("doc_id").over(Window.partitionBy(F.sha2("text", 256)))
+    quality = n_tokens.between(20, 1000) & (diversity > 0.05)
+    f = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        quality.alias("q"),
+        (F.col("doc_id") == keeper_id).alias("is_keeper"),
+    )
+    return f.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("is_keeper") & F.col("q")).alias("keep"),
+        F.when(~F.col("is_keeper"), "duplicate")
+        .when(~F.col("q"), "low_quality")
+        .otherwise("keep")
+        .alias("reason"),
+    )

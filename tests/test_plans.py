@@ -108,6 +108,7 @@ ALLOWED_NESTED_LOOP = {
     "similarity_topk_ivf",  # centroid table broadcast (|cells| rows)
     "events_gapfill_locf",  # 1-row min/max bounds broadcast to the type spine (scale-free)
     "feature_quantile_binning",  # 1-row decile-boundary broadcast (scale-free)
+    "corpus_mix_temperature",  # 1-row weight-sum broadcast to #langs rows (scale-free)
 }
 ALLOWED_PYTHON_EVAL = {
     "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)
