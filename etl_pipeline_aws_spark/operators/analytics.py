@@ -293,3 +293,157 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(scored, z).alias("z"),
         F.coalesce(F.when(scored, F.abs(z) > 3), F.lit(False)).alias("is_anomaly"),
     )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(date_diff('microseconds', LAG(ts) OVER w, ts) AS BIGINT)
+                   AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS p50_gap_us
+    FROM d WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time statistics per event stream — the metric sheet
+    behind rate monitoring and burst detection: consecutive-event gaps
+    (lag over event time, microsecond-exact integers) rolled into
+    count / min / max / sum / median per series.
+
+    All statistics are over exact BIGINT microsecond gaps, so every
+    aggregate is cross-engine deterministic; the median is
+    ``percentile_disc`` (a discrete pick, proven identical to DuckDB's
+    ``quantile_disc``).  One window pass per series + one rollup on the
+    tiny type key.  The exact median buffers a series' gaps in its
+    aggregation — the documented oracle tier; at 100 TB the same query
+    swaps in ``percentile_approx``, whose sketch is mergeable."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)")
+        .cast("long")
+        .alias("p50_gap_us"),
+    )
+
+
+@query(
+    "events_conversion_latency",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id,
+               CAST(date_diff('microseconds', v.first_view, MIN(e.ts)) AS BIGINT)
+                   AS delay_us
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+        GROUP BY e.user_id, v.first_view
+    )
+    SELECT CAST(delay_us // 3600000000 AS BIGINT) AS delay_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p GROUP BY 1
+    """,
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for each user, the delay between
+    their first view and their first purchase at-or-after it, bucketed
+    into hours — the histogram a growth team reads daily.
+
+    Same bounded-state discipline as events_funnel: both stages are MIN
+    aggregations (O(1) per user however hot the key), the stage join is
+    co-partitioned on user_id, and the final histogram key space is a
+    few dozen hour buckets.  Delay arithmetic is exact integer
+    microseconds; the hour bucket is integer division."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    delays = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+        .select(
+            (
+                F.unix_micros("first_purchase") - F.unix_micros("first_view")
+            ).alias("delay_us")
+        )
+    )
+    return (
+        delays.select(F.expr("delay_us div 3600000000").alias("delay_hours"))
+        .groupBy("delay_hours")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+        SELECT event_type || '>' || e2 || '>' || e3 AS path
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    ), counted AS (
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM paths GROUP BY path
+    )
+    SELECT path, n FROM counted ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the 20 most common 3-event behavioral sequences
+    (event-type trigrams over each user's time-ordered stream) — the
+    "what do users actually do" query behind navigation-flow dashboards.
+
+    One window pass per user forms the trigrams in place (lead(1)/
+    lead(2), no self-joins — the positional-join formulation shuffles
+    the events table three times; this shuffles once), then a
+    map-side-combined count on the tiny path vocabulary (|types|^3
+    keys max) and a deterministic global top-k with a path tiebreak
+    (TakeOrderedAndProject, no full sort)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    counted = (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counted.orderBy(F.col("n").desc(), F.col("path")).limit(20)

@@ -393,3 +393,40 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("sum_price"),
         )
     )
+
+
+@query(
+    "join_exists_flag",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority = '1-URGENT') AS has_urgent
+    FROM customer c
+    """,
+)
+def join_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark join — existence as a COLUMN rather than a filter (the shape
+    optimizers compile `EXISTS(...)` in a SELECT list to): every customer
+    row survives, annotated with whether an urgent order exists.
+
+    Spark has no exposed mark-join operator, so the rewrite is the
+    standard one: distinct build-side keys left-joined with a presence
+    flag, `coalesce(flag, false)` as the mark.  Distinct-then-join keeps
+    the probe row count unchanged (no fan-out from multi-order
+    customers) and the build side is keys-only — at 100 TB this is a
+    key-sized shuffle annotating a full fact scan, strictly cheaper
+    than the semi+anti union formulation which scans the probe twice."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_mark", F.lit(True))
+    )
+    return cust.join(urgent_keys, "c_custkey", "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("_mark", F.lit(False)).alias("has_urgent"),
+    )
