@@ -430,3 +430,49 @@ def join_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.coalesce("_mark", F.lit(False)).alias("has_urgent"),
     )
+
+
+@query(
+    "fuzzy_entity_pairs",
+    oracle="""
+    SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_dist
+    FROM supplier a JOIN supplier b
+      ON length(a.s_name) = length(b.s_name)
+     AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+)
+def fuzzy_entity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching: supplier-name pairs within edit
+    distance 2 — the master-data dedup every warehouse eventually needs
+    ("Acme Corp" vs "Acme Corp.").  Shape: BLOCK on a cheap equi key
+    (name length here; length-band + first-token for free-text names),
+    then the quadratic ``levenshtein`` runs only within blocks as a
+    join residual.
+
+    The blocking-key equi join is what keeps this off the nested-loop
+    path (asserted by the registry sweep): candidate generation is a
+    hash join, and block sizes bound the quadratic work.  Uniform
+    fixture names collapse to one block — harmless on a dimension
+    table, and the 100 TB discipline is unchanged: entity tables are
+    dims; fact-scale fuzzy matching graduates to the MinHash-LSH
+    pipeline (llm/dedup.py), which is this same block-then-verify idea
+    with probabilistic blocks."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.length("s_name").alias("name_len")
+    )
+    a, b = sup.alias("a"), sup.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.name_len") == F.col("b.name_len"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .filter(F.levenshtein(F.col("a.s_name"), F.col("b.s_name")) <= 2)
+        .select(
+            F.col("a.s_suppkey").alias("key_a"),
+            F.col("b.s_suppkey").alias("key_b"),
+            F.levenshtein(F.col("a.s_name"), F.col("b.s_name")).alias("edit_dist"),
+        )
+    )

@@ -235,3 +235,42 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("long").alias("n_within_10k_below"),
         F.sum(dec("o_totalprice")).over(w).cast("double").alias("sum_within_10k_below"),
     )
+
+
+@query(
+    "window_time_range_rolling",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-interval range frame: for every event, the count and exact
+    decimal sum of its series' events in the trailing hour — the
+    "requests in the last N minutes" rolling metric, expressed as a
+    true event-time RANGE frame (peers with equal ts aggregate
+    together; a ROWS frame cannot say that).
+
+    One window pass per series, frame state bounded by the hour span —
+    the engine evicts rows falling out of the range as the frame
+    slides, so memory tracks the densest hour, not the partition.  SQL
+    form because the interval-literal frame bound is the declaration
+    Catalyst plans natively."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_ev_range")
+    return ev.sparkSession.sql(
+        """
+        SELECT event_id, event_type, ts,
+               COUNT(*) OVER w AS n_last_hour,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS sum_last_hour
+        FROM _ev_range
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
