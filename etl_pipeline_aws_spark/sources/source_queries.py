@@ -317,3 +317,33 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
+
+
+@query(
+    "ndjson_gzip_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, text
+    FROM documents
+    """,
+)
+def ndjson_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-compressed NDJSON round trip: the documents table is written
+    as .json.gz shards and read back losslessly — Spark's text sources
+    handle the codec transparently in both directions, which is how the
+    reference's landing-zone objects usually actually arrive (S3 NDJSON
+    is gzipped in the wild more often than not).
+
+    The 100 TB caveat this operator exists to document: gzip is NOT
+    splittable — each .gz shard scans as ONE task no matter its size, so
+    compressed landing zones must arrive as many modest shards (or
+    recompress to zstd/bzip2) or the scan's parallelism collapses to the
+    file count.  Writing from a partitioned DataFrame (as here) produces
+    exactly that many-shards layout; the read back parallelizes across
+    shards."""
+    import tempfile as _tf
+
+    docs = load_table(spark, sf_dir, "documents")
+    zone = os.path.join(_tf.mkdtemp(prefix="ndjson_gz_"), "docs")
+    docs.write.mode("overwrite").option("compression", "gzip").json(zone)
+    back = spark.read.schema(docs.schema).json(zone)
+    return back.select("doc_id", "lang", "source", "n_chars", "text")

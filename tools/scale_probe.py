@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""10x scale probe: generate a key-offset replica of sf0.1 and compare
+plan shapes + wall times between the two scales.
+
+Replica construction: each of 10 copies offsets every entity key by
+i * 1e8 (customers, orders, lineitems, suppliers, parts, events, docs,
+embeddings), so join cardinalities genuinely grow 10x with no artificial
+hot keys; nation/region stay fixed (they are bounded dimensions in any
+TPC-H-like schema).  Plan-shape comparison counts the physical operators
+that determine scale behavior — a query whose operator multiset changes
+between scales has an estimate-driven plan that will surprise at 100 TB.
+
+Usage: python tools/scale_probe.py [--regen] [--out /tmp/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC_SF = "/root/testdata/sf0.1"
+COPIES = 10
+KEY_OFFSET = 100_000_000
+
+# key columns to offset per table (dims nation/region replicate as-is)
+OFFSET_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": [],
+    "region": [],
+}
+
+PROBE_QUERIES = [
+    # bench headliners
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    "q21_suppliers_kept_waiting",
+    "join_chain_revenue_by_nation",
+    "window_topk_per_group",
+    "asof_join_maxby",
+    "dedup_minhash_lsh",
+    # round-3 scale-relevant operators
+    "join_bloom_pruned",
+    "events_gapfill_locf",
+    "cdc_apply_changelog",
+    "events_anomaly_zscore",
+    "events_top_paths",
+    "snapshot_diff",
+    "corpus_curation_gate",
+    "graph_pagerank_parts",
+]
+
+# physical operators whose presence/count defines the plan's scale shape
+SHAPE_OPS = (
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "Window",
+    "WindowGroupLimit",
+    "Exchange",
+    "TakeOrderedAndProject",
+    "Generate",
+)
+
+
+def generate(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_aws_spark.catalog import TABLES, load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        src = load_table(spark, SRC_SF, name)
+        cols = OFFSET_COLS[name]
+        parts = []
+        for i in range(COPIES if cols else 1):
+            df = src
+            for c in cols:
+                df = df.withColumn(c, F.col(c) + F.lit(i * KEY_OFFSET))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+        print(f"generated {name}", flush=True)
+
+
+def plan_shape(df) -> dict[str, int]:
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    return {op: len(re.findall(rf"\b{op}", plan)) for op in SHAPE_OPS}
+
+
+def probe(spark, sf_dir: str) -> dict[str, dict]:
+    import etl_pipeline_aws_spark as engine
+
+    qs = engine.queries()
+    out: dict[str, dict] = {}
+    for name in PROBE_QUERIES:
+        engine.clear_caches(spark)
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        shape = plan_shape(df)
+        df.count()
+        out[name] = {"sec": round(time.perf_counter() - t0, 2), "shape": shape}
+        print(f"{sf_dir} {name}: {out[name]['sec']}s", flush=True)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/sf1")
+    ap.add_argument("--regen", action="store_true")
+    args = ap.parse_args()
+
+    import etl_pipeline_aws_spark as engine
+
+    spark = engine.get_spark("scale-probe")
+    if args.regen or not os.path.isdir(args.out):
+        generate(spark, args.out)
+
+    r_small = probe(spark, SRC_SF)
+    r_big = probe(spark, args.out)
+
+    diffs = {}
+    for name in PROBE_QUERIES:
+        delta = {
+            op: (r_small[name]["shape"][op], r_big[name]["shape"][op])
+            for op in SHAPE_OPS
+            if r_small[name]["shape"][op] != r_big[name]["shape"][op]
+        }
+        if delta:
+            diffs[name] = delta
+    report = {
+        "plan_shape_diffs": diffs,
+        "timings": {
+            name: {"sf0.1": r_small[name]["sec"], "sf1": r_big[name]["sec"]}
+            for name in PROBE_QUERIES
+        },
+    }
+    print(json.dumps(report, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
