@@ -171,3 +171,63 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.price").alias("new_price"),
         )
     )
+
+
+SKEW_TOP_N = 10
+
+
+@query(
+    "profile_key_skew",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(MAX(n) AS BIGINT) AS max_n
+        FROM c
+    )
+    SELECT c.user_id, c.n,
+           s.n_keys, s.n_rows,
+           CAST(c.n AS DOUBLE) * s.n_keys / s.n_rows AS skew_ratio
+    FROM c, stats s
+    ORDER BY c.n DESC, c.user_id
+    LIMIT {SKEW_TOP_N}
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the profiling pass that tells you
+    whether a shuffle on this key needs salting BEFORE the job runs:
+    the {SKEW_TOP_N} heaviest keys with their row counts and skew ratio
+    (count / mean-count; a ratio of K means that key's partition does
+    K times the average work).
+
+    Two tiny aggregations: per-key counts (one shuffle, map-side
+    combined) and a single-row global stats broadcast; the top-N is
+    TakeOrderedAndProject with a key tiebreak.  The skew ratio is one
+    double expression over exact integers — deterministic.  Feed the
+    flagged keys to the salted-join recipe (operators/scale.py) or let
+    AQE's skew-join splitting handle them at runtime; this operator is
+    how you know which, ahead of time, at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    ).select("n_keys", "n_rows")
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "n",
+            "n_keys",
+            "n_rows",
+            (F.col("n").cast("double") * F.col("n_keys") / F.col("n_rows")).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id"))
+        .limit(SKEW_TOP_N)
+    )

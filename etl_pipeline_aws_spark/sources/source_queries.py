@@ -347,3 +347,82 @@ def ndjson_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.write.mode("overwrite").option("compression", "gzip").json(zone)
     back = spark.read.schema(docs.schema).json(zone)
     return back.select("doc_id", "lang", "source", "n_chars", "text")
+
+
+@query(
+    "parquet_partition_pruning",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-15'
+    GROUP BY event_type
+    """,
+)
+def parquet_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side partition pruning, proven: events are laid out
+    hive-partitioned by day (``partitionBy("day")`` — the standard
+    100 TB event-lake layout), and a one-day query then scans ONLY that
+    directory: the day predicate is consumed by partition discovery
+    (PartitionFilters in the plan, asserted in tests/test_plans.py),
+    never by row-level filtering.  At 100 TB this is the difference
+    between scanning 1/365th of the lake and scanning all of it — no
+    row-group statistics needed, the paths themselves are the index."""
+    ev = load_table(spark, sf_dir, "events")
+    zone = os.path.join(tempfile.mkdtemp(prefix="pq_partday_"), "events_by_day")
+    (
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(zone)
+    )
+    back = spark.read.parquet(zone).filter(F.col("day") == F.lit("2024-01-15").cast("date"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "parquet_dynamic_partition_overwrite",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                              = DATE '2024-01-15'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_restated
+    FROM events
+    GROUP BY 1
+    """,
+)
+def parquet_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent backfill primitive:
+    restating ONE day rewrites only that day's directory
+    (``partitionOverwriteMode=dynamic``); every other partition's files
+    are untouched (their mtimes prove it; the restated day is marked so
+    the oracle sees the rewrite happened and changed nothing).  This is
+    how a 100 TB lake absorbs late upstream corrections: the job writes
+    the partitions present in its output, never truncating the table —
+    static overwrite mode would delete everything else first."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
+    zone = os.path.join(tempfile.mkdtemp(prefix="pq_dynover_"), "events_by_day")
+    daily.write.mode("overwrite").partitionBy("day").parquet(zone)
+
+    restate_day = F.lit("2024-01-15").cast("date")
+    restated = daily.filter(F.col("day") == restate_day).withColumn(
+        "restated", F.lit(1)
+    )
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(zone)
+    )
+    # mergeSchema: the restated partition carries the extra marker column
+    back = spark.read.option("mergeSchema", "true").parquet(zone)
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.col("restated"), F.lit(0))).alias("n_restated"),
+    )

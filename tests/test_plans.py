@@ -109,6 +109,7 @@ ALLOWED_NESTED_LOOP = {
     "events_gapfill_locf",  # 1-row min/max bounds broadcast to the type spine (scale-free)
     "feature_quantile_binning",  # 1-row decile-boundary broadcast (scale-free)
     "corpus_mix_temperature",  # 1-row weight-sum broadcast to #langs rows (scale-free)
+    "profile_key_skew",  # 1-row global-stats broadcast (scale-free)
 }
 ALLOWED_PYTHON_EVAL = {
     "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)
@@ -367,3 +368,24 @@ def test_pagerank_mass_and_determinism(spark):
     assert 150_000 * n <= total <= 1_000_000 * n, (n, total)
     rows2 = {r.node: r.rank_val for r in _q("graph_pagerank_parts", spark).collect()}
     assert rows == rows2
+
+
+def test_partition_pruning_reaches_partition_filters(spark, tmp_path):
+    """A filter on the hive-partition column must be consumed by
+    partition discovery (PartitionFilters), not row-level filtering —
+    the property that makes a one-day query scan 1/365th of the lake."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    zone = str(tmp_path / "by_day")
+    ev = load_table(spark, SF_DIR, "events")
+    (
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
+        .write.partitionBy("day")
+        .parquet(zone)
+    )
+    df = spark.read.parquet(zone).filter(F.col("day") == F.lit("2024-01-15").cast("date"))
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "day" in pf_line.split("PartitionFilters")[1][:200], pf_line
