@@ -617,3 +617,44 @@ def corpus_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("reason"),
     )
+
+
+# GPT-2-style pre-tokenizer, restricted to lookahead-free alternation so
+# Java regex (Spark) and RE2 (DuckDB) tokenize identically (verified).
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+)
+
+
+@query(
+    "text_bpe_pretokenize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, $${BPE_PRETOKEN_PATTERN}$$))
+                AS INT) AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text,
+                                                     $${BPE_PRETOKEN_PATTERN}$$)))
+                AS INT) AS n_unique_bpe
+    FROM documents
+    """,
+)
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts — the sequence-length accounting
+    a training pipeline runs before packing: each document is split with
+    the GPT-2 pre-tokenizer rule family (contraction suffixes, space-
+    prefixed letter runs, digit runs, punctuation runs), yielding the
+    token-count distribution that budgets context windows far more
+    accurately than whitespace splitting (text_token_stats is the
+    whitespace tier).
+
+    The pattern deliberately avoids lookahead so one regex means the
+    same thing to Java regex and RE2 — cross-engine tokenization parity
+    is asserted by the oracle, not assumed.  Pure narrow map
+    (regexp_extract_all + size), zero shuffles, codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
+    )

@@ -1,0 +1,47 @@
+"""Catalog reader behavior — above all the type-adaptive events ``ts``
+normalization that absorbed round 2's testdata drift."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table, normalize_events_ts
+
+
+def test_normalize_events_ts_all_three_physical_shapes(spark):
+    """The same instant stored three ways — nanos-as-long (legacy
+    TIMESTAMP(NANOS) surface), TIMESTAMP_NTZ (MICROS, isAdjustedToUTC
+    false), and TIMESTAMP (MICROS/UTC) — must normalize to the identical
+    session-TZ TIMESTAMP value.  This is the unit-level guarantee behind
+    the stream/batch schema-parity test: whichever shape the next
+    testdata generation picks, every downstream ts consumer sees one
+    type and one value."""
+    micros = 1_705_315_800_123_456  # 2024-01-15 10:50:00.123456 UTC
+    as_long = spark.createDataFrame([(micros * 1000,)], "ts long")
+    as_ntz = spark.sql(
+        f"SELECT CAST(timestamp_micros({micros}) AS TIMESTAMP_NTZ) AS ts"
+    )
+    as_ltz = spark.sql(f"SELECT timestamp_micros({micros}) AS ts")
+
+    outs = [normalize_events_ts(df) for df in (as_long, as_ntz, as_ltz)]
+    for out in outs:
+        assert dict(out.dtypes)["ts"] == "timestamp"
+    values = {out.select(F.unix_micros("ts")).first()[0] for out in outs}
+    assert values == {micros}, values
+
+
+def test_load_events_is_normalized_and_usable(spark):
+    """Whatever the current testdata stores physically, the catalog's
+    events surface must support the operations round 2 broke:
+    unix_micros, window bucketing, and timestamp comparisons."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    row = (
+        ev.select(
+            F.unix_micros("ts").alias("us"),
+            F.window("ts", "10 minutes").start.alias("w"),
+        )
+        .filter(F.col("us").isNotNull())
+        .first()
+    )
+    assert row.us > 0 and row.w is not None
