@@ -447,3 +447,62 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return counted.orderBy(F.col("n").desc(), F.col("path")).limit(20)
+
+
+@query(
+    "rollup_lattice_day_week_month",
+    oracle="""
+    SELECT 'week' AS grain,
+           CAST(date_trunc('week', ts) AS DATE) AS period_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'month',
+           CAST(date_trunc('month', ts) AS DATE),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events GROUP BY 2
+    """,
+)
+def rollup_lattice_day_week_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup lattice: weekly AND monthly totals computed ONLY from daily
+    partial aggregates (count + exact decimal sum) — never re-touching
+    raw events.  The oracle aggregates raw data directly at each grain,
+    so passing proves the lattice property that makes materialized
+    rollup hierarchies trustworthy: merge(day partials) ≡ direct, at
+    every coarser grain, because count and decimal-sum are associative
+    partial states.
+
+    At 100 TB this is the storage/latency contract of a metrics stack:
+    one day-grain rollup table (bytes per day) serves every coarser
+    dashboard grain with tiny merges; only the current day ever reads
+    raw events.  Distinct-count lattices swap the partial state for HLL
+    sketches (agg_hll_sketch_rollup) — same shape, union instead of
+    sum."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+    )
+
+    def merge_to(grain: str) -> DataFrame:
+        return (
+            daily.groupBy(
+                F.date_trunc(grain, F.col("day")).cast("date").alias("period_start")
+            )
+            .agg(
+                F.sum("n").alias("n_events"),
+                F.sum("s").cast("double").alias("sum_value"),
+            )
+            .select(
+                F.lit(grain).alias("grain"),
+                "period_start",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    return merge_to("week").unionByName(merge_to("month"))

@@ -563,3 +563,116 @@ def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.sum("s").cast("double").alias("sum_value"),
     )
+
+
+STREAM_CDC_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey, 0 AS seq,
+               o_orderstatus AS status, o_totalprice AS price
+        FROM orders
+    ), changes AS (
+        SELECT o_orderkey, 1 AS seq, 'U' AS status,
+               o_totalprice * CAST(1.05 AS DOUBLE) AS price
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, 2, NULL, NULL
+        FROM orders WHERE o_orderkey % 21 = 0
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC)
+                      AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+    )
+    SELECT o_orderkey, status, price, CAST(seq AS INT) AS version
+    FROM ranked WHERE rn = 1 AND status IS NOT NULL
+"""
+
+
+@query("stream_cdc_apply", oracle=STREAM_CDC_ORACLE)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED CDC apply — the merge-on-read consumer: a changelog
+    arrives as micro-batches (upserts first, deletes later — staged as
+    two files so the ordering is real), and foreachBatch folds each
+    epoch into a VERSIONED state table: read state_v{e}, last-writer-
+    wins merge with the batch, write state_v{e+1}.  Version-per-epoch
+    makes the fold idempotent under Structured Streaming's epoch replay
+    (a retried epoch rewrites the same next version from the same
+    inputs — the checkpoint-restart test pattern), which is exactly how
+    a table format's streaming MERGE INTO stays exactly-once.
+
+    The oracle is the BATCH cdc_apply_changelog semantics (same derived
+    changelog, same last-writer-wins): streamed-fold ≡ batch-fold is
+    the correctness invariant.  Deletes ride NULL status markers;
+    per-epoch work is one key shuffle over |state| + |batch| — at
+    100 TB the state table is key-bucketed so the merge is
+    exchange-free on the state side."""
+    import glob
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.lit(0).alias("seq"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("status"),
+        (F.col("o_totalprice") * F.lit(1.05)).alias("price"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 21 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("seq"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("price"),
+    )
+
+    landing = tempfile.mkdtemp(prefix="cdc_landing_")
+    state_root = tempfile.mkdtemp(prefix="cdc_state_")
+    for i, batch_df in enumerate([updates, deletes]):
+        tmp = tempfile.mkdtemp(prefix="cdc_stage_")
+        batch_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(landing, f"{i}-changes.parquet")
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    base.write.mode("overwrite").parquet(os.path.join(state_root, "state_v0"))
+
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(landing)
+    )
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        cur = spark.read.parquet(os.path.join(state_root, f"state_v{epoch_id}"))
+        w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+        merged = (
+            cur.unionByName(batch)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"state_v{epoch_id + 1}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(state_root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    versions = sorted(
+        int(d.rsplit("_v", 1)[-1])
+        for d in os.listdir(state_root)
+        if d.startswith("state_v")
+    )
+    final = spark.read.parquet(os.path.join(state_root, f"state_v{versions[-1]}"))
+    return final.filter(F.col("status").isNotNull()).select(
+        "o_orderkey", "status", "price", F.col("seq").cast("int").alias("version")
+    )
