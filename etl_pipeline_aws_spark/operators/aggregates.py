@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_aws_spark.catalog import load_table
 from etl_pipeline_aws_spark.functions.numeric import davg, dec, dsum
-from etl_pipeline_aws_spark.registry import query
+from etl_pipeline_aws_spark.registry import query, rows_only_query
 
 
 @query(
@@ -476,5 +476,48 @@ def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.min("o_totalprice").alias("lo"),
             F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@rows_only_query("agg_hll_sliding_distinct")
+def agg_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from DAILY HLL SKETCHES only
+    — the sliding-window answer to the one aggregate a rollup lattice
+    cannot sum: distinct counts don't add, but their sketches union.
+    Day sketches are built once (the stored rollup state, bytes per
+    day); each sketch is then exploded onto the <= 7 anchor days it
+    contributes to and the trailing union becomes an EQUI group-by —
+    never re-reading events, never a range self-join.
+
+    No SQL oracle by design (HLL estimates are approximate);
+    tests/test_aggregates.py pins every day's estimate within 5% of the
+    exact trailing distinct count.  At 100 TB: the union stage touches
+    |days| x 7 sketch rows (KBs), so a year of sliding uniques over
+    billions of users costs megabytes of sketch I/O — the entire point
+    of mergeable sketch state."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    # Each day's sketch CONTRIBUTES to its own and the next 6 anchor days:
+    # explode onto those anchors and the windowing becomes an EQUI
+    # group-by — the same explode-to-equi rewrite as range_join_binned,
+    # replacing the naive range self-join (a cartesian over the day
+    # spine) with a 7x replication of KB-sized sketch rows.
+    contrib = daily.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6))")
+        ).alias("anchor_day"),
+        "sk",
+    )
+    spine = daily.select(F.col("day").alias("anchor_day"))
+    return (
+        contrib.join(spine, "anchor_day")  # keep only anchors that exist
+        .groupBy("anchor_day")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            "anchor_day",
+            F.hll_sketch_estimate("sk").alias("approx_trailing_users"),
         )
     )
