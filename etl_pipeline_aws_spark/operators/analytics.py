@@ -506,3 +506,71 @@ def rollup_lattice_day_week_month(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     return merge_to("week").unionByName(merge_to("month"))
+
+
+@query(
+    "events_series_correlation",
+    oracle="""
+    WITH b AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY 1, 2
+    ), aligned AS (
+        SELECT v.bucket,
+               CAST(v.x AS DECIMAL(18,2)) AS xv,
+               CAST(p.x AS DECIMAL(18,2)) AS xp
+        FROM (SELECT bucket, x FROM b WHERE event_type = 'view') v
+        JOIN (SELECT bucket, x FROM b WHERE event_type = 'purchase') p
+          ON v.bucket = p.bucket
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           (COUNT(*) * CAST(SUM(xv * xp) AS DOUBLE)
+                - CAST(SUM(xv) AS DOUBLE) * CAST(SUM(xp) AS DOUBLE))
+           / sqrt(GREATEST(COUNT(*) * CAST(SUM(xv * xv) AS DOUBLE)
+                               - CAST(SUM(xv) AS DOUBLE) * CAST(SUM(xv) AS DOUBLE),
+                           1e-12))
+           / sqrt(GREATEST(COUNT(*) * CAST(SUM(xp * xp) AS DOUBLE)
+                               - CAST(SUM(xp) AS DOUBLE) * CAST(SUM(xp) AS DOUBLE),
+                           1e-12)) AS pearson_r
+    FROM aligned
+    """,
+)
+def events_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series correlation: Pearson r between the hourly view-value
+    and purchase-value series — the "do these metrics move together"
+    question behind every metric-drilldown tool.
+
+    Determinism: the two series align on bucket via an equi join, and r
+    comes from exact decimal power sums (Σx, Σy, Σxy, Σx², Σy²) pushed
+    through ONE explicit double formula — the built-in ``corr``
+    accumulator is order-sensitive in double and can't cross-engine
+    match, and the power-sum form is also the mergeable shape a
+    1000-executor partial aggregation needs.  sqrt terms floored at
+    1e-12 so a constant series yields 0-ish, not NaN."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts")).alias("bucket")
+    b = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(bucket, "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x"))
+    )
+    v = b.filter(F.col("event_type") == "view").select(
+        "bucket", F.col("x").cast("decimal(18,2)").alias("xv")
+    )
+    p = b.filter(F.col("event_type") == "purchase").select(
+        "bucket", F.col("x").cast("decimal(18,2)").alias("xp")
+    )
+    aligned = v.join(p, "bucket")
+    n = F.count(F.lit(1))
+    sxy = F.sum(F.col("xv") * F.col("xp")).cast("double")
+    sx = F.sum("xv").cast("double")
+    sy = F.sum("xp").cast("double")
+    sxx = F.sum(F.col("xv") * F.col("xv")).cast("double")
+    syy = F.sum(F.col("xp") * F.col("xp")).cast("double")
+    r = (
+        (n * sxy - sx * sy)
+        / F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(1e-12)))
+        / F.sqrt(F.greatest(n * syy - sy * sy, F.lit(1e-12)))
+    )
+    return aligned.agg(n.alias("n_buckets"), r.alias("pearson_r"))

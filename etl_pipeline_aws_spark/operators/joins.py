@@ -476,3 +476,53 @@ def fuzzy_entity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.s_name"), F.col("b.s_name")).alias("edit_dist"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM (SELECT c_custkey,
+                 CASE WHEN c_custkey % 50 = 0 THEN NULL
+                      ELSE c_custkey % 10 END AS bucket
+          FROM customer) c
+    JOIN (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                      ELSE o_orderkey % 10 END AS bucket
+          FROM orders WHERE o_orderkey <= 1000) o
+      ON c.bucket IS NOT DISTINCT FROM o.bucket
+    WHERE c.c_custkey <= 100
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics dimension
+    reconciliation needs when "unknown" is itself a joinable category.
+    Still a hash join (the null-safe comparator hashes NULL as a
+    regular key), so unlike the `OR (a IS NULL AND b IS NULL)`
+    formulation it never degenerates to a nested loop.  The 100 TB
+    caveat is the flip side: all NULLs land in ONE hash bucket, so a
+    mostly-null key needs the salting recipe like any other hot key."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 50 == 0, F.lit(None))
+            .otherwise(F.col("c_custkey") % 10)
+            .alias("bucket"),
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 50 == 0, F.lit(None))
+            .otherwise(F.col("o_orderkey") % 10)
+            .alias("bucket"),
+        )
+    )
+    return cust.join(orders, cust.bucket.eqNullSafe(orders.bucket)).select(
+        "c_custkey", "o_orderkey"
+    )

@@ -176,3 +176,29 @@ def dedup_by_key_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("keeper_orderkey"),
         F.count(F.lit(1)).alias("n_dups"),
     )
+
+
+@query(
+    "order_by_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def order_by_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: page 3 of the price-ranked orders (LIMIT 20 OFFSET 40,
+    deterministic via the key tiebreak).  Spark plans offset+limit as a
+    single top-(offset+limit) global selection then drops the prefix —
+    still no full sort; the 100 TB caveat is that OFFSET cost grows with
+    page depth (every page re-selects the whole prefix), so deep
+    pagination should switch to keyset pagination (WHERE key > last_seen
+    ORDER BY ... LIMIT n — expressible with the same operators)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    )
