@@ -386,3 +386,84 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).cast("double").alias("first_val"),
         F.element_at("embedding", 64).cast("double").alias("last_val"),
     )
+
+
+@query(
+    "json_variant_ops",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` ingests the props payload once into the binary
+    variant encoding, ``variant_get`` then extracts typed paths without
+    re-parsing text per access — the open-table-format answer to
+    schema-on-read JSON columns (Parquet can store the variant
+    physically, so repeated queries never touch JSON text again).
+
+    Contrast with json_access (get_json_object), which re-tokenizes the
+    string on every extraction: at 100 TB with several accessed paths,
+    parse-once-bind-many is the difference between one decode and N.
+    The oracle reads the same paths with DuckDB's JSON extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("pv"))
+    k = F.expr("variant_get(pv, '$.k', 'int')")
+    return (
+        v.select(k.alias("k_val"))
+        .filter(F.col("k_val").isNotNull())
+        .groupBy((F.col("k_val") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k_val").alias("min_k"),
+            F.max("k_val").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "xml_parse_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price
+    FROM orders WHERE o_orderkey <= 5000
+    """,
+)
+def xml_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion via Spark 4's native ``from_xml``: order rows are
+    serialized to XML documents (the shape B2B feeds still arrive in)
+    and parsed back with a typed schema; passing the oracle (the
+    original columns) proves the full serialize→parse cycle is
+    lossless, including the double round trip through decimal-free
+    text.
+
+    Narrow map both ways — schema-driven XML parsing is codegen-adjacent
+    (no Python), and at 100 TB parses shard-parallel like any other
+    text source."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    xml = o.select(
+        F.concat(
+            F.lit("<order><key>"),
+            F.col("o_orderkey"),
+            F.lit("</key><status>"),
+            F.col("o_orderstatus"),
+            F.lit("</status><price>"),
+            F.format_number(F.col("o_totalprice"), 2),
+            F.lit("</price></order>"),
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "doc", "key BIGINT, status STRING, price STRING"
+        ).alias("x")
+    )
+    return parsed.select(
+        F.col("x.key").alias("o_orderkey"),
+        F.col("x.status").alias("status"),
+        F.regexp_replace("x.price", ",", "").cast("double").alias("price"),
+    )
