@@ -521,3 +521,66 @@ def agg_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("sk").alias("approx_trailing_users"),
         )
     )
+
+
+@query(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting with mergeable state — the bitmap
+    aggregate family (Spark 4): integer keys map to (bucket, bit)
+    positions, per-bucket bitmaps OR together associatively, and the
+    final count is the sum of per-bucket popcounts.  Unlike
+    countDistinct (which must expand and reshuffle raw keys) the
+    partial state is a fixed 4 KB bitmap per 32k-key bucket — storable,
+    unionable, and exact, which is the HLL trade reversed: pay memory
+    proportional to key-space density, get exactness back.
+
+    Built as the two-level rollup a 100 TB run would persist:
+    (group, bucket) bitmaps first (the stage table), then the
+    per-group popcount sum.  The oracle is plain COUNT(DISTINCT) —
+    bitmaps must match it exactly, not approximately."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users")
+    )
+
+
+@query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC, item
+    LIMIT 3
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch (Spark 4): single-pass,
+    bounded-memory top-k — at 100 TB the only way to ask "most frequent
+    values" of a high-cardinality column without a full groupBy-sort.
+    Here the tracked-item budget exceeds the type cardinality, so the
+    sketch's counts are EXACT and the oracle can hold it to the true
+    top-3 (the general case degrades gracefully to approximate counts;
+    the sketch state stays mergeable either way).  The exploded
+    (item, count) rows are re-sorted with a value tiebreak so sketch
+    emission order can't leak into the comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 3)").alias("top"))
+    return (
+        sk.select(F.explode("top").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("item"))
+    )

@@ -467,3 +467,45 @@ def xml_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.status").alias("status"),
         F.regexp_replace("x.price", ",", "").cast("double").alias("price"),
     )
+
+
+@query(
+    "scalar_try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 3) END AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 2 = 0 THEN 'n/a'
+                         ELSE CAST(o_orderkey AS VARCHAR) END AS INT)
+               AS safe_cast,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE o_orderkey + 1 END AS safe_add
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error discipline: the ``try_`` function family returns
+    NULL where the strict form would fail the job — division by zero,
+    unparseable casts, numeric overflow.  This engine runs ANSI
+    semantics (round 2's z-score divide-by-zero was a real ANSI error),
+    so ``try_divide``/``try_cast``/``try_add`` are the per-expression
+    escape hatch: corrupt rows become NULLs to quarantine, not a dead
+    100 TB job five hours in.  (try_add is exercised through an
+    overflow-free expression here; its NULL-on-overflow contract is the
+    point, proven by the probe in the docstring tests.)"""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3).alias("safe_div"),
+        F.try_to_number(
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("n/a")).otherwise(
+                F.col("o_orderkey").cast("string")
+            ),
+            F.lit("999999999"),
+        )
+        .cast("int")
+        .alias("safe_cast"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.try_add(F.col("o_orderkey"), F.lit(1)))
+        .alias("safe_add"),
+    )
