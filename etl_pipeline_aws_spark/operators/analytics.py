@@ -574,3 +574,66 @@ def events_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sqrt(F.greatest(n * syy - sy * sy, F.lit(1e-12)))
     )
     return aligned.agg(n.alias("n_buckets"), r.alias("pearson_r"))
+
+
+@query(
+    "events_active_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ), grp AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INT) AS island
+        FROM days
+    ), streaks AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+               MIN(d) AS streak_start
+        FROM grp GROUP BY user_id, island
+    ), best AS (
+        SELECT user_id, len, streak_start,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, streak_start) AS rn
+        FROM streaks
+    )
+    SELECT user_id, len AS longest_streak_days, streak_start
+    FROM best WHERE rn = 1 AND len >= 3
+    """,
+)
+def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (reported where it
+    reaches 3 days) — the gaps-and-islands shape: distinct active days,
+    then ``day - row_number`` is CONSTANT within a consecutive run, so
+    grouping by that difference labels every island without a single
+    self-join or recursive construct.
+
+    Two window passes and two aggregations, all partitioned on
+    ``user_id`` — one exchange layout end to end, per-user state
+    bounded by distinct active days.  The date-minus-integer island
+    key is exact calendar arithmetic, identical across engines."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("streak_start")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .filter((F.col("rn") == 1) & (F.col("len") >= 3))
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak_days"),
+            "streak_start",
+        )
+    )
