@@ -732,3 +732,37 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(corpus, "content_hash", "left_anti").select(
         "doc_id", "content_hash"
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle="""
+    WITH clusters AS (
+        SELECT sha256(lower(trim(text))) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY 1
+    )
+    SELECT n_copies,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs
+    FROM clusters GROUP BY n_copies
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the report a dedup run is
+    judged by: how many content clusters exist at each multiplicity,
+    and how many documents they account for (n_copies=1 is the unique
+    mass; the tail is the dedup opportunity).  Two stacked
+    aggregations, both map-side combined, keyed first on the content
+    hash then on the tiny multiplicity domain — the histogram of a
+    100 TB corpus costs one hash shuffle, and the same query run
+    before/after a dedup pass is the acceptance check that the pass
+    actually removed the tail."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n_copies"))
+    return clusters.groupBy("n_copies").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n_copies").alias("n_docs"),
+    )

@@ -676,3 +676,87 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.filter(F.col("status").isNotNull()).select(
         "o_orderkey", "status", "price", F.col("seq").cast("int").alias("version")
     )
+
+
+@query("stream_update_mode", oracle=TUMBLING_ORACLE)
+def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode, made concrete: the tumbling aggregation runs
+    over three time-split micro-batches, and each epoch emits ONLY the
+    (window, type) rows that changed in that epoch — foreachBatch
+    stamps them with the epoch id and appends to a changelog zone.  The
+    final state is the LAST emission per key (epoch-max), and the
+    oracle — the same full-batch tumbling aggregate as window_tumbling
+    and stream_tumbling — proves that replaying the update changelog
+    reconstructs the complete result exactly.
+
+    This is the mode a downstream keyed store (Redis, a compacted
+    topic) consumes: deltas per trigger instead of complete-mode's full
+    restatement; the changelog-then-collapse pattern here is precisely
+    the consumer's upsert loop, which is why it's worth oracle-pinning
+    end to end."""
+    import glob
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    landing = tempfile.mkdtemp(prefix="upd_landing_")
+    changelog = os.path.join(tempfile.mkdtemp(prefix="upd_chlog_"), "log")
+
+    lo, hi = ev.selectExpr("min(ts)", "max(ts)").first()
+    span = hi - lo
+    cuts = [lo + span / 3, lo + 2 * span / 3]
+    parts = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        tmp = tempfile.mkdtemp(prefix="upd_stage_")
+        p.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(landing, f"{i}-events.parquet")
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(landing)
+    )
+    agg = (
+        normalize_events_ts(stream)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+    def append_deltas(batch: DataFrame, epoch_id: int) -> None:
+        batch.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            changelog
+        )
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(append_deltas)
+        .option("checkpointLocation", os.path.join(landing, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    log = spark.read.parquet(changelog)
+    w = Window.partitionBy("window_start", "event_type").orderBy(F.col("epoch").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("window_start", "window_end", "event_type", "n_events", "sum_value")
+    )
