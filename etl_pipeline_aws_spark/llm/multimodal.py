@@ -356,3 +356,80 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.mapInPandas(
         sample_frames, schema="doc_id long, frame_idx int, frame_len int"
     )
+
+
+AUDIO_SEG_SAMPLES = 100  # analysis-window length in samples
+
+
+@query(
+    "multimodal_audio_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(seg.i AS INT) AS segment_idx,
+           CAST(COALESCE(list_sum(list_transform(
+                    string_split(substring(text, seg.i * {AUDIO_SEG_SAMPLES} + 1,
+                                           {AUDIO_SEG_SAMPLES}), ''),
+                    c -> abs((ascii(c) - 128) * 256))), 0) AS BIGINT) AS abs_sum
+    FROM documents,
+         LATERAL (SELECT unnest(range(0,
+                      CAST(ceil(LENGTH(text) / {AUDIO_SEG_SAMPLES}.0) AS INT)))
+                  AS i) seg
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level feature extraction from REAL audio containers: each
+    document's WAV (the multimodal_audio_decode encoding) is honestly
+    parsed, its PCM stream split into {AUDIO_SEG_SAMPLES}-sample
+    analysis windows, and each window reduced to an exact integer
+    absolute-amplitude sum — the audio-to-frames shape (VAD windows,
+    diarization chunks) where ONE payload row explodes into per-segment
+    rows inside the Arrow batch, never via a driver loop.
+
+    The oracle recomputes every window's sum from the source bytes, so
+    both the container parse AND the segmentation boundaries are
+    value-checked.  Integer sums keep it engine-exact."""
+    import io
+    import wave
+
+    import numpy as np
+
+    framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def encode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def to_wav(payload: bytes) -> bytes:
+            pcm = (np.frombuffer(payload, dtype=np.uint8).astype(np.int16) - 128) * 256
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(AUDIO_RATE)
+                w.writeframes(pcm.astype("<i2").tobytes())
+            return buf.getvalue()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "wav": pdf["payload"].map(to_wav)}
+            )
+
+    def segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_sum = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    raw = w.readframes(w.getnframes())
+                samples = np.abs(np.frombuffer(raw, dtype="<i2").astype(np.int64))
+                for i in range(0, max(1, len(samples)), AUDIO_SEG_SAMPLES):
+                    if i >= len(samples) and len(samples) > 0:
+                        break
+                    seg = samples[i : i + AUDIO_SEG_SAMPLES]
+                    out_doc.append(doc_id)
+                    out_idx.append(i // AUDIO_SEG_SAMPLES)
+                    out_sum.append(int(seg.sum()))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "segment_idx": out_idx, "abs_sum": out_sum}
+            ).astype({"segment_idx": "int32"})
+
+    encoded = framed.mapInPandas(encode_wav, schema="doc_id long, wav binary")
+    return encoded.mapInPandas(
+        segment, schema="doc_id long, segment_idx int, abs_sum long"
+    )

@@ -231,3 +231,52 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("user_id"))
         .limit(SKEW_TOP_N)
     )
+
+
+@query(
+    "dq_reconcile_order_totals",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey,
+               o.o_totalprice,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS line_total
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders_with_lines,
+           CAST(SUM(CASE WHEN ABS(o_totalprice - line_total) > 0.01
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           MAX(ABS(o_totalprice - line_total)) AS max_abs_diff
+    FROM per_order
+    """,
+)
+def dq_reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation — header vs detail: does each order's
+    stored total equal the sum of its line items?  The answer on this
+    synthetic data is overwhelmingly NO (the generator doesn't maintain
+    the invariant), which is exactly why the report exists: a
+    reconciliation operator must MEASURE divergence (count + worst
+    case), not assume it away.
+
+    One co-partitioned join+agg on the order key (header and detail
+    shuffle to the same layout), then a scale-free global rollup.  The
+    per-order line total is an exact decimal sum surfaced as double, so
+    the mismatch flags and max-diff are cross-engine deterministic."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("line_total")
+        )
+    )
+    diff = F.abs(F.col("o_totalprice") - F.col("line_total"))
+    return per_order.agg(
+        F.count(F.lit(1)).alias("n_orders_with_lines"),
+        F.sum(F.when(diff > 0.01, 1).otherwise(0)).alias("n_mismatched"),
+        F.max(diff).alias("max_abs_diff"),
+    )
