@@ -160,6 +160,27 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 AUDIO_RATE = 16000  # synthetic PCM sample rate
 
 
+def _payload_to_wav(payload: bytes) -> bytes:
+    """Shared WAV encoder: source bytes -> signed 16-bit PCM samples
+    ((byte - 128) * 256, mono, AUDIO_RATE) in a genuine RIFF/WAVE
+    container.  One definition serves both audio queries so the PCM
+    mapping and container parameters cannot silently diverge between
+    them (and their oracles)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = (np.frombuffer(payload, dtype=np.uint8).astype(np.int16) - 128) * 256
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(AUDIO_RATE)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 @query(
     "multimodal_audio_decode",
     oracle=f"""
@@ -195,19 +216,9 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
 
     def encode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def to_wav(payload: bytes) -> bytes:
-            pcm = (np.frombuffer(payload, dtype=np.uint8).astype(np.int16) - 128) * 256
-            buf = io.BytesIO()
-            with wave.open(buf, "wb") as w:
-                w.setnchannels(1)
-                w.setsampwidth(2)
-                w.setframerate(AUDIO_RATE)
-                w.writeframes(pcm.astype("<i2").tobytes())
-            return buf.getvalue()
-
         for pdf in batches:
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "wav": pdf["payload"].map(to_wav)}
+                {"doc_id": pdf["doc_id"], "wav": pdf["payload"].map(_payload_to_wav)}
             )
 
     def decode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -396,19 +407,9 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
 
     def encode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def to_wav(payload: bytes) -> bytes:
-            pcm = (np.frombuffer(payload, dtype=np.uint8).astype(np.int16) - 128) * 256
-            buf = io.BytesIO()
-            with wave.open(buf, "wb") as w:
-                w.setnchannels(1)
-                w.setsampwidth(2)
-                w.setframerate(AUDIO_RATE)
-                w.writeframes(pcm.astype("<i2").tobytes())
-            return buf.getvalue()
-
         for pdf in batches:
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "wav": pdf["payload"].map(to_wav)}
+                {"doc_id": pdf["doc_id"], "wav": pdf["payload"].map(_payload_to_wav)}
             )
 
     def segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -418,9 +419,9 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 with wave.open(io.BytesIO(payload), "rb") as w:
                     raw = w.readframes(w.getnframes())
                 samples = np.abs(np.frombuffer(raw, dtype="<i2").astype(np.int64))
-                for i in range(0, max(1, len(samples)), AUDIO_SEG_SAMPLES):
-                    if i >= len(samples) and len(samples) > 0:
-                        break
+                # empty payload => zero segments, matching the oracle's
+                # empty range (ceil(0 / seg) = 0)
+                for i in range(0, len(samples), AUDIO_SEG_SAMPLES):
                     seg = samples[i : i + AUDIO_SEG_SAMPLES]
                     out_doc.append(doc_id)
                     out_idx.append(i // AUDIO_SEG_SAMPLES)

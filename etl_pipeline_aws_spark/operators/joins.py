@@ -469,11 +469,14 @@ def fuzzy_entity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.name_len") == F.col("b.name_len"))
             & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
         )
-        .filter(F.levenshtein(F.col("a.s_name"), F.col("b.s_name")) <= 2)
+        .withColumn(  # computed ONCE: it is the block's dominant cost
+            "edit_dist", F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+        )
+        .filter(F.col("edit_dist") <= 2)
         .select(
             F.col("a.s_suppkey").alias("key_a"),
             F.col("b.s_suppkey").alias("key_b"),
-            F.levenshtein(F.col("a.s_name"), F.col("b.s_name")).alias("edit_dist"),
+            "edit_dist",
         )
     )
 

@@ -189,7 +189,7 @@ SKEW_TOP_N = 10
         FROM c
     )
     SELECT c.user_id, c.n,
-           s.n_keys, s.n_rows,
+           s.n_keys, s.n_rows, s.max_n,
            CAST(c.n AS DOUBLE) * s.n_keys / s.n_rows AS skew_ratio
     FROM c, stats s
     ORDER BY c.n DESC, c.user_id
@@ -216,7 +216,7 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n").alias("n_rows"),
         F.max("n").alias("max_n"),
-    ).select("n_keys", "n_rows")
+    )
     return (
         counts.crossJoin(F.broadcast(stats))
         .select(
@@ -224,6 +224,7 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "n_keys",
             "n_rows",
+            "max_n",
             (F.col("n").cast("double") * F.col("n_keys") / F.col("n_rows")).alias(
                 "skew_ratio"
             ),

@@ -262,7 +262,7 @@ def parquet_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(zone, "lineitem_zorder")
     (
         with_zorder(li, "l_partkey", "l_suppkey")
-        .repartitionByRange(8, "_z")
+        .repartitionByRange(16, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
         .write.mode("overwrite")
@@ -340,10 +340,8 @@ def ndjson_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     file count.  Writing from a partitioned DataFrame (as here) produces
     exactly that many-shards layout; the read back parallelizes across
     shards."""
-    import tempfile as _tf
-
     docs = load_table(spark, sf_dir, "documents")
-    zone = os.path.join(_tf.mkdtemp(prefix="ndjson_gz_"), "docs")
+    zone = os.path.join(tempfile.mkdtemp(prefix="ndjson_gz_"), "docs")
     docs.write.mode("overwrite").option("compression", "gzip").json(zone)
     back = spark.read.schema(docs.schema).json(zone)
     return back.select("doc_id", "lang", "source", "n_chars", "text")

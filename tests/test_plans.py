@@ -156,11 +156,14 @@ def test_registry_sweep_no_scale_hostile_plans(spark):
     assert not offenders, offenders
 
 
-ALLOWED_BOUNDED_BROADCAST = {
-    # build side is distinct(xxhash64(key) % 2^20): cardinality-capped at
-    # 2^20 rows (~8 MB) no matter how large the fact scan feeding it —
-    # the boundedness IS the operator's design (explicit bloom filter)
-    "join_bloom_pruned",
+# Queries whose fact-scanning broadcast subtrees are allowed ONLY when the
+# subtree contains a cardinality-capping aggregate (matched per subtree, not
+# per query — any OTHER fact broadcast in the same plan still fails):
+BOUNDED_BROADCAST_MARKERS = {
+    # build side is distinct(xxhash64(key) % 2^20): capped at 2^20 rows
+    # (~8 MB) no matter how large the fact scan feeding it — the
+    # boundedness IS the operator's design (explicit bloom filter)
+    "join_bloom_pruned": "pmod(xxhash64(",
 }
 
 
@@ -186,8 +189,6 @@ def test_no_query_broadcasts_a_fact_side(spark):
     ]
     offenders = []
     for name in sorted(relational):
-        if name in ALLOWED_BOUNDED_BROADCAST:
-            continue
         try:
             df = _q(name, spark)
             subs = broadcast_subtrees(df)
@@ -199,7 +200,8 @@ def test_no_query_broadcasts_a_fact_side(spark):
                 f"{t}.parquet" in sub for t in ("lineitem", "orders", "events")
             )
             single_row = "keys=[]" in sub or "Keys: []" in sub
-            if scans_fact and not single_row:
+            bounded = BOUNDED_BROADCAST_MARKERS.get(name, "\x00") in sub
+            if scans_fact and not single_row and not bounded:
                 offenders.append((name, sub.splitlines()[0]))
     assert not offenders, offenders
 

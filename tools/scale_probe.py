@@ -106,7 +106,7 @@ def generate(spark, out_dir: str) -> None:
 
 def plan_shape(df) -> dict[str, int]:
     plan = df._jdf.queryExecution().sparkPlan().toString()
-    return {op: len(re.findall(rf"\b{op}", plan)) for op in SHAPE_OPS}
+    return {op: len(re.findall(rf"\b{op}\b", plan)) for op in SHAPE_OPS}
 
 
 def probe(spark, sf_dir: str) -> dict[str, dict]:
