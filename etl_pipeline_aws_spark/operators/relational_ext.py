@@ -308,3 +308,35 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("min_shipdate"),
         F.max("l_shipdate").alias("max_shipdate"),
     )
+
+
+@query(
+    "surrogate_keys_dim",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY s_name) AS sk,
+           s_suppkey AS natural_key, s_name
+    FROM supplier
+    """,
+)
+def surrogate_keys_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key assignment for a dimension load: dense sequential
+    ids in natural-key order — the id contract star-schema loaders
+    promise (stable given stable input, no gaps).
+
+    Honest scale note: a global ordered ``row_number`` funnels the table
+    through ONE window partition, which is exactly right for DIMENSIONS
+    (they fit a task by definition) and exactly wrong for facts — for
+    fact-scale surrogate needs use a hash of the natural key
+    (collision-checked) or per-partition offset arithmetic
+    (monotonically_increasing_id + a partition-count pass), both
+    shuffle-free but non-dense.  The dim tier is the one an oracle can
+    pin, so that is what registers here."""
+    from pyspark.sql.window import Window
+
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_name")
+    return sup.select(
+        F.row_number().over(w).alias("sk"),
+        F.col("s_suppkey").alias("natural_key"),
+        "s_name",
+    )

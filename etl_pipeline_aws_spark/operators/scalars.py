@@ -509,3 +509,36 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.try_add(F.col("o_orderkey"), F.lit(1)))
         .alias("safe_add"),
     )
+
+
+@query(
+    "date_timezone_report",
+    oracle="""
+    SELECT hour(timezone('America/New_York', ts AT TIME ZONE 'UTC'))
+               AS ny_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN hour(timezone('Asia/Tokyo', ts AT TIME ZONE 'UTC'))
+                              BETWEEN 9 AND 17
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tokyo_business
+    FROM events
+    GROUP BY 1
+    """,
+)
+def date_timezone_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-time reporting across IANA zones — the "what hour was it for
+    the user" layer every global product metric needs: events bucketed
+    by their New-York local hour, with a Tokyo business-hours overlay.
+    ``from_utc_timestamp`` resolves against the same tzdata rules DuckDB
+    applies (`timezone(zone, tstz)`), so wall-clock math — DST included
+    — is oracle-checked rather than trusted.  Zone conversion is a
+    per-row scalar: the aggregation still map-side combines on 24 hour
+    keys, one shuffle at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    ny_hour = F.hour(F.from_utc_timestamp("ts", "America/New_York"))
+    tokyo_hour = F.hour(F.from_utc_timestamp("ts", "Asia/Tokyo"))
+    return ev.groupBy(ny_hour.alias("ny_hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(tokyo_hour.between(9, 17), 1).otherwise(0)).alias(
+            "n_tokyo_business"
+        ),
+    )

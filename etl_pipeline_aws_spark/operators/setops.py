@@ -202,3 +202,30 @@ def order_by_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@query(
+    "union_missing_columns",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-reconciling union (``unionByName(allowMissingColumns=True)``):
+    two feeds project DIFFERENT column subsets and the union fills each
+    side's missing columns with NULL by NAME — the everyday shape of
+    merging source generations without hand-aligning positional
+    schemas (positional union would silently mis-bind columns here).
+    Pure narrow concatenation: no shuffle at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    evens = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    odds = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return evens.unionByName(odds, allowMissingColumns=True)
