@@ -322,3 +322,69 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("target"))
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "pipeline_corpus_e2e",
+    oracle="""
+    WITH gated AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS diversity,
+               MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper_id
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, lang, n_tokens
+        FROM gated
+        WHERE doc_id = keeper_id
+          AND n_tokens BETWEEN 20 AND 1000 AND diversity > 0.05
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM((n_tokens + 49) // 50) AS BIGINT) AS n_training_chunks
+    FROM kept
+    GROUP BY lang
+    """,
+)
+def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus pipeline as ONE declarative query —
+    the user story this engine exists for: raw documents → exact-dup
+    keeper gate → quality screen (token range + lexical diversity) →
+    per-language corpus report (kept docs, token budget, and the
+    50-token training-chunk count the packer will emit).
+
+    Composition costs nothing extra: the dedup window and the quality
+    scalars share one scan, the rollup adds one tiny-key shuffle — the
+    whole curation pass over a 100 TB corpus is a scan, a content-hash
+    exchange, and a #langs-row aggregate.  Every stage reuses the
+    semantics its standalone operator pinned (corpus_curation_gate,
+    dedup_exact, text_chunk_windows), so this query is the integration
+    test of the family, oracle-checked end to end."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    keeper_id = F.min("doc_id").over(Window.partitionBy(F.sha2("text", 256)))
+    kept = (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            diversity.alias("diversity"),
+            keeper_id.alias("keeper_id"),
+        )
+        .filter(
+            (F.col("doc_id") == F.col("keeper_id"))
+            & F.col("n_tokens").between(20, 1000)
+            & (F.col("diversity") > 0.05)
+        )
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.expr("(n_tokens + 49) div 50")).alias("n_training_chunks"),
+    )

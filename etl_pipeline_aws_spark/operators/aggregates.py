@@ -584,3 +584,48 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("n"))
         .orderBy(F.col("n").desc(), F.col("item"))
     )
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS trimmed_mean
+    FROM ranked
+    WHERE cd > 0.05 AND cd <= 0.95
+    GROUP BY event_type
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust central tendency: the 5%-trimmed mean per series — the
+    outlier-resistant average a metrics page shows when bots and
+    glitches pollute the tails.  The trim cut uses ``cume_dist`` (a
+    VALUE-based rank: ties share one rank, so the kept set is a
+    deterministic function of the data, never of sort order), and the
+    mean over the kept rows is the exact-decimal-sum / count pattern.
+
+    Exact-tier state note (same as agg_median): cume_dist sorts each
+    series within its partition — fine for bounded series cardinality;
+    a 100 TB single-series trim swaps in approx_percentile bounds for
+    the cut points and keeps the same aggregation."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type", "value", F.cume_dist().over(w).alias("cd")
+    ).filter((F.col("cd") > 0.05) & (F.col("cd") <= 0.95))
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("trimmed_mean"),
+    )
