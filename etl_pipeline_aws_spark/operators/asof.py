@@ -160,3 +160,52 @@ def asof_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").cogroup(orders.groupBy("o_custkey")).applyInPandas(
         merge_group, schema=out_schema
     )
+
+
+_ASOF_FWD_ORACLE = """
+    SELECT event_id, user_id, ts, o_orderkey AS next_orderkey,
+           o_orderdate AS next_orderdate
+    FROM (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey, o.o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate, o.o_orderkey) AS rn
+        FROM events e
+        JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts)
+    WHERE rn = 1
+"""
+
+
+@query("asof_join_forward", oracle=_ASOF_FWD_ORACLE)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for each event, the customer's EARLIEST order at or
+    after the event — the attribution direction ("what did this touch
+    lead to"), mirror of the three nearest-prior compositions.  Same
+    tie-break discipline (earliest date, then smallest key) so the
+    result is deterministic where DuckDB's native ASOF would be
+    arbitrary; same scale posture as asof_join_window (range join +
+    top-1 window prune — WindowGroupLimit pushes the rank down; the
+    merge_asof composition generalizes identically with
+    direction='forward')."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = ev.join(
+        orders,
+        (ev.user_id == orders.o_custkey) & (orders.o_orderdate >= ev.ts),
+        "inner",
+    )
+    w = W.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("o_orderkey").alias("next_orderkey"),
+            F.col("o_orderdate").alias("next_orderdate"),
+        )
+    )

@@ -529,3 +529,63 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(orders, cust.bucket.eqNullSafe(orders.bucket)).select(
         "c_custkey", "o_orderkey"
     )
+
+
+@query(
+    "range_join_varlen_binned",
+    oracle="""
+    WITH incidents AS (
+        SELECT event_id AS incident_id, ts AS w_start,
+               ts + (5 + ABS(CAST(FLOOR(value) AS BIGINT) % 56))
+                        * INTERVAL '1 minute' AS w_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT i.incident_id, e.event_id
+    FROM incidents i JOIN events e
+      ON e.ts >= i.w_start AND e.ts < i.w_end
+    """,
+)
+def range_join_varlen_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERAL binned range join: incident windows of VARIABLE length
+    (5-60 minutes, derived from the event's value) joined to the events
+    they cover — range_join_binned's rewrite without its
+    interval==bin-width crutch.  Each incident explodes onto every
+    10-minute bin its span touches (≤ ceil(len/bin)+1, so replication
+    is bounded by the LONGEST window, not the table); each probe event
+    owns exactly one bin, so every qualifying pair meets exactly once —
+    no dedup pass — and the true range predicate survives as a cheap
+    residual on the equi join.  This is the rewrite that covers any
+    interval workload (sessions, outages, promotions) with one shuffle
+    on a dense time key."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    events = ev.select(
+        "event_id", "ts", F.floor(us / RANGE_BIN_US).alias("bin")
+    )
+    dur_us = (
+        F.lit(5) + F.abs(F.floor(F.col("value")).cast("long") % 56)
+    ) * F.lit(60_000_000)
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("w_start"),
+            (F.unix_micros(F.col("ts")) + dur_us).alias("end_us"),
+        )
+        .select(
+            "incident_id",
+            "w_start",
+            F.timestamp_micros(F.col("end_us")).alias("w_end"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros(F.col("w_start")) / RANGE_BIN_US),
+                    F.floor((F.col("end_us") - 1) / RANGE_BIN_US),
+                )
+            ).alias("bin"),
+        )
+    )
+    return (
+        incidents.join(events, "bin")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .select("incident_id", "event_id")
+    )

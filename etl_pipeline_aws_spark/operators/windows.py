@@ -274,3 +274,55 @@ def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_regionkey AS regionkey, n.n_name AS nation_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS nation_rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT nation_name, nation_rev,
+           nation_rev / CAST(SUM(CAST(nation_rev AS DECIMAL(18,2)))
+                                 OVER (PARTITION BY regionkey) AS DOUBLE)
+               AS share_of_region
+    FROM rev
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its REGION's revenue — the
+    percent-of-parent column every drill-down table carries, expressed
+    as a whole-partition window sum over the aggregated child rows (25
+    nations; the window input is the aggregate, never the fact table).
+
+    Share = exact-decimal nation revenue / exact-decimal regional window
+    sum, both surfaced as doubles before ONE division — deterministic
+    across engines.  The expensive work (fact join + agg) happens before
+    the window, which then costs nothing at any scale because it runs
+    on #nations rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("nation_rev")
+        )
+    )
+    w = W.partitionBy("n_regionkey")
+    region_rev = F.sum(F.col("nation_rev").cast("decimal(18,2)")).over(w).cast("double")
+    return rev.select(
+        F.col("n_name").alias("nation_name"),
+        "nation_rev",
+        (F.col("nation_rev") / region_rev).alias("share_of_region"),
+    )
