@@ -658,3 +658,60 @@ def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
     )
+
+
+@query(
+    "text_lang_confusion_matrix",
+    oracle="""
+    WITH pred AS (
+        SELECT lang AS labeled_lang,
+               CASE
+                 WHEN len(list_filter(string_split(text, ' '),
+                                      w -> w IN ('the','fast','slow')))
+                      >= len(list_filter(string_split(text, ' '),
+                                         w -> w IN ('data','table','row')))
+                  AND len(list_filter(string_split(text, ' '),
+                                      w -> w IN ('the','fast','slow')))
+                      >= len(list_filter(string_split(text, ' '),
+                                         w -> w IN ('spark','batch','window')))
+                 THEN 'en'
+                 WHEN len(list_filter(string_split(text, ' '),
+                                      w -> w IN ('data','table','row')))
+                      >= len(list_filter(string_split(text, ' '),
+                                         w -> w IN ('spark','batch','window')))
+                 THEN 'es'
+                 ELSE 'de'
+               END AS predicted_lang
+        FROM documents
+    )
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier QA: the labeled-vs-predicted confusion matrix for the
+    marker-word language-ID — the evaluation artifact that tells you
+    WHERE the classifier fails (which language pairs it confuses), not
+    just that it does.  Composes text_lang_id's exact scoring expression
+    with one tiny-key aggregation; at 100 TB the matrix is still
+    |langs|² cells off one narrow scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def marker_hits(markers: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda w: w.isin(*markers)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in _LANG_MARKERS.items()}
+    predicted = (
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]), "en"
+        )
+        .when(scores["es"] >= scores["de"], "es")
+        .otherwise("de")
+    )
+    return docs.select(
+        F.col("lang").alias("labeled_lang"), predicted.alias("predicted_lang")
+    ).groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -637,3 +637,50 @@ def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streak_start",
         )
     )
+
+
+@query(
+    "events_wow_change",
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type,
+               CAST(date_trunc('week', ts) AS DATE) AS week_start,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS wk_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week_start, wk_value,
+           (wk_value - LAG(wk_value) OVER w) / LAG(wk_value) OVER w
+               AS wow_change
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
+    """,
+)
+def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week percent change per metric series — the delta column
+    on every KPI dashboard: weekly exact-decimal totals, then one lag
+    window for (this - prev) / prev (NULL on each series' first week,
+    matching SQL lag semantics in both engines).
+
+    The window runs on the AGGREGATED weekly rows (|series| x |weeks|),
+    so its cost is calendar-bounded; the single data-sized stage is the
+    map-side-combined weekly rollup.  The change ratio divides two
+    exact-sum doubles — deterministic; weekly sums are nonzero here, and
+    a production guard swaps in try_divide (scalar_try_functions) for
+    metrics that can hit zero."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("wk_value")
+    )
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    prev = F.lag("wk_value").over(w)
+    return weekly.select(
+        "event_type",
+        "week_start",
+        "wk_value",
+        ((F.col("wk_value") - prev) / prev).alias("wow_change"),
+    )

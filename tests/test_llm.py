@@ -116,3 +116,27 @@ def test_hll_sketch_rollup_error_bound(spark):
     for k, e in exact.items():
         assert rows[k]["exact_users"] == e
         assert rows[k]["within_5pct"], (k, e)
+
+
+def test_minhash_incremental_matches_full_cross_pairs(spark):
+    """The incremental batch-vs-corpus probe must find EXACTLY the
+    full-corpus LSH pairs that cross the batch/corpus boundary (same
+    bands, same verification, so the sets are equal, not just similar)."""
+    import etl_pipeline_aws_spark as engine
+    from tests.conftest import SF_DIR
+
+    qs = engine.queries()
+    engine.clear_caches(spark)
+    full = qs["dedup_minhash_lsh"](spark, SF_DIR).collect()
+    engine.clear_caches(spark)
+    inc = {
+        (r.batch_doc, r.corpus_doc): round(r.jaccard, 9)
+        for r in qs["dedup_minhash_incremental"](spark, SF_DIR).collect()
+    }
+    expected = {}
+    for r in full:
+        a_batch, b_batch = r.doc_a % 5 == 4, r.doc_b % 5 == 4
+        if a_batch != b_batch:  # crossing pairs only
+            batch_doc, corpus_doc = (r.doc_a, r.doc_b) if a_batch else (r.doc_b, r.doc_a)
+            expected[(batch_doc, corpus_doc)] = round(r.jaccard, 9)
+    assert inc == expected

@@ -114,6 +114,7 @@ ALLOWED_NESTED_LOOP = {
 ALLOWED_PYTHON_EVAL = {
     "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)
     "dedup_minhash_lsh",  # Arrow-vectorized shingle+MinHash kernel (the point)
+    "dedup_minhash_incremental",  # same kernel, batch-vs-index probe
     "dedup_cluster_keepers",  # consumes the MinHash kernel's pair set
     "dedup_embedding_lsh",  # Arrow-vectorized hyperplane signature
     "udf_pandas_vectorized",  # UDF surface demonstrations
