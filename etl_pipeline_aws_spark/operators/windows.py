@@ -326,3 +326,66 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation_rev",
         (F.col("nation_rev") / region_rev).alias("share_of_region"),
     )
+
+
+@query(
+    "window_topk_with_ties",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_extendedprice
+    FROM (
+        SELECT l_returnflag, l_orderkey, l_extendedprice,
+               RANK() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC) AS rk
+        FROM lineitem)
+    WHERE rk <= 3
+    """,
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group WITH TIES (``rank() <= k``): every row whose value
+    ties a top-3 price is kept — the semantics ``row_number`` top-k
+    (window_topk_per_group) silently violates when values repeat, and
+    the difference auditors care about ("show all orders at the top
+    three price points", not "three arbitrary orders").  Same
+    WindowGroupLimit pushdown applies: rank-based limits prune inside
+    the shuffle read, no full per-group sort materialization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(F.col("l_extendedprice").desc())
+    return (
+        li.select("l_returnflag", "l_orderkey", "l_extendedprice")
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+    )
+
+
+@query(
+    "window_distinct_rolling",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(DISTINCT event_type)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS INT) AS distinct_types_last7
+    FROM events
+    """,
+)
+def window_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT count over a bounded frame: how many different
+    event types each user touched across their last 7 events — the
+    behavioral-diversity signal engagement models use.  Spark has no
+    DISTINCT window aggregate, so the composition is
+    ``size(collect_set(...))`` over the frame — exactly equivalent, and
+    safe ONLY because the frame bounds the state at 7 rows (the same
+    expression over an unbounded frame is the collect_list trap the
+    funnel rewrite removed).  One window pass per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("distinct_types_last7"),
+    )
