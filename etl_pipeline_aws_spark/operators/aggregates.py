@@ -629,3 +629,29 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("trimmed_mean"),
     )
+
+
+@query(
+    "agg_rollup_grouping_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal-level labeling with ``grouping()``: each rollup row
+    carries explicit flags saying WHICH keys are aggregated away —
+    the disambiguation a consumer needs because a NULL key value is
+    otherwise indistinguishable from a NULL-keyed subtotal (the classic
+    rollup-report bug).  Same Expand-based plan as agg_rollup; the
+    flags are free metadata on rows the rollup already produces."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -173,3 +173,32 @@ def array_slice_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(v).alias("max_elem"),
         F.array_contains(v, 0.0).alias("has_zero"),
     )
+
+
+@query(
+    "explode_outer_empty_arrays",
+    oracle="""
+    SELECT d.doc_id, u.long_word
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> len(w) > 10)
+                     AS long_words
+          FROM documents) d
+    LEFT JOIN LATERAL (SELECT unnest(d.long_words) AS long_word) u ON TRUE
+    """,
+)
+def explode_outer_empty_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` vs ``explode``: documents with NO long words
+    (>10 chars) must still appear — once, with a NULL — instead of
+    vanishing from the output.  Plain explode silently drops
+    empty-array rows, which turns "tokens per document" reports into
+    "tokens per document that had any" — a denominator bug.  Same
+    Generate (outer) plan node, zero extra cost; the oracle is the
+    LEFT JOIN LATERAL unnest formulation with identical keep-the-row
+    semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    long_words = F.filter(
+        F.split(F.col("text"), " "), lambda w: F.length(w) > 10
+    )
+    return docs.select(
+        "doc_id", F.explode_outer(long_words).alias("long_word")
+    )
