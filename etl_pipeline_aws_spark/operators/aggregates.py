@@ -655,3 +655,45 @@ def agg_rollup_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_linestatus").cast("int").alias("g_status"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "agg_first_events_per_user",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+    )
+    SELECT user_id,
+           list(event_id ORDER BY rn) AS first_event_ids
+    FROM ranked WHERE rn <= 5
+    GROUP BY user_id
+    """,
+)
+def agg_first_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ordered-list aggregation: each user's FIRST five event ids
+    as an array — the "sample of activity" column a user-profile table
+    carries.  The discipline is the order of operations: rank-prune
+    FIRST (row_number <= 5, pruned by WindowGroupLimit inside the
+    shuffle), THEN collect — so the list agg's state is capped at 5
+    elements per key by construction.  Collecting first and slicing
+    after (slice(sort_array(collect_list(...)))) computes the same
+    answer with UNBOUNDED per-key state — the trap the funnel rewrite
+    removed, avoided here the same way."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_id", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+    return ranked.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("rn", "event_id"))
+        ).alias("_s")
+    ).select(
+        "user_id",
+        F.expr("transform(_s, x -> x.event_id)").alias("first_event_ids"),
+    )

@@ -45,3 +45,19 @@ def test_load_events_is_normalized_and_usable(spark):
         .first()
     )
     assert row.us > 0 and row.w is not None
+
+
+def test_operator_index_is_current():
+    """OPERATORS.md must be regenerated whenever the registry changes —
+    a stale index misleads exactly the reader it exists for."""
+    import subprocess
+    import sys
+
+    before = open("/root/repo/OPERATORS.md").read()
+    subprocess.run(
+        [sys.executable, "/root/repo/tools/gen_operator_index.py"],
+        check=True,
+        capture_output=True,
+    )
+    after = open("/root/repo/OPERATORS.md").read()
+    assert before == after, "OPERATORS.md stale: rerun tools/gen_operator_index.py"
