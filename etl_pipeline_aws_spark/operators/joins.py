@@ -469,7 +469,9 @@ def fuzzy_entity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.name_len") == F.col("b.name_len"))
             & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
         )
-        .withColumn(  # computed ONCE: it is the block's dominant cost
+        .withColumn(  # single named expression; Catalyst may still inline
+            # it into filter AND project — actual dedup comes from codegen
+            # subexpression elimination, the alias just makes that possible
             "edit_dist", F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
         )
         .filter(F.col("edit_dist") <= 2)

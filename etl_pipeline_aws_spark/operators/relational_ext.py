@@ -341,44 +341,3 @@ def surrogate_keys_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
     )
 
-
-@query(
-    "observe_scan_metrics",
-    oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS rows_scanned,
-           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
-                AS BIGINT) AS urgent_rows,
-           CAST(COUNT(*) AS BIGINT) AS rows_out
-    FROM orders
-    """,
-)
-def observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pipeline observability via ``df.observe``: named metrics (rows
-    scanned, urgent-row count) are accumulated ON the query's own
-    execution — zero extra passes, zero extra shuffles — and read out
-    after the action completes.  This is how a production job reports
-    "rows in / rows matching / rows out" without re-running anything:
-    the metrics ride the task results of the query they describe.
-
-    The observation handle is inherently a driver-side readout (that is
-    the API's contract — metrics, not data); the query's data path
-    itself stays fully distributed, and the oracle checks the metric
-    VALUES, proving the instrumented run counted exactly what a direct
-    aggregation sees."""
-    from pyspark.sql import Observation
-
-    o = load_table(spark, sf_dir, "orders")
-    obs = Observation("scan_metrics")
-    observed = o.observe(
-        obs,
-        F.count(F.lit(1)).alias("rows_scanned"),
-        F.sum(
-            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
-        ).alias("urgent_rows"),
-    )
-    rows_out = observed.count()  # the action the metrics ride on
-    m = obs.get
-    return o.sparkSession.createDataFrame(
-        [(m["rows_scanned"], m["urgent_rows"], rows_out)],
-        "rows_scanned long, urgent_rows long, rows_out long",
-    )

@@ -81,6 +81,7 @@ def _load_all() -> None:
         joins,
         maps_arrays,
         merge,
+        observability,
         quality,
         relational_ext,
         scalars,

@@ -49,15 +49,20 @@ def test_load_events_is_normalized_and_usable(spark):
 
 def test_operator_index_is_current():
     """OPERATORS.md must be regenerated whenever the registry changes —
-    a stale index misleads exactly the reader it exists for."""
-    import subprocess
+    a stale index misleads exactly the reader it exists for.  The check
+    renders to memory (no file side effects, so a stale index keeps
+    failing until actually regenerated) and derives paths from this
+    file's location, not a hardcoded checkout path."""
+    import os
     import sys
 
-    before = open("/root/repo/OPERATORS.md").read()
-    subprocess.run(
-        [sys.executable, "/root/repo/tools/gen_operator_index.py"],
-        check=True,
-        capture_output=True,
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo_root, "tools"))
+    try:
+        import gen_operator_index
+    finally:
+        sys.path.pop(0)
+    committed = open(os.path.join(repo_root, "OPERATORS.md")).read()
+    assert committed == gen_operator_index.render(), (
+        "OPERATORS.md stale: rerun tools/gen_operator_index.py"
     )
-    after = open("/root/repo/OPERATORS.md").read()
-    assert before == after, "OPERATORS.md stale: rerun tools/gen_operator_index.py"

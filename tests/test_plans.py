@@ -124,7 +124,7 @@ ALLOWED_PYTHON_EVAL = {
 }
 # Build-time side effects (streams run, sinks write) make these unplannable
 # in a pure sweep; their physical posture is asserted by their own tests.
-SWEEP_SKIP_MODULES = ("stream_queries", "source_queries", "multimodal")
+SWEEP_SKIP_MODULES = ("stream_queries", "source_queries", "multimodal", "observability")
 
 
 def test_registry_sweep_no_scale_hostile_plans(spark):
@@ -272,11 +272,11 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
 
     out = str(tmp_path / "zorder")
     li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
-    # 16 slices (not the query's 8): repartitionByRange boundaries come
-    # from sampling, and at 8 slices one unlucky straddle of a z-quadrant
-    # boundary puts the mean span within noise of the 60% bar (observed
-    # 59-61% across orderings).  At 16 the expected mean is ~30%, so the
-    # property being asserted — both dimensions shrink — has real margin.
+    # 16 slices, matching the shipped parquet_zorder_layout query: at 8
+    # slices one unlucky repartitionByRange sampling straddle of a
+    # z-quadrant boundary put the mean span within noise of the 60% bar
+    # (observed 59-61% across orderings); at 16 the expected mean is ~30%,
+    # so the asserted property — both dimensions shrink — has real margin.
     (
         with_zorder(li, "l_partkey", "l_suppkey")
         .repartitionByRange(16, "_z")
