@@ -684,3 +684,33 @@ def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wk_value",
         ((F.col("wk_value") - prev) / prev).alias("wow_change"),
     )
+
+
+@query(
+    "events_activity_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) - 1 AS INT) AS weekday,
+           CAST(hour(ts) AS INT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekday × hour activity heatmap — the first chart every
+    product dashboard draws: events and distinct users per (Monday=0
+    weekday, hour) cell.  Weekday numbering is the cross-engine trap
+    this oracle pins: Spark's ``weekday`` (Monday=0) against DuckDB's
+    ``isodow - 1`` — ``dayofweek`` would silently shift every cell by
+    one.  One map-side-combined aggregation on 168 cells; the distinct
+    count is the only real cost and swaps to HLL sketches at scale
+    (agg_hll_sketch_rollup pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.weekday("ts").alias("weekday"),
+        F.hour("ts").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

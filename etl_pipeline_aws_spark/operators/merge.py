@@ -151,3 +151,77 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("o_orderkey", "status", "price", F.col("seq").alias("version"))
     )
+
+
+_SCD_SPLIT = "2024-01-15 00:00:00"
+
+
+@query(
+    "pit_temporal_dim_join",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+               CASE WHEN c_custkey % 10 = 0
+                    THEN TIMESTAMP '{_SCD_SPLIT}'
+                    ELSE TIMESTAMP '9999-12-31 00:00:00' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'MIGRATED',
+               TIMESTAMP '{_SCD_SPLIT}',
+               TIMESTAMP '9999-12-31 00:00:00'
+        FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT d.segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e
+    JOIN dim d
+      ON e.user_id = d.c_custkey
+     AND e.ts >= d.valid_from AND e.ts < d.valid_to
+    GROUP BY d.segment
+    """,
+)
+def pit_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME dimension join — the feature-store operator that
+    keeps training data leak-free: each event joins the SCD2 dimension
+    version that was valid AT THE EVENT'S TIMESTAMP (validity-interval
+    containment), never the current one.  Every 10th customer migrates
+    segment mid-corpus, and events before/after the split genuinely
+    resolve to different versions — joining "current state" here would
+    backfill future knowledge into past events, the classic feature
+    leakage.
+
+    Plan shape: equi join on the entity key carries the work; the
+    validity-range predicate is a residual on the matched (key,
+    version) rows — a customer has few versions, so fan-out is bounded
+    by version count, not table size.  At 100 TB both sides bucket on
+    the key; the residual stays a per-row filter."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    split = F.lit(_SCD_SPLIT).cast("timestamp")
+    far = F.lit("9999-12-31").cast("timestamp")
+    epoch = F.lit("1990-01-01").cast("timestamp")
+    migrated = F.col("c_custkey") % 10 == 0
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        epoch.alias("valid_from"),
+        F.when(migrated, split).otherwise(far).alias("valid_to"),
+    ).unionByName(
+        cust.filter(migrated).select(
+            "c_custkey",
+            F.lit("MIGRATED").alias("segment"),
+            split.alias("valid_from"),
+            far.alias("valid_to"),
+        )
+    )
+    return (
+        ev.join(
+            dim,
+            (ev.user_id == dim.c_custkey)
+            & (ev.ts >= dim.valid_from)
+            & (ev.ts < dim.valid_to),
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
