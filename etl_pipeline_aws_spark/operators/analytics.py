@@ -714,3 +714,145 @@ def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "events_bounce_rate",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM g
+    ), sessions AS (
+        SELECT user_id, sess_id,
+               CAST(date_trunc('day', MIN(ts)) AS DATE) AS session_day,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sess_id
+    )
+    SELECT session_day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS bounce_rate
+    FROM sessions GROUP BY session_day
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of sessions (30-minute-gap
+    sessionization, same rule as window_session / the streamed twins)
+    containing exactly ONE event — the engagement-quality headline
+    metric.  Sessionization is the lag/cumsum island labeling (one
+    window pass per user), session stats one aggregation on (user,
+    session), and the daily rollup divides two exact counts.  Note the
+    tie-break: the session-id cumsum orders by ts alone (ties share a
+    running total — deterministic because SUM over equal keys is
+    order-free), while the gap test orders by (ts, event_id)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(wg).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(wg).cast("long")
+                > 30 * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = g.withColumn("sess_id", F.sum("new_sess").over(ws))
+    sessions = s.groupBy("user_id", "sess_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("session_day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sessions.groupBy("session_day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounces.alias("n_bounces"),
+        (bounces.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+    )
+
+
+@query(
+    "events_cohort_cumulative_value",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ), daily AS (
+        SELECT f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
+                   AS day_offset,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    )
+    SELECT cohort_day, day_offset, day_value,
+           CAST(SUM(CAST(day_value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY cohort_day ORDER BY day_offset
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS cumulative_value
+    FROM daily
+    """,
+)
+def events_cohort_cumulative_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort cumulative value (the LTV curve): per acquisition cohort,
+    total event value at each day offset AND its running cumulative —
+    the curve whose flattening point tells you when a cohort stops
+    paying back.  Same two user_id-partitioned stages as the retention
+    matrix, plus one window pass over the tiny (cohort × offset) grid;
+    the running sum re-enters exact decimals so the cumulative is
+    order-independent and cross-engine identical."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    daily = (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"), F.col("cohort_day")
+            ).alias("day_offset"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("day_value")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "cohort_day",
+        "day_offset",
+        "day_value",
+        F.sum(F.col("day_value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cumulative_value"),
+    )
