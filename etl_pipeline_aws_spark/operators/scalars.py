@@ -542,3 +542,30 @@ def date_timezone_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokyo_business"
         ),
     )
+
+
+@query(
+    "filter_like_pushdown",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part
+    WHERE p_name LIKE 'a%'
+    GROUP BY p_brand
+    """,
+)
+def filter_like_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-LIKE predicate pushed INTO the Parquet scan: ``LIKE 'a%'``
+    compiles to a StringStartsWith data-source filter, so row groups
+    whose p_name min/max range excludes the prefix are skipped before
+    decoding — string predicates prune I/O exactly like numeric ranges
+    when the pattern is a prefix (a '%a' suffix pattern cannot push;
+    that asymmetry is the modeling hint for layout design: cluster by
+    the prefix you filter on).  tests/test_plans.py asserts the pushed
+    filter is present."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("a%"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )

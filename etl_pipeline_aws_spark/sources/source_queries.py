@@ -424,3 +424,50 @@ def parquet_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> Dat
         F.count(F.lit(1)).alias("n"),
         F.sum(F.coalesce(F.col("restated"), F.lit(0))).alias("n_restated"),
     )
+
+
+@query(
+    "csv_corrupt_quarantine",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_corrupt
+    FROM customer
+    """,
+)
+def csv_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row quarantine on CSV ingest: a feed of valid customer
+    rows is salted with one unparseable line per nation (wrong arity,
+    text where numbers belong), read under PERMISSIVE mode with
+    ``columnNameOfCorruptRecord`` — bad lines land in the quarantine
+    column instead of killing the job (FAILFAST's behavior) or silently
+    vanishing (DROPMALFORMED's).  The query reports good vs quarantined
+    counts; the oracle derives both from the construction.  This is the
+    ingestion-robustness contract a 100 TB landing zone needs: corrupt
+    upstream rows become an auditable queue, not a 3 a.m. page."""
+    cust = load_table(spark, sf_dir, "customer")
+    n_bad_src = load_table(spark, sf_dir, "nation")
+    zone = tempfile.mkdtemp(prefix="csv_corrupt_")
+    good_path = os.path.join(zone, "feed")
+    cust.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).write.mode("overwrite").option("header", False).csv(good_path)
+    # salt deterministic corrupt lines (wrong arity + non-numeric key)
+    bad_lines = n_bad_src.select(
+        F.concat(F.lit("CORRUPT;;;"), F.col("n_name")).alias("line")
+    )
+    bad_lines.coalesce(1).write.mode("append").text(good_path)
+    schema = (
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string, _corrupt string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(good_path)
+    )
+    back = back.cache()  # PERMISSIVE corrupt-column requires materialized read
+    return back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count(F.col("_corrupt")).alias("n_corrupt"),
+    )

@@ -392,3 +392,11 @@ def test_partition_pruning_reaches_partition_filters(spark, tmp_path):
     plan = df._jdf.queryExecution().sparkPlan().toString()
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "day" in pf_line.split("PartitionFilters")[1][:200], pf_line
+
+
+def test_like_prefix_filter_pushes_to_scan(spark):
+    """LIKE 'a%' must reach the Parquet scan as a StringStartsWith pushed
+    filter — string-prefix predicates prune row groups like numeric
+    ranges do."""
+    filters = pushed_filters(_q("filter_like_pushdown", spark))
+    assert any("StartsWith" in f or "p_name" in f for f in filters), filters
