@@ -434,3 +434,91 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.mapInPandas(
         segment, schema="doc_id long, segment_idx int, abs_sum long"
     )
+
+
+TILE = 8  # square patch edge, pixels (PPM_WIDTH must be a multiple)
+
+
+@query(
+    "multimodal_image_patches",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST(t.i // {PPM_WIDTH // TILE} AS INT) AS tile_y,
+           CAST(t.i % {PPM_WIDTH // TILE} AS INT) AS tile_x,
+           CAST(COALESCE(list_sum(list_transform(range(0, {TILE * TILE * 3}),
+                j -> ascii(substring(d.text,
+                     3 * ((({TILE} * (t.i // {PPM_WIDTH // TILE}) + (j // 3) // {TILE})
+                               * {PPM_WIDTH})
+                          + {TILE} * (t.i % {PPM_WIDTH // TILE}) + (j // 3) % {TILE})
+                     + (j % 3) + 1, 1)))), 0) AS BIGINT) AS tile_sum
+    FROM documents d,
+         LATERAL (SELECT unnest(range(0,
+              {PPM_WIDTH // TILE}
+              * (((((LENGTH(d.text) + 2) // 3) + {PPM_WIDTH - 1}) // {PPM_WIDTH}
+                  + {TILE - 1}) // {TILE}))) AS i) t
+    """,
+)
+def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-patch extraction from REAL containers — the ViT ingestion
+    shape: each document's PPM raster is parsed honestly, zero-padded to
+    the {TILE}x{TILE} tile grid, and reduced to one integer sum per
+    patch (tile_y, tile_x) — the per-patch statistic a patch-embedding
+    pipeline computes before projection.  One payload row explodes into
+    per-patch rows inside the Arrow batch.
+
+    The oracle re-derives every patch sum by mapping tile-relative
+    (row, col, channel) coordinates back to source-byte positions
+    (out-of-raster positions contribute zero, matching the padding), so
+    BOTH the raster geometry and the tiling arithmetic are value-checked
+    — an off-by-one in stride or padding fails the hash."""
+    import numpy as np
+
+    framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def encode_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def to_ppm(payload: bytes) -> bytes:
+            n_pix = (len(payload) + 2) // 3
+            h = (n_pix + PPM_WIDTH - 1) // PPM_WIDTH
+            raster = payload + b"\x00" * (PPM_WIDTH * h * 3 - len(payload))
+            return f"P6\n{PPM_WIDTH} {h}\n255\n".encode("ascii") + raster
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ppm": pdf["payload"].map(to_ppm)}
+            )
+
+    def patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_ty, out_tx, out_sum = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["ppm"]):
+                header_end = payload.index(b"255\n") + 4
+                dims = payload[3:header_end - 5].split()
+                w, h = int(dims[0]), int(dims[1])
+                arr = np.frombuffer(payload[header_end:], dtype=np.uint8)
+                img = arr.reshape(h, w, 3).astype(np.int64)
+                h_pad = ((h + TILE - 1) // TILE) * TILE
+                if h_pad != h:
+                    img = np.concatenate(
+                        [img, np.zeros((h_pad - h, w, 3), dtype=np.int64)]
+                    )
+                tiles = img.reshape(h_pad // TILE, TILE, w // TILE, TILE, 3)
+                sums = tiles.sum(axis=(1, 3, 4))  # (ty, tx)
+                for ty in range(sums.shape[0]):
+                    for tx in range(sums.shape[1]):
+                        out_doc.append(doc_id)
+                        out_ty.append(ty)
+                        out_tx.append(tx)
+                        out_sum.append(int(sums[ty, tx]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "tile_y": out_ty,
+                    "tile_x": out_tx,
+                    "tile_sum": out_sum,
+                }
+            ).astype({"tile_y": "int32", "tile_x": "int32"})
+
+    encoded = framed.mapInPandas(encode_ppm, schema="doc_id long, ppm binary")
+    return encoded.mapInPandas(
+        patches, schema="doc_id long, tile_y int, tile_x int, tile_sum long"
+    )
