@@ -697,3 +697,34 @@ def agg_first_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr("transform(_s, x -> x.event_id)").alias("first_event_ids"),
     )
+
+
+@query(
+    "agg_boolean_family",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderkey % 1000 = 0) AS any_millenial,
+           CAST(MIN(o_orderkey) AS BIGINT) AS stable_pick
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boolean aggregate family: ``count_if`` (predicate counting
+    without the WHEN boilerplate), ``bool_and``/``every`` (does the
+    invariant hold for ALL rows in the group — the data-quality
+    assertion form), ``bool_or``/``any`` (does any row trip the flag).
+    All are plain partial-aggregatable functions — map-side combined
+    like any sum.  ``any_value`` is deliberately NOT used for the
+    sample column: it is non-deterministic by contract, so the
+    deterministic pick is MIN — the substitution every oracle-checked
+    (or just reproducible) pipeline should make."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderkey") % 1000 == 0).alias("any_millenial"),
+        F.min("o_orderkey").alias("stable_pick"),
+    )

@@ -760,3 +760,26 @@ def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("window_start", "window_end", "event_type", "n_events", "sum_value")
     )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="SELECT COUNT(DISTINCT event_id) AS n_unique FROM events",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state via
+    ``dropDuplicatesWithinWatermark``: duplicates are only suppressed
+    while their key can still legally arrive (inside the watermark
+    delay), and state for older keys is EVICTED — unlike plain
+    ``dropDuplicates`` on a keyed stream, whose state can only be
+    dropped if the event-time column is part of the key.  On this
+    bounded replay every duplicate falls within the delay, so the
+    result equals exact distinct (the oracle); on an unbounded 100 TB/
+    day stream this API is the difference between state that tracks
+    the watermark window and state that grows forever."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = _run_to_memory(deduped, "append")
+    return out.agg(F.count(F.lit(1)).alias("n_unique"))
