@@ -827,3 +827,55 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+PREFIX_BLOCK_CHARS = 32  # containment-candidate blocking key length
+
+
+@query(
+    "dedup_prefix_containment",
+    oracle=f"""
+    SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+           CAST(LENGTH(a.text) AS BIGINT) AS contained_len,
+           CAST(LENGTH(b.text) AS BIGINT) AS container_len
+    FROM documents a JOIN documents b
+      ON substring(a.text, 1, {PREFIX_BLOCK_CHARS})
+             = substring(b.text, 1, {PREFIX_BLOCK_CHARS})
+     AND a.doc_id <> b.doc_id
+     AND LENGTH(a.text) < LENGTH(b.text)
+    WHERE starts_with(b.text, a.text)
+    """,
+)
+def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup: documents whose FULL text is a prefix of a
+    longer document (truncated re-crawls, partial re-uploads — the dup
+    class Jaccard under-scores because the length mismatch dilutes the
+    union).  Blocked on the first {PREFIX_BLOCK_CHARS} characters:
+    candidate generation is a hash join on the block key, the
+    startswith check runs only within blocks, and the strict length
+    ordering keeps each containment pair directional and met once.
+    At 100 TB the block key is stored at ingest (it is substring(text)
+    — free) and hot prefixes (boilerplate headers) are the documented
+    skew risk: widen the block or salt exactly as for any hot join
+    key."""
+    docs = load_table(spark, sf_dir, "documents")
+    block = F.substring("text", 1, PREFIX_BLOCK_CHARS)
+    sides = docs.select(
+        "doc_id", "text", F.length("text").alias("n"), block.alias("blk")
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("a.n") < F.col("b.n")),
+        )
+        .filter(F.col("b.text").startswith(F.col("a.text")))
+        .select(
+            F.col("a.doc_id").alias("contained_doc"),
+            F.col("b.doc_id").alias("container_doc"),
+            F.col("a.n").cast("long").alias("contained_len"),
+            F.col("b.n").cast("long").alias("container_len"),
+        )
+    )

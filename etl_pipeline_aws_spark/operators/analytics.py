@@ -856,3 +856,73 @@ def events_cohort_cumulative_value(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("double")
         .alias("cumulative_value"),
     )
+
+
+@query(
+    "events_funnel_time_bound",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS first_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts >= v.first_view
+          AND e.ts < v.first_view + INTERVAL '24 hours'
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts >= c.first_click
+          AND e.ts < c.first_click + INTERVAL '24 hours'
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_24h,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_24h
+    """,
+)
+def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel: each stage must convert WITHIN 24 hours
+    of the previous stage's first event — the form real funnels take
+    (an un-windowed funnel credits a purchase months after the view).
+    Same bounded-state discipline as events_funnel — every stage is a
+    MIN aggregation, O(1) per user — with the conversion window as one
+    extra residual predicate on each co-partitioned stage join; the
+    added constraint costs nothing in plan shape."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    day_us = 24 * 3600 * 1_000_000
+
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("first_view"))
+            & (F.unix_micros("ts") < F.unix_micros("first_view") + day_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("first_click"))
+            & (F.unix_micros("ts") < F.unix_micros("first_click") + day_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    staged = views.join(clicks, "user_id", "left").join(purchases, "user_id", "left")
+    return staged.agg(
+        F.count("first_view").alias("n_viewed"),
+        F.count("first_click").alias("n_clicked_24h"),
+        F.count("first_purchase").alias("n_purchased_24h"),
+    )
