@@ -926,3 +926,54 @@ def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("first_click").alias("n_clicked_24h"),
         F.count("first_purchase").alias("n_purchased_24h"),
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS prev_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), counts AS (
+        SELECT prev_type, next_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ), totals AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS total FROM counts GROUP BY 1
+    )
+    SELECT c.prev_type, c.next_type,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(c.n AS DOUBLE) / t.total AS p_next
+    FROM counts c JOIN totals t USING (prev_type)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral Markov chain: the event-type transition matrix with
+    conditional probabilities P(next | prev) — the model behind
+    next-action prediction baselines and anomaly scoring on behavior
+    streams (a low-probability transition IS the anomaly signal).  The
+    text_bigram_lm shape applied to event sequences: one lead-window
+    pass per user forms transitions in place, a map-side-combined count
+    on the |types|² matrix, and probabilities from exact integer
+    division.  All shuffles after the window run on the tiny type-pair
+    key space."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return counts.join(totals, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("p_next"),
+    )
