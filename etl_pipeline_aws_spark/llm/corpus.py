@@ -388,3 +388,58 @@ def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         F.sum(F.expr("(n_tokens + 49) div 50")).alias("n_training_chunks"),
     )
+
+
+TOKEN_BUDGET_PER_LANG = 20_000
+
+
+@query(
+    "corpus_token_budget_fill",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), running AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sized
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM running
+    WHERE cum_tokens <= {TOKEN_BUDGET_PER_LANG}
+    """,
+)
+def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus assembly: fill each language's slice up to a
+    {TOKEN_BUDGET_PER_LANG}-token budget, taking documents in a
+    deterministic priority order (doc_id here; any precomputed quality
+    rank drops in) until the NEXT document would not fit — the greedy
+    selection every "train on N tokens per language" recipe runs.
+
+    One running-sum window per language over (doc_id, n_tokens) rows —
+    token counting is a narrow scalar, the window input is metadata
+    (two longs per doc, never text), and the cumulative-sum filter is
+    exactly the prefix the budget admits.  Exact integer token counts
+    make the cut deterministic: no float drift can flip the boundary
+    document."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_LANG)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
