@@ -209,3 +209,81 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("next_orderdate"),
         )
     )
+
+
+_ASOF_NEAREST_ORACLE = """
+    WITH bwd AS (
+        SELECT e.event_id,
+               MAX(o.o_orderdate) AS b_date
+        FROM events e JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        GROUP BY e.event_id
+    ), fwd AS (
+        SELECT e.event_id,
+               MIN(o.o_orderdate) AS f_date
+        FROM events e JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate > e.ts
+        GROUP BY e.event_id
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN b.b_date IS NULL THEN f.f_date
+                WHEN f.f_date IS NULL THEN b.b_date
+                WHEN date_diff('microseconds', b.b_date, e.ts)
+                         <= date_diff('microseconds', e.ts, f.f_date)
+                THEN b.b_date ELSE f.f_date END AS nearest_orderdate
+    FROM events e
+    LEFT JOIN bwd b ON e.event_id = b.event_id
+    LEFT JOIN fwd f ON e.event_id = f.event_id
+    WHERE b.b_date IS NOT NULL OR f.f_date IS NOT NULL
+"""
+
+
+@query("asof_join_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of: for each event, the customer's order date closest
+    in time in EITHER direction (ties go to the prior order — the
+    causal side), completing the as-of family: backward x3, forward,
+    nearest.  This is merge_asof(direction='nearest') semantics,
+    composed as two extreme-value aggregations (max prior date, min
+    later date — O(1) agg state per event, no window buffering) joined
+    and resolved by one scalar comparison.  Both aggregations shuffle
+    on the same event key, so AQE reuses the exchange layout."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    bwd = (
+        ev.join(
+            orders,
+            (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
+        )
+        .groupBy("event_id")
+        .agg(F.max("o_orderdate").alias("b_date"))
+    )
+    fwd = (
+        ev.join(
+            orders,
+            (ev.user_id == orders.o_custkey) & (orders.o_orderdate > ev.ts),
+        )
+        .groupBy("event_id")
+        .agg(F.min("o_orderdate").alias("f_date"))
+    )
+    joined = (
+        ev.select("event_id", "user_id", "ts")
+        .join(bwd, "event_id", "left")
+        .join(fwd, "event_id", "left")
+        .filter(F.col("b_date").isNotNull() | F.col("f_date").isNotNull())
+    )
+    # o_orderdate is TIMESTAMP_NTZ in the testdata; under the pinned UTC
+    # session the cast reinterprets the same instant (catalog.normalize_
+    # events_ts discipline, applied at the expression level here)
+    b_delta = F.unix_micros("ts") - F.unix_micros(F.col("b_date").cast("timestamp"))
+    f_delta = F.unix_micros(F.col("f_date").cast("timestamp")) - F.unix_micros("ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("b_date").isNull(), F.col("f_date"))
+        .when(F.col("f_date").isNull(), F.col("b_date"))
+        .when(b_delta <= f_delta, F.col("b_date"))
+        .otherwise(F.col("f_date"))
+        .alias("nearest_orderdate"),
+    )

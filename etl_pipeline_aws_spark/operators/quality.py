@@ -281,3 +281,44 @@ def dq_reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(diff > 0.01, 1).otherwise(0)).alias("n_mismatched"),
         F.max(diff).alias("max_abs_diff"),
     )
+
+
+@query(
+    "dq_freshness_report",
+    oracle="""
+    SELECT 'events' AS table_name,
+           CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_rows,
+           (SELECT MAX(ts) FROM events) AS latest_ts
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           (SELECT MAX(o_orderdate) FROM orders)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           (SELECT MAX(l_shipdate) FROM lineitem)
+    """,
+)
+def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness report: per fact table, row count and latest event
+    time — the first page of every pipeline-health dashboard (a stale
+    ``latest_ts`` is how ingestion failures actually surface in
+    practice, hours before anyone reads a log).  Three single-row
+    global aggregates unioned; each is a map-side-combined min/max —
+    the whole report costs one scan per table and returns three rows
+    at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def report(name: str, df: DataFrame, ts_col: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(ts_col).cast("timestamp").alias("latest_ts"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "latest_ts")
+
+    return (
+        report("events", ev, "ts")
+        .unionByName(report("orders", o, "o_orderdate"))
+        .unionByName(report("lineitem", li, "l_shipdate"))
+    )
