@@ -55,3 +55,47 @@ def observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rows_scanned"], m["urgent_rows"], rows_out)],
         "rows_scanned long, urgent_rows long, rows_out long",
     )
+
+
+EXPECTED_CUSTOMER_SCHEMA = (
+    ("c_custkey", "bigint"),
+    ("c_name", "string"),
+    ("c_nationkey", "int"),
+    ("c_acctbal", "double"),
+    ("c_mktsegment", "string"),
+)
+
+
+@query(
+    "dq_schema_contract_check",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('c_custkey', 'bigint', TRUE),
+        ('c_name', 'string', TRUE),
+        ('c_nationkey', 'int', TRUE),
+        ('c_acctbal', 'double', TRUE),
+        ('c_mktsegment', 'string', TRUE)
+    ) t(column_name, expected_type, matches)
+    """,
+)
+def dq_schema_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema contract validation: the customer table's ACTUAL schema
+    (probed from the live scan, the same footer-read the adaptive
+    events reader uses) checked column-by-column against the declared
+    contract — the gate a pipeline runs before promoting an upstream
+    drop, and the check that would have caught round 2's events.ts
+    drift one commit earlier had events carried a contract.
+
+    Schema introspection is metadata (a footer read, no data scan);
+    the oracle pins the contract itself, so a silent upstream type
+    change flips ``matches`` to false and fails the round's
+    correctness gate — drift becomes a red diff, not a runtime
+    surprise three queries downstream."""
+    actual = dict(load_table(spark, sf_dir, "customer").dtypes)
+    rows = [
+        (name, expected, actual.get(name) == expected)
+        for name, expected in EXPECTED_CUSTOMER_SCHEMA
+    ]
+    return spark.createDataFrame(
+        rows, "column_name string, expected_type string, matches boolean"
+    )
