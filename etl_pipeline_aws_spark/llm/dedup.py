@@ -172,58 +172,96 @@ def _minhash_features(n: int = 3, n_hashes: int = N_MINHASH):
     (HOF transform/sequence + explode + 16-column groupBy-min): Spark's
     higher-order functions run interpreted (CodegenFallback), and the
     measured cost was ~0.9 ms/doc — 11 s of a 35 s bench at sf0.1.  The
-    numpy version hashes each *unique* word in the batch once
+    numpy version hashes the flat token array elementwise
     (`pd.util.hash_array`, vectorized siphash), builds shingle hashes as
-    three wrapping multiply-XORs over the word-hash array, and computes
-    all 16 universal-hash minima as one (16, n_shingles) broadcasted
-    matmul-shaped op — per-batch Python cost is O(docs), per-element cost
-    is pure C.  Same scale posture as before: narrow map over the scan,
+    three wrapping multiply-XORs over the whole flat token array (windows
+    that straddle a doc boundary masked out), dedups per doc with one
+    lexsort + first-occurrence mask, and computes all 16 universal-hash
+    minima for every doc in one (16, n_shingles) matrix + segmented
+    ``np.minimum.reduceat`` — no per-doc Python loop; per-element cost is
+    pure C.  Same scale posture as before: narrow map over the scan,
     per-doc output is one bounded array of 8-byte ints; nothing here
     shuffles.
 
     Short docs (< n tokens) return an empty shset and a NULL signature —
     they drop out of banding via an ordinary (codegen-able) IsNotNull
     filter, never a HOF predicate."""
+    @F.pandas_udf("shset array<bigint>, sig array<bigint>")
+    def features(texts: pd.Series) -> pd.DataFrame:
+        return _minhash_batch(texts, n)
+
+    return features
+
+
+def _minhash_batch(texts: pd.Series, n: int = 3) -> pd.DataFrame:
+    """Pure numpy batch kernel behind ``_minhash_features`` — importable
+    without a SparkSession so the vectorization is unit-testable against a
+    straight per-doc reference (tests/test_llm.py)."""
     a_perm = np.asarray(_PERM_A, dtype=np.uint64)[:, None]
     b_perm = np.asarray(_PERM_B, dtype=np.uint64)[:, None]
     p = np.uint64(_MERSENNE_P)
     mask31 = np.uint64(0x7FFFFFFF)
     c = [np.uint64(m) for m in (0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB)]
-
-    @F.pandas_udf("shset array<bigint>, sig array<bigint>")
-    def features(texts: pd.Series) -> pd.DataFrame:
-        toks = [("" if t is None else t).strip(" ").lower().split(" ") for t in texts]
-        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
-        flat = (
-            np.concatenate([np.asarray(t, dtype=object) for t in toks])
-            if len(toks)
-            else np.asarray([], dtype=object)
-        )
-        uniq, inv = np.unique(flat, return_inverse=True)
-        word_hash = (
-            pd.util.hash_array(uniq).astype(np.uint64)
-            if len(uniq)
-            else np.asarray([], dtype=np.uint64)
-        )
-        flat_hash = word_hash[inv]
-        offsets = np.concatenate(([0], np.cumsum(lens)))
-        shsets: list[list[int]] = []
-        sigs: list[list[int] | None] = []
-        with np.errstate(over="ignore"):
-            for i in range(len(toks)):
-                w = flat_hash[offsets[i] : offsets[i + 1]]
-                if len(w) < n:
-                    shsets.append([])
-                    sigs.append(None)
-                    continue
-                sh = np.unique(w[: -(n - 1)] * c[0] ^ w[1 : len(w) - (n - 2)] * c[1] ^ w[n - 1 :] * c[2])
-                x = sh & mask31  # < 2^31 ⇒ a*x+b < 2^62: no wraparound in the mod
-                sig = ((a_perm * x[None, :] + b_perm) % p).min(axis=1)
-                shsets.append(sh.view(np.int64).tolist())
-                sigs.append(sig.astype(np.int64).tolist())
-        return pd.DataFrame({"shset": shsets, "sig": sigs})
-
-    return features
+    toks = [("" if t is None else t).strip(" ").lower().split(" ") for t in texts]
+    ndocs = len(toks)
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=ndocs)
+    flat = (
+        np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        if ndocs
+        else np.asarray([], dtype=object)
+    )
+    # hash_array is elementwise (siphash per string), so hashing the flat
+    # token array directly is bit-identical to unique→hash→gather and skips
+    # an O(N log N) *string* argsort that dominated the kernel profile
+    flat_hash = (
+        pd.util.hash_array(flat).astype(np.uint64)
+        if len(flat)
+        else np.asarray([], dtype=np.uint64)
+    )
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    with np.errstate(over="ignore"):
+        # shingle hashes over the whole flat token array in one shot,
+        # then mask out windows that straddle a doc boundary: window at
+        # flat position i belongs to doc d iff pos_in_doc(i) <= len(d)-n
+        nflat = len(flat_hash)
+        if nflat >= n:
+            sh_all = (
+                flat_hash[: -(n - 1)] * c[0]
+                ^ flat_hash[1 : nflat - (n - 2)] * c[1]
+                ^ flat_hash[n - 1 :] * c[2]
+            )
+        else:
+            sh_all = np.asarray([], dtype=np.uint64)
+        tok_doc = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+        win_doc = tok_doc[: len(sh_all)]
+        pos = np.arange(len(sh_all), dtype=np.int64) - offsets[win_doc]
+        valid = pos <= lens[win_doc] - n
+        sh = sh_all[valid]
+        sh_doc = win_doc[valid]
+        # per-doc distinct, ascending (same order np.unique produced in
+        # the per-doc version): lexsort by (doc, hash), keep firsts
+        order = np.lexsort((sh, sh_doc))
+        sh = sh[order]
+        sh_doc = sh_doc[order]
+        if len(sh):
+            keep = np.ones(len(sh), dtype=bool)
+            keep[1:] = (sh[1:] != sh[:-1]) | (sh_doc[1:] != sh_doc[:-1])
+            sh = sh[keep]
+            sh_doc = sh_doc[keep]
+        counts = np.bincount(sh_doc, minlength=ndocs)
+        sh_off = np.concatenate(([0], np.cumsum(counts)))
+        # all 16 universal hashes over every distinct shingle at once,
+        # then per-doc segmented minima via one reduceat per batch
+        x = sh & mask31  # < 2^31 ⇒ a*x+b < 2^62: no wraparound in the mod
+        hmat = (a_perm * x[None, :] + b_perm) % p
+        nz = np.flatnonzero(counts)
+        sigs: list = [None] * ndocs
+        if len(nz):
+            mins = np.minimum.reduceat(hmat, sh_off[:-1][nz], axis=1).astype(np.int64)
+            for j, d in enumerate(nz):
+                sigs[d] = mins[:, j]
+    shsets = np.split(sh.view(np.int64), sh_off[1:-1])
+    return pd.DataFrame({"shset": shsets, "sig": sigs})
 
 
 def minhash_feature_table(docs: DataFrame) -> DataFrame:

@@ -140,3 +140,61 @@ def test_minhash_incremental_matches_full_cross_pairs(spark):
             batch_doc, corpus_doc = (r.doc_a, r.doc_b) if a_batch else (r.doc_b, r.doc_a)
             expected[(batch_doc, corpus_doc)] = round(r.jaccard, 9)
     assert inc == expected
+
+
+def test_minhash_batch_kernel_matches_per_doc_reference():
+    """The vectorized batch kernel (flat shingle windows + lexsort dedup +
+    segmented reduceat minima) must be bit-identical to a straight per-doc
+    computation of the same math — including boundary cases: None, empty
+    string, docs shorter than the shingle width, and all-equal tokens.
+    No SparkSession needed; this pins the numpy layer in isolation."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_pipeline_aws_spark.llm.dedup import (
+        _MERSENNE_P,
+        _PERM_A,
+        _PERM_B,
+        _minhash_batch,
+    )
+
+    n = 3
+    a_perm = np.asarray(_PERM_A, dtype=np.uint64)[:, None]
+    b_perm = np.asarray(_PERM_B, dtype=np.uint64)[:, None]
+    p = np.uint64(_MERSENNE_P)
+    mask31 = np.uint64(0x7FFFFFFF)
+    c = [np.uint64(m) for m in (0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB)]
+
+    def reference(text):
+        w = ("" if text is None else text).strip(" ").lower().split(" ")
+        if len(w) < n:
+            return [], None
+        wh = pd.util.hash_array(np.asarray(w, dtype=object)).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            sh = np.unique(wh[: -(n - 1)] * c[0] ^ wh[1 : len(wh) - (n - 2)] * c[1] ^ wh[n - 1 :] * c[2])
+            x = sh & mask31
+            sig = ((a_perm * x[None, :] + b_perm) % p).min(axis=1)
+        return sh.view(np.int64).tolist(), sig.astype(np.int64).tolist()
+
+    rng_words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = [
+        None,
+        "",
+        "one",
+        "two words",
+        "exactly three words",
+        "a a a a a a",
+        " padded   doc  with   spaces ",
+        "MiXeD Case TOKENS repeat MiXeD Case TOKENS",
+    ]
+    # a few deterministic pseudo-random docs of varied lengths
+    for i in range(20):
+        docs.append(" ".join(rng_words[(i * k + 7) % len(rng_words)] for k in range(2 + (i * 13) % 40)))
+
+    out = _minhash_batch(pd.Series(docs), n)
+    for i, d in enumerate(docs):
+        exp_sh, exp_sig = reference(d)
+        got_sh = list(out["shset"][i])
+        got_sig = None if out["sig"][i] is None else list(out["sig"][i])
+        assert got_sh == exp_sh, f"shset mismatch doc {i}"
+        assert got_sig == exp_sig, f"sig mismatch doc {i}"
