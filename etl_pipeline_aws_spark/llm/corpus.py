@@ -443,3 +443,147 @@ def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_LANG)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )
+
+
+# Leakage-safe split: Fibonacci-hash the CLUSTER representative, so every
+# near-dup cluster lands wholly in one split.  Integer thresholds (0.8 /
+# 0.1 / 0.1 of 2^32) keep the assignment exact on both engines.
+SPLIT_HASH_K = 2654435761  # Knuth multiplicative constant
+SPLIT_MOD = 1 << 32
+SPLIT_TRAIN_LT = 3435973836  # floor(0.8 * 2^32)
+SPLIT_VAL_LT = 3865470566  # floor(0.9 * 2^32)
+
+
+def _split_oracle() -> str:
+    from etl_pipeline_aws_spark.llm.dedup import NGRAM_JACCARD_ORACLE
+
+    return f"""
+    WITH RECURSIVE pairs AS ({NGRAM_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    keepers AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keeper FROM reach GROUP BY src
+    ),
+    assigned AS (
+        SELECT d.doc_id,
+               COALESCE(k.keeper, d.doc_id) AS cluster_rep,
+               (COALESCE(k.keeper, d.doc_id) * {SPLIT_HASH_K}) % {SPLIT_MOD} AS h
+        FROM documents d LEFT JOIN keepers k ON d.doc_id = k.doc_id
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN h < {SPLIT_TRAIN_LT} THEN 'train'
+                WHEN h < {SPLIT_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """
+
+
+@query("corpus_split_leakage_safe", oracle=_split_oracle())
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents must
+    never straddle a split boundary (a val doc whose near-copy sits in
+    train is silent eval contamination), so the split key is the
+    CLUSTER representative, not the document — every member of a dup
+    cluster hashes identically and lands in the same split.
+
+    Composition: the LSH-verified duplicate graph's connected components
+    (dedup_cluster_keepers — banded candidates, exact-Jaccard verified,
+    min-label propagation) give each clustered doc its keeper; singleton
+    docs represent themselves.  The assignment is a Fibonacci hash of the
+    representative against fixed integer thresholds (80/10/10 of 2^32) —
+    pure bigint arithmetic, no RNG, identical on any engine.
+
+    Scale: one broadcast-size keeper table at bench SF; at 100 TB the
+    keeper table is itself doc_id-partitioned output of the CC pass and
+    this becomes one equi-join on doc_id plus a narrow projection — no new
+    shuffle shape beyond what dedup already paid.  The oracle replays the
+    recursive-CTE closure over the EXACT all-pairs graph, certifying both
+    the clustering and the arithmetic."""
+    from etl_pipeline_aws_spark.llm.dedup import dedup_cluster_keepers
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = dedup_cluster_keepers(spark, sf_dir).select(
+        "doc_id", F.col("keeper_doc_id").alias("keeper")
+    )
+    rep = F.coalesce(F.col("keeper"), F.col("doc_id"))
+    h = (rep * F.lit(SPLIT_HASH_K)) % F.lit(SPLIT_MOD)
+    return (
+        docs.join(keepers, "doc_id", "left")
+        .select(
+            "doc_id",
+            rep.alias("cluster_rep"),
+            F.when(h < SPLIT_TRAIN_LT, "train")
+            .when(h < SPLIT_VAL_LT, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+# Deterministic weighted Bernoulli sampling: P(keep) proportional to a
+# per-doc quality weight, decided by pure integer arithmetic so the sample
+# is reproducible and exactly oracle-checkable (no RNG on either engine).
+WSAMPLE_CAP_TOKENS = 200  # weight = min(n_tokens, cap) / cap
+
+
+@query(
+    "corpus_weighted_sample",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               (doc_id * {SPLIT_HASH_K}) % {SPLIT_MOD} AS h
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(LEAST(n_tokens, {WSAMPLE_CAP_TOKENS}) AS DOUBLE)
+               / {WSAMPLE_CAP_TOKENS} AS weight
+    FROM sized
+    WHERE h * {WSAMPLE_CAP_TOKENS} < LEAST(n_tokens, {WSAMPLE_CAP_TOKENS}) * {SPLIT_MOD}
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli corpus sampling: keep each document with
+    probability proportional to a quality weight (here: capped token
+    count — longer docs up to the cap are likelier to survive), the
+    standard "value-weighted downsample" step when a corpus must shrink
+    without uniform thinning.
+
+    The keep decision is exact integer math: keep ⇔ hash(doc_id)/2^32 <
+    weight, cross-multiplied to ``h·cap < min(tokens,cap)·2^32`` so no
+    division or float ever decides a boundary.  Fibonacci hashing gives a
+    uniform, reproducible [0,2^32) draw per doc_id — re-running the
+    sample on any engine, any partitioning, yields byte-identical
+    membership.  Narrow scan → filter; no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    h = (F.col("doc_id") * F.lit(SPLIT_HASH_K)) % F.lit(SPLIT_MOD)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            h.alias("h"),
+        )
+        .filter(
+            F.col("h") * WSAMPLE_CAP_TOKENS
+            < F.least(F.col("n_tokens"), F.lit(WSAMPLE_CAP_TOKENS)) * F.lit(SPLIT_MOD)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (
+                F.least(F.col("n_tokens"), F.lit(WSAMPLE_CAP_TOKENS)).cast("double")
+                / WSAMPLE_CAP_TOKENS
+            ).alias("weight"),
+        )
+    )

@@ -148,6 +148,73 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment_ngram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= 3
+                    THEN list_distinct([array_to_string(ws[i:i+2], ' ')
+                                        for i in range(1, len(ws) - 1)])
+                    ELSE [] END AS s
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), sizes AS (
+        SELECT doc_id, len(s) AS sz FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+               COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT contained_doc, container_doc,
+           CAST(n_common AS DOUBLE) / sa.sz AS containment
+    FROM inter
+    JOIN sizes sa ON contained_doc = sa.doc_id
+    WHERE CAST(n_common AS DOUBLE) / sa.sz >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment C(A→B) = |A∩B| / |A| ≥ 0.8: finds
+    docs whose shingle set is (almost) a subset of another's — quotes,
+    excerpts, and boilerplate-wrapped copies that symmetric Jaccard misses
+    when the container is much longer (J = |A∩B|/|A∪B| shrinks with |B|,
+    containment does not).
+
+    Same plan skeleton as dedup_ngram_jaccard (explode distinct shingles →
+    shingle equi-join → count → divide by the contained side's set size),
+    and the same scale posture: this exact tier is the oracle path; the
+    banded scale twin is the MinHash route (a permutation minimum is a
+    uniform sample of A∪B, so sig agreement estimates J; containment
+    follows as J·(|A|+|B|)/(|A|·(1+J)) from the stored set sizes).
+    Integer-ratio division — one exact double per pair on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = _shingles(docs).persist()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("contained_doc"), F.col("b.doc_id").alias("container_doc"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "contained_doc"), "contained_doc")
+        .select(
+            "contained_doc",
+            "container_doc",
+            (F.col("n_common").cast("double") / F.col("sz")).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
 # Permutation family for MinHash: the classic universal hash
 # h_i(x) = (a_i*x + b_i) mod p over the Mersenne prime p = 2^31-1, with
 # constants derived from splitmix64 of the permutation index — fixed, no

@@ -116,6 +116,60 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_SEARCH_TAU = 0.3  # cosine radius for range search
+
+
+RANGE_SEARCH_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    ), q AS (
+        SELECT * FROM n WHERE vec_id < {N_QUERIES}
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+               / (q.nrm * c.nrm) AS cosine
+    FROM q JOIN n c ON c.vec_id <> q.vec_id
+    WHERE list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+              / (q.nrm * c.nrm) >= {RANGE_SEARCH_TAU}
+"""
+
+
+@query("similarity_range_search", oracle=RANGE_SEARCH_ORACLE)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: every corpus vector within cosine
+    ≥ τ of each query — the retrieval primitive when the caller wants "all
+    sufficiently similar", not a fixed k (e.g. building candidate pools
+    for dedup review or RAG filtering).
+
+    Same physical shape as the top-k brute force (broadcast query set ×
+    one candidate scan), but with NO window stage at all: the radius
+    predicate filters inside the joined projection, so the plan is a
+    single BroadcastNestedLoopJoin + Filter — embarrassingly parallel over
+    candidate splits, no shuffle whatsoever.  At 100 TB the scan side
+    partitions freely; the scale variant routes through the LSH tables
+    first (similarity_topk_lsh's bucketing) to skip far cells, exactly as
+    for top-k."""
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    return (
+        q.join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= RANGE_SEARCH_TAU)
+    )
+
+
 @rows_only_query("similarity_topk_ivf")
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with REAL coarse quantization: cells come from a seeded

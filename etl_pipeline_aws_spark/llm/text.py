@@ -715,3 +715,79 @@ def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("labeled_lang", "predicted_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "text_bigram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bi AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+    ), counts AS (
+        SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2
+    ), prefix AS (
+        SELECT w1, CAST(SUM(c) AS BIGINT) AS cp FROM counts GROUP BY 1
+    ), scored AS (
+        SELECT doc_id, CAST(c AS DOUBLE) / cp AS p, c
+        FROM bi JOIN counts USING (w1, w2) JOIN prefix USING (w1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+               AS avg_bigram_prob,
+           MIN(p) AS min_bigram_prob,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel_bigrams
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM-likelihood quality score: train the corpus bigram
+    model (MLE counts, same tokenization as text_bigram_lm), then score
+    every document by how probable its own bigrams are under it — the
+    perplexity-filter step of an LLM data pipeline, reported in
+    probability space rather than log space because ln/log2 differ in the
+    last ulp across engines while count ratios are exact (see
+    functions/numeric.py; the ordering of documents by avg probability is
+    the same ordering perplexity gives, inverted).
+
+    Emitted per doc: n_bigrams, avg_bigram_prob (exact decimal-sum →
+    double pattern — P values are single divisions of exact counts, so
+    both engines see identical doubles), min_bigram_prob (the doc's most
+    surprising transition), and novel_bigrams (count of bigrams occurring
+    nowhere else in the corpus — a direct novelty/contamination signal:
+    boilerplate has none, unique prose has many).
+
+    Plan: one bigram expansion (in-row transform, narrow), one (w1,w2)
+    count shuffle, a prefix rollup reusing that partitioning, then a join
+    back to the doc bigrams and a doc_id agg.  At 100 TB the count tables
+    are the model — they'd persist as a bucketed table and the scoring
+    join co-locates on w1; the doc-side shuffle is bounded by token count,
+    the same floor any n-gram scorer pays.  Docs with < 2 tokens have no
+    bigrams and drop out (no NULL-probability rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+                " (w, i) -> struct(w AS w1, split(text, ' ')[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    prefix = counts.groupBy("w1").agg(F.sum("c").cast("long").alias("cp"))
+    scored = (
+        bi.join(counts, ["w1", "w2"])
+        .join(prefix, ["w1"])
+        .select("doc_id", (F.col("c").cast("double") / F.col("cp")).alias("p"), "c")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (F.sum(F.col("p").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_bigram_prob"),
+        F.min("p").alias("min_bigram_prob"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("novel_bigrams"),
+    )

@@ -105,6 +105,7 @@ ALLOWED_NESTED_LOOP = {
     "corpus_mix_equalize",  # single-row min-count cap broadcast (q11 pattern)
     "text_cosine_pairs",  # single-row corpus-count broadcast for the df cutoff
     "similarity_topk_bruteforce",  # broadcast query set is the operator's design
+    "similarity_range_search",  # same broadcast-query-set design, radius predicate
     "similarity_topk_ivf",  # centroid table broadcast (|cells| rows)
     "events_gapfill_locf",  # 1-row min/max bounds broadcast to the type spine (scale-free)
     "feature_quantile_binning",  # 1-row decile-boundary broadcast (scale-free)
@@ -116,6 +117,7 @@ ALLOWED_PYTHON_EVAL = {
     "dedup_minhash_lsh",  # Arrow-vectorized shingle+MinHash kernel (the point)
     "dedup_minhash_incremental",  # same kernel, batch-vs-index probe
     "dedup_cluster_keepers",  # consumes the MinHash kernel's pair set
+    "corpus_split_leakage_safe",  # split key = cluster rep from the same kernel
     "dedup_embedding_lsh",  # Arrow-vectorized hyperplane signature
     "udf_pandas_vectorized",  # UDF surface demonstrations
     "udf_scalar_py",
