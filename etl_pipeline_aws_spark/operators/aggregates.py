@@ -728,3 +728,96 @@ def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderkey") % 1000 == 0).alias("any_millenial"),
         F.min("o_orderkey").alias("stable_pick"),
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    ), ranked AS (
+        SELECT o_orderstatus, o_orderpriority, n,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY n DESC, o_orderpriority) AS rn
+        FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a DETERMINISTIC tie-break
+    (smallest value wins).  Built as count → top-1 window rather than the
+    engine's ``mode()`` aggregate, whose tie behavior is unspecified — an
+    oracle-checked pipeline cannot ship an unspecified tie.
+
+    Plan: one (group, value) count shuffle with map-side combine, then a
+    rank-1 window over the tiny distinct table (WindowGroupLimit prunes to
+    the top row per group without sorting whole partitions).  Cardinality
+    entering the window is |groups × distinct values|, not |rows| — at
+    100 TB the heavy reduction happened in the first agg."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )
+
+
+QUANTILE_PS = (1, 4)  # discrete quantile positions: p = 1/4, 2/4, 3/4
+
+
+@query(
+    "agg_quantiles_exact",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN rn = (n - 1) // 4 + 1 THEN l_quantity END) AS q25,
+           MIN(CASE WHEN rn = (n - 1) // 2 + 1 THEN l_quantity END) AS q50,
+           MIN(CASE WHEN rn = 3 * (n - 1) // 4 + 1 THEN l_quantity END) AS q75
+    FROM ranked
+    GROUP BY l_returnflag
+    """,
+)
+def agg_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE quantiles (q25/q50/q75) per group: the reported
+    value is an actual element — the one at rank ⌊(n-1)·p⌋+1 — never an
+    interpolation.  Continuous percentile interpolates ``a + (b-a)·frac``
+    whose float rounding is engine-specific; picking a real element keeps
+    the answer exact on any engine (the same reason approx sketches
+    return elements).  Rank ties are broken by the (orderkey, linenumber)
+    primary key, so equal values cannot reorder between runs.
+
+    Plan: one window sort per group partition + a group agg — the
+    sort-per-group is the inherent cost of EXACT quantiles; the scale
+    alternative (percentile_approx / KLL) is agg_percentile_approx."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def at(num: int, den: int):
+        target = (num * (F.col("n") - 1)) / den
+        return F.min(F.when(F.col("rn") == F.floor(target) + 1, F.col("l_quantity")))
+    return ranked.groupBy("l_returnflag").agg(
+        at(1, 4).alias("q25"), at(1, 2).alias("q50"), at(3, 4).alias("q75")
+    )

@@ -977,3 +977,141 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("total")).alias("p_next"),
     )
+
+
+@query(
+    "events_dau_wau_mau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM ud
+    )
+    SELECT d.day,
+           CAST(COUNT(DISTINCT CASE WHEN ud.day = d.day
+                                    THEN ud.user_id END) AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT CASE WHEN ud.day > d.day - 7
+                                    THEN ud.user_id END) AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS mau,
+           CAST(COUNT(DISTINCT CASE WHEN ud.day = d.day
+                                    THEN ud.user_id END) AS DOUBLE)
+               / COUNT(DISTINCT CASE WHEN ud.day > d.day - 7
+                                     THEN ud.user_id END) AS stickiness
+    FROM days d
+    JOIN ud ON ud.day <= d.day AND ud.day > d.day - 30
+    GROUP BY d.day
+    """,
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement report: per observed day, DAU (distinct users
+    that day), WAU (trailing 7 days), MAU (trailing 30 days), and the
+    DAU/WAU stickiness ratio — the standard product-health dashboard.
+
+    Scale shape: the oracle's range join (day BETWEEN d-29 AND d) is
+    quadratic in days × user-days, so the engine instead EXPLODES each
+    distinct (user, day) into the ≤30 target days it can influence
+    (sequence + explode — bounded 30× fanout of a row that is two
+    values), tags each copy with its offset, and distinct-counts per
+    target day with offset predicates.  One user-day dedup shuffle + one
+    bounded-fanout day rollup; no range join anywhere.  The exact
+    trailing distinct is the small-window tier — the sketch tier for
+    365-day windows at 100 TB is agg_hll_sliding_distinct.  Stickiness is
+    one division of two exact counts.  Target days are restricted to
+    observed days (semi join), matching the oracle's day list."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    fanout = ud.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 29))).alias("target_day"),
+    ).withColumn("offset", F.datediff(F.col("target_day"), F.col("day")))
+    dau = F.count_distinct(F.when(F.col("offset") == 0, F.col("user_id")))
+    wau = F.count_distinct(F.when(F.col("offset") < 7, F.col("user_id")))
+    return (
+        fanout.join(days.withColumnRenamed("day", "target_day"), "target_day", "left_semi")
+        .groupBy(F.col("target_day").alias("day"))
+        .agg(
+            dau.alias("dau"),
+            wau.alias("wau"),
+            F.count_distinct("user_id").alias("mau"),
+            (dau.cast("double") / wau).alias("stickiness"),
+        )
+    )
+
+
+ATTRIBUTION_WINDOW_DAYS = 7
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, ts,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_ts
+        FROM events
+    )
+    SELECT COALESCE(CASE WHEN prev_ts >= ts - INTERVAL {ATTRIBUTION_WINDOW_DAYS} DAY
+                         THEN prev_type END, 'direct') AS attributed_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent NON-purchase event within a 7-day lookback; purchases
+    with no qualifying touch are 'direct'.  Output is the attribution
+    report (credited event type → purchase count).
+
+    One window per user ordered by (ts, event_id) — the tie-break makes
+    the 'last' pick deterministic under equal timestamps — using
+    ``last(..., ignorenulls)`` over an unbounded-to-1-preceding frame, so
+    the carry-forward is a single sorted scan per user partition: no
+    self-join of purchases against history, which at 100 TB would fan out
+    on power users.  The lookback cutoff is applied AFTER the carry (the
+    carried value is the latest touch; if even that is stale, nothing
+    closer existed).  One user_id shuffle + one tiny rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    ordered = ev.select(
+        "event_type",
+        "ts",
+        F.last(touch, ignorenulls=True).over(w).alias("prev_type"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("prev_ts"),
+    )
+    in_window = F.col("prev_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ATTRIBUTION_WINDOW_DAYS} DAY"
+    )
+    return (
+        ordered.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.when(in_window, F.col("prev_type")), F.lit("direct")).alias(
+                "attributed_type"
+            )
+        )
+        .groupBy("attributed_type")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
