@@ -1115,3 +1115,149 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("attributed_type")
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+RFM_REF_DATE = "2001-09-01"  # fixed analysis date just past the data's horizon
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                         DATE '{RFM_REF_DATE}') AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    ), scored AS (
+        SELECT *,
+               CAST(NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                    AS INT) AS r_score,
+               CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey) AS INT)
+                   AS f_score,
+               CAST(NTILE(5) OVER (ORDER BY monetary, o_custkey) AS INT)
+                   AS m_score
+        FROM base
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                    THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'core' END AS segment
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days from last order to a FIXED
+    reference date — a pinned analysis date, so no 1-row global-max
+    broadcast and the answer never shifts under late data), frequency
+    (order count), monetary (exact decimal-sum of order totals), each
+    quintile-scored with NTILE(5) under a total order (metric + custkey
+    tie-break — identical bucketing on any engine), then mapped to the
+    classic marketing segments.
+
+    Plan: one o_custkey agg over orders, then three NTILE windows over
+    the CUSTOMER-sized table.  The windows are global sorts, but of dim
+    cardinality (|customers|, not |orders|) — at 100 TB the standard move
+    is scoring within a partition key (region / business unit), which
+    changes only the partitionBy; the heavy reduction already happened in
+    the first agg."""
+    from pyspark.sql.window import Window
+
+    from etl_pipeline_aws_spark.functions.numeric import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_REF_DATE).cast("date"), F.max("o_orderdate").cast("date")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
+    f = F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
+    m = F.ntile(5).over(Window.orderBy("monetary", "o_custkey"))
+    scored = base.select(
+        "*", r.alias("r_score"), f.alias("f_score"), m.alias("m_score")
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("core")
+    )
+    return scored.withColumn("segment", seg)
+
+
+@query(
+    "parts_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - l_discount AS DECIMAL(18,4))) AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ), run AS (
+        SELECT l_partkey, revenue,
+               SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey) AS cum,
+               SUM(revenue) OVER () AS total
+        FROM rev
+    )
+    SELECT l_partkey,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+           CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                WHEN cum * 20 <= total * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM run
+    """,
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by exact discounted
+    revenue; class A = the prefix covering 80 % of total revenue, B = the
+    next 15 %, C = the tail.  The class boundary is an exact DECIMAL
+    cross-multiplication (cum·5 ≤ total·4, cum·20 ≤ total·19) — no float
+    division ever decides which side of 80 % a part falls on; the
+    reported cum_share is one double division of two exact decimals.
+
+    Plan: lineitem reduces to a part-sized table first (one l_partkey
+    shuffle with map-side combine), then ONE global running-sum window
+    over |parts| rows.  The global sort is over the aggregated dim-sized
+    table, never the fact table — the same discipline as RFM; if |parts|
+    itself outgrows one task, the classification regroups per category
+    (partitionBy) or switches to a two-pass quantile cut."""
+    from pyspark.sql.window import Window
+
+    from etl_pipeline_aws_spark.functions.numeric import dmul
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(dmul("l_extendedprice", F.lit(1) - F.col("l_discount"))).alias("revenue")
+    )
+    w_run = Window.orderBy(F.col("revenue").desc(), "l_partkey")
+    run = rev.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(w_run).alias("cum"),
+        F.sum("revenue").over(Window.partitionBy()).alias("total"),
+    )
+    cls = (
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C")
+    )
+    return run.select(
+        "l_partkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        (F.col("cum").cast("double") / F.col("total").cast("double")).alias("cum_share"),
+        cls.alias("abc_class"),
+    )
