@@ -352,3 +352,56 @@ def embedding_quantized_projection(spark: SparkSession, sf_dir: str) -> DataFram
         for j in range(PROJ_DIMS)
     ]
     return emb.select("vec_id", *cols)
+
+
+MIPS_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+        SELECT * FROM e WHERE vec_id < {N_QUERIES}
+    ), sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+                   AS dot
+        FROM q JOIN e c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, dot, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY dot DESC, neighbor_id) AS rn
+          FROM sims)
+    WHERE rn <= {TOP_K}
+"""
+
+
+@query("similarity_topk_dot", oracle=MIPS_ORACLE)
+def similarity_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) top-k — the retrieval scoring
+    used when embedding MAGNITUDE carries signal (recommendation models,
+    unnormalized two-tower outputs), where cosine's normalization would
+    erase it.  Same exact-tier plan as the cosine brute force: broadcast
+    query set, one candidate scan, per-query WindowGroupLimit top-k; the
+    LSH/IVF scale tiers apply after the standard reduction of MIPS to
+    cosine by norm augmentation ([x; sqrt(M²-|x|²)] — documented, not
+    needed at the exact tier).  Left-to-right zip_with fold matches
+    DuckDB's list_sum element order, so dot VALUES hash-match."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    sims = q.join(e, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("dot").desc(), "neighbor_id")
+    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= TOP_K
+    )

@@ -821,3 +821,101 @@ def agg_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("l_returnflag").agg(
         at(1, 4).alias("q25"), at(1, 2).alias("q50"), at(3, 4).alias("q75")
     )
+
+
+@query(
+    "agg_mad_outliers",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ), med AS (
+        SELECT o_orderpriority,
+               MIN(CASE WHEN rn = (n - 1) // 2 + 1 THEN o_totalprice END) AS med
+        FROM ranked GROUP BY 1
+    ), dev AS (
+        SELECT r.o_orderpriority, ABS(r.o_totalprice - m.med) AS dv, r.o_orderkey,
+               m.med
+        FROM ranked r JOIN med m USING (o_orderpriority)
+    ), dranked AS (
+        SELECT o_orderpriority, med, dv,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY dv, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM dev
+    ), mad AS (
+        SELECT o_orderpriority, MIN(med) AS med,
+               MIN(CASE WHEN rn = (n - 1) // 2 + 1 THEN dv END) AS mad
+        FROM dranked GROUP BY 1
+    )
+    SELECT d.o_orderpriority, m.med, m.mad,
+           CAST(COUNT(CASE WHEN d.dv > 3 * m.mad THEN 1 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    GROUP BY 1, 2, 3
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: per
+    priority group, median order value (exact element, pk tie-break),
+    MAD = median of |x - med| (again an exact element), and the count of
+    orders farther than 3 MAD from the median.  MAD tolerates up to 50%
+    contamination where stddev-based z-scores are dragged by the very
+    outliers they hunt — the robust twin of events_anomaly_zscore.
+
+    Determinism: both medians are REAL elements (no interpolation); the
+    deviation |x - med| is one IEEE subtraction of the same two doubles
+    on either engine, and 3*mad one multiply — bit-identical.
+
+    Plan shape: two window-sort passes per group partition (the inherent
+    cost of exact medians — the 100 TB tier swaps them for
+    percentile_approx) + one broadcast-sized (5-row) medians join and a
+    final map-side-combined group agg."""
+    from pyspark.sql.window import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = od.select(
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = F.floor((F.col("n") - 1) / 2) + 1
+    med = ranked.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("rn") == mid, F.col("o_totalprice"))).alias("med")
+    )
+    dev = ranked.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("dv"),
+        "o_orderkey",
+    )
+    dw = Window.partitionBy("o_orderpriority").orderBy("dv", "o_orderkey")
+    dranked = dev.select(
+        "o_orderpriority",
+        "med",
+        "dv",
+        F.row_number().over(dw).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = dranked.groupBy("o_orderpriority").agg(
+        F.min("med").alias("med"),
+        F.min(F.when(F.col("rn") == mid, F.col("dv"))).alias("mad"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority", "med", "mad")
+        .agg(
+            F.count(F.when(F.col("dv") > 3 * F.col("mad"), F.lit(1)))
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )

@@ -1261,3 +1261,75 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum").cast("double") / F.col("total").cast("double")).alias("cum_share"),
         cls.alias("abc_class"),
     )
+
+
+@query(
+    "events_trend_slope",
+    oracle="""
+    WITH cal AS (
+        SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d0 FROM events
+    ), daily AS (
+        SELECT event_type,
+               CAST(DATEDIFF('day', cal.d0, CAST(ts AS DATE)) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events CROSS JOIN cal
+        GROUP BY 1, 2
+    ), sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+               AS slope_per_day
+    FROM sums
+    """,
+)
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type activity trend: the least-squares slope of daily
+    event counts over a shared calendar day index — the one-number
+    growing-or-shrinking answer a metrics dashboard puts next to every
+    series.
+
+    Determinism: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) where every
+    sum is an exact BIGINT (day indices × integer counts); numerator and
+    denominator are emitted exactly, and the slope itself is ONE double
+    division of the same two exact integers on either engine.  The
+    engines' built-in regr_slope accumulates doubles in scan order and
+    cannot cross-engine match.
+
+    Plan shape: daily rollup (one shuffle, map-side combined), the
+    calendar origin as a single-row broadcast, then a #types-row power-sum
+    agg — linear scan cost, constant output."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    return sums.select(
+        "event_type",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias("slope_per_day"),
+    )

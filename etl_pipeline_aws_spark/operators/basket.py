@@ -1,0 +1,125 @@
+"""Market-basket analysis — association rules over order baskets.
+
+The classic retail-analytics shape the reference's warehouse columns can
+express: baskets are orders, items are parts, and a rule ``a -> b`` is
+scored by support / confidence / lift.  Complements graph.py (which turns
+the same co-occurrence structure into PageRank / triangles) with the
+*probabilistic rule* reading of it.
+
+Determinism discipline: confidence and lift are emitted as scaled-integer
+floor divisions (basis points / parts-per-million) — ``pair_n * 10000 div
+sup_ante`` is exact on any engine, while a double division of two doubles
+already rounded differently per engine is not.  All counts are BIGINT.
+
+Scale posture: pair generation is the bounded within-basket self-join
+(orders hold <= 7 lines => <= 21 pairs per order — the same boundedness
+argument as graph.py's edge build); per-item supports and per-pair counts
+are each one keyed shuffle; the global basket count joins as a single-row
+broadcast (scale-independent).  Min-support pruning cuts the rule set
+before the supports join, so the join probe carries only surviving pairs.
+At 100 TB nothing here is quadratic in the catalog — work is linear in
+lineitem with a constant fan-out.
+
+Reference parity: the reference's engine (SURVEY.md §2.A R3) only maps and
+filters records; this module is part of the mandated analytics surface
+extension (SURVEY.md §2.B, BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.registry import query
+
+MB_MIN_PAIR = 3  # a rule needs >= 3 co-occurrences to be reported
+
+
+MARKET_BASKET_ORACLE = f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), sup AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY 1
+    ), nb AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+    ), pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS pn
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MB_MIN_PAIR}
+    ), rules AS (
+        SELECT pa AS antecedent, pb AS consequent, pn FROM pairs
+        UNION ALL
+        SELECT pb AS antecedent, pa AS consequent, pn FROM pairs
+    )
+    SELECT r.antecedent, r.consequent, r.pn AS pair_n,
+           sa.s AS sup_ante, sc.s AS sup_cons,
+           CAST(r.pn * 10000 // sa.s AS BIGINT) AS conf_bp,
+           CAST(r.pn * nb.n * 1000000 // (sa.s * sc.s) AS BIGINT) AS lift_ppm
+    FROM rules r
+    JOIN sup sa ON sa.l_partkey = r.antecedent
+    JOIN sup sc ON sc.l_partkey = r.consequent
+    CROSS JOIN nb
+"""
+
+
+@query("market_basket_rules", oracle=MARKET_BASKET_ORACLE)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules a -> b over order baskets: support (pair count),
+    confidence = P(b | a) in basis points, lift = P(a,b) / (P(a)P(b)) in
+    parts-per-million — both as exact scaled-integer floor divisions.
+
+    Plan shape: distinct (order, part) projection; bounded within-order
+    self-join -> pair counts (one shuffle on the pair key, HAVING prunes
+    low-support pairs map-side-combined); per-part supports (one keyed
+    shuffle) joined twice onto the surviving rules; the global basket
+    count enters as a single-row broadcast cross join."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    n_baskets = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pn"))
+        .filter(F.col("pn") >= MB_MIN_PAIR)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "pn"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "pn"
+        )
+    )
+    sa = sup.select(F.col("l_partkey").alias("ka"), F.col("s").alias("sup_ante"))
+    sc = sup.select(F.col("l_partkey").alias("kc"), F.col("s").alias("sup_cons"))
+    return (
+        rules.join(sa, F.col("antecedent") == F.col("ka"))
+        .join(sc, F.col("consequent") == F.col("kc"))
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("pn").alias("pair_n"),
+            "sup_ante",
+            "sup_cons",
+            F.expr("pn * 10000 div sup_ante").cast("long").alias("conf_bp"),
+            F.expr("pn * n * 1000000 div (sup_ante * sup_cons)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )

@@ -75,6 +75,7 @@ def _load_all() -> None:
         aggregates,
         analytics,
         asof,
+        basket,
         events,
         flagships,
         graph,
