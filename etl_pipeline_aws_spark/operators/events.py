@@ -241,3 +241,82 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").isNull().alias("is_gap"),
         )
     )
+
+
+SESSION_TTL_MIN = 30  # each event opens a 30-minute activity interval
+
+
+CONCURRENCY_ORACLE = f"""
+    WITH iv AS (
+        SELECT ts AS s, ts + INTERVAL '{SESSION_TTL_MIN} minutes' AS e FROM events
+    ), pieces AS (
+        SELECT CAST(s AS DATE) AS day, s, LEAST(e, CAST(s AS DATE) + INTERVAL '1 day') AS e
+        FROM iv
+        UNION ALL
+        SELECT CAST(e AS DATE) AS day, CAST(e AS DATE) AS s, e
+        FROM iv
+        WHERE CAST(e AS DATE) > CAST(s AS DATE) AND e > CAST(e AS DATE)
+    ), pts AS (
+        SELECT day, s AS t, 1 AS delta FROM pieces
+        UNION ALL
+        SELECT day, e AS t, -1 AS delta FROM pieces
+    ), run AS (
+        SELECT day,
+               SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM pts
+    )
+    SELECT day, CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY day
+"""
+
+
+@query("events_concurrent_sessions", oracle=CONCURRENCY_ORACLE)
+def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day — the interval-sweep problem: every event
+    opens a 30-minute activity interval, and the answer is the maximum
+    number of simultaneously-open intervals each day (capacity planning's
+    load question, which no group-by can answer).
+
+    Classic sweep: intervals become +1/-1 boundary points, concurrency is
+    the running sum in time order, the answer its per-day max.  Intervals
+    crossing midnight are split at the boundary (the second piece opens AT
+    midnight, so it is counted in the next day's sweep — clipping is
+    exact, not an approximation).  Tie rule pinned by ordering (t, delta):
+    an interval ending exactly when another starts is closed first
+    (half-open [s, e) semantics), identical in both engines.
+
+    Scale: the sweep window is partitioned by DAY — each partition sorts
+    one day's boundary points, never a global order.  At 100 TB day
+    partitions are still large; the same algorithm then runs at hour
+    grain with per-bucket boundary carry (a two-pass prefix sum: open
+    count entering each bucket = Σ earlier (+1) − Σ earlier (−1), a
+    broadcast-sized per-bucket table) — the sweep itself is unchanged."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {SESSION_TTL_MIN} MINUTES")).alias("e"),
+    )
+    next_midnight = F.date_add(F.to_date("s"), 1).cast("timestamp")
+    within = ev.select(
+        F.to_date("s").alias("day"), "s", F.least("e", next_midnight).alias("e")
+    )
+    crossers = ev.filter(
+        (F.to_date("e") > F.to_date("s")) & (F.col("e") > F.to_date("e").cast("timestamp"))
+    ).select(
+        F.to_date("e").alias("day"),
+        F.to_date("e").cast("timestamp").alias("s"),
+        "e",
+    )
+    pieces = within.unionByName(crossers)
+    pts = pieces.select("day", F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        pieces.select("day", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = pts.select("day", F.sum("delta").over(w).alias("conc"))
+    return run.groupBy("day").agg(F.max("conc").cast("long").alias("max_concurrent"))

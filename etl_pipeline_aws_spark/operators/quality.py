@@ -322,3 +322,77 @@ def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(report("orders", o, "o_orderdate"))
         .unionByName(report("lineitem", li, "l_shipdate"))
     )
+
+
+@query(
+    "dq_primary_key_audit",
+    oracle="""
+    SELECT 'customer' AS tbl,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_rows,
+           (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer) AS n_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+             - (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer)
+               AS n_dup_rows
+    UNION ALL
+    SELECT 'orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+             - (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+    UNION ALL
+    SELECT 'part',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM part),
+           (SELECT CAST(COUNT(DISTINCT p_partkey) AS BIGINT) FROM part),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM part)
+             - (SELECT CAST(COUNT(DISTINCT p_partkey) AS BIGINT) FROM part)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+              FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+             - (SELECT CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+                  FROM lineitem)
+    UNION ALL
+    SELECT 'events',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+           (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+             - (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events)
+    """,
+)
+def dq_primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across every keyed table in one
+    report: row count vs distinct-key count, surplus = duplicated rows.
+    The sibling of dq_referential_audit — THE load-promotion gate (a
+    duplicated key silently doubles every downstream join and aggregate,
+    the costliest quiet corruption a warehouse has).
+
+    Plan: per table one count + one count-distinct (partial-aggregated
+    key shuffle; composite (orderkey, linenumber) for lineitem), results
+    unioned into a 5-row report — linear scans, no joins."""
+
+    def audit(tbl: str, df: DataFrame, *keys: str) -> DataFrame:
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(*keys).cast("long").alias("n_keys"),
+            (F.count(F.lit(1)) - F.countDistinct(*keys)).cast("long").alias("n_dup_rows"),
+        )
+
+    rows = [
+        audit("customer", load_table(spark, sf_dir, "customer"), "c_custkey"),
+        audit("orders", load_table(spark, sf_dir, "orders"), "o_orderkey"),
+        audit("part", load_table(spark, sf_dir, "part"), "p_partkey"),
+        audit(
+            "lineitem",
+            load_table(spark, sf_dir, "lineitem"),
+            "l_orderkey",
+            "l_linenumber",
+        ),
+        audit("events", load_table(spark, sf_dir, "events"), "event_id"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

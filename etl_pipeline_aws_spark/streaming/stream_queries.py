@@ -783,3 +783,81 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = _run_to_memory(deduped, "append")
     return out.agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+STREAM_STREAM_LEFT_OUTER_ORACLE = """
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), mx AS (
+        SELECT MAX(ts) AS mt FROM events
+    ), j AS (
+        SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
+        FROM c LEFT JOIN p
+          ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes'
+    )
+    SELECT click_id, purchase_id, user_id,
+           CAST(date_diff('second', click_ts, purchase_ts) AS BIGINT) AS delay_s
+    FROM j CROSS JOIN mx
+    WHERE purchase_id IS NOT NULL
+       OR click_ts + INTERVAL '90 minutes' < mt
+"""
+
+
+@query("stream_stream_left_outer_join", oracle=STREAM_STREAM_LEFT_OUTER_ORACLE)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — click→purchase attribution
+    where clicks with NO purchase in their 30-minute window still emit
+    (purchase_id NULL): the did-NOT-convert stream, which the inner join
+    (stream_stream_interval_join) structurally cannot produce.
+
+    The semantics the oracle must encode: an unmatched left row is held in
+    state until the global watermark proves no matching purchase can still
+    arrive, i.e. it emits null-extended only once
+    ``click_ts + interval(30m) < final_watermark (= max event time − 1h
+    delay)``; unmatched clicks inside the final 90 minutes of the bounded
+    replay are still "open" at termination and are correctly NOT emitted
+    — the oracle's WHERE reproduces exactly that cutoff, making the
+    watermark-eviction contract itself the thing being checked.
+
+    State is bounded by watermark + interval on both sides (same eviction
+    predicate as the inner form); at 100 TB the join shuffles both streams
+    on user_id per micro-batch and state size is rate × 90 minutes."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("delay_s"),
+    )
+    return _run_to_memory(joined, "append")
