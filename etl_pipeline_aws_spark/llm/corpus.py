@@ -587,3 +587,141 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weight"),
         )
     )
+
+
+BUCKET_LADDER = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)  # context lengths
+
+
+def _bucket_case_sql() -> str:
+    expr = "CASE "
+    for b in BUCKET_LADDER:
+        expr += f"WHEN len(string_split(text, ' ')) <= {b} THEN {b} "
+    return expr + f"ELSE {BUCKET_LADDER[-1] * 2} END"
+
+
+@query(
+    "corpus_length_bucketing",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST({_bucket_case_sql()} AS BIGINT) AS bucket
+        FROM documents
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket - n_tok) AS BIGINT) AS padding_waste,
+           CAST(SUM(bucket - n_tok) * 10000 // SUM(bucket) AS BIGINT) AS waste_bp
+    FROM t GROUP BY bucket
+    """,
+)
+def corpus_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length bucketing for batched inference/training: each
+    document is assigned the smallest power-of-two context bucket that
+    holds its token count, and the report prices the padding — tokens
+    wasted per bucket and the waste rate in basis points.  This is the
+    decision input for bucket ladders (too few buckets → padding waste;
+    too many → small, inefficient batches) — the same economics that
+    motivates sequence packing (text_pack_offsets), measured rather than
+    assumed.
+
+    Exact integers throughout (token counts, bucket caps, floor-division
+    basis points).  One narrow scan + a ≤10-key rollup — no joins, no
+    windows; at 100 TB the rollup is a pure map-side-combine shuffle of
+    ten partials per task."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    bucket = F.lit(BUCKET_LADDER[-1] * 2).cast("long")
+    for b in reversed(BUCKET_LADDER):
+        bucket = F.when(n_tok <= b, F.lit(b).cast("long")).otherwise(bucket)
+    t = docs.select(n_tok.alias("n_tok"), bucket.alias("bucket"))
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(F.col("bucket") - F.col("n_tok")).cast("long").alias("padding_waste"),
+        F.expr("sum(bucket - n_tok) * 10000 div sum(bucket)")
+        .cast("long")
+        .alias("waste_bp"),
+    )
+
+
+OUTLIER_TOP_K = 3  # worst vectors reported per label
+
+
+@query(
+    "embedding_outlier_detection",
+    oracle=f"""
+    WITH x AS (
+        SELECT label, vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS val,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings
+    ), per AS (
+        SELECT label, pos,
+               list_sum(list(val ORDER BY vec_id)) AS s,
+               COUNT(*) AS n
+        FROM x GROUP BY label, pos
+    ), cen AS (
+        SELECT label, list(s / n ORDER BY pos) AS c FROM per GROUP BY label
+    ), d AS (
+        SELECT e.label, e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - cen.c[i])
+                      * (CAST(e.embedding[i] AS DOUBLE) - cen.c[i]))) AS dist2
+        FROM embeddings e JOIN cen ON e.label = cen.label
+    )
+    SELECT label, vec_id, dist2, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                       ORDER BY dist2 DESC, vec_id) AS rn
+          FROM d)
+    WHERE rn <= {OUTLIER_TOP_K}
+    """,
+)
+def embedding_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality control: the {OUTLIER_TOP_K} vectors
+    farthest (squared L2) from their own label's centroid, per label —
+    the mislabeled/corrupt-vector screen run before a labeled embedding
+    set is trusted for retrieval or training.
+
+    Determinism: the centroid is embedding_centroids' exact ordered-fold
+    mean; each distance is a zip_with fold in dimension order, so both
+    engines square and add the same doubles in the same sequence.  Plan:
+    centroid build (two small-key shuffles) → #labels-row broadcast join
+    back onto one embeddings scan → per-label WindowGroupLimit top-k.
+    Nothing is pairwise; cost is linear in vectors × dims."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = emb.select("label", "vec_id", F.posexplode("v").alias("pos", "val"))
+    per = e.groupBy("label", "pos").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                lambda s: s["val"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cen = per.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", F.expr("s / n").alias("m")))),
+            lambda s: s["m"],
+        ).alias("c")
+    )
+    d = emb.join(F.broadcast(cen), "label").select(
+        "label",
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(), "vec_id")
+    return d.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= OUTLIER_TOP_K
+    )

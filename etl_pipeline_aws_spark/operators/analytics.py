@@ -1333,3 +1333,115 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.alias("slope_den"),
         (num.cast("double") / den.cast("double")).alias("slope_per_day"),
     )
+
+
+LINEAR_ATTR_WINDOW_DAYS = 7
+LINEAR_ATTR_PPM = 1_000_000  # total credit per purchase
+
+
+@query(
+    "events_attribution_linear",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts FROM events
+        WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT event_id AS tid, user_id, ts AS tts, event_type FROM events
+        WHERE event_type <> 'purchase'
+    ), touches AS (
+        SELECT p.pid, t.tid, t.event_type, t.tts,
+               COUNT(*) OVER (PARTITION BY p.pid) AS n,
+               ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY t.tts, t.tid) AS rn
+        FROM p JOIN t
+          ON p.user_id = t.user_id
+         AND t.tts < p.pts
+         AND t.tts >= p.pts - INTERVAL '{LINEAR_ATTR_WINDOW_DAYS} days'
+    ), credited AS (
+        SELECT event_type,
+               {LINEAR_ATTR_PPM} // n
+                 + CASE WHEN rn = 1 THEN {LINEAR_ATTR_PPM} % n ELSE 0 END AS credit
+        FROM touches
+    ), attributed AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(credit) AS BIGINT) AS credit_ppm
+        FROM credited GROUP BY event_type
+    ), unattributed AS (
+        SELECT '(none)' AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(COUNT(*) * {LINEAR_ATTR_PPM} AS BIGINT) AS credit_ppm
+        FROM p WHERE NOT EXISTS (
+            SELECT 1 FROM t
+            WHERE t.user_id = p.user_id
+              AND t.tts < p.pts
+              AND t.tts >= p.pts - INTERVAL '{LINEAR_ATTR_WINDOW_DAYS} days')
+    )
+    SELECT * FROM attributed UNION ALL SELECT * FROM unattributed
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution: every purchase
+    distributes exactly {LINEAR_ATTR_PPM} ppm of credit equally across
+    ALL its prior-7-day touches — the fairness-motivated sibling of
+    events_attribution_last_touch, and the one that needs the full touch
+    set (no carry-forward window can express it).
+
+    Exactness discipline: credit per touch is the integer floor division
+    ppm div n, with the remainder assigned to the EARLIEST touch — total
+    credit per purchase is exactly {LINEAR_ATTR_PPM} by construction and
+    no float split can drift between engines.  Purchases with an empty
+    touch window surface as an explicit '(none)' row (full credit
+    unassigned) instead of vanishing.
+
+    Plan: user-equi join with a bounded time residual (fan-out = touches
+    per user-week — the same boundedness as the stream-stream interval
+    join), two windows keyed by purchase id, then a #types rollup and a
+    broadcast-probed anti join for the unattributed row."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("tts"),
+        "event_type",
+    )
+    cond = (
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr(f"INTERVAL {LINEAR_ATTR_WINDOW_DAYS} DAYS"))
+    )
+    wn = Window.partitionBy("pid")
+    wr = Window.partitionBy("pid").orderBy("tts", "tid")
+    touches = (
+        p.join(t, cond)
+        .select("pid", "tid", "event_type", "tts")
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("rn", F.row_number().over(wr))
+    )
+    credited = touches.select(
+        "event_type",
+        (
+            F.expr(f"{LINEAR_ATTR_PPM} div n")
+            + F.when(F.col("rn") == 1, F.expr(f"{LINEAR_ATTR_PPM} % n")).otherwise(0)
+        ).alias("credit"),
+    )
+    attributed = credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("credit").cast("long").alias("credit_ppm"),
+    )
+    unattributed = (
+        p.join(t, cond, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_touches"))
+        .select(
+            F.lit("(none)").alias("event_type"),
+            "n_touches",
+            (F.col("n_touches") * LINEAR_ATTR_PPM).cast("long").alias("credit_ppm"),
+        )
+    )
+    return attributed.unionByName(unattributed)
