@@ -176,3 +176,99 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+LP_ROUNDS = 2  # fixed min-label propagation rounds
+LP_MIN_SUPPORT = 2  # reuse the supported-edge discipline
+
+
+def _labelprop_oracle() -> str:
+    sql = f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {LP_MIN_SUPPORT}
+    ), edges AS (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION ALL
+        SELECT pb AS u, pa AS v FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT u AS node FROM edges
+    ), l0 AS (
+        SELECT node, node AS lbl FROM nodes
+    )"""
+    prev = "l0"
+    for i in range(1, LP_ROUNDS + 1):
+        sql += f""", l{i} AS (
+        SELECT n.node, LEAST(n.lbl, MIN(nb.lbl)) AS lbl
+        FROM {prev} n
+        JOIN edges e ON e.u = n.node
+        JOIN {prev} nb ON nb.node = e.v
+        GROUP BY n.node, n.lbl
+    )"""
+        prev = f"l{i}"
+    return sql + f"""
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM {prev} GROUP BY lbl"""
+
+
+@query("graph_label_propagation", oracle=_labelprop_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by fixed-round MIN-label propagation over the
+    supported part-co-occurrence graph: every node starts labeled with
+    its own id, and each round takes the minimum of its label and its
+    neighbors' labels.  After {LP_ROUNDS} rounds, label = the smallest
+    node id within {LP_ROUNDS} hops — communities are radius-bounded
+    basins, reported as (community, member count).
+
+    Deterministic BY CONSTRUCTION (min is order-insensitive — no ties to
+    break, no floats), unlike frequency-based label propagation whose
+    tie-breaking is engine-specific; the fixed round count makes the
+    oracle an unrolled CTE chain, same discipline as PageRank.  vs
+    connected components (llm/dedup.py): CC iterates to convergence for
+    exact equivalence classes; this is the bounded-round sibling whose
+    cost is fixed at {LP_ROUNDS} node-key shuffles — the shape you run on
+    graphs too big to iterate to a fixpoint.
+
+    Support-pruned edges (≥{LP_MIN_SUPPORT} co-orders) keep the graph
+    meaningful, per the triangle-count discipline."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= LP_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    ).persist()
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(LP_ROUNDS):
+        # Persist each round's labels: the round-r plan references round
+        # r-1 TWICE (as the node being updated and as every neighbor),
+        # and without a cache the branched lineage re-executes the whole
+        # prior chain per reference — the iterative-algorithm trap.  One
+        # in-memory materialization per round keeps cost linear in
+        # rounds, exactly what a 100 TB run would do via checkpoints.
+        labels = labels.persist()
+        nb = labels.select(F.col("node").alias("nb_node"), F.col("lbl").alias("nb_lbl"))
+        labels = (
+            labels.join(edges, F.col("node") == F.col("u"))
+            .join(nb, F.col("v") == F.col("nb_node"))
+            .groupBy("node", "lbl")
+            .agg(F.min("nb_lbl").alias("min_nb"))
+            .select("node", F.least(F.col("lbl"), F.col("min_nb")).alias("lbl"))
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )

@@ -569,3 +569,37 @@ def filter_like_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
+
+
+@query(
+    "scalar_bitwise_family",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_partkey & 31 AS BIGINT) AS shard,
+           CAST(p_partkey | 1 AS BIGINT) AS forced_odd,
+           CAST(xor(p_partkey, 21845) AS BIGINT) AS scrambled,
+           CAST(p_partkey << 3 AS BIGINT) AS shifted_up,
+           CAST(p_partkey >> 2 AS BIGINT) AS shifted_down,
+           CAST(bit_count(CAST(p_partkey AS BIGINT)) AS INT) AS popcount,
+           CAST(bit_count(CAST(p_partkey AS BIGINT)) % 2 AS INT) AS parity
+    FROM part
+    WHERE p_partkey < 500
+    """,
+)
+def scalar_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface — AND/OR/XOR, shifts, popcount: the
+    integer-key toolbox behind hash sharding (``key & (2^k − 1)`` is the
+    power-of-two shard router), key scrambling, flag packing, and the
+    parity checks bitmap aggregates build on.  All JVM-codegen'd
+    built-ins (no UDF), all exact BIGINT semantics on both engines."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") < 500).select(
+        "p_partkey",
+        F.expr("p_partkey & CAST(31 AS BIGINT)").cast("long").alias("shard"),
+        F.expr("p_partkey | CAST(1 AS BIGINT)").cast("long").alias("forced_odd"),
+        F.expr("p_partkey ^ CAST(21845 AS BIGINT)").cast("long").alias("scrambled"),
+        F.shiftleft(F.col("p_partkey"), 3).cast("long").alias("shifted_up"),
+        F.shiftright(F.col("p_partkey"), 2).cast("long").alias("shifted_down"),
+        F.bit_count(F.col("p_partkey")).cast("int").alias("popcount"),
+        (F.bit_count(F.col("p_partkey")) % 2).cast("int").alias("parity"),
+    )

@@ -111,6 +111,9 @@ ALLOWED_NESTED_LOOP = {
     "feature_quantile_binning",  # 1-row decile-boundary broadcast (scale-free)
     "corpus_mix_temperature",  # 1-row weight-sum broadcast to #langs rows (scale-free)
     "profile_key_skew",  # 1-row global-stats broadcast (scale-free)
+    "events_trend_slope",  # 1-row calendar-origin broadcast (scale-free)
+    "market_basket_rules",  # 1-row global basket-count broadcast (scale-free)
+    "similarity_topk_dot",  # broadcast query set, != residual (bruteforce design)
 }
 ALLOWED_PYTHON_EVAL = {
     "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)
