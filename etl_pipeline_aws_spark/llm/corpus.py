@@ -725,3 +725,52 @@ def embedding_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= OUTLIER_TOP_K
     )
+
+
+@query(
+    "corpus_version_manifest",
+    oracle="""
+    WITH h AS (
+        SELECT source, lang, sha256(text) AS hh, LENGTH(text) AS n
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_chars,
+           MIN(hh) AS min_hash,
+           MAX(hh) AS max_hash,
+           sha256(string_agg(hh, '' ORDER BY hh)) AS manifest_hash
+    FROM h GROUP BY source, lang
+    """,
+)
+def corpus_version_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset version manifest: per (source, lang) shard, doc count,
+    total size, and a content checksum — the reproducibility anchor a
+    training run records so "the same corpus" is a verifiable claim, not
+    a directory name.  Any added/removed/edited document changes the
+    shard's manifest_hash; unchanged shards keep byte-identical lines, so
+    two snapshots diff shard-by-shard.
+
+    The checksum is order-insensitive by construction: per-doc sha256
+    hashes are SORTED before being folded into the shard digest, so
+    partition order / scan order cannot leak in (both engines hash the
+    same canonical string).  At fixture scale the sort-and-concat per
+    shard is exact; the 100 TB variant folds the same per-doc hashes with
+    a commutative XOR/ADD over fixed-width words (no gather) — same
+    contract, constant state.  One scan + one shard-key shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "source",
+        "lang",
+        F.sha2(F.col("text"), 256).alias("hh"),
+        F.length("text").alias("n"),
+    )
+    return h.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_chars"),
+        F.min("hh").alias("min_hash"),
+        F.max("hh").alias("max_hash"),
+        F.sha2(F.concat_ws("", F.array_sort(F.collect_list("hh"))), 256).alias(
+            "manifest_hash"
+        ),
+    )

@@ -229,3 +229,24 @@ def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority"
     )
     return evens.unionByName(odds, allowMissingColumns=True)
+
+
+@query(
+    "intersect_all",
+    oracle="""
+    SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_partkey AS partkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL) — keeps min(multiplicity)
+    copies per value, completing the bag-semantics pair with except_all:
+    a part returned 3 times and finalized 2 times survives twice.  Spark
+    plans it as a left-semi-style hash aggregate with per-key counters —
+    one shuffle on the value, multiplicities never materialize as
+    row duplication beyond the answer itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("partkey"))
+    b = li.filter(F.col("l_linestatus") == "F").select(F.col("l_partkey").alias("partkey"))
+    return a.intersectAll(b)
