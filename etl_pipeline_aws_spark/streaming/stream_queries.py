@@ -861,3 +861,51 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("delay_s"),
     )
     return _run_to_memory(joined, "append")
+
+
+TUMBLING_APPEND_ORACLE = """
+    WITH mx AS (SELECT MAX(ts) AS mt FROM events)
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN mx
+    GROUP BY 1, 2, 3, mx.mt
+    HAVING time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+           < mt - INTERVAL '1 hour'
+"""
+
+
+@query("stream_tumbling_append", oracle=TUMBLING_APPEND_ORACLE)
+def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation in APPEND output mode — the production
+    mode for unbounded streams: a window row is emitted exactly ONCE, when
+    the watermark passes its end and the result can no longer change
+    (complete mode re-emits the whole history per epoch — fine for a demo
+    sink, quadratic over a stream's lifetime).
+
+    The oracle encodes the finalization contract itself: only windows with
+    ``window_end < final watermark (max event time − 1h)`` appear; the 13
+    windows still open at end-of-replay are correctly ABSENT (their counts
+    exist in state but were never finalized).  Emit-once semantics is what
+    makes downstream idempotent appends possible — each window row lands
+    in the sink exactly once, no upsert machinery.  Same bounded state as
+    stream_tumbling: keys × the 1-hour watermark horizon."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "append")
