@@ -1445,3 +1445,113 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return attributed.unionByName(unattributed)
+
+
+@query(
+    "pipeline_events_e2e",
+    oracle="""
+    WITH dedup AS (
+        SELECT user_id, ts, event_type, event_id FROM (
+            SELECT user_id, ts, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY event_id
+                                      ORDER BY ts, user_id) AS dup_rn
+            FROM events) WHERE dup_rn = 1
+    ), g AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM dedup
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM g
+    ), sessions AS (
+        SELECT user_id, sess_id,
+               CAST(date_trunc('day', MIN(ts)) AS DATE) AS session_day,
+               COUNT(*) AS n_events,
+               CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS dur_s,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM s GROUP BY user_id, sess_id
+    )
+    SELECT session_day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(dur_s) AS BIGINT) AS total_session_seconds,
+           CAST(SUM(converted) * 10000 // COUNT(*) AS BIGINT) AS conversion_bp
+    FROM sessions GROUP BY session_day
+    """,
+)
+def pipeline_events_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed event-analytics user story as ONE query — the
+    operational daily scorecard a product team actually reads: ingest →
+    duplicate-event gate (idempotency against at-least-once delivery) →
+    30-minute-gap sessionization → per-day sessions, unique users,
+    bounces, converted sessions, total engaged seconds, and conversion
+    in basis points.  The events-side mirror of pipeline_corpus_e2e:
+    every stage exists standalone (dedup_by_key / events_bounce_rate /
+    funnel family); the e2e proves they COMPOSE without driver actions
+    or extra passes.
+
+    Plan (verified in the executed plan): exactly three exchanges —
+    event_id (dedup, with WindowGroupLimit pushdown so only rank-1 rows
+    survive the sort), user_id (BOTH session windows and the
+    (user, session) aggregate ride this one partitioning — hash on
+    user_id satisfies the clustered distribution of its superset keys),
+    and the day rollup.  Exact arithmetic: durations are integer
+    seconds, conversion is a floor-division basis-point ratio."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wd = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    dedup = (
+        ev.select("user_id", "ts", "event_type", "event_id")
+        .withColumn("dup_rn", F.row_number().over(wd))
+        .filter(F.col("dup_rn") == 1)
+        .drop("dup_rn")
+    )
+    wg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = dedup.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("ts").over(wg).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(wg).cast("long") > 30 * 60),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = g.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("new_sess").over(ws).alias("sess_id"),
+    )
+    sessions = s.groupBy("user_id", "sess_id").agg(
+        F.to_date(F.min("ts")).alias("session_day"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("dur_s"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    return sessions.groupBy("session_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.sum("dur_s").cast("long").alias("total_session_seconds"),
+        F.expr("sum(converted) * 10000 div count(1)").cast("long").alias("conversion_bp"),
+    )
