@@ -639,3 +639,78 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize,
         schema="doc_id long, out_width int, out_height int, sum_r long, sum_g long, sum_b long",
     )
+
+
+AUDIO_DECIMATE = 2  # naive decimation factor: 16 kHz -> 8 kHz
+
+
+@query(
+    "multimodal_audio_resample",
+    oracle=f"""
+    SELECT doc_id,
+           {AUDIO_RATE // AUDIO_DECIMATE} AS out_rate,
+           CAST((LENGTH(text) + {AUDIO_DECIMATE - 1}) // {AUDIO_DECIMATE} AS BIGINT)
+               AS out_frames,
+           CAST(COALESCE(list_sum(list_transform(
+                    range(0, (LENGTH(text) + {AUDIO_DECIMATE - 1}) // {AUDIO_DECIMATE}),
+                    i -> (ascii(substring(text, {AUDIO_DECIMATE} * i + 1, 1)) - 128) * 256)),
+                0) AS BIGINT) AS sum_amp,
+           CAST(COALESCE(list_max(list_transform(
+                    range(0, (LENGTH(text) + {AUDIO_DECIMATE - 1}) // {AUDIO_DECIMATE}),
+                    i -> abs((ascii(substring(text, {AUDIO_DECIMATE} * i + 1, 1)) - 128) * 256))),
+                0) AS INT) AS peak_amp
+    FROM documents
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample on the RIFF/WAVE path: decimate the parsed PCM
+    by {AUDIO_DECIMATE} (keep every {AUDIO_DECIMATE}th sample — 16 kHz →
+    8 kHz) and report the resampled stream's frame count, exact integer
+    amplitude sum, and peak.  The audio twin of
+    multimodal_image_resize, completing resample coverage for both
+    modalities; a production kernel would low-pass first (scipy/soxr) —
+    the Spark-side shape (parse → stride → featurize inside one
+    Arrow-batched kernel) is exactly what that kernel drops into.
+
+    The oracle recomputes the decimated samples straight from the source
+    bytes (sample i comes from byte {AUDIO_DECIMATE}·i), so an off-by-one
+    in either the container parse or the stride fails the hash."""
+    import io
+    import wave
+
+    import numpy as np
+
+    framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def encode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "wav": pdf["payload"].map(_payload_to_wav)}
+            )
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def features(payload: bytes) -> tuple:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                rate = w.getframerate()
+                raw = w.readframes(w.getnframes())
+            samples = np.frombuffer(raw, dtype="<i2")[::AUDIO_DECIMATE].astype(np.int64)
+            peak = int(np.abs(samples).max()) if samples.size else 0
+            return rate // AUDIO_DECIMATE, len(samples), int(samples.sum()), peak
+
+        for pdf in batches:
+            feats = [features(b) for b in pdf["wav"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_rate": [f[0] for f in feats],
+                    "out_frames": [f[1] for f in feats],
+                    "sum_amp": [f[2] for f in feats],
+                    "peak_amp": [f[3] for f in feats],
+                }
+            ).astype({"out_rate": "int32", "out_frames": "int64", "peak_amp": "int32"})
+
+    encoded = framed.mapInPandas(encode_wav, schema="doc_id long, wav binary")
+    return encoded.mapInPandas(
+        resample,
+        schema="doc_id long, out_rate int, out_frames long, sum_amp long, peak_amp int",
+    )

@@ -603,3 +603,41 @@ def scalar_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.col("p_partkey")).cast("int").alias("popcount"),
         (F.bit_count(F.col("p_partkey")) % 2).cast("int").alias("parity"),
     )
+
+
+@query(
+    "scalar_string_shaping",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           rpad(p_brand, 12, '.') AS brand_cell,
+           left(p_name, 8) AS name_prefix,
+           right(p_name, 4) AS name_suffix,
+           reverse(p_brand) AS brand_rev,
+           repeat('*', p_size % 5) AS size_bar,
+           translate(p_type, ' #', '_-') AS type_slug,
+           replace(p_brand, 'Brand', 'B') AS brand_short
+    FROM part
+    WHERE p_partkey < 300
+    """,
+)
+def scalar_string_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String shaping/formatting surface — lpad/rpad (fixed-width keys and
+    report cells), left/right prefix-suffix slicing, reverse, repeat,
+    translate (character-class slugging), replace: the
+    identifier-normalization toolbox feeding exports, fixed-width feeds,
+    and blocking keys (fuzzy_entity_pairs blocks on exactly these
+    shapes).  All codegen'd JVM built-ins with identical semantics on
+    both engines."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") < 300).select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad(F.col("p_brand"), 12, ".").alias("brand_cell"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.substring(F.col("p_name"), -4, 4).alias("name_suffix"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5)).alias("size_bar"),
+        F.translate(F.col("p_type"), " #", "_-").alias("type_slug"),
+        F.regexp_replace(F.col("p_brand"), "Brand", "B").alias("brand_short"),
+    )
