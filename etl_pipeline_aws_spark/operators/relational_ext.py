@@ -341,3 +341,26 @@ def surrogate_keys_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
     )
 
+
+
+_LATERAL_TOPN = """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey < 500
+"""
+
+
+@query("subquery_lateral_topn", oracle=_LATERAL_TOPN)
+def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table — each customer's two largest
+    orders via a per-row subquery with its own ORDER BY ... LIMIT: the
+    SQL-standard form of top-N-per-group (the DataFrame twin is
+    window_topk_per_group's row_number pattern, which is exactly what
+    Catalyst decorrelates this into: DomainJoin → window rank — no
+    per-customer re-execution, unlike a naive nested-loop reading).
+    Deterministic tie-break inside the lateral ORDER BY."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPN)
