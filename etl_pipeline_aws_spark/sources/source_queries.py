@@ -471,3 +471,54 @@ def csv_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
         F.count(F.col("_corrupt")).alias("n_corrupt"),
     )
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT CAST(date_trunc('day', o_orderdate) AS DATE) AS day
+        FROM orders
+        WHERE o_orderdate >= DATE '2024-01-10' AND o_orderdate < DATE '2024-01-13'
+    )
+    SELECT d.day, e.event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e
+    JOIN dim d ON CAST(date_trunc('day', e.ts) AS DATE) = d.day
+    GROUP BY d.day, e.event_type
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP), proven on a real join: the events
+    fact is laid out hive-partitioned by day, the probe side is a
+    FILTERED calendar dimension (order days in a 3-day window), and the
+    join key is the partition column — at planning time the days are
+    unknown (they come from the dim's rows), so Catalyst injects a
+    runtime ``dynamicpruning`` subquery into the fact scan's
+    PartitionFilters: the dim is evaluated first and only the matching
+    day directories are ever read.  Static pruning (the
+    parquet_partition_pruning twin) handles literal predicates; DPP is
+    what makes the SAME layout pay off for star-schema joins — at 100 TB
+    the difference between scanning 3 directories and the whole lake,
+    decided at runtime.  tests/test_plans.py asserts the
+    dynamicpruning expression is present in the fact scan."""
+    ev = load_table(spark, sf_dir, "events")
+    zone = os.path.join(tempfile.mkdtemp(prefix="pq_dpp_"), "events_by_day")
+    (
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(zone)
+    )
+    fact = spark.read.parquet(zone)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("2024-01-10").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("2024-01-13").cast("timestamp_ntz"))
+        )
+        .select(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .distinct()
+    )
+    return fact.join(dim, "day").groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

@@ -170,6 +170,10 @@ BOUNDED_BROADCAST_MARKERS = {
     # (~8 MB) no matter how large the fact scan feeding it — the
     # boundedness IS the operator's design (explicit bloom filter)
     "join_bloom_pruned": "pmod(xxhash64(",
+    # build side is distinct(day) over a 3-day-filtered orders scan:
+    # capped at calendar cardinality — broadcasting the pruning dim is
+    # the whole point of dynamic partition pruning
+    "join_dynamic_partition_pruning": "keys=[day",
 }
 
 
@@ -405,3 +409,11 @@ def test_like_prefix_filter_pushes_to_scan(spark):
     ranges do."""
     filters = pushed_filters(_q("filter_like_pushdown", spark))
     assert any("StartsWith" in f or "p_name" in f for f in filters), filters
+
+
+def test_dynamic_partition_pruning_in_fact_scan(spark):
+    """The DPP query's fact scan must carry a runtime dynamicpruning
+    subquery in its partition filters — the feature being demonstrated."""
+    df = _q("join_dynamic_partition_pruning", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
