@@ -909,3 +909,48 @@ def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "append")
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+
+
+@query("stream_tumbling_rocksdb", oracle=TUMBLING_ORACLE)
+def stream_tumbling_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation running on the RocksDB state store
+    — the production state backend for large-state streaming: the
+    default HDFS-backed provider keeps every key in executor HEAP (state
+    size is bounded by JVM memory; a 100 TB stream's distinct-key state
+    is not), while RocksDB spills state to local SSD with
+    changelog/snapshot uploads to the checkpoint location.  Same query,
+    same oracle as stream_tumbling — identical RESULTS on a different
+    state engine is exactly the claim worth checking: the provider is a
+    swap-in config, not a semantics change.  The conf is restored in a
+    finally block so the other streaming queries keep their default
+    provider."""
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", _HDFS_PROVIDER)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
+    try:
+        ev = read_events_stream(spark, sf_dir)
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "10 minutes"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("sum_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        return _run_to_memory(agg, "complete")
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
