@@ -62,6 +62,14 @@ PROBE_QUERIES = [
     "snapshot_diff",
     "corpus_curation_gate",
     "graph_pagerank_parts",
+    # round-3 session-2 additions
+    "market_basket_rules",
+    "graph_label_propagation",
+    "events_concurrent_sessions",
+    "events_attribution_linear",
+    "pipeline_events_e2e",
+    "corpus_length_bucketing",
+    "join_dynamic_partition_pruning",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
