@@ -720,7 +720,7 @@ def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_bounce_rate",
     oracle="""
     WITH g AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_sess
@@ -728,7 +728,7 @@ def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
         SELECT user_id, ts,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM g
     ), sessions AS (
@@ -752,10 +752,10 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     containing exactly ONE event — the engagement-quality headline
     metric.  Sessionization is the lag/cumsum island labeling (one
     window pass per user), session stats one aggregation on (user,
-    session), and the daily rollup divides two exact counts.  Note the
-    tie-break: the session-id cumsum orders by ts alone (ties share a
-    running total — deterministic because SUM over equal keys is
-    order-free), while the gap test orders by (ts, event_id)."""
+    session), and the daily rollup divides two exact counts.  Both the
+    gap test AND the session-id cumsum order by (ts, event_id): a
+    ROWS-frame running sum is order-sensitive, so an unpinned timestamp
+    tie would let session membership flip between engines."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -763,6 +763,7 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(wg).isNull()
             | (
@@ -774,9 +775,11 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_sess"),
     )
+    # (ts, event_id) tie-break matches the gap window: a ROWS-frame
+    # running sum is order-sensitive, so equal timestamps must be pinned
     ws = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     s = g.withColumn("sess_id", F.sum("new_sess").over(ws))
@@ -1286,7 +1289,9 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n,
            CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
            CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END
                AS slope_per_day
     FROM sums
     """,
@@ -1331,7 +1336,12 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         num.alias("slope_num"),
         den.alias("slope_den"),
-        (num.cast("double") / den.cast("double")).alias("slope_per_day"),
+        # explicit NULL on a zero denominator (single-active-day series):
+        # Spark's non-ANSI 0/0 is NULL but DuckDB's is NaN/Inf — pin the
+        # undefined-slope case to NULL on both engines
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "slope_per_day"
+        ),
     )
 
 
@@ -1457,7 +1467,7 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ORDER BY ts, user_id) AS dup_rn
             FROM events) WHERE dup_rn = 1
     ), g AS (
-        SELECT user_id, ts, event_type,
+        SELECT user_id, ts, event_type, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_sess
@@ -1465,7 +1475,7 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
         SELECT user_id, ts, event_type,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM g
     ), sessions AS (
@@ -1520,6 +1530,7 @@ def pipeline_events_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_type",
+        "event_id",
         F.when(
             F.lag("ts").over(wg).isNull()
             | (F.col("ts").cast("long") - F.lag("ts").over(wg).cast("long") > 30 * 60),
@@ -1528,7 +1539,10 @@ def pipeline_events_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_sess"),
     )
-    ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # same (ts, event_id) tie-break as the gap test: with a ROWS frame the
+    # running total is order-sensitive, so ties MUST be pinned or session
+    # membership flips between engines/runs
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     s = g.select(

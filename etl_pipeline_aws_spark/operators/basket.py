@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.operators.graph import co_occurrence_pairs
 from etl_pipeline_aws_spark.registry import query
 
 MB_MIN_PAIR = 3  # a rule needs >= 3 co-occurrences to be reported
@@ -76,27 +77,14 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-support pairs map-side-combined); per-part supports (one keyed
     shuffle) joined twice onto the surviving rules; the global basket
     count enters as a single-row broadcast cross join."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
     sup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("s"))
     n_baskets = items.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n")
     )
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("pn"))
-        .filter(F.col("pn") >= MB_MIN_PAIR)
+    pairs = co_occurrence_pairs(li, MB_MIN_PAIR, distinct_items=True).select(
+        "pa", "pb", F.col("n").cast("long").alias("pn")
     )
     rules = pairs.select(
         F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "pn"

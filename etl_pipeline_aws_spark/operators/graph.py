@@ -24,6 +24,33 @@ PR_START = 1_000_000  # scaled initial rank
 PR_TELEPORT = 150_000  # (1 - 0.85) * PR_START
 
 
+def co_occurrence_pairs(li: DataFrame, min_support: int, distinct_items: bool) -> DataFrame:
+    """Shared support-pruned part co-occurrence pair build: canonical
+    (pa < pb) pairs of parts sharing an order, counted, kept at
+    ``n >= min_support`` — the common first stage of triangle counting,
+    label propagation (graph.py) and market-basket rules (basket.py).
+    ``distinct_items`` chooses the semantics: True counts each (order,
+    part) once (basket support = baskets containing the item — a part on
+    two lines of one order is one basket), False counts line-level
+    co-occurrence (graph edge weight).  Fan-out is bounded by the ≤7-line
+    order size either way; one shuffle on the pair key, map-side
+    combined."""
+    items = li.select("l_orderkey", "l_partkey")
+    if distinct_items:
+        items = items.distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_support)
+    )
+
+
 def _pagerank_oracle() -> str:
     """Unrolled 5-iteration integer PageRank as chained CTEs."""
     sql = """
@@ -147,19 +174,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumerated as a<b<c (join u-v, v-w, u-w), counting each exactly once
     with NO orientation explosion.  Three shuffles on part keys; per-order
     pair fanout is bounded by the ≤7-line order size."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    li = load_table(spark, sf_dir, "lineitem")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= TRIANGLE_MIN_SUPPORT)
-        .select("u", "v")
+        co_occurrence_pairs(li, TRIANGLE_MIN_SUPPORT, distinct_items=False)
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
         .persist()
     )
     e1 = edges.alias("e1")
@@ -234,18 +252,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Support-pruned edges (≥{LP_MIN_SUPPORT} co-orders) keep the graph
     meaningful, per the triangle-count discipline."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= LP_MIN_SUPPORT)
-        .select("pa", "pb")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = co_occurrence_pairs(li, LP_MIN_SUPPORT, distinct_items=False).select(
+        "pa", "pb"
     )
     edges = pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
         pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
@@ -254,21 +263,29 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lbl", F.col("node")
     )
     for _ in range(LP_ROUNDS):
-        # Persist each round's labels: the round-r plan references round
-        # r-1 TWICE (as the node being updated and as every neighbor),
-        # and without a cache the branched lineage re-executes the whole
-        # prior chain per reference — the iterative-algorithm trap.  One
-        # in-memory materialization per round keeps cost linear in
-        # rounds, exactly what a 100 TB run would do via checkpoints.
-        labels = labels.persist()
-        nb = labels.select(F.col("node").alias("nb_node"), F.col("lbl").alias("nb_lbl"))
+        # Persist + materialize each round's labels, then release the
+        # previous round: the round-r plan references round r-1 TWICE (as
+        # the node being updated and as every neighbor), so without a
+        # cache the branched lineage re-executes the whole prior chain
+        # per reference (measured 11.9 s -> 6.1 s at sf0.01); the eager
+        # count is what lets the PRIOR round's cache be dropped instead
+        # of pinning every round until the final action (the same
+        # materialize-then-unpersist round discipline as the
+        # connected-components loop in llm/dedup.py).
+        prev = labels.persist()
+        prev.count()
+        nb = prev.select(F.col("node").alias("nb_node"), F.col("lbl").alias("nb_lbl"))
         labels = (
-            labels.join(edges, F.col("node") == F.col("u"))
+            prev.join(edges, F.col("node") == F.col("u"))
             .join(nb, F.col("v") == F.col("nb_node"))
             .groupBy("node", "lbl")
             .agg(F.min("nb_lbl").alias("min_nb"))
             .select("node", F.least(F.col("lbl"), F.col("min_nb")).alias("lbl"))
+            .persist()
         )
-    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        labels.count()
+        prev.unpersist()
+    out = labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
+    return out

@@ -329,55 +329,85 @@ def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'customer' AS tbl,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_rows,
+           (SELECT CAST(COUNT(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT)
+              FROM customer) AS n_null_keys,
            (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer) AS n_keys,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
-             - (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer)
-               AS n_dup_rows
+           (SELECT CAST(COUNT(*) FILTER (WHERE c_custkey IS NOT NULL)
+                        - COUNT(DISTINCT c_custkey) AS BIGINT)
+              FROM customer) AS n_dup_rows
     UNION ALL
     SELECT 'orders',
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+              FROM orders),
            (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders),
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
-             - (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+           (SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey IS NOT NULL)
+                        - COUNT(DISTINCT o_orderkey) AS BIGINT)
+              FROM orders)
     UNION ALL
     SELECT 'part',
            (SELECT CAST(COUNT(*) AS BIGINT) FROM part),
+           (SELECT CAST(COUNT(*) FILTER (WHERE p_partkey IS NULL) AS BIGINT)
+              FROM part),
            (SELECT CAST(COUNT(DISTINCT p_partkey) AS BIGINT) FROM part),
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM part)
-             - (SELECT CAST(COUNT(DISTINCT p_partkey) AS BIGINT) FROM part)
+           (SELECT CAST(COUNT(*) FILTER (WHERE p_partkey IS NOT NULL)
+                        - COUNT(DISTINCT p_partkey) AS BIGINT)
+              FROM part)
     UNION ALL
     SELECT 'lineitem',
            (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
-           (SELECT CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+           (SELECT CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL
+                                            OR l_linenumber IS NULL) AS BIGINT)
               FROM lineitem),
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
-             - (SELECT CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
-                  FROM lineitem)
+           (SELECT CAST(COUNT(DISTINCT (l_orderkey, l_linenumber))
+                            FILTER (WHERE l_orderkey IS NOT NULL
+                                      AND l_linenumber IS NOT NULL) AS BIGINT)
+              FROM lineitem),
+           (SELECT CAST(COUNT(*) FILTER (WHERE l_orderkey IS NOT NULL
+                                            AND l_linenumber IS NOT NULL)
+                        - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                            FILTER (WHERE l_orderkey IS NOT NULL
+                                      AND l_linenumber IS NOT NULL) AS BIGINT)
+              FROM lineitem)
     UNION ALL
     SELECT 'events',
            (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+           (SELECT CAST(COUNT(*) FILTER (WHERE event_id IS NULL) AS BIGINT)
+              FROM events),
            (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events),
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
-             - (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events)
+           (SELECT CAST(COUNT(*) FILTER (WHERE event_id IS NOT NULL)
+                        - COUNT(DISTINCT event_id) AS BIGINT)
+              FROM events)
     """,
 )
 def dq_primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Primary-key uniqueness audit across every keyed table in one
-    report: row count vs distinct-key count, surplus = duplicated rows.
-    The sibling of dq_referential_audit — THE load-promotion gate (a
-    duplicated key silently doubles every downstream join and aggregate,
-    the costliest quiet corruption a warehouse has).
+    report: row count, NULL-key rows, distinct (fully non-NULL) keys,
+    and surplus duplicated rows among the non-NULL-keyed ones.  The
+    sibling of dq_referential_audit — THE load-promotion gate (a
+    duplicated key silently doubles every downstream join; a NULL key is
+    a different defect and must NOT be conflated with a duplicate, so it
+    gets its own column.  Spark's countDistinct drops any-NULL tuples
+    while DuckDB's composite COUNT(DISTINCT (a,b)) would count them —
+    both sides therefore restrict the distinct AND the duplicate
+    arithmetic to fully non-NULL keys explicitly).
 
-    Plan: per table one count + one count-distinct (partial-aggregated
-    key shuffle; composite (orderkey, linenumber) for lineitem), results
-    unioned into a 5-row report — linear scans, no joins."""
+    Plan: per table one count + conditional null count + one
+    count-distinct (partial-aggregated key shuffle; composite
+    (orderkey, linenumber) for lineitem), results unioned into a 5-row
+    report — linear scans, no joins."""
 
     def audit(tbl: str, df: DataFrame, *keys: str) -> DataFrame:
+        any_null = F.lit(False)
+        for k in keys:
+            any_null = any_null | F.col(k).isNull()
+        n_nonnull = F.sum(F.when(~any_null, 1).otherwise(0))
         return df.agg(
             F.lit(tbl).alias("tbl"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(any_null, 1).otherwise(0)).cast("long").alias("n_null_keys"),
             F.countDistinct(*keys).cast("long").alias("n_keys"),
-            (F.count(F.lit(1)) - F.countDistinct(*keys)).cast("long").alias("n_dup_rows"),
+            (n_nonnull - F.countDistinct(*keys)).cast("long").alias("n_dup_rows"),
         )
 
     rows = [

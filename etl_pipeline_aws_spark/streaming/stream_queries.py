@@ -78,13 +78,13 @@ def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("stream_tumbling", oracle=TUMBLING_ORACLE)
-def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling-window aggregation, genuinely streamed, sharing
-    the batch twin's oracle (window_tumbling) — state is keyed by
-    (window, event_type) and bounded by the 1-hour watermark."""
-    ev = read_events_stream(spark, sf_dir)
-    agg = (
+def _tumbling_agg(ev: DataFrame) -> DataFrame:
+    """The ONE tumbling aggregation shared by stream_tumbling (complete
+    mode), stream_tumbling_append (append mode), and
+    stream_tumbling_rocksdb (RocksDB state store): those three queries
+    deliberately differ ONLY in output mode / state backend, and sharing
+    the body makes that claim true by construction."""
+    return (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "10 minutes"), "event_type")
         .agg(
@@ -99,6 +99,14 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query("stream_tumbling", oracle=TUMBLING_ORACLE)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, genuinely streamed, sharing
+    the batch twin's oracle (window_tumbling) — state is keyed by
+    (window, event_type) and bounded by the 1-hour watermark."""
+    agg = _tumbling_agg(read_events_stream(spark, sf_dir))
     return _run_to_memory(agg, "complete")
 
 
@@ -892,22 +900,7 @@ def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes downstream idempotent appends possible — each window row lands
     in the sink exactly once, no upsert machinery.  Same bounded state as
     stream_tumbling: keys × the 1-hour watermark horizon."""
-    ev = read_events_stream(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "10 minutes"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("sum_value"),
-        )
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
+    agg = _tumbling_agg(read_events_stream(spark, sf_dir))
     return _run_to_memory(agg, "append")
 
 
@@ -935,22 +928,7 @@ def stream_tumbling_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", _HDFS_PROVIDER)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
     try:
-        ev = read_events_stream(spark, sf_dir)
-        agg = (
-            ev.withWatermark("ts", "1 hour")
-            .groupBy(F.window("ts", "10 minutes"), "event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                dsum("value").alias("sum_value"),
-            )
-            .select(
-                F.col("window.start").alias("window_start"),
-                F.col("window.end").alias("window_end"),
-                "event_type",
-                "n_events",
-                "sum_value",
-            )
-        )
+        agg = _tumbling_agg(read_events_stream(spark, sf_dir))
         return _run_to_memory(agg, "complete")
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)

@@ -80,20 +80,25 @@ def test_embedding_outliers_exactly_topk_per_label(spark):
 
 def test_concurrency_never_below_one_on_active_days(spark):
     """Every day that has at least one event reports max_concurrent >= 1,
-    and no day exceeds its own event count (an upper bound on openable
-    intervals)."""
+    and no day exceeds its own event count plus the PREVIOUS day's (every
+    open interval was opened by an event today or carried over midnight
+    by an event yesterday — intervals last 30 minutes, so nothing older
+    can reach today)."""
+    from pyspark.sql.window import Window
+
     conc = events_concurrent_sessions(spark, SF_DIR)
     daily = (
         load_table(spark, SF_DIR, "events")
         .groupBy(F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "prev_n", F.coalesce(F.lag("n_events").over(Window.orderBy("day")), F.lit(0))
+        )
     )
     joined = conc.join(daily, "day", "full_outer")
     bad = joined.filter(
         F.col("max_concurrent").isNull()
         | (F.col("max_concurrent") < 1)
-        | (F.col("max_concurrent") > F.col("n_events") + 1)
+        | (F.col("max_concurrent") > F.col("n_events") + F.col("prev_n"))
     ).count()
-    # +1: an interval opened the previous day can carry concurrency into
-    # a day beyond its own event count (midnight-crossing piece)
     assert bad == 0
