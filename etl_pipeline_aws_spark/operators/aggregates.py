@@ -919,3 +919,106 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_orders"),
         )
     )
+
+
+# Count-min sketch parameters: d independent universal hash rows over the
+# Mersenne prime, w buckets each.  Constants are fixed (no runtime RNG) so
+# both engines compute the identical sketch.
+CMS_P = (1 << 31) - 1
+CMS_W = 256
+CMS_ROWS = ((1234567, 7654321), (2345678, 8765432), (3456789, 9876543), (4567890, 1098765))
+CMS_TOP = 5
+
+
+def _cms_bucket_sql(a: int, b: int) -> str:
+    return f"(({a} * (user_id % {CMS_P}) + {b}) % {CMS_P}) % {CMS_W}"
+
+
+def _cms_oracle() -> str:
+    cells = " UNION ALL ".join(
+        f"SELECT {i} AS row_id, {_cms_bucket_sql(a, b)} AS bucket, user_id FROM events"
+        for i, (a, b) in enumerate(CMS_ROWS)
+    )
+    return f"""
+    WITH cells AS ({cells}),
+    sketch AS (
+        SELECT row_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cells GROUP BY row_id, bucket
+    ), freq AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n FROM events GROUP BY user_id
+    ), top AS (
+        SELECT user_id, true_n FROM (
+            SELECT user_id, true_n,
+                   ROW_NUMBER() OVER (ORDER BY true_n DESC, user_id) AS rn
+            FROM freq) WHERE rn <= {CMS_TOP}
+    ), est AS (
+        SELECT t.user_id, t.true_n, MIN(s.c) AS est_n
+        FROM top t
+        JOIN cells x ON x.user_id = t.user_id
+        JOIN sketch s ON s.row_id = x.row_id AND s.bucket = x.bucket
+        GROUP BY t.user_id, t.true_n
+    )
+    SELECT user_id, true_n, CAST(est_n AS BIGINT) AS est_n,
+           CAST(est_n - true_n AS BIGINT) AS overestimate
+    FROM est
+    """
+
+
+@query("agg_count_min_sketch", oracle=_cms_oracle())
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, built from exact
+    DataFrame primitives: d=4 universal-hash rows
+    ((a·k + b) mod 2³¹−1 mod 256) bucket every event, the sketch is
+    the (row, bucket) count table — O(d·w) cells regardless of key
+    cardinality, mergeable by addition (the property HLL gives distincts,
+    CMS gives FREQUENCIES).  The report queries the sketch for the 5
+    true-heaviest users and shows est ≥ true (CMS never underestimates;
+    the overestimate column IS the collision error, bounded by 2N/w with
+    probability 1−2⁻ᵈ).
+
+    Fixed integer hash constants mean both engines build the
+    bit-identical sketch — unlike engine-native sketch binaries, every
+    cell is oracle-checkable.  Plan: one explode(d) over a narrow scan →
+    (row, bucket) rollup (the sketch), plus the true-count rollup and a
+    {CMS_TOP}-row probe join — all map-side-combined key shuffles."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cells = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_id"),
+                        (
+                            (F.lit(a) * (F.col("user_id") % CMS_P) + F.lit(b)) % CMS_P
+                            % CMS_W
+                        ).alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(CMS_ROWS)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", "cell.row_id", "cell.bucket")
+    sketch = cells.groupBy("row_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    freq = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("true_n").desc(), "user_id")
+    top = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CMS_TOP)
+        .drop("rn")
+    )
+    probe = top.join(cells.distinct(), "user_id").join(sketch, ["row_id", "bucket"])
+    return (
+        probe.groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("est_n"))
+        .select(
+            "user_id",
+            "true_n",
+            F.col("est_n").cast("long").alias("est_n"),
+            (F.col("est_n") - F.col("true_n")).cast("long").alias("overestimate"),
+        )
+    )
