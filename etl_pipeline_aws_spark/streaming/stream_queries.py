@@ -932,3 +932,95 @@ def stream_tumbling_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_to_memory(agg, "complete")
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+
+
+STREAM_STREAM_FULL_OUTER_ORACLE = """
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), mx AS (
+        SELECT MAX(ts) - INTERVAL '90 minutes' AS cutoff FROM events
+    ), matched AS (
+        SELECT c.click_id, p.purchase_id, c.user_id,
+               CAST(date_diff('second', c.click_ts, p.purchase_ts) AS BIGINT) AS delay_s
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes'
+    ), lone_clicks AS (
+        SELECT c.click_id, NULL AS purchase_id, c.user_id, NULL AS delay_s
+        FROM c CROSS JOIN mx
+        WHERE c.click_ts < mx.cutoff
+          AND NOT EXISTS (SELECT 1 FROM p
+                          WHERE p.user_id = c.user_id
+                            AND p.purchase_ts >= c.click_ts
+                            AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes')
+    ), lone_purchases AS (
+        SELECT NULL AS click_id, p.purchase_id, p.user_id, NULL AS delay_s
+        FROM p CROSS JOIN mx
+        WHERE p.purchase_ts < mx.cutoff
+          AND NOT EXISTS (SELECT 1 FROM c
+                          WHERE c.user_id = p.user_id
+                            AND p.purchase_ts >= c.click_ts
+                            AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes')
+    )
+    SELECT CAST(click_id AS BIGINT) AS click_id,
+           CAST(purchase_id AS BIGINT) AS purchase_id,
+           user_id, CAST(delay_s AS BIGINT) AS delay_s
+    FROM matched
+    UNION ALL SELECT * FROM lone_clicks
+    UNION ALL SELECT * FROM lone_purchases
+"""
+
+
+@query("stream_stream_full_outer_join", oracle=STREAM_STREAM_FULL_OUTER_ORACLE)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the streaming
+    join family (inner / left outer / full outer): conversions, clicks
+    that never converted, AND purchases with no preceding click (the
+    direct-traffic signal the left join cannot see) in one result.
+
+    Both null-extension cutoffs are symmetric and encoded in the oracle:
+    an unmatched row on EITHER side emits only once
+    ``its_ts + interval(30m) < final watermark`` — measured and pinned,
+    the right side's retention also spans the interval because a
+    purchase at t can still match clicks back to t−30m, so its state
+    outlives t by the interval length.  Rows inside the final 90 minutes
+    of bounded replay stay open and correctly absent.  State bounded by
+    watermark + interval on both sides."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("delay_s"),
+    )
+    return _run_to_memory(joined, "append")
