@@ -1569,3 +1569,122 @@ def pipeline_events_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dur_s").cast("long").alias("total_session_seconds"),
         F.expr("sum(converted) * 10000 div count(1)").cast("long").alias("conversion_bp"),
     )
+
+
+DECAY_WEIGHTS = (64, 32, 16, 8, 4, 2, 1)  # 2^(6-age_days), age 0..6
+
+
+@query(
+    "events_attribution_time_decay",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts FROM events
+        WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT event_id AS tid, user_id, ts AS tts, event_type FROM events
+        WHERE event_type <> 'purchase'
+    ), touches AS (
+        SELECT p.pid, t.tid, t.event_type, t.tts,
+               ([{", ".join(str(w) for w in DECAY_WEIGHTS)}])
+                   [CAST((epoch_us(p.pts) - epoch_us(t.tts)) // 86400000000
+                         AS INT) + 1] AS w,
+               ROW_NUMBER() OVER (PARTITION BY p.pid
+                                  ORDER BY t.tts DESC, t.tid DESC) AS rn
+        FROM p JOIN t
+          ON p.user_id = t.user_id
+         AND t.tts < p.pts
+         AND t.tts >= p.pts - INTERVAL '7 days'
+    ), shares AS (
+        SELECT pid, event_type, rn,
+               w * 1000000 // SUM(w) OVER (PARTITION BY pid) AS base
+        FROM touches
+    ), based AS (
+        SELECT pid, event_type, rn, base,
+               SUM(base) OVER (PARTITION BY pid) AS base_total
+        FROM shares
+    ), credited AS (
+        SELECT event_type,
+               base + CASE WHEN rn = 1 THEN 1000000 - base_total ELSE 0 END AS credit
+        FROM based
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit) AS BIGINT) AS credit_ppm
+    FROM credited GROUP BY event_type
+    """,
+)
+def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — credit halves per day of age:
+    a touch aged d days (0..6) weighs 2^(6−d), and each purchase's
+    1,000,000 ppm is split proportionally.  Completes the attribution
+    trio (last-touch = all credit to the newest; linear = equal split;
+    time-decay = the industry default between them).
+
+    Exactness: weights are integer powers of two picked by array index
+    (no float pow), the split is floor division, and the rounding
+    remainder goes to the LATEST touch (the model's own bias direction)
+    — total credit per purchase is exactly 1,000,000 on any engine.  Age
+    uses integer microsecond arithmetic (floor days), NOT calendar-day
+    diffs whose boundary semantics differ between engines.
+
+    Plan: same bounded user-equi interval join as the linear variant,
+    two purchase-keyed windows (weight share + remainder rank), one
+    #types rollup."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("tts"),
+        "event_type",
+    )
+    cond = (
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    age = ((F.unix_micros("pts") - F.unix_micros("tts")) / F.lit(86400000000)).cast("int")
+    weights = F.array(*[F.lit(w) for w in DECAY_WEIGHTS])
+    wr = Window.partitionBy("pid").orderBy(F.col("tts").desc(), F.col("tid").desc())
+    wp = Window.partitionBy("pid")
+    touches = (
+        p.join(t, cond)
+        .select(
+            "pid",
+            "tid",
+            "event_type",
+            "tts",
+            F.element_at(weights, age + 1).alias("w"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+    )
+    based = touches.select(
+        "pid",
+        "event_type",
+        "rn",
+        F.expr("w * 1000000").alias("scaled"),
+        F.sum("w").over(wp).alias("sw"),
+    ).select(
+        "pid",
+        "event_type",
+        "rn",
+        F.expr("scaled div sw").alias("base"),
+    )
+    based = based.withColumn("base_total", F.sum("base").over(wp))
+    credited = based.select(
+        "event_type",
+        (
+            F.col("base")
+            + F.when(F.col("rn") == 1, F.lit(1000000) - F.col("base_total")).otherwise(0)
+        ).alias("credit"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("credit").cast("long").alias("credit_ppm"),
+    )

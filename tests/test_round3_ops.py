@@ -36,6 +36,36 @@ def test_linear_attribution_conserves_credit(spark):
     assert total == n_purchases * LINEAR_ATTR_PPM
 
 
+def test_time_decay_attribution_conserves_credit(spark):
+    """Same conservation law for the time-decay model, over ATTRIBUTED
+    purchases (it has no '(none)' bucket): total credit = PPM x the
+    number of purchases with at least one prior-7-day touch."""
+    from etl_pipeline_aws_spark.operators.analytics import (
+        events_attribution_time_decay,
+    )
+
+    out = events_attribution_time_decay(spark, SF_DIR)
+    total = out.agg(F.sum("credit_ppm")).collect()[0][0]
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), "event_id"
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("tu"), F.col("ts").alias("tts")
+    )
+    attributed = (
+        p.join(
+            t,
+            (F.col("pu") == F.col("tu"))
+            & (F.col("tts") < F.col("pts"))
+            & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS")),
+            "left_semi",
+        )
+        .count()
+    )
+    assert total == attributed * LINEAR_ATTR_PPM
+
+
 def test_market_basket_confidence_and_lift_bounds(spark):
     """confidence is a probability (0 < conf_bp <= 10000); pair support
     never exceeds either item support; rules come in mirrored pairs
