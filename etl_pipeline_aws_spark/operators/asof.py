@@ -287,3 +287,69 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("f_date"))
         .alias("nearest_orderdate"),
     )
+
+
+ASOF_TOLERANCE_DAYS = 10  # max staleness: older matches are rejected
+
+
+ASOF_TOLERANCE_ORACLE = f"""
+    WITH best AS (
+        SELECT event_id, user_id, ts, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY event_id
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           b.o_orderkey AS asof_orderkey,
+           b.o_orderdate AS asof_orderdate
+    FROM events e
+    LEFT JOIN best b
+      ON b.event_id = e.event_id AND b.rn = 1
+     AND b.o_orderdate >= e.ts - INTERVAL '{ASOF_TOLERANCE_DAYS} days'
+"""
+
+
+@query("asof_join_tolerance", oracle=ASOF_TOLERANCE_ORACLE)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a staleness tolerance — the feature-store form:
+    each event takes the customer's latest prior order ONLY if it is at
+    most {ASOF_TOLERANCE_DAYS} days old; a staler match is rejected and
+    the event keeps NULLs (pandas' ``merge_asof(tolerance=...)``).  The
+    semantic difference from the plain as-of: stale features silently
+    joined are a model-quality bug — the tolerance turns them into
+    explicit missingness a feature pipeline can impute or drop.
+
+    Plan: same bounded range join + per-event top-1 window as
+    asof_join_window, tolerance applied to the winner (not in the range
+    predicate — rejecting early would promote the SECOND-newest order,
+    which is the wrong semantics: pandas rejects the row, not the
+    match), then a left join back onto events re-attaches the no-match
+    rows.  Both the matched and NULL outcomes hash into the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = ev.join(
+        orders,
+        (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
+        "inner",
+    )
+    w = W.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    best = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(
+            F.col("o_orderdate")
+            >= F.col("ts") - F.expr(f"INTERVAL {ASOF_TOLERANCE_DAYS} DAYS")
+        )
+        .select(
+            F.col("event_id").alias("b_event_id"),
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").alias("asof_orderdate"),
+        )
+    )
+    return ev.select("event_id", "user_id", "ts").join(
+        best, F.col("event_id") == F.col("b_event_id"), "left"
+    ).drop("b_event_id")

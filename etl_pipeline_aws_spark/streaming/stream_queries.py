@@ -1024,3 +1024,63 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("delay_s"),
     )
     return _run_to_memory(joined, "append")
+
+
+SESSION_APPEND_ORACLE = """
+    WITH g AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM g
+    ), sess AS (
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sess_id
+    ), mx AS (SELECT MAX(ts) AS mt FROM events)
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM sess CROSS JOIN mx
+    WHERE session_end < mt - INTERVAL '1 hour'
+"""
+
+
+@query("stream_session_append", oracle=SESSION_APPEND_ORACLE)
+def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in APPEND output mode — the merging-window
+    finalization contract: a session emits exactly once, when the
+    watermark passes its end (= last event + the 30-minute gap), because
+    only then can no future event extend or merge it.  Harder than
+    tumbling-append (stream_tumbling_append): a tumbling window's end is
+    known at assignment, a session's end MOVES with every event — the
+    oracle therefore sessionizes in SQL (lag/cumsum islands, the same
+    rule as the batch twins) and keeps only sessions with
+    ``end < final watermark``; the sessions still open or recently
+    closed inside the last 90 minutes of replay are correctly ABSENT.
+    Emit-once is what lets a 100 TB sessionization append straight to an
+    idempotent sink; state is bounded by open sessions × watermark."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "append")
