@@ -389,3 +389,53 @@ def window_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.size(F.collect_set("event_type").over(w)).alias("distinct_types_last7"),
     )
+
+
+PRICE_BAND = 10_000  # trailing value-range width (price units)
+
+
+@query(
+    "window_numeric_range_frame",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+               RANGE BETWEEN {PRICE_BAND} PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_in_band,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+               RANGE BETWEEN {PRICE_BAND} PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS band_total
+    FROM orders
+    WHERE o_orderkey < 3000
+    """,
+)
+def window_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based RANGE frame on a numeric ordering — for each order,
+    how many peers in its priority class sit within the trailing
+    {PRICE_BAND}-unit price band, and their exact total: the density /
+    crowding question (price clustering, salary banding, percentile
+    neighborhoods) that ROWS frames cannot express because the frame
+    width is in the MEASURE's units, not in row counts.  Completes the
+    frame-type coverage: ROWS (running/moving), time-interval RANGE
+    (window_time_range_rolling), and now numeric RANGE.
+
+    Determinism note: a RANGE frame includes ALL peers of the current
+    value, so tied prices share identical frames regardless of tie
+    order — no tie-break needed (the property that makes RANGE the
+    audit-safe default over ROWS when duplicates exist).  The sum is an
+    exact decimal (associative) surfaced as double.  Frame state is
+    bounded by band density, not partition size."""
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-PRICE_BAND, 0)
+    )
+    return od.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_band"),
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("band_total"),
+    )
