@@ -1,0 +1,116 @@
+"""Spark 4 SQL-surface extensions: recursive CTEs and SQL scripting.
+
+Two declarations the engine previously could not express in one statement:
+
+- ``WITH RECURSIVE`` (SPARK-24497, shipped in Spark 4.0): iterative
+  reachability stated *declaratively* — the engine drives the fixpoint loop
+  instead of a Python ``for`` round loop (contrast graph.py, which unrolls
+  its five PageRank rounds by hand).  Each recursion level is one join +
+  union under the hood, so the 100 TB posture is identical to the manual
+  loop: shuffle on the node key per level, bounded by the hop cap.
+- SQL scripting (``BEGIN ... END`` blocks, SPARK-48338, Spark 4.0):
+  procedural parameterization — DECLARE a session variable, SET it from a
+  scalar query, use it in the report — the shape of every "compute a
+  threshold, then filter by it" operational job, without a driver-side
+  round trip between the two statements.
+
+The reference has no recursion or scripting (its one transform is a
+map-only enrichment, glue/job.py:27-34); both are north-star
+generalizations.  Oracles: DuckDB speaks WITH RECURSIVE natively; the
+scripting block's oracle inlines the variable as a scalar subquery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_pipeline_aws_spark.catalog import register_views
+from etl_pipeline_aws_spark.registry import query
+
+# Reachability over the support-pruned part co-occurrence graph (shared
+# edge semantics with graph.py's PageRank / triangle family): nodes within
+# MAX_HOPS of the smallest part key, labeled with their minimum hop count.
+# The recursive member explodes *walks*, not shortest paths — correct
+# because the final GROUP BY takes MIN(hops); bounded because the hop cap
+# is 3 and the edge list is support-pruned (>= 2 shared orders).
+_RECURSIVE_SQL = """
+    WITH RECURSIVE pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 2
+    ), edges AS (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION ALL
+        SELECT pb AS u, pa AS v FROM pairs
+    ), seed AS (
+        SELECT MIN(u) AS s FROM edges
+    ), reach AS (
+        SELECT s AS node, 0 AS hops FROM seed
+        UNION ALL
+        SELECT e.v AS node, r.hops + 1 AS hops
+        FROM reach r JOIN edges e ON e.u = r.node
+        WHERE r.hops < 3
+    )
+    SELECT node, CAST(MIN(hops) AS INT) AS hops
+    FROM reach
+    GROUP BY node
+"""
+
+
+@query("subquery_recursive_cte", oracle=_RECURSIVE_SQL)
+def subquery_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability (<= 3 hops) from the smallest part in the
+    co-occurrence graph, as a single ``WITH RECURSIVE`` statement — the
+    identical SQL text runs on Spark 4 and DuckDB.
+
+    Scale shape: each recursion level joins the frontier against the edge
+    list (node-key shuffle) and unions; the walk fan-out is bounded by
+    hop cap x max degree.  At 100 TB the edge list would be bucketed on
+    ``u`` so every level's join is exchange-free on the edge side, and a
+    production variant would dedup the frontier per level (UNION instead
+    of UNION ALL) to turn walk growth into node growth."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+# Threshold = 80% of the maximum balance: MAX is exact, one double
+# multiply is one deterministic IEEE op on both engines — no
+# summation-order hazard in the cut value.
+_SCRIPT_SQL = """
+    BEGIN
+        DECLARE cut DOUBLE;
+        SET cut = (SELECT MAX(c_acctbal) * 0.8 FROM customer);
+        SELECT c_nationkey,
+               COUNT(*) AS n_rich,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        FROM customer
+        WHERE c_acctbal > cut
+        GROUP BY c_nationkey;
+    END
+"""
+
+_SCRIPT_ORACLE = """
+    SELECT c_nationkey,
+           COUNT(*) AS n_rich,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+    FROM customer
+    WHERE c_acctbal > (SELECT MAX(c_acctbal) * 0.8 FROM customer)
+    GROUP BY c_nationkey
+"""
+
+
+@query("sql_scripting_block", oracle=_SCRIPT_ORACLE)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-threshold-then-report as ONE SQL scripting block: DECLARE a
+    variable, SET it from a scalar query, reference it in the final
+    statement; ``spark.sql`` returns the block's last result set.
+
+    This replaces the driver-side anti-pattern (``collect()`` the scalar,
+    interpolate it into a second query string) with engine-side state —
+    no extra driver round trip, and at scale no tiny driver-to-executor
+    re-broadcast: Catalyst folds the variable as a literal into the
+    second statement's plan."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCRIPT_SQL)

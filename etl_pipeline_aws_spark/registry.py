@@ -84,6 +84,7 @@ def _load_all() -> None:
         merge,
         observability,
         quality,
+        recursive,
         relational_ext,
         scalars,
         scale,

@@ -522,3 +522,65 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     return fact.join(dim, "day").groupBy("day", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+@query(
+    "pyds_calendar_join",
+    oracle="""
+    WITH cal AS (
+        SELECT CAST(gs AS DATE) AS d,
+               CAST(EXTRACT(year FROM gs) AS INT) AS y,
+               CAST(EXTRACT(isodow FROM gs) AS INT) AS dow
+        FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-12-31',
+                             INTERVAL 1 DAY) AS t(gs)
+    )
+    SELECT y,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN dow >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS weekend_orders,
+           CAST(SUM(CASE WHEN dow >= 6
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS weekend_revenue
+    FROM orders JOIN cal ON CAST(o_orderdate AS DATE) = cal.d
+    GROUP BY y
+    """,
+)
+def pyds_calendar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined to a calendar dim served by the PYTHON Data Source API
+    (sources/pyds.py): weekend order share + revenue per year.
+
+    The calendar scan enters the plan as a real partitioned source (84
+    month-splits, Arrow-batched Python reads), then broadcasts — 2.5k rows
+    — onto the orders scan.  This is the reference's fetch-and-parse-in-
+    Python model (glue/job.py:22-25) upgraded to an engine-native scan:
+    same Python ergonomics, but partition-parallel and join-composable.
+    The oracle generates the identical calendar with DuckDB's
+    generate_series; ``is_weekend`` is ISO dow >= 6 on both sides."""
+    from etl_pipeline_aws_spark.sources import pyds
+
+    pyds.register(spark)
+    cal = (
+        spark.read.format("pyds_calendar")
+        .option("start_year", "1995")
+        .option("end_year", "2001")
+        .load()
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "d", F.to_date("o_orderdate")
+    )
+    return (
+        orders.join(F.broadcast(cal), "d")
+        .groupBy("y")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("dow") >= 6, 1).otherwise(0)).alias("weekend_orders"),
+            F.sum(
+                F.when(
+                    F.col("dow") >= 6, F.col("o_totalprice").cast("decimal(18,2)")
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("weekend_revenue"),
+        )
+    )
