@@ -1688,3 +1688,134 @@ def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n_touches"),
         F.sum("credit").cast("long").alias("credit_ppm"),
     )
+
+
+_ROLLING_MEDIAN_ORACLE = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,2))) AS dval
+        FROM events GROUP BY 1, 2
+    ), framed AS (
+        SELECT event_type, day,
+               CAST(dval AS DOUBLE) AS day_value,
+               list(dval) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS l,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily
+    )
+    SELECT event_type, day, day_value,
+           CAST(list_sort(l)[4] AS DOUBLE) AS med7
+    FROM framed WHERE rn >= 7
+"""
+
+
+@query("window_rolling_median", oracle=_ROLLING_MEDIAN_ORACLE)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day EXACT rolling median of daily value per series — the
+    robust smoother for spiky metrics (a single bot burst moves a rolling
+    mean; the median shrugs).  No engine median is trusted: both sides
+    collect the 7-row frame, sort, and take element 4 — an exact decimal
+    element, so interpolation/tie rules can never diverge.  Frames
+    shorter than 7 (series warm-up) are excluded: every emitted median is
+    a true 7-element middle.
+
+    State is bounded by the frame (7 decimals per row); the window runs
+    on AGGREGATED daily rows, so its cost is calendar-bounded — the same
+    two-tier discipline as events_anomaly_zscore's rolling z-score, which
+    this completes with an order-statistic variant."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("dval"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type").orderBy("day")
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            F.col("dval").cast("double").alias("day_value"),
+            F.collect_list("dval").over(w7).alias("frame"),
+            F.row_number().over(wn).alias("rn"),
+        )
+        .filter(F.col("rn") >= 7)
+        .select(
+            "event_type",
+            "day",
+            "day_value",
+            F.element_at(F.array_sort("frame"), 4).cast("double").alias("med7"),
+        )
+    )
+
+
+def _ewma_oracle() -> str:
+    """Trailing-8-day EWMA with half-per-day integer weights 2^(7-i):
+    numerator/denominator built from the same 8 lag terms on both
+    engines; one double division at the end."""
+    num = " + ".join(
+        f"COALESCE(lag(dval, {i}) OVER w * {2 ** (7 - i)}, 0)" for i in range(8)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(dval, {i}) OVER w IS NOT NULL THEN {2 ** (7 - i)} ELSE 0 END"
+        for i in range(8)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,2))) AS dval
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           CAST(dval AS DOUBLE) AS day_value,
+           CAST({num} AS DOUBLE) / ({den}) AS ewma
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """
+
+
+@query("events_ewma_daily", oracle=_ewma_oracle())
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily value per series,
+    half-life = 1 day, window truncated at 8 terms (the 9th carries
+    weight < 0.4%).  The textbook recursive EWMA is order-dependent float
+    accumulation — unverifiable across engines; truncating makes it a
+    FINITE weighted sum with power-of-two integer weights: decimal x
+    2^k products are exact, their sum is exact, and the single closing
+    division of two exact operands is one deterministic IEEE op.
+
+    Warm-up rows reweight over the terms present (the denominator counts
+    only non-NULL lags), so the curve starts unbiased instead of damped.
+    Eight lag() calls share ONE window spec => Catalyst evaluates them in
+    a single Window node — one sort of the calendar-bounded daily rows,
+    not eight."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("dval"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = None
+    den = None
+    for i in range(8):
+        weight = 2 ** (7 - i)
+        lagged = F.lag("dval", i).over(w)
+        term = F.coalesce(lagged * weight, F.lit(0).cast("decimal(18,2)"))
+        present = F.when(lagged.isNotNull(), weight).otherwise(0)
+        num = term if num is None else num + term
+        den = present if den is None else den + present
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("dval").cast("double").alias("day_value"),
+        (num.cast("double") / den).alias("ewma"),
+    )

@@ -426,3 +426,40 @@ def dq_primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           COUNT(*) AS group_size,
+           COUNT(*) < 5 AS below_k
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, FLOOR(c_acctbal / 1000)
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (nation, market
+    segment, $1000 balance band): the size of every QI equivalence class,
+    flagged when below k=5 — the groups whose members a release would
+    re-identify.  The banding (FLOOR of one double division) is a single
+    deterministic IEEE op on both engines.
+
+    This is the privacy-release gate for a data-sharing pipeline: rows in
+    below-k classes get suppressed or re-generalized (wider bands) before
+    export.  One hash aggregation, map-side combined; at 100 TB the QI
+    domain (25 nations x 5 segments x ~tens of bands) stays tiny no
+    matter the row count, so the report never grows with the data."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000)
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            band.cast("long").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .withColumn("below_k", F.col("group_size") < 5)
+    )

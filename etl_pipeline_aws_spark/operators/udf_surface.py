@@ -152,3 +152,83 @@ def udtf_split_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT event_id, pos, key_name, val "
         "FROM events_small, LATERAL split_props(props)"
     )
+
+
+@query(
+    "udf_apply_in_arrow",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map through ``applyInArrow`` (Spark 4): the cogroup batch
+    arrives as a ``pyarrow.Table`` and the result returns as one — no
+    pandas materialization, no object boxing, the cheapest possible
+    Python grouped-map.  Per-language doc counts via ``pyarrow.compute``
+    kernels (count/sum/max are order-insensitive, so shuffle order cannot
+    change the hash).
+
+    Production rule unchanged: a built-in groupBy beats this (the oracle
+    IS that groupBy); registered to prove the Arrow-native extension
+    point.  vs applyInPandas, the win at 100 TB is per-batch overhead:
+    Arrow tables skip the pandas block-manager build entirely."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def lang_stats(table: pa.Table) -> pa.Table:
+        chars = table.column("n_chars")
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": pa.array([table.num_rows], pa.int64()),
+                "total_chars": pa.array([pc.sum(chars).as_py()], pa.int64()),
+                "max_chars": pa.array([pc.max(chars).as_py()], pa.int64()),
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return docs.groupBy("lang").applyInArrow(
+        lang_stats, schema="lang string, n_docs long, total_chars long, max_chars long"
+    )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\s+')) + 1 AS BIGINT) AS n_words
+    FROM documents
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wise ``mapInArrow``: each Arrow record batch is
+    transformed by ``pyarrow.compute`` string kernels without ever
+    leaving columnar form — word counts as whitespace-run count + 1.
+
+    Both Arrow's ``count_substring_regex`` and DuckDB's
+    ``regexp_extract_all`` are RE2, so ``\\s+`` means the same runs on
+    both engines — the same cross-engine-regex discipline as
+    text_bpe_pretokenize.  Narrow map, zero shuffles; at 100 TB this is
+    the template for any columnar Python kernel (tokenizers, hashing)
+    that built-ins cannot express."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def word_counts(batches):
+        for batch in batches:
+            words = pc.add(
+                pc.count_substring_regex(batch.column("text"), r"\s+"),
+                1,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pc.cast(words, pa.int64())],
+                ["doc_id", "n_words"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(word_counts, schema="doc_id long, n_words long")

@@ -79,6 +79,7 @@ def _load_all() -> None:
         events,
         flagships,
         graph,
+        ivm,
         joins,
         maps_arrays,
         merge,
