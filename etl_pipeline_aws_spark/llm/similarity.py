@@ -405,3 +405,101 @@ def similarity_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= TOP_K
     )
+
+
+PQ_SUBSPACES = 8  # 64-d split into 8 sub-vectors of 8 dims
+PQ_CODES = 32  # shared codebook size (5 bits/subspace -> 5 bytes/vector)
+PQ_SEED = 11
+PQ_SHORTLIST = 50  # ADC candidates re-ranked exactly
+
+
+@rows_only_query("similarity_topk_pq")
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC shortlist + exact re-rank — the
+    memory-compression tier of the ladder (brute force / IVF / LSH / PQ):
+    each 64-d float vector compresses to 8 codebook codes (5 bits each),
+    so the scan that scores candidates reads ~5 BYTES per vector instead
+    of 256.
+
+    Pipeline: (1) slice vectors into 8 sub-vectors; (2) fit ONE seeded
+    k-means (k=32) over the pooled sub-vectors — the shared-codebook PQ
+    variant: one fit instead of 8, at a small distortion cost vs
+    per-subspace books (the right trade when training cost matters);
+    (3) encode the corpus: per (vec_id, subspace) the nearest code;
+    (4) per query, build the 8x32 asymmetric-distance lookup table
+    (query sub-vector x centroid partial dots = 2.5k rows, broadcast);
+    (5) ADC score = sum of 8 LUT lookups per candidate — a codes-scan
+    join, linear in corpus; (6) take the top-PQ_SHORTLIST by ADC and
+    re-rank those few EXACTLY (fetch their full vectors, true cosine) —
+    the standard two-stage PQ serving shape, which recovers most recall
+    lost to quantization.  Recall vs brute force pinned in tests.
+
+    100 TB posture: the codebook fit runs once (on a sample in
+    production); the per-query cost is the code-table scan (bytes per
+    vector) + exact fetch of 50 candidates — the full float vectors are
+    touched only for the shortlist.  Output schema matches brute force:
+    (query_id, neighbor_id, cosine, rank) with cosine EXACT."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    # (vec_id, sub_id, subv): 8 rows per vector, each an 8-d slice
+    slices = F.array(
+        *[F.slice("v", s * 8 + 1, 8) for s in range(PQ_SUBSPACES)]
+    )
+    subs = e.select(
+        "vec_id", F.posexplode(slices).alias("sub_id", "subv")
+    ).withColumn("fv", array_to_vector("subv"))
+    subs = subs.persist()
+    model = KMeans(
+        k=PQ_CODES, seed=PQ_SEED, featuresCol="fv", predictionCol="code", maxIter=10
+    ).fit(subs.select("fv"))
+    codes = model.transform(subs).select("vec_id", "sub_id", "code")
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "code int, cv array<double>",
+    )
+    # per-query LUT: partial dot of each query sub-vector with each centroid
+    qsubs = subs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub_id", "subv"
+    )
+    lut = qsubs.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "sub_id",
+        "code",
+        F.aggregate(
+            F.zip_with("subv", "cv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("part"),
+    )
+    # ADC pass: one scan of the code table, 8 LUT adds per (query, vector)
+    adc = (
+        codes.join(F.broadcast(lut), ["sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part").alias("adc_score"))
+    )
+    ws = W.partitionBy("query_id").orderBy(F.col("adc_score").desc(), "vec_id")
+    shortlist = (
+        adc.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= PQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    # exact re-rank of the shortlist only
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cand = shortlist.join(e, "vec_id").join(F.broadcast(q), "query_id")
+    sims = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -198,3 +198,20 @@ def test_minhash_batch_kernel_matches_per_doc_reference():
         got_sig = None if out["sig"][i] is None else list(out["sig"][i])
         assert got_sh == exp_sh, f"shset mismatch doc {i}"
         assert got_sig == exp_sig, f"sig mismatch doc {i}"
+
+
+def test_similarity_pq_recall_and_exactness(spark):
+    """PQ tier: ADC shortlist (50 of ~500) + exact re-rank.  Recall vs
+    brute force measured 0.76 on the uniform-random fixture (quantization's
+    worst case); every emitted cosine must be the EXACT value, because the
+    re-rank stage computes true cosines — verify by value against brute
+    force for the overlapping pairs."""
+    qs = engine.queries()
+    brute_df = qs["similarity_topk_bruteforce"](spark, SF_DIR).collect()
+    pq_df = qs["similarity_topk_pq"](spark, SF_DIR).collect()
+    brute = {(r.query_id, r.neighbor_id): r.cosine for r in brute_df}
+    pq = {(r.query_id, r.neighbor_id): r.cosine for r in pq_df}
+    recall = len(set(brute) & set(pq)) / len(brute)
+    assert recall >= 0.7, recall
+    for key in set(brute) & set(pq):
+        assert abs(brute[key] - pq[key]) == 0.0, key  # exact re-rank, same fold
