@@ -49,6 +49,18 @@ def main() -> None:
 
     # warm the JVM + parquet footers once with the first query
     qs[names[0]](spark, sf_dir).count()
+    # warm the Python/Arrow worker pool too (one no-op pandas_udf task per
+    # core): the pool spawns lazily on first use, and interpreter boot +
+    # numpy import (~4 s across 32 workers) is infrastructure, not query
+    # cost — same rationale as the JVM warm-up above
+    from pyspark.sql.functions import max as _fmax
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    _warm = _pudf(lambda s: s, "long")
+    # aggregate the UDF output so column pruning cannot skip the Python eval
+    spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _warm("id").alias("x")
+    ).agg(_fmax("x")).collect()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -333,9 +333,17 @@ def _minhash_batch(texts: pd.Series, n: int = 3) -> pd.DataFrame:
 
 def minhash_feature_table(docs: DataFrame) -> DataFrame:
     """doc_id → (shset, sig): one narrow Arrow-batched projection over the
-    scan.  Shared by the LSH pair finder and the keeper scale path."""
+    scan.  Shared by the LSH pair finder and the keeper scale path.
+
+    The kernel is CPU-bound per batch, so its parallelism is capped by the
+    SCAN's split count.  A small corpus arrives as one Parquet file = one
+    partition = one Python worker; ``fan_out`` repartitions up to the
+    cluster's parallelism ONLY in that under-split case — at 100 TB the
+    scan already carries thousands of splits and no shuffle is added."""
+    from etl_pipeline_aws_spark.catalog import fan_out
+
     feat = _minhash_features()
-    return docs.select("doc_id", feat("text").alias("f")).select(
+    return fan_out(docs).select("doc_id", feat("text").alias("f")).select(
         "doc_id", F.col("f.shset").alias("shset"), F.col("f.sig").alias("sig")
     )
 

@@ -107,6 +107,7 @@ ALLOWED_NESTED_LOOP = {
     "similarity_topk_bruteforce",  # broadcast query set is the operator's design
     "similarity_range_search",  # same broadcast-query-set design, radius predicate
     "similarity_topk_ivf",  # centroid table broadcast (|cells| rows)
+    "similarity_topk_pq",  # 32-row codebook broadcast onto the query sub-vectors
     "events_gapfill_locf",  # 1-row min/max bounds broadcast to the type spine (scale-free)
     "feature_quantile_binning",  # 1-row decile-boundary broadcast (scale-free)
     "corpus_mix_temperature",  # 1-row weight-sum broadcast to #langs rows (scale-free)
