@@ -364,3 +364,41 @@ def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic tie-break inside the lateral ORDER BY."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPN)
+
+
+_PARAM_ORACLE = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+    GROUP BY o_orderpriority
+"""
+
+
+@query("sql_parameterized", oracle=_PARAM_ORACLE)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (``spark.sql(query, args={...})``, Spark 3.4+):
+    the injection-safe form of templated queries — parameters bind as
+    typed literals in the parser, they are never string-spliced, so a
+    user-supplied value can only ever be a VALUE.  The reference's job
+    parameterization (getResolvedOptions over CLI args feeding f-string
+    paths, glue/job.py:9-19) is the pattern this replaces at the query
+    layer.
+
+    Catalyst constant-folds the bound literals, so the parameterized
+    plan is IDENTICAL to the inlined one (pushdown included — the
+    o_totalprice bound reaches the Parquet scan); the oracle runs the
+    inlined twin."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "min_price": 1000.0},
+    )

@@ -1084,3 +1084,60 @@ def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "append")
+
+
+STATE_INSPECT_ORACLE = """
+    WITH mx AS (SELECT MAX(ts) AS mt FROM events)
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN mx
+    GROUP BY 1, 2, 3, mx.mt
+    HAVING time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+           >= mt - INTERVAL '1 hour'
+"""
+
+
+@query("stream_state_store_inspect", oracle=STATE_INSPECT_ORACLE)
+def stream_state_store_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a streaming job's LIVE STATE as a batch DataFrame — Spark 4's
+    State Data Source (``spark.read.format("statestore")`` over the
+    checkpoint) — the debugging/observability surface for stateful
+    streams: "what is this job holding, and why is my state growing?".
+
+    The run: the shared tumbling aggregation (_tumbling_agg) replays to a
+    noop sink in UPDATE mode with a checkpoint; update mode evicts a
+    window's state once the watermark passes its end, so what REMAINS in
+    the store afterward is exactly the not-yet-finalized tail — windows
+    with end >= final watermark (max event time − 1h).  The oracle states
+    that eviction contract in SQL: it is the COMPLEMENT of
+    stream_tumbling_append's HAVING clause, so between the two queries
+    every window is pinned to exactly one side of the watermark line.
+
+    The state rows surface the raw aggregation buffer (count + exact
+    decimal sum per key) — reading it costs one scan of the store, no
+    replay.  At 100 TB this is how state-size regressions are triaged
+    (group the read by key prefix and find the hot keys) without
+    stopping the job."""
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="state_inspect_ckpt_")
+    agg = _tumbling_agg(read_events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.window.end").alias("window_end"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+        F.col("value.sum").cast("double").alias("sum_value"),
+    )
