@@ -791,3 +791,68 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p").alias("min_bigram_prob"),
         F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("novel_bigrams"),
     )
+
+
+_SEARCH_TERMS = ("hash", "join", "vector")
+_SEARCH_TOP = 10
+
+_KEYWORD_SEARCH_ORACLE = f"""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tfc AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tf WHERE term IN {_SEARCH_TERMS!r}
+        GROUP BY doc_id, term
+    ), dfc AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf WHERE term IN {_SEARCH_TERMS!r}
+        GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT doc_id,
+           CAST(SUM(tf * ((n_docs * 1000) // df)) AS BIGINT) AS score_scaled,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM tfc JOIN dfc USING (term) CROSS JOIN n
+    GROUP BY doc_id
+    ORDER BY score_scaled DESC, doc_id
+    LIMIT {_SEARCH_TOP}
+"""
+
+
+@query("text_keyword_search", oracle=_KEYWORD_SEARCH_ORACLE)
+def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term keyword search with TF-IDF ranking, exact-integer
+    scoring: score = Σ_term tf(term, doc) × ⌊N·1000 / df(term)⌋ — the
+    idf weight as a floor-divided integer, so both engines rank
+    IDENTICALLY (a float idf's ln() differs in the last ulp across
+    engines and can flip ranks; integer arithmetic cannot).  Top-10 with
+    doc_id as the total-order tie-break.
+
+    Plan shape (the inverted-index discipline): the token explode is
+    filtered to the QUERY'S terms immediately — the posting lists
+    touched are |terms|, never the vocabulary; tf and df are two
+    aggregations over those postings; the corpus size N is a single-row
+    broadcast (the q11 pattern).  At 100 TB the explode+filter becomes a
+    pre-built posting-list table partitioned by term, and the query
+    reads |terms| partitions — search cost scales with the query, not
+    the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(*_SEARCH_TERMS))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tokens.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * F.expr("(n_docs * 1000) div df")
+            ).alias("score_scaled"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("score_scaled").desc(), "doc_id").limit(_SEARCH_TOP)

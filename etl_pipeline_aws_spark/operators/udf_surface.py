@@ -232,3 +232,41 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInArrow(word_counts, schema="doc_id long, n_words long")
+
+
+@query(
+    "udf_grouped_agg_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(MAX(l_extendedprice) - MIN(l_extendedprice) AS DOUBLE)
+               AS price_spread
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the UDAF extension point: a vectorized
+    Series -> scalar function usable inside ``groupBy().agg(...)`` (and
+    over unbounded windows).  Completes the UDF surface matrix: scalar
+    (udf_scalar_py), vectorized scalar (udf_pandas_vectorized),
+    grouped-map (udf_apply_in_pandas), grouped-agg (this), table function
+    (udtf_split_props), Arrow-native (udf_apply_in_arrow /
+    udf_map_in_arrow).
+
+    The aggregate is max - min (order-insensitive extrema, so partition
+    order cannot change the value, and one IEEE subtraction is
+    deterministic on both engines).  Caveat pinned in the docstring
+    because it matters at 100 TB: GROUPED_AGG materializes each group as
+    ONE pandas Series (no partial aggregation, unlike built-in aggs) —
+    per-group cardinality must be bounded, or the built-in composition
+    (F.max - F.min, which the oracle uses) is the right plan."""
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def spread(prices: pd.Series) -> float:
+        return float(prices.max() - prices.min())
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        spread("l_extendedprice").alias("price_spread")
+    )
