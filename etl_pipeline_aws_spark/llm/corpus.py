@@ -774,3 +774,54 @@ def corpus_version_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "manifest_hash"
         ),
     )
+
+
+_MINMAX_ORACLE = """
+    WITH flat AS (
+        SELECT vec_id, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS x
+        FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+    ), ext AS (
+        SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY dim
+    )
+    SELECT f.vec_id,
+           f.dim,
+           (f.x - e.lo) / (e.hi - e.lo) AS scaled
+    FROM flat f JOIN ext e USING (dim)
+    WHERE f.vec_id < 50
+"""
+
+
+@query("embedding_minmax_scale", oracle=_MINMAX_ORACLE)
+def embedding_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max feature scaling of the embedding corpus —
+    the preprocessing step distance-based methods need when dimensions
+    carry different ranges.  Deterministic by construction: extrema are
+    order-insensitive exact elements, and each scaled value is two IEEE
+    ops on exact operands ((x - lo) / (hi - lo)) — no accumulation, so
+    Spark and DuckDB emit bit-identical doubles (the same discipline as
+    embedding_centroids' ordered folds, which this complements on the
+    min-max side).
+
+    Shape: one posexplode to (vec_id, dim, x), one 64-group extrema
+    aggregate broadcast back onto the flat stream.  At 100 TB the
+    extrema table is dims-sized (tiny) and the scan is narrow — the
+    scaled output would re-gather to arrays via the same groupBy
+    array_sort(collect_list) used in embedding_centroids; emitted flat
+    here (vec_id < 50) to keep the oracle's unnest join bounded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    ext = flat.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    return (
+        flat.filter(F.col("vec_id") < 50)
+        .join(F.broadcast(ext), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            ((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias("scaled"),
+        )
+    )

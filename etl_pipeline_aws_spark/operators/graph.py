@@ -350,9 +350,15 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # localCheckpoint (not persist) per round: it TRUNCATES lineage, so the
+    # final plan is one scan of the last round's blocks no matter how many
+    # rounds convergence took — with persist, every round's joins stay in
+    # the plan tree and the plan SHAPE varies with the data's diameter
+    # (observed in the 10x probe as a 510-vs-850-join diff).  At 100 TB
+    # this is the reliable-checkpoint pattern every iterative job needs.
     labels = part.select(
         F.col("p_partkey").alias("node"), F.col("p_partkey").alias("label")
-    ).persist()
+    ).localCheckpoint()
     for _ in range(20):  # diameter bound; spelling clusters converge in 2-3
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -365,7 +371,7 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
@@ -373,7 +379,6 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

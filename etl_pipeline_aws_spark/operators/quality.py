@@ -463,3 +463,55 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("group_size"))
         .withColumn("below_k", F.col("group_size") < 5)
     )
+
+
+@query(
+    "dq_benford_digits",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                              1, 1) AS INT) AS first_digit
+        FROM orders WHERE o_totalprice >= 1.0
+    )
+    SELECT first_digit,
+           COUNT(*) AS n,
+           CAST(COUNT(*) * 1000000 // (SELECT COUNT(*) FROM d) AS BIGINT)
+               AS share_ppm
+    FROM d
+    GROUP BY first_digit
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic screen: the first-digit distribution of
+    order totals, as exact counts + integer parts-per-million shares.
+    Fabricated or unit-mangled monetary data departs from the expected
+    logarithmic digit curve (30.1% ones, 17.6% twos, ...); the report
+    hands an auditor the observed distribution without baking a float
+    chi-square into the hash (the comparison against expectation is one
+    dashboard division away — counts are the stable artifact).
+
+    First digit extraction truncates to BIGINT first (Spark CAST(double
+    AS BIGINT) truncates; DuckDB CAST rounds — the >= 1.0 filter plus
+    truncation-on-integer-part makes both engines see the same leading
+    digit, and the oracle mirrors the truncate-then-string shape).  One
+    hash aggregation over a one-column scan; the share join is a
+    single-row broadcast."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        d.groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "first_digit",
+            "n",
+            F.expr("n * 1000000 div n_total").alias("share_ppm"),
+        )
+    )

@@ -68,9 +68,14 @@ def subquery_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each recursion level joins the frontier against the edge
     list (node-key shuffle) and unions; the walk fan-out is bounded by
     hop cap x max degree.  At 100 TB the edge list would be bucketed on
-    ``u`` so every level's join is exchange-free on the edge side, and a
-    production variant would dedup the frontier per level (UNION instead
-    of UNION ALL) to turn walk growth into node growth."""
+    ``u`` so every level's join is exchange-free on the edge side.  The
+    walk-growth caveat is real and measured: UNION ALL recursion carries
+    duplicate frontier rows level to level (Spark 4.1 rejects
+    UNION-distinct recursive members — UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE
+    — probed on this build), so unbounded-diameter traversals belong on
+    the manual frontier-dedup loop (entity_resolution_parts,
+    graph_label_propagation); the recursive CTE is the right surface when
+    the hop cap is small and declared, as here."""
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
 

@@ -70,6 +70,16 @@ PROBE_QUERIES = [
     "pipeline_events_e2e",
     "corpus_length_bucketing",
     "join_dynamic_partition_pruning",
+    # round-4 additions
+    "subquery_recursive_cte",
+    "ivm_incremental_agg_join",
+    "entity_resolution_parts",
+    "similarity_topk_pq",
+    "text_keyword_search",
+    "events_ewma_daily",
+    "window_rolling_median",
+    "dq_k_anonymity",
+    "multimodal_video_keyframes",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
