@@ -320,3 +320,138 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = pts.select("day", F.sum("delta").over(w).alias("conc"))
     return run.groupBy("day").agg(F.max("conc").cast("long").alias("max_concurrent"))
+
+
+_DYN_SESSION_ORACLE = """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTE
+                    ELSE INTERVAL 30 MINUTE END AS gap
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts, ts + gap AS window_end,
+               CASE WHEN ts >= MAX(ts + gap) OVER (
+                        PARTITION BY user_id ORDER BY ts, ts + gap
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR MAX(ts + gap) OVER (
+                        PARTITION BY user_id ORDER BY ts, ts + gap
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM g
+    ), sess AS (
+        SELECT user_id, ts, window_end,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, window_end
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(window_end) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sess_id
+"""
+
+
+@query("window_session_dynamic_gap", oracle=_DYN_SESSION_ORACLE)
+def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows whose inactivity gap is a PER-ROW expression —
+    clicks time out after 10 minutes, everything else after 30
+    (``session_window(ts, when(...))``, the dynamic-gap form): the
+    engagement model where a click signals active attention and a view
+    may be idle reading.
+
+    Semantics pinned by the oracle, which rebuilds Spark's merge rule
+    from scratch: each event spans [ts, ts+gap); a new session starts
+    exactly when an event's ts clears the RUNNING MAX of all previous
+    span ends (not just the latest — a long-gap event can bridge over a
+    short-gap one); session_end is the max span end, so it carries the
+    closing event's own gap.  Same one-shuffle layout as the fixed-gap
+    window_session; the gap expression is a codegen'd scalar, so dynamic
+    costs nothing extra."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_TWAP_ORACLE = """
+    WITH e AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               ts,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               epoch_us(COALESCE(
+                   lead(ts) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts, event_id),
+                   date_trunc('day', ts) + INTERVAL 1 DAY)) - epoch_us(ts)
+                   AS dt_us
+        FROM events
+    )
+    SELECT event_type, day,
+           CAST(SUM(v * dt_us) AS DOUBLE) / CAST(SUM(dt_us) AS DOUBLE) AS twap,
+           CAST(SUM(dt_us) AS BIGINT) AS covered_us
+    FROM e
+    GROUP BY event_type, day
+    HAVING SUM(dt_us) > 0
+"""
+
+
+@query("events_twap_daily", oracle=_TWAP_ORACLE)
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per series per day (TWAP) — the metric
+    for irregularly-sampled gauges, where a plain AVG over-weights bursts:
+    each observation holds until the next one (step interpolation), the
+    last until midnight; weight = held-interval microseconds.
+
+    Exactness: weights are integer micros from one lead() pass (ties get
+    zero weight, so the event_id tie-break cannot change the value);
+    value x weight products are exact decimal x int; both sums are exact;
+    the single closing division is two exact operands.  One window + one
+    aggregation, both on the (event_type, day) partitioning — at 100 TB
+    this is a narrow scan with calendar-bounded output."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("event_type", day.alias("d")).orderBy("ts", "event_id")
+    e = ev.select(
+        "event_type",
+        day.cast("date").alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (
+            F.unix_micros(
+                F.coalesce(
+                    F.lead("ts").over(
+                        Window.partitionBy(
+                            "event_type", F.date_trunc("day", F.col("ts"))
+                        ).orderBy("ts", "event_id")
+                    ),
+                    F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY"),
+                )
+            )
+            - F.unix_micros("ts")
+        ).alias("dt_us"),
+    )
+    return (
+        e.groupBy("event_type", "day")
+        .agg(
+            (
+                F.sum(F.col("v") * F.col("dt_us")).cast("double")
+                / F.sum("dt_us").cast("double")
+            ).alias("twap"),
+            F.sum("dt_us").alias("covered_us"),
+        )
+        .filter(F.col("covered_us") > 0)
+    )

@@ -402,3 +402,50 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "min_price": 1000.0},
     )
+
+
+_CONSISTENT_SAMPLE_ORACLE = """
+    WITH so AS (
+        SELECT * FROM orders WHERE (o_orderkey * 2654435761) % 100 < 10
+    )
+    SELECT so.o_orderpriority,
+           COUNT(DISTINCT so.o_orderkey) AS n_orders,
+           COUNT(l.l_orderkey) AS n_lineitems,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sampled_revenue
+    FROM so JOIN lineitem l ON so.o_orderkey = l.l_orderkey
+    GROUP BY so.o_orderpriority
+"""
+
+
+@query("sample_consistent_join", oracle=_CONSISTENT_SAMPLE_ORACLE)
+def sample_consistent_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referentially-consistent 10% sampling: sample ORDERS by a
+    deterministic Fibonacci hash of the join key, then take every
+    lineitem of each sampled order — the cluster-sampling discipline
+    that keeps parent/child ratios intact (row-level sampling of both
+    tables independently would keep ~1% of joined pairs and bias every
+    per-order statistic).  No RNG: the same keys are in the sample on
+    every engine, every run (same discipline as corpus_split_leakage_safe,
+    which samples by CLUSTER representative for the same reason).
+
+    Plan: the hash predicate filters the orders scan (pushdown-eligible
+    arithmetic), then one equi join pulls the children — at 100 TB the
+    sample predicate can instead be evaluated on the lineitem side
+    directly (same hash of l_orderkey), turning the join into two
+    independent filtered scans when only child rows are needed."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") * 2654435761) % 100 < 10
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count("l_orderkey").alias("n_lineitems"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sampled_revenue"),
+        )
+    )
