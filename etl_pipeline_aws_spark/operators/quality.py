@@ -515,3 +515,69 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n * 1000000 div n_total").alias("share_ppm"),
         )
     )
+
+
+_IMPUTE_ORACLE = """
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey % 20 = 0 THEN NULL
+                    ELSE c_nationkey END AS nationkey_raw
+        FROM customer
+    ), modes AS (
+        SELECT c_mktsegment, nationkey_raw AS mode_nation
+        FROM (
+            SELECT c_mktsegment, nationkey_raw,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY COUNT(*) DESC, nationkey_raw) AS rn
+            FROM base WHERE nationkey_raw IS NOT NULL
+            GROUP BY c_mktsegment, nationkey_raw
+        ) t WHERE rn = 1
+    )
+    SELECT b.c_custkey,
+           b.nationkey_raw IS NULL AS was_imputed,
+           COALESCE(b.nationkey_raw, m.mode_nation) AS nationkey_final
+    FROM base b JOIN modes m USING (c_mktsegment)
+"""
+
+
+@query("dq_impute_mode_fk", oracle=_IMPUTE_ORACLE)
+def dq_impute_mode_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode imputation for a missing foreign key: rows whose nationkey is
+    absent (deterministic synthetic missingness — every 20th customer, so
+    the oracle sees the identical holes) take the most frequent nation of
+    their market segment, ties broken by smallest key — never the
+    engine's ``mode()``, whose tie behavior is unspecified (same
+    discipline as agg_mode).
+
+    The imputation table is segment-sized (a window over GROUPED counts,
+    not rows) and broadcasts back onto the scan, so the repair pass costs
+    one aggregate + one map-side join at any scale.  ``was_imputed`` is
+    carried so downstream consumers can weight or exclude repaired rows
+    — silent imputation is how bias enters a training set."""
+    from pyspark.sql.window import Window
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 20 == 0, F.lit(None).cast("int"))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nationkey_raw"),
+    )
+    counts = (
+        base.filter(F.col("nationkey_raw").isNotNull())
+        .groupBy("c_mktsegment", "nationkey_raw")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cnt").desc(), "nationkey_raw"
+    )
+    modes = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("nationkey_raw").alias("mode_nation"))
+    )
+    return base.join(F.broadcast(modes), "c_mktsegment").select(
+        "c_custkey",
+        F.col("nationkey_raw").isNull().alias("was_imputed"),
+        F.coalesce("nationkey_raw", "mode_nation").alias("nationkey_final"),
+    )

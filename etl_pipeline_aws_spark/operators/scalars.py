@@ -641,3 +641,65 @@ def scalar_string_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate(F.col("p_type"), " #", "_-").alias("type_slug"),
         F.regexp_replace(F.col("p_brand"), "Brand", "B").alias("brand_short"),
     )
+
+
+_COLLATION_ORACLE = """
+    SELECT lower(c_mktsegment) AS segment_ci,
+           COUNT(*) AS n,
+           COUNT(DISTINCT c_mktsegment) AS n_case_variants
+    FROM (SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                      WHEN c_custkey % 3 = 1 THEN c_mktsegment
+                      ELSE concat(substring(c_mktsegment, 1, 1),
+                                  lower(substring(c_mktsegment, 2,
+                                                  length(c_mktsegment))))
+                 END AS c_mktsegment
+          FROM customer) t
+    GROUP BY lower(c_mktsegment)
+"""
+
+
+@query("scalar_collation_ci", oracle=_COLLATION_ORACLE)
+def scalar_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive GROUPING via Spark 4 COLLATIONS: the segment
+    column is deliberately re-cased three ways (upper/lower/title per
+    customer), then grouped under the ``UTF8_LCASE`` collation —
+    ``collate()`` makes case-insensitivity a property of the COLUMN'S
+    TYPE, so every comparison, join, and aggregation downstream honors
+    it without scattering lower() calls (and without breaking pushdown
+    the way expression-wrapped keys do).
+
+    The output key is normalized through lower() so both engines emit
+    identical strings (a collated group's REPRESENTATIVE value is
+    engine-arbitrary — first-seen — which a cross-engine hash cannot
+    pin); n_case_variants counts the distinct raw casings folded into
+    each group, proving the collation actually merged them."""
+    c = load_table(spark, sf_dir, "customer")
+    recased = c.select(
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.col("c_mktsegment"))
+        .otherwise(
+            F.concat(
+                F.substring("c_mktsegment", 1, 1),
+                F.lower(F.expr("substring(c_mktsegment, 2, length(c_mktsegment))")),
+            )
+        )
+        .alias("c_mktsegment")
+    )
+    collated = recased.select(
+        F.expr("collate(c_mktsegment, 'UTF8_LCASE')").alias("seg_ci"),
+        F.col("c_mktsegment").alias("raw"),
+    )
+    return (
+        collated.groupBy("seg_ci")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.expr("collate(raw, 'UTF8_BINARY')")).alias(
+                "n_case_variants"
+            ),
+        )
+        .select(
+            F.lower(F.col("seg_ci").cast("string")).alias("segment_ci"),
+            "n",
+            "n_case_variants",
+        )
+    )

@@ -105,6 +105,7 @@ ALLOWED_NESTED_LOOP = {
     "corpus_mix_equalize",  # single-row min-count cap broadcast (q11 pattern)
     "text_cosine_pairs",  # single-row corpus-count broadcast for the df cutoff
     "text_keyword_search",  # single-row corpus-count broadcast (q11 pattern)
+    "dq_benford_digits",  # single-row total-count broadcast for the ppm share
     "similarity_topk_bruteforce",  # broadcast query set is the operator's design
     "similarity_range_search",  # same broadcast-query-set design, radius predicate
     "similarity_topk_ivf",  # centroid table broadcast (|cells| rows)
