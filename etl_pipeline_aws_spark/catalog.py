@@ -41,22 +41,6 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def fan_out(df: DataFrame) -> DataFrame:
-    """Widen an under-split DataFrame to the cluster's parallelism before a
-    CPU-bound per-row kernel (Pandas-UDF feature extraction, codecs).
-
-    A per-partition kernel can never use more cores than the upstream scan
-    has splits; a small table read from one Parquet file runs the whole
-    kernel on ONE Python worker.  Repartition costs one narrow-data shuffle
-    and only fires when splits < cores — at production scale the scan
-    already has >= cores splits and this is the identity (no shuffle added
-    to any 100 TB plan)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Columnar Parquet scan => Catalyst gets predicate
     pushdown, column pruning, and row-group skipping for free."""

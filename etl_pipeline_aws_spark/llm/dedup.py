@@ -337,13 +337,11 @@ def minhash_feature_table(docs: DataFrame) -> DataFrame:
 
     The kernel is CPU-bound per batch, so its parallelism is capped by the
     SCAN's split count.  A small corpus arrives as one Parquet file = one
-    partition = one Python worker; ``fan_out`` repartitions up to the
+    partition = one Python worker; ``cpu_parallel`` repartitions up to the
     cluster's parallelism ONLY in that under-split case — at 100 TB the
     scan already carries thousands of splits and no shuffle is added."""
-    from etl_pipeline_aws_spark.catalog import fan_out
-
     feat = _minhash_features()
-    return fan_out(docs).select("doc_id", feat("text").alias("f")).select(
+    return cpu_parallel(docs).select("doc_id", feat("text").alias("f")).select(
         "doc_id", F.col("f.shset").alias("shset"), F.col("f.sig").alias("sig")
     )
 
@@ -990,5 +988,94 @@ def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("container_doc"),
             F.col("a.n").cast("long").alias("contained_len"),
             F.col("b.n").cast("long").alias("container_len"),
+        )
+    )
+
+
+CHUNK_TOKENS = 20  # sub-document dedup granularity
+CHUNK_DUP_PPM = 500_000  # drop threshold: >50% duplicated chunks
+
+_CHUNK_DEDUP_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               sha256(array_to_string(
+                   ws[{CHUNK_TOKENS} * i + 1 : {CHUNK_TOKENS} * (i + 1)], ' ')) AS h
+        FROM toks, unnest(range(0, len(ws) // {CHUNK_TOKENS})) AS t(i)
+    ), dup AS (
+        SELECT h FROM chunks GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_ppm,
+           SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+               > {CHUNK_DUP_PPM} * COUNT(*) AS drop_doc
+    FROM chunks c LEFT JOIN dup d USING (h)
+    GROUP BY c.doc_id
+"""
+
+
+@query("dedup_paragraph_chunks", oracle=_CHUNK_DEDUP_ORACLE)
+def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-document deduplication — the granularity whole-doc dedup
+    misses: boilerplate paragraphs (headers, license blocks, navigation)
+    repeated across otherwise-distinct documents.  Text splits into
+    non-overlapping {CHUNK_TOKENS}-token chunks; a chunk is duplicated
+    when its hash appears in >= 2 DISTINCT documents; each doc reports
+    its duplicated-chunk fraction (exact integer ppm) and a drop verdict
+    past 50% — the RefinedWeb-style curation rule, complementing
+    text_repetition_filter (WITHIN-doc repetition) with the cross-doc
+    axis.
+
+    Plan: one narrow chunk explode (bounded: tokens/{CHUNK_TOKENS} rows
+    per doc), one hash-key aggregation to find shared chunks, one join
+    back on the 32-byte hash, one per-doc rollup — every stage keyed and
+    map-side combinable.  At 100 TB the dup-hash table is the only
+    intermediate that grows with corpus redundancy, and it shrinks as
+    dedup improves — a self-limiting cost.  Fractions stay in integer
+    cross-multiplication (ppm vs threshold x count), no float boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    # guard: Spark's sequence(0, -1) DESCENDS instead of being empty, so
+    # docs shorter than one full chunk must take the empty-array branch
+    # (same discipline as _shingles)
+    chunk_hashes = F.when(
+        F.size(ws) >= CHUNK_TOKENS,
+        F.transform(
+            F.sequence(F.lit(0), (F.size(ws) / CHUNK_TOKENS).cast("int") - 1),
+            lambda i: F.sha2(
+                F.concat_ws(" ", F.slice(ws, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)),
+                256,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = docs.select("doc_id", F.explode(chunk_hashes).alias("h"))
+    dup = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("_dup"))
+    )
+    joined = chunks.join(dup, "h", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.expr("n_dup_chunks * 1000000 div n_chunks").alias("dup_ppm"),
+            (F.col("n_dup_chunks") * 1_000_000 > CHUNK_DUP_PPM * F.col("n_chunks")).alias(
+                "drop_doc"
+            ),
         )
     )

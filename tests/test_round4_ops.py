@@ -137,10 +137,10 @@ def test_calendar_source_partition_parallelism(spark):
     assert [r["count"] for r in days] == [365, 366, 365, 365, 365, 366, 365]
 
 
-def test_fan_out_is_identity_when_already_parallel(spark):
-    """fan_out must never ADD a shuffle to an already-parallel plan — the
-    production no-op guarantee."""
-    from etl_pipeline_aws_spark.catalog import fan_out
+def test_cpu_parallel_is_identity_when_already_parallel(spark):
+    """cpu_parallel must never ADD a shuffle to an already-parallel plan —
+    the production no-op guarantee."""
+    from etl_pipeline_aws_spark.catalog import cpu_parallel
 
     df = load_table(spark, SF_DIR, "lineitem").repartition(64)
-    assert fan_out(df) is df
+    assert cpu_parallel(df) is df
