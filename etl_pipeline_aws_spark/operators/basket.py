@@ -111,3 +111,82 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_ppm"),
         )
     )
+
+
+SIM_JACCARD_MIN_PPM = 100_000  # emit pairs with Jaccard >= 0.10
+SIM_MAX_ITEM_CUSTOMERS = 40  # stop-item cutoff: skip parts half the base buys
+
+_CUST_JACCARD_ORACLE = f"""
+    WITH bought AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), item_pop AS (
+        SELECT p, COUNT(*) AS n_cust FROM bought GROUP BY p
+    ), posting AS (
+        SELECT b.c, b.p FROM bought b JOIN item_pop i USING (p)
+        WHERE i.n_cust <= {SIM_MAX_ITEM_CUSTOMERS}
+    ), sizes AS (
+        SELECT c, COUNT(*) AS sz FROM posting GROUP BY c
+    ), inter AS (
+        SELECT a.c AS cust_a, b.c AS cust_b, COUNT(*) AS n_common
+        FROM posting a JOIN posting b ON a.p = b.p AND a.c < b.c
+        GROUP BY a.c, b.c
+    )
+    SELECT cust_a, cust_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON cust_a = sa.c
+    JOIN sizes sb ON cust_b = sb.c
+    WHERE n_common * 1000000 >= {SIM_JACCARD_MIN_PPM} * (sa.sz + sb.sz - n_common)
+"""
+
+
+@query("similarity_customers_jaccard", oracle=_CUST_JACCARD_ORACLE)
+def similarity_customers_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-to-customer similarity on purchased-part SETS (Jaccard >=
+    0.10) — collaborative-filtering candidate generation, the
+    "customers like you" primitive.  Same posting-list discipline as
+    text_cosine_pairs: the intersection join runs on (part -> customers)
+    posting lists AFTER a stop-item cutoff removes parts bought by more
+    than {SIM_MAX_ITEM_CUSTOMERS} customers — the hot items that would
+    quadratically dominate the pair join while carrying no similarity
+    signal (everyone buys them).  The threshold test is integer
+    cross-multiplication; the emitted jaccard is one division of two
+    exact ints.
+
+    At 100 TB the posting join's fan-out is sum over kept items of
+    |customers|² — bounded by the cutoff, tunable per run; the MinHash
+    route (dedup.py) is the same problem's sketch tier when even pruned
+    postings are too hot."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bought = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pop = bought.groupBy("p").agg(F.count(F.lit(1)).alias("n_cust"))
+    posting = bought.join(
+        pop.filter(F.col("n_cust") <= SIM_MAX_ITEM_CUSTOMERS).select("p"), "p"
+    )
+    sizes = posting.groupBy("c").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("cust_a"), F.col("b.c").alias("cust_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("c").alias("cust_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("c").alias("cust_b"), F.col("sz").alias("szb"))
+    union_sz = F.col("sza") + F.col("szb") - F.col("n_common")
+    return (
+        inter.join(sa, "cust_a")
+        .join(sb, "cust_b")
+        .filter(F.col("n_common") * 1_000_000 >= SIM_JACCARD_MIN_PPM * union_sz)
+        .select(
+            "cust_a",
+            "cust_b",
+            "n_common",
+            (F.col("n_common").cast("double") / union_sz).alias("jaccard"),
+        )
+    )

@@ -144,3 +144,103 @@ def test_cpu_parallel_is_identity_when_already_parallel(spark):
 
     df = load_table(spark, SF_DIR, "lineitem").repartition(64)
     assert cpu_parallel(df) is df
+
+
+def test_twap_lies_within_daily_value_range(spark):
+    """TWAP is a convex combination of the day's observed values (step
+    weights are non-negative and sum to the denominator), so it must lie
+    within each series-day's [min, max] raw value envelope."""
+    from etl_pipeline_aws_spark.operators.events import events_twap_daily
+
+    out = events_twap_daily(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    env = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    eps = 1e-9  # one double division at the end; envelope check needs slack
+    bad = (
+        out.join(env, ["event_type", "day"])
+        .filter(
+            (F.col("twap") < F.col("lo") - eps) | (F.col("twap") > F.col("hi") + eps)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_dynamic_gap_sessions_nest_within_fixed_30min(spark):
+    """Shrinking one event type's gap can only SPLIT sessions, never merge
+    them: the dynamic-gap session count per user must be >= the fixed
+    30-minute session count (clicks time out faster, nothing times out
+    slower)."""
+    from etl_pipeline_aws_spark.operators.events import (
+        window_session,
+        window_session_dynamic_gap,
+    )
+
+    dyn = window_session_dynamic_gap(spark, SF_DIR).groupBy("user_id").count()
+    fixed = window_session(spark, SF_DIR).groupBy("user_id").count()
+    bad = (
+        dyn.withColumnRenamed("count", "n_dyn")
+        .join(fixed.withColumnRenamed("count", "n_fixed"), "user_id")
+        .filter(F.col("n_dyn") < F.col("n_fixed"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_paragraph_dedup_recrawl_detects_full_duplication(spark):
+    """Plant a full duplicate corpus (shifted ids): every chunk then
+    appears in >= 2 docs, so every doc with >= 1 chunk must report 100%
+    duplication and drop_doc = true — the detector's sensitivity floor."""
+    from etl_pipeline_aws_spark.llm.dedup import CHUNK_TOKENS
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    ws = F.split("text", " ")
+    chunk_hashes = F.when(
+        F.size(ws) >= CHUNK_TOKENS,
+        F.transform(
+            F.sequence(F.lit(0), (F.size(ws) / CHUNK_TOKENS).cast("int") - 1),
+            lambda i: F.sha2(
+                F.concat_ws(" ", F.slice(ws, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)), 256
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = corpus.select("doc_id", F.explode(chunk_hashes).alias("h"))
+    dup = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    n_chunks = chunks.count()
+    n_dup = chunks.join(dup, "h").count()
+    assert n_chunks > 0 and n_dup == n_chunks
+
+
+def test_benford_shares_sum_to_about_one_million(spark):
+    """ppm shares floor-divide, so they sum to <= 1,000,000 and no lower
+    than 1,000,000 - 9 (one ulp of floor per digit class)."""
+    from etl_pipeline_aws_spark.operators.quality import dq_benford_digits
+
+    total = dq_benford_digits(spark, SF_DIR).agg(F.sum("share_ppm")).collect()[0][0]
+    assert 1_000_000 - 9 <= total <= 1_000_000
+
+
+def test_consistent_sample_preserves_parent_child_ratio(spark):
+    """Cluster sampling's defining property: every sampled order carries
+    ALL its lineitems, so the per-order average line count in the sample
+    equals the exact per-order count computed from the full lineitem
+    table restricted to sampled keys."""
+    from etl_pipeline_aws_spark.operators.relational_ext import (
+        sample_consistent_join,
+    )
+
+    out = sample_consistent_join(spark, SF_DIR)
+    sampled_lines = out.agg(F.sum("n_lineitems")).collect()[0][0]
+    li = load_table(spark, SF_DIR, "lineitem")
+    expect = li.filter((F.col("l_orderkey") * 2654435761) % 100 < 10).count()
+    assert sampled_lines == expect
