@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.catalog import load_table, table_path
 from etl_pipeline_aws_spark.registry import query
 from etl_pipeline_aws_spark.sources.ndjson import read_ndjson, write_ndjson
 
@@ -582,5 +582,48 @@ def pyds_calendar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("double")
             .alias("weekend_revenue"),
+        )
+    )
+
+
+@query(
+    "source_file_lineage",
+    oracle="""
+    -- the correctness gate always compares at sf0.01, and DuckDB's
+    -- filename=true lineage requires a direct read_parquet (the
+    -- pre-registered view hides the path), so the path is pinned
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS n_keys
+    FROM read_parquet('/root/testdata/sf0.01/orders.parquet', filename = true)
+    GROUP BY 1
+    """,
+)
+def source_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level file lineage via the hidden ``_metadata`` struct every
+    file-based scan carries (Spark 3.2+): which physical file produced
+    each row — the provenance column that debugging a bad backfill,
+    quarantining a corrupt shard, or re-running one day's partition all
+    need, with zero storage cost (it materializes from the scan itself).
+
+    The report groups rows by source file (basename, so the zone prefix
+    is environment-independent).  The oracle reads the same parquet with
+    DuckDB's ``filename = true`` — two engines' independent lineage
+    mechanisms must agree on the (file -> rows) mapping exactly.  At
+    100 TB this is the operator behind "which of the 10k input shards
+    fed these bad rows": filter on ``_metadata.file_path`` afterwards
+    and the scan PRUNES to that file."""
+    o = spark.read.parquet(table_path(sf_dir, "orders"))
+    return (
+        o.select(
+            F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1).alias(
+                "file_name"
+            ),
+            "o_orderkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
         )
     )
