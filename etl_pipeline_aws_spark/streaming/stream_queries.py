@@ -1141,3 +1141,37 @@ def stream_state_store_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("n_events"),
         F.col("value.sum").cast("double").alias("sum_value"),
     )
+
+
+@query("stream_parquet_sink", oracle=TUMBLING_APPEND_ORACLE)
+def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-to-LAKE: the append-mode tumbling aggregation written by
+    the native ``parquet`` streaming sink (not foreachBatch, not memory)
+    — checkpointed offsets + the sink's transaction log give end-to-end
+    exactly-once file commits, which is the production landing path for
+    "stream it in, query it as a table".
+
+    The read-back is an ordinary batch Parquet scan of the sink
+    directory; it must reproduce stream_tumbling_append's finalization
+    contract exactly (same oracle: only windows finalized by the final
+    watermark were ever committed).  A crashed-and-restarted writer
+    re-emits NO duplicate files — the sink's _spark_metadata log is the
+    dedup ledger, the property this query exists to exercise.  At 100 TB
+    the sink partitions by window date and compaction
+    (parquet_compact_small_files) runs behind it."""
+    import tempfile
+
+    zone = tempfile.mkdtemp(prefix="stream_pq_sink_")
+    out = os.path.join(zone, "windows")
+    ckpt = os.path.join(zone, "ckpt")
+    agg = _tumbling_agg(read_events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
