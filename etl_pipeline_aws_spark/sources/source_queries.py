@@ -627,3 +627,36 @@ def source_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("n_keys"),
         )
     )
+
+
+@query(
+    "pyds_ndjson_writer_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    """,
+)
+def pyds_ndjson_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side Python Data Source API (Spark 4): documents flow out
+    through a PYTHON-implemented NDJSON shard writer (sources/pyds.py
+    NdjsonShardWriter — per-partition Python write tasks, commit messages
+    to the driver, manifest published on job commit) and back in through
+    the ordinary JSON scan.  The reference's data path ENDS in a Python
+    put_object (glue/job.py:38-44); this is that capability as a real
+    engine sink: partition-parallel, two-phase commit, plan-composable.
+
+    Value-hash against the source table holds the Python serializer and
+    the manifest protocol to exact fidelity.  At 100 TB the same class
+    shape writes to object storage (shard name = key), and the manifest
+    gives atomic publish over an eventually-visible store."""
+    import tempfile
+
+    from etl_pipeline_aws_spark.sources import pyds
+
+    pyds.register_writer(spark)
+    zone = os.path.join(tempfile.mkdtemp(prefix="pyds_w_"), "docs_ndjson")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.format("pyds_ndjson").option("path", zone).mode("append").save()
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+        os.path.join(zone, "part-*.jsonl")
+    )
+    return back
