@@ -225,3 +225,80 @@ def pit_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+_TIME_TRAVEL_ORACLE = """
+    WITH log AS (
+        SELECT o_orderkey, 0 AS seq, 'I' AS op, o_orderstatus AS status,
+               o_totalprice AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 1, 'U', 'U', o_totalprice * CAST(1.05 AS DOUBLE)
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, 2, 'D', NULL, NULL
+        FROM orders WHERE o_orderkey % 21 = 0
+    ), winners AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey, version
+                                     ORDER BY seq DESC) AS rn
+        FROM (
+            SELECT l.*, v.version
+            FROM log l JOIN (VALUES (0), (1), (2)) AS v(version)
+              ON l.seq <= v.version
+        )
+    )
+    SELECT version, o_orderkey, status, price
+    FROM winners
+    WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@query("cdc_time_travel", oracle=_TIME_TRAVEL_ORACLE)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a CDC log WITHOUT a table format: the state of
+    the orders table AS OF each version (0 = initial load, 1 = after the
+    update wave, 2 = after the delete wave), reconstructed from the same
+    deterministic changelog cdc_apply_changelog folds — ``SELECT ... AS
+    OF`` is just last-writer-wins with the log truncated at the asked
+    version.
+
+    The version fan-out is an explicit <=-join onto a 3-row version dim
+    (replication factor = number of versions ASKED FOR, not log length);
+    one key shuffle resolves every version's winner in a single window
+    pass.  At 100 TB a table format (Iceberg/Delta) gives this via
+    snapshot metadata without replay; this operator is the capability on
+    PLAIN parquet logs — the audit answer to "what did the table say
+    last Tuesday" when no format manages the files."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.lit("U").alias("status"),
+        (F.col("o_totalprice") * F.lit(1.05)).alias("price"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 21 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    log = base.unionByName(updates).unionByName(deletes)
+    versions = spark.range(3).select(F.col("id").cast("int").alias("version"))
+    fanned = log.join(F.broadcast(versions), log.seq <= versions.version)
+    w = Window.partitionBy("o_orderkey", "version").orderBy(F.col("seq").desc())
+    return (
+        fanned.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("version", "o_orderkey", "status", "price")
+    )

@@ -1175,3 +1175,75 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+_PROGRESS_ORACLE = """
+    SELECT CAST(3 AS INT) AS n_batches,
+           CAST(COUNT(*) AS BIGINT) AS total_input_rows
+    FROM events
+"""
+
+
+@query("stream_progress_report", oracle=_PROGRESS_ORACLE)
+def stream_progress_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job-run observability for streams — the engine-native analog of
+    the reference's Glue job-run status poll
+    (src/aws/glue.service.ts:53-62, SURVEY §2.A R16): after a run, the
+    per-micro-batch ``recentProgress`` metrics (numInputRows etc.) are
+    surfaced as a DATAFRAME, the shape a monitoring pipeline lands into
+    its metrics store.
+
+    The landing zone is staged as 3 files with maxFilesPerTrigger=1, so
+    the batch count is part of the CONTRACT (3 batches), and the input
+    rows must sum to the table's row count exactly — progress metrics
+    that don't reconcile with the data are worse than none.  Row counts
+    come from the engine's own accounting, so this also pins that the
+    file source neither drops nor double-reads rows across trigger
+    boundaries."""
+    from pyspark.sql.window import Window
+
+    ev_all = load_table(spark, sf_dir, "events")
+    schema = ev_all.schema
+    landing = tempfile.mkdtemp(prefix="progress_landing_")
+    third = ev_all.count() // 3
+    w = F.row_number().over(Window.orderBy("event_id"))
+    ranked = ev_all.withColumn("_rn", w)
+    for i, name in enumerate(["0-a.parquet", "1-b.parquet", "2-c.parquet"]):
+        lo = i * third
+        hi = (i + 1) * third if i < 2 else 10**18
+        part = ranked.filter((F.col("_rn") > lo) & (F.col("_rn") <= hi)).drop("_rn")
+        tmp = tempfile.mkdtemp(prefix="progress_stage_")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob as _glob
+        import shutil
+
+        src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(landing, name)
+        shutil.copyfile(src, dst)
+        os.utime(dst, (1_000_000 * (i + 1), 1_000_000 * (i + 1)))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    name = f"prog_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (int(p["batchId"]), int(p["numInputRows"]))
+        for p in q.recentProgress
+        if int(p["numInputRows"]) > 0
+    ]
+    prog = spark.createDataFrame(rows, "batch_id long, num_input_rows long")
+    return prog.agg(
+        F.count(F.lit(1)).cast("int").alias("n_batches"),
+        F.sum("num_input_rows").alias("total_input_rows"),
+    )
