@@ -581,3 +581,90 @@ def dq_impute_mode_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nationkey_raw").isNull().alias("was_imputed"),
         F.coalesce("nationkey_raw", "mode_nation").alias("nationkey_final"),
     )
+
+
+_EXPECTATIONS_ORACLE = """
+    SELECT 'orders.o_orderkey.not_null' AS expectation,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS n_violations
+    UNION ALL
+    SELECT 'orders.o_orderkey.unique',
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+    UNION ALL
+    SELECT 'orders.o_orderstatus.accepted_values',
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F','O','P'))
+    UNION ALL
+    SELECT 'orders.o_totalprice.min_bound',
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0)
+    UNION ALL
+    SELECT 'orders.o_custkey.relationship_customer',
+           (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'orders.o_orderdate.freshness_range',
+           (SELECT COUNT(*) FROM orders
+             WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                OR o_orderdate > TIMESTAMP '2030-01-01')
+"""
+
+
+@query("dq_expectations_suite", oracle=_EXPECTATIONS_ORACLE)
+def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract suite over one table — the dbt-test /
+    Great-Expectations shape: not_null, unique, accepted_values, value
+    bound, FK relationship, and date-range freshness, each reported as a
+    named expectation with its exact violation count (0 = pass).  One
+    gate row per contract clause is what a load-promotion step consumes;
+    the individual audits (dq_referential_audit, dq_primary_key_audit,
+    dq_freshness_report) remain the deep-dive tools.
+
+    Plan: the five single-table checks fold into ONE pass over orders
+    (conditional counts share the scan); the relationship check adds one
+    keys-only left join.  At 100 TB the suite costs a single fact scan +
+    one key shuffle regardless of how many clauses the contract grows."""
+    o = load_table(spark, sf_dir, "orders")
+    cust_keys = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = o.join(cust_keys, "o_custkey", "left")
+    counted = joined.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("v_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_unique"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("v_accepted"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("v_bound"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias("v_rel"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp_ntz"))
+                | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp_ntz")),
+                1,
+            ).otherwise(0)
+        ).alias("v_fresh"),
+    )
+    pairs = [
+        ("orders.o_orderkey.not_null", "v_null"),
+        ("orders.o_orderkey.unique", "v_unique"),
+        ("orders.o_orderstatus.accepted_values", "v_accepted"),
+        ("orders.o_totalprice.min_bound", "v_bound"),
+        ("orders.o_custkey.relationship_customer", "v_rel"),
+        ("orders.o_orderdate.freshness_range", "v_fresh"),
+    ]
+    stacked = counted.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("expectation"),
+                        F.col(col).cast("long").alias("n_violations"),
+                    )
+                    for name, col in pairs
+                ]
+            )
+        ).alias("e")
+    )
+    return stacked.select("e.expectation", "e.n_violations")
