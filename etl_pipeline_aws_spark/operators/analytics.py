@@ -1819,3 +1819,46 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dval").cast("double").alias("day_value"),
         (num.cast("double") / den).alias("ewma"),
     )
+
+
+_CUM_USERS_ORACLE = """
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d
+        FROM events GROUP BY user_id
+    ), daily_new AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users FROM first_seen GROUP BY d
+    )
+    SELECT d AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM daily_new
+"""
+
+
+@query("events_cumulative_unique_users", oracle=_CUM_USERS_ORACLE)
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the all-time-reach curve —
+    via the FIRST-SEEN reduction: a user contributes to the cumulative
+    count exactly on their first active day, so "distinct users through
+    day d" collapses to a running SUM of daily first-appearances.  The
+    naive form (COUNT(DISTINCT user) OVER unbounded frame) holds every
+    user id in window state and re-counts per day — quadratic where this
+    is one user-key aggregation + a calendar-sized running sum.  Same
+    reduction discipline as events_dau_wau_mau's bounded explode, applied
+    to the unbounded-horizon case."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts")).cast("date")).alias("day")
+    )
+    daily_new = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily_new.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
