@@ -1862,3 +1862,68 @@ def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFram
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+_DOW_INDEX_ORACLE = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(isodow(ts) - 1 AS INT) AS weekday,
+               SUM(CAST(value AS DECIMAL(18,2))) AS dval
+        FROM events GROUP BY 1, 2, 3
+    ), dow AS (
+        SELECT event_type, weekday,
+               SUM(dval) AS dow_total,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1, 2
+    ), base AS (
+        SELECT event_type,
+               SUM(dow_total) AS all_total,
+               CAST(SUM(n_days) AS BIGINT) AS all_days
+        FROM dow GROUP BY 1
+    )
+    SELECT d.event_type, d.weekday, d.n_days,
+           (CAST(d.dow_total AS DOUBLE) * b.all_days)
+               / (CAST(b.all_total AS DOUBLE) * d.n_days) AS seasonal_index
+    FROM dow d JOIN base b USING (event_type)
+"""
+
+
+@query("events_seasonality_dow_index", oracle=_DOW_INDEX_ORACLE)
+def events_seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per series: average value on each
+    weekday relative to the series' overall daily average (1.0 = typical,
+    >1 = that weekday runs hot) — the multiplicative-seasonality factor a
+    forecast divides out before fitting trend (events_trend_slope is the
+    trend half of that decomposition).
+
+    Exactness discipline: both averages stay as (exact decimal total,
+    integer day count) pairs and the index is ONE double division of two
+    exact cross-products — never avg()/avg(), whose two float divisions
+    round differently across engines.  Weekday numbering pinned to
+    Spark's ``weekday()`` = DuckDB's ``isodow - 1`` (the
+    events_activity_heatmap trap).  Two calendar-bounded aggregations;
+    the per-series totals broadcast back onto 7-row groups."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.weekday("ts").alias("weekday"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("dval"))
+    dow = daily.groupBy("event_type", "weekday").agg(
+        F.sum("dval").alias("dow_total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    base = dow.groupBy("event_type").agg(
+        F.sum("dow_total").alias("all_total"),
+        F.sum("n_days").alias("all_days"),
+    )
+    return dow.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "weekday",
+        "n_days",
+        (
+            (F.col("dow_total").cast("double") * F.col("all_days"))
+            / (F.col("all_total").cast("double") * F.col("n_days"))
+        ).alias("seasonal_index"),
+    )
