@@ -90,6 +90,7 @@ def _load_all() -> None:
         scalars,
         scale,
         setops,
+        sql_features,
         tpch_suite,
         udf_surface,
         windows,
