@@ -30,6 +30,9 @@ def _with_utc(fn: Callable[[SparkSession, str], DataFrame]):
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # TIMESTAMP(NANOS) events parquet needs the legacy shim; engine
+        # sessions carry it from session.py, vanilla ones get it here.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         engine.clear_caches(spark)
         return fn(spark, sf_dir)
 

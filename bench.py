@@ -36,6 +36,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
     "text_tfidf_top_terms",
+    # round-3/4 flagship surface: multi-stage pipelines and the heaviest
+    # iterative operators, so the bench tracks what the engine now is
+    "pipeline_corpus_e2e",
+    "pipeline_events_e2e",
+    "entity_resolution_parts",
+    "graph_pagerank_parts",
 ]
 
 

@@ -63,10 +63,11 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which Spark's reader rejects outright without the legacy nanos-as-long
     conf) and later TIMESTAMP(MICROS) with isAdjustedToUTC=false (which
     surfaces as TIMESTAMP_NTZ).  Rather than hardcoding either generation,
-    read with the nanos shim enabled and normalize whatever arrives via
-    ``normalize_events_ts`` — every downstream consumer then sees one
-    stable session-TZ TIMESTAMP."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalize whatever arrives via ``normalize_events_ts`` — every
+    downstream consumer then sees one stable session-TZ TIMESTAMP.  The
+    nanos shim itself is session config, pinned where sessions are built
+    (session.py) and at the driver boundary (__spark_entry__._with_utc) —
+    NOT here, honoring load_table's no-session-mutation contract."""
     df = spark.read.parquet(table_path(sf_dir, "events"))
     return normalize_events_ts(df)
 

@@ -206,30 +206,33 @@ def corpus_mix_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(CAST(embedding AS DOUBLE[])) AS val,
                unnest(range(1, len(embedding) + 1)) AS pos
         FROM embeddings
-    ), per AS (
-        SELECT label, pos,
-               list_sum(list(val ORDER BY vec_id)) AS s,
-               COUNT(*) AS n
-        FROM x GROUP BY label, pos
     )
-    SELECT label,
-           list(s / n ORDER BY pos) AS centroid,
-           CAST(MAX(n) AS BIGINT) AS n_members
-    FROM per GROUP BY label
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           list_sum(list(val ORDER BY vec_id)) / COUNT(*) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM x GROUP BY label, pos
     """,
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean-embedding centroids (the k-means M-step / class
     prototype table ANN routing builds on): posexplode to (label, pos,
-    val), aggregate per dimension, gather back into an ordered vector.
+    val), aggregate per dimension.
+
+    Output shape: LONG form — one row per (label, dimension) with the
+    centroid component as a plain double.  Emitting the vector as an
+    ArrayType column is not canonicalizer-sortable on the driver side,
+    and string-joining doubles would make the comparison hostage to
+    float-formatting differences between engines; the long form keeps
+    every value a scalar double compared exactly.  Consumers gather with
+    ``collect_list(struct(pos, centroid))`` per label (bounded by dim).
 
     Determinism across engines: double summation is order-sensitive, so
     each (label, pos) group's values are gathered sorted by vec_id and
     folded left-to-right — both engines then add the same doubles in the
     same order, making even the centroid VALUES bit-identical (same trick
     as dedup_embedding_cosine's dot product).  At scale the gather is
-    bounded by group size (rows per label), and the whole job is two
-    shuffles on small keys: (label, pos) then label."""
+    bounded by group size (rows per label), and the whole job is one
+    shuffle on the small (label, pos) key."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "label",
@@ -249,12 +252,12 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
-    return per.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", F.expr("s / n").alias("m")))),
-            lambda s: s["m"],
-        ).alias("centroid"),
-        F.max("n").alias("n_members"),
+    # posexplode is 0-based; the oracle's range(1, len+1) is 1-based.
+    return per.select(
+        "label",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        F.expr("s / n").alias("centroid"),
+        F.col("n").alias("n_members"),
     )
 
 
@@ -785,7 +788,8 @@ _MINMAX_ORACLE = """
     )
     SELECT f.vec_id,
            f.dim,
-           (f.x - e.lo) / (e.hi - e.lo) AS scaled
+           CASE WHEN e.hi = e.lo THEN 0.0
+                ELSE (f.x - e.lo) / (e.hi - e.lo) END AS scaled
     FROM flat f JOIN ext e USING (dim)
     WHERE f.vec_id < 50
 """
@@ -822,6 +826,10 @@ def embedding_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "dim",
-            ((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias("scaled"),
+            # constant dimension (hi = lo): emit 0.0 rather than the
+            # engine-divergent 0/0 (Spark NULL / ANSI error vs DuckDB inf)
+            F.when(F.col("hi") == F.col("lo"), F.lit(0.0))
+            .otherwise((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")))
+            .alias("scaled"),
         )
     )

@@ -499,6 +499,11 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    # The persist served the KMeans fit's iterations (an action that
+    # already ran); drop it so the cached sub-vector table doesn't stay
+    # pinned in executor memory for the rest of the session — the one
+    # downstream scan recomputes the narrow slice projection instead.
+    subs.unpersist()
     return (
         sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)

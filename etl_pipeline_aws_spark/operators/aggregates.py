@@ -667,21 +667,26 @@ def agg_rollup_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT user_id,
-           list(event_id ORDER BY rn) AS first_event_ids
+           string_agg(event_id, ',' ORDER BY rn) AS first_event_ids
     FROM ranked WHERE rn <= 5
     GROUP BY user_id
     """,
 )
 def agg_first_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded ordered-list aggregation: each user's FIRST five event ids
-    as an array — the "sample of activity" column a user-profile table
-    carries.  The discipline is the order of operations: rank-prune
-    FIRST (row_number <= 5, pruned by WindowGroupLimit inside the
-    shuffle), THEN collect — so the list agg's state is capped at 5
-    elements per key by construction.  Collecting first and slicing
-    after (slice(sort_array(collect_list(...)))) computes the same
-    answer with UNBOUNDED per-key state — the trap the funnel rewrite
-    removed, avoided here the same way."""
+    — the "sample of activity" column a user-profile table carries.
+    The discipline is the order of operations: rank-prune FIRST
+    (row_number <= 5, pruned by WindowGroupLimit inside the shuffle),
+    THEN collect — so the list agg's state is capped at 5 elements per
+    key by construction.  Collecting first and slicing after
+    (slice(sort_array(collect_list(...)))) computes the same answer
+    with UNBOUNDED per-key state — the trap the funnel rewrite removed,
+    avoided here the same way.
+
+    Output shape: the ordered list is emitted ``array_join``-ed to one
+    comma-separated string (the engine-wide convention for list-valued
+    results, see module docstring) — complex-typed result columns are
+    not canonicalizer-sortable on the driver side."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -695,7 +700,9 @@ def agg_first_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_s")
     ).select(
         "user_id",
-        F.expr("transform(_s, x -> x.event_id)").alias("first_event_ids"),
+        F.array_join(
+            F.expr("transform(_s, x -> x.event_id)"), ","
+        ).alias("first_event_ids"),
     )
 
 

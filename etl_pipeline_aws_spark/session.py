@@ -37,6 +37,12 @@ def session_builder(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # TIMESTAMP(NANOS) parquet (one testdata generation wrote events.ts
+        # that way) is rejected by the reader without this shim; pinned here
+        # — and at the driver boundary (__spark_entry__._with_utc) for
+        # vanilla sessions — so per-table readers never mutate session
+        # state (see catalog.load_table's contract).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")

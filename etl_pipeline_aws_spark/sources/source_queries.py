@@ -586,16 +586,24 @@ def pyds_calendar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The scale factor the correctness gate (driver AND local sweep) compares
+#: at.  DuckDB's filename=true lineage requires a direct read_parquet (the
+#: pre-registered view hides the path, and DuckDB 1.0 rejects subquery
+#: table-function args), so source_file_lineage's oracle must pin a path.
+#: tests/test_round5_ops.py asserts the local gate runs at exactly this dir,
+#: so repointing the gate fails loudly instead of comparing mismatched
+#: datasets.
+GATE_SF_DIR = "/root/testdata/sf0.01"
+
+
 @query(
     "source_file_lineage",
-    oracle="""
-    -- the correctness gate always compares at sf0.01, and DuckDB's
-    -- filename=true lineage requires a direct read_parquet (the
-    -- pre-registered view hides the path), so the path is pinned
+    oracle=f"""
+    -- path pinned to the gate's sf_dir; see GATE_SF_DIR note above
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
            COUNT(*) AS n_rows,
            COUNT(DISTINCT o_orderkey) AS n_keys
-    FROM read_parquet('/root/testdata/sf0.01/orders.parquet', filename = true)
+    FROM read_parquet('{GATE_SF_DIR}/orders.parquet', filename = true)
     GROUP BY 1
     """,
 )
@@ -647,7 +655,14 @@ def pyds_ndjson_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Value-hash against the source table holds the Python serializer and
     the manifest protocol to exact fidelity.  At 100 TB the same class
     shape writes to object storage (shard name = key), and the manifest
-    gives atomic publish over an eventually-visible store."""
+    gives atomic publish over an eventually-visible store.
+
+    The read-back loads ONLY the shard paths the _MANIFEST.json lists —
+    not a ``part-*`` glob — so the roundtrip actually exercises the
+    commit protocol: an aborted or stale shard lying in the zone is
+    invisible, which is the all-or-nothing guarantee the writer exists
+    to demonstrate."""
+    import json
     import tempfile
 
     from etl_pipeline_aws_spark.sources import pyds
@@ -656,8 +671,13 @@ def pyds_ndjson_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     zone = os.path.join(tempfile.mkdtemp(prefix="pyds_w_"), "docs_ndjson")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     docs.write.format("pyds_ndjson").option("path", zone).mode("append").save()
+    # a dead shard from an aborted writer must NOT leak into the read
+    with open(os.path.join(zone, "part-99999.jsonl"), "w", encoding="utf-8") as fh:
+        fh.write('{"doc_id": -1, "lang": "zz", "n_chars": 0}\n')
+    with open(os.path.join(zone, "_MANIFEST.json"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
     back = spark.read.schema("doc_id long, lang string, n_chars long").json(
-        os.path.join(zone, "part-*.jsonl")
+        sorted(manifest)
     )
     return back
 

@@ -22,15 +22,32 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Deliberately NO stringification of unhashable cells: the driver's
+    # canonicalizer sorts the raw frame, so a list/array/dict cell raises
+    # TypeError there.  The local harness must fail the same way (round-4
+    # lesson: a stringify shim here let two ArrayType-output queries ship
+    # "green" locally while erring on the driver).  `compare` additionally
+    # rejects complex-typed result schemas up front.
     df = df.reindex(sorted(df.columns), axis=1)
-    # stringify unhashable cells (lists/arrays) for stable sorting
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v))
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, float_exact: bool = True) -> None:
+    # Registry-wide shape guard: the driver's canonicalizer cannot sort or
+    # hash Array/Map/Struct cells, so no oracle-checked query may emit one.
+    # List-valued results follow the array_join convention; vector-valued
+    # results go long-form (see embedding_centroids).
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"oracle-checked query emits complex-typed columns {complex_cols}; "
+        "the driver canonicalizer cannot sort these — array_join or go long-form"
+    )
     got = spark_df.toPandas()
     want = con.sql(sql).df()
     assert len(got) == len(want), f"row count: spark={len(got)} duckdb={len(want)}"

@@ -78,16 +78,20 @@ def test_mix_equalize_caps_every_stratum_at_min(spark):
 
 
 def test_embedding_centroids_shape_and_membership(spark):
+    """Long form: one row per (label, 1-based dimension), scalar double."""
     emb = load_table(spark, SF_DIR, "embeddings")
     members = {r.label: r["count"] for r in emb.groupBy("label").count().collect()}
     dim = len(emb.select("embedding").first()[0])
     rows = engine.queries()["embedding_centroids"](spark, SF_DIR).collect()
     assert {r.label for r in rows} == set(members)
+    by_label: dict = {}
     for r in rows:
-        assert len(r.centroid) == dim
+        by_label.setdefault(r.label, []).append(r)
         assert r.n_members == members[r.label]
         # centroid of unit-scale float embeddings stays in a sane range
-        assert all(abs(v) < 10 for v in r.centroid)
+        assert abs(r.centroid) < 10
+    for label, rs in by_label.items():
+        assert sorted(r.pos for r in rs) == list(range(1, dim + 1))
 
 
 def test_scd2_merge_versions_and_currency(spark):
