@@ -833,3 +833,54 @@ def embedding_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("scaled"),
         )
     )
+
+
+_N_SHARDS = 8
+
+_SHARD_INTERLEAVE_ORACLE = f"""
+    WITH numbered AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT CAST((rn - 1) % {_N_SHARDS} AS BIGINT) AS shard,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM numbered
+    GROUP BY 1, 2
+"""
+
+
+@query("corpus_shard_interleave", oracle=_SHARD_INTERLEAVE_ORACLE)
+def corpus_shard_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified training-shard assignment: number each source's docs
+    deterministically (by doc_id) and deal them round-robin into N
+    shards, so EVERY shard carries the same source mix (±1 doc) — the
+    property that makes any shard prefix an unbiased sample of the
+    training mixture, which sequential trainers and curriculum resume
+    both depend on.  A global hash-partition gets the mix right only in
+    expectation; the per-source round-robin makes it exact.
+
+    The report is the audit: per (shard, source) doc and char counts —
+    the per-shard mix a data-loading manifest records.  Exactness: pure
+    integer window/modulo arithmetic, no hashing, no RNG.
+
+    Scale: one shuffle on source for the numbering window (at 100 TB:
+    number within (source, date-bucket) sub-partitions and offset by
+    per-bucket prefix counts — same two-level prefix-sum trick as the
+    concurrent-sessions sweep — so no single source serializes), then
+    the rollup carries counts only."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    numbered = docs.select(
+        "source",
+        "n_chars",
+        ((F.row_number().over(w) - 1) % _N_SHARDS).cast("long").alias("shard"),
+    )
+    return numbered.groupBy("shard", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

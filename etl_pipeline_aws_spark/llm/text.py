@@ -856,3 +856,73 @@ def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("score_scaled").desc(), "doc_id").limit(_SEARCH_TOP)
+
+
+_VOCAB_TOP = 50  # vocabulary size for the coverage report
+
+_VOCAB_OOV_ORACLE = f"""
+    WITH toks AS (
+        SELECT d.lang, t.tok
+        FROM documents d,
+             unnest(string_split(d.text, ' ')) AS t(tok)
+        WHERE t.tok <> ''
+    ), vocab AS (
+        SELECT tok FROM toks
+        GROUP BY tok
+        ORDER BY COUNT(*) DESC, tok
+        LIMIT {_VOCAB_TOP}
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE tok NOT IN (SELECT tok FROM vocab))
+                AS BIGINT) AS n_oov,
+           CAST(COUNT(*) FILTER (WHERE tok NOT IN (SELECT tok FROM vocab))
+                AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM toks GROUP BY lang
+"""
+
+
+@query("text_vocab_oov_rate", oracle=_VOCAB_OOV_ORACLE)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit: build the top-K corpus vocabulary by
+    frequency (ties broken by token, so the vocabulary is deterministic —
+    the trap in naive top-K vocab builds), then measure per-language
+    out-of-vocabulary token rate.  This is the tokenizer-budget question
+    every multilingual corpus asks: a language whose OOV rate is high
+    under the shared vocabulary is under-served and will fragment into
+    byte-level pieces at training time.
+
+    Plan: one token explode feeding BOTH the vocab top-K (global count →
+    ordered limit over the tiny distinct-token table) and the per-lang
+    rollup; membership is a broadcast LEFT ANTI-style mark against the
+    K-row vocab (here a left join + null check so the count stays one
+    aggregation).  Exactness: pure integer counts; the rate is one
+    int/int division.
+
+    Scale: tokens shuffle once on the token for the global count; the
+    vocabulary is K rows (broadcast); the per-lang rollup carries counts,
+    never token text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(_VOCAB_TOP)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    marked = toks.join(F.broadcast(vocab), "tok", "left")
+    return marked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        (
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("oov_rate"),
+    )

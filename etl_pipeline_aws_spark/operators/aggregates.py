@@ -1029,3 +1029,69 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") - F.col("true_n")).cast("long").alias("overestimate"),
         )
     )
+
+
+_WEIGHTED_MEDIAN_ORACLE = """
+    WITH per_price AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+        SELECT l_returnflag, price, w,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                   ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM per_price
+    )
+    SELECT l_returnflag,
+           MIN(price) FILTER (WHERE 2 * cw >= tot) AS weighted_median,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM cum GROUP BY l_returnflag
+"""
+
+
+@query("agg_weighted_median", oracle=_WEIGHTED_MEDIAN_ORACLE)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (lower median convention): the price at
+    which half the total QUANTITY sits at-or-below — the robust "typical
+    unit price" that an unweighted median gets wrong whenever cheap items
+    ship in bulk.  No engine has this as a builtin; the composition is
+    the classic cumulative-weight construction:
+
+    1. pre-aggregate weight per distinct value (this dedups ties, so the
+       running sum never depends on intra-tie order — the determinism
+       trap in naive formulations);
+    2. one ordered window per group for the running weight;
+    3. the answer is the MINIMUM value whose running weight reaches half
+       the total (2*cw >= tot in integer arithmetic — no division, no
+       floats until the selected value itself, which is an exact element,
+       not an aggregate).
+
+    Scale: the window runs over DISTINCT (group, value) pairs, not rows
+    — the raw fact table is reduced by the per-price partial agg before
+    any ordered operation, and each group's window sorts only its own
+    distinct values."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_price = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = per_price.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("price"))).alias(
+            "weighted_median"
+        ),
+        F.max("tot").cast("long").alias("total_weight"),
+    )

@@ -1927,3 +1927,191 @@ def events_seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("all_total").cast("double") * F.col("n_days"))
         ).alias("seasonal_index"),
     )
+
+
+_CHURN_HAZARD_ORACLE = """
+    WITH tenure AS (
+        SELECT user_id,
+               date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+                   AS tenure_days
+        FROM events GROUP BY user_id
+    ), per_day AS (
+        SELECT tenure_days, COUNT(*) AS n_churned
+        FROM tenure GROUP BY tenure_days
+    )
+    SELECT CAST(tenure_days AS BIGINT) AS tenure_days,
+           CAST(n_churned AS BIGINT) AS n_churned,
+           CAST(SUM(n_churned) OVER (ORDER BY tenure_days DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_at_risk,
+           CAST(n_churned AS DOUBLE)
+               / SUM(n_churned) OVER (ORDER BY tenure_days DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hazard
+    FROM per_day
+"""
+
+
+@query("events_churn_hazard", oracle=_CHURN_HAZARD_ORACLE)
+def events_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival/churn hazard table — the life-table view
+    retention curves are the integral of: for each observed tenure length
+    d (days between a user's first and last event), hazard(d) =
+    P(churn at d | survived to d) = n_churned(d) / n_at_risk(d), where
+    the at-risk count is the suffix sum of churn counts over descending
+    tenure.  This is the retention question asked properly: WHEN do we
+    lose users, not just how many remain.
+
+    Exactness: tenure is integer day arithmetic; at-risk is an integer
+    suffix sum (one ordered window over the tiny per-tenure rollup); the
+    hazard is a single int/int IEEE division — bit-identical across
+    engines, no accumulation.
+
+    Scale: one user_id shuffle for the min/max span, then the life table
+    itself is at most max-tenure rows (hundreds) — the suffix-sum window
+    runs on a table that fits in one task regardless of input size."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tenure = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+            "tenure_days"
+        )
+    )
+    per_day = tenure.groupBy("tenure_days").agg(
+        F.count(F.lit(1)).alias("n_churned")
+    )
+    w = (
+        Window.orderBy(F.col("tenure_days").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_day.select(
+        F.col("tenure_days").cast("long").alias("tenure_days"),
+        F.col("n_churned").cast("long").alias("n_churned"),
+        F.sum("n_churned").over(w).cast("long").alias("n_at_risk"),
+        (
+            F.col("n_churned").cast("double") / F.sum("n_churned").over(w)
+        ).alias("hazard"),
+    )
+
+
+_OVERLAP_GAP_MIN = 30  # same gap rule as the sessionization family
+
+_SESSION_OVERLAP_ORACLE = f"""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '{_OVERLAP_GAP_MIN} minutes'
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM marked
+    ), sessions AS (
+        SELECT user_id, sess_no, MIN(ts) AS s,
+               MAX(ts) + INTERVAL '{_OVERLAP_GAP_MIN} minutes' AS e
+        FROM numbered GROUP BY user_id, sess_no
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM sessions a JOIN sessions b
+      ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+    GROUP BY 1, 2
+"""
+
+
+@query("events_session_overlap_pairs", oracle=_SESSION_OVERLAP_ORACLE)
+def events_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-presence pair mining: which pairs of users had overlapping
+    activity sessions, and how often — the fraud/abuse/collusion signal
+    (shared-device rings, coordinated engagement) and the "who was online
+    together" social feature.  Sessions are the standard 30-minute-gap
+    construction (same rule as the sessionization family), closed by a
+    30-minute TTL.
+
+    The naive formulation is an all-pairs interval join — quadratic in
+    sessions and unrunnable at scale.  This plan BINS time: each session
+    explodes to the sequence of hour buckets it spans (bounded by session
+    length / TTL), pairs meet by equi-joining on the bucket, duplicates
+    from multi-bucket overlaps are removed by DISTINCT on the session-id
+    pair, and only then does the exact overlap predicate run — the same
+    bin-then-verify discipline as range_join_binned and the LSH band
+    join.  Cost is O(sessions x buckets-per-session) shuffle + candidate
+    verification, never |sessions|^2.
+
+    The oracle runs the naive quadratic self-join — tractable at fixture
+    scale — so the binned rewrite is value-certified against the exact
+    semantics it optimizes."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(wl).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(wl).cast("long")
+                > _OVERLAP_GAP_MIN * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        F.sum("is_start")
+        .over(wl.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_no"),
+    )
+    sessions = numbered.groupBy("user_id", "sess_no").agg(
+        F.min("ts").alias("s"),
+        (F.max("ts") + F.expr(f"INTERVAL {_OVERLAP_GAP_MIN} MINUTES")).alias("e"),
+    )
+    # bin to hours spanned: sequence over truncated hour endpoints
+    binned = sessions.select(
+        "user_id",
+        "sess_no",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s"),
+                F.date_trunc("hour", "e"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hb"),
+    )
+    a = binned.select(
+        F.col("user_id").alias("user_a"),
+        F.col("sess_no").alias("sess_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+        "hb",
+    )
+    b = binned.select(
+        F.col("user_id").alias("user_b"),
+        F.col("sess_no").alias("sess_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+        "hb",
+    )
+    cand = (
+        a.join(b, "hb")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("s_a") < F.col("e_b"))
+            & (F.col("s_b") < F.col("e_a"))
+        )
+        .select("user_a", "sess_a", "user_b", "sess_b")
+        .distinct()
+    )
+    return cand.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps")
+    )

@@ -123,3 +123,71 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey < 1000
         """
     )
+
+
+_SQL_SCALAR_UDF_ORACLE = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2)) AS DOUBLE)
+               AS net_price
+    FROM lineitem
+    WHERE l_orderkey < 1000
+"""
+
+
+@query("sql_scalar_udf", oracle=_SQL_SCALAR_UDF_ORACLE)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (SPARK-46057, Spark 4.0): ``CREATE FUNCTION ...
+    RETURNS ... RETURN <expr>`` — reusable business logic named in pure
+    SQL.  Unlike a Python UDF this is NOT an opaque black box: Catalyst
+    inlines the body at every call site, so the expression stays inside
+    whole-stage codegen, constant-folds, and pushes down like any other
+    expression — the UDF that is *not* the slow path.  The oracle runs
+    the textually-inlined body; identical decimal arithmetic on both
+    engines, exact value match."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_price(
+            price DECIMAL(18,2), discount DECIMAL(18,2))
+        RETURNS DOUBLE
+        RETURN CAST(price * (1 - discount) AS DOUBLE)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               net_price(CAST(l_extendedprice AS DECIMAL(18,2)),
+                         CAST(l_discount AS DECIMAL(18,2))) AS net_price
+        FROM lineitem
+        WHERE l_orderkey < 1000
+        """
+    )
+
+
+_SQL_TABLE_UDF_ORACLE = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal >= 9000.0
+"""
+
+
+@query("sql_table_udf", oracle=_SQL_TABLE_UDF_ORACLE)
+def sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL table UDF (SQL UDTF, Spark 4.0): ``CREATE FUNCTION ...
+    RETURNS TABLE(...) RETURN SELECT ...`` — a parameterized view.  The
+    body is inlined into the calling plan (verifiable: the scan keeps
+    its PushedFilters on c_acctbal), so unlike an opaque Python UDTF the
+    optimizer sees through it — predicate pushdown, column pruning, and
+    join reordering all still apply.  This is the 100 TB-safe way to
+    package a reusable parameterized subquery."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION rich_customers(minbal DOUBLE)
+        RETURNS TABLE(c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)
+        RETURN SELECT c_custkey, c_name, c_acctbal
+               FROM customer WHERE c_acctbal >= minbal
+        """
+    )
+    return spark.sql("SELECT * FROM rich_customers(9000.0)")

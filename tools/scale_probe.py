@@ -80,6 +80,12 @@ PROBE_QUERIES = [
     "window_rolling_median",
     "dq_k_anonymity",
     "multimodal_video_keyframes",
+    # round-5 probe extension (r4 verdict ask #8)
+    "dedup_paragraph_chunks",
+    "similarity_customers_jaccard",
+    "cdc_time_travel",
+    "dq_expectations_suite",
+    "pipeline_corpus_e2e",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
