@@ -884,3 +884,58 @@ def corpus_shard_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+_EPOCH_CAP = 3  # no source may repeat more than this many times
+
+_EPOCH_UPSAMPLE_ORACLE = f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), quota AS (
+        SELECT MIN({_EPOCH_CAP} * n_tokens) AS q FROM per_source
+    )
+    SELECT p.source,
+           p.n_tokens,
+           CAST(q.q AS BIGINT) AS quota_tokens,
+           CAST(q.q AS DOUBLE) / p.n_tokens AS repeat_factor,
+           CAST(q.q // p.n_tokens AS BIGINT) AS n_full_epochs,
+           CAST(q.q % p.n_tokens AS BIGINT) AS remainder_tokens
+    FROM per_source p, quota q
+"""
+
+
+@query("corpus_epoch_upsampling", oracle=_EPOCH_UPSAMPLE_ORACLE)
+def corpus_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped equal-share mixing plan: given per-source token
+    counts and a hard repeat cap (no source may be seen more than
+    _EPOCH_CAP times — the over-repetition degradation bound from the
+    data-scaling literature), compute the largest per-source quota
+    achievable with an EQUAL token share: quota = min over sources of
+    cap x tokens(source).  Each source's plan is then (full epochs,
+    remainder tokens) — exact integer floor-div/mod, so the plan is a
+    reproducible manifest, not a sampling hope; the only double is the
+    audit-friendly repeat factor (one exact int/int division).
+
+    This is the planning complement to corpus_mix_temperature (which
+    reweights) and corpus_shard_interleave (which lays out): weights →
+    plan → shards.
+
+    Scale: one token-count rollup per source (map-side combined), a
+    1-row global min broadcast back — the q11 scalar pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    quota = F.broadcast(
+        per_source.agg(F.min(F.lit(_EPOCH_CAP) * F.col("n_tokens")).alias("q"))
+    )
+    return per_source.crossJoin(quota).select(
+        "source",
+        "n_tokens",
+        F.col("q").cast("long").alias("quota_tokens"),
+        (F.col("q").cast("double") / F.col("n_tokens")).alias("repeat_factor"),
+        (F.col("q") / F.col("n_tokens")).cast("long").alias("n_full_epochs"),
+        (F.col("q") % F.col("n_tokens")).cast("long").alias("remainder_tokens"),
+    )

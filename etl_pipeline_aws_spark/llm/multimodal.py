@@ -816,3 +816,88 @@ def multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_keyframes,
         schema="doc_id long, frame_idx int, n_frames int, frame_sum long",
     )
+
+
+ENERGY_WINDOW = 256  # PCM samples per energy window
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(string_split(text, '')) AS c,
+               unnest(range(1, len(text) + 1)) AS pos
+        FROM documents
+    ), samples AS (
+        SELECT doc_id,
+               (pos - 1) // {ENERGY_WINDOW} AS win,
+               CAST((ascii(c) - 128) * 256 AS BIGINT) AS s
+        FROM chars
+    )
+    SELECT doc_id,
+           CAST(win AS INT) AS win,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(MAX(abs(s)) AS INT) AS peak
+    FROM samples GROUP BY doc_id, win
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy over the REAL WAV codec path: encode each
+    document's bytes into a RIFF/WAVE container (shared _payload_to_wav,
+    so the PCM mapping cannot diverge from the other audio queries),
+    parse it back, and emit per-{ENERGY_WINDOW}-sample windows the exact
+    integer sum of squares and peak amplitude — the VAD/silence-trim
+    front end of every speech pipeline (energy thresholding decides
+    which windows survive), kept oracle-exact by NEVER leaving integer
+    arithmetic: RMS proper would take a sqrt into floats, so the query
+    reports energy (sum_sq) and lets consumers threshold on it.
+
+    The oracle recomputes the windows from the source text in DuckDB
+    (positional zip-unnest, the embeddings-oracle pattern), certifying
+    container round-trip + windowing + arithmetic end to end.
+
+    Scale: one Arrow-batched mapInPandas over the corpus; each doc
+    yields len/{ENERGY_WINDOW} rows — output scales with audio length,
+    shuffled only if a consumer aggregates."""
+    import io
+    import wave
+
+    import numpy as np
+
+    framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def encode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "wav": pdf["payload"].map(_payload_to_wav)}
+            )
+
+    def window_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    raw = w.readframes(w.getnframes())
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                for win in range(0, len(samples), ENERGY_WINDOW):
+                    chunk = samples[win : win + ENERGY_WINDOW]
+                    rows.append(
+                        (
+                            doc_id,
+                            win // ENERGY_WINDOW,
+                            len(chunk),
+                            int((chunk * chunk).sum()),
+                            int(np.abs(chunk).max()) if chunk.size else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "win", "n_samples", "sum_sq", "peak"]
+            ).astype({"win": "int32", "n_samples": "int32", "peak": "int32"})
+
+    encoded = framed.mapInPandas(encode_wav, schema="doc_id long, wav binary")
+    return encoded.mapInPandas(
+        window_energy,
+        schema="doc_id long, win int, n_samples int, sum_sq long, peak int",
+    )

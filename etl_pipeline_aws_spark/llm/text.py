@@ -926,3 +926,60 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("oov_rate"),
     )
+
+
+_STOPWORD_DF_FRAC = 0.5  # a token in more than half the docs is a stopword
+
+_STOPWORD_ORACLE = f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (
+        SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+        WHERE tok <> ''
+        GROUP BY tok
+    )
+    SELECT df.tok AS token,
+           df.doc_freq,
+           CAST(df.doc_freq AS DOUBLE) / n.n_docs AS df_rate,
+           df.doc_freq > {_STOPWORD_DF_FRAC} * n.n_docs AS is_stop
+    FROM df, n
+"""
+
+
+@query("text_adaptive_stopwords", oracle=_STOPWORD_ORACLE)
+def text_adaptive_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-adaptive stopword derivation: document frequency per token,
+    flagged as a stopword when it appears in more than half the corpus —
+    the data-driven replacement for fixed stopword lists that fixed
+    lists can't give you on novel domains (code, logs, non-English).
+    Downstream consumers (TF-IDF, keyword search, quality scoring) take
+    this table as their filter side.
+
+    The discipline is DOCUMENT frequency, not term frequency: the
+    explode dedups (doc_id, token) BEFORE counting (count distinct doc
+    per token), so a token spamming one document cannot become a
+    stopword.  Exactness: integer counts, one int/int division for the
+    audit rate.
+
+    Scale: tokens shuffle once on the token key after an in-partition
+    (doc, token) dedup; the distinct-token table is vocabulary-sized,
+    and the 1-row corpus count broadcasts (q11 scalar pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    df = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    )
+    return df.crossJoin(n).select(
+        "token",
+        "doc_freq",
+        (F.col("doc_freq").cast("double") / F.col("n_docs")).alias("df_rate"),
+        (
+            F.col("doc_freq")
+            > F.lit(_STOPWORD_DF_FRAC) * F.col("n_docs")
+        ).alias("is_stop"),
+    )

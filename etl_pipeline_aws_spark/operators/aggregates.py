@@ -1095,3 +1095,63 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("tot").cast("long").alias("total_weight"),
     )
+
+
+_GINI_ORACLE = """
+    WITH ranked AS (
+        SELECT o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS i
+        FROM orders
+    ), sums AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(i * x) AS DOUBLE) AS six
+        FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           (2.0 * six) / (n * sx) - (n + 1.0) / n AS gini
+    FROM sums
+"""
+
+
+@query("agg_gini_coefficient", oracle=_GINI_ORACLE)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of order value per priority class —
+    the inequality metric concentration dashboards (revenue
+    concentration, whale analysis) report, via the rank formula
+    G = 2·Σ(i·x_i) / (n·Σx) − (n+1)/n over values sorted ascending.
+
+    Exactness: ranks are integers with a pinned total order (value, then
+    order key — ties broken identically in both engines), Σx and Σ(i·x)
+    accumulate in exact decimal (i·x is an exact integer-scaled decimal
+    product), and the final expression is the same three IEEE ops on
+    identical operands.
+
+    Scale: one rank window per (bounded-cardinality) priority class,
+    then a partial-aggregated rollup — the shuffle carries decimal
+    partials, not rows."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        dec("o_totalprice").alias("x"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    sums = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("double").alias("six"),
+    )
+    return sums.select(
+        "o_orderpriority",
+        "n",
+        (
+            (F.lit(2.0) * F.col("six")) / (F.col("n") * F.col("sx"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n")
+        ).alias("gini"),
+    )

@@ -2115,3 +2115,59 @@ def events_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.groupBy("user_a", "user_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_overlaps")
     )
+
+
+_DRAWDOWN_ORACLE = """
+    WITH cum AS (
+        SELECT user_id, ts, event_id,
+               SUM(CAST(value AS DECIMAL(18,2)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS c
+        FROM events
+    ), dd AS (
+        SELECT user_id,
+               MAX(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) - c AS draw
+        FROM cum
+    )
+    SELECT user_id,
+           CAST(MAX(draw) AS DOUBLE) AS max_drawdown
+    FROM dd GROUP BY user_id
+"""
+
+
+@query("events_max_drawdown", oracle=_DRAWDOWN_ORACLE)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the cumulative value series — the
+    risk metric of any running balance (revenue, engagement score,
+    portfolio): the largest peak-to-trough drop, i.e. max over time of
+    (running max of cumulative sum − cumulative sum).  Three stacked
+    windows over ONE partition/order spec, so Spark evaluates them in a
+    single Window node after a single (user_id) shuffle-sort.
+
+    Exactness: the cumulative sum runs in DECIMAL (the engine-wide
+    framed-aggregate discipline, see window_running_sum) so neither
+    engine's frame-evaluation order can wobble a double; running-max and
+    subtraction stay decimal; only the final per-user max is cast out.
+
+    Scale: one shuffle on user_id; each user's series sorts within its
+    partition — the standard time-series window shape."""
+    from pyspark.sql.window import Window
+
+    from etl_pipeline_aws_spark.functions.numeric import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ev.select(
+        "user_id", F.sum(dec("value")).over(w).alias("c"), "ts", "event_id"
+    )
+    dd = cum.select(
+        "user_id", (F.max("c").over(w) - F.col("c")).alias("draw")
+    )
+    return dd.groupBy("user_id").agg(
+        F.max("draw").cast("double").alias("max_drawdown")
+    )

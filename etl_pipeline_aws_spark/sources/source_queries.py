@@ -750,3 +750,45 @@ def date_business_days_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s_bd") - F.col("o_bd")).alias("business_days_to_ship"),
         )
     )
+
+
+_BINARYFILE_ORACLE = f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(size AS BIGINT) AS n_bytes,
+           upper(substring(hex(content), 1, 8)) AS magic_head,
+           upper(substring(hex(content), -8, 8)) AS magic_tail
+    FROM read_blob('{GATE_SF_DIR}/*.parquet')
+"""
+
+
+@query("source_binaryfile_scan", oracle=_BINARYFILE_ORACLE)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion via the ``binaryFile`` source — the
+    entry point for every opaque-asset pipeline (model checkpoints,
+    images, audio, archives): one row per file with path, length, and
+    raw bytes, read in parallel with files as the split unit.  The
+    report audits byte fidelity without hashing (no cross-engine
+    blob-hash primitive exists): exact byte count plus the first/last
+    four bytes hex-encoded — for parquet, both must be the 'PAR1' magic,
+    so a truncated or partially-written file is caught immediately.
+
+    The oracle reads the same files with DuckDB's read_blob; the path is
+    pinned to the gate sf_dir for the same reason as source_file_lineage
+    (table-function constants; see GATE_SF_DIR note).
+
+    Scale: binaryFile assigns whole files to tasks (no intra-file
+    splits), so throughput = files x parallelism; the 100 TB shape is
+    many small-to-medium objects (exactly the multimodal corpus layout),
+    and the projection here never moves ``content`` past the scan —
+    length and two 4-byte slices travel, not bytes."""
+    df = spark.read.format("binaryFile").load(
+        os.path.join(sf_dir, "*.parquet")
+    )
+    return df.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.upper(F.hex(F.expr("substring(content, 1, 4)"))).alias("magic_head"),
+        F.upper(
+            F.hex(F.expr("substring(content, length(content) - 3, 4)"))
+        ).alias("magic_tail"),
+    )

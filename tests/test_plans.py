@@ -118,6 +118,8 @@ ALLOWED_NESTED_LOOP = {
     "events_trend_slope",  # 1-row calendar-origin broadcast (scale-free)
     "market_basket_rules",  # 1-row global basket-count broadcast (scale-free)
     "similarity_topk_dot",  # broadcast query set, != residual (bruteforce design)
+    "corpus_epoch_upsampling",  # 1-row global quota broadcast (q11 pattern)
+    "text_adaptive_stopwords",  # 1-row corpus-count broadcast (q11 pattern)
 }
 ALLOWED_PYTHON_EVAL = {
     "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)
