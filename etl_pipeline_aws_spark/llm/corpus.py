@@ -939,3 +939,86 @@ def corpus_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q") / F.col("n_tokens")).cast("long").alias("n_full_epochs"),
         (F.col("q") % F.col("n_tokens")).cast("long").alias("remainder_tokens"),
     )
+
+
+_STANDARDIZE_ORACLE = """
+    WITH flat AS (
+        SELECT vec_id,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    ), stats AS (
+        SELECT dim,
+               list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS mu,
+               list_sum(list(x * x ORDER BY vec_id)) / COUNT(*) AS ex2,
+               COUNT(*) AS n
+        FROM flat GROUP BY dim
+    )
+    SELECT f.vec_id, f.dim,
+           (f.x - s.mu) / sqrt(s.ex2 - s.mu * s.mu) AS z
+    FROM flat f JOIN stats s USING (dim)
+    WHERE f.vec_id < 50
+"""
+
+
+@query("embedding_standardize", oracle=_STANDARDIZE_ORACLE)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization (diagonal whitening) of the
+    embedding corpus — the scale-equalizing transform distance methods
+    need when dimensions carry different variances; complements
+    embedding_minmax_scale (range) with the moment-based form.
+
+    Determinism: per-dim mean and E[x²] use the ordered-fold discipline
+    (gather by vec_id, fold left-to-right — embedding_centroids'
+    pattern), so both engines add identical doubles in identical order;
+    variance is the same pinned expression E[x²] − µ²; sqrt is IEEE-
+    exact given an identical operand (the one transcendental that is
+    safe cross-engine, unlike ln/log).  The output is LONG form
+    (vec_id, dim, z), scalar doubles only.
+
+    Scale: stats are dims-sized (broadcast); the ordered gather is the
+    exact-tier cost — at 100 TB the same query runs with decimal-binned
+    streaming moments or a numerically-compensated sum, same plan
+    shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    folded = flat.groupBy("dim").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "x"))).alias("_s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    stats = folded.select(
+        "dim",
+        (
+            F.aggregate(
+                F.expr("transform(_s, e -> e.x)"),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.col("n")
+        ).alias("mu"),
+        (
+            F.aggregate(
+                F.expr("transform(_s, e -> e.x * e.x)"),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.col("n")
+        ).alias("ex2"),
+    )
+    return (
+        flat.filter(F.col("vec_id") < 50)
+        .join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            (
+                (F.col("x") - F.col("mu"))
+                / F.sqrt(F.col("ex2") - F.col("mu") * F.col("mu"))
+            ).alias("z"),
+        )
+    )

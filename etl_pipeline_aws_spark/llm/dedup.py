@@ -1053,7 +1053,11 @@ def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    chunks = docs.select("doc_id", F.explode(chunk_hashes).alias("h"))
+    # persist: the chunk explode (split + one sha256 per chunk, the
+    # query's CPU cost) feeds BOTH the dup-hash aggregation and the join
+    # side below — without the cache it is computed twice.  Cleared by
+    # clear_caches at the query boundary (the builder-persist convention).
+    chunks = docs.select("doc_id", F.explode(chunk_hashes).alias("h")).persist()
     dup = (
         chunks.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -451,9 +451,14 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode(slices).alias("sub_id", "subv")
     ).withColumn("fv", array_to_vector("subv"))
     subs = subs.persist()
+    # Fit the shared codebook on a deterministic QUARTER sample (vec_id
+    # hash-mod, no RNG) — the production PQ shape: codebooks train on a
+    # sample, the full corpus only gets ENCODED.  Cuts the k-means fit
+    # (the operator's dominant cost) ~4x; recall vs brute force stays
+    # pinned by tests/test_llm.py.
     model = KMeans(
         k=PQ_CODES, seed=PQ_SEED, featuresCol="fv", predictionCol="code", maxIter=10
-    ).fit(subs.select("fv"))
+    ).fit(subs.filter(F.col("vec_id") % 4 == 0).select("fv"))
     codes = model.transform(subs).select("vec_id", "sub_id", "code")
     cent = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],

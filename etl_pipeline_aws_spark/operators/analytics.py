@@ -2171,3 +2171,68 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.groupBy("user_id").agg(
         F.max("draw").cast("double").alias("max_drawdown")
     )
+
+
+_CONVERSION_LAG_ORACLE = """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS first_view,
+               MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+        FROM events GROUP BY user_id
+    ), lags AS (
+        SELECT CAST(date_diff('second', first_view, first_purchase) AS BIGINT)
+                   AS lag_s
+        FROM firsts
+        WHERE first_view IS NOT NULL AND first_purchase >= first_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(quantile_cont(lag_s, 0.25) AS DOUBLE) AS p25_s,
+           CAST(quantile_cont(lag_s, 0.50) AS DOUBLE) AS p50_s,
+           CAST(quantile_cont(lag_s, 0.75) AS DOUBLE) AS p75_s,
+           CAST(MAX(lag_s) AS BIGINT) AS max_s
+    FROM lags
+"""
+
+
+@query("events_conversion_lag_quantiles", oracle=_CONVERSION_LAG_ORACLE)
+def events_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: how long from a user's first view to
+    their first purchase — the funnel's missing axis (events_funnel counts
+    WHO converts; this measures HOW FAST), reported as exact quartiles of
+    the lag in seconds.  The p50 here is the honest "typical time to
+    purchase"; the mean would be dragged by the long tail this
+    distribution always has.
+
+    Exactness: lags are integer seconds (epoch arithmetic), quartile
+    interpolation a + frac·(b−a) runs on integer operands with exact
+    binary fractions (the agg_median discipline), so both engines emit
+    identical doubles.
+
+    Scale: one user_id shuffle for the conditional-min pass (map-side
+    combined), then quantiles over the converted-users table — users-
+    sized, not events-sized.  At 100 TB swap percentile for
+    percentile_approx and the plan shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lags = firsts.filter(
+        F.col("first_view").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+        ).alias("lag_s")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.expr("percentile(lag_s, 0.25)").alias("p25_s"),
+        F.expr("percentile(lag_s, 0.50)").alias("p50_s"),
+        F.expr("percentile(lag_s, 0.75)").alias("p75_s"),
+        F.max("lag_s").cast("long").alias("max_s"),
+    )

@@ -191,3 +191,76 @@ def sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql("SELECT * FROM rich_customers(9000.0)")
+
+
+_EXEC_IMMEDIATE_ORACLE = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+    GROUP BY o_orderpriority
+"""
+
+
+@query("sql_execute_immediate", oracle=_EXEC_IMMEDIATE_ORACLE)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4): run a SQL string with ?-placeholders
+    bound via USING — the dynamic-SQL escape hatch migrated stored
+    procedures and BI tooling rely on, with real PARAMETER BINDING
+    instead of string concatenation (the injection-unsafe pattern it
+    replaces).  Complements IDENTIFIER() (dynamic names) and named
+    parameters (sql_parameterized): together they cover the dynamic-SQL
+    matrix — text, identifiers, and values.
+
+    The bound statement compiles to the same Catalyst plan as its static
+    form (the oracle), so dynamism costs nothing at plan time."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, COUNT(*) AS n_orders
+           FROM orders WHERE o_orderstatus = ? AND o_totalprice > ?
+           GROUP BY o_orderpriority'
+          USING 'F', 150000.0
+        """
+    )
+
+
+_HINTS_ORACLE = """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@query("sql_optimizer_hints", oracle=_HINTS_ORACLE)
+def sql_optimizer_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL optimizer hints (/*+ ... */): the escape hatch for the cases
+    the planner cannot know — BROADCAST pins the build side for the
+    bounded dims (this engine's broadcast policy routes ALL dim
+    broadcasts through explicit hints; see session.py), REBALANCE lets
+    AQE split/merge the post-aggregation output files.  Hint syntax is
+    part of the query surface users port: an engine that parses but
+    ignores them (or rejects them) breaks tuned production SQL.
+
+    Semantically hints are no-ops — the oracle runs the bare query and
+    values must hash-match exactly; tests/test_plans.py asserts the
+    BROADCAST hints actually produced BroadcastHashJoins, so this entry
+    checks both halves of the contract: same answer, requested plan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(customer), BROADCAST(nation), REBALANCE */
+               n_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )

@@ -38,6 +38,14 @@ def test_dim_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_sql_hints_produce_broadcasts(spark):
+    """sql_optimizer_hints promises its BROADCAST hints are honored, not
+    just parsed — both dim joins must plan as BroadcastHashJoin."""
+    plan = formatted_plan(_q("sql_optimizer_hints", spark))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_join_chain_broadcasts_dims(spark):
     plan = formatted_plan(_q("join_chain_revenue_by_nation", spark))
     assert "BroadcastHashJoin" in plan
