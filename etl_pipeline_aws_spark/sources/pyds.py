@@ -143,3 +143,82 @@ class NdjsonShardWriter(DataSourceWriter):
 
 def register_writer(spark) -> None:  # noqa: ANN001
     spark.dataSource.register(NdjsonShardDataSource)
+
+
+class DocsStreamDataSource(DataSource):
+    """``spark.readStream.format("pyds_docs_stream")`` — a PYTHON-implemented
+    STREAMING source (Spark 4 SimpleDataSourceStreamReader): serves the
+    documents table in bounded micro-batch chunks with real offset
+    bookkeeping, completing the Python-connector story (batch reader:
+    pyds_calendar; writer: pyds_ndjson; this: the streaming leg the
+    reference's S3-notification trigger maps to when the upstream is an
+    API/queue instead of a file drop).
+
+    Options: ``path`` (the sf_dir), ``chunk`` (rows per micro-batch).
+    Offsets are row positions in doc_id order — deterministic, so a
+    restart from a checkpoint resumes EXACTLY where the last committed
+    batch ended (exercised by the registry query, which restarts the
+    stream until drained).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyds_docs_stream"
+
+    def schema(self) -> str:
+        return "doc_id long, lang string, n_chars long"
+
+    def simpleStreamReader(self, schema) -> "DocsStreamReader":  # noqa: ANN001
+        return DocsStreamReader(self.options)
+
+
+class DocsStreamReader:
+    """Driver-side simple stream reader: read() returns (rows, nextOffset)
+    for one chunk; readBetweenOffsets replays a committed range exactly
+    (the recovery path).  Rows come from a pyarrow scan of the parquet
+    table sliced by row position in doc_id order."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.chunk = int(options.get("chunk", "2000"))
+        self._rows: list | None = None
+
+    def _all_rows(self) -> list:
+        if self._rows is None:
+            import os
+
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                os.path.join(self.path, "documents.parquet"),
+                columns=["doc_id", "lang", "n_chars"],
+            )
+            rows = list(
+                zip(
+                    t.column("doc_id").to_pylist(),
+                    t.column("lang").to_pylist(),
+                    t.column("n_chars").to_pylist(),
+                )
+            )
+            rows.sort(key=lambda r: r[0])
+            self._rows = rows
+        return self._rows
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):  # noqa: ANN001
+        rows = self._all_rows()
+        lo = start["pos"]
+        hi = min(lo + self.chunk, len(rows))
+        return iter(rows[lo:hi]), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: ANN001
+        return iter(self._all_rows()[start["pos"] : end["pos"]])
+
+    def commit(self, end: dict) -> None:  # noqa: ANN001
+        pass
+
+
+def register_stream(spark) -> None:  # noqa: ANN001
+    spark.dataSource.register(DocsStreamDataSource)

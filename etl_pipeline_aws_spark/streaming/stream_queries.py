@@ -49,8 +49,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     LongType read garbage), probe the file's ACTUAL schema with a batch
     footer read and normalize ``ts`` exactly as the batch path does
     (catalog.normalize_events_ts) — stream and batch twins see identical
-    types by construction, which tests/test_streaming.py pins."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    types by construction, which tests/test_streaming.py pins.
+
+    The legacy nanos-as-long conf this probe read depends on is session
+    config, pinned at session build (session.py) and the driver boundary
+    (__spark_entry__._with_utc) — not set here, same no-session-mutation
+    contract as catalog.load_table (round-5 cleanup)."""
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     landing = tempfile.mkdtemp(prefix="landing_")
     os.symlink(table_path(sf_dir, "events"), os.path.join(landing, "events-000.parquet"))
@@ -1247,3 +1251,57 @@ def stream_progress_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_batches"),
         F.sum("num_input_rows").alias("total_input_rows"),
     )
+
+
+@query(
+    "stream_pyds_source",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    """,
+)
+def stream_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python STREAMING Data Source end to end (Spark 4
+    SimpleDataSourceStreamReader): the documents table is served by a
+    Python-implemented stream (sources/pyds.py DocsStreamReader) in
+    bounded chunks with row-position offsets, and the query RESTARTS the
+    stream from its checkpoint until the source is drained — each
+    availableNow run consumes one committed chunk, so the final landing
+    zone proves offset persistence and exactly-once resume across
+    restarts (the recovery path a queue/API-backed Python source must
+    get right; the reference's closest analog is its retriggered
+    Lambda).
+
+    The value-hash against the source table holds the Python reader,
+    the offset arithmetic, AND the restart protocol to exact fidelity:
+    a dropped, duplicated, or re-ordered chunk anywhere breaks the
+    hash.
+
+    Scale: the simple-reader variant prefetches on the driver — right
+    for API/queue sources with modest per-batch volume; the same
+    DataSource grows partition-parallel batches via the full
+    DataSourceStreamReader ABC without changing this topology."""
+    from etl_pipeline_aws_spark.sources import pyds
+
+    pyds.register_stream(spark)
+    zone = tempfile.mkdtemp(prefix="pyds_stream_")
+    out = os.path.join(zone, "out")
+    ckpt = os.path.join(zone, "ckpt")
+    n_src = load_table(spark, sf_dir, "documents").count()
+    chunk = max(1, (n_src + 2) // 3)  # 3 chunks -> 3 restart cycles
+    for _ in range(5):  # chunks + one empty drain; bounded regardless
+        q = (
+            spark.readStream.format("pyds_docs_stream")
+            .option("path", sf_dir)
+            .option("chunk", str(chunk))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        landed = spark.read.parquet(out).count()
+        if landed >= n_src:
+            break
+    return spark.read.parquet(out)
