@@ -90,3 +90,120 @@ def test_pyds_writer_readback_honors_manifest(spark):
     planted doc_id=-1 row would leak into the result."""
     df = engine.queries()["pyds_ndjson_writer_roundtrip"](spark, SF_DIR)
     assert df.filter("doc_id = -1").count() == 0
+
+
+def test_weighted_median_is_attained_value_with_half_mass(spark):
+    """The weighted median must be an actual price in its group, with
+    at least half the total quantity at-or-below it (lower-median rule)."""
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    res = {
+        r.l_returnflag: r.weighted_median
+        for r in engine.queries()["agg_weighted_median"](spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    for flag, med in res.items():
+        g = li.filter(F.col("l_returnflag") == flag)
+        assert g.filter(F.col("l_extendedprice") == med).count() >= 1
+        tot = g.agg(F.sum(F.col("l_quantity").cast("long"))).first()[0]
+        below = (
+            g.filter(F.col("l_extendedprice") <= med)
+            .agg(F.sum(F.col("l_quantity").cast("long")))
+            .first()[0]
+        )
+        assert 2 * below >= tot
+
+
+def test_shard_interleave_mix_is_exact(spark):
+    """Round-robin dealing guarantees each source's docs split across the
+    8 shards within +-1 — the exact-mix property the operator exists for."""
+    rows = engine.queries()["corpus_shard_interleave"](spark, SF_DIR).collect()
+    per_source: dict = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r.n_docs)
+    for source, counts in per_source.items():
+        assert max(counts) - min(counts) <= 1, (source, counts)
+
+
+def test_churn_hazard_life_table_identities(spark):
+    """Life-table identities: churn counts sum to the user population and
+    the at-risk count at the smallest tenure equals that population."""
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    rows = engine.queries()["events_churn_hazard"](spark, SF_DIR).collect()
+    n_users = (
+        load_table(spark, SF_DIR, "events").agg(F.countDistinct("user_id")).first()[0]
+    )
+    assert sum(r.n_churned for r in rows) == n_users
+    assert min(rows, key=lambda r: r.tenure_days).n_at_risk == n_users
+    for r in rows:
+        assert 0.0 < r.hazard <= 1.0
+
+
+def test_session_overlap_pairs_canonical(spark):
+    rows = engine.queries()["events_session_overlap_pairs"](spark, SF_DIR).collect()
+    assert rows, "fixture sessions should overlap somewhere"
+    for r in rows:
+        assert r.user_a < r.user_b
+        assert r.n_overlaps >= 1
+
+
+def test_epoch_upsampling_plan_arithmetic(spark):
+    rows = engine.queries()["corpus_epoch_upsampling"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.quota_tokens == r.n_full_epochs * r.n_tokens + r.remainder_tokens
+        assert r.repeat_factor <= 3.0 + 1e-12  # the epoch cap
+        assert r.n_full_epochs >= 1  # quota is min over sources, cap >= 1 epoch
+
+
+def test_vocab_oov_rates_bounded_and_total(spark):
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    rows = engine.queries()["text_vocab_oov_rate"](spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    total = docs.select(
+        F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "").count()
+    assert sum(r.n_tokens for r in rows) == total
+    for r in rows:
+        assert 0.0 <= r.oov_rate <= 1.0
+
+
+def test_max_drawdown_nonnegative(spark):
+    rows = engine.queries()["events_max_drawdown"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.max_drawdown >= 0.0
+
+
+def test_audio_energy_window_count_matches_length(spark):
+    """Each doc must yield ceil(n_chars / 256) energy windows — a codec
+    or windowing slip changes the count before it changes any sum."""
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    per_doc = (
+        engine.queries()["multimodal_audio_energy"](spark, SF_DIR)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_wins"), F.sum("n_samples").alias("n_total"))
+    )
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    joined = per_doc.join(docs, "doc_id").collect()
+    assert joined
+    for r in joined:
+        assert r.n_total == r.n_chars
+        assert r.n_wins == (r.n_chars + 255) // 256
+
+
+def test_gini_bounded(spark):
+    rows = engine.queries()["agg_gini_coefficient"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
