@@ -39,6 +39,7 @@ HEADLINE = [
     # round-3/4 flagship surface: multi-stage pipelines and the heaviest
     # iterative operators, so the bench tracks what the engine now is
     "pipeline_corpus_e2e",
+    "pipeline_pretraining_shards_e2e",
     "pipeline_events_e2e",
     "entity_resolution_parts",
     "graph_pagerank_parts",

@@ -1022,3 +1022,79 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+_PRETRAIN_SHARDS_ORACLE = f"""
+    WITH kept AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM (
+            SELECT doc_id, source, text,
+                   MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper_id,
+                   len(string_split(text, ' ')) AS nt,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS diversity
+            FROM documents
+        )
+        WHERE doc_id = keeper_id AND nt BETWEEN 20 AND 1000 AND diversity > 0.05
+    ), dealt AS (
+        SELECT source, n_tokens,
+               (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+                   % {_N_SHARDS} AS shard
+        FROM kept
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM dealt GROUP BY 1, 2
+"""
+
+
+@query("pipeline_pretraining_shards_e2e", oracle=_PRETRAIN_SHARDS_ORACLE)
+def pipeline_pretraining_shards_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining data BUILD as one declarative query: raw
+    documents → exact-dup keeper gate → quality screen (token range +
+    lexical diversity) → stratified round-robin shard assignment → the
+    per-(shard, source) manifest a training launcher consumes.  Where
+    pipeline_corpus_e2e REPORTS the curated corpus, this one LAYS IT
+    OUT: the output is the shard manifest itself, with the exact-mix
+    property corpus_shard_interleave pins (every shard carries every
+    surviving source's docs within ±1).
+
+    Composition: the dedup window and quality scalars share one scan,
+    the deal window re-numbers only SURVIVORS (dedup before layout —
+    dealing raw docs then filtering would break the ±1 mix), and the
+    rollup is a tiny-key shuffle.  Whole pass = one scan, one content-
+    hash exchange, one source-window, one rollup — unchanged at 100 TB.
+
+    Every stage's semantics are pinned by its standalone operator
+    (dedup_exact, corpus_curation_gate, corpus_shard_interleave);
+    end-to-end value hash certifies the composition."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    keeper_id = F.min("doc_id").over(Window.partitionBy(F.sha2("text", 256)))
+    kept = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        diversity.alias("diversity"),
+        keeper_id.alias("keeper_id"),
+    ).filter(
+        (F.col("doc_id") == F.col("keeper_id"))
+        & F.col("n_tokens").between(20, 1000)
+        & (F.col("diversity") > 0.05)
+    )
+    deal = Window.partitionBy("source").orderBy("doc_id")
+    dealt = kept.select(
+        "source",
+        "n_tokens",
+        ((F.row_number().over(deal) - 1) % _N_SHARDS).cast("long").alias("shard"),
+    )
+    return dealt.groupBy("shard", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
