@@ -983,3 +983,161 @@ def text_adaptive_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(_STOPWORD_DF_FRAC) * F.col("n_docs")
         ).alias("is_stop"),
     )
+
+
+_HASH_BUCKETS = 32
+
+_HASHED_BOW_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)
+                % {_HASH_BUCKETS} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks WHERE tok <> ''
+    GROUP BY 1, 2
+"""
+
+
+@query("feature_hashed_bow", oracle=_HASHED_BOW_ORACLE)
+def feature_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: fixed-width bag-of-words features with NO
+    vocabulary pass — each token hashes straight to one of
+    _HASH_BUCKETS (32) buckets, the featurization that makes streaming /
+    out-of-core linear models possible (no dictionary to build, ship, or
+    version).  Output is the long-form sparse matrix (doc, bucket,
+    count) a trainer consumes.
+
+    Cross-engine determinism is the interesting bit: Spark's hash() and
+    DuckDB's hash() are different algorithms, so the bucket index is
+    derived from md5 — a STANDARDIZED hash both engines implement
+    byte-identically — via the leading 8 hex digits parsed as an
+    integer.  (Spark: conv(hex, 16, 10); DuckDB: '0x' || hex cast.)
+    That makes the feature layout portable across engines — the property
+    a feature store needs when training and serving stacks differ.
+
+    Scale: one narrow explode, one (doc, bucket) shuffle with map-side
+    combine; bucket count is a constant, so state per doc is bounded."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % _HASH_BUCKETS
+    )
+    return toks.select("doc_id", bucket.alias("bucket")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+_KNN_K = 5
+_KNN_STOP_DF = 50  # posting-list cutoff: ignore tokens in > this many docs
+
+_KNN_JACCARD_ORACLE = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 300)
+        WHERE tok <> ''
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+    ), rare AS (
+        SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= {_KNN_STOP_DF}
+    ), inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        WHERE a.tok IN (SELECT tok FROM rare)
+        GROUP BY 1, 2
+    ), sym AS (
+        SELECT da AS doc_id, db AS nb, i FROM inter
+        UNION ALL
+        SELECT db AS doc_id, da AS nb, i FROM inter
+    ), scored AS (
+        SELECT s.doc_id, s.nb,
+               CAST(s.i AS BIGINT) AS n_inter,
+               CAST(sa.sz + sb.sz - s.i AS BIGINT) AS n_union,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.doc_id
+                   ORDER BY CAST(s.i AS DOUBLE) / (sa.sz + sb.sz - s.i) DESC,
+                            s.nb
+               ) AS rank
+        FROM sym s
+        JOIN sizes sa ON sa.doc_id = s.doc_id
+        JOIN sizes sb ON sb.doc_id = s.nb
+    )
+    SELECT doc_id, nb AS neighbor_id, n_inter, n_union,
+           CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= {_KNN_K}
+"""
+
+
+@query("text_jaccard_knn_graph", oracle=_KNN_JACCARD_ORACLE)
+def text_jaccard_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document kNN graph under token-set Jaccard — the neighborhood
+    structure clustering, semantic dedup review, and label propagation
+    all start from.  The quadratic trap is avoided the posting-list way
+    (the customer-Jaccard discipline, applied to text): candidates meet
+    ONLY through shared tokens, with a stop-token cutoff (document
+    frequency > {_KNN_STOP_DF} → the token generates no pairs) bounding
+    each posting list — intersection counts come out of the join
+    directly, unions from |A| + |B| − |A∩B|.
+
+    Determinism: intersections/unions are exact integers; the ranking
+    key is one int/int IEEE division (identical operands both engines)
+    with neighbor id as the pinned tie-break.
+
+    Scale: cost is Σ df(token)² over RARE tokens only — the stop cutoff
+    turns the worst-case quadratic into posting-list-bounded work, and
+    the top-k window prunes with WindowGroupLimit inside the shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    rare = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _KNN_STOP_DF)
+        .select("tok")
+    )
+    pruned = toks.join(rare, "tok")
+    a = pruned.select(F.col("doc_id").alias("da"), "tok")
+    b = pruned.select(F.col("doc_id").alias("db"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sym = inter.select(
+        F.col("da").alias("doc_id"), F.col("db").alias("nb"), "i"
+    ).unionByName(
+        inter.select(F.col("db").alias("doc_id"), F.col("da").alias("nb"), "i")
+    )
+    sa = sizes.select(F.col("doc_id"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("nb"), F.col("sz").alias("szb"))
+    scored = (
+        sym.join(sa, "doc_id")
+        .join(sb, "nb")
+        .select(
+            "doc_id",
+            "nb",
+            F.col("i").cast("long").alias("n_inter"),
+            (F.col("sza") + F.col("szb") - F.col("i")).cast("long").alias("n_union"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("n_inter").cast("double") / F.col("n_union")).desc(), "nb"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("doc_id", F.col("nb").alias("neighbor_id"), "n_inter", "n_union", "rank")
+    )
