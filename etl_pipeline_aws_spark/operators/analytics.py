@@ -2236,3 +2236,148 @@ def events_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
         F.expr("percentile(lag_s, 0.75)").alias("p75_s"),
         F.max("lag_s").cast("long").alias("max_s"),
     )
+
+
+_AB_LIFT_ORACLE = """
+    WITH assigned AS (
+        SELECT user_id % 2 AS arm, event_type,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    ), per_arm AS (
+        SELECT event_type, arm,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(v) AS DOUBLE) AS total_value,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_value
+        FROM assigned GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           a.n_events AS n_control, b.n_events AS n_treat,
+           a.mean_value AS mean_control, b.mean_value AS mean_treat,
+           b.mean_value - a.mean_value AS abs_lift
+    FROM per_arm a JOIN per_arm b
+      ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+"""
+
+
+@query("events_ab_lift_report", oracle=_AB_LIFT_ORACLE)
+def events_ab_lift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assigned to arms by a deterministic
+    key split (user_id parity — the hash-bucket assignment every
+    experimentation platform uses, reproducible by construction), then
+    per-event-type arm means and the absolute lift.  This is the
+    reporting half of experimentation; significance testing sits on the
+    same per-arm moments (add the decimal power sums and the t-stat is
+    three more columns).
+
+    Exactness: per-arm totals accumulate in decimal; each mean is one
+    exact-operand division; the lift is one subtraction of two such
+    doubles — identical IEEE ops both engines.
+
+    Scale: a single (event_type, arm) aggregation — map-side combined,
+    tiny key space; assignment is a projection, never a shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    from etl_pipeline_aws_spark.functions.numeric import dec
+
+    per_arm = (
+        ev.select(
+            (F.col("user_id") % 2).alias("arm"),
+            "event_type",
+            dec("value").alias("v"),
+        )
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+            (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_value"),
+        )
+    )
+    a = per_arm.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n_events").alias("n_control"),
+        F.col("mean_value").alias("mean_control"),
+    )
+    b = per_arm.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n_events").alias("n_treat"),
+        F.col("mean_value").alias("mean_treat"),
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_control",
+        "n_treat",
+        "mean_control",
+        "mean_treat",
+        (F.col("mean_treat") - F.col("mean_control")).alias("abs_lift"),
+    )
+
+
+_AUTOCORR_LAG = 7  # weekly cycle detection
+
+_AUTOCORR_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), paired AS (
+        SELECT a.n AS x, b.n AS y
+        FROM daily a JOIN daily b ON b.d = a.d + INTERVAL {_AUTOCORR_LAG} DAY
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM paired
+    )
+    SELECT n, sx, sy,
+           (n * sxy - sx * sy) /
+           (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr_lag7
+    FROM sums
+"""
+
+
+@query("events_weekly_autocorrelation", oracle=_AUTOCORR_ORACLE)
+def events_weekly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 autocorrelation of daily event volume — the periodicity
+    detector behind "is this metric weekly-cyclic" (and the statistical
+    complement of events_seasonality_dow, which ASSUMES the weekly cycle
+    and measures its shape; this measures whether the cycle exists).
+    Pearson r between the daily-count series and itself shifted one
+    week, via the self-join on d+7.
+
+    Exactness: daily counts are integers, so ALL power sums are exact
+    BIGINT arithmetic — no double accumulates anywhere; the final r is
+    a pinned expression of exact operands (sqrt is the cross-engine-safe
+    transcendental, per the engine's determinism rules).
+
+    Scale: the daily rollup is the only real work (map-side combined);
+    the series join and moment sums run on a days-sized table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = daily.select("d", F.col("n").alias("x"))
+    b = daily.select(
+        F.date_sub(F.col("d"), _AUTOCORR_LAG).alias("d"), F.col("n").alias("y")
+    )
+    paired = a.join(b, "d")
+    sums = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return sums.select(
+        "n",
+        "sx",
+        "sy",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            )
+        ).alias("autocorr_lag7"),
+    )

@@ -86,6 +86,12 @@ PROBE_QUERIES = [
     "cdc_time_travel",
     "dq_expectations_suite",
     "pipeline_corpus_e2e",
+    # round-5 new-operator shapes with scale-sensitive joins/windows
+    "events_session_overlap_pairs",
+    "text_jaccard_knn_graph",
+    "pipeline_pretraining_shards_e2e",
+    "agg_weighted_median",
+    "events_churn_hazard",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
