@@ -207,3 +207,81 @@ def test_gini_bounded(spark):
     assert rows
     for r in rows:
         assert 0.0 <= r.gini < 1.0
+
+
+def test_sql_scalar_udf_stays_codegen(spark):
+    """The SQL UDF must inline — no Python evaluation node may appear."""
+    plan = (
+        engine.queries()["sql_scalar_udf"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sql_table_udf_keeps_pushdown(spark):
+    """The table UDF body must inline so the balance filter reaches the
+    parquet scan as a pushed data filter."""
+    from etl_pipeline_aws_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(engine.queries()["sql_table_udf"](spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "c_acctbal" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_conversion_lag_quantiles_ordered(spark):
+    r = engine.queries()["events_conversion_lag_quantiles"](spark, SF_DIR).first()
+    assert r.n_converted > 0
+    assert 0 <= r.p25_s <= r.p50_s <= r.p75_s <= r.max_s
+
+
+def test_autocorrelation_bounded(spark):
+    r = engine.queries()["events_weekly_autocorrelation"](spark, SF_DIR).first()
+    assert r.n > 0
+    assert -1.0 <= r.autocorr_lag7 <= 1.0
+
+
+def test_ab_arms_partition_population(spark):
+    """Arm sizes must sum to the full event count — nobody unassigned,
+    nobody double-assigned."""
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    rows = engine.queries()["events_ab_lift_report"](spark, SF_DIR).collect()
+    per_type = {
+        r.event_type: r["count"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    for r in rows:
+        assert r.n_control + r.n_treat == per_type[r.event_type]
+
+
+def test_hashed_bow_buckets_in_range(spark):
+    import pyspark.sql.functions as F
+
+    df = engine.queries()["feature_hashed_bow"](spark, SF_DIR)
+    assert df.filter((F.col("bucket") < 0) | (F.col("bucket") >= 32)).count() == 0
+
+
+def test_knn_graph_canonical(spark):
+    rows = engine.queries()["text_jaccard_knn_graph"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id != r.neighbor_id
+        assert 1 <= r.rank <= 5
+        assert 0 < r.n_inter <= r.n_union
+
+
+def test_embedding_standardize_z_is_finite(spark):
+    import math
+
+    rows = engine.queries()["embedding_standardize"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert math.isfinite(r.z)
