@@ -2033,14 +2033,24 @@ def events_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     30-minute TTL.
 
     The naive formulation is an all-pairs interval join — quadratic in
-    sessions and unrunnable at scale.  This plan BINS time: each session
-    explodes to the sequence of hour buckets it spans (bounded by session
-    length / TTL), pairs meet by equi-joining on the bucket, duplicates
-    from multi-bucket overlaps are removed by DISTINCT on the session-id
-    pair, and only then does the exact overlap predicate run — the same
-    bin-then-verify discipline as range_join_binned and the LSH band
-    join.  Cost is O(sessions x buckets-per-session) shuffle + candidate
-    verification, never |sessions|^2.
+    TOTAL sessions.  This plan BINS time: each session explodes to the
+    hour buckets it spans (bounded by session length / TTL), pairs meet
+    by equi-joining on the bucket, duplicates from multi-bucket overlaps
+    are removed by DISTINCT on the session-id pair, and only then does
+    the exact overlap predicate run — the bin-then-verify discipline of
+    range_join_binned and the LSH band join.  Cost is
+    Σ_buckets density² — quadratic in CONCURRENCY, never in corpus
+    length, which is the honest lower bound here: the full co-presence
+    pair table IS Θ(concurrency²) rows per bucket, so any exact
+    enumeration pays it (the 10x probe, which multiplies concurrency
+    10x in a fixed time span, shows exactly the ~100x growth this
+    predicts — output-bound, not a plan defect; plan shape is
+    scale-invariant).  At production concurrency this exact tier is the
+    oracle twin: the scale paths are the linear concurrency sweep
+    (events_concurrent_sessions) for the aggregate question and a
+    per-user top-k cap (the WindowGroupLimit pattern) when the pair
+    graph itself is needed — the same exact-tier/scale-tier split as
+    dedup's brute-force vs LSH.
 
     The oracle runs the naive quadratic self-join — tractable at fixture
     scale — so the binned rewrite is value-certified against the exact
