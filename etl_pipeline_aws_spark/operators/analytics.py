@@ -2391,3 +2391,143 @@ def events_weekly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("autocorr_lag7"),
     )
+
+
+_COPRESENCE_K = 5
+
+_COPRESENCE_TOPK_ORACLE = f"""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '{_OVERLAP_GAP_MIN} minutes'
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM marked
+    ), sessions AS (
+        SELECT user_id, sess_no, MIN(ts) AS s,
+               MAX(ts) + INTERVAL '{_OVERLAP_GAP_MIN} minutes' AS e
+        FROM numbered GROUP BY user_id, sess_no
+    ), pairs AS (
+        SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS n_overlaps
+        FROM sessions a JOIN sessions b
+          ON a.user_id <> b.user_id AND a.s < b.e AND b.s < a.e
+        GROUP BY 1, 2
+    )
+    SELECT u AS user_id, v AS partner_id,
+           CAST(n_overlaps AS BIGINT) AS n_overlaps,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT u, v, n_overlaps,
+               ROW_NUMBER() OVER (PARTITION BY u
+                                  ORDER BY n_overlaps DESC, v) AS rank
+        FROM pairs
+    )
+    WHERE rank <= {_COPRESENCE_K}
+"""
+
+
+@query("events_copresence_topk", oracle=_COPRESENCE_TOPK_ORACLE)
+def events_copresence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-K (_COPRESENCE_K = 5) co-presence partners — the SCALE tier
+    of the co-presence family (events_session_overlap_pairs is the exact
+    full-graph twin): each user keeps only their most-frequent overlap
+    partners, so output and downstream state are linear in users however
+    high concurrency runs.  This is the shape a production collusion/
+    affinity feature actually materializes; the full pair table exists
+    to certify it.
+
+    The ranking prunes inside the shuffle via WindowGroupLimit (row_number
+    <= K pushed into the sort), the same mechanism as window_topk.
+    Candidate generation still pays the per-bucket density² of genuine
+    co-presence counting (irreducible for exact counts; at extreme
+    concurrency, production adds hot-bucket downsampling BEFORE pairing
+    — the stop-token discipline — trading tail recall for cost).
+
+    Ordering pinned (n_overlaps desc, partner id asc) so the top-K set
+    is deterministic across engines."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(wl).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(wl).cast("long")
+                > _OVERLAP_GAP_MIN * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        F.sum("is_start")
+        .over(wl.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_no"),
+    )
+    sessions = numbered.groupBy("user_id", "sess_no").agg(
+        F.min("ts").alias("s"),
+        (F.max("ts") + F.expr(f"INTERVAL {_OVERLAP_GAP_MIN} MINUTES")).alias("e"),
+    )
+    binned = sessions.select(
+        "user_id",
+        "sess_no",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s"),
+                F.date_trunc("hour", "e"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hb"),
+    )
+    a = binned.select(
+        F.col("user_id").alias("u"),
+        F.col("sess_no").alias("sa"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+        "hb",
+    )
+    b = binned.select(
+        F.col("user_id").alias("v"),
+        F.col("sess_no").alias("sb"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+        "hb",
+    )
+    cand = (
+        a.join(b, "hb")
+        .filter(
+            (F.col("u") != F.col("v"))
+            & (F.col("s_a") < F.col("e_b"))
+            & (F.col("s_b") < F.col("e_a"))
+        )
+        .select("u", "sa", "v", "sb")
+        .distinct()
+    )
+    pairs = cand.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps")
+    )
+    w = Window.partitionBy("u").orderBy(F.col("n_overlaps").desc(), "v")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _COPRESENCE_K)
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("v").alias("partner_id"),
+            "n_overlaps",
+            "rank",
+        )
+    )
