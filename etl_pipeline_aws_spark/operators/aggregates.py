@@ -1050,6 +1050,39 @@ _WEIGHTED_MEDIAN_ORACLE = """
 """
 
 
+def weighted_lower_median(
+    df: DataFrame, group_col: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """Reusable core of agg_weighted_median: per group, the MINIMUM value
+    whose running weight (over distinct values, ascending) reaches half
+    the total — integer/exact arithmetic only.  Returns (group,
+    weighted_median, total_weight).  Property-tested against a Decimal
+    ground truth in tests/test_properties.py."""
+    from pyspark.sql.window import Window
+
+    per_value = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("price")
+    ).agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("g")
+    cum = per_value.select(
+        "g",
+        "price",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return cum.groupBy("g").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("price"))).alias(
+            "weighted_median"
+        ),
+        F.max("tot").cast("long").alias("total_weight"),
+    ).withColumnRenamed("g", group_col)
+
+
 @query("agg_weighted_median", oracle=_WEIGHTED_MEDIAN_ORACLE)
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact weighted median (lower median convention): the price at
@@ -1071,29 +1104,9 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the raw fact table is reduced by the per-price partial agg before
     any ordered operation, and each group's window sorts only its own
     distinct values."""
-    from pyspark.sql.window import Window
-
     li = load_table(spark, sf_dir, "lineitem")
-    per_price = li.groupBy(
-        "l_returnflag", F.col("l_extendedprice").alias("price")
-    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
-    wc = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wt = Window.partitionBy("l_returnflag")
-    cum = per_price.select(
-        "l_returnflag",
-        "price",
-        F.sum("w").over(wc).alias("cw"),
-        F.sum("w").over(wt).alias("tot"),
-    )
-    return cum.groupBy("l_returnflag").agg(
-        F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("price"))).alias(
-            "weighted_median"
-        ),
-        F.max("tot").cast("long").alias("total_weight"),
+    return weighted_lower_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
     )
 
 

@@ -122,3 +122,50 @@ def test_dsum_invariant_under_partitioning(spark, cents, parts):
     }
     assert out[1] == truth
     assert out[parts] == truth
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # group
+            st.integers(min_value=-1000, max_value=1000),  # value
+            st.integers(min_value=1, max_value=50),  # weight
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_weighted_lower_median_matches_ground_truth(spark, data):
+    """weighted_lower_median == the definitional answer: sort by value,
+    accumulate weights, first value whose cumulative weight reaches half
+    the total — for arbitrary groups, values (ties included), weights."""
+    from etl_pipeline_aws_spark.operators.aggregates import weighted_lower_median
+
+    df = spark.createDataFrame(
+        [(g, float(v), w) for g, v, w in data], ["g", "v", "w"]
+    )
+    got = {
+        r.g: (r.weighted_median, r.total_weight)
+        for r in weighted_lower_median(df, "g", "v", "w").collect()
+    }
+    groups: dict = {}
+    for g, v, w in data:
+        groups.setdefault(g, []).append((v, w))
+    for g, vw in groups.items():
+        agg: dict = {}
+        for v, w in vw:
+            agg[v] = agg.get(v, 0) + w
+        tot = sum(agg.values())
+        cum = 0
+        expect = None
+        for v in sorted(agg):
+            cum += agg[v]
+            if 2 * cum >= tot:
+                expect = float(v)
+                break
+        assert got[g] == (expect, tot), (g, got[g], expect, tot)
