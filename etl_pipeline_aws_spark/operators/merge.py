@@ -302,3 +302,91 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("version", "o_orderkey", "status", "price")
     )
+
+
+_SCD1_ORACLE = """
+    WITH upserts AS (
+        -- the deterministic batch: every 10th key repriced +100 (update),
+        -- plus brand-new keys above the current max (insert)
+        SELECT o_orderkey AS k, o_totalprice + 100.0 AS price, 'U' AS src
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT (SELECT MAX(o_orderkey) FROM orders) + rn AS k,
+               1000.0 * rn AS price, 'I' AS src
+        FROM (SELECT unnest(range(1, 6)) AS rn)
+    ), unioned AS (
+        SELECT o_orderkey AS k, o_totalprice AS price, 0 AS pri, 'B' AS src
+        FROM orders
+        UNION ALL
+        SELECT k, price, 1 AS pri, src FROM upserts
+    ), latest AS (
+        SELECT k, price, src,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY pri DESC) AS rn
+        FROM unioned
+    )
+    SELECT k AS o_orderkey, price AS o_totalprice,
+           src = 'U' AS was_updated,
+           src = 'I' AS was_inserted
+    FROM latest WHERE rn = 1
+"""
+
+
+@query("scd1_upsert_orders", oracle=_SCD1_ORACLE)
+def scd1_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-1 upsert (MERGE ... WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT, without a table format): latest-wins per key over
+    the union of base and batch, with provenance flags auditing what the
+    merge DID — the overwrite-in-place complement of scd2_merge_orders'
+    history-keeping form, and the semantics every warehouse MERGE
+    statement compiles to.
+
+    Plan: union + one key-window (priority desc) + rank-1 filter — the
+    standard upsert-as-window rewrite, one shuffle on the merge key.
+    Same discipline as cdc_apply_changelog but with a two-source
+    priority instead of a change sequence; at 100 TB the window
+    partitions by the merge key so AQE handles batch/base skew.
+
+    Determinism: the batch is derived from the base (every 10th key
+    repriced by an exact +100.0; five synthetic insert keys above
+    MAX(key)), so both engines build the identical batch."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    max_key = F.broadcast(o.agg(F.max("o_orderkey").alias("mk")))
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") + 100.0).alias("price"),
+            F.lit(1).alias("pri"),
+            F.lit("U").alias("src"),
+        )
+    )
+    inserts = (
+        spark.range(1, 6)
+        .crossJoin(max_key)
+        .select(
+            (F.col("mk") + F.col("id")).alias("k"),
+            (F.lit(1000.0) * F.col("id")).alias("price"),
+            F.lit(1).alias("pri"),
+            F.lit("I").alias("src"),
+        )
+    )
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(0).alias("pri"),
+        F.lit("B").alias("src"),
+    )
+    unioned = base.unionByName(updates).unionByName(inserts)
+    w = Window.partitionBy("k").orderBy(F.col("pri").desc())
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("price").alias("o_totalprice"),
+            (F.col("src") == "U").alias("was_updated"),
+            (F.col("src") == "I").alias("was_inserted"),
+        )
+    )
