@@ -128,6 +128,7 @@ ALLOWED_NESTED_LOOP = {
     "similarity_topk_dot",  # broadcast query set, != residual (bruteforce design)
     "corpus_epoch_upsampling",  # 1-row global quota broadcast (q11 pattern)
     "text_adaptive_stopwords",  # 1-row corpus-count broadcast (q11 pattern)
+    "scd1_upsert_orders",  # 1-row MAX(key) broadcast seeding insert keys (q11 pattern)
 }
 ALLOWED_PYTHON_EVAL = {
     "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)
