@@ -901,3 +901,101 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_energy,
         schema="doc_id long, win int, n_samples int, sum_sq long, peak int",
     )
+
+
+@query(
+    "multimodal_image_flip_augment",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, text, LENGTH(text) AS L,
+               (((LENGTH(text) + 2) // 3) + {PPM_WIDTH - 1}) // {PPM_WIDTH}
+                   AS h
+        FROM documents
+    ), rows_ AS (
+        SELECT doc_id, h,
+               unnest(range(0, h)) AS r
+        FROM dims
+    ), row_sums AS (
+        SELECT d.doc_id, d.h, rw.r,
+               COALESCE(list_sum(list_transform(
+                   range({PPM_WIDTH} * 3 * rw.r,
+                         LEAST({PPM_WIDTH} * 3 * (rw.r + 1), d.L)),
+                   p -> ascii(substring(d.text, p + 1, 1)))), 0) AS rs
+        FROM dims d JOIN rows_ rw ON rw.doc_id = d.doc_id AND rw.h = d.h
+    )
+    SELECT doc_id,
+           {PPM_WIDTH} AS width,
+           CAST(MAX(h) AS INT) AS height,
+           CAST(SUM(rs) AS BIGINT) AS total_sum,
+           CAST(SUM((h - 1 - r) * rs) AS BIGINT) AS row_moment_flipped
+    FROM row_sums
+    GROUP BY doc_id
+    """,
+)
+def multimodal_image_flip_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image AUGMENTATION over the real P6 codec path:
+    encode each document into a binary PPM, vertically flip the raster
+    (np.flipud — the training-time augmentation), and verify the flip
+    HAPPENED with a row-weighted moment: Σ row_index × row_sum over the
+    flipped raster, which the oracle recomputes from source bytes with
+    the reversed weights Σ (h−1−r) × row_sum(r).  The total pixel sum
+    rides along as the flip-INVARIANT — augmentation must move pixels,
+    never create or destroy them; a padding slip, off-by-one, or
+    reshape error breaks one or both.
+
+    Completes the multimodal verb set (decode / feature / resize /
+    patch / frame-sample / energy / AUGMENT), all as Arrow-batched
+    mapInPandas kernels — the shape a 100 TB augmentation pass runs,
+    with the flip kernel swapped for any real augmentation library."""
+    import numpy as np
+
+    framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def encode_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def to_ppm(payload: bytes) -> bytes:
+            n_pix = (len(payload) + 2) // 3
+            h = (n_pix + PPM_WIDTH - 1) // PPM_WIDTH
+            raster = payload + b"\x00" * (PPM_WIDTH * h * 3 - len(payload))
+            return f"P6\n{PPM_WIDTH} {h}\n255\n".encode("ascii") + raster
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ppm": pdf["payload"].map(to_ppm)}
+            )
+
+    def flip_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def features(payload: bytes) -> tuple:
+            header_end = 0
+            fields: list[bytes] = []
+            while len(fields) < 4:
+                nxt = payload.index(b"\n", header_end)
+                fields.extend(payload[header_end:nxt].split())
+                header_end = nxt + 1
+            w, h = int(fields[1]), int(fields[2])
+            arr = np.frombuffer(payload[header_end:], dtype=np.uint8)
+            img = arr.reshape(h, w * 3).astype(np.int64)
+            flipped = np.flipud(img)  # the augmentation under test
+            row_sums = flipped.sum(axis=1)
+            moment = int((np.arange(h) * row_sums).sum())
+            return w, h, int(row_sums.sum()), moment
+
+        for pdf in batches:
+            feats = [features(b) for b in pdf["ppm"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "total_sum": [f[2] for f in feats],
+                    "row_moment_flipped": [f[3] for f in feats],
+                }
+            ).astype({"width": "int32", "height": "int32"})
+
+    encoded = framed.mapInPandas(encode_ppm, schema="doc_id long, ppm binary")
+    return encoded.mapInPandas(
+        flip_features,
+        schema=(
+            "doc_id long, width int, height int, "
+            "total_sum long, row_moment_flipped long"
+        ),
+    )
