@@ -1098,3 +1098,144 @@ def pipeline_pretraining_shards_e2e(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+_PI_ITERATIONS = 3
+
+
+def _pi_oracle() -> str:
+    """Unrolled power-iteration oracle: every sum is an ordered-fold list
+    sum, so DuckDB adds the same doubles in the same order as Spark."""
+    sql = """
+    WITH flat AS (
+        SELECT vec_id,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    ), v0 AS (
+        SELECT DISTINCT dim, CASE WHEN dim = 0 THEN 1.0 ELSE 0.0 END AS v
+        FROM flat
+    )"""
+    prev = "v0"
+    for i in range(1, _PI_ITERATIONS + 1):
+        sql += f""", d{i} AS (
+        SELECT f.vec_id,
+               list_sum(list(f.x * p.v ORDER BY f.dim)) AS dot
+        FROM flat f JOIN {prev} p USING (dim)
+        GROUP BY f.vec_id
+    ), v{i} AS (
+        SELECT f.dim,
+               list_sum(list(f.x * d.dot ORDER BY f.vec_id)) AS v
+        FROM flat f JOIN d{i} d USING (vec_id)
+        GROUP BY f.dim
+    )"""
+        prev = f"v{i}"
+    return sql + f"""
+    SELECT CAST(dim AS BIGINT) AS dim,
+           v / (SELECT sqrt(list_sum(list(v * v ORDER BY dim)))
+                FROM {prev}) AS component
+    FROM {prev}
+    """
+
+
+@query("embedding_power_iteration_pc1", oracle=_pi_oracle())
+def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal direction of the embedding corpus by POWER
+    ITERATION — _PI_ITERATIONS (3) fixed rounds of v ← Xᵀ(Xv) from the deterministic
+    seed e₀ — the iterative-linear-algebra workload (PCA, spectral
+    embedding, eigencentrality) expressed as DataFrame joins: each round
+    is one (vec join) for the dot products and one (dim join) for the
+    update, the matrix never materialized.
+
+    Bit-exactness across engines for ITERATED float math: every sum is
+    an ordered fold (dots fold x·v sorted by dim; updates fold
+    contributions sorted by vec_id — the embedding_centroids
+    discipline), so both engines chain IDENTICAL IEEE operations through
+    all rounds; normalization happens ONCE at the end (sqrt is safe;
+    per-round rescaling would add per-round divisions for no semantic
+    gain at 3 rounds).  Output is the long-form unit vector (dim,
+    component).
+
+    Scale: per round, one shuffle on vec_id and one on dim; state is one
+    dims-sized vector (broadcast).  The gathers are bounded by dims
+    (dot) and corpus/dim (update) — the update fold is the exact-tier
+    cost, replaced by compensated streaming sums at 100 TB with the
+    same plan shape.  Rounds localCheckpoint so the final plan is flat."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    ).localCheckpoint()
+    v = (
+        flat.select("dim")
+        .distinct()
+        .select(
+            "dim",
+            F.when(F.col("dim") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(_PI_ITERATIONS):
+        dots = (
+            flat.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("dim", (F.col("x") * F.col("v")).alias("p"))
+                            )
+                        ),
+                        lambda s: s["p"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, p: acc + p,
+                ).alias("dot")
+            )
+        )
+        v = (
+            flat.join(dots, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "vec_id", (F.col("x") * F.col("dot")).alias("p")
+                                )
+                            )
+                        ),
+                        lambda s: s["p"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, p: acc + p,
+                ).alias("v")
+            )
+            .localCheckpoint()
+        )
+    norm = F.broadcast(
+        v.agg(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("dim", (F.col("v") * F.col("v")).alias("p"))
+                            )
+                        ),
+                        lambda s: s["p"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, p: acc + p,
+                )
+            ).alias("nrm")
+        )
+    )
+    return v.crossJoin(norm).select(
+        F.col("dim").cast("long").alias("dim"),
+        (F.col("v") / F.col("nrm")).alias("component"),
+    )

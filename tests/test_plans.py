@@ -129,6 +129,7 @@ ALLOWED_NESTED_LOOP = {
     "corpus_epoch_upsampling",  # 1-row global quota broadcast (q11 pattern)
     "text_adaptive_stopwords",  # 1-row corpus-count broadcast (q11 pattern)
     "scd1_upsert_orders",  # 1-row MAX(key) broadcast seeding insert keys (q11 pattern)
+    "embedding_power_iteration_pc1",  # 1-row norm broadcast for the final rescale (q11 pattern)
 }
 ALLOWED_PYTHON_EVAL = {
     "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)
