@@ -285,3 +285,69 @@ def test_embedding_standardize_z_is_finite(spark):
     assert rows
     for r in rows:
         assert math.isfinite(r.z)
+
+
+def test_scd1_upsert_audit_counts(spark):
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    df = engine.queries()["scd1_upsert_orders"](spark, SF_DIR)
+    o = load_table(spark, SF_DIR, "orders")
+    n = o.count()
+    n_upd = o.filter(F.col("o_orderkey") % 10 == 0).count()
+    assert df.count() == n + 5  # every base key exactly once, plus 5 inserts
+    assert df.filter("was_updated").count() == n_upd
+    assert df.filter("was_inserted").count() == 5
+    assert df.filter("was_updated AND was_inserted").count() == 0
+    assert df.select("o_orderkey").distinct().count() == n + 5
+
+
+def test_pretraining_shards_mix_exact(spark):
+    rows = engine.queries()["pipeline_pretraining_shards_e2e"](spark, SF_DIR).collect()
+    per_source: dict = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r.n_docs)
+    assert per_source
+    for source, counts in per_source.items():
+        assert max(counts) - min(counts) <= 1, (source, counts)
+
+
+def test_copresence_topk_bounds(spark):
+    rows = engine.queries()["events_copresence_topk"](spark, SF_DIR).collect()
+    assert rows
+    per_user: dict = {}
+    for r in rows:
+        assert r.user_id != r.partner_id
+        per_user.setdefault(r.user_id, []).append((r.rank, r.n_overlaps))
+    for u, rs in per_user.items():
+        rs.sort()
+        assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
+        counts = [c for _, c in rs]
+        assert counts == sorted(counts, reverse=True)  # ranked by overlap desc
+
+
+def test_power_iteration_unit_norm_and_dim_cover(spark):
+    import math
+
+    rows = engine.queries()["embedding_power_iteration_pc1"](spark, SF_DIR).collect()
+    dims = sorted(r.dim for r in rows)
+    assert dims == list(range(len(dims)))  # every dimension exactly once
+    norm = math.sqrt(sum(r.component**2 for r in rows))
+    assert abs(norm - 1.0) < 1e-9
+
+
+def test_flip_augment_conserves_pixels(spark):
+    """total_sum must equal the unflipped per-channel sums' total from
+    multimodal_image_decode — augmentation moves pixels, never makes them."""
+    import pyspark.sql.functions as F
+
+    flip = engine.queries()["multimodal_image_flip_augment"](spark, SF_DIR).select(
+        "doc_id", "total_sum"
+    )
+    dec = engine.queries()["multimodal_image_decode"](spark, SF_DIR).select(
+        "doc_id",
+        (F.col("sum_r") + F.col("sum_g") + F.col("sum_b")).alias("orig_total"),
+    )
+    bad = flip.join(dec, "doc_id").filter("total_sum <> orig_total").count()
+    assert bad == 0
