@@ -1239,3 +1239,109 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("dim").cast("long").alias("dim"),
         (F.col("v") / F.col("nrm")).alias("component"),
     )
+
+
+def _pi_ev_oracle() -> str:
+    """Explained-variance oracle: the unrolled power iteration (same CTEs
+    as embedding_power_iteration_pc1), then lambda1 = ||X v̂||² via the
+    ordered dot fold and trace = ordered fold of all x² — one row."""
+    sql = _pi_oracle().rsplit("SELECT CAST(dim AS BIGINT)", 1)[0]
+    last = f"v{_PI_ITERATIONS}"
+    return sql + f""", unit AS (
+        SELECT dim,
+               v / (SELECT sqrt(list_sum(list(v * v ORDER BY dim)))
+                    FROM {last}) AS u
+        FROM {last}
+    ), proj AS (
+        SELECT f.vec_id,
+               list_sum(list(f.x * u.u ORDER BY f.dim)) AS dot
+        FROM flat f JOIN unit u USING (dim)
+        GROUP BY f.vec_id
+    ), lam AS (
+        SELECT list_sum(list(dot * dot ORDER BY vec_id)) AS lambda1
+        FROM proj
+    ), tr AS (
+        SELECT list_sum(list(x * x ORDER BY vec_id, dim)) AS trace
+        FROM flat
+    )
+    SELECT lambda1, trace, lambda1 / trace AS explained_ratio
+    FROM lam, tr
+    """
+
+
+@query("embedding_pc1_explained_variance", oracle=_pi_ev_oracle())
+def embedding_pc1_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the corpus' total (uncentered) second moment the first
+    principal direction captures: λ₁ = ‖X·v̂‖² against trace(XᵀX) — the
+    one-number answer to "is this embedding space effectively
+    one-dimensional" that decides whitening, dimension reduction, and
+    ANN routing budgets.  Companion to embedding_power_iteration_pc1
+    (which emits the direction; this emits its weight).
+
+    Same bit-exactness discipline, now through FOUR chained fold stages
+    (3 iteration rounds + projection): every sum an ordered fold, sqrt
+    at the single normalization, the final ratio one division of two
+    exactly-reproduced doubles.
+
+    Scale: adds one broadcast-v projection pass and two global folds to
+    the iteration's cost; the trace fold is the exact-tier form of a
+    plain sum-of-squares aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    ).localCheckpoint()
+    unit = embedding_power_iteration_pc1(spark, sf_dir).select(
+        "dim", F.col("component").alias("u")
+    )
+    proj = (
+        flat.join(F.broadcast(unit), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("dim", (F.col("x") * F.col("u")).alias("p"))
+                        )
+                    ),
+                    lambda s: s["p"],
+                ),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            ).alias("dot")
+        )
+    )
+    lam = proj.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("vec_id", (F.col("dot") * F.col("dot")).alias("p"))
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        ).alias("lambda1")
+    )
+    tr = flat.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("vec_id", "dim", (F.col("x") * F.col("x")).alias("p"))
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        ).alias("trace")
+    )
+    return lam.crossJoin(tr).select(
+        "lambda1", "trace", (F.col("lambda1") / F.col("trace")).alias("explained_ratio")
+    )

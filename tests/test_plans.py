@@ -130,6 +130,7 @@ ALLOWED_NESTED_LOOP = {
     "text_adaptive_stopwords",  # 1-row corpus-count broadcast (q11 pattern)
     "scd1_upsert_orders",  # 1-row MAX(key) broadcast seeding insert keys (q11 pattern)
     "embedding_power_iteration_pc1",  # 1-row norm broadcast for the final rescale (q11 pattern)
+    "embedding_pc1_explained_variance",  # 1x1 join of two global folds (scale-free)
 }
 ALLOWED_PYTHON_EVAL = {
     "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)

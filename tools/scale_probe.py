@@ -92,6 +92,17 @@ PROBE_QUERIES = [
     "pipeline_pretraining_shards_e2e",
     "agg_weighted_median",
     "events_churn_hazard",
+    "events_copresence_topk",
+    "scd1_upsert_orders",
+    "embedding_power_iteration_pc1",
+    "multimodal_image_flip_augment",
+    "feature_hashed_bow",
+    "events_ab_lift_report",
+    "events_weekly_autocorrelation",
+    "agg_gini_coefficient",
+    "events_max_drawdown",
+    "source_binaryfile_scan",
+    "sql_optimizer_hints",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
