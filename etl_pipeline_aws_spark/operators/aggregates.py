@@ -1146,22 +1146,33 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one rank window per (bounded-cardinality) priority class,
     then a partial-aggregated rollup — the shuffle carries decimal
     partials, not rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return gini_by_rank_formula(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+
+
+def gini_by_rank_formula(
+    df: DataFrame, group_col: str, value_col: str, tiebreak_col: str
+) -> DataFrame:
+    """Reusable core of agg_gini_coefficient: the rank-formula Gini per
+    group over a pinned total order.  Property-tested against the
+    definitional pairwise formula in tests/test_properties.py."""
     from pyspark.sql.window import Window
 
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
-        "o_orderpriority",
-        dec("o_totalprice").alias("x"),
+    w = Window.partitionBy(group_col).orderBy(value_col, tiebreak_col)
+    ranked = df.select(
+        group_col,
+        dec(value_col).alias("x"),
         F.row_number().over(w).cast("long").alias("i"),
     )
-    sums = ranked.groupBy("o_orderpriority").agg(
+    sums = ranked.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("double").alias("sx"),
         F.sum(F.col("i") * F.col("x")).cast("double").alias("six"),
     )
     return sums.select(
-        "o_orderpriority",
+        group_col,
         "n",
         (
             (F.lit(2.0) * F.col("six")) / (F.col("n") * F.col("sx"))

@@ -169,3 +169,32 @@ def test_weighted_lower_median_matches_ground_truth(spark, data):
                 expect = float(v)
                 break
         assert got[g] == (expect, tot), (g, got[g], expect, tot)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents=st.lists(
+        st.integers(min_value=1, max_value=100000), min_size=2, max_size=25
+    )
+)
+def test_gini_rank_formula_matches_pairwise_definition(spark, cents):
+    """The rank formula G = 2·Σ(i·x)/（n·Σx) − (n+1)/n must equal the
+    definitional mean-absolute-difference form Σ|xi−xj| / (2n²·mean)
+    for positive values (ties included)."""
+    from etl_pipeline_aws_spark.operators.aggregates import gini_by_rank_formula
+
+    values = [c / 100 for c in cents]
+    df = spark.createDataFrame(
+        [(0, float(v), idx) for idx, v in enumerate(values)], ["g", "v", "k"]
+    )
+    got = gini_by_rank_formula(df, "g", "v", "k").collect()[0]
+    n = len(values)
+    mean = sum(values) / n
+    mad = sum(abs(a - b) for a in values for b in values) / (n * n)
+    expect = mad / (2 * mean)
+    assert got.n == n
+    assert abs(got.gini - expect) < 1e-9, (got.gini, expect)
