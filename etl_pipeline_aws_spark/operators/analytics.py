@@ -2162,23 +2162,31 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on user_id; each user's series sorts within its
     partition — the standard time-series window shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return max_drawdown_frame(ev, "user_id", ["ts", "event_id"], "value")
+
+
+def max_drawdown_frame(
+    df: DataFrame, key_col: str, order_cols: list, value_col: str
+) -> DataFrame:
+    """Reusable core of events_max_drawdown: per key, max over time of
+    (running max of decimal cumulative sum − cumulative sum).  Property-
+    tested against the definitional O(n²) recomputation in
+    tests/test_properties.py."""
     from pyspark.sql.window import Window
 
     from etl_pipeline_aws_spark.functions.numeric import dec
 
-    ev = load_table(spark, sf_dir, "events")
     w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = ev.select(
-        "user_id", F.sum(dec("value")).over(w).alias("c"), "ts", "event_id"
+    cum = df.select(
+        key_col, F.sum(dec(value_col)).over(w).alias("c"), *order_cols
     )
-    dd = cum.select(
-        "user_id", (F.max("c").over(w) - F.col("c")).alias("draw")
-    )
-    return dd.groupBy("user_id").agg(
+    dd = cum.select(key_col, (F.max("c").over(w) - F.col("c")).alias("draw"))
+    return dd.groupBy(key_col).agg(
         F.max("draw").cast("double").alias("max_drawdown")
     )
 

@@ -198,3 +198,32 @@ def test_gini_rank_formula_matches_pairwise_definition(spark, cents):
     expect = mad / (2 * mean)
     assert got.n == n
     assert abs(got.gini - expect) < 1e-9, (got.gini, expect)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents=st.lists(
+        st.integers(min_value=-10000, max_value=10000), min_size=1, max_size=25
+    )
+)
+def test_max_drawdown_matches_definition(spark, cents):
+    """max_drawdown_frame == max over t of (max cum[0..t] - cum[t]),
+    computed in exact Decimal, for arbitrary signed series."""
+    from etl_pipeline_aws_spark.operators.analytics import max_drawdown_frame
+
+    values = [Decimal(c) / 100 for c in cents]
+    df = spark.createDataFrame(
+        [(1, idx, float(v)) for idx, v in enumerate(values)], ["k", "t", "v"]
+    )
+    got = max_drawdown_frame(df, "k", ["t"], "v").collect()[0].max_drawdown
+    cums = []
+    run = Decimal(0)
+    for v in values:
+        run += v
+        cums.append(run)
+    expect = float(max(max(cums[: t + 1]) - cums[t] for t in range(len(cums))))
+    assert got == expect, (got, expect)
