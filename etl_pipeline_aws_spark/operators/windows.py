@@ -439,3 +439,48 @@ def window_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_in_band"),
         F.sum(dec("o_totalprice")).over(w).cast("double").alias("band_total"),
     )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_order_price,
+           nth_value(o_orderkey, 3) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_order_key
+    FROM orders
+    WHERE o_custkey < 500
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full partition frame — "the customer's SECOND
+    order's price" / "third order's key" — the positional lookup that
+    first/last can't express and self-joins express expensively.  The
+    frame must be UNBOUNDED BOTH WAYS: with the default frame (up to
+    current row) early rows can't see position n yet and get NULL — the
+    classic nth_value trap, pinned here by the oracle (NULLs appear only
+    for customers with fewer than n orders, identically in both
+    engines).  Completes the ranking/positional family
+    (row_number/rank/ntile/percent_rank/cume_dist/first/last/lag/lead).
+
+    Scale: same single (key) shuffle-sort as every window in this
+    module; both nth_values share one Window node."""
+    from pyspark.sql.window import Window as W2
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    w = (
+        W2.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W2.unboundedPreceding, W2.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_order_price"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_order_key"),
+    )
