@@ -130,3 +130,47 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value", 4)).cast("double").alias("sum_value"),
         )
     )
+
+
+@query(
+    "bucket_pruning_scan",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_custkey IN (37, 412, 911)
+    GROUP BY o_custkey
+    """,
+)
+def bucket_pruning_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket PRUNING — the read-side payoff of bucketed layout beyond
+    exchange-free joins: an IN filter on the bucket key lets the scan
+    read ONLY the buckets those keys hash to, skipping the other files
+    entirely (the plan's FileScan reports ``SelectedBucketsCount: k out
+    of N`` — asserted by the plan test).  At 100 TB this is a point
+    lookup reading <=3/8ths of one table instead of all of it; with more
+    buckets the fraction shrinks accordingly — the poor man's index
+    every lakehouse bucketed layout carries for free.
+
+    The aggregation GROUPS BY the bucket key deliberately: bucketing
+    then also satisfies the aggregation's required distribution, so the
+    planner keeps the bucketed scan (a keyless aggregate lets it fall
+    back to an unbucketed scan, discarding pruning — the observed
+    behavior that shaped this query) AND elides the exchange: the plan
+    is scan -> partial agg -> final agg with NO shuffle.
+
+    The oracle runs the same filter over the unbucketed source parquet,
+    so layout cannot change semantics — only which bytes are read."""
+    table = f"orders_bucketed_{_sf_tag(sf_dir)}"
+    _write_bucketed(
+        spark, load_table(spark, sf_dir, "orders"), table, "o_custkey"
+    )
+    o = spark.table(table).filter(F.col("o_custkey").isin(37, 412, 911))
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

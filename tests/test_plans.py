@@ -38,6 +38,19 @@ def test_dim_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_bucket_pruning_selects_subset_and_elides_exchange(spark):
+    """bucket_pruning_scan must read only the buckets its IN-list keys
+    hash to, and the bucket-key aggregation must need no shuffle."""
+    import re
+
+    df = _q("bucket_pruning_scan", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2))
+    assert "Exchange" not in plan
+
+
 def test_sql_hints_produce_broadcasts(spark):
     """sql_optimizer_hints promises its BROADCAST hints are honored, not
     just parsed — both dim joins must plan as BroadcastHashJoin."""
