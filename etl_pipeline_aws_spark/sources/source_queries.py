@@ -792,3 +792,65 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hex(F.expr("substring(content, length(content) - 3, 4)"))
         ).alias("magic_tail"),
     )
+
+
+@query(
+    "pyds_vacuum_orphans",
+    oracle="""
+    SELECT 'part-99998.jsonl' AS orphan_file, CAST(2 AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'part-99999.jsonl', CAST(1 AS BIGINT)
+    """,
+)
+def pyds_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM's discovery half for the manifest-committed zone: list the
+    shard files present on storage but absent from _MANIFEST.json — the
+    debris aborted or zombie writers leave behind, which manifest-
+    trusting readers never see (pyds_ndjson_writer_roundtrip proves
+    that) but which cost storage and confuse humans until garbage-
+    collected.  The query stages a zone with a committed write plus two
+    planted orphan shards, then reports each orphan with its row count
+    (the "what would VACUUM delete" audit a maintenance job logs before
+    deleting).
+
+    Orphan listing uses the binaryFile source over the zone (parallel
+    file listing as a scan) anti-joined against the broadcast manifest —
+    the same shape at a million shards: listing scales with files,
+    the manifest is metadata-sized.
+
+    The construction is deterministic (two fixed orphans), so the audit
+    is exactly oracle-checkable — a maintenance primitive held to the
+    same value-hash bar as the query surface."""
+    import json
+    import tempfile
+
+    from etl_pipeline_aws_spark.sources import pyds
+
+    pyds.register_writer(spark)
+    zone = os.path.join(tempfile.mkdtemp(prefix="pyds_vac_"), "docs_ndjson")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.format("pyds_ndjson").option("path", zone).mode("append").save()
+    with open(os.path.join(zone, "part-99998.jsonl"), "w", encoding="utf-8") as fh:
+        fh.write('{"doc_id": -1}\n{"doc_id": -2}\n')
+    with open(os.path.join(zone, "part-99999.jsonl"), "w", encoding="utf-8") as fh:
+        fh.write('{"doc_id": -3}\n')
+    with open(os.path.join(zone, "_MANIFEST.json"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    manifested = spark.createDataFrame(
+        [(os.path.basename(p),) for p in manifest], "file_name string"
+    )
+    listed = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(zone, "part-*.jsonl"))
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+            "content",
+        )
+    )
+    orphans = listed.join(F.broadcast(manifested), "file_name", "left_anti")
+    return orphans.select(
+        F.col("file_name").alias("orphan_file"),
+        (
+            F.size(F.split(F.decode("content", "UTF-8"), "\n")) - 1
+        ).cast("long").alias("n_rows"),
+    )
