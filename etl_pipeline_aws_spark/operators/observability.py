@@ -99,3 +99,53 @@ def dq_schema_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column_name string, expected_type string, matches boolean"
     )
+
+
+_COLUMN_LINEAGE_ORACLE = """
+    SELECT * FROM (VALUES
+        ('customer', 'c_custkey'),
+        ('customer', 'c_mktsegment'),
+        ('orders',   'o_orderkey'),
+        ('orders',   'o_custkey'),
+        ('orders',   'o_orderdate'),
+        ('lineitem', 'l_orderkey'),
+        ('lineitem', 'l_extendedprice'),
+        ('lineitem', 'l_discount'),
+        ('lineitem', 'l_shipdate')
+    ) AS t(table_name, column_name)
+"""
+
+
+@query("governance_column_lineage", oracle=_COLUMN_LINEAGE_ORACLE)
+def governance_column_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level lineage, extracted from the ENGINE'S OWN physical
+    plan: which physical columns q3_shipping_priority actually reads
+    from each source table — the provenance record data-governance
+    reviews (GDPR access audits, PII blast-radius analysis) need per
+    query, produced from the plan rather than hand-maintained docs that
+    drift.
+
+    Because the report comes from the plan's per-scan ReadSchema, it is
+    ALSO a column-pruning regression pin in query form: if a future
+    change widens any scan (reads a column the query doesn't need), the
+    lineage gains a row and the oracle — the reviewed, approved access
+    list — fails the hash.  Today that list is 9 columns of the 3
+    tables' 20; the 11 unread ones are the pruning win.
+
+    Scale: plan introspection is metadata-only — no data is touched; the
+    result is built with createDataFrame from the parsed plan text."""
+    import re
+
+    from etl_pipeline_aws_spark.operators.flagships import q3_shipping_priority
+    from etl_pipeline_aws_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(q3_shipping_priority(spark, sf_dir))
+    rows = []
+    for table, schema in re.findall(
+        r"Location:[^\n]*?([a-z]+)\.parquet[^\n]*\n(?:.*?\n)*?.*?ReadSchema: struct<([^>]*)>",
+        plan,
+    ):
+        for col in schema.split(","):
+            if col:
+                rows.append((table, col.split(":", 1)[0]))
+    return spark.createDataFrame(rows, "table_name string, column_name string")
