@@ -854,3 +854,47 @@ def pyds_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.decode("content", "UTF-8"), "\n")) - 1
         ).cast("long").alias("n_rows"),
     )
+
+
+@query(
+    "csv_multiline_quoted_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           c_name || chr(10) || c_mktsegment AS tricky_field,
+           c_acctbal
+    FROM customer WHERE c_custkey < 500
+    """,
+)
+def csv_multiline_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with EMBEDDED NEWLINES — the classic CSV trap: a quoted field
+    containing a line break makes naive line-splitting readers shred the
+    record.  The query constructs fields with real newlines (name +
+    LF + segment), writes CSV (the writer quotes them), and reads back
+    with ``multiLine=true`` — the mode where the parser honors quoting
+    across line boundaries.  The value hash against the same
+    construction in DuckDB holds quoting, escaping, and the multiline
+    parser to byte fidelity.
+
+    Scale note (the reason multiLine is not the default): multiLine CSV
+    is NOT line-splittable — each file parses as one task, exactly like
+    gzip (see ndjson_gzip_roundtrip's shard discipline).  Feeds that
+    need embedded newlines should shard small or land in a structured
+    format; this operator exists because real upstream feeds don't
+    ask permission."""
+    import tempfile
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select(
+            "c_custkey",
+            F.concat_ws("\n", "c_name", "c_mktsegment").alias("tricky_field"),
+            "c_acctbal",
+        )
+    )
+    zone = tempfile.mkdtemp(prefix="csv_ml_")
+    out = os.path.join(zone, "customer_multiline")
+    cust.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(
+        "c_custkey long, tricky_field string, c_acctbal double"
+    ).option("header", True).option("multiLine", True).csv(out)
