@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_pipeline_aws_spark.catalog import register_views
+from etl_pipeline_aws_spark.catalog import register_views, table_path
 from etl_pipeline_aws_spark.registry import query
 
 _PIPE_ORACLE = """
@@ -261,6 +261,38 @@ def sql_optimizer_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+_DIRECT_FILE_ORACLE = """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@query("sql_direct_file_query", oracle=_DIRECT_FILE_ORACLE)
+def sql_direct_file_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-registration SQL over files: ``FROM parquet.`/path\`` queries
+    the file directly — no temp view, no catalog entry, no session
+    state.  This is how ad-hoc exploration actually starts ("what's in
+    this directory?"), and DuckDB users switching over expect it (their
+    read_parquet('...') idiom).  The scan is the ordinary parquet
+    relation — pushdown, pruning, and the type-adaptive behaviors all
+    apply; only the name-resolution path differs.
+
+    Works for every registered format (parquet./ json./ orc./ csv.);
+    parquet shown joined against a second direct-file scan to prove the
+    form composes like any relation."""
+    cust = table_path(sf_dir, "customer")
+    nat = table_path(sf_dir, "nation")
+    return spark.sql(
+        f"""
+        SELECT n_name, COUNT(*) AS n_customers
+        FROM parquet.`{cust}` JOIN parquet.`{nat}`
+          ON c_nationkey = n_nationkey
         GROUP BY n_name
         """
     )
