@@ -2571,3 +2571,70 @@ def events_copresence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+_OUTAGE_MIN = 30  # a silence longer than this is an outage window
+
+_OUTAGE_ORACLE = f"""
+    WITH ordered AS (
+        SELECT ts,
+               LAG(ts) OVER (ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT prev_ts AS gap_start,
+           ts AS gap_end,
+           CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_seconds
+    FROM ordered
+    WHERE prev_ts IS NOT NULL
+      AND ts - prev_ts > INTERVAL '{_OUTAGE_MIN} minutes'
+"""
+
+
+@query("events_outage_windows", oracle=_OUTAGE_ORACLE)
+def events_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical data-outage detection: every silence in the event
+    stream longer than _OUTAGE_MIN (30) minutes, as (start, end, seconds)
+    windows — the "did the pipeline go down last month" audit that
+    freshness checks (dq_freshness: is it stale NOW?) cannot answer.
+
+    The naive formulation is one GLOBAL lag — a single-partition sort
+    that dies at 100 TB.  This plan is the partition-safe two-level
+    form: gaps WITHIN each day come from a day-partitioned lag (parallel
+    across days), and gaps ACROSS midnight from a lag over the per-day
+    boundary table (first/last event per day — days-sized, trivially
+    sortable).  A gap spanning entire silent days is still correct: the
+    boundary lag connects the last event before the silence to the
+    first after it, whatever lies between.  The ORACLE runs the naive
+    global lag — certifying that the decomposition reproduces the
+    single-sort semantics exactly, which is the point.
+
+    Exactness: timestamps compare and subtract as integers; tie-break
+    pinned by event_id."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_id", F.to_date("ts").alias("day")
+    )
+    wd = Window.partitionBy("day").orderBy("ts", "event_id")
+    within = ev.select(
+        "ts", F.lag("ts").over(wd).alias("prev_ts")
+    ).filter(F.col("prev_ts").isNotNull())
+    daily = ev.groupBy("day").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    wb = Window.orderBy("day")
+    across = daily.select(
+        F.col("first_ts").alias("ts"),
+        F.lag("last_ts").over(wb).alias("prev_ts"),
+    ).filter(F.col("prev_ts").isNotNull())
+    gaps = within.unionByName(across).filter(
+        F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+        > _OUTAGE_MIN * 60
+    )
+    return gaps.select(
+        F.col("prev_ts").alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        (F.col("ts").cast("long") - F.col("prev_ts").cast("long")).alias(
+            "gap_seconds"
+        ),
+    )
