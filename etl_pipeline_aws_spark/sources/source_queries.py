@@ -898,3 +898,43 @@ def csv_multiline_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.read.schema(
         "c_custkey long, tricky_field string, c_acctbal double"
     ).option("header", True).option("multiLine", True).csv(out)
+
+
+@query(
+    "parquet_ignore_corrupt_files",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+    FROM orders
+    """,
+)
+def parquet_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file tolerance on the PARQUET path: the zone holds the
+    orders table as healthy files PLUS a planted file of garbage bytes
+    (a truncated upload, a half-written shard — the reality of object
+    stores), and the read runs with ``ignoreCorruptFiles=true``: corrupt
+    files are skipped with a warning instead of killing the job.  The
+    value hash against the intact source proves BOTH halves: every good
+    row survives, and nothing from the garbage leaks in.
+
+    This is the parquet-side complement of csv_corrupt_quarantine
+    (which captures bad ROWS — parquet corruption is file-granular, so
+    the unit of quarantine is the file).  Production pairs this read
+    with pyds_vacuum_orphans-style listing to find and re-request the
+    skipped files; silently-on-forever is NOT the recommendation, a
+    documented recovery loop is."""
+    import tempfile
+
+    zone = tempfile.mkdtemp(prefix="pq_corrupt_")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").parquet(zone)
+    with open(os.path.join(zone, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a real parquet file \x00\xff" * 64)
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(zone)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+        )
+    )
