@@ -2638,3 +2638,53 @@ def events_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_seconds"
         ),
     )
+
+
+_NEW_VS_RETURNING_ORACLE = """
+    WITH firsts AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day
+        FROM events GROUP BY user_id
+    ), active AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    )
+    SELECT a.day,
+           CAST(COUNT(*) FILTER (WHERE f.first_day = a.day) AS BIGINT)
+               AS new_users,
+           CAST(COUNT(*) FILTER (WHERE f.first_day < a.day) AS BIGINT)
+               AS returning_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY a.day
+"""
+
+
+@query("events_new_vs_returning", oracle=_NEW_VS_RETURNING_ORACLE)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into NEW (first-ever activity today) vs
+    RETURNING — the growth-accounting view every DAU chart eventually
+    needs (is the line new acquisition or retained habit?).  The
+    first-seen table is the same reduction events_cumulative_unique
+    builds; joined back onto the distinct (day, user) activity pairs it
+    classifies each active user-day exactly.
+
+    Scale: one user_id shuffle for first-seen (min-combine), one
+    (day, user) dedup, one join on user_id (both sides user-keyed), one
+    tiny day rollup — all partial-aggregated; no windows, no state."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day")
+    )
+    active = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("first_day") == F.col("day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("first_day") < F.col("day"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+    )
