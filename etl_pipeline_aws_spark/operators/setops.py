@@ -250,3 +250,47 @@ def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("partkey"))
     b = li.filter(F.col("l_linestatus") == "F").select(F.col("l_partkey").alias("partkey"))
     return a.intersectAll(b)
+
+
+@query(
+    "reshape_pivot_unpivot_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def reshape_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot then unpivot is the identity on the non-null cells — the
+    reshape-closure property that makes wide/long conversion safe to
+    round-trip (report tables pivot wide for humans, melt back long for
+    the warehouse).  The query pivots order counts to one column per
+    status, unpivots them back with the values-columns form, drops the
+    NULL cells unpivot materializes for absent combinations, and must
+    value-hash against the plain long-form aggregate it started from.
+
+    Pivot here runs with EXPLICIT pivot values (the three statuses) —
+    at 100 TB the implicit form is an extra distinct-scan job to
+    discover them; declaring them keeps the reshape single-pass.
+
+    Scale: one (priority, status) aggregation; pivot/unpivot are
+    projections over the tiny grouped table."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    long = wide.unpivot(
+        ["o_orderpriority"],
+        ["F", "O", "P"],
+        "o_orderstatus",
+        "n_orders",
+    )
+    return long.filter(F.col("n_orders").isNotNull()).select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
