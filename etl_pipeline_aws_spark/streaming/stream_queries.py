@@ -1305,3 +1305,112 @@ def stream_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         if landed >= n_src:
             break
     return spark.read.parquet(out)
+
+
+@query(
+    "stream_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day
+        FROM events GROUP BY user_id
+    ), active AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    )
+    SELECT a.day,
+           CAST(COUNT(*) FILTER (WHERE f.first_day = a.day) AS BIGINT)
+               AS new_users,
+           CAST(COUNT(*) FILTER (WHERE f.first_day < a.day) AS BIGINT)
+               AS returning_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY a.day
+    """,
+)
+def stream_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed growth accounting — the INCREMENTAL-DIMENSION pattern:
+    the first-seen table (user -> first active day) is accumulated
+    ACROSS micro-batches as versioned foreachBatch state, and each
+    batch's activity classifies against the state updated through that
+    batch.  Because the landing zone arrives in event-time order, a
+    user's first-ever day is final the moment it is seen, so per-batch
+    classification equals the global batch answer — the correctness
+    argument for every accumulate-then-classify incremental dim (first
+    touch attribution, acquisition-channel stamping, cohort tagging).
+
+    Mechanics: 3 time-split files -> 3 micro-batches; per batch the
+    state merges via min(first_day) into a NEW version directory (never
+    overwriting the version being read — the poor man's MVCC that a
+    table format would provide); classified (day, user, is_new) rows
+    append to a result zone, deduped at read time because a calendar day
+    straddling a batch cut legitimately appears in two batches.  Shares
+    its oracle with the batch twin (events_new_vs_returning) — the
+    engine's batch/stream parity discipline."""
+    import glob
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    landing = tempfile.mkdtemp(prefix="nvr_landing_")
+    state_root = tempfile.mkdtemp(prefix="nvr_state_")
+    results_zone = os.path.join(tempfile.mkdtemp(prefix="nvr_res_"), "classified")
+
+    lo, hi = ev.selectExpr("min(ts)", "max(ts)").first()
+    span = hi - lo
+    cuts = [lo + span / 3, lo + 2 * span / 3]
+    parts = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        tmp = tempfile.mkdtemp(prefix="nvr_stage_")
+        p.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(landing, f"{i}-events.parquet")
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(landing)
+    )
+
+    def classify(batch: DataFrame, epoch_id: int) -> None:
+        pairs = batch.select(
+            F.to_date(normalize_events_ts(batch)["ts"]).alias("day"), "user_id"
+        ).distinct()
+        bmins = pairs.groupBy("user_id").agg(F.min("day").alias("first_day"))
+        versions = sorted(glob.glob(os.path.join(state_root, "v*")))
+        if versions:
+            prior = batch.sparkSession.read.parquet(versions[-1])
+            merged = (
+                prior.unionByName(bmins)
+                .groupBy("user_id")
+                .agg(F.min("first_day").alias("first_day"))
+            )
+        else:
+            merged = bmins
+        nxt = os.path.join(state_root, f"v{epoch_id:05d}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state = batch.sparkSession.read.parquet(nxt)
+        (
+            pairs.join(state, "user_id")
+            .select(
+                "day", "user_id", (F.col("day") == F.col("first_day")).alias("is_new")
+            )
+            .write.mode("append")
+            .parquet(results_zone)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(classify)
+        .option("checkpointLocation", os.path.join(landing, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    classified = spark.read.parquet(results_zone).distinct()
+    return classified.groupBy("day").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("long").alias("new_users"),
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("returning_users"),
+    )
