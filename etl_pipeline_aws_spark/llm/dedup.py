@@ -1083,3 +1083,56 @@ def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_DUP_RATE_ORACLE = """
+    WITH keepers AS (
+        SELECT doc_id, source,
+               MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper_id
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN doc_id <> keeper_id THEN 1 END) AS BIGINT)
+               AS n_duplicates,
+           CAST(COUNT(CASE WHEN doc_id <> keeper_id THEN 1 END) AS DOUBLE)
+               / COUNT(*) AS dup_rate
+    FROM keepers
+    GROUP BY source
+"""
+
+
+@query("dedup_rate_by_source", oracle=_DUP_RATE_ORACLE)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication rate per SOURCE — the curation dashboard that tells
+    you WHERE the duplicates come from (a crawler recrawling itself, a
+    vendor double-delivering), which the corpus-wide dedup counts can't
+    localize.  A doc is a duplicate when it is not its content-hash
+    group's keeper (min doc_id — the dedup_exact convention); the
+    report is per-source doc counts, duplicate counts, and the rate
+    that decides which feed gets fixed first.
+
+    One content-hash window + one source rollup; exact integers with a
+    single int/int division for the rate."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = docs.select(
+        "doc_id",
+        "source",
+        F.min("doc_id").over(Window.partitionBy(F.sha2("text", 256))).alias(
+            "keeper_id"
+        ),
+    )
+    return keepers.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("doc_id") != F.col("keeper_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_duplicates"),
+        (
+            F.sum(
+                F.when(F.col("doc_id") != F.col("keeper_id"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )

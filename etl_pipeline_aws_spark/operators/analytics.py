@@ -2688,3 +2688,55 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("returning_users"),
         )
     )
+
+
+_FUNNEL_BY_COHORT_ORACLE = """
+    WITH firsts AS (
+        SELECT user_id,
+               date_trunc('week', MIN(ts)) AS cohort_week,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS first_view,
+               MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(first_view) AS BIGINT) AS n_viewed,
+           CAST(COUNT(CASE WHEN first_purchase >= first_view
+                           THEN 1 END) AS BIGINT) AS n_converted
+    FROM firsts
+    GROUP BY cohort_week
+"""
+
+
+@query("events_funnel_by_cohort", oracle=_FUNNEL_BY_COHORT_ORACLE)
+def events_funnel_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion BY ACQUISITION COHORT — the cross that answers
+    "are newer cohorts converting better", which a global funnel
+    (events_funnel) averages away.  Each user carries their first-active
+    week as the cohort key; conversion is the ordered view→purchase rule
+    the funnel family pins; the report is users / viewed / converted per
+    cohort week — the cohort-quality trendline a growth team reads
+    weekly.
+
+    One user_id shuffle computes cohort key AND funnel firsts in the
+    same conditional-min aggregation (no second pass over events), then
+    a weeks-sized rollup.  Exact integer counts throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("first_view").cast("long").alias("n_viewed"),
+        F.sum(
+            F.when(F.col("first_purchase") >= F.col("first_view"), 1)
+        )
+        .cast("long")
+        .alias("n_converted"),
+    )
