@@ -2740,3 +2740,53 @@ def events_funnel_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_converted"),
     )
+
+
+_REPURCHASE_ORACLE = """
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         LAG(CAST(o_orderdate AS DATE)) OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey),
+                         CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(quantile_cont(gap_days, 0.50) AS DOUBLE) AS median_days,
+           CAST(quantile_cont(gap_days, 0.90) AS DOUBLE) AS p90_days,
+           CAST(MIN(gap_days) AS BIGINT) AS min_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_days
+    FROM gaps WHERE gap_days IS NOT NULL
+"""
+
+
+@query("orders_repurchase_intervals", oracle=_REPURCHASE_ORACLE)
+def orders_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of days between a
+    customer's consecutive orders — the replenishment-cycle number that
+    calibrates churn alarms (a customer is "late" relative to THIS
+    distribution, not a fixed 30 days) and reorder-reminder timing.
+
+    One per-customer lag chain (ordered by date, order key as the
+    deterministic tie-break) feeding exact-integer day gaps; the
+    summary is exact interpolated quantiles over those integers (the
+    agg_median discipline).  Scale: one customer shuffle, then a global
+    quantile over the intervals table — orders-sized, not line-sized;
+    at 100 TB swap percentile for percentile_approx, plan unchanged."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.expr("percentile(gap_days, 0.50)").alias("median_days"),
+        F.expr("percentile(gap_days, 0.90)").alias("p90_days"),
+        F.min("gap_days").cast("long").alias("min_days"),
+        F.max("gap_days").cast("long").alias("max_days"),
+    )
