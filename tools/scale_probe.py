@@ -103,6 +103,30 @@ PROBE_QUERIES = [
     "events_max_drawdown",
     "source_binaryfile_scan",
     "sql_optimizer_hints",
+    "events_outage_windows",
+    "orders_repurchase_intervals",
+    "events_funnel_by_cohort",
+    "dedup_rate_by_source",
+    "reshape_pivot_unpivot_roundtrip",
+    "events_new_vs_returning",
+    "events_conversion_lag_quantiles",
+    "parquet_ignore_corrupt_files",
+    "csv_multiline_quoted_roundtrip",
+    "sql_direct_file_query",
+    "governance_column_lineage",
+    "pyds_vacuum_orphans",
+    "bucket_pruning_scan",
+    "embedding_pc1_explained_variance",
+    "embedding_standardize",
+    "text_vocab_oov_rate",
+    "text_adaptive_stopwords",
+    "corpus_epoch_upsampling",
+    "corpus_shard_interleave",
+    "multimodal_audio_energy",
+    "sql_scalar_udf",
+    "sql_table_udf",
+    "sql_execute_immediate",
+    "window_nth_value",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
