@@ -351,3 +351,48 @@ def test_flip_augment_conserves_pixels(spark):
     )
     bad = flip.join(dec, "doc_id").filter("total_sum <> orig_total").count()
     assert bad == 0
+
+
+def test_repurchase_quantiles_ordered(spark):
+    r = engine.queries()["orders_repurchase_intervals"](spark, SF_DIR).first()
+    assert r.n_intervals > 0
+    assert r.min_days <= r.median_days <= r.p90_days <= r.max_days
+
+
+def test_outage_gaps_exceed_threshold(spark):
+    rows = engine.queries()["events_outage_windows"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.gap_seconds > 30 * 60
+        assert r.gap_end > r.gap_start
+
+
+def test_new_vs_returning_accounting(spark):
+    """Earliest day is all-new; total new across days equals the user
+    population (each user is new exactly once)."""
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    rows = engine.queries()["events_new_vs_returning"](spark, SF_DIR).collect()
+    first = min(rows, key=lambda r: r.day)
+    assert first.returning_users == 0
+    n_users = (
+        load_table(spark, SF_DIR, "events").agg(F.countDistinct("user_id")).first()[0]
+    )
+    assert sum(r.new_users for r in rows) == n_users
+
+
+def test_funnel_by_cohort_monotone(spark):
+    rows = engine.queries()["events_funnel_by_cohort"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (r.n_converted or 0) <= r.n_viewed <= r.n_users
+
+
+def test_dup_rate_bounded(spark):
+    rows = engine.queries()["dedup_rate_by_source"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_rate < 1.0
+        assert r.n_duplicates < r.n_docs
