@@ -668,3 +668,92 @@ def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     )
     return stacked.select("e.expectation", "e.n_violations")
+
+
+_DRIFT_BIN = 50_000.0  # fixed price-bin width for the drift histogram
+
+_DRIFT_ORACLE = f"""
+    WITH halves AS (
+        SELECT CASE WHEN o_orderdate < (SELECT MIN(o_orderdate)
+                                        + (MAX(o_orderdate) - MIN(o_orderdate)) / 2
+                                        FROM orders)
+                    THEN 0 ELSE 1 END AS half,
+               CAST(FLOOR(o_totalprice / {_DRIFT_BIN}) AS BIGINT) AS bin
+        FROM orders
+    ), counts AS (
+        SELECT bin,
+               CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS c2
+        FROM halves GROUP BY bin
+    ), totals AS (
+        SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM counts
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n_baseline,
+           CAST(t.n2 AS BIGINT) AS n_current,
+           CAST(SUM(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS BIGINT) AS tv_scaled,
+           CAST(SUM(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS DOUBLE)
+               / (2.0 * t.n1 * t.n2) AS total_variation
+    FROM counts c, totals t
+    GROUP BY t.n1, t.n2
+"""
+
+
+@query("dq_distribution_drift", oracle=_DRIFT_ORACLE)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between two data epochs — the "did
+    the incoming data change shape" monitor (the practical sibling of
+    PSI/KL dashboards): order values from the earlier half of the date
+    range form the baseline histogram, the later half the current one,
+    and the distance is TOTAL VARIATION, TV = ½·Σ|p_i − q_i|.
+
+    The numeric trick that keeps it oracle-exact: PSI/KL need ln (which
+    differs cross-engine in the last ulp — banned here), and even TV
+    over float proportions sums order-sensitively.  Instead the query
+    cross-multiplies into pure integers — Σ|c1_i·N2 − c2_i·N1| — and
+    divides ONCE at the end by 2·N1·N2: bit-identical everywhere, and
+    the scaled integer form is itself exported for alert thresholds
+    that want exact arithmetic end to end.
+
+    Scale: one scan building both histograms in a single (bin)
+    aggregation (conditional counts), a 1-row totals broadcast, and a
+    bins-sized fold — drift over 100 TB costs one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    mid = F.broadcast(
+        o.agg(
+            (
+                F.min("o_orderdate")
+                + (F.max("o_orderdate") - F.min("o_orderdate")) / 2
+            ).alias("mid")
+        )
+    )
+    halves = o.crossJoin(mid).select(
+        F.when(F.col("o_orderdate") < F.col("mid"), 0).otherwise(1).alias("half"),
+        F.floor(F.col("o_totalprice") / _DRIFT_BIN).cast("long").alias("bin"),
+    )
+    counts = halves.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    totals = F.broadcast(
+        counts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    )
+    return (
+        counts.crossJoin(totals)
+        .groupBy("n1", "n2")
+        .agg(
+            F.sum(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            )
+            .cast("long")
+            .alias("tv_scaled")
+        )
+        .select(
+            F.col("n1").cast("long").alias("n_baseline"),
+            F.col("n2").cast("long").alias("n_current"),
+            "tv_scaled",
+            (
+                F.col("tv_scaled").cast("double")
+                / (F.lit(2.0) * F.col("n1") * F.col("n2"))
+            ).alias("total_variation"),
+        )
+    )

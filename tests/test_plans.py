@@ -145,6 +145,7 @@ ALLOWED_NESTED_LOOP = {
     "scd1_upsert_orders",  # 1-row MAX(key) broadcast seeding insert keys (q11 pattern)
     "embedding_power_iteration_pc1",  # 1-row norm broadcast for the final rescale (q11 pattern)
     "embedding_pc1_explained_variance",  # 1x1 join of two global folds (scale-free)
+    "dq_distribution_drift",  # 1-row midpoint + totals broadcasts (q11 pattern)
 }
 ALLOWED_PYTHON_EVAL = {
     "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)
