@@ -999,3 +999,104 @@ def multimodal_image_flip_augment(spark: SparkSession, sf_dir: str) -> DataFrame
             "total_sum long, row_moment_flipped long"
         ),
     )
+
+
+VAD_ENERGY_MIN = 200_000_000  # sum-of-squares threshold for a voiced window
+
+
+@query(
+    "multimodal_audio_vad",
+    oracle=f"""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(string_split(text, '')) AS c,
+               unnest(range(1, len(text) + 1)) AS pos
+        FROM documents
+    ), wins AS (
+        SELECT doc_id,
+               (pos - 1) // {ENERGY_WINDOW} AS win,
+               SUM(CAST((ascii(c) - 128) * 256 AS BIGINT)
+                   * ((ascii(c) - 128) * 256)) AS sum_sq
+        FROM chars GROUP BY doc_id, (pos - 1) // {ENERGY_WINDOW}
+    ), voiced AS (
+        SELECT doc_id, win,
+               win - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY win)
+                   AS island
+        FROM wins WHERE sum_sq > {VAD_ENERGY_MIN}
+    ), segs AS (
+        SELECT doc_id, island, COUNT(*) AS seg_len
+        FROM voiced GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(MAX(seg_len) AS BIGINT) AS longest_segment,
+           CAST(SUM(seg_len) AS BIGINT) AS n_voiced_windows
+    FROM segs GROUP BY doc_id
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over the real WAV codec path: windows
+    whose energy clears VAD_ENERGY_MIN are "voiced", and CONSECUTIVE
+    voiced windows merge into segments via the gaps-and-islands
+    construction (win − row_number is constant within a run) — the
+    trim-silence / clip-extraction step between raw audio and a speech
+    model, reporting per doc the segment count, the longest segment,
+    and total voiced windows.
+
+    Composes two pinned layers: the codec + windowing of
+    multimodal_audio_energy (same ENERGY_WINDOW (256)-sample windows, same
+    integer sum-of-squares) and the islands discipline of the streaks
+    family — and the oracle recomputes all of it from source bytes, so
+    a threshold slip or an islands off-by-one fails the hash.
+
+    Scale: the energy pass is the mapInPandas kernel; the islands
+    window partitions per doc (bounded by windows-per-doc) — one
+    shuffle on doc_id."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def encode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "wav": pdf["payload"].map(_payload_to_wav)}
+            )
+
+    def window_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    raw = w.readframes(w.getnframes())
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                for win in range(0, len(samples), ENERGY_WINDOW):
+                    chunk = samples[win : win + ENERGY_WINDOW]
+                    rows.append(
+                        (doc_id, win // ENERGY_WINDOW, int((chunk * chunk).sum()))
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "win", "sum_sq"]).astype(
+                {"win": "int32"}
+            )
+
+    encoded = framed.mapInPandas(encode_wav, schema="doc_id long, wav binary")
+    wins = encoded.mapInPandas(
+        window_energy, schema="doc_id long, win int, sum_sq long"
+    )
+    voiced = wins.filter(F.col("sum_sq") > VAD_ENERGY_MIN)
+    w = Window.partitionBy("doc_id").orderBy("win")
+    islands = voiced.select(
+        "doc_id", (F.col("win") - F.row_number().over(w)).alias("island")
+    )
+    segs = islands.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("seg_len")
+    )
+    return segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.max("seg_len").cast("long").alias("longest_segment"),
+        F.sum("seg_len").cast("long").alias("n_voiced_windows"),
+    )
