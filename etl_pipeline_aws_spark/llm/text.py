@@ -1141,3 +1141,105 @@ def text_jaccard_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _KNN_K)
         .select("doc_id", F.col("nb").alias("neighbor_id"), "n_inter", "n_union", "rank")
     )
+
+
+_WINNOW_K = 3  # tokens per k-gram
+_WINNOW_W = 4  # k-gram hashes per winnowing window
+
+_WINNOW_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= {_WINNOW_K}
+                    THEN list_transform(
+                        range(1, len(ws) - {_WINNOW_K - 2}),
+                        i -> CAST(('0x' || substring(md5(
+                                 array_to_string(ws[i:i+{_WINNOW_K - 1}], ' ')),
+                                 1, 8)) AS BIGINT))
+                    ELSE CAST([] AS BIGINT[]) END AS hs
+        FROM toks
+    ), picked AS (
+        SELECT doc_id, hs,
+               CASE WHEN len(hs) >= {_WINNOW_W}
+                    THEN list_sort(list_distinct(list_transform(
+                        range(1, len(hs) - {_WINNOW_W - 2}),
+                        i -> list_min(hs[i:i+{_WINNOW_W - 1}]))))
+                    ELSE list_sort(list_distinct(
+                        CASE WHEN len(hs) > 0 THEN [list_min(hs)]
+                             ELSE CAST([] AS BIGINT[]) END)) END AS fps
+        FROM grams
+    )
+    SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_kgrams,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           sha256(array_to_string(fps, ',')) AS fingerprint_digest
+    FROM picked
+"""
+
+
+@query("text_winnowing_fingerprints", oracle=_WINNOW_ORACLE)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (the MOSS plagiarism-detection
+    algorithm): hash every 3-token k-gram, slide a 4-hash window,
+    keep each window's MINIMUM — guaranteeing any shared substring of
+    length >= w+k-1 tokens contributes at least one common fingerprint
+    between two documents, while storing only ~2/(w+1) of the hashes.
+    The principled middle ground between exact shingle sets (all
+    hashes) and MinHash (global sample with no locality guarantee).
+
+    Cross-engine determinism: k-gram hashes derive from md5's leading
+    hex (the feature_hashed_bow portability trick — Spark hash() and
+    DuckDB hash() are different algorithms); minima, dedup, and sort
+    are exact integer ops; the digest hashes the sorted joined set so
+    the whole fingerprint SET is pinned by one string column.
+
+    Scale: entirely per-row array expressions (no shuffle at all) —
+    the fingerprint table then joins like any posting list; selection
+    cost is linear in tokens with bounded per-doc state."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    grams = F.when(
+        F.size(ws) >= _WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (_WINNOW_K - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(ws, i, _WINNOW_K))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    picked = docs.select("doc_id", grams.alias("hs")).select(
+        "doc_id",
+        "hs",
+        F.when(
+            F.size("hs") >= _WINNOW_W,
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("hs") - (_WINNOW_W - 1)),
+                        lambda i: F.array_min(F.slice("hs", i, _WINNOW_W)),
+                    )
+                )
+            ),
+        )
+        .otherwise(
+            F.array_sort(
+                F.array_distinct(
+                    F.when(
+                        F.size("hs") > 0, F.array(F.array_min("hs"))
+                    ).otherwise(F.array().cast("array<long>"))
+                )
+            )
+        )
+        .alias("fps"),
+    )
+    return picked.select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_kgrams"),
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.sha2(F.array_join("fps", ","), 256).alias("fingerprint_digest"),
+    )
