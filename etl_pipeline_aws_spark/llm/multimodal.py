@@ -1100,3 +1100,69 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("seg_len").cast("long").alias("longest_segment"),
         F.sum("seg_len").cast("long").alias("n_voiced_windows"),
     )
+
+
+@query(
+    "pipeline_audio_e2e",
+    oracle=f"""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(string_split(text, '')) AS c,
+               unnest(range(1, len(text) + 1)) AS pos
+        FROM documents
+    ), wins AS (
+        SELECT doc_id,
+               (pos - 1) // {ENERGY_WINDOW} AS win,
+               SUM(CAST((ascii(c) - 128) * 256 AS BIGINT)
+                   * ((ascii(c) - 128) * 256)) AS sum_sq
+        FROM chars GROUP BY doc_id, (pos - 1) // {ENERGY_WINDOW}
+    ), voiced AS (
+        SELECT doc_id, win,
+               win - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY win)
+                   AS island
+        FROM wins WHERE sum_sq > {VAD_ENERGY_MIN}
+    ), segs AS (
+        SELECT doc_id, island, COUNT(*) AS seg_len
+        FROM voiced GROUP BY doc_id, island
+    ), per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_segments, MAX(seg_len) AS longest,
+               SUM(seg_len) AS voiced
+        FROM segs GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_with_speech,
+           CAST(SUM(p.voiced) AS BIGINT) AS total_voiced_windows,
+           CAST(SUM(p.n_segments) AS BIGINT) AS total_segments,
+           CAST(MAX(p.longest) AS BIGINT) AS max_segment
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def pipeline_audio_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed AUDIO pipeline as one job — decode (real RIFF/WAVE)
+    → windowed energy → VAD segmentation → per-language speech-content
+    report — the corpus-level audit an audio-corpus build runs before
+    committing transcription budget ("which language shards actually
+    contain speech, and how much").  Completes the e2e family: corpus
+    (pipeline_corpus_e2e), events (pipeline_events_e2e), shard layout
+    (pipeline_pretraining_shards_e2e), and now the multimodal leg.
+
+    Every stage reuses semantics its standalone operator pins
+    (multimodal_audio_energy, multimodal_audio_vad); the rollup joins
+    back to the documents dim for language — metadata-sized — and the
+    oracle recomputes the whole chain from source bytes.
+
+    Scale: one mapInPandas pass + one doc_id shuffle for islands + a
+    language-keyed rollup against a broadcastable dim projection."""
+    vad = multimodal_audio_vad(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        vad.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_with_speech"),
+            F.sum("n_voiced_windows").cast("long").alias("total_voiced_windows"),
+            F.sum("n_segments").cast("long").alias("total_segments"),
+            F.max("longest_segment").cast("long").alias("max_segment"),
+        )
+    )
