@@ -2790,3 +2790,64 @@ def orders_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").cast("long").alias("min_days"),
         F.max("gap_days").cast("long").alias("max_days"),
     )
+
+
+_BACKLOG_ORACLE = """
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS open_d,
+               CAST(MAX(l.l_shipdate) AS DATE) AS close_d
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ), pts AS (
+        SELECT open_d AS d, 1 AS delta FROM spans
+        UNION ALL
+        SELECT close_d + INTERVAL 1 DAY, -1 FROM spans
+    ), daily AS (
+        SELECT d, SUM(delta) AS net FROM pts GROUP BY d
+    )
+    SELECT CAST(d AS DATE) AS day,
+           CAST(SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS open_orders
+    FROM daily
+"""
+
+
+@query("orders_backlog_curve", oracle=_BACKLOG_ORACLE)
+def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Work-in-progress backlog over time: how many orders were OPEN
+    (placed but not yet fully shipped) on each day — the fulfillment
+    capacity curve operations teams staff against.  An order's open
+    interval is [order date, max line shipdate]; the curve is the
+    interval sweep (+1 at open, −1 the day after close, running sum) —
+    the events_concurrent_sessions discipline applied to the ORDER
+    lifecycle, composed over the orders⋈lineitem join that derives the
+    close date.
+
+    The crucial reduction: boundary points PRE-AGGREGATE per day before
+    the running sum, so the ordered window runs over the days-sized net
+    table, not per-order rows — at 100 TB the sweep input is thousands
+    of rows regardless of order count (the two-level prefix-sum form in
+    the concurrency operator's docstring, here applied outright).
+
+    Exact integer deltas throughout; the join shuffles once on the
+    order key with map-side max-combine."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max(F.to_date("l_shipdate")).alias("close_d"))
+        .select(F.to_date("o_orderdate").alias("open_d"), "close_d")
+    )
+    pts = spans.select(F.col("open_d").alias("d"), F.lit(1).alias("delta")).unionByName(
+        spans.select(F.date_add("close_d", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = pts.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("d").alias("day"),
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
