@@ -1166,3 +1166,96 @@ def pipeline_audio_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("longest_segment").cast("long").alias("max_segment"),
         )
     )
+
+
+@query(
+    "multimodal_image_histogram",
+    oracle=f"""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(string_split(text, '')) AS c,
+               unnest(range(1, len(text) + 1)) AS pos
+        FROM documents
+    )
+    SELECT (pos - 1) % 3 AS channel,
+           CAST(ascii(c) AS INT) AS intensity,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels
+    FROM chars
+    GROUP BY (pos - 1) % 3, ascii(c)
+    """,
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide per-channel intensity histogram over the real P6
+    codec path — the statistic histogram equalization, exposure QC, and
+    normalization-constant estimation all start from: decode every
+    image, split the raster into R/G/B planes, count pixels per
+    intensity value.  Output is at most 3x256 rows whatever the corpus
+    size — the classic bounded-key reduction.
+
+    Padding discipline: the encoder zero-pads rasters to full rows, and
+    the decoder EXCLUDES those synthetic pixels from the histogram
+    (counting only the payload-backed prefix) so the statistics describe
+    the data, not the container — exactly the bug (zero-spike at
+    intensity 0) a naive whole-raster histogram ships.  The oracle
+    counts straight from source bytes, which is what makes the
+    exclusion checkable.
+
+    Scale: mapInPandas emits per-batch PARTIAL histograms (bounded
+    rows), so the shuffle carries 768-row partials per task, never
+    pixels."""
+    import io
+
+    import numpy as np
+
+    framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def encode_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def to_ppm(payload: bytes) -> tuple:
+            n_pix = (len(payload) + 2) // 3
+            h = (n_pix + PPM_WIDTH - 1) // PPM_WIDTH
+            raster = payload + b"\x00" * (PPM_WIDTH * h * 3 - len(payload))
+            return (
+                f"P6\n{PPM_WIDTH} {h}\n255\n".encode("ascii") + raster,
+                len(payload),
+            )
+
+        for pdf in batches:
+            enc = [to_ppm(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ppm": [e[0] for e in enc],
+                    "n_payload": [e[1] for e in enc],
+                }
+            )
+
+    def hist_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc = np.zeros((3, 256), dtype=np.int64)
+            for payload, n_payload in zip(pdf["ppm"], pdf["n_payload"]):
+                header_end = payload.index(b"\n", payload.index(b"\n", payload.index(b"\n") + 1) + 1) + 1
+                arr = np.frombuffer(payload[header_end:], dtype=np.uint8)[
+                    :n_payload
+                ]
+                for ch in range(3):
+                    plane = arr[ch::3]
+                    acc[ch] += np.bincount(plane, minlength=256)
+            rows = [
+                (ch, val, int(acc[ch, val]))
+                for ch in range(3)
+                for val in range(256)
+                if acc[ch, val] > 0
+            ]
+            yield pd.DataFrame(rows, columns=["channel", "intensity", "n"]).astype(
+                {"intensity": "int32"}
+            )
+
+    encoded = framed.mapInPandas(
+        encode_ppm, schema="doc_id long, ppm binary, n_payload long"
+    )
+    partials = encoded.mapInPandas(
+        hist_partials, schema="channel long, intensity int, n long"
+    )
+    return partials.groupBy("channel", "intensity").agg(
+        F.sum("n").cast("long").alias("n_pixels")
+    )
