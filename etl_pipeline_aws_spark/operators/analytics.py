@@ -2851,3 +2851,42 @@ def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("day"),
         F.sum("net").over(w).cast("long").alias("open_orders"),
     )
+
+
+_DAILY_BANDS_ORACLE = """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           quantile_disc(value, 0.50) AS p50_value,
+           quantile_disc(value, 0.95) AS p95_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+"""
+
+
+@query("events_percentile_bands_daily", oracle=_DAILY_BANDS_ORACLE)
+def events_percentile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p95 bands of the event value — the SLO/latency
+    dashboard shape (one row per day, the percentile envelope a
+    burn-rate alert reads), where the single global quantile hides
+    exactly the bad day you are looking for.
+
+    Percentiles are DISCRETE picks (percentile_disc) so both engines
+    select an actual data value — no interpolation ulp risk, the
+    feature-binning discipline — and the aggregation computes both
+    bands plus count and max in ONE day-keyed pass.
+
+    Scale: one (day) shuffle with map-side combine; exact per-day
+    quantiles sort within day partitions only.  At 100 TB swap in
+    percentile_approx per day (mergeable sketches), same plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY value)").alias(
+            "p50_value"
+        ),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias(
+            "p95_value"
+        ),
+        F.max("value").alias("max_value"),
+    )
