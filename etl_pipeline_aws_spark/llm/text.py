@@ -1243,3 +1243,91 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fps").cast("long").alias("n_fingerprints"),
         F.sha2(F.array_join("fps", ","), 256).alias("fingerprint_digest"),
     )
+
+
+_CONTAM_BY_SOURCE_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), grams AS (
+        SELECT doc_id, source,
+               CASE WHEN len(ws) >= {DECONTAM_NGRAM}
+                    THEN list_distinct([array_to_string(ws[i:i+{DECONTAM_NGRAM}-1], ' ')
+                                        for i in range(1, len(ws) - {DECONTAM_NGRAM} + 2)])
+                    ELSE [] END AS gs
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, source, unnest(gs) AS g FROM grams
+    ), eval_grams AS (
+        SELECT DISTINCT g FROM ex WHERE doc_id < {DECONTAM_EVAL_DOCS}
+    ), contaminated AS (
+        SELECT DISTINCT e.doc_id, e.source
+        FROM ex e JOIN eval_grams v ON e.g = v.g
+        WHERE e.doc_id >= {DECONTAM_EVAL_DOCS}
+    ), train AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents
+        WHERE doc_id >= {DECONTAM_EVAL_DOCS}
+        GROUP BY source
+    )
+    SELECT t.source,
+           CAST(t.n_docs AS BIGINT) AS n_train_docs,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(c.n, 0) AS DOUBLE) / t.n_docs AS contamination_rate
+    FROM train t
+    LEFT JOIN (SELECT source, COUNT(*) AS n FROM contaminated GROUP BY source) c
+      USING (source)
+"""
+
+
+@query("corpus_contamination_by_source", oracle=_CONTAM_BY_SOURCE_ORACLE)
+def corpus_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination localized per SOURCE — the question after
+    text_decontaminate says "you have leakage": WHICH FEED is leaking
+    benchmark text (a crawler that indexed the benchmark site, a vendor
+    shipping eval dumps)?  Same contamination rule as the pinned
+    decontaminate operator (any shared 5-gram with the eval stand-in,
+    doc_id < 10), rolled up to per-source doc counts and rates so the
+    fix lands on a feed, not on 50k individual documents.  The
+    by-source complement of dedup_rate_by_source, on the contamination
+    axis.
+
+    Scale: the 5-gram explode shuffles hashes once; the eval gram set
+    is benchmark-sized (broadcastable); rollups carry counts only.
+    Exact integers, one int/int division."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim("text")), " ")
+    gs = F.when(
+        F.size(ws) >= DECONTAM_NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (DECONTAM_NGRAM - 1)),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, DECONTAM_NGRAM)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select("doc_id", "source", F.explode(gs).alias("g"))
+    eval_grams = (
+        ex.filter(F.col("doc_id") < DECONTAM_EVAL_DOCS).select("g").distinct()
+    )
+    contaminated = (
+        ex.filter(F.col("doc_id") >= DECONTAM_EVAL_DOCS)
+        .join(F.broadcast(eval_grams), "g")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    train = (
+        docs.filter(F.col("doc_id") >= DECONTAM_EVAL_DOCS)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_train_docs"))
+    )
+    per_source = contaminated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return train.join(per_source, "source", "left").select(
+        "source",
+        "n_train_docs",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_contaminated"),
+        (
+            F.coalesce("n", F.lit(0)).cast("double") / F.col("n_train_docs")
+        ).alias("contamination_rate"),
+    )
