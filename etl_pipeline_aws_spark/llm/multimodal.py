@@ -1259,3 +1259,117 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("channel", "intensity").agg(
         F.sum("n").cast("long").alias("n_pixels")
     )
+
+
+SHOT_DELTA_MIN = 500  # frame-sum jump that counts as a cut
+
+
+@query(
+    "multimodal_video_shot_detection",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, text, LENGTH(text) AS n,
+               GREATEST(1, (LENGTH(text) + {VID_FRAME_BYTES - 1})
+                           // {VID_FRAME_BYTES}) AS n_frames
+        FROM documents
+    ), sums AS (
+        SELECT doc_id, i AS frame_idx,
+               COALESCE(list_sum(list_transform(
+                   range({VID_FRAME_BYTES} * i,
+                         LEAST({VID_FRAME_BYTES} * (i + 1), n)),
+                   p -> ascii(substring(text, p + 1, 1)))), 0) AS s
+        FROM f, unnest(range(0, n_frames)) AS t(i)
+    ), deltas AS (
+        SELECT doc_id, frame_idx, s,
+               s - LAG(s) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                   AS d
+        FROM sums
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(1 + COUNT(CASE WHEN abs(d) > {SHOT_DELTA_MIN} THEN 1 END)
+                AS BIGINT) AS n_shots
+    FROM deltas GROUP BY doc_id
+    """,
+)
+def multimodal_video_shot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the real PPM-stream container: walk
+    every frame (the keyframe op samples; this one cannot — a cut
+    between skipped frames would be missed), emit per-frame pixel sums,
+    and declare a cut wherever the frame-to-frame jump exceeds
+    SHOT_DELTA_MIN — the frame-difference detector every video indexer
+    starts with; shots = cuts + 1.  Completes the video verb set
+    (decode / keyframe-sample / SHOT-SEGMENT).
+
+    The frame sums come out of the honest container walk in the Arrow
+    batch; the deltas run as a per-doc lag window — the temporal logic
+    stays in the ENGINE (declarative, shuffle on doc_id) rather than in
+    Python, so at 100 TB the detector inherits AQE and the codec kernel
+    stays a pure map.  The oracle recomputes sums from source bytes and
+    the identical lag — integer arithmetic end to end."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"P6\n{VID_W} {VID_H}\n255\n".encode("ascii")
+
+        def to_stream(payload: bytes) -> bytes:
+            n_frames = max(1, (len(payload) + VID_FRAME_BYTES - 1) // VID_FRAME_BYTES)
+            out = bytearray()
+            for i in range(n_frames):
+                chunk = payload[i * VID_FRAME_BYTES : (i + 1) * VID_FRAME_BYTES]
+                out += header + chunk + b"\x00" * (VID_FRAME_BYTES - len(chunk))
+            return bytes(out)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "stream": pdf["payload"].map(to_stream)}
+            )
+
+    def frame_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def frames(stream: bytes) -> list:
+            pos, idx, out = 0, 0, []
+            while pos < len(stream):
+                nl1 = stream.index(b"\n", pos)
+                nl2 = stream.index(b"\n", nl1 + 1)
+                nl3 = stream.index(b"\n", nl2 + 1)
+                w, h = (int(x) for x in stream[nl1 + 1 : nl2].split())
+                raster = np.frombuffer(
+                    stream[nl3 + 1 : nl3 + 1 + w * h * 3], dtype=np.uint8
+                )
+                out.append((idx, int(raster.astype(np.int64).sum())))
+                pos = nl3 + 1 + w * h * 3
+                idx += 1
+            return out
+
+        for pdf in batches:
+            rows = []
+            for doc_id, stream in zip(pdf["doc_id"], pdf["stream"]):
+                for idx, s in frames(stream):
+                    rows.append((doc_id, idx, s))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "s"]).astype(
+                {"frame_idx": "int32"}
+            )
+
+    encoded = framed.mapInPandas(encode_stream, schema="doc_id long, stream binary")
+    sums = encoded.mapInPandas(
+        frame_sums, schema="doc_id long, frame_idx int, s long"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = sums.select(
+        "doc_id", (F.col("s") - F.lag("s").over(w)).alias("d")
+    )
+    return deltas.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(F.abs(F.col("d")) > SHOT_DELTA_MIN, 1).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("n_shots"),
+    )
