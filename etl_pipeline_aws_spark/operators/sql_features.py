@@ -296,3 +296,42 @@ def sql_direct_file_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+_VALUES_DIM_ORACLE = """
+    WITH sla(priority, sla_days) AS (
+        VALUES ('1-URGENT', 7), ('2-HIGH', 14), ('3-MEDIUM', 30),
+               ('4-NOT SPECIFIED', 60), ('5-LOW', 90)
+    )
+    SELECT s.sla_days,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN sla s ON o.o_orderpriority = s.priority
+    GROUP BY s.sla_days
+"""
+
+
+@query("sql_values_inline_dim", oracle=_VALUES_DIM_ORACLE)
+def sql_values_inline_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES dimension — the literal lookup table embedded in
+    the query text (SLA days per priority class), joined against the
+    fact without any registration or file: how business-rule mappings
+    actually enter ad-hoc SQL.  Spark plans the VALUES relation as a
+    LocalRelation: constant-folded, broadcast by construction, zero
+    scan — the cheapest possible dimension, and the right home for
+    rules that change with the query rather than with the data.
+
+    Same text shape runs on both engines (the oracle is literally the
+    same CTE), so this also pins VALUES-syntax compatibility."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH sla(priority, sla_days) AS (
+            VALUES ('1-URGENT', 7), ('2-HIGH', 14), ('3-MEDIUM', 30),
+                   ('4-NOT SPECIFIED', 60), ('5-LOW', 90)
+        )
+        SELECT s.sla_days,
+               COUNT(*) AS n_orders
+        FROM orders o JOIN sla s ON o.o_orderpriority = s.priority
+        GROUP BY s.sla_days
+        """
+    )
