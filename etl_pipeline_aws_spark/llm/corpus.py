@@ -1138,36 +1138,26 @@ def _pi_oracle() -> str:
     """
 
 
-@query("embedding_power_iteration_pc1", oracle=_pi_oracle())
-def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First principal direction of the embedding corpus by POWER
-    ITERATION — _PI_ITERATIONS (3) fixed rounds of v ← Xᵀ(Xv) from the deterministic
-    seed e₀ — the iterative-linear-algebra workload (PCA, spectral
-    embedding, eigencentrality) expressed as DataFrame joins: each round
-    is one (vec join) for the dot products and one (dim join) for the
-    update, the matrix never materialized.
 
-    Bit-exactness across engines for ITERATED float math: every sum is
-    an ordered fold (dots fold x·v sorted by dim; updates fold
-    contributions sorted by vec_id — the embedding_centroids
-    discipline), so both engines chain IDENTICAL IEEE operations through
-    all rounds; normalization happens ONCE at the end (sqrt is safe;
-    per-round rescaling would add per-round divisions for no semantic
-    gain at 3 rounds).  Output is the long-form unit vector (dim,
-    component).
-
-    Scale: per round, one shuffle on vec_id and one on dim; state is one
-    dims-sized vector (broadcast).  The gathers are bounded by dims
-    (dot) and corpus/dim (update) — the update fold is the exact-tier
-    cost, replaced by compensated streaming sums at 100 TB with the
-    same plan shape.  Rounds localCheckpoint so the final plan is flat."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    flat = emb.select(
+def _pc1_flat(emb) -> "DataFrame":
+    """Long-form (vec_id, dim, x) explode of the embedding column,
+    localCheckpointed once — the shared input of the power-iteration
+    family (embedding_power_iteration_pc1 and its explained-variance
+    companion reuse ONE explode instead of each paying it)."""
+    return emb.select(
         "vec_id",
         F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
             "dim", "x"
         ),
     ).localCheckpoint()
+
+
+def _pc1_unit(flat: "DataFrame") -> "DataFrame":
+    """Power-iteration unit vector (dim, component) from an
+    already-checkpointed long-form matrix — the shared kernel of
+    embedding_power_iteration_pc1 / embedding_pc1_explained_variance.
+    Ordered folds throughout (bit-exact across engines); normalization
+    once at the end; per-round localCheckpoint keeps the plan flat."""
     v = (
         flat.select("dim")
         .distinct()
@@ -1241,6 +1231,33 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query("embedding_power_iteration_pc1", oracle=_pi_oracle())
+def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal direction of the embedding corpus by POWER
+    ITERATION — _PI_ITERATIONS (3) fixed rounds of v ← Xᵀ(Xv) from the deterministic
+    seed e₀ — the iterative-linear-algebra workload (PCA, spectral
+    embedding, eigencentrality) expressed as DataFrame joins: each round
+    is one (vec join) for the dot products and one (dim join) for the
+    update, the matrix never materialized.
+
+    Bit-exactness across engines for ITERATED float math: every sum is
+    an ordered fold (dots fold x·v sorted by dim; updates fold
+    contributions sorted by vec_id — the embedding_centroids
+    discipline), so both engines chain IDENTICAL IEEE operations through
+    all rounds; normalization happens ONCE at the end (sqrt is safe;
+    per-round rescaling would add per-round divisions for no semantic
+    gain at 3 rounds).  Output is the long-form unit vector (dim,
+    component).
+
+    Scale: per round, one shuffle on vec_id and one on dim; state is one
+    dims-sized vector (broadcast).  The gathers are bounded by dims
+    (dot) and corpus/dim (update) — the update fold is the exact-tier
+    cost, replaced by compensated streaming sums at 100 TB with the
+    same plan shape.  Rounds localCheckpoint so the final plan is flat."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _pc1_unit(_pc1_flat(emb))
+
+
 def _pi_ev_oracle() -> str:
     """Explained-variance oracle: the unrolled power iteration (same CTEs
     as embedding_power_iteration_pc1), then lambda1 = ||X v̂||² via the
@@ -1287,15 +1304,8 @@ def embedding_pc1_explained_variance(spark: SparkSession, sf_dir: str) -> DataFr
     the iteration's cost; the trace fold is the exact-tier form of a
     plain sum-of-squares aggregate."""
     emb = load_table(spark, sf_dir, "embeddings")
-    flat = emb.select(
-        "vec_id",
-        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
-            "dim", "x"
-        ),
-    ).localCheckpoint()
-    unit = embedding_power_iteration_pc1(spark, sf_dir).select(
-        "dim", F.col("component").alias("u")
-    )
+    flat = _pc1_flat(emb)
+    unit = _pc1_unit(flat).select("dim", F.col("component").alias("u"))
     proj = (
         flat.join(F.broadcast(unit), "dim")
         .groupBy("vec_id")

@@ -492,7 +492,8 @@ def agg_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No SQL oracle by design (HLL estimates are approximate);
     tests/test_aggregates.py pins every day's estimate within 5% of the
-    exact trailing distinct count.  At 100 TB: the union stage touches
+    exact trailing distinct count, and agg_sliding_distinct_exact is the
+    oracle-backed exact twin certifying the window semantics.  At 100 TB: the union stage touches
     |days| x 7 sketch rows (KBs), so a year of sliding uniques over
     billions of users costs megabytes of sketch I/O — the entire point
     of mergeable sketch state."""
@@ -520,6 +521,55 @@ def agg_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_day",
             F.hll_sketch_estimate("sk").alias("approx_trailing_users"),
         )
+    )
+
+
+@query(
+    "agg_sliding_distinct_exact",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), spine AS (
+        SELECT DISTINCT day FROM du
+    )
+    SELECT s.day AS anchor_day,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS trailing_users
+    FROM spine s
+    JOIN du ON du.day BETWEEN s.day - 6 AND s.day
+    GROUP BY s.day
+    """,
+)
+def agg_sliding_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct users per day — the oracle-backed
+    twin of agg_hll_sliding_distinct (which answers the same question
+    from mergeable HLL sketches and is rows-only by design because HLL
+    estimates aren't hash-matchable).  This tier pays the exact cost so
+    the sliding-distinct SEMANTICS have a value-certified pin.
+
+    Same explode-to-equi rewrite as the sketch tier: the (user, day)
+    DISTINCT pairs (one shuffle, map-side combined) each contribute to
+    their own and the next 6 anchor days, so the trailing window becomes
+    an EQUI group-by on anchor_day — never a range self-join over the
+    day spine.  Cost is a 7x replication of (day, user) key rows, then
+    one countDistinct shuffle; at 100 TB the replication factor stays 7
+    regardless of corpus size, and the sketch twin takes over when
+    per-day user cardinality makes exact distinct state too large.
+
+    The oracle runs the naive range join — tractable at fixture scale —
+    certifying the explode rewrite reproduces BETWEEN-semantics exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    contrib = du.select(
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("anchor_day"),
+        "user_id",
+    )
+    spine = du.select(F.col("day").alias("anchor_day")).distinct()
+    return (
+        contrib.join(spine, "anchor_day")
+        .groupBy("anchor_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("trailing_users"))
     )
 
 

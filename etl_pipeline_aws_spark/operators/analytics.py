@@ -767,8 +767,8 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(wg).isNull()
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(wg).cast("long")
-                > 30 * 60
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wg))
+                > 30 * 60 * 1_000_000
             ),
             1,
         )
@@ -1533,7 +1533,7 @@ def pipeline_events_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(
             F.lag("ts").over(wg).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(wg).cast("long") > 30 * 60),
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wg)) > 30 * 60 * 1_000_000),
             1,
         )
         .otherwise(0)
@@ -2065,8 +2065,8 @@ def events_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(wl).isNull()
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(wl).cast("long")
-                > _OVERLAP_GAP_MIN * 60
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wl))
+                > _OVERLAP_GAP_MIN * 60 * 1_000_000
             ),
             1,
         )
@@ -2489,8 +2489,8 @@ def events_copresence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(wl).isNull()
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(wl).cast("long")
-                > _OVERLAP_GAP_MIN * 60
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wl))
+                > _OVERLAP_GAP_MIN * 60 * 1_000_000
             ),
             1,
         )
@@ -2628,8 +2628,8 @@ def events_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("last_ts").over(wb).alias("prev_ts"),
     ).filter(F.col("prev_ts").isNotNull())
     gaps = within.unionByName(across).filter(
-        F.col("ts").cast("long") - F.col("prev_ts").cast("long")
-        > _OUTAGE_MIN * 60
+        F.unix_micros("ts") - F.unix_micros("prev_ts")
+        > _OUTAGE_MIN * 60 * 1_000_000
     )
     return gaps.select(
         F.col("prev_ts").alias("gap_start"),
@@ -2734,8 +2734,8 @@ def events_funnel_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return firsts.groupBy("cohort_week").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.count("first_view").cast("long").alias("n_viewed"),
-        F.sum(
-            F.when(F.col("first_purchase") >= F.col("first_view"), 1)
+        F.count(
+            F.when(F.col("first_purchase") >= F.col("first_view"), F.lit(1))
         )
         .cast("long")
         .alias("n_converted"),

@@ -275,7 +275,7 @@ _DIRECT_FILE_ORACLE = """
 
 @query("sql_direct_file_query", oracle=_DIRECT_FILE_ORACLE)
 def sql_direct_file_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zero-registration SQL over files: ``FROM parquet.`/path\`` queries
+    r"""Zero-registration SQL over files: ``FROM parquet.`/path\`` queries
     the file directly — no temp view, no catalog entry, no session
     state.  This is how ad-hoc exploration actually starts ("what's in
     this directory?"), and DuckDB users switching over expect it (their

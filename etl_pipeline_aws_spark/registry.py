@@ -23,11 +23,18 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
-_ORACLES: dict[str, str] = {}
+_ORACLES: dict[str, str | Callable[[], str]] = {}
 
 
-def query(name: str, oracle: str) -> Callable[[QueryFn], QueryFn]:
-    """Register an oracle-checked query."""
+def query(name: str, oracle: str | Callable[[], str]) -> Callable[[QueryFn], QueryFn]:
+    """Register an oracle-checked query.
+
+    ``oracle`` is usually a literal SQL string.  It may instead be a
+    zero-arg callable returning the SQL — resolved freshly on every
+    ``oracle_sql()`` call — for the few oracles that must embed an
+    environment-dependent constant (DuckDB table-function paths cannot
+    reference views, so source_file_lineage/source_binaryfile_scan
+    template their scan path from the gate sf_dir at resolution time)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
@@ -59,7 +66,7 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return {k: (v() if callable(v) else v) for k, v in _ORACLES.items()}
 
 
 _LOADED = False

@@ -589,21 +589,27 @@ def pyds_calendar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: The scale factor the correctness gate (driver AND local sweep) compares
 #: at.  DuckDB's filename=true lineage requires a direct read_parquet (the
 #: pre-registered view hides the path, and DuckDB 1.0 rejects subquery
-#: table-function args), so source_file_lineage's oracle must pin a path.
-#: tests/test_round5_ops.py asserts the local gate runs at exactly this dir,
-#: so repointing the gate fails loudly instead of comparing mismatched
-#: datasets.
-GATE_SF_DIR = "/root/testdata/sf0.01"
+#: table-function args), so source_file_lineage's oracle must embed a path.
+#: The path is TEMPLATED at oracle_sql() resolution time from
+#: $ETL_SPARK_GATE_SF_DIR (default: the driver's sf0.01 gate dir), so a
+#: gate run at any other scale sets the env var and the oracle follows —
+#: no silently-compares-wrong-data mode (tests/test_round6_ops.py proves
+#: both queries green at an alternate sf through this knob).
+GATE_SF_DIR_DEFAULT = "/root/testdata/sf0.01"
+
+
+def gate_sf_dir() -> str:
+    return os.environ.get("ETL_SPARK_GATE_SF_DIR", GATE_SF_DIR_DEFAULT)
 
 
 @query(
     "source_file_lineage",
-    oracle=f"""
-    -- path pinned to the gate's sf_dir; see GATE_SF_DIR note above
+    oracle=lambda: f"""
+    -- path templated from the gate's sf_dir; see gate_sf_dir note above
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
            COUNT(*) AS n_rows,
            COUNT(DISTINCT o_orderkey) AS n_keys
-    FROM read_parquet('{GATE_SF_DIR}/orders.parquet', filename = true)
+    FROM read_parquet('{gate_sf_dir()}/orders.parquet', filename = true)
     GROUP BY 1
     """,
 )
@@ -752,16 +758,17 @@ def date_business_days_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BINARYFILE_ORACLE = f"""
+def _binaryfile_oracle() -> str:
+    return f"""
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
            CAST(size AS BIGINT) AS n_bytes,
            upper(substring(hex(content), 1, 8)) AS magic_head,
            upper(substring(hex(content), -8, 8)) AS magic_tail
-    FROM read_blob('{GATE_SF_DIR}/*.parquet')
+    FROM read_blob('{gate_sf_dir()}/*.parquet')
 """
 
 
-@query("source_binaryfile_scan", oracle=_BINARYFILE_ORACLE)
+@query("source_binaryfile_scan", oracle=_binaryfile_oracle)
 def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-file binary ingestion via the ``binaryFile`` source — the
     entry point for every opaque-asset pipeline (model checkpoints,
@@ -774,7 +781,7 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle reads the same files with DuckDB's read_blob; the path is
     pinned to the gate sf_dir for the same reason as source_file_lineage
-    (table-function constants; see GATE_SF_DIR note).
+    (table-function constants; see gate_sf_dir note).
 
     Scale: binaryFile assigns whole files to tasks (no intra-file
     splits), so throughput = files x parallelism; the 100 TB shape is

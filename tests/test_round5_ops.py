@@ -22,7 +22,7 @@ from __future__ import annotations
 import pytest
 
 import etl_pipeline_aws_spark as engine
-from etl_pipeline_aws_spark.sources.source_queries import GATE_SF_DIR
+from etl_pipeline_aws_spark.sources.source_queries import gate_sf_dir
 from tests.conftest import SF_DIR
 from tests.oracle import compare, duckdb_con
 
@@ -61,11 +61,11 @@ def test_no_oracle_query_declares_complex_output(spark):
 
 
 def test_lineage_oracle_pin_matches_gate_sf_dir():
-    """source_file_lineage's oracle hard-codes a parquet path (DuckDB 1.0
-    cannot take the path from the view catalog); the pin must equal the
-    sf_dir the gate compares at."""
-    assert SF_DIR == GATE_SF_DIR
-    assert GATE_SF_DIR in engine.oracle_sql()["source_file_lineage"]
+    """source_file_lineage's oracle embeds a parquet path (DuckDB 1.0
+    cannot take the path from the view catalog); the template must resolve
+    to the sf_dir the gate compares at."""
+    assert SF_DIR == gate_sf_dir()
+    assert gate_sf_dir() in engine.oracle_sql()["source_file_lineage"]
 
 
 def test_readme_counts_match_registry():
@@ -157,7 +157,11 @@ def test_epoch_upsampling_plan_arithmetic(spark):
     for r in rows:
         assert r.quota_tokens == r.n_full_epochs * r.n_tokens + r.remainder_tokens
         assert r.repeat_factor <= 3.0 + 1e-12  # the epoch cap
-        assert r.n_full_epochs >= 1  # quota is min over sources, cap >= 1 epoch
+        assert r.n_full_epochs >= 0
+    # quota = cap * min(tokens over sources), so only the MINIMUM-token
+    # source is guaranteed >= 1 full epoch; a source with more than cap x
+    # the minimum legitimately gets 0 full epochs
+    assert min(rows, key=lambda r: r.n_tokens).n_full_epochs >= 1
 
 
 def test_vocab_oov_rates_bounded_and_total(spark):
@@ -387,7 +391,8 @@ def test_funnel_by_cohort_monotone(spark):
     rows = engine.queries()["events_funnel_by_cohort"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        assert (r.n_converted or 0) <= r.n_viewed <= r.n_users
+        assert r.n_converted is not None  # zero-conversion cohorts emit 0, not NULL
+        assert r.n_converted <= r.n_viewed <= r.n_users
 
 
 def test_dup_rate_bounded(spark):

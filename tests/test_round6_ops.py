@@ -1,0 +1,108 @@
+"""Round-6 invariants: gate-dir oracle templating, the exact sliding-distinct
+twin, and microsecond-precise gap thresholds.
+
+1. The two table-function-path oracles (source_file_lineage,
+   source_binaryfile_scan) resolve their embedded path from
+   $ETL_SPARK_GATE_SF_DIR at oracle_sql() call time — a gate run at an
+   alternate scale factor stays value-correct instead of silently
+   comparing against the wrong dataset (closes the r4/r5 ADVICE item).
+2. agg_sliding_distinct_exact is the oracle-backed twin of the rows-only
+   HLL tier; the HLL estimate must stay within 5% of it day-by-day.
+3. The sessionization/gap family compares timestamps at MICROSECOND
+   precision, matching the oracles' exact INTERVAL comparison (r5 ADVICE:
+   second-truncated diffs mis-classify gaps in (1800 s, 1801 s)).
+"""
+
+from __future__ import annotations
+
+import importlib
+
+import pytest
+
+import etl_pipeline_aws_spark as engine
+from tests.conftest import SF_SMALL
+from tests.oracle import compare, duckdb_con
+
+
+@pytest.mark.parametrize("name", ["source_file_lineage", "source_binaryfile_scan"])
+def test_gate_path_oracles_follow_env_at_alternate_sf(spark, name, monkeypatch):
+    """Run both path-embedding oracles at sf0.001 (NOT the default gate dir)
+    purely through the env knob — the oracle template must follow."""
+    monkeypatch.setenv("ETL_SPARK_GATE_SF_DIR", SF_SMALL)
+    sql = engine.oracle_sql()[name]
+    assert SF_SMALL in sql  # template resolved against the env var
+    con = duckdb_con(SF_SMALL)
+    try:
+        compare(engine.queries()[name](spark, SF_SMALL), con, sql)
+    finally:
+        con.close()
+
+
+def test_gate_path_oracles_default_to_driver_gate_dir(monkeypatch):
+    monkeypatch.delenv("ETL_SPARK_GATE_SF_DIR", raising=False)
+    src = importlib.import_module("etl_pipeline_aws_spark.sources.source_queries")
+    assert src.gate_sf_dir() == "/root/testdata/sf0.01"
+    assert "/root/testdata/sf0.01" in engine.oracle_sql()["source_file_lineage"]
+
+
+def test_hll_sliding_within_5pct_of_exact_twin(spark):
+    """The rows-only HLL tier and its new oracle-backed exact twin answer
+    the same trailing-7-day question; the sketch estimate must track the
+    exact count within the documented 5% envelope on every anchor day."""
+    from tests.conftest import SF_DIR
+
+    exact = {
+        r.anchor_day: r.trailing_users
+        for r in engine.queries()["agg_sliding_distinct_exact"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r.anchor_day: r.approx_trailing_users
+        for r in engine.queries()["agg_hll_sliding_distinct"](spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= 0.05 * n, (day, approx[day], n)
+
+
+def test_funnel_by_cohort_zero_conversion_emits_zero(spark):
+    """A cohort with no conversions must report n_converted = 0, never
+    NULL (r5 ADVICE: F.sum(when(...)) with no otherwise yields NULL and
+    silently diverges from the oracle's COUNT(CASE ...))."""
+    from tests.conftest import SF_DIR
+
+    rows = engine.queries()["events_funnel_by_cohort"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r.n_converted is not None for r in rows)
+
+
+def test_gap_thresholds_are_microsecond_precise(spark):
+    """A synthetic pair of events 1800.5 s apart (floor-diff exactly 1800)
+    must NOT break a 30-minute-gap session: the boundary case the oracles'
+    INTERVAL comparison already gets right."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00.700000"),
+            (1, "2024-01-01 00:30:01.200000"),  # gap = 1800.5 s, floor-diff 1800
+            (1, "2024-01-01 01:00:01.100000"),  # gap = 1799.9 s, floor-diff 1800
+        ],
+        "user_id int, ts_s string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    wl = Window.partitionBy("user_id").orderBy("ts")
+    marked = df.select(
+        F.when(
+            F.lag("ts").over(wl).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wl))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start")
+    )
+    flags = [r.is_start for r in marked.collect()]
+    # first row starts; 1800.5 s gap breaks; 1799.9 s gap does not
+    assert flags == [1, 1, 0]
