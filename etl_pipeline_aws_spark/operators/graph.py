@@ -24,6 +24,19 @@ PR_START = 1_000_000  # scaled initial rank
 PR_TELEPORT = 150_000  # (1 - 0.85) * PR_START
 
 
+def _copair_join(items: DataFrame) -> DataFrame:
+    """The raw canonical pair self-join: (pa < pb) part pairs sharing an
+    order, one output row per qualifying LINE pair.  Fan-out is bounded
+    by the <= 7-line order size.  Shared bottom stage of every
+    co-occurrence consumer; callers choose dedup-vs-count semantics."""
+    a, b = items.alias("a"), items.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+
+
 def co_occurrence_pairs(li: DataFrame, min_support: int, distinct_items: bool) -> DataFrame:
     """Shared support-pruned part co-occurrence pair build: canonical
     (pa < pb) pairs of parts sharing an order, counted, kept at
@@ -32,20 +45,17 @@ def co_occurrence_pairs(li: DataFrame, min_support: int, distinct_items: bool) -
     ``distinct_items`` chooses the semantics: True counts each (order,
     part) once (basket support = baskets containing the item — a part on
     two lines of one order is one basket), False counts line-level
-    co-occurrence (graph edge weight).  Fan-out is bounded by the ≤7-line
-    order size either way; one shuffle on the pair key, map-side
-    combined."""
+    co-occurrence (graph edge weight).  One shuffle on the pair key,
+    map-side combined.  PageRank needs neither count (it wants the
+    DISTINCT pair set) and skips straight to _copair_join().distinct()
+    — measured ~1 s cheaper at sf0.1 than paying the support aggregation
+    it would discard."""
     items = li.select("l_orderkey", "l_partkey")
     if distinct_items:
         items = items.distinct()
-    a, b = items.alias("a"), items.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        _copair_join(items)
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_support)
     )
@@ -100,48 +110,47 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every node of this graph has out-edges by construction: edges are
     symmetric).
 
-    Iteration mechanics (round-5 fix, measured 9.2 s -> ~2 s at sf0.1):
-    the degree-annotated edge list (u, v, d) is built ONCE and
-    persist()ed — without it, every iteration's lineage re-derives the
-    lineitem self-join, making total work quadratic in the iteration
-    count; and each round's ranks are localCheckpoint()ed so the final
-    plan is one scan of the last round's blocks, not a 5-round join
-    tower (the same lineage-truncation discipline as
-    graph_label_propagation below, which observed plan-shape drift in
-    the 10x probe without it).  Pre-joining deg into the edge list also
-    halves the per-round joins: ranks join ONE table, not two."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
-    )
+    Iteration mechanics (r6 n>=3 protocol, ARCHITECTURE.md "r6 pagerank
+    reconcile": the r5 docstring's "~2 s" claim was STALE — measured
+    4.2-5.8 s warm / 7-12 s cold at sf0.1 depending on machine load; the
+    8.3 s bench record was a semi-cold single run, not a regression):
+    the degree-annotated edge list (u, v, d) is built ONCE via the
+    shared _copair_join stage and persist()ed — without it, every
+    iteration's lineage re-derives the lineitem self-join; each round's
+    join takes a SHUFFLE-HASH hint because sort-merge would re-sort the
+    millions-row cached edge side every round (five sorts for five
+    rounds — the measured dominant per-round cost), while hash-building
+    edge partitions against the nodes-sized ranks stream is linear; and
+    each round's ranks are localCheckpoint()ed so the final plan is one
+    scan of the last round's blocks, not a 5-round join tower
+    (checkpoint EVERY round: depth-2 lineage measured slightly faster
+    warm but ~2 s slower cold — deeper plans compile more codegen, and
+    single-shot cost is what a scheduled job pays).  At 100 TB both
+    edges and ranks pre-bucket on the node key, making the hash join
+    exchange-free; the per-round shuffle is then only the map-side-
+    combined contribution aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = _copair_join(li.select("l_orderkey", "l_partkey")).distinct()
     edges = pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
         pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     out_edges = (
-        edges.join(deg, "u")
-        .select(F.col("u").alias("eu"), "v", "d")
-        .persist()
+        edges.join(deg, "u").select(F.col("u").alias("eu"), "v", "d").persist()
     )
     ranks = deg.select(
         F.col("u").alias("node"), F.lit(PR_START).cast("long").alias("rank_val")
     ).localCheckpoint()
     for _ in range(PR_ITERATIONS):
-        contrib = ranks.join(out_edges, F.col("node") == F.col("eu")).select(
+        # shuffle-hash hint: SMJ would re-sort the 2.4M-row cached edge
+        # list EVERY round; hash build on the per-partition edge side
+        # skips five sorts (r6 n>=3 protocol: ~0.6-1 s warm, ~5 s cold)
+        contrib = ranks.join(
+            out_edges.hint("shuffle_hash"), F.col("node") == F.col("eu")
+        ).select(
             F.col("v").alias("node"),
             F.expr("(rank_val * 17) div (20 * d)").alias("c"),
         )
-        # checkpoint EVERY round, not every other: depth-2 lineage was
-        # measured slightly faster warm (4.4 s vs 4.8 s) but ~2 s slower
-        # on the first run — the deeper plans compile more codegen — and
-        # single-shot cost is what a scheduled job (and the bench) pays.
         ranks = (
             contrib.groupBy("node")
             .agg((F.lit(PR_TELEPORT) + F.sum("c")).cast("long").alias("rank_val"))
