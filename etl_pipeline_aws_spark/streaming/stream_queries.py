@@ -1147,6 +1147,84 @@ def stream_state_store_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVICTION_AUDIT_ORACLE = """
+    WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+    agg AS (
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               time_bucket(INTERVAL '10 minutes', ts)
+                   + INTERVAL '10 minutes' AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    )
+    SELECT 'before_watermark_passage' AS snapshot,
+           window_start, window_end, event_type, n_events, sum_value
+    FROM agg
+    UNION ALL
+    SELECT 'after_watermark_passage' AS snapshot,
+           window_start, window_end, event_type, n_events, sum_value
+    FROM agg CROSS JOIN mx
+    WHERE window_end >= mt - INTERVAL '1 hour'
+"""
+
+
+@query("stream_state_eviction_audit", oracle=EVICTION_AUDIT_ORACLE)
+def stream_state_eviction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct evidence of WATERMARK-DRIVEN STATE EVICTION: two reads of
+    the SAME checkpoint at different watermarks — the negative twin of
+    stream_state_store_inspect (which only shows the post-eviction tail
+    and certifies it as the append-mode complement).
+
+    The run is the shared tumbling aggregation (_tumbling_agg, update
+    mode, noop sink).  Under availableNow the data lands in batch 0 with
+    the watermark still at its initial value, so the batch-0 state
+    snapshot (State Data Source ``option("batchId", 0)``) holds EVERY
+    window — the full aggregation, nothing yet evicted; the trailing
+    commit then advances the watermark to max event time − 1h and evicts
+    every window it passed, so the final snapshot (default read) holds
+    only windows with end >= that watermark.  Returning both snapshots
+    labeled pins the eviction contract from BOTH sides in one result:
+    the before-set is the complete agg, the after-set its watermark
+    filtrate, and their difference — windows the watermark passed — is
+    exactly what the store dropped (tests/test_streaming.py asserts the
+    set algebra directly).
+
+    At 100 TB this two-point state read is the capacity-planning probe:
+    state size before/after watermark passage bounds the steady-state
+    store footprint a larger watermark would multiply — measured from
+    the checkpoint, without touching the running job."""
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="evict_audit_ckpt_")
+    agg = _tumbling_agg(read_events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def snap(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("snapshot"),
+            F.col("key.window.start").alias("window_start"),
+            F.col("key.window.end").alias("window_end"),
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n_events"),
+            F.col("value.sum").cast("double").alias("sum_value"),
+        )
+
+    before = spark.read.format("statestore").option("batchId", 0).load(ckpt)
+    after = spark.read.format("statestore").load(ckpt)
+    return snap(before, "before_watermark_passage").unionByName(
+        snap(after, "after_watermark_passage")
+    )
+
+
 @query("stream_parquet_sink", oracle=TUMBLING_APPEND_ORACLE)
 def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-to-LAKE: the append-mode tumbling aggregation written by

@@ -207,3 +207,35 @@ def test_foreachbatch_routing_layout(spark):
     df = qs["stream_foreachbatch_routing"](spark, "/root/testdata/sf0.001")
     routes = {r.route for r in df.collect()}
     assert routes  # at least one route materialized
+
+
+def test_state_eviction_audit_set_algebra(spark):
+    """The eviction contract, asserted as set algebra over the two
+    snapshots: before = the complete aggregation; after ⊂ before with
+    identical per-key values (eviction drops keys, never rewrites them);
+    dropped = exactly the windows whose end the final watermark passed."""
+    import etl_pipeline_aws_spark as engine
+
+    rows = engine.queries()["stream_state_eviction_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    before = {
+        (r.window_start, r.window_end, r.event_type): r.n_events
+        for r in rows
+        if r.snapshot == "before_watermark_passage"
+    }
+    after = {
+        (r.window_start, r.window_end, r.event_type): r.n_events
+        for r in rows
+        if r.snapshot == "after_watermark_passage"
+    }
+    assert before and after
+    assert len(after) < len(before)  # the watermark evicted something
+    assert set(after) <= set(before)
+    for k, v in after.items():
+        assert before[k] == v  # surviving state unchanged by eviction
+    watermark = max(k[1] for k in before) - __import__("datetime").timedelta(hours=1)
+    for k in set(before) - set(after):
+        assert k[1] < watermark  # every dropped window was passed
+    for k in after:
+        assert k[1] >= watermark  # every kept window was not
