@@ -1355,3 +1355,85 @@ def embedding_pc1_explained_variance(spark: SparkSession, sf_dir: str) -> DataFr
     return lam.crossJoin(tr).select(
         "lambda1", "trace", (F.col("lambda1") / F.col("trace")).alias("explained_ratio")
     )
+
+
+@query(
+    "embedding_dimension_stats",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS val,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings
+    ), agg AS (
+        SELECT pos,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               list_sum(list(val ORDER BY vec_id)) AS s1,
+               list_sum(list(val * val ORDER BY vec_id)) AS s2,
+               MIN(val) AS min_val,
+               MAX(val) AS max_val
+        FROM x GROUP BY pos
+    )
+    SELECT CAST(pos AS BIGINT) AS pos, n_vecs,
+           s1 / n_vecs AS mean_val,
+           sqrt(greatest(s2 / n_vecs - (s1 / n_vecs) * (s1 / n_vecs), 0))
+               AS std_val,
+           min_val, max_val
+    FROM agg
+    """,
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION distribution profile of the embedding space: count,
+    mean, std, min, max for every coordinate — the whitening/QC
+    diagnostic read before choosing normalization (embedding_standardize
+    consumes exactly these moments), quantization ranges
+    (embedding_quantized_projection's clip bounds), and dead-dimension
+    pruning (std ~ 0 coordinates carry no signal and waste ANN budget).
+
+    Long-form output (one row per dimension), every value a scalar —
+    the embedding_centroids shape contract.  Bit-exact determinism: both
+    moments are ordered folds (values gathered sorted by vec_id, summed
+    left-to-right), and the variance is the EXPLICIT two-moment formula
+    computed with the identical expression on both engines (engine-
+    internal variance accumulators are order-sensitive and never match
+    cross-engine; sqrt of the same double is safe).
+
+    Scale: one shuffle on the dims-sized (pos) key; the gather is
+    corpus/dim per group — the exact-tier fold, swapped for compensated
+    streaming partials at 100 TB with the same plan shape (the
+    embedding_power_iteration_pc1 note)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+
+    def fold(expr: str) -> F.Column:
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("vec_id", F.expr(expr).alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    agg = x.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        fold("val").alias("s1"),
+        fold("val * val").alias("s2"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    return agg.select(
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.expr("s1 / n_vecs").alias("mean_val"),
+        F.expr("sqrt(greatest(s2 / n_vecs - (s1 / n_vecs) * (s1 / n_vecs), 0d))").alias(
+            "std_val"
+        ),
+        "min_val",
+        "max_val",
+    )

@@ -1331,3 +1331,67 @@ def corpus_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFram
             F.coalesce("n", F.lit(0)).cast("double") / F.col("n_train_docs")
         ).alias("contamination_rate"),
     )
+
+
+BPE_PAIR_TOP_K = 50
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(text, $${BPE_PRETOKEN_PATTERN}$$)) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ), pairs AS (
+        SELECT substring(tok, CAST(i AS INT), 2) AS pair, n
+        FROM vocab, LATERAL unnest(range(1, length(tok))) AS t(i)
+        WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {BPE_PAIR_TOP_K}
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE TRAINING step: corpus-wide adjacent-symbol-pair
+    frequencies over the pre-tokenized text (same lookahead-free GPT-2
+    rule as text_bpe_pretokenize), top-50 candidates — the statistic a
+    tokenizer trainer computes once per merge round, and the single most
+    common "train a tokenizer on my 100 TB corpus" primitive.
+
+    The classic scaling trick is built in: pairs are generated per
+    DISTINCT pre-token weighted by its corpus count, never per
+    occurrence — the pair-expansion stage is VOCABULARY-sized (hundreds
+    of thousands of rows however big the corpus), and the corpus-sized
+    work is exactly one token groupBy (map-side combined).  Pair
+    extraction is a JVM-side transform over substring windows, no
+    Python.  The top-K is orderBy+limit with the pair string as the
+    deterministic tie-break, so the cut line is identical on both
+    engines.
+
+    Follow-up merge rounds re-run the same two aggregations over the
+    rewritten vocabulary (vocab-sized input each round), which is why
+    BPE training at corpus scale is cheap after THIS operator's first
+    pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_PATTERN), 0)
+        ).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    pairs = vocab.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(BPE_PAIR_TOP_K)
+    )

@@ -2890,3 +2890,206 @@ def events_percentile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.max("value").alias("max_value"),
     )
+
+
+_CUSUM_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS n_days, SUM(x) AS total FROM daily
+    ), s AS (
+        SELECT day, x, total,
+               SUM(x * n_days - total) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS run
+        FROM daily CROSS JOIN tot
+    )
+    SELECT day,
+           CAST(x AS BIGINT) AS daily_events,
+           CAST(run - LEAST(0, MIN(run) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum_pos,
+           CAST(GREATEST(0, MAX(run) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING)) - run AS BIGINT) AS cusum_neg,
+           (run - LEAST(0, MIN(run) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING)) > total
+            OR GREATEST(0, MAX(run) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING)) - run > total) AS is_drift
+    FROM s
+"""
+
+
+@query("events_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection over the daily event-count series — the
+    change-point chart that catches SUSTAINED small shifts a per-day
+    z-score (events_anomaly_zscore) misses: deviations from the overall
+    mean accumulate, and the chart resets whenever the evidence turns
+    the other way.
+
+    The textbook recurrence C_d = max(0, C_{d-1} + dev_d) is non-linear
+    and unexpressible as a window sum — this uses the classic identity
+    C_d = S_d − min(0, min_{k<=d} S_k) (running sum minus its running
+    minimum), turning the clamped recurrence into two stacked window
+    functions; the negative-direction chart is the mirror identity.
+    Exactness: deviations are scaled by n_days (dev_d = x_d·n_days −
+    total) so everything stays integer end-to-end — no float mean, no
+    rounding divergence; a day is flagged when either chart exceeds one
+    average day's worth of accumulated excess (C > total, in the same
+    scaled units).
+
+    Scale: the day spine is |days|-sized at any corpus size, so the
+    ordered windows run on a days-long series after one map-side-
+    combined daily rollup — the same bounded-spine argument as
+    events_outage_windows' boundary table."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("x").alias("total")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "run", F.sum(F.col("x") * F.col("n_days") - F.col("total")).over(w)
+    )
+    c_pos = F.col("run") - F.least(F.lit(0), F.min("run").over(w))
+    c_neg = F.greatest(F.lit(0), F.max("run").over(w)) - F.col("run")
+    return s.select(
+        "day",
+        F.col("x").cast("long").alias("daily_events"),
+        c_pos.cast("long").alias("cusum_pos"),
+        c_neg.cast("long").alias("cusum_neg"),
+        ((c_pos > F.col("total")) | (c_neg > F.col("total"))).alias("is_drift"),
+    )
+
+
+_HHI_ORACLE = """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l_discount AS DECIMAL(18,4)))
+                        * 1000000) AS BIGINT) AS rev_micro
+        FROM lineitem GROUP BY 1, 2
+    ), shares AS (
+        SELECT l_partkey,
+               rev_micro * 1000000
+                   // SUM(rev_micro) OVER (PARTITION BY l_partkey) AS share_ppm
+        FROM ps
+    )
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm,
+           CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+    FROM shares GROUP BY 1
+"""
+
+
+@query("parts_supplier_hhi", oracle=_HHI_ORACLE)
+def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration audit per part market: the Herfindahl–
+    Hirschman index over each part's supplier revenue shares — the
+    procurement-risk number ("how captive are we to one supplier for
+    this part") that sourcing teams threshold, plus supplier count and
+    the top supplier's share.
+
+    Exactness end-to-end in INTEGERS: revenue is the exact decimal
+    product scaled to micro-units (scale-6 decimal × 1e6 is an exact
+    integer), shares are ppm by integer floor division, and HHI is the
+    ppm-share sum of squares floored back to ppm — no float division
+    anywhere, so both engines produce identical values (the
+    events_cusum_changepoint discipline).
+
+    Scale: one (part, supplier) rollup — map-side combined, the shuffle
+    carries partials — then a parts-partitioned window over ~4 rows per
+    part and a parts-sized final rollup.  No joins; concentration at
+    100 TB is exactly this shape with the part key bucketed."""
+    from pyspark.sql.window import Window
+
+    from etl_pipeline_aws_spark.functions.numeric import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,4)") - dec("l_discount", 4))
+        * 1000000
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(rev).cast("long").alias("rev_micro")
+    )
+    w = Window.partitionBy("l_partkey")
+    shares = ps.select(
+        "l_partkey",
+        F.expr("rev_micro * 1000000").alias("scaled"),
+        F.sum("rev_micro").over(w).alias("total"),
+    ).select("l_partkey", F.expr("scaled div total").alias("share_ppm"))
+    return shares.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.max("share_ppm").cast("long").alias("top_share_ppm"),
+        F.expr("sum(share_ppm * share_ppm) div 1000000").cast("long").alias("hhi_ppm"),
+    )
+
+
+_SEQ_PATTERN_ORACLE = """
+    WITH w AS (
+        SELECT user_id, ts, event_id, event_type,
+               LEAD(event_type, 1) OVER u AS t1,
+               LEAD(event_type, 2) OVER u AS t2
+        FROM events
+        WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MIN(ts) AS first_match_ts
+    FROM w
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    GROUP BY user_id
+"""
+
+
+@query("events_consecutive_pattern", oracle=_SEQ_PATTERN_ORACLE)
+def events_consecutive_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-2016 MATCH_RECOGNIZE-style row-pattern matching — the strictly
+    CONSECUTIVE view -> click -> purchase sequence per user — which the
+    funnel family deliberately does NOT answer (funnels ask "ever, in
+    order"; this asks "immediately, with nothing in between": the
+    high-intent express path a recommender optimizes for).  Flink CEP
+    and Trino's MATCH_RECOGNIZE own this workload; Spark lacks the
+    clause, and this operator is the composition that replaces it for
+    fixed-length patterns: LEAD chains materialize each row's next
+    pattern-length-1 successors, and the pattern becomes a plain
+    predicate — one window pass, one rollup.
+
+    Longer fixed patterns extend with more LEADs (state is
+    pattern-length columns per row, not per-user history); variable-
+    length patterns (A B* C) instead compose the session-islands trick
+    (events_active_streaks' gap/island labeling).  Tie-breaks pinned by
+    (ts, event_id) as everywhere in the sessionization family.
+
+    Scale: one user-keyed shuffle — the window's partition key — then a
+    users-sized rollup; no joins, no state beyond the LEAD frame."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(u).alias("t1"),
+        F.lead("event_type", 2).over(u).alias("t2"),
+    )
+    return (
+        w.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("ts").alias("first_match_ts"),
+        )
+    )

@@ -945,3 +945,88 @@ def parquet_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
         )
     )
+
+
+def _rowgroup_stats_oracle() -> str:
+    return f"""
+    SELECT regexp_extract(file_name, '([^/]+)$', 1) AS file_name,
+           CAST(row_group_id AS BIGINT) AS row_group_id,
+           path_in_schema AS column_name,
+           CAST(num_values AS BIGINT) AS n_values,
+           CAST(stats_null_count AS BIGINT) AS null_count,
+           stats_min_value AS min_value,
+           stats_max_value AS max_value
+    FROM parquet_metadata('{gate_sf_dir()}/orders.parquet')
+"""
+
+
+@query("parquet_rowgroup_stats", oracle=_rowgroup_stats_oracle)
+def parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED PARQUET FOOTER AUDIT: per-(row group, column) value
+    counts, null counts, and min/max statistics, read from file footers
+    only — the metadata that row-group skipping, z-order effectiveness
+    checks (parquet_zorder_layout), and "why didn't my filter prune"
+    triage all run on.  Scanning a 100 TB lake's DATA to answer those is
+    absurd; its FOOTERS are ~0.01% of the bytes, and this operator reads
+    exactly them.
+
+    The file list is metadata-scale (a zone listing, same contract as
+    pyds_vacuum_orphans); footers are then read IN PARALLEL by a
+    pyarrow-backed mapInPandas over the path list — one task per file
+    batch, no data pages touched.  Output is long-form (file, row_group,
+    column) rows with stats rendered as strings (the physical footer
+    encoding is typed; the audit needs comparability, and str() of
+    pyarrow's typed stats matches DuckDB's parquet_metadata rendering
+    exactly — ints, shortest-round-trip doubles, 'YYYY-MM-DD HH:MM:SS'
+    timestamps).  The oracle is DuckDB's independent footer reader: two
+    engines' parquet metadata paths must agree byte-for-byte.
+
+    Path templated from the gate sf_dir (table-function constant; see
+    gate_sf_dir note)."""
+    import pandas as pd
+
+    paths = [table_path(sf_dir, "orders")]
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            rows = []
+            for path in b["path"]:
+                f = pq.ParquetFile(path)
+                for rg in range(f.num_row_groups):
+                    rgm = f.metadata.row_group(rg)
+                    for ci in range(rgm.num_columns):
+                        col = rgm.column(ci)
+                        st = col.statistics
+                        has = st is not None and st.has_min_max
+                        rows.append(
+                            (
+                                os.path.basename(path),
+                                rg,
+                                col.path_in_schema,
+                                col.num_values,
+                                st.null_count if st is not None else None,
+                                str(st.min) if has else None,
+                                str(st.max) if has else None,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_name",
+                    "row_group_id",
+                    "column_name",
+                    "n_values",
+                    "null_count",
+                    "min_value",
+                    "max_value",
+                ],
+            )
+
+    return pdf.repartition(max(len(paths), 1)).mapInPandas(
+        read_footers,
+        "file_name string, row_group_id long, column_name string, "
+        "n_values long, null_count long, min_value string, max_value string",
+    )

@@ -215,3 +215,18 @@ def test_similarity_pq_recall_and_exactness(spark):
     assert recall >= 0.7, recall
     for key in set(brute) & set(pq):
         assert abs(brute[key] - pq[key]) == 0.0, key  # exact re-rank, same fold
+
+
+def test_two_stage_rerank_recall(spark):
+    """int8 shortlists at 4x depth should essentially never miss a true
+    top-5 neighbor — and the tier is oracle-backed, so this pin is about
+    the QUANTIZATION's retrieval quality, not determinism."""
+    qs = engine.queries()
+    brute = _pairs(
+        qs["similarity_topk_bruteforce"](spark, SF_DIR), ("query_id", "neighbor_id")
+    )
+    two = _pairs(
+        qs["similarity_two_stage_rerank"](spark, SF_DIR), ("query_id", "neighbor_id")
+    )
+    recall = len(brute & two) / len(brute)
+    assert recall >= 0.9, recall

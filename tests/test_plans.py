@@ -140,12 +140,14 @@ ALLOWED_NESTED_LOOP = {
     "events_trend_slope",  # 1-row calendar-origin broadcast (scale-free)
     "market_basket_rules",  # 1-row global basket-count broadcast (scale-free)
     "similarity_topk_dot",  # broadcast query set, != residual (bruteforce design)
+    "similarity_two_stage_rerank",  # broadcast query set; int8 coarse pass (same design)
     "corpus_epoch_upsampling",  # 1-row global quota broadcast (q11 pattern)
     "text_adaptive_stopwords",  # 1-row corpus-count broadcast (q11 pattern)
     "scd1_upsert_orders",  # 1-row MAX(key) broadcast seeding insert keys (q11 pattern)
     "embedding_power_iteration_pc1",  # 1-row norm broadcast for the final rescale (q11 pattern)
     "embedding_pc1_explained_variance",  # 1x1 join of two global folds (scale-free)
     "dq_distribution_drift",  # 1-row midpoint + totals broadcasts (q11 pattern)
+    "events_cusum_changepoint",  # 1-row (n_days, total) broadcast to the day spine (q11 pattern)
 }
 ALLOWED_PYTHON_EVAL = {
     "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)
