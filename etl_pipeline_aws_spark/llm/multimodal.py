@@ -1373,3 +1373,80 @@ def multimodal_video_shot_detection(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("long")
         .alias("n_shots"),
     )
+
+
+@query(
+    "multimodal_image_grayscale",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id, text,
+               unnest(range(0, len(text) // 3)) AS i
+        FROM documents
+        WHERE len(text) >= 3
+    ), luma AS (
+        SELECT doc_id,
+               (299 * ascii(substring(text, CAST(3 * i + 1 AS INT), 1))
+                + 587 * ascii(substring(text, CAST(3 * i + 2 AS INT), 1))
+                + 114 * ascii(substring(text, CAST(3 * i + 3 AS INT), 1)))
+                   // 1000 AS y
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(y) AS BIGINT) AS sum_luma,
+           CAST(MIN(y) AS BIGINT) AS min_luma,
+           CAST(MAX(y) AS BIGINT) AS max_luma
+    FROM luma GROUP BY doc_id
+    """,
+)
+def multimodal_image_grayscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RGB -> grayscale conversion over the real P6 path — the first step
+    of nearly every classic vision feature (edges, HOG, pHash dedup):
+    decode each image, convert payload-backed pixels to INTEGER luma
+    with the Rec.601 weights in fixed-point ((299R + 587G + 114B) //
+    1000 — no float rounding to diverge between engines), and report the
+    per-image luma profile (count / sum / min / max) that exposure QC
+    thresholds.
+
+    Only COMPLETE payload-backed pixels participate (floor(bytes/3)) —
+    the padding-exclusion discipline of multimodal_image_histogram: a
+    padded tail pixel would darken every image's min.  The oracle
+    recomputes straight from the source bytes, certifying codec, pixel
+    framing, and fixed-point conversion together.
+
+    Scale: pure per-doc map (mapInPandas, numpy fixed-point), bounded
+    per-doc output rows; at 100 TB the same kernel emits the grayscale
+    raster as a binary column for downstream feature UDFs instead of
+    the profile."""
+    import numpy as np
+
+    framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def gray_profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_full = len(payload) // 3
+                if n_full == 0:
+                    continue
+                arr = np.frombuffer(payload[: n_full * 3], dtype=np.uint8).reshape(
+                    n_full, 3
+                )
+                y = (
+                    299 * arr[:, 0].astype(np.int64)
+                    + 587 * arr[:, 1].astype(np.int64)
+                    + 114 * arr[:, 2].astype(np.int64)
+                ) // 1000
+                rows.append(
+                    (doc_id, n_full, int(y.sum()), int(y.min()), int(y.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_pixels", "sum_luma", "min_luma", "max_luma"],
+            )
+
+    return framed.mapInPandas(
+        gray_profile,
+        schema="doc_id long, n_pixels long, sum_luma long, "
+        "min_luma long, max_luma long",
+    )

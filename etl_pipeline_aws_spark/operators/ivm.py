@@ -94,3 +94,91 @@ def ivm_incremental_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_partial").cast("double").alias("revenue"),
         )
     )
+
+
+_IVM_RETRACTION_ORACLE = """
+    WITH post AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderkey % 10 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         * CAST(1.1 AS DECIMAL(4,1))
+                    ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                              AS DECIMAL(19,3)) END AS price
+        FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS revenue
+    FROM post o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@query("ivm_retraction_zset", oracle=_IVM_RETRACTION_ORACLE)
+def ivm_retraction_zset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM under DELETES and UPDATES — the Z-set (DBSP / differential
+    dataflow) formulation: every changelog row carries an integer weight
+    (+1 insert, −1 retraction), an update is a retract+insert pair, and
+    because SUM/COUNT are LINEAR, the view applies to the weighted
+    changelog exactly as to the base — contributions just multiply by
+    the weight.  This is the piece ivm_incremental_agg_join (insert-only
+    self-maintenance) deliberately left out.
+
+    Scenario from the fixture, fully deterministic: orders with key%7==0
+    are cancelled (weight −1), surviving orders with key%10==0 are
+    repriced ×1.1 (one −1 row at the old price, one +1 at the new; the
+    factor is an exact decimal multiply).  Maintained state = V(base) +
+    Σ w·contribution, merged on the group key.  The oracle recomputes
+    the view directly over the post-change order set — the value hash
+    certifies maintenance ≡ recompute, bit-exact, under retractions.
+
+    Scale: the changelog fold is O(|delta| join dims) + a group-key-
+    domain merge, never a base rescan — and the weighted form composes:
+    cascaded views propagate (row, weight) pairs, which is how a DBSP
+    pipeline maintains multi-stage dataflows over a 100 TB base.
+    MIN/MAX remain excluded (not linear; deletes would force rescans)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    new_price = price * F.lit("1.1").cast("decimal(4,1)")
+
+    base = orders.select("o_custkey", price.alias("p"), F.lit(1).alias("w"))
+    cancels = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_custkey", price.alias("p"), F.lit(-1).alias("w")
+    )
+    repriced = orders.filter(
+        (F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 10 == 0)
+    )
+    retract_old = repriced.select("o_custkey", price.alias("p"), F.lit(-1).alias("w"))
+    insert_new = repriced.select(
+        "o_custkey", new_price.alias("p"), F.lit(1).alias("w")
+    )
+
+    def weighted_view(rows: DataFrame) -> DataFrame:
+        return (
+            rows.join(customer, rows.o_custkey == customer.c_custkey)
+            .join(nation, customer.c_nationkey == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.sum("w").alias("n_partial"),
+                F.sum(F.col("p").cast("decimal(19,3)") * F.col("w")).alias(
+                    "rev_partial"
+                ),
+            )
+        )
+
+    state = weighted_view(base)  # stored view state in production
+    delta = weighted_view(cancels.unionByName(retract_old).unionByName(insert_new))
+    return (
+        state.unionByName(delta)
+        .groupBy("nation")
+        .agg(
+            F.sum("n_partial").cast("long").alias("n_orders"),
+            F.sum("rev_partial").cast("double").alias("revenue"),
+        )
+    )

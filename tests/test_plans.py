@@ -157,6 +157,7 @@ ALLOWED_PYTHON_EVAL = {
     "corpus_split_leakage_safe",  # split key = cluster rep from the same kernel
     "dedup_embedding_lsh",  # Arrow-vectorized hyperplane signature
     "udf_pandas_vectorized",  # UDF surface demonstrations
+    "udf_arrow_optimized_scalar",  # Arrow-optimized scalar UDF (the demonstrated API)
     "udf_scalar_py",
     "udf_grouped_applyinpandas",
     "udtf_split_props",  # true Python UDTF — the extension point itself
