@@ -1229,3 +1229,75 @@ def gini_by_rank_formula(
             - (F.col("n") + F.lit(1.0)) / F.col("n")
         ).alias("gini"),
     )
+
+
+@query(
+    "agg_regression_builtins",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS x,
+               COUNT(*) AS y
+        FROM events GROUP BY 1
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               regr_avgx(y, x) AS mean_x, regr_avgy(y, x) AS mean_y
+        FROM daily
+    )
+    SELECT n AS n_days, mean_x, mean_y,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS intercept
+    FROM s
+    """,
+)
+def agg_regression_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2016 linear-regression aggregate family over the daily
+    event series — with a measured determinism finding worth the pin:
+    regr_count/regr_avgx/regr_avgy ARE exactly reproducible cross-engine
+    (integer inputs; their sums are exact in doubles in any order), but
+    regr_slope/regr_intercept are NOT — both engines use mean-CENTERED
+    internal accumulators whose per-partition centering order leaks
+    ~1e-12 divergence even on integer data (measured Spark
+    -0.0636262513905095 vs DuckDB -0.06362625139048617 on the fixture).
+    So this query exercises the exactly-checkable builtins directly and
+    pins slope/intercept through the EXPLICIT integer power-sum formula
+    (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) — every sum an exact BIGINT, the
+    final division one identical double op on both engines (the
+    events_trend_slope discipline, which emits scaled integers; this
+    emits the doubles).
+
+    Scale: one map-side-combined daily rollup, then one 7-aggregate pass
+    over the days-sized spine."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .select(F.datediff("day", F.lit("1970-01-01").cast("date")).alias("x"), "y")
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.regr_avgx("y", "x").alias("mean_x"),
+        F.regr_avgy("y", "x").alias("mean_y"),
+    )
+    slope = F.expr(
+        "cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double)"
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        "mean_x",
+        "mean_y",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+    )

@@ -335,3 +335,80 @@ def sql_values_inline_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.sla_days
         """
     )
+
+
+@query(
+    "sql_listagg_ordered",
+    oracle="""
+    SELECT r_name AS region_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           string_agg(DISTINCT CAST(n_nationkey % 5 AS VARCHAR), '|'
+                      ORDER BY CAST(n_nationkey % 5 AS VARCHAR)) AS key_mods
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name
+    """,
+)
+def sql_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2023 LISTAGG aggregate, NATIVE (Spark 4.1) — ordered
+    string aggregation as one aggregate function with a WITHIN GROUP
+    order and a DISTINCT variant, replacing the
+    array_sort(collect_list())+array_join composition that
+    string_agg_per_group documents as the workaround (both stay
+    registered: one pins the native function, one the composition older
+    engines need).
+
+    Determinism is the entire point of WITHIN GROUP here: an unordered
+    LISTAGG concatenates in shuffle order and can never hash-match an
+    oracle; the mandatory ORDER BY makes the aggregate a pure function
+    of the group's SET.  Scale: partial aggregation applies (ordered
+    merge of sorted partials), state bounded by group payload — same
+    budget as collect_list, with the dim-sized groups this targets."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name AS region_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               listagg(DISTINCT CAST(n_nationkey % 5 AS STRING), '|')
+                   WITHIN GROUP (ORDER BY CAST(n_nationkey % 5 AS STRING))
+                   AS key_mods
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
+@query(
+    "sql_named_arguments",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', '9', 'g')
+               AS masked_name,
+           regexp_replace(regexp_replace(c_mktsegment,
+               '[A-Z]', 'X', 'g'), '[0-9]', '9', 'g') AS masked_segment
+    FROM customer WHERE c_custkey < 200
+    """,
+)
+def sql_named_arguments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED FUNCTION ARGUMENTS (Spark 3.5+/4 `param => value` call
+    syntax) on the built-in PII masker — the call-site clarity feature
+    for builtins with long optional parameter lists, demonstrated on the
+    one that matters for a data-curation engine: ``mask()`` with
+    keyword-selected replacement classes (pairs with text_pii_scrub's
+    regex tier; mask() is the column-level default-deny variant).
+
+    The oracle reproduces mask's class mapping with explicit regex
+    chains — certifying both the named-argument binding (skipped
+    positional params keep defaults: otherChar stays NULL = unchanged)
+    and the masking semantics."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               mask(c_name, upperChar => 'X', lowerChar => 'x',
+                    digitChar => '9') AS masked_name,
+               mask(c_mktsegment, digitChar => '9', upperChar => 'X')
+                   AS masked_segment
+        FROM customer WHERE c_custkey < 200
+        """
+    )

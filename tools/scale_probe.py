@@ -127,6 +127,16 @@ PROBE_QUERIES = [
     "sql_table_udf",
     "sql_execute_immediate",
     "window_nth_value",
+    # round-6 new-operator shapes
+    "agg_sliding_distinct_exact",
+    "events_cusum_changepoint",
+    "parts_supplier_hhi",
+    "similarity_two_stage_rerank",
+    "events_consecutive_pattern",
+    "text_bpe_pair_counts",
+    "embedding_dimension_stats",
+    "ivm_retraction_zset",
+    "graph_pagerank_parts",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
