@@ -1492,3 +1492,94 @@ def stream_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("returning_users"),
     )
+
+
+def _progress_input_rows(p) -> int:
+    """numInputRows from a StreamingQueryProgress, tolerant of the API
+    returning either json strings or progress objects across versions."""
+    import json as _json
+
+    if isinstance(p, str):
+        return int(_json.loads(p)["numInputRows"])
+    if hasattr(p, "numInputRows"):
+        return int(p.numInputRows)
+    return int(p["numInputRows"])
+
+
+@query("stream_checkpoint_resume_incremental", oracle=TUMBLING_APPEND_ORACLE)
+def stream_checkpoint_resume_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-RESUMED INCREMENTAL PROCESSING — the contract that makes
+    Structured Streaming a production backfill engine: the same query
+    run twice against the same checkpoint processes each input file
+    EXACTLY ONCE.  Run 1 sees only the early slice of events (one file)
+    and commits its finalized windows to a parquet sink; the late slice
+    then lands as a second file and run 2 — same checkpoint, same sink —
+    reads ONLY the new file (the offsets log already owns the first) and
+    appends only the newly-finalized windows.
+
+    The incremental claim is enforced IN the operator, not just
+    observed: run 2's progress counters must show exactly the second
+    file's row count as input (a re-read of file 1 raises), and the
+    emit-once append contract means the sink holds every finalized
+    window exactly once across BOTH runs.  The oracle is the ordinary
+    batch aggregation over the full table with the append-mode
+    finalization HAVING — restart + resume must be indistinguishable
+    from having streamed the whole input in one run.
+
+    The time-based split guarantees no late data (every slice-2 event is
+    newer than slice 1's max), so nothing is dropped at the watermark —
+    the late-drop path has its own query (stream_late_data_drop).  At
+    100 TB this is the daily-backfill topology: each day's object batch
+    is a resume, state carries across runs in the checkpoint, and the
+    sink grows append-only."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("c")).first()["c"]
+    zone = tempfile.mkdtemp(prefix="resume_")
+    landing = os.path.join(zone, "landing")
+    sink = os.path.join(zone, "sink")
+    ckpt = os.path.join(zone, "ckpt")
+    os.makedirs(landing)
+
+    def stage(df: DataFrame, name: str) -> int:
+        tmp = os.path.join(zone, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        shutil.move(os.path.join(tmp, part), os.path.join(landing, f"{name}.parquet"))
+        return df.count()
+
+    stage(ev.filter(F.col("ts") < F.lit(cut)), "batch-000")
+    schema = spark.read.parquet(landing).schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = (
+            _tumbling_agg(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    run_once()
+    n_b = stage(ev.filter(F.col("ts") >= F.lit(cut)), "batch-001")
+    q2 = run_once()
+    processed = sum(_progress_input_rows(p) for p in q2.recentProgress)
+    if processed != n_b:
+        raise AssertionError(
+            f"resume re-read data: run 2 processed {processed} rows, "
+            f"expected exactly the new file's {n_b}"
+        )
+    return spark.read.parquet(sink).select(
+        "window_start", "window_end", "event_type", "n_events", "sum_value"
+    )
