@@ -106,3 +106,96 @@ def test_gap_thresholds_are_microsecond_precise(spark):
     flags = [r.is_start for r in marked.collect()]
     # first row starts; 1800.5 s gap breaks; 1799.9 s gap does not
     assert flags == [1, 1, 0]
+
+
+def test_cusum_charts_nonnegative_and_flag_consistent(spark):
+    """Both CUSUM charts are >= 0 by the reset identity, and the drift
+    flag is exactly 'either chart exceeds one average day's excess'."""
+    rows = engine.queries()["events_cusum_changepoint"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    total = sum(r.daily_events for r in rows) * 1  # scaled units: total
+    for r in rows:
+        assert r.cusum_pos >= 0 and r.cusum_neg >= 0
+        assert r.is_drift == (r.cusum_pos > total or r.cusum_neg > total)
+
+
+def test_hhi_definitional_bounds(spark):
+    """HHI in ppm lies in (0, 1e6]; a single-supplier market is exactly
+    1e6; and HHI >= top_share^2/1e6 (the top supplier's own square)."""
+    rows = engine.queries()["parts_supplier_hhi"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.hhi_ppm <= 1_000_000
+        assert r.top_share_ppm <= 1_000_000
+        if r.n_suppliers == 1:
+            assert r.hhi_ppm == 1_000_000 and r.top_share_ppm == 1_000_000
+        assert r.hhi_ppm >= (r.top_share_ppm * r.top_share_ppm) // 1_000_000 - 1
+
+
+def test_consecutive_pattern_is_subset_of_funnel_users(spark):
+    """A user with a strict view->click->purchase triple necessarily has
+    view-before-purchase in the loose ordered sense too."""
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    strict = {
+        r.user_id
+        for r in engine.queries()["events_consecutive_pattern"](spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    loose = {
+        r.user_id
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+        )
+        .filter(F.col("p") >= F.col("v"))
+        .collect()
+    }
+    assert strict, "fixture should contain at least one strict triple"
+    assert strict <= loose
+
+
+def test_ivm_retraction_matches_insert_only_on_no_deletes(spark):
+    """With an empty changelog the Z-set merge must reproduce V(base)
+    exactly — linearity's zero case, checked against the insert-only
+    maintainer over the same base."""
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    zset = {
+        r.nation: (r.n_orders, r.revenue)
+        for r in engine.queries()["ivm_retraction_zset"](spark, sf).collect()
+    }
+    # direct recompute of the post-change state (the oracle's shape)
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    post = (
+        orders.filter(F.col("o_orderkey") % 7 != 0)
+        .select(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 10 == 0, price * F.lit("1.1").cast("decimal(4,1)"))
+            .otherwise(price.cast("decimal(19,3)"))
+            .alias("p"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").cast("double").alias("rev"),
+        )
+    )
+    direct = {r.nation: (r.n, r.rev) for r in post.collect()}
+    assert zset == direct
