@@ -174,3 +174,102 @@ def bucket_pruning_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+_AQE_SKEW_CONFS = {
+    # make the fixture's hot partition cross AQE's "skewed" bar: a split
+    # triggers when a partition exceeds factor x median AND the byte
+    # threshold — production defaults (256 MB) never fire at toy scale
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8192",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+    # the downstream rollup re-shuffles anyway, but the rule is
+    # conservative about adding exchanges — opt in explicitly
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+#: A skewed REDUCE partition can only be split across MAP outputs — AQE's
+#: split unit is one mapper's contribution.  The fixture table is a single
+#: parquet split (one mapper), so the hot partition would be unsplittable
+#: no matter its size; production scans have thousands of mappers.  This
+#: recreates that map-side fan-in at fixture scale.
+_AQE_SKEW_MAPPERS = 16
+
+
+@query(
+    "aqe_skew_join_split",
+    oracle="""
+    WITH keyed AS (
+        SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k,
+               value
+        FROM events
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM keyed JOIN customer ON k = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE's RUNTIME skew-join split — the automatic tier beside the
+    manual salted_skew_join: no rewrite, no salt columns; the adaptive
+    planner measures the finished shuffle's partition sizes, finds the
+    one that dwarfs the median, and splits it across tasks (replicating
+    the matching build-side partition) AFTER the stage has run.  This is
+    what handles the skew you did NOT predict at 100 TB; salting remains
+    the deliberate form for aggregations and non-replannable stages.
+
+    The fixture join is made genuinely skewed (70% of events collapse to
+    one join key — the one-hot-customer shape), and the skew thresholds
+    are scoped DOWN to fixture bytes inside the query (restored in a
+    finally; production defaults of 256 MB would simply never fire on a
+    30k-row fixture — the mechanism, not the threshold, is what's being
+    exercised).  The oracle certifies the split is answer-preserving;
+    tests/test_plans.py::test_aqe_skew_join_actually_split asserts the
+    executed plan's AQEShuffleRead really did mark the partition skewed,
+    so this can't silently degrade into an unsplit join."""
+    out, _ = _run_skewed_join(spark, sf_dir)
+    return out
+
+
+def _run_skewed_join(spark: SparkSession, sf_dir: str):
+    """Build and MATERIALIZE the skewed join under the scoped AQE confs
+    (restored in a finally).  Returns (result_df, executed_plan_string) —
+    the plan string is captured pre-checkpoint so
+    test_aqe_skew_join_actually_split can assert the runtime split."""
+    prior = {k: spark.conf.get(k, None) for k in _AQE_SKEW_CONFS}
+    for k, v in _AQE_SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .repartition(_AQE_SKEW_MAPPERS)  # see _AQE_SKEW_MAPPERS note
+            .select(
+                F.when(F.col("user_id") % 10 < 7, F.lit(0))
+                .otherwise(F.col("user_id"))
+                .alias("k"),
+                "value",
+            )
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        joined = ev.join(cust.hint("merge"), ev.k == cust.c_custkey)
+        agg = joined.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value", 4)).cast("double").alias("sum_value"),
+        )
+        agg.collect()  # run INSIDE the scoped confs — AQE decides at runtime
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        out = agg.localCheckpoint()
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out, plan

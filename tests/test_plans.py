@@ -452,3 +452,13 @@ def test_dynamic_partition_pruning_in_fact_scan(spark):
     df = _q("join_dynamic_partition_pruning", spark)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_aqe_skew_join_actually_split(spark):
+    """The AQE demo must not silently degrade into an unsplit join: the
+    executed plan's shuffle read on the skewed side has to carry the
+    'skewed' marker AQE stamps when it replicates a partition."""
+    from etl_pipeline_aws_spark.operators.scale import _run_skewed_join
+
+    _, plan = _run_skewed_join(spark, SF_DIR)
+    assert "skewed" in plan, plan
