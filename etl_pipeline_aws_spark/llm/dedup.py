@@ -687,6 +687,56 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_embedding_lsh(spark, sf_dir)
 
 
+def min_label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components by iterative min-label propagation over an
+    undirected pair set (doc_a, doc_b) -> (doc_id, label) with label =
+    the component's smallest doc_id.  Shared kernel of
+    dedup_cluster_keepers and pipeline_dedup_e2e.
+
+    Log-bounded DataFrame joins, not driver-side graph state: each round
+    every node takes the min label among itself and its neighbors;
+    per-round persists are released as soon as the next round lands, and
+    the only driver action is the 1-row convergence probe.  Rounds =
+    graph diameter (duplicate clusters are shallow — 2-3 in practice)."""
+    edges = (
+        pairs.select("doc_a", "doc_b")
+        .union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(20):  # diameter bound; real clusters converge in 2-3
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 @query(
     "dedup_cluster_keepers",
     oracle=f"""
@@ -735,39 +785,7 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row convergence check."""
     feats = minhash_feature_table(load_table(spark, sf_dir, "documents")).persist()
     pairs = minhash_lsh_pairs(feats).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst").persist()
-    labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("label", F.col("doc_id"))
-        .persist()
-    )
-    for _ in range(20):  # diameter bound; real clusters converge in 2-3
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(F.col("label") < F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
+    labels = min_label_components(pairs)
     feats.unpersist()
     return labels.select(
         "doc_id",
@@ -1135,4 +1153,119 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / F.count(F.lit(1))
         ).alias("dup_rate"),
+    )
+
+
+_DEDUP_E2E_ORACLE = f"""
+    WITH RECURSIVE normed AS (
+        SELECT doc_id, source,
+               sha256(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+        FROM documents
+    ), exact_keep AS (
+        SELECT doc_id, source, h,
+               MIN(doc_id) OVER (PARTITION BY h) AS keeper
+        FROM normed
+    ), pairs0 AS ({NGRAM_JACCARD_ORACLE}),
+    pairs AS (
+        SELECT doc_a, doc_b FROM pairs0
+        JOIN exact_keep ea ON pairs0.doc_a = ea.doc_id AND ea.doc_id = ea.keeper
+        JOIN exact_keep eb ON pairs0.doc_b = eb.doc_id AND eb.doc_id = eb.keeper
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), labels AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS label
+        FROM reach GROUP BY src
+    ), verdicts AS (
+        SELECT e.source,
+               (e.doc_id <> e.keeper) AS exact_dup,
+               (e.doc_id = e.keeper
+                AND COALESCE(l.label, e.doc_id) <> e.doc_id) AS near_dup
+        FROM exact_keep e LEFT JOIN labels l ON e.doc_id = l.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dups,
+           CAST(SUM(CASE WHEN near_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_near_dups,
+           CAST(SUM(CASE WHEN NOT exact_dup AND NOT near_dup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+           CAST(SUM(CASE WHEN NOT exact_dup AND NOT near_dup
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+               AS survival_ppm
+    FROM verdicts GROUP BY source
+"""
+
+
+@query("pipeline_dedup_e2e", oracle=_DEDUP_E2E_ORACLE)
+def pipeline_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL DEDUP FUNNEL as one pipeline — the flagship shape of a
+    production corpus-dedup run, end-to-end and value-certified:
+
+      normalize -> exact dedup (canonical-hash keepers)
+                -> near-dup on the survivors (MinHash-LSH candidates,
+                   exact-Jaccard verified — the banded scale path, no
+                   quadratic shingle join anywhere in the plan)
+                -> connected components (shared min-label kernel)
+                -> per-source funnel report.
+
+    Each stage is individually registered (dedup_normalized_text,
+    dedup_minhash_lsh, dedup_cluster_keepers); this entry certifies the
+    COMPOSITION — stage ordering (near-dup sees only exact-keepers, so
+    identical-text clusters can't double-count), keeper precedence, and
+    the survivorship arithmetic — against a single recursive-CTE oracle
+    that recomputes the whole funnel from the raw table, exact Jaccard
+    closure included.  Survival rate is ppm by integer floor division
+    (no float drift).
+
+    Scale: stage 1 shuffles (hash, doc_id); stage 2 is the banded LSH
+    join over the deduped survivor set (already smaller by the exact-dup
+    rate — the reason production funnels order exact before near); CC
+    touches only nodes with >= 1 edge.  The report is sources-sized."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""),
+            r" +",
+            " ",
+        )
+    )
+    hashed = docs.select("doc_id", "source", "text", F.sha2(norm, 256).alias("h"))
+    from pyspark.sql.window import Window
+
+    keepered = hashed.withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    survivors1 = keepered.filter(F.col("doc_id") == F.col("keeper"))
+    feats = minhash_feature_table(
+        survivors1.select("doc_id", "text")
+    ).persist()
+    pairs = minhash_lsh_pairs(feats).select("doc_a", "doc_b")
+    labels = min_label_components(pairs)
+    feats.unpersist()
+    verdicts = keepered.join(labels, "doc_id", "left").select(
+        "source",
+        (F.col("doc_id") != F.col("keeper")).alias("exact_dup"),
+        (
+            (F.col("doc_id") == F.col("keeper"))
+            & (F.coalesce("label", "doc_id") != F.col("doc_id"))
+        ).alias("near_dup"),
+    )
+    survivor = ~F.col("exact_dup") & ~F.col("near_dup")
+    return verdicts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("exact_dup"), 1).otherwise(0)).cast("long").alias("n_exact_dups"),
+        F.sum(F.when(F.col("near_dup"), 1).otherwise(0)).cast("long").alias("n_near_dups"),
+        F.sum(F.when(survivor, 1).otherwise(0)).cast("long").alias("n_survivors"),
+        F.expr(
+            "cast(sum(case when not exact_dup and not near_dup then 1 else 0 end)"
+            " * 1000000 div count(1) as bigint)"
+        ).alias("survival_ppm"),
     )

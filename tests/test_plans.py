@@ -154,6 +154,7 @@ ALLOWED_PYTHON_EVAL = {
     "dedup_minhash_lsh",  # Arrow-vectorized shingle+MinHash kernel (the point)
     "dedup_minhash_incremental",  # same kernel, batch-vs-index probe
     "dedup_cluster_keepers",  # consumes the MinHash kernel's pair set
+    "pipeline_dedup_e2e",  # full funnel composition over the same MinHash kernel
     "corpus_split_leakage_safe",  # split key = cluster rep from the same kernel
     "dedup_embedding_lsh",  # Arrow-vectorized hyperplane signature
     "udf_pandas_vectorized",  # UDF surface demonstrations
