@@ -1237,15 +1237,19 @@ def pipeline_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
-    hashed = docs.select("doc_id", "source", "text", F.sha2(norm, 256).alias("h"))
     from pyspark.sql.window import Window
 
+    # narrow (doc_id, source, hash) table BEFORE the keeper window — the
+    # dedup_exact discipline: text never rides a dedup shuffle; the one
+    # text shuffle in this pipeline is the survivor semi-join feeding the
+    # MinHash features
+    hashed = docs.select("doc_id", "source", F.sha2(norm, 256).alias("h"))
     keepered = hashed.withColumn(
         "keeper", F.min("doc_id").over(Window.partitionBy("h"))
     )
-    survivors1 = keepered.filter(F.col("doc_id") == F.col("keeper"))
+    survivor_ids = keepered.filter(F.col("doc_id") == F.col("keeper")).select("doc_id")
     feats = minhash_feature_table(
-        survivors1.select("doc_id", "text")
+        docs.join(survivor_ids, "doc_id").select("doc_id", "text")
     ).persist()
     pairs = minhash_lsh_pairs(feats).select("doc_a", "doc_b")
     labels = min_label_components(pairs)
