@@ -634,3 +634,64 @@ def similarity_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rr.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= TOP_K
     )
+
+
+SIM_HIST_BIN = 20  # cosine in [-1, 1] -> 20 bins of 0.1
+
+
+@query(
+    "embedding_similarity_histogram",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    ), q AS (
+        SELECT * FROM n WHERE vec_id < {N_QUERIES}
+    ), sims AS (
+        SELECT list_sum(list_transform(range(1, len(q.v) + 1),
+                                       i -> q.v[i] * c.v[i]))
+                   / (q.nrm * c.nrm) AS cosine
+        FROM q JOIN n c ON c.vec_id <> q.vec_id
+    )
+    SELECT CAST(FLOOR((cosine + 1.0) * 10.0) AS BIGINT) AS sim_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MIN(cosine) AS min_cosine,
+           MAX(cosine) AS max_cosine
+    FROM sims GROUP BY 1
+    """,
+)
+def embedding_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-distribution QC over the query set: histogram of
+    query-to-corpus cosines in 0.1 bins — the one chart that predicts
+    whether ANN will work on this embedding space at all (a healthy
+    space is a near-orthogonal bulk with a thin high-sim tail; a
+    collapsed space piles mass near 1.0 and every ANN tier degrades to
+    brute force).  Read it before choosing IVF_NPROBE / LSH band
+    budgets; the r5-documented "uniform vectors are the adversarial
+    case" note comes from exactly this distribution.
+
+    Cost is |queries| x corpus — the bruteforce scan shape with a
+    bounded (21-bucket) output; bucketing floor((cos+1)*10) applies one
+    identical double op to the bit-identical cosine fold, so bucket
+    membership can't diverge cross-engine."""
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    sims = q.join(e, F.col("vec_id") != F.col("query_id")).select(
+        _cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias("cosine")
+    )
+    return sims.groupBy(
+        F.floor((F.col("cosine") + F.lit(1.0)) * F.lit(10.0))
+        .cast("long")
+        .alias("sim_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("cosine").alias("min_cosine"),
+        F.max("cosine").alias("max_cosine"),
+    )

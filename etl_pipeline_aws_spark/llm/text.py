@@ -1395,3 +1395,48 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(BPE_PAIR_TOP_K)
     )
+
+
+@query(
+    "text_zipf_histogram",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT tok, COUNT(*) AS n FROM toks WHERE tok <> '' GROUP BY tok
+    )
+    SELECT CAST(FLOOR(LOG2(n)) AS BIGINT) AS freq_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(MIN(n) AS BIGINT) AS min_freq,
+           CAST(MAX(n) AS BIGINT) AS max_freq
+    FROM freq GROUP BY 1
+    """,
+)
+def text_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-free Zipf diagnostic: token TYPES binned by log2 of their
+    corpus frequency, with type and token mass per bucket — the shape a
+    natural-language corpus must show (mass concentrated in few
+    high-frequency buckets, a long singleton tail) and machine-generated
+    or template spam visibly does not.  Tokenizer-vocabulary sizing
+    reads the same table: the singleton bucket is the candidate-prune
+    set, the top buckets are stopword candidates (text_adaptive_
+    stopwords thresholds them).
+
+    One token groupBy (map-side combined; vocabulary-sized output), then
+    a <= ~25-bucket rollup.  floor(log2(n)) boundaries are exact for
+    integer n on both engines (the graph_degree_distribution argument)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return freq.groupBy(
+        F.floor(F.log2("n")).cast("long").alias("freq_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.min("n").cast("long").alias("min_freq"),
+        F.max("n").cast("long").alias("max_freq"),
+    )

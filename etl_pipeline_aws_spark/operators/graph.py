@@ -419,3 +419,52 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("entity_id"),
         (F.col("label") == F.col("node")).alias("is_canonical"),
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), edges AS (
+        SELECT pa AS u FROM pairs UNION ALL SELECT pb FROM pairs
+    ), deg AS (
+        SELECT u, COUNT(*) AS d FROM edges GROUP BY u
+    )
+    SELECT CAST(FLOOR(LOG2(d)) AS BIGINT) AS degree_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+"""
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-occurrence graph in log2
+    buckets — the first chart of any graph QC pass: it decides whether
+    PageRank/CC need skew handling (a heavy-tailed bucket histogram
+    means hot vertices whose message fan-in floods one reducer) and
+    validates the co-occurrence construction itself (a bounded-order
+    fan-out graph should show a capped tail, which this pins via
+    max_degree).
+
+    Uses the shared _copair_join bottom stage, then two bounded
+    rollups: degrees are one map-side-combined count per node, and the
+    histogram is <= ~20 log2 buckets at any graph size.  floor(log2(d))
+    is exact cross-engine: log2 of an exact integer only lands ON a
+    bucket boundary when d is a power of two, where both engines are
+    exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = _copair_join(li.select("l_orderkey", "l_partkey")).distinct()
+    edges = pairs.select(F.col("pa").alias("u")).unionAll(
+        pairs.select(F.col("pb").alias("u"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy(
+        F.floor(F.log2("d")).cast("long").alias("degree_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+    )

@@ -1091,3 +1091,52 @@ def lakehouse_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("live_revenue"),
     )
+
+
+@query(
+    "csv_dateformat_options",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           o_orderdate AS order_ts
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def csv_dateformat_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom date/timestamp FORMAT round-trip through the CSV connector
+    — the locale-format landmine every real ingestion hits: dates as
+    dd/MM/yyyy and timestamps as dd/MM/yyyy HH.mm.ss (dot-separated
+    time, deliberately un-ISO) written and re-parsed via the connector's
+    dateFormat / timestampFormat options, not by string munging in the
+    query.  A format mismatch here silently swaps day and month for the
+    first 12 days of each month — the classic corruption the value-hash
+    oracle (source truth, never formatted) would catch immediately.
+
+    Scale: the format options apply per-task inside the text scan, so
+    parsing stays distributed and codegen'd; this is option-surface
+    coverage, the I/O shape is csv_roundtrip's."""
+    import tempfile
+
+    zone = tempfile.mkdtemp(prefix="csv_fmt_")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    out = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        # session-TZ timestamp: the writer's timestampFormat applies to
+        # TIMESTAMP; an NTZ column would silently take the (separate)
+        # timestampNTZFormat default and break the round-trip
+        F.col("o_orderdate").cast("timestamp").alias("order_ts"),
+    )
+    (
+        out.write.mode("overwrite")
+        .option("header", "true")
+        .option("dateFormat", "dd/MM/yyyy")
+        .option("timestampFormat", "dd/MM/yyyy HH.mm.ss")
+        .csv(zone)
+    )
+    return (
+        spark.read.option("header", "true")
+        .schema("o_orderkey long, order_date date, order_ts timestamp")
+        .option("dateFormat", "dd/MM/yyyy")
+        .option("timestampFormat", "dd/MM/yyyy HH.mm.ss")
+        .csv(zone)
+    )
