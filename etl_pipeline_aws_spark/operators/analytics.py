@@ -3093,3 +3093,88 @@ def events_consecutive_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("first_match_ts"),
         )
     )
+
+
+_ML_SCORING_ORACLE = """
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS md FROM orders),
+    feats AS (
+        SELECT o_custkey,
+               md - MAX(CAST(o_orderdate AS DATE)) AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS monetary_cents
+        FROM orders CROSS JOIN mx
+        GROUP BY o_custkey, md
+    ), scored AS (
+        SELECT o_custkey,
+               CAST(-2 * recency_days + 30 * frequency
+                    + monetary_cents // 100000 AS BIGINT) AS score
+        FROM feats
+    )
+    SELECT o_custkey, score,
+           CASE WHEN score >= 40 THEN 'hot'
+                WHEN score >= 0 THEN 'warm'
+                ELSE 'cold' END AS tier,
+           CAST(NTILE(10) OVER (ORDER BY score DESC, o_custkey) AS BIGINT)
+               AS decile
+    FROM scored
+"""
+
+
+@query("ml_linear_scoring", oracle=_ML_SCORING_ORACLE)
+def ml_linear_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH MODEL SERVING, engine-side: a trained linear model's
+    coefficients applied to warehouse features as plain columnar math —
+    the deployment shape for the vast majority of production scoring
+    (churn/propensity/LTV models are linear or tree ensembles whose
+    inference is SQL, not a Python service).  Features are the RFM
+    triple (customer_rfm_segments' semantics); the score is an INTEGER
+    dot product (weights scaled to integers, monetary floored to
+    integer units) so serving is bit-deterministic cross-engine — the
+    property a score-parity audit between the training stack and the
+    warehouse needs, and the reason the sigmoid stays OUT of the engine
+    (exp() differs in last-ulp between libm implementations; threshold
+    the linear score instead, which is monotone-equivalent).
+
+    Tiers are literal CASE cuts; deciles are NTILE with a pinned
+    tie-break.  One customer rollup + one global-window pass; at 100 TB
+    the NTILE swaps to the quantile-boundary broadcast
+    (feature_quantile_binning's pattern) to avoid the single-partition
+    window."""
+    from pyspark.sql.window import Window
+
+    from etl_pipeline_aws_spark.functions.numeric import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    mx = F.broadcast(o.agg(F.max(F.col("o_orderdate").cast("date")).alias("md")))
+    feats = (
+        o.crossJoin(mx)
+        .groupBy("o_custkey", "md")
+        .agg(
+            F.datediff(
+                F.col("md"), F.max(F.col("o_orderdate").cast("date"))
+            ).alias("rd"),
+            F.count(F.lit(1)).alias("frequency"),
+            (F.sum(dec("o_totalprice")) * 100).cast("long").alias("monetary_cents"),
+        )
+    )
+    scored = feats.select(
+        "o_custkey",
+        (
+            F.lit(-2) * F.col("rd")
+            + F.lit(30) * F.col("frequency")
+            + F.expr("monetary_cents div 100000")
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), "o_custkey")
+    return scored.select(
+        "o_custkey",
+        "score",
+        F.when(F.col("score") >= 40, "hot")
+        .when(F.col("score") >= 0, "warm")
+        .otherwise("cold")
+        .alias("tier"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
