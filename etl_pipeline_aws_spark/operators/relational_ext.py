@@ -449,3 +449,61 @@ def sample_consistent_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sampled_revenue"),
         )
     )
+
+
+@query(
+    "subquery_not_in_null_aware",
+    oracle="""
+    WITH probe AS (
+        SELECT o_orderkey, NULLIF(o_custkey % 50, 49) AS seg
+        FROM orders WHERE o_orderkey < 4000
+    ), blocklist AS (
+        SELECT c_custkey % 50 AS bad_seg FROM customer WHERE c_custkey < 10
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_rows,
+           CAST(SUM(CASE WHEN seg NOT IN (SELECT bad_seg FROM blocklist)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_not_in,
+           CAST(SUM(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_seg
+    FROM probe
+    """,
+)
+def subquery_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-AWARE NOT IN — SQL's most-misunderstood predicate, pinned:
+    ``x NOT IN (subquery)`` is NOT an anti join when NULLs are in play.
+    A NULL probe value makes the predicate UNKNOWN (never true), and a
+    NULL in the subquery would void EVERY row — so the engine must plan
+    a null-aware anti join (Spark: BroadcastNestedLoopJoin or the
+    null-aware single-column BHJ), not the plain LeftAnti that
+    ``NOT EXISTS`` gets (join_anti / subquery_not_exists are that
+    cheaper, null-naive tier; the docstring delta between the two IS
+    the lesson).
+
+    The probe plants NULL segments (NULLIF) so the tri-state path is
+    actually exercised: the n_not_in count must exclude every NULL-seg
+    row even though those rows match no blocklist entry — the exact
+    place a rewritten-to-anti-join engine silently over-counts.  The
+    report also carries the NULL count so the oracle certifies the
+    exclusion arithmetic, not just the total.
+
+    Scale: the blocklist is tiny by construction (NOT IN lists are);
+    the null-aware join broadcasts it.  A fact-sized NOT IN should be
+    rewritten to NOT EXISTS by the author — which is why both forms are
+    registered."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH probe AS (
+            SELECT o_orderkey, NULLIF(o_custkey % 50, 49) AS seg
+            FROM orders WHERE o_orderkey < 4000
+        ), blocklist AS (
+            SELECT c_custkey % 50 AS bad_seg FROM customer WHERE c_custkey < 10
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_rows,
+               CAST(SUM(CASE WHEN seg NOT IN (SELECT bad_seg FROM blocklist)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_not_in,
+               CAST(SUM(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_seg
+        FROM probe
+        """
+    )

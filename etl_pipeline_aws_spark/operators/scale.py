@@ -273,3 +273,50 @@ def _run_skewed_join(spark: SparkSession, sf_dir: str):
             else:
                 spark.conf.set(k, v)
     return out, plan
+
+
+@query(
+    "aqe_dynamic_join_switch",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN (SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 = 0) o
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def aqe_dynamic_join_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE's RUNTIME JOIN-STRATEGY SWITCH — the second adaptive lever
+    beside the skew split: the static planner sees an un-filtered-stats
+    orders scan and plans a sort-merge join; at runtime the filtered
+    side materializes at a few KB, and AQE replaces the SMJ with a
+    broadcast join (plus local shuffle reads) AFTER the map stage has
+    already run.  This is the mechanism that saves every selective-
+    dimension join whose selectivity the optimizer could not know —
+    at 100 TB the difference between shuffling a fact table and not.
+
+    The probe side is deliberately opaque to static stats (a residual
+    predicate on modulo, never in column min/max), and the broadcast
+    thresholds stay at the session's production-shaped defaults — the
+    runtime size, not a conf nudge, triggers the switch.
+    tests/test_plans.py::test_aqe_join_switch_happened asserts the final
+    adaptive plan really contains a BroadcastHashJoin while the initial
+    plan carried the SMJ; the oracle certifies the switch preserved
+    values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 97 == 0)
+        )
+        .select("o_orderkey")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+    )

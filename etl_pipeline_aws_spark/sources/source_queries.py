@@ -1140,3 +1140,55 @@ def csv_dateformat_options(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("timestampFormat", "dd/MM/yyyy HH.mm.ss")
         .csv(zone)
     )
+
+
+@query(
+    "parquet_nested_types_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           lang || '/' || source AS first_two_tags
+    FROM documents
+    """,
+)
+def parquet_nested_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-TYPE parquet fidelity: documents re-shaped into a
+    struct-of-structs with an array column (the shape every real
+    document lake uses for metadata), written to parquet, read back,
+    and flattened to scalars — exercising the definition/repetition-
+    level encodings, nested-column pruning on the read, and list
+    round-tripping that flat-table queries never touch.
+
+    The read-back projects ONLY leaf fields (meta.lang, stats.*, one
+    array slice) — `.explain` shows the nested ReadSchema pruned to the
+    accessed leaves, the 100 TB point: a query touching 2 leaves of a
+    50-leaf metadata struct reads 2 columns, not the struct blob.  The
+    oracle recomputes the flattened values straight from the source
+    table, so any encode/decode corruption in the nested path breaks
+    the value hash."""
+    import tempfile
+
+    zone = tempfile.mkdtemp(prefix="nested_pq_")
+    docs = load_table(spark, sf_dir, "documents")
+    nested = docs.select(
+        "doc_id",
+        F.struct(
+            F.struct(F.col("lang"), F.col("source")).alias("meta"),
+            F.struct(
+                F.col("n_chars"),
+                F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            ).alias("stats"),
+        ).alias("doc"),
+        F.array("lang", "source", F.lit("corpus")).alias("tags"),
+    )
+    nested.write.mode("overwrite").parquet(zone)
+    back = spark.read.parquet(zone)
+    return back.select(
+        "doc_id",
+        F.col("doc.meta.lang").alias("lang"),
+        F.col("doc.meta.source").alias("source"),
+        F.col("doc.stats.n_chars").alias("n_chars"),
+        F.col("doc.stats.n_tokens").alias("n_tokens"),
+        F.array_join(F.slice("tags", 1, 2), "/").alias("first_two_tags"),
+    )

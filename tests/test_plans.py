@@ -464,3 +464,16 @@ def test_aqe_skew_join_actually_split(spark):
 
     _, plan = _run_skewed_join(spark, SF_DIR)
     assert "skewed" in plan, plan
+
+
+def test_aqe_join_switch_happened(spark):
+    """The dynamic-switch demo must really switch: initial plan sort-merge,
+    final adaptive plan broadcast."""
+    engine.clear_caches(spark)
+    df = engine.queries()["aqe_dynamic_join_switch"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    initial = plan.split("== Initial Plan ==")[1] if "== Initial Plan ==" in plan else ""
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" in initial, initial
