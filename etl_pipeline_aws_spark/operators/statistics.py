@@ -1,0 +1,233 @@
+"""Hypothesis-test operators — the two-sample / independence statistics an
+analytics engine needs the moment an A/B dashboard asks "is this difference
+real?" (the reference pipeline ships raw aggregates; every consumer of those
+aggregates recomputes these tests downstream, so they belong in the engine).
+
+Cross-engine determinism: every test statistic here is computed from EXACT
+integer/decimal aggregates (counts, rank sums, decimal power sums) pushed
+through ONE double formula written as identical SQL text on both engines —
+IEEE-754 +,*,/,sqrt are fully specified, so equal exact inputs give
+bit-identical doubles.  No double is ever SUMmed across rows (double
+summation is order-sensitive and cannot cross-engine match); where a sum of
+per-cell double terms is unavoidable (chi-square), each term is rounded to
+a fixed-scale DECIMAL first so the sum is exact and order-insensitive.
+
+Scale: each test reduces to a groupBy on the tested key (bounded cells) or
+a distributed sort over DISTINCT values (Spark range-partitions the sort;
+the per-value count table is |distinct| rows, not |rows|).  The unbounded
+window that turns per-value counts into ECDFs runs on that reduced table —
+for a 100 TB fact with high-cardinality values, bin the values first (the
+documented pattern in feature_quantile_binning) and the same SQL applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_pipeline_aws_spark.catalog import register_views
+from etl_pipeline_aws_spark.registry import query
+
+# KS two-sample: per-distinct-value counts -> cumulative counts -> the D
+# statistic as an INTEGER cross-difference max, divided exactly once.
+_KS_SQL = """
+WITH pts AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+           CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS g2
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), per_value AS (
+    SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
+    FROM pts GROUP BY v
+), cum AS (
+    SELECT
+        SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum1,
+        SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum2,
+        SUM(c1) OVER () AS n1,
+        SUM(c2) OVER () AS n2
+    FROM per_value
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+       CAST(MAX(n2) AS BIGINT) AS n2,
+       CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+           / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)) AS ks_d
+FROM cum
+"""
+
+
+@query("stat_ks_two_sample", oracle=_KS_SQL)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample D: the max ECDF gap between URGENT
+    and LOW order totals — the distribution-shift test behind "did this
+    cohort's spend distribution actually change?".
+
+    Exactness: D = max|cum1*n2 - cum2*n1| / (n1*n2).  The numerator stays
+    a BIGINT through the whole scan (counts only), so the max is exact and
+    order-insensitive; the single final division is the only double op.
+    Ties are handled by grouping to distinct values BEFORE the cumulative
+    window — both ECDFs step at the same pooled points.
+
+    Scale: the per-value reduction shuffles (value, 2 counts) — |distinct|
+    rows.  The unbounded-ordered window is the textbook single-partition
+    pinch; at fact scale the documented fix is pre-binning values (the
+    same SQL over quantile bins), which bounds the window input without
+    changing the statistic materially."""
+    register_views(spark, sf_dir)
+    return spark.sql(_KS_SQL)
+
+
+# Chi-square independence: exact integer cell/marginal counts; each cell's
+# term is rounded to DECIMAL(28,6) so the cross-cell sum is exact.
+_CHI2_SQL = """
+WITH cells AS (
+    SELECT event_type, CAST(EXTRACT(DAY FROM ts) AS BIGINT) % 7 AS day_bucket,
+           CAST(COUNT(*) AS BIGINT) AS obs
+    FROM events
+    GROUP BY event_type, CAST(EXTRACT(DAY FROM ts) AS BIGINT) % 7
+), marg AS (
+    SELECT event_type, day_bucket, obs,
+           SUM(obs) OVER (PARTITION BY event_type) AS row_tot,
+           SUM(obs) OVER (PARTITION BY day_bucket) AS col_tot,
+           SUM(obs) OVER () AS grand_tot
+    FROM cells
+), terms AS (
+    SELECT event_type, day_bucket, grand_tot,
+           CAST(ROUND(CAST(obs * obs AS DOUBLE) * CAST(grand_tot AS DOUBLE)
+                          / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)),
+                      6) AS DECIMAL(28,6)) AS term
+    FROM marg
+)
+SELECT CAST(MAX(grand_tot) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((COUNT(DISTINCT event_type) - 1)
+            * (COUNT(DISTINCT day_bucket) - 1) AS BIGINT) AS dof,
+       CAST(SUM(term) AS DOUBLE) - CAST(MAX(grand_tot) AS DOUBLE) AS chi2
+FROM terms
+"""
+
+
+@query("stat_chi_square_independence", oracle=_CHI2_SQL)
+def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event_type and a day-of-month
+    bucket (day % 7 — portable across engines, unlike weekday numbering,
+    the documented DuckDB/Spark trap).  chi2 = Σ O²N/(R·C) − N, the
+    algebraic form that needs no per-cell expected-count subtraction.
+
+    Determinism: O, R, C, N are exact BIGINTs from one groupBy + marginal
+    windows; each cell's double term is rounded to DECIMAL(28,6) BEFORE
+    the cross-cell sum, so the sum is exact decimal arithmetic and the
+    only raw-double ops are the per-cell formula (IEEE-deterministic on
+    identical integer inputs) and the final subtraction.
+
+    Scale: cells = |types| × 7 regardless of fact size; the groupBy is a
+    partial-aggregated shuffle of (type, bucket, count) rows only."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CHI2_SQL)
+
+
+# Welch t: exact decimal power sums per group, one shared double formula.
+_WELCH_SQL = """
+WITH g AS (
+    SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS x
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), sums AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS DOUBLE) AS s,
+           CAST(SUM(x * x) AS DOUBLE) AS q
+    FROM g GROUP BY grp
+), wide AS (
+    SELECT
+        MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+        MAX(CASE WHEN grp = 2 THEN n END) AS n2,
+        MAX(CASE WHEN grp = 1 THEN s END) AS s1,
+        MAX(CASE WHEN grp = 2 THEN s END) AS s2,
+        MAX(CASE WHEN grp = 1 THEN q END) AS q1,
+        MAX(CASE WHEN grp = 2 THEN q END) AS q2
+    FROM sums
+)
+SELECT n1, n2,
+       s1 / n1 - s2 / n2 AS mean_diff,
+       (s1 / n1 - s2 / n2)
+           / sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                  + (q2 - s2 * s2 / n2) / (n2 - 1) / n2) AS t_stat,
+       ((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+        + (q2 - s2 * s2 / n2) / (n2 - 1) / n2)
+       * ((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+          + (q2 - s2 * s2 / n2) / (n2 - 1) / n2)
+       / ((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+              * ((q1 - s1 * s1 / n1) / (n1 - 1) / n1) / (n1 - 1)
+          + (q2 - s2 * s2 / n2) / (n2 - 1) / n2
+              * ((q2 - s2 * s2 / n2) / (n2 - 1) / n2) / (n2 - 1)) AS welch_df
+FROM wide
+"""
+
+
+@query("stat_welch_ttest", oracle=_WELCH_SQL)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between URGENT and LOW order
+    totals — the default two-sample mean test (Student's equal-variance
+    assumption is never safe on business data), plus the
+    Welch-Satterthwaite degrees of freedom.
+
+    Determinism: per-group n/Σx/Σx² are computed in DECIMAL(18,2) exact
+    arithmetic (double power sums are order-sensitive and can't
+    cross-engine match — the events_series_correlation precedent), cast
+    to double once, then every derived quantity (means, variances, t,
+    df) is one shared IEEE formula text on both engines.
+
+    Scale: a 2-group partial aggregation — three numbers per group cross
+    the wire regardless of fact size."""
+    register_views(spark, sf_dir)
+    return spark.sql(_WELCH_SQL)
+
+
+# Mann-Whitney U: integer-exact tie-averaged rank sums (×2 to stay BIGINT).
+_MWU_SQL = """
+WITH pts AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), per_value AS (
+    SELECT v, CAST(SUM(g1) AS BIGINT) AS a, CAST(COUNT(*) AS BIGINT) AS t
+    FROM pts GROUP BY v
+), ranked AS (
+    SELECT a, t,
+           COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS c_prev
+    FROM per_value
+), folded AS (
+    SELECT CAST(SUM(a) AS BIGINT) AS n1,
+           CAST(SUM(t - a) AS BIGINT) AS n2,
+           CAST(SUM(a * (2 * c_prev + t + 1)) AS BIGINT) AS two_r1
+    FROM ranked
+)
+SELECT n1, n2,
+       CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+       CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2 AS u_mean
+FROM folded
+"""
+
+
+@query("stat_mann_whitney_u", oracle=_MWU_SQL)
+def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) statistic between URGENT and LOW order
+    totals — the non-parametric sibling of stat_welch_ttest, the right
+    test when spend distributions are heavy-tailed (they always are).
+
+    Tie handling is the textbook average-rank rule, kept INTEGER-exact by
+    carrying 2·R1: a distinct value occupying pooled ranks
+    (c_prev+1 … c_prev+t) contributes a·(2·c_prev+t+1) to 2·R1, so the
+    whole reduction is BIGINT until the final halving (u1 is exactly .0
+    or .5 — representable, hash-stable).  U's identity U1+U2 = n1·n2 is
+    pinned in tests.
+
+    Scale: same shape as stat_ks_two_sample — per-distinct-value
+    reduction then an ordered prefix sum over |distinct| rows; pre-bin
+    values at fact scale."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MWU_SQL)

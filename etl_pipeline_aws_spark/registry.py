@@ -98,6 +98,7 @@ def _load_all() -> None:
         scale,
         setops,
         sql_features,
+        statistics,
         tpch_suite,
         udf_surface,
         windows,

@@ -149,6 +149,8 @@ ALLOWED_NESTED_LOOP = {
     "embedding_pc1_explained_variance",  # 1x1 join of two global folds (scale-free)
     "dq_distribution_drift",  # 1-row midpoint + totals broadcasts (q11 pattern)
     "events_cusum_changepoint",  # 1-row (n_days, total) broadcast to the day spine (q11 pattern)
+    "ml_linear_scoring",  # 1-row MAX(o_orderdate) anchor broadcast (q11 pattern)
+    "subquery_not_in_null_aware",  # null-aware NOT IN REQUIRES BNLJ; blocklist is tiny by design
 }
 ALLOWED_PYTHON_EVAL = {
     "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)

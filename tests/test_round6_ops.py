@@ -199,3 +199,36 @@ def test_ivm_retraction_matches_insert_only_on_no_deletes(spark):
     )
     direct = {r.nation: (r.n, r.rev) for r in post.collect()}
     assert zset == direct
+
+
+def test_stat_tests_semantic_invariants(spark):
+    """The four hypothesis-test operators obey their defining identities
+    on the fixture data (oracle parity alone can't distinguish 'both
+    engines wrong the same way' from 'right'):
+
+    - KS D is a probability-scale gap: 0 <= D <= 1.
+    - Mann-Whitney: 2*U1 is integral (tie-averaged ranks halve exactly),
+      0 <= U1 <= n1*n2, and u_mean is the null-hypothesis midpoint.
+    - Welch: t shares mean_diff's sign; Welch-Satterthwaite df lies in
+      [min(n1,n2)-1, n1+n2-2].
+    - Chi-square: statistic >= 0; dof = (r-1)(c-1) from the fixture's
+      5 event types x 7 day buckets.
+    """
+    from tests.conftest import SF_DIR
+
+    qs = engine.queries()
+    ks = qs["stat_ks_two_sample"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= ks.ks_d <= 1.0 and ks.n1 > 0 and ks.n2 > 0
+
+    mw = qs["stat_mann_whitney_u"](spark, SF_DIR).collect()[0]
+    assert (2 * mw.u1) == int(2 * mw.u1)
+    assert 0.0 <= mw.u1 <= mw.n1 * mw.n2
+    assert mw.u_mean == mw.n1 * mw.n2 / 2
+
+    tt = qs["stat_welch_ttest"](spark, SF_DIR).collect()[0]
+    assert (tt.t_stat >= 0) == (tt.mean_diff >= 0)
+    assert min(tt.n1, tt.n2) - 1 <= tt.welch_df <= tt.n1 + tt.n2 - 2
+
+    chi = qs["stat_chi_square_independence"](spark, SF_DIR).collect()[0]
+    assert chi.chi2 >= 0.0
+    assert chi.dof == 24 and chi.n_cells <= 35
