@@ -1,0 +1,217 @@
+"""Market-style time-series operators — OHLC bars, realized volatility,
+rolling correlation, and the Pareto-frontier (skyline) scan.  These are the
+read patterns a metrics/finance workload runs over an event stream once the
+basic rollups (analytics.py) exist; the reference pipeline has no temporal
+surface at all, so this module is north-star scope like the rest of §2.B.
+
+Cross-engine determinism: OHLC picks raw values (no float accumulation);
+volatility and correlation go through exact DECIMAL power sums (per-return
+rounding to fixed scale where a double ratio must be re-aggregated) and one
+shared IEEE formula text; the skyline compares raw doubles.  ln() is never
+used (last-ulp divergence across libm builds — the documented gotcha);
+returns are simple, not log, returns for exactly that reason.
+
+Scale: everything keys on (event_type, day) or day — daily reductions
+shuffle day-count-sized tables; the rolling window and the skyline's
+prefix-max scan run over |days| rows, not |events|.  The skyline reduces to
+per-day maxima BEFORE its ordered scan, so the single-partition window
+input is calendar-sized at any fact size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_pipeline_aws_spark.catalog import register_views
+from etl_pipeline_aws_spark.registry import query
+
+_OHLC_SQL = """
+WITH ticks AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+), ordered AS (
+    SELECT event_type, day, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type, day
+                              ORDER BY ts, event_id) AS rn_a,
+           ROW_NUMBER() OVER (PARTITION BY event_type, day
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM ticks
+)
+SELECT event_type, day,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE) AS open,
+       CAST(MAX(value) AS DOUBLE) AS high,
+       CAST(MIN(value) AS DOUBLE) AS low,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM ordered
+GROUP BY event_type, day
+"""
+
+
+@query("events_ohlc_bars", oracle=_OHLC_SQL)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) candlestick bars per event type —
+    the canonical downsampling of a tick stream to a chartable series.
+
+    Open/close are POSITIONAL picks, pinned by the (ts, event_id) total
+    order (same-microsecond ticks can't flip the bar across engines);
+    high/low are exact extrema.  No value is ever summed, so raw doubles
+    are hash-safe here.
+
+    Scale: one (type, day)-keyed window pass + groupBy — the window
+    partitions by the same key the groupBy shuffles on, so AQE plans a
+    single exchange feeding both."""
+    register_views(spark, sf_dir)
+    return spark.sql(_OHLC_SQL)
+
+
+_RVOL_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(18,2))) AS v
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+), lagged AS (
+    SELECT event_type, v,
+           LAG(v) OVER (PARTITION BY event_type ORDER BY day) AS pv
+    FROM daily
+), rets AS (
+    SELECT event_type,
+           CAST(ROUND((CAST(v AS DOUBLE) - CAST(pv AS DOUBLE))
+                          / CAST(pv AS DOUBLE), 9) AS DECIMAL(18,9)) AS r
+    FROM lagged
+    WHERE pv IS NOT NULL AND pv > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_returns,
+       sqrt((CAST(SUM(r * r) AS DOUBLE)
+                 - CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE) / COUNT(*))
+            / (COUNT(*) - 1)) AS daily_vol
+FROM rets
+GROUP BY event_type
+"""
+
+
+@query("events_realized_volatility", oracle=_RVOL_SQL)
+def events_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized (historical) volatility of the daily value series per
+    event type: the sample standard deviation of day-over-day SIMPLE
+    returns.  Simple, not log, returns — ln() diverges in the last ulp
+    across libm builds (the documented cross-engine trap) while the
+    ratio-and-subtract form is pure IEEE arithmetic.
+
+    Determinism: daily totals are exact decimals; each return is ONE
+    deterministic double ratio, immediately rounded to DECIMAL(18,9) so
+    the cross-day power sums are exact and order-insensitive; the final
+    stddev formula is the only remaining float boundary (sqrt is safe).
+
+    Scale: |days|-sized after the first reduction; the per-type lag
+    window partitions on the groupBy key."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RVOL_SQL)
+
+
+_ROLLCORR_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           SUM(CAST(value AS DECIMAL(18,2))) AS v
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY CAST(ts AS DATE), event_type
+), wide AS (
+    SELECT day,
+           MAX(CASE WHEN event_type = 'view' THEN v END) AS x,
+           MAX(CASE WHEN event_type = 'purchase' THEN v END) AS y
+    FROM daily
+    GROUP BY day
+), both_present AS (
+    SELECT day, x, y FROM wide WHERE x IS NOT NULL AND y IS NOT NULL
+), roll AS (
+    SELECT day,
+           COUNT(*) OVER w AS n,
+           CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+           CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+           CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+           CAST(SUM(y * y) OVER w AS DOUBLE) AS syy
+    FROM both_present
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, CAST(n AS BIGINT) AS n_days,
+       (n * sxy - sx * sy)
+           / sqrt(GREATEST(n * sxx - sx * sx, 1e-12))
+           / sqrt(GREATEST(n * syy - sy * sy, 1e-12)) AS rolling_r
+FROM roll
+WHERE n = 7
+"""
+
+
+@query("window_rolling_corr", oracle=_ROLLCORR_SQL)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling Pearson correlation between the daily view
+    and purchase value series — "are these metrics still coupled?" as a
+    time series rather than events_series_correlation's single number.
+
+    Determinism: the five rolling power sums are EXACT decimal window
+    sums over trailing frames (decimal window SUM is order-defined);
+    each emitted r is then one shared IEEE formula on that row's exact
+    sums.  Warm-up rows (frame < 7 days) are dropped rather than
+    emitting partially-windowed statistics.
+
+    Scale: the window input is |days| rows (the daily reduction comes
+    first) — the unbounded-partition concern doesn't apply to a
+    calendar-sized series; at multi-year scale, partition by year with
+    a 6-day overlap stripe (the documented stitch from
+    events_outage_windows)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_ROLLCORR_SQL)
+
+
+_PARETO_SQL = """
+WITH pts AS (
+    SELECT o_orderkey, o_totalprice AS price, CAST(o_orderdate AS DATE) AS day
+    FROM orders
+), daily_max AS (
+    SELECT day, MAX(price) AS day_best
+    FROM pts
+    GROUP BY day
+), scanned AS (
+    SELECT day, day_best,
+           MAX(day_best) OVER (ORDER BY day DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS best_later
+    FROM daily_max
+), frontier_days AS (
+    SELECT day, day_best
+    FROM scanned
+    WHERE best_later IS NULL OR day_best > best_later
+)
+SELECT f.day, CAST(f.day_best AS DOUBLE) AS frontier_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders_at_point
+FROM frontier_days f
+JOIN pts p ON p.day = f.day AND p.price = f.day_best
+GROUP BY f.day, f.day_best
+"""
+
+
+@query("orders_pareto_frontier", oracle=_PARETO_SQL)
+def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of orders over (recency, totalprice):
+    the orders no other order strictly beats on BOTH date and price —
+    the 2-D skyline operator benchmark suites treat as its own query
+    class, reduced to a sort + prefix-max scan.
+
+    The reduction: only each day's max price can dominate anything, so
+    the skyline of |orders| points equals the skyline of |days| daily
+    maxima — computed by one descending-date scan keeping days whose
+    max beats every STRICTLY-later day's running best (ties on price
+    don't dominate; ROWS..1 PRECEDING over distinct days encodes the
+    strictness).  Frontier membership then rejoins to count same-price
+    ties at each vertex.
+
+    Scale: groupBy(day) shuffles |days| rows; the ordered scan is
+    calendar-sized; the rejoin is day-keyed.  A d-dimensional skyline
+    generalizes via the same pre-reduction per dominance chain."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PARETO_SQL)

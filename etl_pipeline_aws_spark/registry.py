@@ -99,6 +99,7 @@ def _load_all() -> None:
         setops,
         sql_features,
         statistics,
+        timeseries,
         tpch_suite,
         udf_surface,
         windows,

@@ -232,3 +232,46 @@ def test_stat_tests_semantic_invariants(spark):
     chi = qs["stat_chi_square_independence"](spark, SF_DIR).collect()[0]
     assert chi.chi2 >= 0.0
     assert chi.dof == 24 and chi.n_cells <= 35
+
+
+def test_timeseries_semantic_invariants(spark):
+    """The time-series family obeys its defining shape constraints:
+
+    - OHLC: low <= open/close <= high, every bar has ticks.
+    - Realized volatility is non-negative with >= 2 returns per type.
+    - Rolling correlation is a correlation: |r| <= 1 (+ float slack).
+    - Pareto frontier: walking days ascending, frontier prices strictly
+      DECREASE (otherwise the later day would dominate the earlier),
+      and the globally most expensive order is always on the frontier.
+    """
+    from tests.conftest import SF_DIR
+
+    qs = engine.queries()
+    for bar in qs["events_ohlc_bars"](spark, SF_DIR).collect():
+        assert bar.low <= bar.open <= bar.high
+        assert bar.low <= bar.close <= bar.high
+        assert bar.n_ticks >= 1
+
+    for row in qs["events_realized_volatility"](spark, SF_DIR).collect():
+        assert row.daily_vol >= 0.0 and row.n_returns >= 2
+
+    for row in qs["window_rolling_corr"](spark, SF_DIR).collect():
+        assert abs(row.rolling_r) <= 1.0 + 1e-9 and row.n_days == 7
+
+    frontier = sorted(
+        qs["orders_pareto_frontier"](spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    prices = [r.frontier_price for r in frontier]
+    assert all(a > b for a, b in zip(prices, prices[1:]))
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    global_max = (
+        load_table(spark, SF_DIR, "orders")
+        .agg(F.max("o_totalprice").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert max(prices) == global_max
