@@ -1,0 +1,154 @@
+"""Tabular feature-engineering operators — the encode/clip/cap transforms a
+training-data pipeline applies between the warehouse and the trainer.  They
+complement the existing scaling tiers (embedding_minmax_scale /
+embedding_standardize for vectors, feature_quantile_binning for deciles,
+feature_hashed_bow for text) with the categorical-and-robust-numeric side.
+
+Cross-engine determinism: encodings are ratios of exact decimal/integer
+aggregates through one shared formula text; percentile bounds are DISCRETE
+order-statistic picks (no interpolation rule can diverge); category caps
+break frequency ties lexicographically so the chosen vocabulary is a pure
+function of the data.
+
+Scale: every operator is a key-grouped reduction plus (at most) a
+broadcast-sized lookup joined back to the fact — group cardinality, not
+fact size, crosses the wire after the first partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_pipeline_aws_spark.catalog import register_views
+from etl_pipeline_aws_spark.registry import query
+
+_TARGET_ENC_SQL = """
+WITH joined AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), seg AS (
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_g, SUM(y) AS s_g
+    FROM joined GROUP BY segment
+), with_prior AS (
+    SELECT segment, n_g, s_g,
+           SUM(n_g) OVER () AS n_all,
+           SUM(s_g) OVER () AS s_all
+    FROM seg
+)
+SELECT segment, n_g,
+       CAST(s_g AS DOUBLE) / n_g AS raw_mean,
+       (CAST(s_g AS DOUBLE)
+            + 20 * (CAST(s_all AS DOUBLE) / n_all)) / (n_g + 20) AS encoded
+FROM with_prior
+"""
+
+
+@query("feature_target_encoding", oracle=_TARGET_ENC_SQL)
+def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding of customer market segment against
+    order value — the leakage-prone-but-ubiquitous categorical encoder,
+    in its additive-smoothing form: enc = (Σy_g + α·μ_all)/(n_g + α)
+    with α=20, which shrinks thin categories toward the global prior
+    instead of memorizing them.
+
+    Determinism: Σy per segment and globally are exact decimal sums; the
+    global prior enters through a window SUM OVER () on the 5-row
+    segment table (no scalar-subquery join), and the encoding is one
+    shared IEEE formula.  Leakage discipline (fit on train only) is the
+    caller's split — composed with corpus_split_leakage_safe upstream.
+
+    Scale: the fact reduces to |segments| rows before any window; the
+    join to customer is the standard broadcast-dim pattern."""
+    register_views(spark, sf_dir)
+    return spark.sql(_TARGET_ENC_SQL)
+
+
+_WINSOR_SQL = """
+WITH g AS (
+    SELECT o_orderpriority AS grp, CAST(o_totalprice AS DECIMAL(18,2)) AS x
+    FROM orders
+), ranked AS (
+    SELECT grp, x,
+           ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x) AS rn,
+           COUNT(*) OVER (PARTITION BY grp) AS n
+    FROM g
+), bounds AS (
+    SELECT grp,
+           MAX(n) AS n,
+           MAX(CASE WHEN rn = CAST(FLOOR((n + 99) / 100.0) AS BIGINT)
+                    THEN x END) AS lo,
+           MAX(CASE WHEN rn = CAST(FLOOR((99 * n + 99) / 100.0) AS BIGINT)
+                    THEN x END) AS hi
+    FROM ranked GROUP BY grp
+), clipped AS (
+    SELECT g.grp, b.n, b.lo, b.hi,
+           CASE WHEN g.x < b.lo THEN b.lo
+                WHEN g.x > b.hi THEN b.hi
+                ELSE g.x END AS cx,
+           g.x
+    FROM g JOIN bounds b ON g.grp = b.grp
+)
+SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(lo) AS DOUBLE) AS p01,
+       CAST(MAX(hi) AS DOUBLE) AS p99,
+       CAST(SUM(x) AS DOUBLE) / MAX(n) AS raw_mean,
+       CAST(SUM(cx) AS DOUBLE) / MAX(n) AS winsorized_mean,
+       CAST(SUM(CASE WHEN cx <> x THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM clipped
+GROUP BY grp
+"""
+
+
+@query("feature_winsorize", oracle=_WINSOR_SQL)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization at [p1, p99]: order totals clipped to the
+    group's 1st/99th percentile — the outlier treatment that keeps every
+    row (unlike trimming, agg_trimmed_mean's tier) while bounding
+    leverage, reported as the before/after mean shift plus clip counts.
+
+    Bounds are DISCRETE order statistics at ceil(q·n) (the ceiling is
+    computed as FLOOR((q·100·n + 99)/100.0) — exact for every n within
+    double's integer range, identical on both engines), so no
+    interpolation rule can diverge; clipped sums stay decimal-exact.
+
+    Scale: rank window partitions on the group key; bounds are
+    |groups| rows broadcast back onto the fact."""
+    register_views(spark, sf_dir)
+    return spark.sql(_WINSOR_SQL)
+
+
+_CATCAP_SQL = """
+WITH counts AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY event_type
+), topn AS (
+    SELECT event_type FROM counts
+    ORDER BY c DESC, event_type LIMIT 3
+), mapped AS (
+    SELECT e.user_id,
+           COALESCE(t.event_type, 'other') AS feature_key
+    FROM events e LEFT JOIN topn t ON e.event_type = t.event_type
+)
+SELECT user_id, feature_key, CAST(COUNT(*) AS BIGINT) AS n
+FROM mapped
+GROUP BY user_id, feature_key
+"""
+
+
+@query("feature_category_capping", oracle=_CATCAP_SQL)
+def feature_category_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N category capping (the 'other' bucket): per-user counts over
+    a vocabulary capped to the 3 most frequent event types, every other
+    type folded into 'other' — the encoder that keeps one-hot width
+    bounded no matter what the tail does in production.
+
+    The vocabulary is data-derived but deterministic (count desc, name
+    asc tie-break — the text_vocab_oov_rate discipline) and joins back
+    as a broadcast; emitted LONG-form (user, feature_key, n) so the
+    schema is static regardless of which types win.
+
+    Scale: vocabulary selection reduces to |types| rows; the cap join is
+    a 3-row broadcast; output is |users|×≤4."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CATCAP_SQL)

@@ -84,6 +84,7 @@ def _load_all() -> None:
         asof,
         basket,
         events,
+        features,
         flagships,
         graph,
         ivm,

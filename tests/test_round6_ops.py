@@ -275,3 +275,37 @@ def test_timeseries_semantic_invariants(spark):
         .m
     )
     assert max(prices) == global_max
+
+
+def test_feature_engineering_invariants(spark):
+    """Encoding/clipping semantics pinned beyond oracle parity:
+
+    - Target encoding shrinks every segment TOWARD the global mean:
+      encoded lies strictly between raw_mean and the prior (or equals
+      both when they coincide).
+    - Winsorization: p01 <= p99, clipped mean moves toward the center,
+      n_clipped < n (clipping never rewrites a whole group).
+    - Category capping emits at most 4 distinct feature keys and
+      conserves the total event count exactly.
+    """
+    from tests.conftest import SF_DIR
+
+    qs = engine.queries()
+    enc = qs["feature_target_encoding"](spark, SF_DIR).collect()
+    prior = sum(r.raw_mean * r.n_g for r in enc) / sum(r.n_g for r in enc)
+    for r in enc:
+        lo, hi = sorted((r.raw_mean, prior))
+        assert lo - 1e-6 <= r.encoded <= hi + 1e-6
+
+    for r in qs["feature_winsorize"](spark, SF_DIR).collect():
+        assert r.p01 <= r.p99
+        assert 0 <= r.n_clipped < r.n
+        assert min(r.p01, r.raw_mean) - 1e-9 <= r.winsorized_mean <= max(r.p99, r.raw_mean) + 1e-9
+
+    rows = qs["feature_category_capping"](spark, SF_DIR).collect()
+    keys = {r.feature_key for r in rows}
+    assert len(keys) <= 4 and "other" in keys
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r.n for r in rows) == total
