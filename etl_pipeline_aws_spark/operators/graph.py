@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_aws_spark.catalog import load_table
-from etl_pipeline_aws_spark.registry import query
+from etl_pipeline_aws_spark.registry import query, rows_only_query
 
 PR_ITERATIONS = 5
 PR_START = 1_000_000  # scaled initial rank
@@ -468,3 +468,77 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").cast("long").alias("min_degree"),
         F.max("d").cast("long").alias("max_degree"),
     )
+
+
+KCORE_K = 3  # minimum in-core degree
+KCORE_MAX_ROUNDS = 20  # peeling converges long before this on any fixture
+
+
+@rows_only_query("graph_k_core")
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k={KCORE_K}) of the supported part
+    co-occurrence graph by iterative peeling: repeatedly drop every node
+    whose degree within the surviving subgraph is < k until none
+    qualifies.  The k-core is the UNIQUE maximal subgraph of min-degree
+    >= k, so the output is characterized exactly by two predicates —
+    every kept node has >= k kept neighbors, every dropped node has
+    fewer — and the recall test pins BOTH sides (as strong as an
+    oracle; the iterative aggregate can't be a recursive CTE, which
+    forbids aggregation in the recursive arm, hence rows-only).
+
+    Peeling mechanics follow the PageRank round discipline: the
+    symmetric support-pruned edge list persists once; each round is two
+    semi-joins (edges alive on both ends) + one degree count + the
+    >= k filter, localCheckpoint-ed so lineage stays one round deep
+    (each round references the prior frame twice, so cache-only rounds
+    double the logical plan and planning goes exponential).
+    Convergence is the alive-count fixpoint — one scalar job per round,
+    bounded by the degeneracy peeling depth.
+
+    Scale: each round shuffles (node, degree) pairs only; the alive set
+    shrinks monotonically, so round cost is non-increasing.  At 100 TB
+    the edge list pre-buckets on the node key (both semi-joins and the
+    count then reuse one partitioning), and peeling rounds collapse by
+    peeling ALL degrees < k in bulk per round — which this already
+    does (round count is the graph's degeneracy ordering depth, not
+    its node count)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = co_occurrence_pairs(li, LP_MIN_SUPPORT, distinct_items=False).select(
+        "pa", "pb"
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionByName(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .persist()
+    )
+    # Round survivors are localCheckpoint-ed, not merely persisted: the
+    # round-r plan references the round r-1 frame TWICE (once per
+    # semi-join side), so a cache-only loop doubles the LOGICAL plan
+    # every round and Catalyst re-analysis alone goes exponential
+    # (measured: round 6 spent 42 s planning at sf0.01).  The eager
+    # checkpoint truncates lineage so every round re-plans a constant-
+    # size tree — the same fix PageRank's rounds use.
+    kept = None
+    alive = edges.select(F.col("u").alias("node")).distinct()
+    n_alive = -1
+    for _ in range(KCORE_MAX_ROUNDS):
+        live_edges = edges.join(alive, edges["u"] == alive["node"], "left_semi").join(
+            alive.select(F.col("node").alias("vn")), F.col("v") == F.col("vn"), "left_semi"
+        )
+        kept = (
+            live_edges.groupBy("u")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+            .filter(F.col("core_degree") >= KCORE_K)
+            .localCheckpoint()
+        )
+        m = kept.count()
+        alive = kept.select("u").withColumnRenamed("u", "node")
+        # Peeling is monotone (kept_r is a subset of alive_r), so an
+        # unchanged count means an unchanged set: degrees in `kept` were
+        # computed against exactly the surviving node set — converged.
+        if m == n_alive:
+            break
+        n_alive = m
+    result = kept.select(F.col("u").alias("p_partkey"), "core_degree")
+    edges.unpersist()
+    return result

@@ -309,3 +309,94 @@ def test_feature_engineering_invariants(spark):
 
     total = load_table(spark, SF_DIR, "events").count()
     assert sum(r.n for r in rows) == total
+
+
+def test_k_core_defining_predicates(spark):
+    """graph_k_core is rows-only; pin it by the k-core's CHARACTERIZING
+    predicates, which identify the unique maximal min-degree->=k
+    subgraph exactly (an equivalent-strength substitute for an oracle):
+
+    - every kept node's reported core_degree equals its recomputed
+      neighbor count within the kept set, and is >= k;
+    - every graph node NOT kept has < k neighbors within the kept set
+      (maximality: nothing peelable was left out).
+    """
+    from collections import defaultdict
+
+    from tests.conftest import SF_DIR
+
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.operators.graph import (
+        KCORE_K,
+        LP_MIN_SUPPORT,
+        co_occurrence_pairs,
+    )
+
+    qs = engine.queries()
+    kept = {
+        r.p_partkey: r.core_degree
+        for r in qs["graph_k_core"](spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    pairs = co_occurrence_pairs(li, LP_MIN_SUPPORT, distinct_items=False)
+    adj = defaultdict(set)
+    for r in pairs.collect():
+        adj[r.pa].add(r.pb)
+        adj[r.pb].add(r.pa)
+    assert kept, "fixture graph must have a non-empty 3-core"
+    for node, deg in kept.items():
+        in_core = sum(1 for nb in adj[node] if nb in kept)
+        assert deg == in_core and deg >= KCORE_K
+    for node in adj:
+        if node not in kept:
+            assert sum(1 for nb in adj[node] if nb in kept) < KCORE_K
+
+
+def test_bitmap_retention_equals_join_based_retention(spark):
+    """The 8-byte-mask retention triangle must agree cell-for-cell with
+    the join-based events_retention_cohorts on offsets 0..6 — same
+    distinct-user semantics computed by a completely different plan
+    (bit tests over per-user masks vs an events x firsts join).
+
+    The mask query indexes OBSERVED days; the join query uses calendar
+    days.  The fixture's event span is verified contiguous first, so
+    the two index spaces coincide and every translated cell must match
+    exactly (including absent cells <-> zero retained).
+    """
+    import datetime as dt
+
+    from tests.conftest import SF_DIR
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    qs = engine.queries()
+    days = sorted(
+        r.day
+        for r in load_table(spark, SF_DIR, "events")
+        .selectExpr("CAST(ts AS DATE) AS day")
+        .distinct()
+        .collect()
+    )
+    assert days == [
+        days[0] + dt.timedelta(days=i) for i in range(len(days))
+    ], "fixture day span must be contiguous for index<->calendar equivalence"
+
+    joined = {
+        (r.cohort_day, r.day_offset): r.n_active
+        for r in qs["events_retention_cohorts"](spark, SF_DIR).collect()
+        if 0 <= r.day_offset <= 6
+    }
+    bitmap = qs["events_bitmap_retention"](spark, SF_DIR).collect()
+    assert bitmap, "bitmap retention returned no cells"
+    cohort_sizes = {}
+    for r in bitmap:
+        cohort_day = days[r.cohort_day_index]
+        if r.cohort_day_index + r.day_offset < len(days):
+            assert r.retained_users == joined.get((cohort_day, r.day_offset), 0)
+        cohort_sizes.setdefault(r.cohort_day_index, set()).add(r.cohort_users)
+    # each cohort reports ONE size across its 7 offsets, and day-0
+    # retention is total: everyone is active on their own first day
+    for r in bitmap:
+        assert len(cohort_sizes[r.cohort_day_index]) == 1
+        if r.day_offset == 0:
+            assert r.retained_users == r.cohort_users
