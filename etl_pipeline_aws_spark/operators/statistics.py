@@ -231,3 +231,183 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     values at fact scale."""
     register_views(spark, sf_dir)
     return spark.sql(_MWU_SQL)
+
+
+# ROC AUC: the Mann-Whitney rank machinery re-read as a classifier metric.
+_AUC_SQL = """
+WITH pts AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), per_value AS (
+    SELECT v, CAST(SUM(pos) AS BIGINT) AS a, CAST(COUNT(*) AS BIGINT) AS t
+    FROM pts GROUP BY v
+), ranked AS (
+    SELECT a, t,
+           COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS c_prev
+    FROM per_value
+), folded AS (
+    SELECT CAST(SUM(a) AS BIGINT) AS n_pos,
+           CAST(SUM(t - a) AS BIGINT) AS n_neg,
+           CAST(SUM(a * (2 * c_prev + t + 1)) AS BIGINT) AS two_r_pos
+    FROM ranked
+)
+SELECT n_pos, n_neg,
+       CAST(two_r_pos - n_pos * (n_pos + 1) AS DOUBLE)
+           / (2 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
+       CAST(two_r_pos - n_pos * (n_pos + 1) AS DOUBLE)
+           / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1 AS gini
+FROM folded
+"""
+
+
+@query("stat_auc_roc", oracle=_AUC_SQL)
+def stat_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of "order total predicts URGENT priority" — the ranking
+    metric every model-evaluation pipeline needs, computed exactly via
+    the rank-statistic identity AUC = U⁺/(n⁺·n⁻) (the probability a
+    random positive outscores a random negative, ties at half credit),
+    plus the Gini index 2·AUC−1.  No threshold sweep, no curve
+    materialization: the whole ROC integral is one tie-averaged rank
+    sum — the same INTEGER 2·R machinery as stat_mann_whitney_u
+    (a·(2·c_prev+t+1) per distinct score), so everything up to the final
+    two divisions is BIGINT-exact and the divisions are shared IEEE
+    formula text.
+
+    Scale: per-distinct-score reduction then an ordered prefix sum over
+    |distinct| rows — same shape as the KS/MWU family; pre-bin scores at
+    fact scale (the feature_quantile_binning pattern)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_AUC_SQL)
+
+
+# One-way ANOVA: exact decimal power sums per group; the cross-group sum
+# of s_g^2/n_g terms is rounded to fixed-scale decimal first (chi-square
+# precedent) so no raw double is ever summed.
+_ANOVA_SQL = """
+WITH g AS (
+    SELECT o_orderpriority AS grp, CAST(o_totalprice AS DECIMAL(18,2)) AS x
+    FROM orders
+), sums AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS DECIMAL(30,2)) AS s_dec,
+           CAST(SUM(x * x) AS DECIMAL(38,4)) AS q_dec
+    FROM g GROUP BY grp
+), terms AS (
+    SELECT n, s_dec, q_dec,
+           CAST(ROUND(CAST(s_dec AS DOUBLE) * CAST(s_dec AS DOUBLE) / n, 0)
+                AS DECIMAL(28,0)) AS bterm
+    FROM sums
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(SUM(bterm) AS DOUBLE) AS b,
+           CAST(SUM(s_dec) AS DOUBLE) AS s_all,
+           CAST(SUM(q_dec) AS DOUBLE) AS q_all
+    FROM terms
+)
+SELECT k, n_total,
+       b - s_all * s_all / n_total AS ss_between,
+       q_all - b AS ss_within,
+       (b - s_all * s_all / n_total) / (k - 1)
+           / ((q_all - b) / (n_total - k)) AS f_stat
+FROM tot
+"""
+
+
+@query("stat_anova_oneway", oracle=_ANOVA_SQL)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across ALL five order priorities on order total —
+    the k-group generalization of stat_welch_ttest that answers "does
+    priority matter at all?" before any pairwise drill-down.  Uses the
+    computational identities SSB = Σs_g²/n_g − S²/N and
+    SSW = Q − Σs_g²/n_g so a single groupBy produces everything.
+
+    Determinism: per-group n/Σx/Σx² are exact decimal power sums and the
+    cross-group Σs / Σq reductions STAY decimal (never a double sum —
+    order-sensitive); the one double-born term s_g²/n_g is rounded at
+    scale 0 before its exact decimal sum (the chi-square round-then-sum
+    precedent, but at integer scale: at 1e15 magnitude a double's
+    sub-unit digits are representation noise, and DuckDB's round(x,6)
+    computes x·1e6 which overflows 2^53 and diverges from the JVM's
+    BigDecimal path — measured); the F formula is one shared IEEE
+    expression text.
+
+    Scale: k=5 groups — three numbers per group cross the wire
+    regardless of fact size; partial aggregation does the heavy sum
+    map-side."""
+    register_views(spark, sf_dir)
+    return spark.sql(_ANOVA_SQL)
+
+
+def _levene_sql(median_expr: str) -> str:
+    """Shared Brown-Forsythe text; only the discrete-median spelling
+    differs per engine (Spark ``percentile_disc() WITHIN GROUP``, DuckDB
+    ``quantile_disc`` — proven identical picks, the
+    feature_quantile_binning precedent)."""
+    return f"""
+WITH g AS (
+    SELECT o_orderpriority AS grp, CAST(o_totalprice AS DECIMAL(18,2)) AS x
+    FROM orders
+), med AS (
+    SELECT grp, {median_expr} AS m
+    FROM g GROUP BY grp
+), z AS (
+    SELECT g.grp, CAST(ABS(g.x - med.m) AS DECIMAL(18,2)) AS z
+    FROM g JOIN med ON g.grp = med.grp
+), sums AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(z) AS DECIMAL(30,2)) AS s_dec,
+           CAST(SUM(z * z) AS DECIMAL(38,4)) AS q_dec
+    FROM z GROUP BY grp
+), terms AS (
+    SELECT n, s_dec, q_dec,
+           CAST(ROUND(CAST(s_dec AS DOUBLE) * CAST(s_dec AS DOUBLE) / n, 0)
+                AS DECIMAL(28,0)) AS bterm
+    FROM sums
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(SUM(bterm) AS DOUBLE) AS b,
+           CAST(SUM(s_dec) AS DOUBLE) AS s_all,
+           CAST(SUM(q_dec) AS DOUBLE) AS q_all
+    FROM terms
+)
+SELECT k, n_total,
+       (b - s_all * s_all / n_total) / (k - 1)
+           / ((q_all - b) / (n_total - k)) AS w_stat
+FROM tot
+"""
+
+
+_LEVENE_ORACLE = _levene_sql("quantile_disc(x, 0.5)")
+_LEVENE_SPARK = _levene_sql("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)")
+
+
+@query("stat_levene_brown_forsythe", oracle=_LEVENE_ORACLE)
+def stat_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test for equal variances
+    across the five order priorities — the gatekeeper run BEFORE any
+    equal-variance ANOVA/t-test is trusted, and the robust variant
+    (means-centered Levene is itself outlier-sensitive, which defeats
+    the purpose).  W is literally a one-way ANOVA on z = |x − median_g|,
+    so the statistic reuses stat_anova_oneway's exact-decimal machinery
+    end-to-end.
+
+    Determinism: the group median is a DISCRETE pick (both engines
+    select the identical data value — though Spark's percentile_disc
+    RETURNS it as double where DuckDB keeps decimal, so z is explicitly
+    cast back to DECIMAL(18,2): the x−m double subtraction is exact for
+    2-dp values below 2^53 cents, and the cast re-pins the type before
+    any sum), power sums are exact decimals, the cross-group term sum
+    is fixed-scale-rounded before adding, and W is one shared IEEE
+    formula.
+
+    Scale: two passes over the fact (median, then centered power sums)
+    with a 5-row broadcast join between them; both aggregations partial-
+    combine map-side.  At 100 TB the exact median swaps for the t-digest
+    / pre-binned pick with the same downstream text."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LEVENE_SPARK)

@@ -215,3 +215,123 @@ def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalizes via the same pre-reduction per dominance chain."""
     register_views(spark, sf_dir)
     return spark.sql(_PARETO_SQL)
+
+
+def _theil_sen_sql(median_expr: str, unnest_expr: str) -> str:
+    """Shared Theil-Sen text parameterized on the two per-dialect
+    spellings (discrete median; index generator)."""
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,2))) AS v
+    FROM events GROUP BY CAST(ts AS DATE)
+), idx AS (
+    SELECT CAST(DATEDIFF(day, MIN(day) OVER (), day) AS BIGINT) AS di,
+           CAST(v * 100 AS BIGINT) AS cents
+    FROM daily
+), lefts AS (
+    -- di > 0 guard: Spark's sequence(0, -1) DESCENDS instead of being
+    -- empty (DuckDB's range(0, 0) is), so day 0 must not explode.
+    SELECT di AS dj, cents AS cj, {unnest_expr} AS di_left
+    FROM idx WHERE di > 0
+), pairs AS (
+    SELECT (CAST(l.cj AS DOUBLE) - CAST(r.cents AS DOUBLE))
+               / (CAST(l.dj AS DOUBLE) - CAST(r.di AS DOUBLE)) AS slope
+    FROM lefts l JOIN idx r ON l.di_left = r.di
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {median_expr} AS slope_cents_per_day
+FROM pairs
+"""
+
+
+_THEIL_SEN_ORACLE = _theil_sen_sql(
+    "quantile_disc(slope, 0.5)",
+    "unnest(range(0, di))",
+).replace("DATEDIFF(day, MIN(day) OVER (), day)",
+          "date_diff('day', MIN(day) OVER (), day)")
+_THEIL_SEN_SPARK = _theil_sen_sql(
+    "percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)",
+    "explode(sequence(CAST(0 AS BIGINT), di - 1))",
+)
+
+
+@query("events_theil_sen_trend", oracle=_THEIL_SEN_ORACLE)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily event-value series: the
+    MEDIAN of all pairwise day-to-day slopes — the estimator that
+    shrugs off the outlier days that wreck an OLS slope (up to 29%
+    contamination), and the standard robust-trend line under every
+    monitoring dashboard.
+
+    Determinism: daily totals are exact decimals folded to BIGINT
+    cents; each pairwise slope is ONE double division of exact integers
+    (IEEE-deterministic), and the median is a DISCRETE pick — both
+    engines select the identical slope value, no averaging of middles.
+
+    Pair generation is an EQUI-join, not an inequality join: each day j
+    explodes its predecessor indexes 0..j−1 and hash-joins them back to
+    the daily frame — no BroadcastNestedLoop, no cartesian (guard-
+    clean).  Scale: pairs = |days|·(|days|−1)/2 grows with the CALENDAR
+    squared, not the fact — years of data are ~10⁶ pairs from one
+    days-sized frame; the fact-scale work remains the one daily
+    groupBy."""
+    register_views(spark, sf_dir)
+    return spark.sql(_THEIL_SEN_SPARK)
+
+
+_BINSEG_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,2))) AS v
+    FROM events GROUP BY CAST(ts AS DATE)
+), seq AS (
+    SELECT day, CAST(v * 100 AS BIGINT) AS cents,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n,
+           SUM(CAST(v * 100 AS BIGINT)) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_left,
+           SUM(CAST(v * 100 AS BIGINT)) OVER () AS s_all
+    FROM daily
+), gains AS (
+    SELECT day, i, n, s_left,
+           s_all - s_left AS s_right,
+           CAST(s_left * (n - i) - (s_all - s_left) * i AS DOUBLE)
+               * CAST(s_left * (n - i) - (s_all - s_left) * i AS DOUBLE)
+               / (CAST(i AS DOUBLE) * CAST(n - i AS DOUBLE) * CAST(n AS DOUBLE))
+               AS gain
+    FROM seq WHERE i < n
+), best AS (
+    SELECT day, i, n, s_left, s_right, gain,
+           ROW_NUMBER() OVER (ORDER BY gain DESC, day) AS rk
+    FROM gains
+)
+SELECT day AS split_day,
+       CAST(i AS BIGINT) AS n_left,
+       CAST(n - i AS BIGINT) AS n_right,
+       CAST(s_left AS DOUBLE) / CAST(i AS DOUBLE) / 100 AS mean_left,
+       CAST(s_right AS DOUBLE) / CAST(n - i AS DOUBLE) / 100 AS mean_right,
+       gain / 10000 AS gain_sq_dollars
+FROM best WHERE rk = 1
+"""
+
+
+@query("events_changepoint_binseg", oracle=_BINSEG_SQL)
+def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint: the single split of the daily
+    value series that maximizes the between-segment sum-of-squares gain
+    n_l·n_r·(mean_l − mean_r)²/n — the first (and greedy-recursive)
+    step of the classic binseg detector, and the offline complement of
+    the online events_cusum_changepoint.
+
+    Determinism: the gain's numerator (S_l·n_r − S_r·n_l)² is built
+    from BIGINT cents prefix sums (exact until the final squaring,
+    which is one deterministic double multiply); ties on the double
+    gain break on the EARLIER day via a composite ROW_NUMBER order, so
+    the argmax row is unique and hash-stable.
+
+    Scale: the fact collapses to a days-sized frame first; prefix sums
+    and the argmax are single-pass windows over that frame (the
+    single-partition window is calendar-bounded — the documented
+    exception the other daily-series operators share).  Recursive
+    binseg = re-apply per segment; k changepoints cost k passes."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BINSEG_SQL)

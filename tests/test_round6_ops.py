@@ -20,6 +20,7 @@ import importlib
 import pytest
 
 import etl_pipeline_aws_spark as engine
+from pyspark.sql import functions as F
 from tests.conftest import SF_SMALL
 from tests.oracle import compare, duckdb_con
 
@@ -400,3 +401,107 @@ def test_bitmap_retention_equals_join_based_retention(spark):
         assert len(cohort_sizes[r.cohort_day_index]) == 1
         if r.day_offset == 0:
             assert r.retained_users == r.cohort_users
+
+
+def test_stat_family_identities(spark):
+    """Cross-operator identities pin the new statistics trio to the
+    established tests rather than just to their oracles:
+
+    - AUC from the rank identity must equal U1/(n1*n2) computed by
+      stat_mann_whitney_u (same pooled ranking, same tie rule), and
+      gini = 2*auc - 1.
+    - ANOVA on exactly 2 groups collapses to the squared pooled t — not
+      run here (our ANOVA is 5-group); instead pin the F > 0 and the
+      SST = SSB + SSW identity against exact decimal grand sums.
+    - Brown-Forsythe W is a valid F-ratio: finite and > 0 on the
+      fixture (priorities genuinely differ in spread).
+    """
+    from tests.conftest import SF_DIR
+
+    qs = engine.queries()
+    auc_row = qs["stat_auc_roc"](spark, SF_DIR).collect()[0]
+    mwu_row = qs["stat_mann_whitney_u"](spark, SF_DIR).collect()[0]
+    assert auc_row.n_pos == mwu_row.n1 and auc_row.n_neg == mwu_row.n2
+    assert auc_row.auc == mwu_row.u1 / (mwu_row.n1 * mwu_row.n2)
+    assert abs(auc_row.gini - (2 * auc_row.auc - 1)) < 1e-15
+    assert 0.0 <= auc_row.auc <= 1.0
+
+    f_row = qs["stat_anova_oneway"](spark, SF_DIR).collect()[0]
+    assert f_row.k == 5 and f_row.f_stat > 0
+    assert f_row.ss_between > 0 and f_row.ss_within > 0
+    # SSB is tiny relative to SSW (priority barely moves price in the
+    # fixture) — the decomposition must still be consistent: total
+    # variance from the raw data equals SSB+SSW to rounding tolerance
+    # (bterm rounds at scale 0: k=5 rounds of <=0.5 each).
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x")
+    )
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(30,2)").alias("s"),
+        F.sum(F.expr("x * x")).cast("decimal(38,4)").alias("q"),
+    ).collect()[0]
+    sst = float(agg.q) - float(agg.s) ** 2 / agg.n
+    assert abs(sst - (f_row.ss_between + f_row.ss_within)) <= 5.0
+
+    w_row = qs["stat_levene_brown_forsythe"](spark, SF_DIR).collect()[0]
+    assert w_row.k == 5 and w_row.n_total == f_row.n_total
+    assert w_row.w_stat > 0 and w_row.w_stat == w_row.w_stat  # finite, not NaN
+
+
+def test_theil_sen_and_binseg_against_bruteforce(spark):
+    """Recompute both new time-series estimators brute-force in Python
+    from the same daily cents series and demand exact agreement."""
+    from tests.conftest import SF_DIR
+
+    qs = engine.queries()
+    daily = sorted(
+        (r.day, int(r.cents))
+        for r in engine_daily_cents(spark, SF_DIR).collect()
+    )
+    days0 = daily[0][0]
+    pts = [((d - days0).days, c) for d, c in daily]
+
+    slopes = sorted(
+        (cj - ci) / (dj - di)
+        for i, (di, ci) in enumerate(pts)
+        for dj, cj in pts[i + 1:]
+    )
+    n = len(slopes)
+    # discrete median, lower-middle convention (cume_dist >= 0.5)
+    expect_med = slopes[(n - 1) // 2] if n % 2 else slopes[n // 2 - 1]
+    ts_row = qs["events_theil_sen_trend"](spark, SF_DIR).collect()[0]
+    assert ts_row.n_pairs == n
+    assert ts_row.slope_cents_per_day == expect_med
+
+    # binseg: maximize (S_l*n_r - S_r*n_l)^2 / (i*(n-i)*n), earliest day ties
+    N = len(pts)
+    s_all = sum(c for _, c in pts)
+    best = None
+    s_left = 0
+    for i in range(1, N):
+        s_left += pts[i - 1][1]
+        diff = s_left * (N - i) - (s_all - s_left) * i
+        gain = float(diff) * float(diff) / (i * (N - i) * N)
+        if best is None or gain > best[0]:
+            best = (gain, i, s_left)
+    bs_row = qs["events_changepoint_binseg"](spark, SF_DIR).collect()[0]
+    assert bs_row.n_left == best[1] and bs_row.n_right == N - best[1]
+    assert bs_row.mean_left == best[2] / best[1] / 100
+    assert bs_row.gain_sq_dollars == best[0] / 10000
+
+
+def engine_daily_cents(spark, sf_dir):
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
