@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.catalog import load_table, register_views
 from etl_pipeline_aws_spark.registry import query
 
 
@@ -815,3 +815,54 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_missing"),
     )
+
+
+CHECKSUM_BLOCK = 4096  # orderkeys per checksum block
+CHECKSUM_P = 999999937  # prime < 2^30: block sums stay far below 2^63
+
+_CHECKSUM_SQL = f"""
+WITH rows_h AS (
+    SELECT CAST(FLOOR(o_orderkey / {CHECKSUM_BLOCK}) AS BIGINT) AS block,
+           ((o_orderkey % {CHECKSUM_P}) * 8191
+            + (o_custkey % {CHECKSUM_P}) * 127
+            + CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % {CHECKSUM_P})
+               % {CHECKSUM_P} AS h1,
+           ((o_orderkey % {CHECKSUM_P}) * 131
+            + (o_custkey % {CHECKSUM_P}) * 65599
+            + CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % {CHECKSUM_P} * 31)
+               % {CHECKSUM_P} AS h2
+    FROM orders
+)
+SELECT block,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(h1) AS BIGINT) AS checksum_a,
+       CAST(SUM(h2) AS BIGINT) AS checksum_b
+FROM rows_h
+GROUP BY block
+"""
+
+
+@query("dq_block_checksums", oracle=_CHECKSUM_SQL)
+def dq_block_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level table checksums for cheap replica/migration diffing:
+    each {CHECKSUM_BLOCK}-key block of orders reduces to (row count, two
+    independent additive fingerprints), so two copies of a 100 TB table
+    compare by exchanging KBs of block digests and re-reading only the
+    blocks whose digests disagree — the anti-entropy pattern behind
+    every table-sync tool, as a first-class engine query.
+
+    The fingerprint is a PORTABLE polynomial mix in overflow-free
+    modular BIGINT arithmetic — deliberately NOT xxhash64/md5, whose
+    implementations (and thus digests) differ across engines; the same
+    SQL text yields the same digests in Spark and DuckDB, which is the
+    entire point of a cross-system diff.  Additive (SUM) folding makes
+    the digest order-insensitive — no sort, safe under any partitioning
+    — and the second independent mix drives the collision probability
+    to ~(1/P)² per block.
+
+    Scale: one partial-aggregated groupBy keyed by the block id (which
+    is key-affine, so a key-range-partitioned table computes digests
+    with ZERO shuffle after pushdown); output is |keys|/{CHECKSUM_BLOCK}
+    rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CHECKSUM_SQL)

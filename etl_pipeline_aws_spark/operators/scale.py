@@ -320,3 +320,83 @@ def aqe_dynamic_join_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
     )
+
+
+RANGE_PARTS = 16  # target partition count for the range-layout plan
+_RANGE_FRACS = [i / RANGE_PARTS for i in range(1, RANGE_PARTS)]
+
+
+@query(
+    "layout_range_partition_plan",
+    oracle=f"""
+    WITH b AS (
+        SELECT {", ".join(f"quantile_disc(o_custkey, {q}) AS b{i}"
+                          for i, q in enumerate(_RANGE_FRACS))}
+        FROM orders
+    )
+    SELECT 1 {" ".join(f"+ CAST(o_custkey > b{i} AS INT)"
+                       for i in range(len(_RANGE_FRACS)))} AS partition_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_custkey) AS BIGINT) AS lo_key,
+           CAST(MAX(o_custkey) AS BIGINT) AS hi_key,
+           CAST(FLOOR(COUNT(*) * {RANGE_PARTS * 100} * 1.0
+                      / SUM(COUNT(*)) OVER ()) AS BIGINT) AS pct_of_ideal
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def layout_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition layout planner: the {RANGE_PARTS}-way balanced
+    key-range boundaries for orders-by-customer (what Spark's
+    RangePartitioner samples for, computed EXACTLY), plus the balance
+    audit — per-partition row count, actual key fence posts, and load
+    as a percentage of the ideal 1/{RANGE_PARTS} share (100 = perfectly
+    balanced; the skew number a layout decision is made on).
+
+    Sort-free formulation: boundaries are {RANGE_PARTS - 1} DISCRETE
+    percentile picks from ONE aggregation riding a single-row
+    broadcast; partition assignment is a pure scalar expression
+    (the feature_quantile_binning machinery, aimed at physical layout
+    instead of features).  No ntile-over-everything, no global sort —
+    this survives the 100 TB table the plan is FOR.  Heavy single-key
+    skew shows up as pct_of_ideal > 100 on that key's partition — the
+    signal to switch that range to salted hash (salted_skew_join's
+    treatment).
+
+    The one-row bounds frame joins via crossJoin but is
+    broadcast-planned (BroadcastNestedLoop on a 1-row build side — the
+    documented bounded allowlist case shared with
+    feature_quantile_binning)."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = F.broadcast(
+        o.agg(
+            *[
+                F.expr(
+                    f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_custkey)"
+                ).alias(f"b{i}")
+                for i, q in enumerate(_RANGE_FRACS)
+            ]
+        )
+    )
+    pid = F.lit(1)
+    for i in range(len(_RANGE_FRACS)):
+        pid = pid + F.when(F.col("o_custkey") > F.col(f"b{i}"), 1).otherwise(0)
+    from pyspark.sql.window import Window
+
+    return (
+        o.crossJoin(bounds)
+        .select(pid.alias("partition_id"), "o_custkey")
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_custkey").cast("long").alias("lo_key"),
+            F.max("o_custkey").cast("long").alias("hi_key"),
+        )
+        .withColumn(
+            "pct_of_ideal",
+            F.floor(
+                F.col("n_rows") * RANGE_PARTS * 100 * 1.0
+                / F.sum("n_rows").over(Window.partitionBy())
+            ).cast("long"),
+        )
+    )

@@ -411,3 +411,85 @@ def stat_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     / pre-binned pick with the same downstream text."""
     register_views(spark, sf_dir)
     return spark.sql(_LEVENE_SPARK)
+
+
+PERM_K = 64  # counter-based label permutations
+PERM_P = 94906249  # prime > 2^26.5: products stay far below 2^63
+
+
+def _perm_sql(seed_gen: str) -> str:
+    """Shared permutation-test text; only the seed generator differs per
+    dialect.  The label shuffle is a counter-based (Philox-principle)
+    integer mix — h(key, seed) computed identically on both engines in
+    overflow-free modular arithmetic, no RNG state anywhere."""
+    return f"""
+WITH pts AS (
+    SELECT o_orderkey AS key,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS obs_g1,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS x
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), seeded AS (
+    SELECT {seed_gen} AS seed, obs_g1, key, x FROM pts
+), fan AS (
+    SELECT seed,
+           CASE WHEN seed = -1 THEN obs_g1
+                ELSE CAST(((key % {PERM_P}) * (2 * seed + 1)
+                           + 7919 * seed) % {PERM_P} % 2 AS INT)
+           END AS g1,
+           x
+    FROM seeded
+), cells AS (
+    SELECT seed, g1, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS DECIMAL(30,2)) AS sx
+    FROM fan GROUP BY seed, g1
+), stats AS (
+    SELECT seed,
+           ABS(CAST(MAX(CASE WHEN g1 = 1 THEN sx END) AS DOUBLE)
+                   / MAX(CASE WHEN g1 = 1 THEN n END)
+               - CAST(MAX(CASE WHEN g1 = 0 THEN sx END) AS DOUBLE)
+                   / MAX(CASE WHEN g1 = 0 THEN n END)) AS t
+    FROM cells GROUP BY seed
+), scored AS (
+    SELECT seed, t,
+           MAX(CASE WHEN seed = -1 THEN t END) OVER () AS t_obs
+    FROM stats
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS k_perms,
+       CAST(SUM(CASE WHEN t >= t_obs THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_extreme,
+       MAX(t_obs) AS t_obs,
+       CAST(1 + SUM(CASE WHEN t >= t_obs THEN 1 ELSE 0 END) AS DOUBLE)
+           / (COUNT(*) + 1) AS p_upper
+FROM scored WHERE seed >= 0
+"""
+
+
+_PERM_ORACLE = _perm_sql(f"unnest(range(-1, {PERM_K}))")
+_PERM_SPARK = _perm_sql(f"explode(sequence(-1, {PERM_K - 1}))")
+
+
+@query("stat_permutation_shift", oracle=_PERM_ORACLE)
+def stat_permutation_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the URGENT-vs-LOW mean-spend shift: the
+    observed |mean difference| is ranked against {PERM_K} label
+    reshuffles, giving the distribution-free upper p-value estimate
+    (1+#extreme)/(K+1) — the test that needs NO variance formula, no
+    normality, no asymptotics, and the standard cross-check on
+    stat_welch_ttest's parametric assumption.
+
+    Permutations are COUNTER-BASED (the Philox/counter-RNG principle
+    every distributed shuffle uses): relabel(key, seed) is a modular
+    integer mix computed identically on both engines — deterministic,
+    seedable, no RNG state to synchronize.  Observed labels ride the
+    same pipeline as seed −1.  Every per-seed sum is an exact decimal;
+    each T_k is two divisions of exact quantities; the rank compare is
+    double-vs-double on identical values.
+
+    Scale: the K-way fanout exists only map-side — it pipelines
+    straight into a partial aggregation that reduces each task to
+    ≤ 2(K+1) cells, so the shuffle carries ~130 tiny rows no matter the
+    fact size.  The seed fanout is a LATERAL generator in the SELECT
+    (explode/unnest), so there is no join node at all — guard-clean."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PERM_SPARK)

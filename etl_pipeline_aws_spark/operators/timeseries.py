@@ -335,3 +335,64 @@ def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     binseg = re-apply per segment; k changepoints cost k passes."""
     register_views(spark, sf_dir)
     return spark.sql(_BINSEG_SQL)
+
+
+MAD_K_X10000 = 44478  # 3 * 1.4826 (normal-consistency constant), scaled 1e4
+
+
+def _mad_sql(median_expr: str, mad_median_expr: str) -> str:
+    """Shared MAD-outlier text; discrete-median spelling per dialect."""
+    return f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+), med AS (
+    SELECT event_type, {median_expr} AS med_cents
+    FROM daily GROUP BY event_type
+), dev AS (
+    SELECT d.event_type, d.day, d.cents, m.med_cents,
+           ABS(d.cents - m.med_cents) AS adev
+    FROM daily d JOIN med m ON d.event_type = m.event_type
+), mad AS (
+    SELECT event_type, {mad_median_expr} AS mad_cents
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.day,
+       CAST(d.cents AS BIGINT) AS cents,
+       CAST(d.med_cents AS BIGINT) AS med_cents,
+       CAST(m.mad_cents AS BIGINT) AS mad_cents
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE d.adev * 10000 > {MAD_K_X10000} * m.mad_cents
+"""
+
+
+_MAD_ORACLE = _mad_sql(
+    "quantile_disc(cents, 0.5)", "quantile_disc(adev, 0.5)"
+)
+_MAD_SPARK = _mad_sql(
+    "percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)",
+    "percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)",
+)
+
+
+@query("events_mad_outlier_days", oracle=_MAD_ORACLE)
+def events_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-anomaly detection by median absolute deviation: a
+    day is anomalous when |value − median| > 3·1.4826·MAD — the
+    breakdown-resistant twin of events_anomaly_zscore (one extreme day
+    inflates a mean/stddev gate enough to hide itself; the median/MAD
+    gate has a 50% breakdown point, so outliers can't mask each other).
+    1.4826 makes MAD consistent with σ under normality, so the "3" is
+    the familiar three-sigma knob.
+
+    Fully INTEGER: daily totals fold to BIGINT cents, both medians are
+    DISCRETE picks (identical data values on both engines), and the
+    gate compares adev·10⁴ > 44478·MAD in exact BIGINT arithmetic — no
+    float anywhere, hash-exact by construction.
+
+    Scale: one fact-sized groupBy to the (type, day) frame; everything
+    after runs on calendar-bounded rows with two per-type median
+    aggregations and type-keyed joins (types-sized, broadcast)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MAD_SPARK)

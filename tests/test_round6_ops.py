@@ -505,3 +505,97 @@ def engine_daily_cents(spark, sf_dir):
             .alias("cents")
         )
     )
+
+
+def test_permutation_checksum_planner_mad_invariants(spark):
+    """Pin the round-6 batch-2 operators to independent recomputations
+    and cross-operator identities."""
+    from tests.conftest import SF_DIR
+
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.operators.quality import (
+        CHECKSUM_BLOCK,
+        CHECKSUM_P,
+    )
+    from etl_pipeline_aws_spark.operators.scale import RANGE_PARTS
+    from etl_pipeline_aws_spark.operators.statistics import PERM_K
+    from etl_pipeline_aws_spark.operators.timeseries import MAD_K_X10000
+
+    qs = engine.queries()
+
+    # permutation test: valid p, full K, and t_obs == Welch's |mean_diff|
+    # (same two groups, same exact-decimal means)
+    p_row = qs["stat_permutation_shift"](spark, SF_DIR).collect()[0]
+    assert p_row.k_perms == PERM_K
+    assert 0 < p_row.p_upper <= 1
+    assert p_row.p_upper == (1 + p_row.n_extreme) / (PERM_K + 1)
+    w_row = qs["stat_welch_ttest"](spark, SF_DIR).collect()[0]
+    assert p_row.t_obs == abs(w_row.mean_diff)
+
+    # block checksums: blocks partition the table; one block recomputed
+    # row-by-row in Python matches exactly
+    blocks = qs["dq_block_checksums"](spark, SF_DIR).collect()
+    orders = load_table(spark, SF_DIR, "orders")
+    assert sum(b.n_rows for b in blocks) == orders.count()
+    target = blocks[len(blocks) // 2]
+    rows = (
+        orders.filter(
+            (F.col("o_orderkey") >= target.block * CHECKSUM_BLOCK)
+            & (F.col("o_orderkey") < (target.block + 1) * CHECKSUM_BLOCK)
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .collect()
+    )
+    assert len(rows) == target.n_rows
+    c1 = sum(
+        ((r.o_orderkey % CHECKSUM_P) * 8191
+         + (r.o_custkey % CHECKSUM_P) * 127
+         + round(r.o_totalprice * 100) % CHECKSUM_P) % CHECKSUM_P
+        for r in rows
+    )
+    assert c1 == target.checksum_a
+
+    # range partition plan: contiguous non-overlapping fences, full cover
+    parts = sorted(
+        qs["layout_range_partition_plan"](spark, SF_DIR).collect(),
+        key=lambda r: r.partition_id,
+    )
+    assert [p.partition_id for p in parts] == list(range(1, RANGE_PARTS + 1))
+    assert sum(p.n_rows for p in parts) == orders.count()
+    for a, b in zip(parts, parts[1:]):
+        assert a.hi_key < b.lo_key
+    # roughly balanced on the fixture's near-uniform custkey
+    assert all(50 <= p.pct_of_ideal <= 200 for p in parts)
+
+    # MAD outliers: every flagged day satisfies the integer gate against
+    # brute-force medians; no unflagged day does
+    daily = {}
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .collect()
+    ):
+        daily.setdefault(r.event_type, {})[r.day] = r.cents
+
+    def disc_median(vals):
+        s = sorted(vals)
+        n = len(s)
+        return s[(n - 1) // 2] if n % 2 else s[n // 2 - 1]
+
+    expect = set()
+    for et, series in daily.items():
+        med = disc_median(series.values())
+        mad = disc_median(abs(c - med) for c in series.values())
+        for day, c in series.items():
+            if abs(c - med) * 10000 > MAD_K_X10000 * mad:
+                expect.add((et, day))
+    got = {
+        (r.event_type, r.day)
+        for r in qs["events_mad_outlier_days"](spark, SF_DIR).collect()
+    }
+    assert got == expect
