@@ -3283,3 +3283,4 @@ def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("cohort_users"),
         F.sum("active").cast("long").alias("retained_users"),
     )
+

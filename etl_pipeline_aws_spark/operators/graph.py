@@ -542,3 +542,100 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = kept.select(F.col("u").alias("p_partkey"), "core_degree")
     edges.unpersist()
     return result
+
+
+LP_RA_SCALE = 1_000_000_000  # resource-allocation terms in integer ppb
+LP_MIN_CN = 2  # report candidate links with >= 2 common neighbors
+
+
+@query(
+    "graph_link_prediction_ra",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT u, v FROM pairs WHERE n >= {LP_MIN_SUPPORT}
+    ), adj AS (
+        SELECT u AS node, v AS nbr FROM edges
+        UNION ALL SELECT v, u FROM edges
+    ), deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node
+    ), wedges AS (
+        SELECT x.node AS a, y.node AS b, x.nbr AS z
+        FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+    ), scored AS (
+        SELECT w.a, w.b,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               CAST(SUM(CAST(FLOOR({LP_RA_SCALE} * 1.0 / d.d) AS BIGINT))
+                    AS BIGINT) AS ra_index_ppb
+        FROM wedges w JOIN deg d ON w.z = d.node
+        GROUP BY w.a, w.b
+    )
+    SELECT s.a AS u, s.b AS v, s.common_neighbors, s.ra_index_ppb
+    FROM scored s LEFT JOIN edges e ON s.a = e.u AND s.b = e.v
+    WHERE e.u IS NULL AND s.common_neighbors >= {LP_MIN_CN}
+    """,
+)
+def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the supported part co-occurrence graph by
+    the Resource-Allocation index (Zhou/Lü/Zhang 2009): for each
+    NON-edge (a,b), RA = Σ_z 1/deg(z) over common neighbors z — the
+    published common-neighbor variant that outperforms plain CN and
+    Adamic-Adar on dense hubs, and the "parts likely to be ordered
+    together next" recommender primitive.
+
+    Chosen over Adamic-Adar DELIBERATELY: AA's 1/ln(deg) terms would
+    sum doubles across neighbors (order-sensitive, and ln diverges in
+    the last ulp across libm builds — the documented trap); RA's terms
+    fold as exact scaled INTEGERS (floor(1e9/deg)), so the whole score
+    is BIGINT arithmetic and hash-stable.
+
+    Scale: wedges enumerate per-neighbor pairs — bounded by the same
+    support-pruned edge list the triangle count runs on (the prune IS
+    the scale design; a raw co-occurrence graph would wedge-explode);
+    the degree join is node-keyed; the final anti-join back to edges
+    removes existing links.  All equi-joins on part keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = co_occurrence_pairs(li, LP_MIN_SUPPORT, distinct_items=False).select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    )
+    adj = pairs.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        pairs.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy(F.col("node").alias("z")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    x = adj.alias("x")
+    y = adj.alias("y")
+    wedges = x.join(
+        y, (F.col("x.nbr") == F.col("y.nbr")) & (F.col("x.node") < F.col("y.node"))
+    ).select(
+        F.col("x.node").alias("a"), F.col("y.node").alias("b"), F.col("x.nbr").alias("z")
+    )
+    scored = (
+        wedges.join(deg, "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(F.floor(LP_RA_SCALE * F.lit(1.0) / F.col("d")).cast("long"))
+            .cast("long")
+            .alias("ra_index_ppb"),
+        )
+    )
+    return (
+        scored.join(
+            pairs,
+            (scored["a"] == pairs["u"]) & (scored["b"] == pairs["v"]),
+            "left_anti",
+        )
+        .filter(F.col("common_neighbors") >= LP_MIN_CN)
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "common_neighbors",
+            "ra_index_ppb",
+        )
+    )

@@ -396,3 +396,65 @@ def events_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations and type-keyed joins (types-sized, broadcast)."""
     register_views(spark, sf_dir)
     return spark.sql(_MAD_SPARK)
+
+
+ROLLMED_W = 7  # trailing window width in days
+
+
+def _rollmed_sql(median_expr: str, unnest_expr: str) -> str:
+    """Shared rolling-median text; discrete-median + generator spellings
+    per dialect."""
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM events GROUP BY CAST(ts AS DATE)
+), offs AS (
+    SELECT day, cents, {unnest_expr} AS off FROM daily
+), contrib AS (
+    SELECT day + CAST(off AS INT) AS anchor_day, day, cents FROM offs
+), windows AS (
+    SELECT c.anchor_day, c.cents
+    FROM contrib c JOIN daily a ON c.anchor_day = a.day
+), med AS (
+    SELECT anchor_day, CAST(COUNT(*) AS BIGINT) AS n_days,
+           {median_expr} AS median_cents
+    FROM windows GROUP BY anchor_day
+)
+SELECT anchor_day AS day, n_days, CAST(median_cents AS BIGINT) AS median_cents
+FROM med WHERE n_days = {ROLLMED_W}
+"""
+
+
+_ROLLMED_ORACLE = _rollmed_sql(
+    "quantile_disc(cents, 0.5)", f"unnest(range(0, {ROLLMED_W}))"
+)
+_ROLLMED_SPARK = _rollmed_sql(
+    "percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)",
+    f"explode(sequence(0, {ROLLMED_W - 1}))",
+)
+
+
+@query("window_rolling_median_7d", oracle=_ROLLMED_ORACLE)
+def window_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling EXACT median of the daily value series —
+    the robust trendline (a rolling mean follows every spike; the
+    rolling median follows the level), warm-up rows dropped like
+    window_rolling_corr.
+
+    Formulated WITHOUT an ordered-set window function (neither engine
+    accepts percentile_disc OVER a frame): each day EXPLODES onto the
+    {ROLLMED_W} anchor days its value contributes to, the anchor
+    semi-joins back to observed days (so calendar gaps shrink n_days
+    and the warm-up filter sees them), and the median becomes a plain
+    GROUPED discrete pick — the same explode-to-anchors trick the HLL
+    sliding-distinct rollup uses, yielding equi-joins and one grouped
+    aggregation.  Integer cents end-to-end; the discrete median picks
+    an actual data value on both engines.
+
+    Scale: fanout is {ROLLMED_W}× a CALENDAR-sized frame (KBs), after
+    the one fact-sized daily reduction.  A wider window at fact scale
+    switches to the same pre-binned grouped-median the KS family
+    documents."""
+    register_views(spark, sf_dir)
+    return spark.sql(_ROLLMED_SPARK)

@@ -599,3 +599,70 @@ def test_permutation_checksum_planner_mad_invariants(spark):
         for r in qs["events_mad_outlier_days"](spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+def test_link_prediction_and_rolling_median_bruteforce(spark):
+    """Brute-force recomputation pins for batch 3."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from tests.conftest import SF_DIR
+
+    from etl_pipeline_aws_spark.operators.graph import (
+        LP_MIN_CN,
+        LP_MIN_SUPPORT,
+        LP_RA_SCALE,
+        co_occurrence_pairs,
+    )
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.operators.timeseries import ROLLMED_W
+
+    qs = engine.queries()
+
+    # RA link prediction vs Python adjacency recomputation
+    li = load_table(spark, SF_DIR, "lineitem")
+    adj = defaultdict(set)
+    for r in co_occurrence_pairs(li, LP_MIN_SUPPORT, distinct_items=False).collect():
+        adj[r.pa].add(r.pb)
+        adj[r.pb].add(r.pa)
+    expect = {}
+    nodes = sorted(adj)
+    for a in nodes:
+        cand = defaultdict(list)
+        for z in adj[a]:
+            for b in adj[z]:
+                if b > a and b not in adj[a]:
+                    cand[b].append(z)
+        for b, zs in cand.items():
+            if len(zs) >= LP_MIN_CN:
+                expect[(a, b)] = (
+                    len(zs),
+                    sum(LP_RA_SCALE // len(adj[z]) for z in zs),
+                )
+    got = {
+        (r.u, r.v): (r.common_neighbors, r.ra_index_ppb)
+        for r in qs["graph_link_prediction_ra"](spark, SF_DIR).collect()
+    }
+    assert got == expect and got, "RA prediction must match brute force"
+
+    # rolling 7-day median vs brute force
+    daily = {
+        r.day: r.cents
+        for r in engine_daily_cents(spark, SF_DIR).collect()
+    }
+    got_med = {
+        r.day: (r.n_days, r.median_cents)
+        for r in qs["window_rolling_median_7d"](spark, SF_DIR).collect()
+    }
+    for day in daily:
+        window = [
+            daily[day - dt.timedelta(days=k)]
+            for k in range(ROLLMED_W)
+            if day - dt.timedelta(days=k) in daily
+        ]
+        if len(window) == ROLLMED_W:
+            s = sorted(window)
+            assert got_med[day] == (ROLLMED_W, s[(ROLLMED_W - 1) // 2])
+        else:
+            assert day not in got_med
+    assert got_med
