@@ -437,20 +437,24 @@ _ROLLMED_SPARK = _rollmed_sql(
 
 @query("window_rolling_median_7d", oracle=_ROLLMED_ORACLE)
 def window_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-7-day rolling EXACT median of the daily value series —
-    the robust trendline (a rolling mean follows every spike; the
-    rolling median follows the level), warm-up rows dropped like
-    window_rolling_corr.
+    """Trailing-7-CALENDAR-day rolling exact median of the global daily
+    value series.  Deliberately DISTINCT from window_rolling_median
+    (analytics.py), which is the ROWS-frame variant: a ROWS BETWEEN 6
+    PRECEDING frame silently stretches across calendar gaps (after a
+    2-day outage it spans 9 real days), while this operator windows by
+    CALENDAR day — a gap shrinks n_days and the warm-up filter drops
+    the cell instead of emitting a median over the wrong span.  The two
+    are the time-series analog of the ROWS-vs-RANGE window pair, and
+    production metric pipelines need both.
 
-    Formulated WITHOUT an ordered-set window function (neither engine
-    accepts percentile_disc OVER a frame): each day EXPLODES onto the
-    {ROLLMED_W} anchor days its value contributes to, the anchor
-    semi-joins back to observed days (so calendar gaps shrink n_days
-    and the warm-up filter sees them), and the median becomes a plain
-    GROUPED discrete pick — the same explode-to-anchors trick the HLL
-    sliding-distinct rollup uses, yielding equi-joins and one grouped
-    aggregation.  Integer cents end-to-end; the discrete median picks
-    an actual data value on both engines.
+    Also a different PLAN CLASS, not just different semantics: instead
+    of collect_list-over-window (per-row frame state), each day
+    EXPLODES onto the {ROLLMED_W} anchor days its value contributes to,
+    anchors semi-join back to observed days, and the median becomes a
+    plain GROUPED discrete pick — the explode-to-anchors trick the HLL
+    sliding-distinct rollup uses: equi-joins plus one grouped
+    aggregation, no window state at all.  Integer cents end-to-end; the
+    discrete median picks an actual data value on both engines.
 
     Scale: fanout is {ROLLMED_W}× a CALENDAR-sized frame (KBs), after
     the one fact-sized daily reduction.  A wider window at fact scale
@@ -458,3 +462,75 @@ def window_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents."""
     register_views(spark, sf_dir)
     return spark.sql(_ROLLMED_SPARK)
+
+
+def _decomp_sql(trend_median: str, seas_median: str, unnest_expr: str) -> str:
+    """Shared additive-decomposition text; discrete-median + generator
+    spellings per dialect."""
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM events GROUP BY CAST(ts AS DATE)
+), offs AS (
+    SELECT day, cents, {unnest_expr} AS off FROM daily
+), contrib AS (
+    SELECT day + CAST(off AS INT) AS anchor_day, cents FROM offs
+), trend AS (
+    SELECT c.anchor_day AS day, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST({trend_median} AS BIGINT) AS trend_cents
+    FROM contrib c JOIN daily a ON c.anchor_day = a.day
+    GROUP BY c.anchor_day
+), detrended AS (
+    SELECT d.day, d.cents, t.trend_cents,
+           (EXTRACT(DAY FROM d.day) % 7) AS dow_bucket,
+           d.cents - t.trend_cents AS detr
+    FROM daily d JOIN trend t ON d.day = t.day
+    WHERE t.n_days = {ROLLMED_W}
+), seasonal AS (
+    SELECT dow_bucket, CAST({seas_median} AS BIGINT) AS seasonal_cents
+    FROM detrended GROUP BY dow_bucket
+)
+SELECT d.day, d.cents,
+       d.trend_cents,
+       s.seasonal_cents,
+       CAST(d.cents - d.trend_cents - s.seasonal_cents AS BIGINT)
+           AS residual_cents
+FROM detrended d JOIN seasonal s ON d.dow_bucket = s.dow_bucket
+"""
+
+
+_DECOMP_ORACLE = _decomp_sql(
+    "quantile_disc(c.cents, 0.5)",
+    "quantile_disc(detr, 0.5)",
+    f"unnest(range(0, {ROLLMED_W}))",
+)
+_DECOMP_SPARK = _decomp_sql(
+    "percentile_disc(0.5) WITHIN GROUP (ORDER BY c.cents)",
+    "percentile_disc(0.5) WITHIN GROUP (ORDER BY detr)",
+    f"explode(sequence(0, {ROLLMED_W - 1}))",
+)
+
+
+@query("events_decompose_additive", oracle=_DECOMP_ORACLE)
+def events_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust additive time-series decomposition (the STL idea in its
+    median-based form): value = trend + seasonal + residual, where
+    trend is the trailing-7-day rolling MEDIAN (window_rolling_median_7d's
+    machinery inlined), seasonal is the per-day-of-week median of the
+    detrended series, and the residual is whatever remains — the
+    decomposition monitoring reads before alerting ("is today's spike
+    real, or is it just Monday?").
+
+    Every component is INTEGER CENTS via discrete medians, so the
+    additive identity holds EXACTLY row by row (pinned in tests) and
+    the whole result is hash-stable with zero float ops.  Day-of-week
+    buckets by day-of-month % 7 — the engine-portable spelling (weekday
+    NUMBERING differs between Spark and DuckDB, the documented trap;
+    the bucket is a consistent weekly phase either way).
+
+    Scale: one fact-sized daily reduction; trend/seasonal/residual all
+    run on calendar-sized frames via equi-joins and grouped discrete
+    picks — no window state, no single-partition sort."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DECOMP_SPARK)

@@ -666,3 +666,27 @@ def test_link_prediction_and_rolling_median_bruteforce(spark):
         else:
             assert day not in got_med
     assert got_med
+
+
+def test_additive_decomposition_identity_and_trend(spark):
+    """events_decompose_additive: the additive identity must hold EXACTLY
+    per row (integer cents), the trend must equal the rolling-median
+    query's value on shared days, and the seasonal component must be
+    constant within each dow bucket."""
+    from tests.conftest import SF_DIR
+
+    qs = engine.queries()
+    rows = qs["events_decompose_additive"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.cents == r.trend_cents + r.seasonal_cents + r.residual_cents
+    med = {
+        r.day: r.median_cents
+        for r in qs["window_rolling_median_7d"](spark, SF_DIR).collect()
+    }
+    seas = {}
+    for r in rows:
+        assert med[r.day] == r.trend_cents
+        bucket = r.day.day % 7
+        seas.setdefault(bucket, set()).add(r.seasonal_cents)
+    assert all(len(v) == 1 for v in seas.values())

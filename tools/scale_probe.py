@@ -137,6 +137,20 @@ PROBE_QUERIES = [
     "embedding_dimension_stats",
     "ivm_retraction_zset",
     "graph_pagerank_parts",
+    # round-6 session-2 additions
+    "graph_k_core",
+    "events_bitmap_retention",
+    "stat_auc_roc",
+    "stat_anova_oneway",
+    "stat_levene_brown_forsythe",
+    "stat_permutation_shift",
+    "events_theil_sen_trend",
+    "events_changepoint_binseg",
+    "events_mad_outlier_days",
+    "dq_block_checksums",
+    "layout_range_partition_plan",
+    "graph_link_prediction_ra",
+    "window_rolling_median_7d",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
@@ -204,7 +218,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--regen", action="store_true")
+    ap.add_argument("--only", help="comma-separated subset of PROBE_QUERIES")
     args = ap.parse_args()
+    if args.only:
+        global PROBE_QUERIES
+        keep = set(args.only.split(","))
+        PROBE_QUERIES = [q for q in PROBE_QUERIES if q in keep]
 
     import etl_pipeline_aws_spark as engine
 
