@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.catalog import load_table, register_views
 from etl_pipeline_aws_spark.registry import query
 
 # Shared tokenization: whitespace split (the documents table is
@@ -1440,3 +1440,58 @@ def text_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").cast("long").alias("min_freq"),
         F.max("n").cast("long").alias("max_freq"),
     )
+
+
+def _readability_sql(count_re: str) -> str:
+    """Shared Flesch text; regexp-count spelling differs per dialect."""
+    return f"""
+WITH counts AS (
+    SELECT doc_id,
+           GREATEST({count_re.format(col="text", pat="'[.!?]+'")}, 1)
+               AS n_sentences,
+           GREATEST(len(string_split(text, ' ')), 1) AS n_words,
+           {count_re.format(col="lower(text)", pat="'[aeiouy]+'")}
+               AS n_syllables
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+           + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+           - 15.59 AS fk_grade,
+       206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+           - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch_ease
+FROM counts
+"""
+
+
+_READ_ORACLE = _readability_sql("len(regexp_extract_all({col}, {pat}))")
+_READ_SPARK = _readability_sql("regexp_count({col}, {pat})").replace(
+    "len(string_split(", "size(split("
+)
+
+
+@query("text_readability_fk", oracle=_READ_ORACLE)
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level + Flesch reading-ease per document —
+    the readability axis of corpus curation (the C4/Gopher gates in
+    text_quality_score filter degenerate text; readability targets the
+    AUDIENCE level, e.g. keeping a children's-content mix genuinely
+    simple or flagging legalese).
+
+    Syllables are approximated as VOWEL GROUPS (`[aeiouy]+` runs) — the
+    standard closed-form proxy (true syllabification needs a
+    pronunciation lexicon; the vowel-group count is deterministic,
+    language-blind, and the error washes out at corpus scale).
+    Sentences are punctuation runs (`[.!?]+`), floored at 1.  All three
+    counts are exact integers from regexp counts — the same regex class
+    evaluated by each engine's RE2-style matcher on identical text —
+    and both scores are one shared per-row IEEE formula on those
+    integers (per-row, never summed: the documented double discipline).
+
+    Scale: embarrassingly parallel scan, no shuffle at all — the
+    readability columns land next to the quality gate in one pass."""
+    register_views(spark, sf_dir)
+    return spark.sql(_READ_SPARK)

@@ -3284,3 +3284,96 @@ def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("active").cast("long").alias("retained_users"),
     )
 
+
+
+OTIF_SLA_DAYS = 30  # ship-by SLA: order date + 30 days (schema has no commitdate)
+
+_OTIF_SQL = f"""
+WITH lines AS (
+    SELECT l.l_suppkey,
+           CASE WHEN CAST(l.l_shipdate AS DATE)
+                     <= CAST(o.o_orderdate AS DATE) + {OTIF_SLA_DAYS}
+                THEN 1 ELSE 0 END AS on_time,
+           CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END AS in_full,
+           CASE WHEN CAST(l.l_shipdate AS DATE)
+                     > CAST(o.o_orderdate AS DATE) + {OTIF_SLA_DAYS}
+                THEN date_diff('day', CAST(o.o_orderdate AS DATE)
+                                      + {OTIF_SLA_DAYS},
+                               CAST(l.l_shipdate AS DATE))
+                ELSE 0 END AS delay_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(l.on_time) * 10000 // COUNT(*) AS BIGINT) AS on_time_bp,
+       CAST(SUM(l.in_full) * 10000 // COUNT(*) AS BIGINT) AS in_full_bp,
+       CAST(SUM(l.on_time * l.in_full) * 10000 // COUNT(*) AS BIGINT)
+           AS otif_bp,
+       CAST(SUM(l.delay_days) AS BIGINT) AS total_delay_days,
+       CAST(MAX(l.delay_days) AS BIGINT) AS worst_delay_days
+FROM lines l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@query("supplier_otif_scorecard", oracle=_OTIF_SQL)
+def supplier_otif_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier OTIF (on-time-in-full) scorecard — procurement's
+    headline vendor KPI: per supplier, the share of lines shipped
+    within the {OTIF_SLA_DAYS}-day ship-by SLA from order date
+    (on-time; the driver schema carries no commitdate — FIXTURES.md §B
+    — so the SLA fence plays its role, the q12-latency convention), the
+    share the customer kept (in-full, modeled as not-returned — no
+    backorder quantity either), their conjunction (OTIF proper), and
+    the delay mass of the late tail.  q21 finds suppliers CURRENTLY
+    blocking multi-supplier orders; this is the longitudinal scorecard
+    a quarterly vendor review reads.
+
+    All rates are exact integer FLOOR basis points (sum*10^4 div count
+    — Spark ``div`` / DuckDB ``//`` are both true integer division, no
+    float ratio anywhere); delays are exact day differences beyond the
+    fence.
+
+    Scale: the lineitem-orders equi-join shuffles on orderkey (the
+    co-partitioned pair bucketed_join_colocated demonstrates
+    exchange-free), then one partial-aggregated groupBy on l_suppkey
+    and a supplier-keyed join for the name — the dim scales with SF, so
+    NO broadcast hint (the fact-side-broadcast guard's policy); AQE may
+    still convert at runtime from measured sizes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    fence = F.date_add(F.col("o_orderdate").cast("date"), OTIF_SLA_DAYS)
+    lines = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "l_suppkey",
+            F.when(F.col("l_shipdate").cast("date") <= fence, 1)
+            .otherwise(0)
+            .alias("on_time"),
+            F.when(F.col("l_returnflag") != "R", 1).otherwise(0).alias("in_full"),
+            F.when(
+                F.col("l_shipdate").cast("date") > fence,
+                F.datediff(F.col("l_shipdate").cast("date"), fence),
+            )
+            .otherwise(0)
+            .alias("delay_days"),
+        )
+    )
+    per_supp = lines.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.expr("sum(on_time) * 10000 div count(1)").cast("long").alias("on_time_bp"),
+        F.expr("sum(in_full) * 10000 div count(1)").cast("long").alias("in_full_bp"),
+        F.expr("sum(on_time * in_full) * 10000 div count(1)")
+        .cast("long")
+        .alias("otif_bp"),
+        F.sum("delay_days").cast("long").alias("total_delay_days"),
+        F.max("delay_days").cast("long").alias("worst_delay_days"),
+    )
+    return per_supp.join(
+        sup.select("s_suppkey", "s_name"),
+        per_supp["l_suppkey"] == F.col("s_suppkey"),
+    ).select(
+        "s_suppkey", "s_name", "n_lines", "on_time_bp", "in_full_bp",
+        "otif_bp", "total_delay_days", "worst_delay_days",
+    )

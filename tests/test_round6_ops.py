@@ -690,3 +690,44 @@ def test_additive_decomposition_identity_and_trend(spark):
         bucket = r.day.day % 7
         seas.setdefault(bucket, set()).add(r.seasonal_cents)
     assert all(len(v) == 1 for v in seas.values())
+
+
+def test_readability_and_otif_invariants(spark):
+    """Pin batch-5 operators with recomputation and bound checks."""
+    import re as _re
+
+    from tests.conftest import SF_DIR
+
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.operators.analytics import OTIF_SLA_DAYS
+
+    qs = engine.queries()
+
+    # readability: recompute a sample of documents in Python
+    docs = {r.doc_id: r.text for r in load_table(spark, SF_DIR, "documents")
+            .select("doc_id", "text").limit(50).collect()}
+    got = {
+        r.doc_id: r
+        for r in qs["text_readability_fk"](spark, SF_DIR).collect()
+    }
+    assert len(got) == load_table(spark, SF_DIR, "documents").count()
+    for doc_id, text in docs.items():
+        r = got[doc_id]
+        sents = max(len(_re.findall(r"[.!?]+", text)), 1)
+        words = max(len(text.split(" ")), 1)
+        syls = len(_re.findall(r"[aeiouy]+", text.lower()))
+        assert (r.n_sentences, r.n_words, r.n_syllables) == (sents, words, syls)
+        assert r.fk_grade == 0.39 * (words / sents) + 11.8 * (syls / words) - 15.59
+
+    # OTIF: bounds, conjunction <= min(parts), and a full-table identity
+    rows = qs["supplier_otif_scorecard"](spark, SF_DIR).collect()
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r.n_lines for r in rows) == li.count()
+    for r in rows:
+        assert 0 <= r.otif_bp <= min(r.on_time_bp, r.in_full_bp)
+        assert (r.worst_delay_days > 0) <= (r.total_delay_days >= r.worst_delay_days)
+        if r.on_time_bp == 10000:
+            assert r.total_delay_days == 0, "all on time => no delay mass"
+    # SLA constant actually bites on the fixture: some late lines exist
+    assert any(r.on_time_bp < 10000 for r in rows), OTIF_SLA_DAYS
