@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.catalog import load_table, register_views
 from etl_pipeline_aws_spark.registry import query
 
 _EPOCH = "1990-01-01"
@@ -390,3 +390,85 @@ def scd1_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("src") == "I").alias("was_inserted"),
         )
     )
+
+
+BT_RESTATE_LAG_DAYS = 10  # corrections become KNOWN 10 days after order date
+BT_K1 = "1998-01-01"  # mid-history knowledge date (fixture spans 1995..2001)
+BT_K2 = "9999-12-31"  # "as currently known"
+
+
+def _bitemporal_sql(explode_expr: str) -> str:
+    """Shared bitemporal-restatement text; generator spelling per
+    dialect."""
+    return f"""
+WITH log AS (
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS valid_date,
+           CAST(o_orderdate AS DATE) AS known_date,
+           0 AS seq,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE),
+           CAST(o_orderdate AS DATE) + {BT_RESTATE_LAG_DAYS},
+           1,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(1.05 AS DECIMAL(3,2)), 2) AS DECIMAL(18,2))
+    FROM orders WHERE o_orderkey % 7 = 0
+), fanned AS (
+    SELECT l.*, k.kdate
+    FROM log l, LATERAL (SELECT {explode_expr} AS kdate) k
+    WHERE l.known_date <= k.kdate
+), winners AS (
+    SELECT kdate, o_orderkey, valid_date, price,
+           ROW_NUMBER() OVER (PARTITION BY kdate, o_orderkey
+                              ORDER BY seq DESC) AS rn
+    FROM fanned
+)
+SELECT CAST(kdate AS DATE) AS knowledge_date,
+       date_trunc('month', valid_date) AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(price) AS DECIMAL(28,2)) AS revenue
+FROM winners
+WHERE rn = 1
+GROUP BY kdate, date_trunc('month', valid_date)
+"""
+
+
+_BT_ORACLE = _bitemporal_sql(
+    f"unnest([DATE '{BT_K1}', DATE '{BT_K2}'])"
+)
+_BT_SPARK = _bitemporal_sql(
+    f"explode(array(DATE '{BT_K1}', DATE '{BT_K2}'))"
+)
+
+
+@query("bitemporal_restatement", oracle=_BT_ORACLE)
+def bitemporal_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL query — two independent time axes: VALID time (when
+    the order economically happened) and TRANSACTION/knowledge time
+    (when the system learned the current figure).  Price restatements
+    (every 7th order, +5%) become known {BT_RESTATE_LAG_DAYS} days
+    after the order date but apply retroactively, so monthly revenue
+    "as known on {BT_K1}" differs from revenue "as currently known" for
+    exactly the months whose restatements hadn't landed yet — the
+    restatement-drift report every finance close runs, and the query
+    class (AS OF knowledge-time over valid-time rollups) that
+    uni-temporal SCD2/time-travel cannot answer (cdc_time_travel
+    replays versions; this slices BOTH axes at once).
+
+    Determinism: restated prices are EXACT decimal arithmetic end to
+    end (decimal x decimal, rounded in decimal — a double x1.05 then
+    round-to-cents diverges between engines at representation ties,
+    measured);
+    last-writer-wins is a seq-ordered ROW_NUMBER; revenue is an exact
+    decimal sum.  The knowledge-date fan-out is a LATERAL 2-element
+    generator filtered by known_date <= K — replication factor = number
+    of knowledge dates ASKED, never log length, and no join node.
+
+    Scale: one (kdate, key) shuffle resolves every winner; the rollup
+    is months x 2 rows.  The log union reads orders twice — at 100 TB
+    the corrections side is a real changelog table, far smaller."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BT_SPARK)

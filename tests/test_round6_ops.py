@@ -731,3 +731,54 @@ def test_readability_and_otif_invariants(spark):
             assert r.total_delay_days == 0, "all on time => no delay mass"
     # SLA constant actually bites on the fixture: some late lines exist
     assert any(r.on_time_bp < 10000 for r in rows), OTIF_SLA_DAYS
+
+
+def test_bitemporal_restatement_axes(spark):
+    """The bitemporal contract, month class by month class:
+
+    - months starting after K1 exist only in the later knowledge slice
+      (nothing about them was known yet);
+    - fully-settled months (every order AND its lagged restatement known
+      by K1) agree EXACTLY across slices — counts and revenue;
+    - the partially-settled window around K1 must show revenue drift
+      (base rows known, restatements not) — the report's entire point;
+    - restatements only raise revenue, never change counts, on every
+      shared month.
+    """
+    import datetime as dt
+    from decimal import Decimal
+
+    from tests.conftest import SF_DIR
+
+    from etl_pipeline_aws_spark.operators.merge import (
+        BT_K1,
+        BT_RESTATE_LAG_DAYS,
+    )
+
+    qs = engine.queries()
+    rows = qs["bitemporal_restatement"](spark, SF_DIR).collect()
+    k1 = dt.date.fromisoformat(BT_K1)
+    slices = {}
+    for r in rows:
+        m = r.order_month.date() if hasattr(r.order_month, "date") else r.order_month
+        slices.setdefault(r.knowledge_date, {})[m] = (
+            r.n_orders,
+            Decimal(str(r.revenue)),
+        )
+    assert len(slices) == 2
+    s1 = slices[k1]
+    s2 = slices[max(slices)]
+    assert set(s1) <= set(s2), "K1 slice holds a prefix of valid months"
+    for m in s2:
+        if m not in s1:
+            assert m > k1.replace(day=1), "missing months must postdate K1"
+    drift = 0
+    for m, (n1, rev1) in s1.items():
+        n2, rev2 = s2[m]
+        assert n1 <= n2 and rev2 >= rev1
+        next_month = (m + dt.timedelta(days=32)).replace(day=1)
+        if next_month + dt.timedelta(days=BT_RESTATE_LAG_DAYS) <= k1:
+            assert (n1, rev1) == (n2, rev2), f"settled month {m} drifted"
+        if rev1 != rev2:
+            drift += 1
+    assert drift > 0, "fixture must exercise restatement drift"
