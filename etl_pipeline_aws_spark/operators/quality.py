@@ -866,3 +866,44 @@ def dq_block_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows."""
     register_views(spark, sf_dir)
     return spark.sql(_CHECKSUM_SQL)
+
+
+LDIV_L = 3  # minimum distinct sensitive values per QI class
+
+_LDIV_SQL = f"""
+WITH classed AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+    FROM customer
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_distinct,
+       CASE WHEN COUNT(DISTINCT bal_band) < {LDIV_L} THEN 1 ELSE 0 END
+           AS below_l
+FROM classed
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@query("dq_l_diversity", oracle=_LDIV_SQL)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attack k-anonymity misses: a QI class can
+    be large (k-anonymous) yet have every member share ONE sensitive
+    value, so membership alone discloses it (the homogeneity attack).
+    Per quasi-identifier class (nation, market segment): size, the
+    number of DISTINCT sensitive values (the $1000 balance band
+    dq_k_anonymity uses as a QI plays the sensitive attribute here —
+    the release decides which columns are which), and the below-l flag
+    at l={LDIV_L}.  Together the two audits are the standard
+    pre-release privacy gate pair.
+
+    Exact integer counts; the band is the same single FLOOR-division
+    IEEE op as the k-anonymity query, so the two audits band
+    identically by construction.
+
+    Scale: one partial-aggregated groupBy on the QI key; COUNT(DISTINCT
+    band) expands to (QI, band) partials first — both bounded by
+    |nations|x|segments|x|bands|, regardless of fact size."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LDIV_SQL)

@@ -534,3 +534,62 @@ def events_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks — no window state, no single-partition sort."""
     register_views(spark, sf_dir)
     return spark.sql(_DECOMP_SPARK)
+
+
+BACKTEST_LAG_DAYS = 7  # seasonal-naive horizon: forecast(d) = value(d-7)
+
+
+def _backtest_sql(idiv: str) -> str:
+    """Shared backtest text; integer-division spelling per dialect
+    (Spark ``DIV``, DuckDB ``//``)."""
+    return f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+), paired AS (
+    SELECT a.event_type, a.day, a.cents,
+           f.cents AS forecast_cents
+    FROM daily a
+    JOIN daily f ON f.event_type = a.event_type
+                AND f.day = a.day - {BACKTEST_LAG_DAYS}
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored_days,
+       CAST(SUM(ABS(cents - forecast_cents)) {idiv} COUNT(*) AS BIGINT)
+           AS mae_cents,
+       CAST(SUM(ABS(cents - forecast_cents) * 10000 {idiv} cents)
+                {idiv} COUNT(*) AS BIGINT) AS mape_bp,
+       CAST(SUM(CASE WHEN forecast_cents > cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_over_forecast
+FROM paired
+GROUP BY event_type
+"""
+
+
+_BACKTEST_ORACLE = _backtest_sql("//")
+_BACKTEST_SPARK = _backtest_sql("DIV")
+
+
+
+@query("events_seasonal_naive_backtest", oracle=_BACKTEST_ORACLE)
+def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTESTING — the evaluation half of any forecasting
+    pipeline, run against the seasonal-naive baseline forecast(d) =
+    value(d−{BACKTEST_LAG_DAYS}) (the model every real forecast must
+    beat before it ships; Hyndman's standard yardstick, and the
+    denominator of the MASE metric).  Per series: scored days, MAE,
+    MAPE, and the over-forecast count (bias direction).
+
+    Exactness: the error fold is pure BIGINT — per-day absolute errors
+    in cents, per-day MAPE contributions as FLOOR basis points, final
+    averages as integer division.  Floor-mean-of-floors is a defined,
+    documented convention (both engines execute the identical integer
+    expression), chosen over float division because a metric that gates
+    a model promotion must never hash-differ.
+
+    Scale: the self-join is calendar-keyed on the |days|-sized daily
+    frame — an equi-join on (type, day), no window state; the daily
+    reduction is the only fact-sized stage."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BACKTEST_SPARK)

@@ -782,3 +782,65 @@ def test_bitemporal_restatement_axes(spark):
         if rev1 != rev2:
             drift += 1
     assert drift > 0, "fixture must exercise restatement drift"
+
+
+def test_ldiversity_and_backtest_invariants(spark):
+    """Batch-7 pins: l-diversity against k-anonymity's class table and
+    the backtest against a Python recomputation."""
+    import datetime as dt
+
+    from tests.conftest import SF_DIR
+
+    from etl_pipeline_aws_spark.operators.quality import LDIV_L
+    from etl_pipeline_aws_spark.operators.timeseries import BACKTEST_LAG_DAYS
+
+    qs = engine.queries()
+
+    ld = qs["dq_l_diversity"](spark, SF_DIR).collect()
+    assert ld
+    for r in ld:
+        assert 1 <= r.l_distinct <= r.class_size
+        assert r.below_l == (1 if r.l_distinct < LDIV_L else 0)
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    assert sum(r.class_size for r in ld) == load_table(
+        spark, SF_DIR, "customer"
+    ).count()
+
+    daily = {}
+    for r in engine_daily_cents_by_type(spark, SF_DIR).collect():
+        daily.setdefault(r.event_type, {})[r.day] = r.cents
+    got = {
+        r.event_type: r
+        for r in qs["events_seasonal_naive_backtest"](spark, SF_DIR).collect()
+    }
+    for et, series in daily.items():
+        pairs = [
+            (c, series[d - dt.timedelta(days=BACKTEST_LAG_DAYS)])
+            for d, c in series.items()
+            if d - dt.timedelta(days=BACKTEST_LAG_DAYS) in series
+        ]
+        if not pairs:
+            assert et not in got
+            continue
+        r = got[et]
+        assert r.n_scored_days == len(pairs)
+        assert r.mae_cents == sum(abs(a - f) for a, f in pairs) // len(pairs)
+        assert r.mape_bp == (
+            sum(abs(a - f) * 10000 // a for a, f in pairs) // len(pairs)
+        )
+        assert r.n_over_forecast == sum(1 for a, f in pairs if f > a)
+
+
+def engine_daily_cents_by_type(spark, sf_dir):
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
