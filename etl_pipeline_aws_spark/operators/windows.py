@@ -484,3 +484,46 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w).alias("second_order_price"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_order_key"),
     )
+
+
+_RANGE_INTERVAL_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(18,2))) AS v
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, day,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_days_in_window,
+       CAST(SUM(v) OVER w AS DECIMAL(28,2)) AS trailing_7d_value
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("window_range_interval_frame", oracle=_RANGE_INTERVAL_SQL)
+def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native RANGE-BETWEEN-INTERVAL window frame — the calendar-aware
+    frame the ROWS family cannot express in one clause: the trailing
+    7-day total per series where the frame boundary is a TIME span, so
+    a calendar gap narrows the window (n_days_in_window exposes it)
+    instead of silently stretching a 7-ROW frame across missing days.
+    Completes the frame-clause surface (ROWS ✓ unbounded/sliding/
+    preceding, GROUPS unsupported by Spark — documented, RANGE-interval
+    here), and is the declarative twin of the explode-to-anchors
+    rolling-median formulation (window_rolling_median_7d documents the
+    same ROWS-vs-calendar distinction for order statistics, which RANGE
+    frames cannot compute since percentile aggregates don't window).
+
+    IDENTICAL SQL text on both engines — Spark 4 and DuckDB both accept
+    the interval-bounded RANGE clause over a DATE ordering.  Exact
+    decimal window sums (order-defined), exact counts — hash-stable.
+
+    Scale: the frame runs on the (type, day) daily reduction —
+    calendar-sized input partitioned on the series key; Spark's range
+    frame is a sliding aggregate over the sorted partition, state
+    bounded by the interval span."""
+    from etl_pipeline_aws_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RANGE_INTERVAL_SQL)

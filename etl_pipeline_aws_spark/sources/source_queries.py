@@ -1192,3 +1192,63 @@ def parquet_nested_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("doc.stats.n_tokens").alias("n_tokens"),
         F.array_join(F.slice("tags", 1, 2), "/").alias("first_two_tags"),
     )
+
+
+_RECURSIVE_GLOB_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+@query("source_recursive_glob_discovery", oracle=_RECURSIVE_GLOB_ORACLE)
+def source_recursive_glob_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File discovery over a MESSY landing zone — the connector options
+    every real ingestion needs the week the upstream starts dropping
+    files into nested folders: ``recursiveFileLookup`` walks arbitrary
+    directory trees (deliberately DISABLING hive partition inference —
+    the folders are vendor structure, not partitions; the data columns
+    carry the truth), and ``pathGlobFilter`` admits only ``*.parquet``,
+    skipping the sidecar junk (a .txt note, a .csv manifest) that would
+    otherwise fail the scan.  Spark's built-in underscore/dot-prefix
+    exclusion is exercised alongside (_SUCCESS-style markers are never
+    data).
+
+    The zone is staged deterministically from orders (one nested
+    vendor/yyyy/shard folder per priority + three junk files), so the
+    oracle is the construction identity: the recursive-glob read must
+    return exactly the per-priority counts of the source table — every
+    data file found, every junk file skipped, nothing double-read.
+
+    At 100 TB file LISTING is itself distributed (Spark's
+    InMemoryFileIndex parallelizes over executors past a threshold);
+    the glob prunes at list time, before any footer read."""
+    import tempfile
+
+    zone = tempfile.mkdtemp(prefix="messy_zone_")
+    o = load_table(spark, sf_dir, "orders")
+    pris = [r[0] for r in o.select("o_orderpriority").distinct().collect()]
+    for i, p in enumerate(sorted(pris)):
+        sub = os.path.join(zone, f"vendor_{i % 2}", "2024", f"drop_{i}")
+        os.makedirs(sub, exist_ok=True)
+        o.filter(F.col("o_orderpriority") == p).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sub, "data"))
+    with open(os.path.join(zone, "vendor_0", "README.txt"), "w") as fh:
+        fh.write("not data\n")
+    with open(os.path.join(zone, "vendor_1", "manifest.csv"), "w") as fh:
+        fh.write("a,b\n1,2\n")
+    with open(os.path.join(zone, "_STAGING_MARKER"), "w") as fh:
+        fh.write("ignored by underscore-prefix rule even without the glob\n")
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(zone)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+        )
+    )
