@@ -3377,3 +3377,143 @@ def supplier_otif_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_name", "n_lines", "on_time_bp", "in_full_bp",
         "otif_bp", "total_delay_days", "worst_delay_days",
     )
+
+
+_CALIB_FRACS = [i / 10 for i in range(1, 10)]
+
+_CALIB_ORACLE = f"""
+WITH pts AS (
+    SELECT o_totalprice AS score,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+    FROM orders
+), b AS (
+    SELECT {", ".join(f"quantile_disc(score, {q}) AS b{i}"
+                      for i, q in enumerate(_CALIB_FRACS))}
+    FROM pts
+)
+SELECT 1 {" ".join(f"+ CAST(score > b{i} AS INT)"
+                   for i in range(len(_CALIB_FRACS)))} AS score_decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(label) AS BIGINT) AS n_pos,
+       CAST(SUM(label) * 10000 // COUNT(*) AS BIGINT) AS pos_rate_bp
+FROM pts, b
+GROUP BY 1
+"""
+
+
+@query("ml_calibration_bins", oracle=_CALIB_ORACLE)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table for the "order total predicts
+    URGENT" scorer the eval family shares (stat_auc_roc ranks it; this
+    asks whether score LEVELS mean what they claim): per score decile,
+    the observed positive rate — the table whose monotone drift reveals
+    miscalibration that AUC, a pure ranking metric, cannot see.
+
+    Decile fences are DISCRETE percentile picks riding a single-row
+    broadcast (the feature_quantile_binning machinery aimed at model
+    eval); rates are exact integer floor basis points.  No float
+    anywhere.
+
+    Scale: one boundary aggregation + one grouped count — two
+    partial-aggregated passes, 10-row output."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("label"),
+    )
+    bounds = F.broadcast(
+        pts.agg(
+            *[
+                F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY score)").alias(
+                    f"b{i}"
+                )
+                for i, q in enumerate(_CALIB_FRACS)
+            ]
+        )
+    )
+    dec_expr = F.lit(1)
+    for i in range(len(_CALIB_FRACS)):
+        dec_expr = dec_expr + F.when(F.col("score") > F.col(f"b{i}"), 1).otherwise(0)
+    return (
+        pts.crossJoin(bounds)
+        .select(dec_expr.alias("score_decile"), "label")
+        .groupBy("score_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.expr("sum(label) * 10000 div count(1)").cast("long").alias("pos_rate_bp"),
+        )
+    )
+
+
+_CONFUSION_ORACLE = """
+WITH pts AS (
+    SELECT o_totalprice AS score,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+    FROM orders
+), thr AS (
+    SELECT quantile_disc(score, 0.9) AS t FROM pts
+), cells AS (
+    SELECT CAST(SUM(CASE WHEN score > t AND label = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN score > t AND label = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN score <= t AND label = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN score <= t AND label = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn
+    FROM pts, thr
+)
+SELECT tp, fp, fn, tn,
+       CAST(tp * 10000 // (tp + fp) AS BIGINT) AS precision_bp,
+       CAST(tp * 10000 // (tp + fn) AS BIGINT) AS recall_bp,
+       CAST(2 * tp * 10000 // (2 * tp + fp + fn) AS BIGINT) AS f1_bp
+FROM cells
+"""
+
+
+@query("ml_confusion_threshold", oracle=_CONFUSION_ORACLE)
+def ml_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded confusion matrix + precision/recall/F1 — the DECISION
+    tier of the shared eval family (stat_auc_roc ranks,
+    ml_calibration_bins checks levels; this scores the operating
+    point): alerts fire above the p90 score fence, a DISCRETE
+    percentile pick, so the threshold is an actual data value both
+    engines select identically.
+
+    Counts are one conditional aggregation; the three rates are exact
+    integer FLOOR basis points (F1's harmonic mean folded to the
+    integer identity 2·tp·10⁴ div (2·tp+fp+fn) — no float division
+    chain to diverge).
+
+    Scale: a 1-row threshold broadcast onto a single
+    partial-aggregated pass; output is one row."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("label"),
+    )
+    thr = F.broadcast(
+        pts.agg(
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY score)").alias("t")
+        )
+    )
+    cells = (
+        pts.crossJoin(thr)
+        .agg(
+            F.sum(F.when((F.col("score") > F.col("t")) & (F.col("label") == 1), 1)
+                  .otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when((F.col("score") > F.col("t")) & (F.col("label") == 0), 1)
+                  .otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when((F.col("score") <= F.col("t")) & (F.col("label") == 1), 1)
+                  .otherwise(0)).cast("long").alias("fn"),
+            F.sum(F.when((F.col("score") <= F.col("t")) & (F.col("label") == 0), 1)
+                  .otherwise(0)).cast("long").alias("tn"),
+        )
+    )
+    return cells.select(
+        "tp", "fp", "fn", "tn",
+        F.expr("tp * 10000 div (tp + fp)").cast("long").alias("precision_bp"),
+        F.expr("tp * 10000 div (tp + fn)").cast("long").alias("recall_bp"),
+        F.expr("2 * tp * 10000 div (2 * tp + fp + fn)").cast("long").alias("f1_bp"),
+    )

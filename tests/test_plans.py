@@ -136,6 +136,8 @@ ALLOWED_NESTED_LOOP = {
     "events_gapfill_locf",  # 1-row min/max bounds broadcast to the type spine (scale-free)
     "feature_quantile_binning",  # 1-row decile-boundary broadcast (scale-free)
     "layout_range_partition_plan",  # 1-row range-fence broadcast (same pattern)
+    "ml_calibration_bins",  # 1-row decile-boundary broadcast (same pattern)
+    "ml_confusion_threshold",  # 1-row threshold broadcast (same pattern)
     "corpus_mix_temperature",  # 1-row weight-sum broadcast to #langs rows (scale-free)
     "profile_key_skew",  # 1-row global-stats broadcast (scale-free)
     "events_trend_slope",  # 1-row calendar-origin broadcast (scale-free)

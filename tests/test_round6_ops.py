@@ -844,3 +844,37 @@ def engine_daily_cents_by_type(spark, sf_dir):
             .alias("cents")
         )
     )
+
+
+def test_ml_eval_family_consistency(spark):
+    """The three eval tiers (AUC / calibration / confusion) must agree
+    on the same underlying scorer and labels."""
+    from tests.conftest import SF_DIR
+
+    qs = engine.queries()
+    auc = qs["stat_auc_roc"](spark, SF_DIR).collect()[0]
+
+    calib = sorted(
+        qs["ml_calibration_bins"](spark, SF_DIR).collect(),
+        key=lambda r: r.score_decile,
+    )
+    # note: AUC restricts to URGENT vs LOW; calibration runs over ALL
+    # orders, so only the positive totals must relate: calib positives
+    # equal AUC's n_pos (URGENT count is the same population)
+    assert sum(r.n_pos for r in calib) == auc.n_pos
+    for r in calib:
+        assert r.pos_rate_bp == r.n_pos * 10000 // r.n
+    # a price-based scorer of priority is ~uncalibrated/noninformative:
+    # don't assert monotonicity, just coverage of all 10 deciles
+    assert [r.score_decile for r in calib] == list(range(1, 11))
+
+    conf = qs["ml_confusion_threshold"](spark, SF_DIR).collect()[0]
+    assert conf.tp + conf.fn == auc.n_pos
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    assert conf.tp + conf.fp + conf.fn + conf.tn == load_table(
+        spark, SF_DIR, "orders"
+    ).count()
+    assert conf.precision_bp == conf.tp * 10000 // (conf.tp + conf.fp)
+    assert conf.recall_bp == conf.tp * 10000 // (conf.tp + conf.fn)
+    assert conf.f1_bp == 2 * conf.tp * 10000 // (2 * conf.tp + conf.fp + conf.fn)
