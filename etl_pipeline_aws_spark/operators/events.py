@@ -455,3 +455,111 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("covered_us") > 0)
     )
+
+
+SESSION_CONV_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, session_id,
+               CAST(MIN(ts) AS DATE) AS session_day,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS last_purchase
+        FROM numbered
+        GROUP BY user_id, session_id
+    )
+    SELECT session_day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shopping,
+           CAST(SUM(CASE WHEN last_purchase >= first_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL
+                              AND (last_purchase IS NULL
+                                   OR last_purchase < first_view)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+    FROM sessions
+    GROUP BY session_day
+"""
+
+
+@query("events_session_conversion", oracle=SESSION_CONV_ORACLE)
+def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-scoped conversion / abandonment — the cart-abandonment
+    metric: a session converts only if a purchase follows a view
+    WITHIN THE SAME 30-minute-gap session (events_funnel's 7-day
+    user-level window answers a different question: eventual
+    conversion; this one answers "did they walk out of the store").
+    Per session day: sessions, shopping sessions (saw a view),
+    converted (ordered view→purchase inside the session), abandoned
+    (viewed, never purchased after).
+
+    Same sessionization rule as window_session / the streamed twins
+    (one gaps-and-islands pass on the oracle side, native
+    session_window on the engine side is NOT used here because the
+    conversion needs intra-session event ORDER, which the window
+    aggregate erases — the lag-based island build keeps it).
+
+    Scale: one user-keyed window pass + a sessions-sized rollup; exact
+    integer counts."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                >= 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").cast("date").alias("session_day"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    return sessions.groupBy("session_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count("first_view").cast("long").alias("n_shopping"),
+        F.count(
+            F.when(F.col("last_purchase") >= F.col("first_view"), F.lit(1))
+        )
+        .cast("long")
+        .alias("n_converted"),
+        F.count(
+            F.when(
+                F.col("first_view").isNotNull()
+                & (
+                    F.col("last_purchase").isNull()
+                    | (F.col("last_purchase") < F.col("first_view"))
+                ),
+                F.lit(1),
+            )
+        )
+        .cast("long")
+        .alias("n_abandoned"),
+    )

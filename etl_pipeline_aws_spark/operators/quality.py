@@ -907,3 +907,74 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     |nations|x|segments|x|bands|, regardless of fact size."""
     register_views(spark, sf_dir)
     return spark.sql(_LDIV_SQL)
+
+
+DOUBLE_CHARGE_WINDOW_DAYS = 1  # same amount within a day = suspect
+
+_DOUBLE_CHARGE_SQL = f"""
+WITH w AS (
+    SELECT o_custkey, o_totalprice,
+           CAST(o_orderdate AS DATE) AS day,
+           o_orderkey,
+           LAG(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey, o_totalprice
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_day,
+           LAG(o_orderkey) OVER (
+               PARTITION BY o_custkey, o_totalprice
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_key
+    FROM orders
+)
+SELECT o_custkey,
+       CAST(o_totalprice AS DOUBLE) AS amount,
+       prev_key AS first_orderkey,
+       o_orderkey AS dup_orderkey,
+       CAST(date_diff('day', prev_day, day) AS BIGINT) AS days_apart
+FROM w
+WHERE prev_day IS NOT NULL
+  AND day - prev_day <= {DOUBLE_CHARGE_WINDOW_DAYS}
+"""
+
+
+@query("dq_double_charge_audit", oracle=_DOUBLE_CHARGE_SQL)
+def dq_double_charge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge / duplicate-invoice audit: pairs of orders from the
+    SAME customer for the EXACT same amount within
+    {DOUBLE_CHARGE_WINDOW_DAYS} day of each other — the refund-queue
+    report every billing pipeline runs (dup submissions, retried
+    charges, double-clicked checkouts).  Distinct from dedup_exact
+    (same CONTENT) and dq_primary_key_audit (same KEY): these are
+    legitimate distinct rows whose business meaning is suspect.
+
+    One window pass partitioned by the (customer, amount) candidate
+    key, consecutive-pair semantics (each dup chains to its
+    predecessor, so a triple charge emits two pairs — the refund queue
+    wants each incremental charge once).  Ordering is pinned by
+    (day, orderkey) so pair identity is deterministic; the raw double
+    amount is never summed, only equality-grouped — hash-safe.
+
+    Scale: the shuffle is keyed by (custkey, amount) — high-cardinality
+    composite, no hot partition; state per group is one lag row."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_totalprice").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    d = o.select(
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("day"),
+        "o_orderkey",
+        F.lag(F.col("o_orderdate").cast("date")).over(w).alias("prev_day"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+    )
+    return d.filter(
+        F.col("prev_day").isNotNull()
+        & (F.datediff("day", "prev_day") <= DOUBLE_CHARGE_WINDOW_DAYS)
+    ).select(
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("amount"),
+        F.col("prev_key").alias("first_orderkey"),
+        F.col("o_orderkey").alias("dup_orderkey"),
+        F.datediff("day", "prev_day").cast("long").alias("days_apart"),
+    )

@@ -878,3 +878,37 @@ def test_ml_eval_family_consistency(spark):
     assert conf.precision_bp == conf.tp * 10000 // (conf.tp + conf.fp)
     assert conf.recall_bp == conf.tp * 10000 // (conf.tp + conf.fn)
     assert conf.f1_bp == 2 * conf.tp * 10000 // (2 * conf.tp + conf.fp + conf.fn)
+
+
+def test_session_conversion_and_double_charge(spark):
+    """Batch-10 pins."""
+    from tests.conftest import SF_DIR
+
+    qs = engine.queries()
+
+    conv = qs["events_session_conversion"](spark, SF_DIR).collect()
+    assert conv
+    total_sessions = sum(r.n_sessions for r in conv)
+    assert total_sessions == qs["window_session"](spark, SF_DIR).count(), (
+        "session universe must equal the canonical sessionization"
+    )
+    for r in conv:
+        assert r.n_converted + r.n_abandoned == r.n_shopping
+        assert r.n_shopping <= r.n_sessions
+
+    dups = qs["dq_double_charge_audit"](spark, SF_DIR).collect()
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    orders = {
+        r.o_orderkey: (r.o_custkey, r.o_totalprice)
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .collect()
+    }
+    for r in dups:
+        assert orders[r.first_orderkey] == orders[r.dup_orderkey] == (
+            r.o_custkey,
+            r.amount,
+        )
+        assert 0 <= r.days_apart <= 1
+        assert r.first_orderkey != r.dup_orderkey
