@@ -3517,3 +3517,62 @@ def ml_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("tp * 10000 div (tp + fn)").cast("long").alias("recall_bp"),
         F.expr("2 * tp * 10000 div (2 * tp + fp + fn)").cast("long").alias("f1_bp"),
     )
+
+
+STICKY_MAU_DAYS = 28  # trailing window for "monthly" active users
+
+
+def _sticky_sql(unnest_expr: str, idiv: str) -> str:
+    """Shared DAU/MAU text; generator + integer-division spellings per
+    dialect."""
+    return f"""
+WITH du AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), offs AS (
+    SELECT day, user_id, {unnest_expr} AS off FROM du
+), contrib AS (
+    SELECT day + CAST(off AS INT) AS anchor_day, user_id FROM offs
+), spine AS (
+    SELECT day AS anchor_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+    FROM du GROUP BY day
+), mau AS (
+    SELECT c.anchor_day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS mau
+    FROM contrib c JOIN spine s ON c.anchor_day = s.anchor_day
+    GROUP BY c.anchor_day
+)
+SELECT s.anchor_day AS day, s.dau, m.mau,
+       CAST(s.dau * 10000 {idiv} m.mau AS BIGINT) AS stickiness_bp
+FROM spine s JOIN mau m ON s.anchor_day = m.anchor_day
+"""
+
+
+_STICKY_ORACLE = _sticky_sql(f"unnest(range(0, {STICKY_MAU_DAYS}))", "//")
+_STICKY_SPARK = _sticky_sql(f"explode(sequence(0, {STICKY_MAU_DAYS - 1}))", "DIV")
+
+
+@query("events_dau_mau_stickiness", oracle=_STICKY_ORACLE)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / MAU / stickiness — the engagement headline every growth
+    dashboard leads with: daily actives, trailing-{STICKY_MAU_DAYS}-day
+    actives, and their ratio in basis points (the "what fraction of the
+    monthly audience shows up on a given day" number).  Completes the
+    active-user family: agg_sliding_distinct_exact is the 7-day tier,
+    the HLL rollup its sketch tier; this is the business-facing ratio
+    table.
+
+    Distinct counts DON'T add, so MAU is NOT a sum of DAUs: each
+    distinct (user, day) incidence explodes onto the
+    {STICKY_MAU_DAYS} anchor days it keeps the user active for, the
+    anchor semi-joins to observed days, and COUNT(DISTINCT user) per
+    anchor does the dedup — the explode-to-equi rewrite (no range
+    self-join over the day spine).  The ratio is exact integer floor
+    basis points.
+
+    Scale: the fanout multiplies the (user, day)-DISTINCT frame, not
+    raw events, and lands in a partial-aggregated distinct; at a year
+    of data the 28x replication is the documented cost of exactness —
+    the HLL tier is the knob when ±2% is acceptable."""
+    from etl_pipeline_aws_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_STICKY_SPARK)

@@ -639,3 +639,84 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ra_index_ppb",
         )
     )
+
+
+CF_MIN_SUPPORT = 2  # co-basket pairs kept at >= 2 shared orders
+CF_MIN_COSINE_PPM = 100_000  # report pairs with cosine >= 0.1
+
+
+@query(
+    "graph_item_cf_cosine",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), basket_counts AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+        FROM items GROUP BY l_partkey
+    ), pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {CF_MIN_SUPPORT}
+    )
+    SELECT p.pa, p.pb, p.n_ab,
+           ca.n AS n_a, cb.n AS n_b,
+           CAST(FLOOR(p.n_ab * 1000000.0 / sqrt(CAST(ca.n AS DOUBLE)
+                                                * CAST(cb.n AS DOUBLE)))
+                AS BIGINT) AS cosine_ppm
+    FROM pairs p
+    JOIN basket_counts ca ON p.pa = ca.l_partkey
+    JOIN basket_counts cb ON p.pb = cb.l_partkey
+    WHERE p.n_ab * 1000000.0 / sqrt(CAST(ca.n AS DOUBLE)
+                                    * CAST(cb.n AS DOUBLE))
+          >= {CF_MIN_COSINE_PPM}
+    """,
+)
+def graph_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (the Amazon 2003 algorithm):
+    parts scored by the cosine of their basket-membership vectors,
+    cos(a,b) = n_ab / √(n_a·n_b) over DISTINCT (order, part) incidence
+    — the "customers who bought this also bought" ranker.  Distinct
+    from market_basket_rules (confidence/lift are asymmetric,
+    popularity-confounded; cosine is the symmetric popularity-
+    normalized score CF systems actually rank by) and from
+    graph_link_prediction_ra (which scores NON-edges for discovery;
+    this scores existing co-purchases for ranking).
+
+    Determinism: all counts are exact BIGINTs; the score is one shared
+    formula — an IEEE division by sqrt of an exact product — emitted as
+    FLOOR ppm, and the threshold compares the same expression text on
+    both engines, so the kept set is identical.
+
+    Scale: the basket self-join is the bounded ≤7-line-order pair build
+    (the co_occurrence_pairs discipline); support-prune BEFORE the
+    degree joins keeps the scored pair set sparse; degree joins are
+    part-keyed shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    counts = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    pairs = co_occurrence_pairs(li, CF_MIN_SUPPORT, distinct_items=True).select(
+        "pa", "pb", F.col("n").cast("long").alias("n_ab")
+    )
+    ca = counts.select(F.col("l_partkey").alias("pa"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("l_partkey").alias("pb"), F.col("n").alias("n_b"))
+    scored = (
+        pairs.join(ca, "pa")
+        .join(cb, "pb")
+        .withColumn(
+            "cos_raw",
+            F.col("n_ab") * 1000000.0
+            / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        )
+    )
+    return (
+        scored.filter(F.col("cos_raw") >= CF_MIN_COSINE_PPM)
+        .select(
+            "pa", "pb", "n_ab", "n_a", "n_b",
+            F.floor("cos_raw").cast("long").alias("cosine_ppm"),
+        )
+    )

@@ -912,3 +912,70 @@ def test_session_conversion_and_double_charge(spark):
         )
         assert 0 <= r.days_apart <= 1
         assert r.first_orderkey != r.dup_orderkey
+
+
+def test_item_cf_and_stickiness(spark):
+    """Batch-11 pins: CF cosine against brute force; stickiness bounds
+    and agreement with the 7-day exact tier's universe."""
+    import datetime as dt
+    import math
+    from collections import defaultdict
+
+    from tests.conftest import SF_DIR
+
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.operators.graph import (
+        CF_MIN_COSINE_PPM,
+        CF_MIN_SUPPORT,
+    )
+
+    qs = engine.queries()
+
+    baskets = defaultdict(set)
+    for r in (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    ):
+        baskets[r.l_orderkey].add(r.l_partkey)
+    item_n = defaultdict(int)
+    pair_n = defaultdict(int)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for p in ps:
+            item_n[p] += 1
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pair_n[(a, b)] += 1
+    expect = {}
+    for (a, b), nab in pair_n.items():
+        if nab < CF_MIN_SUPPORT:
+            continue
+        raw = nab * 1000000.0 / math.sqrt(item_n[a] * item_n[b])
+        if raw >= CF_MIN_COSINE_PPM:
+            expect[(a, b)] = (nab, item_n[a], item_n[b], math.floor(raw))
+    got = {
+        (r.pa, r.pb): (r.n_ab, r.n_a, r.n_b, r.cosine_ppm)
+        for r in qs["graph_item_cf_cosine"](spark, SF_DIR).collect()
+    }
+    assert got == expect and got
+
+    sticky = {r.day: r for r in qs["events_dau_mau_stickiness"](spark, SF_DIR).collect()}
+    assert sticky
+    daily_users = defaultdict(set)
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr("CAST(ts AS DATE) AS day", "user_id")
+        .distinct()
+        .collect()
+    ):
+        daily_users[r.day].add(r.user_id)
+    for day, r in sticky.items():
+        assert r.dau == len(daily_users[day])
+        mau_set = set()
+        for k in range(28):
+            mau_set |= daily_users.get(day - dt.timedelta(days=k), set())
+        assert r.mau == len(mau_set)
+        assert r.stickiness_bp == r.dau * 10000 // r.mau
+        assert r.dau <= r.mau
