@@ -593,3 +593,57 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
     reduction is the only fact-sized stage."""
     register_views(spark, sf_dir)
     return spark.sql(_BACKTEST_SPARK)
+
+
+def _burstiness_sql(epoch_us: str) -> str:
+    """Shared burstiness text; epoch-microseconds spelling per dialect
+    (Spark ``unix_micros``, DuckDB ``epoch_us``)."""
+    return f"""
+WITH gaps AS (
+    SELECT event_type,
+           CAST({epoch_us}(ts) - LAG({epoch_us}(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT)
+               AS gap_us
+    FROM events
+), g AS (
+    SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL
+), sums AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(gap_us AS DECIMAL(28,0))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(gap_us AS DECIMAL(28,0))
+                    * CAST(gap_us AS DECIMAL(28,0))) AS DOUBLE) AS q
+    FROM g GROUP BY event_type
+)
+SELECT event_type, n,
+       s / n AS mean_gap_us,
+       sqrt((q - s * s / n) / (n - 1)) AS std_gap_us,
+       (sqrt((q - s * s / n) / (n - 1)) - s / n)
+           / (sqrt((q - s * s / n) / (n - 1)) + s / n) AS burstiness
+FROM sums
+"""
+
+
+_BURSTINESS_ORACLE = _burstiness_sql("epoch_us")
+_BURSTINESS_SPARK = _burstiness_sql("unix_micros")
+
+
+@query("events_interarrival_burstiness", oracle=_BURSTINESS_ORACLE)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness B = (σ−μ)/(σ+μ) per event stream — the
+    Goh-Barabási coefficient that classifies arrival processes in one
+    number: B≈−1 periodic (σ≪μ), B≈0 Poisson (σ=μ, the exponential's
+    signature), B→1 bursty (heavy-tailed gaps) — the statistic behind
+    capacity planning's "is this traffic Poisson or bursty" question,
+    which the rate-based anomaly gates (zscore/MAD) can't answer.
+
+    Gaps are exact BIGINT microseconds pinned by the (ts, event_id)
+    total order; power sums are exact DECIMAL(28,0) (gap² sums stay
+    within 38 digits for centuries of microseconds); μ, σ, B are one
+    shared IEEE formula per group.
+
+    Scale: one type-partitioned ordered window (the same shuffle the
+    sessionization family uses) reducing to 3 numbers per stream;
+    partial aggregation carries the decimal sums map-side."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BURSTINESS_SPARK)
