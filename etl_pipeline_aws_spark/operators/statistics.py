@@ -493,3 +493,200 @@ def stat_permutation_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (explode/unnest), so there is no join node at all — guard-clean."""
     register_views(spark, sf_dir)
     return spark.sql(_PERM_SPARK)
+
+
+def _kendall_sql(unnest_expr: str) -> str:
+    """Shared Kendall tau-b text; per-dialect index generator (Spark
+    ``explode(sequence(...))``, DuckDB ``unnest(range(...))``) — the
+    Theil-Sen pair-generation rewrite that keeps i<j pair enumeration an
+    EQUI-join (no nested loop)."""
+    return f"""
+WITH monthly AS (
+    SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+           CAST(COUNT(*) AS BIGINT) AS x,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+    FROM orders
+    GROUP BY CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE)
+), idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY m) - 1 AS BIGINT) AS i, x, y
+    FROM monthly
+), lefts AS (
+    SELECT i AS j, x AS xj, y AS yj, {unnest_expr} AS i_left
+    FROM idx WHERE i > 0
+), pairs AS (
+    SELECT CASE WHEN (l.xj - r.x) * (l.yj - r.y) > 0 THEN 1 ELSE 0 END AS conc,
+           CASE WHEN (l.xj - r.x) * (l.yj - r.y) < 0 THEN 1 ELSE 0 END AS disc,
+           CASE WHEN l.xj = r.x THEN 1 ELSE 0 END AS tie_x,
+           CASE WHEN l.yj = r.y THEN 1 ELSE 0 END AS tie_y
+    FROM lefts l JOIN idx r ON l.i_left = r.i
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(conc) AS BIGINT) AS concordant,
+       CAST(SUM(disc) AS BIGINT) AS discordant,
+       CAST(SUM(conc) - SUM(disc) AS DOUBLE)
+           / (SQRT(CAST(COUNT(*) - SUM(tie_x) AS DOUBLE))
+              * SQRT(CAST(COUNT(*) - SUM(tie_y) AS DOUBLE))) AS tau_b
+FROM pairs
+"""
+
+
+_KENDALL_ORACLE = _kendall_sql("unnest(range(0, i))")
+_KENDALL_SPARK = _kendall_sql("explode(sequence(CAST(0 AS BIGINT), i - 1))")
+
+
+@query("stat_kendall_tau", oracle=_KENDALL_ORACLE)
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between monthly order volume and monthly revenue —
+    the rank-concordance test that answers "do these two series move
+    together?" without assuming linearity OR caring about either
+    series' scale, and the robust cross-check on a Pearson r that one
+    outlier month can manufacture.
+
+    Exactness: every pair contributes integer concordance/discordance/
+    tie flags (products of BIGINT deltas compared to 0 — no float ever
+    enters the classification), so C, D, t_x, t_y are exact counts;
+    tau-b = (C-D)/sqrt((n0-t_x)(n0-t_y)) is one shared IEEE formula
+    (+,*,sqrt are bit-specified).  The tie-correction uses the pair
+    identity: t_x is literally the COUNT of pairs tied in x, which is
+    sum over tied groups of t(t-1)/2 — the textbook term, no group
+    scan needed.
+
+    Scale: pair enumeration is the Theil-Sen explode+equi-join rewrite
+    — each month row j explodes to its j predecessors and hash-joins on
+    the index, so the plan carries a bounded O(months^2) pair stream
+    (~3k rows for 7 years) through a map-side-combined fold to 1 row.
+    The monthly reduction before it is the only fact-sized stage."""
+    register_views(spark, sf_dir)
+    return spark.sql(_KENDALL_SPARK)
+
+
+# Spearman rho on the same two monthly series; identical text both engines.
+# Average ranks are carried DOUBLED (a = 2*rank_min + ties - 1 = an exact
+# BIGINT), and Pearson on ranks is scale-invariant, so every power sum is
+# integer-exact and rho is one closing IEEE formula.
+_SPEARMAN_SQL = """
+WITH monthly AS (
+    SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+           CAST(COUNT(*) AS BIGINT) AS x,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+    FROM orders
+    GROUP BY CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE)
+), ranked AS (
+    SELECT CAST(2 * RANK() OVER (ORDER BY x)
+                + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS ax,
+           CAST(2 * RANK() OVER (ORDER BY y)
+                + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ay
+    FROM monthly
+), sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ax) AS BIGINT) AS sx,
+           CAST(SUM(ay) AS BIGINT) AS sy,
+           CAST(SUM(ax * ax) AS BIGINT) AS sxx,
+           CAST(SUM(ay * ay) AS BIGINT) AS syy,
+           CAST(SUM(ax * ay) AS BIGINT) AS sxy
+    FROM ranked
+)
+SELECT n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+              * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+FROM sums
+"""
+
+
+@query("stat_spearman_rho", oracle=_SPEARMAN_SQL)
+def stat_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between monthly order volume and
+    revenue — Pearson on the rank transform: monotone-association
+    strength with tie-averaged ranks, the grade-scale sibling of
+    stat_kendall_tau (rho weighs rank DISTANCE, tau counts inversions;
+    dashboards quote both).
+
+    Exactness: the tie-averaged rank k/2 is carried DOUBLED as
+    a = 2*rank_min + ties - 1, an exact BIGINT (the same 2R trick as
+    stat_mann_whitney_u), and Pearson is invariant to the affine map
+    r -> 2r, so all five power sums are integer-exact and rho is one
+    shared IEEE closing formula.  No pair join at all — ranks come from
+    one window over the monthly table.
+
+    Scale: monthly reduction (the only fact-sized stage) then two
+    windows over ~n_months rows and a 6-cell fold."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SPEARMAN_SQL)
+
+
+def _km_sql(day_idx: str, idiv: str) -> str:
+    """Shared Kaplan-Meier text; per-dialect epoch-day spelling (Spark
+    ``UNIX_DATE``, DuckDB ``date_diff`` from the epoch) and integer
+    division (Spark ``DIV``, DuckDB ``//``)."""
+    return f"""
+WITH per_user AS (
+    SELECT user_id,
+           MIN({day_idx}) AS fd,
+           MAX({day_idx}) AS ld
+    FROM events GROUP BY user_id
+), spans AS (
+    SELECT ld - fd AS dur, ld, MAX(ld) OVER () AS maxld FROM per_user
+), marked AS (
+    SELECT dur, CASE WHEN ld > maxld - 7 THEN 1 ELSE 0 END AS censored
+    FROM spans
+), steps AS (
+    SELECT dur AS t,
+           CAST(SUM(1 - censored) AS BIGINT) AS d,
+           CAST(SUM(censored) AS BIGINT) AS c,
+           CAST(COUNT(*) AS BIGINT) AS leaving
+    FROM marked GROUP BY dur
+), risk AS (
+    SELECT t, d, c,
+           CAST(SUM(leaving) OVER (ORDER BY t DESC ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
+           CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS i
+    FROM steps
+), km AS (
+    SELECT i, t, d, c, n_risk,
+           CAST(((n_risk - d) * 1000000000) {idiv} n_risk AS BIGINT) AS s_e9
+    FROM risk WHERE i = 1
+    UNION ALL
+    SELECT r.i, r.t, r.d, r.c, r.n_risk,
+           CAST((k.s_e9 * (((r.n_risk - r.d) * 1000000000) {idiv} r.n_risk))
+                {idiv} 1000000000 AS BIGINT)
+    FROM km k JOIN risk r ON r.i = k.i + 1
+)
+SELECT t AS duration_days, n_risk, d AS n_deaths, c AS n_censored, s_e9 AS survival_e9
+FROM km
+"""
+
+
+_KM_ORACLE = "WITH RECURSIVE " + _km_sql(
+    "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))", "//"
+).strip().removeprefix("WITH ")
+_KM_SPARK = "WITH RECURSIVE " + _km_sql(
+    "UNIX_DATE(CAST(ts AS DATE))", "DIV"
+).strip().removeprefix("WITH ")
+
+
+@query("stat_kaplan_meier", oracle=_KM_ORACLE)
+def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes (first event to last
+    event, in days) with RIGHT-CENSORING — the estimator behind every
+    retention/churn curve that's honest about users still active at the
+    observation edge: a user whose last event falls inside the final 7
+    days hasn't churned, they're censored, and treating them as deaths
+    (what the naive retention quotient does) biases survival DOWN.
+
+    Mechanics: per-duration counts of deaths d_t and censorings c_t;
+    the risk set n_t is a descending suffix sum (everyone with duration
+    >= t); S(t) = prod_{s<=t} (n_s - d_s)/n_s.  The sequential product
+    is a RECURSIVE CTE — identical text on both engines (Spark 4 ships
+    WITH RECURSIVE, SPARK-24497) — in scaled-integer arithmetic:
+    factors and the running product are floor-scaled e9 BIGINTs, so
+    every step is exact integer math and the curve hash-matches
+    bit-for-bit (float cumulative products are order- and
+    rounding-sensitive; e9 scaling bounds products at 1e18 < 2^63).
+
+    Scale: the per-user reduction is the only fact-sized stage
+    (shuffles (user, 2 day-indexes)); steps/risk/km operate on
+    |distinct durations| rows (bounded by the observation window in
+    days), and the recursion depth equals that step count."""
+    register_views(spark, sf_dir)
+    return spark.sql(_KM_SPARK)

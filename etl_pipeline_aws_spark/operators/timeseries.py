@@ -647,3 +647,50 @@ def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
     partial aggregation carries the decimal sums map-side."""
     register_views(spark, sf_dir)
     return spark.sql(_BURSTINESS_SPARK)
+
+
+def _simpson_sql(idiv: str) -> str:
+    """Shared Gini-Simpson text; integer-division spelling per dialect
+    (Spark ``DIV``, DuckDB ``//``)."""
+    return f"""
+WITH counts AS (
+    SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY CAST(ts AS DATE), event_type
+), per_day AS (
+    SELECT day,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(n * (n - 1)) AS BIGINT) AS same_pairs
+    FROM counts GROUP BY day
+)
+SELECT day, n_events, n_types,
+       CAST(1000000 - (same_pairs * 1000000) {idiv} (n_events * (n_events - 1))
+            AS BIGINT) AS simpson_ppm
+FROM per_day
+WHERE n_events > 1
+"""
+
+
+_SIMPSON_ORACLE = _simpson_sql("//")
+_SIMPSON_SPARK = _simpson_sql("DIV")
+
+
+@query("events_diversity_simpson", oracle=_SIMPSON_ORACLE)
+def events_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Gini-Simpson diversity of the event-type mix — the
+    probability (ppm) that two events drawn WITHOUT replacement from a
+    day are of different types, i.e. the unbiased finite-sample
+    diversity index.  This is the "is traffic becoming monocultural?"
+    gate: a day whose mix collapses toward one event type (bot floods,
+    instrumentation loss on all-but-one emitter) drops toward 0 while
+    total volume — all the rate-based anomaly gates watch — looks
+    normal.  Chosen over Shannon entropy deliberately: entropy needs
+    log() whose last-ulp varies per libm build (the documented ban from
+    events_realized_volatility), while Simpson is EXACT RATIONAL
+    arithmetic end-to-end — sum n_i(n_i-1) over N(N-1), floor-scaled to
+    ppm as pure BIGINT, bit-identical on any engine.
+
+    Scale: (day, type) reduction then a day-level fold — both map-side
+    combined, output bounded by the calendar."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SIMPSON_SPARK)

@@ -979,3 +979,110 @@ def test_item_cf_and_stickiness(spark):
         assert r.mau == len(mau_set)
         assert r.stickiness_bp == r.dau * 10000 // r.mau
         assert r.dau <= r.mau
+
+
+def test_rank_correlation_km_simpson_bruteforce(spark):
+    """Batch-13 pins: Kendall tau-b, Spearman rho, Kaplan-Meier and
+    Simpson diversity each re-derived brute-force in Python from the
+    same parquet rows — full value agreement, not just bounds."""
+    import math
+    from collections import Counter, defaultdict
+
+    from tests.conftest import SF_DIR
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    qs = engine.queries()
+
+    # Shared monthly series (x = order count, y = revenue cents).
+    monthly = defaultdict(lambda: [0, 0])
+    for r in load_table(spark, SF_DIR, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    ).collect():
+        monthly[r.m][0] += 1
+        monthly[r.m][1] += r.cents
+    xs = [v[0] for v in monthly.values()]
+    ys = [v[1] for v in monthly.values()]
+    n = len(xs)
+
+    conc = disc = tie_x = tie_y = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (xs[i] - xs[j]) * (ys[i] - ys[j])
+            conc += s > 0
+            disc += s < 0
+            tie_x += xs[i] == xs[j]
+            tie_y += ys[i] == ys[j]
+    n0 = n * (n - 1) // 2
+    row = qs["stat_kendall_tau"](spark, SF_DIR).collect()[0]
+    assert (row.n_pairs, row.concordant, row.discordant) == (n0, conc, disc)
+    assert row.tau_b == (conc - disc) / (
+        math.sqrt(n0 - tie_x) * math.sqrt(n0 - tie_y)
+    )
+    assert -1.0 <= row.tau_b <= 1.0
+
+    def doubled_ranks(vals):
+        order = sorted(vals)
+        first = {}
+        cnt = Counter(vals)
+        for pos, v in enumerate(order, 1):
+            first.setdefault(v, pos)
+        return [2 * first[v] + cnt[v] - 1 for v in vals]
+
+    ax, ay = doubled_ranks(xs), doubled_ranks(ys)
+    sx, sy = sum(ax), sum(ay)
+    sxx, syy = sum(a * a for a in ax), sum(a * a for a in ay)
+    sxy = sum(a * b for a, b in zip(ax, ay))
+    rho = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    srow = qs["stat_spearman_rho"](spark, SF_DIR).collect()[0]
+    assert srow.n == n and srow.spearman_rho == rho
+    assert -1.0 <= srow.spearman_rho <= 1.0
+
+    # Kaplan-Meier brute force: per-user spans, censor inside final week.
+    spans = {}
+    for r in load_table(spark, SF_DIR, "events").select(
+        "user_id", F.unix_date(F.col("ts").cast("date")).alias("d")
+    ).groupBy("user_id").agg(
+        F.min("d").alias("fd"), F.max("d").alias("ld")
+    ).collect():
+        spans[r.user_id] = (r.ld - r.fd, r.ld)
+    maxld = max(ld for _, ld in spans.values())
+    steps = defaultdict(lambda: [0, 0])  # dur -> [deaths, censored]
+    for dur, ld in spans.values():
+        steps[dur][1 if ld > maxld - 7 else 0] += 1
+    s_e9, expect = 10**9, {}
+    risk = len(spans)
+    for t in sorted(steps):
+        d, c = steps[t]
+        s_e9 = s_e9 * (((risk - d) * 10**9) // risk) // 10**9
+        expect[t] = (risk, d, c, s_e9)
+        risk -= d + c
+    got = {
+        r.duration_days: (r.n_risk, r.n_deaths, r.n_censored, r.survival_e9)
+        for r in qs["stat_kaplan_meier"](spark, SF_DIR).collect()
+    }
+    assert got == expect
+    curve = [v[3] for _, v in sorted(expect.items())]
+    assert curve == sorted(curve, reverse=True)  # survival non-increasing
+
+    # Simpson diversity brute force.
+    day_counts = defaultdict(Counter)
+    for r in load_table(spark, SF_DIR, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).collect():
+        day_counts[r.day][r.event_type] += 1
+    sexpect = {}
+    for day, cnt in day_counts.items():
+        N = sum(cnt.values())
+        if N > 1:
+            same = sum(k * (k - 1) for k in cnt.values())
+            sexpect[day] = (N, len(cnt), 10**6 - same * 10**6 // (N * (N - 1)))
+    sgot = {
+        r.day: (r.n_events, r.n_types, r.simpson_ppm)
+        for r in qs["events_diversity_simpson"](spark, SF_DIR).collect()
+    }
+    assert sgot == sexpect
+    assert all(0 <= v[2] <= 10**6 for v in sgot.values())
