@@ -3576,3 +3576,56 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_STICKY_SPARK)
+
+
+def _lorenz_sql(idiv: str) -> str:
+    """Shared Lorenz-decile text; integer-division spelling per dialect
+    (all quantities non-negative, so floor == trunc)."""
+    return f"""
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+), tiled AS (
+    SELECT cents, NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+    FROM rev
+), per_dec AS (
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS decile_cents
+    FROM tiled GROUP BY CAST(decile AS INT)
+)
+SELECT decile, n_customers, decile_cents,
+       CAST((SUM(decile_cents) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000)
+            {idiv} (SUM(decile_cents) OVER ()) AS BIGINT) AS cum_share_bp
+FROM per_dec
+"""
+
+
+_LORENZ_ORACLE = _lorenz_sql("//")
+_LORENZ_SPARK = _lorenz_sql("DIV")
+
+
+@query("customer_lorenz_deciles", oracle=_LORENZ_ORACLE)
+def customer_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue concentration in 10 decile
+    points: customers ranked by lifetime revenue, each decile's
+    cumulative share of total revenue in exact floor basis points — the
+    curve whose area deficit IS the Gini (agg_gini_coefficient reports
+    the scalar; this reports the curve the scalar summarizes, i.e. the
+    "bottom 50% of customers hold X% of revenue" reading finance teams
+    actually quote).
+
+    Exactness: revenue in integer cents; NTILE over a deterministic
+    (cents, custkey) order; cumulative shares are BIGINT floor basis
+    points — monotone by construction, decile 10 pinned at 10000.
+
+    Scale: the per-customer reduction is the only fact-sized stage; the
+    global NTILE over |customers| rows is the documented single-
+    partition pinch (pre-bin through the range-partition fences of
+    layout_range_partition_plan at 100 TB); the decile fold is 10 rows."""
+    from etl_pipeline_aws_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LORENZ_SPARK)

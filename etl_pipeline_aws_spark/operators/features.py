@@ -152,3 +152,64 @@ def feature_category_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 3-row broadcast; output is |users|×≤4."""
     register_views(spark, sf_dir)
     return spark.sql(_CATCAP_SQL)
+
+
+def _robust_scaler_sql(idiv: str) -> str:
+    """Shared robust-scaler text; integer-division spelling per dialect.
+    The numerator (x - median) can be NEGATIVE, where Spark's DIV
+    truncates toward zero but DuckDB's // floors — the CASE makes both
+    engines truncate toward zero explicitly."""
+    return f"""
+WITH g AS (
+    SELECT c_custkey, c_mktsegment AS seg,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM customer
+), ranked AS (
+    SELECT seg, c_custkey, cents,
+           ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, c_custkey) AS rn,
+           COUNT(*) OVER (PARTITION BY seg) AS n
+    FROM g
+), fences AS (
+    SELECT seg,
+           MAX(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+                    THEN cents END) AS med,
+           MAX(CASE WHEN rn = CAST(FLOOR((n + 3) / 4.0) AS BIGINT)
+                    THEN cents END) AS q1,
+           MAX(CASE WHEN rn = CAST(FLOOR((3 * n + 3) / 4.0) AS BIGINT)
+                    THEN cents END) AS q3
+    FROM ranked GROUP BY seg
+)
+SELECT g.c_custkey, g.seg, g.cents AS acctbal_cents,
+       f.med AS median_cents, f.q3 - f.q1 AS iqr_cents,
+       CASE WHEN g.cents >= f.med
+            THEN CAST(((g.cents - f.med) * 1000000) {idiv} (f.q3 - f.q1) AS BIGINT)
+            ELSE -CAST(((f.med - g.cents) * 1000000) {idiv} (f.q3 - f.q1) AS BIGINT)
+       END AS scaled_ppm
+FROM g JOIN fences f ON g.seg = f.seg
+"""
+
+
+_ROBUST_SCALER_ORACLE = _robust_scaler_sql("//")
+_ROBUST_SCALER_SPARK = _robust_scaler_sql("DIV")
+
+
+@query("feature_robust_scaler", oracle=_ROBUST_SCALER_ORACLE)
+def feature_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment robust scaling of account balances: (x - median)/IQR
+    — the scaler of choice when the column has outliers (z-score's mean
+    and std are themselves outlier-dragged; median and IQR have 50% and
+    25% breakdown points).  Completes the scaler ladder beside
+    embedding_minmax_scale / embedding_standardize (those scale clean
+    embedding coordinates; this scales dirty business measures).
+
+    Exactness: balances in integer cents; median/Q1/Q3 are DISCRETE
+    order statistics at ceil-index fences (the feature_winsorize
+    machinery) picked by a deterministic (cents, custkey) ordering;
+    the scaled output is floor-ppm integer division with an explicit
+    sign split so both engines truncate toward zero (Spark DIV
+    truncates, DuckDB // floors — divergent on negatives otherwise).
+
+    Scale: one window partitioned by segment (bounded partitions), one
+    |segments|-row broadcast join back to the fact."""
+    register_views(spark, sf_dir)
+    return spark.sql(_ROBUST_SCALER_SPARK)

@@ -1252,3 +1252,137 @@ def source_recursive_glob_discovery(spark: SparkSession, sf_dir: str) -> DataFra
             F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
         )
     )
+
+
+_JSON_CORRUPT_ORACLE = """
+    SELECT 'ok' AS status, lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'corrupt' AS status, NULL AS lang,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_rows
+"""
+
+
+@query("json_permissive_corrupt_column", oracle=_JSON_CORRUPT_ORACLE)
+def json_permissive_corrupt_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-line quarantine on NDJSON ingest — the JSON twin of
+    csv_corrupt_quarantine, and the robustness contract for the
+    reference's OWN landing format (R1/R2 read NDJSON; its blank-line
+    filter is the only malformation it survives — a truncated JSON
+    object kills it).  A documents feed is salted with one truncated
+    JSON line per nation; the PERMISSIVE read routes them into
+    ``columnNameOfCorruptRecord`` while every well-formed row parses
+    with full fidelity — reported as per-lang good counts plus one
+    quarantine row, all derived by the oracle from the construction.
+
+    Two JSON-specific traps this pins that the CSV twin cannot: the
+    corrupt column must be part of the DECLARED schema (JSON infers
+    otherwise), and the parsed frame must be materialized before
+    filtering on the corrupt column (Spark refuses the naive
+    filter-on-read: SPARK-38547's required-cache semantics).
+
+    Scale: the quarantine is per-partition map work — no shuffle is
+    added to the scan; the report aggregation is the only exchange."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    bad_src = load_table(spark, sf_dir, "nation")
+    zone = tempfile.mkdtemp(prefix="json_corrupt_")
+    feed = os.path.join(zone, "feed")
+    docs.write.mode("overwrite").json(feed)
+    # one deterministic truncated-object line per nation
+    bad_src.select(
+        F.concat(F.lit('{"doc_id": "broken-'), F.col("n_name"), F.lit('", "lang": ')).alias(
+            "line"
+        )
+    ).coalesce(1).write.mode("append").text(feed)
+    back = (
+        spark.read.schema("doc_id string, lang string, text string, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(feed)
+    )
+    back = back.cache()  # SPARK-38547: corrupt-column filter needs a materialized parse
+    good = (
+        back.filter(F.col("_corrupt").isNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(F.lit("ok").alias("status"), "lang", "n_rows")
+    )
+    bad = back.filter(F.col("_corrupt").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    ).select(
+        F.lit("corrupt").alias("status"),
+        F.lit(None).cast("string").alias("lang"),
+        "n_rows",
+    )
+    return good.unionByName(bad)
+
+
+_PARTITION_EVOLUTION_ORACLE = """
+    SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    GROUP BY CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE)
+"""
+
+
+@query("lakehouse_partition_evolution", oracle=_PARTITION_EVOLUTION_ORACLE)
+def lakehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution on plain parquet — the Iceberg lakehouse
+    capability where a table's OLD data stays laid out by month while
+    NEW data lands partitioned by day (specs evolve when a table grows
+    hot), and one logical table must read both generations correctly
+    without rewriting history.  Orders split at the median date: the
+    early half written ``partitionBy(month)``, the late half
+    ``partitionBy(day)``; the logical table is the union of the two
+    generation reads, each generation pruning on its OWN layout.
+
+    The oracle recomputes the full monthly rollup from the source
+    table, so the value hash certifies no row was lost, duplicated, or
+    mis-bucketed across the spec boundary — the exact failure mode of
+    hand-rolled dual-layout readers (off-by-one at the cut, rows landing
+    in both generations).  o_orderdate rides IN the data files (the
+    partition key is a derived copy), so the union needs no
+    partition-value reconstruction and each generation's files carry
+    identical schemas.
+
+    Scale: this is the pattern's point — month partitions keep the cold
+    history's file count bounded while day partitions give the hot tail
+    fine pruning; a predicate on date prunes BOTH layouts at list time
+    (each read gets the predicate on its own partition column)."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "od", F.col("o_orderdate").cast("date")
+    )
+    # .first() is ZONE STAGING (picking where the fixture's spec boundary
+    # falls), not query-path work — the logical-table read below is fully
+    # distributed.  Same class as the streaming fixtures' staging .first()s.
+    cut = o.selectExpr(
+        "date_from_unix_date(cast(percentile_disc(0.5) within group "
+        "(order by unix_date(od)) as int)) AS c"
+    ).first()[0]
+    zone = tempfile.mkdtemp(prefix="spec_evo_")
+    gen1, gen2 = os.path.join(zone, "gen1_month"), os.path.join(zone, "gen2_day")
+    o.filter(F.col("od") <= F.lit(cut)).withColumn(
+        "p_month", F.date_trunc("month", F.col("od")).cast("date")
+    ).write.mode("overwrite").partitionBy("p_month").parquet(gen1)
+    o.filter(F.col("od") > F.lit(cut)).withColumn(
+        "p_day", F.col("od")
+    ).write.mode("overwrite").partitionBy("p_day").parquet(gen2)
+    cols = ["od", "o_totalprice"]
+    logical = (
+        spark.read.parquet(gen1).select(*cols)
+        .unionByName(spark.read.parquet(gen2).select(*cols))
+    )
+    return logical.groupBy(
+        F.date_trunc("month", F.col("od")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

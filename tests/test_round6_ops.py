@@ -1086,3 +1086,52 @@ def test_rank_correlation_km_simpson_bruteforce(spark):
     }
     assert sgot == sexpect
     assert all(0 <= v[2] <= 10**6 for v in sgot.values())
+
+
+def test_robust_scaler_bruteforce_and_lorenz_invariants(spark):
+    """Batch-14 pins: robust scaler re-derived in Python (discrete
+    fences, trunc-toward-zero division); Lorenz curve monotone with a
+    pinned 10000 bp terminal and count/revenue conservation."""
+    from collections import defaultdict
+
+    from tests.conftest import SF_DIR
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    qs = engine.queries()
+
+    segs = defaultdict(list)
+    for r in load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    ).collect():
+        segs[r.c_mktsegment].append((r.cents, r.c_custkey))
+    expect = {}
+    for seg, rows in segs.items():
+        rows.sort()
+        n = len(rows)
+        med = rows[(n + 1) // 2 - 1][0]
+        q1 = rows[(n + 3) // 4 - 1][0]
+        q3 = rows[(3 * n + 3) // 4 - 1][0]
+        iqr = q3 - q1
+        for cents, ck in rows:
+            d = cents - med
+            scaled = (d * 10**6) // iqr if d >= 0 else -((-d * 10**6) // iqr)
+            expect[ck] = (seg, cents, med, iqr, scaled)
+    got = {
+        r.c_custkey: (r.seg, r.acctbal_cents, r.median_cents, r.iqr_cents, r.scaled_ppm)
+        for r in qs["feature_robust_scaler"](spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    rows = sorted(
+        qs["customer_lorenz_deciles"](spark, SF_DIR).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.cum_share_bp for r in rows]
+    assert shares == sorted(shares) and shares[-1] == 10000
+    total_cust = load_table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows) == total_cust
+    # Lorenz convexity: decile revenue non-decreasing in decile rank
+    per_dec = [r.decile_cents for r in rows]
+    assert per_dec == sorted(per_dec)
