@@ -1450,3 +1450,92 @@ def multimodal_image_grayscale(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_pixels long, sum_luma long, "
         "min_luma long, max_luma long",
     )
+
+
+@query(
+    "multimodal_audio_zero_crossing",
+    oracle=f"""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(string_split(text, '')) AS c,
+               unnest(range(1, len(text) + 1)) AS pos
+        FROM documents
+    ), samples AS (
+        SELECT doc_id, pos,
+               CAST((ascii(c) - 128) * 256 AS BIGINT) AS s
+        FROM chars
+    ), pairs AS (
+        SELECT doc_id,
+               (pos - 2) // {ENERGY_WINDOW} AS win,
+               CASE WHEN LAG(s) OVER (PARTITION BY doc_id ORDER BY pos) * s < 0
+                    THEN 1 ELSE 0 END AS crossing,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_s
+        FROM samples
+    )
+    SELECT doc_id,
+           CAST(win AS INT) AS win,
+           CAST(COUNT(*) AS INT) AS n_pairs,
+           CAST(SUM(crossing) AS BIGINT) AS n_crossings
+    FROM pairs WHERE prev_s IS NOT NULL
+    GROUP BY doc_id, win
+    """,
+)
+def multimodal_audio_zero_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate per {ENERGY_WINDOW}-sample window over the
+    REAL WAV codec path — the third classical audio front-end feature
+    beside energy (multimodal_audio_energy) and VAD
+    (multimodal_audio_vad): ZCR separates voiced (low ZCR, periodic)
+    from unvoiced/fricative (high ZCR, noisy) frames, and
+    energy-low + ZCR-high is the textbook "noise, not silence" cell of
+    the frame-classification matrix.
+
+    Same shared _payload_to_wav container encode, parsed back with the
+    stdlib wave reader, so the PCM mapping is pinned identical to the
+    sibling audio queries.  A crossing is a STRICT sign flip
+    (s[i]·s[i+1] < 0 — zero samples break runs, the conservative
+    convention); the pair between samples i and i+1 belongs to window
+    i // {ENERGY_WINDOW} (its left sample), so boundary pairs are
+    counted exactly once.  Everything is integer — counts of integer
+    sign tests — so the oracle's byte-mapped recompute (positional
+    zip-unnest + LAG) must hash-match bit-for-bit.
+
+    Scale: one Arrow-batched mapInPandas; per-doc work linear in
+    sample count, output len/{ENERGY_WINDOW} rows per doc, no shuffle
+    in the operator itself."""
+    import io
+    import wave
+
+    import numpy as np
+
+    framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def encode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "wav": pdf["payload"].map(_payload_to_wav)}
+            )
+
+    def window_zcr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    raw = w.readframes(w.getnframes())
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                if len(samples) < 2:
+                    continue
+                flips = (samples[:-1] * samples[1:]) < 0
+                wins = np.arange(len(flips)) // ENERGY_WINDOW
+                for win in np.unique(wins):
+                    mask = wins == win
+                    rows.append(
+                        (doc_id, int(win), int(mask.sum()), int(flips[mask].sum()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "win", "n_pairs", "n_crossings"]
+            ).astype({"win": "int32", "n_pairs": "int32"})
+
+    encoded = framed.mapInPandas(encode_wav, schema="doc_id long, wav binary")
+    return encoded.mapInPandas(
+        window_zcr, schema="doc_id long, win int, n_pairs int, n_crossings long"
+    )

@@ -690,3 +690,109 @@ def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     days), and the recursion depth equals that step count."""
     register_views(spark, sf_dir)
     return spark.sql(_KM_SPARK)
+
+
+# Cohen's d: the effect-size companion to stat_welch_ttest — same exact
+# power sums, pooled-SD denominator, one shared IEEE formula chain.
+_COHENS_D_SQL = """
+WITH g AS (
+    SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS x
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), sums AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS DOUBLE) AS s,
+           CAST(SUM(x * x) AS DOUBLE) AS q
+    FROM g GROUP BY grp
+), wide AS (
+    SELECT
+        MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+        MAX(CASE WHEN grp = 2 THEN n END) AS n2,
+        MAX(CASE WHEN grp = 1 THEN s END) AS s1,
+        MAX(CASE WHEN grp = 2 THEN s END) AS s2,
+        MAX(CASE WHEN grp = 1 THEN q END) AS q1,
+        MAX(CASE WHEN grp = 2 THEN q END) AS q2
+    FROM sums
+)
+SELECT n1, n2,
+       s1 / n1 - s2 / n2 AS mean_diff,
+       sqrt(((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2)) / (n1 + n2 - 2))
+           AS pooled_sd,
+       (s1 / n1 - s2 / n2)
+           / sqrt(((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2)) / (n1 + n2 - 2))
+           AS cohens_d
+FROM wide
+"""
+
+
+@query("stat_cohens_d", oracle=_COHENS_D_SQL)
+def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d for the URGENT-vs-LOW spend shift — the EFFECT SIZE
+    the significance tests deliberately don't report: at warehouse row
+    counts a 0.1% mean difference is "significant" (stat_welch_ttest's
+    t grows with sqrt(n)), and d = (m1-m2)/s_pooled is the
+    sample-size-free answer to "is it big enough to matter" every
+    experiment review asks next.
+
+    Same exactness contract as the t-test it accompanies: decimal
+    power sums (exact, order-insensitive), then one shared IEEE
+    formula; the pooled SD uses the classical equal-variance pooling
+    ((n1-1)s1² + (n2-1)s2² expands to the raw corrected sums written
+    literally, dodging any intermediate rounding divergence).
+
+    Scale: two-cell reduction — identical to the t-test's shape."""
+    register_views(spark, sf_dir)
+    return spark.sql(_COHENS_D_SQL)
+
+
+# Cramér's V: the chi-square machinery re-read as a [0,1] association
+# strength — same exact cells, same DECIMAL-rounded per-cell terms.
+_CRAMERS_V_SQL = """
+WITH cells AS (
+    SELECT event_type, CAST(EXTRACT(DAY FROM ts) AS BIGINT) % 7 AS day_bucket,
+           CAST(COUNT(*) AS BIGINT) AS obs
+    FROM events
+    GROUP BY event_type, CAST(EXTRACT(DAY FROM ts) AS BIGINT) % 7
+), marg AS (
+    SELECT event_type, day_bucket, obs,
+           SUM(obs) OVER (PARTITION BY event_type) AS row_tot,
+           SUM(obs) OVER (PARTITION BY day_bucket) AS col_tot,
+           SUM(obs) OVER () AS grand_tot
+    FROM cells
+), terms AS (
+    SELECT event_type, day_bucket, grand_tot,
+           CAST(ROUND(CAST(obs * obs AS DOUBLE) * CAST(grand_tot AS DOUBLE)
+                          / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)),
+                      6) AS DECIMAL(28,6)) AS term
+    FROM marg
+), folded AS (
+    SELECT CAST(MAX(grand_tot) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+           CAST(COUNT(DISTINCT day_bucket) AS BIGINT) AS c,
+           CAST(SUM(term) AS DOUBLE) - CAST(MAX(grand_tot) AS DOUBLE) AS chi2
+    FROM terms
+)
+SELECT n_events, r, c, chi2,
+       sqrt(chi2 / (CAST(n_events AS DOUBLE)
+                    * CAST(LEAST(r - 1, c - 1) AS DOUBLE))) AS cramers_v
+FROM folded
+"""
+
+
+@query("stat_cramers_v", oracle=_CRAMERS_V_SQL)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for the event_type × day-bucket association — the
+    [0,1] effect size the chi-square test needs beside it
+    (stat_chi_square_independence's statistic grows linearly with N;
+    V = sqrt(chi2 / (N·min(r-1, c-1))) is the scale-free strength that
+    says whether the dependence is worth acting on).
+
+    Shares the chi-square query's exact machinery cell for cell:
+    BIGINT observed/marginal counts, per-cell DECIMAL(28,6)-rounded
+    terms so the cross-cell sum is exact, then one shared IEEE closing
+    formula (sqrt and LEAST spell identically in both dialects).
+
+    Scale: |types| × 7 cells regardless of fact size."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CRAMERS_V_SQL)

@@ -1135,3 +1135,40 @@ def test_robust_scaler_bruteforce_and_lorenz_invariants(spark):
     # Lorenz convexity: decile revenue non-decreasing in decile rank
     per_dec = [r.decile_cents for r in rows]
     assert per_dec == sorted(per_dec)
+
+
+def test_effect_sizes_and_zcr_consistency(spark):
+    """Batch-15 pins: Cramér's V shares its chi2 bit-for-bit with the
+    chi-square query; Cohen's d agrees in sign with Welch's t and both
+    effect sizes sit in their defined ranges; ZCR windows are bounded
+    by their pair counts and cover every energy window."""
+    import math
+
+    from tests.conftest import SF_DIR
+
+    qs = engine.queries()
+
+    chi = qs["stat_chi_square_independence"](spark, SF_DIR).collect()[0]
+    v = qs["stat_cramers_v"](spark, SF_DIR).collect()[0]
+    assert v.chi2 == chi.chi2  # same machinery, same exact value
+    assert 0.0 <= v.cramers_v <= 1.0
+    assert v.cramers_v == math.sqrt(v.chi2 / (v.n_events * min(v.r - 1, v.c - 1)))
+
+    t = qs["stat_welch_ttest"](spark, SF_DIR).collect()[0]
+    d = qs["stat_cohens_d"](spark, SF_DIR).collect()[0]
+    assert d.mean_diff == t.mean_diff
+    assert (d.cohens_d > 0) == (t.t_stat > 0)
+    assert d.pooled_sd > 0
+
+    zcr = qs["multimodal_audio_zero_crossing"](spark, SF_DIR)
+    bad = zcr.filter(
+        (F.col("n_crossings") > F.col("n_pairs")) | (F.col("n_crossings") < 0)
+    ).count()
+    assert bad == 0
+    # every doc's pair count is exactly (n_samples - 1) summed over windows
+    n_docs_zcr = zcr.select("doc_id").distinct().count()
+    from etl_pipeline_aws_spark.catalog import load_table
+    n_docs = (
+        load_table(spark, SF_DIR, "documents").filter(F.length("text") >= 2).count()
+    )
+    assert n_docs_zcr == n_docs
