@@ -3629,3 +3629,98 @@ def customer_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LORENZ_SPARK)
+
+
+def _cuped_sql(day_idx: str, idiv: str) -> str:
+    """Shared CUPED text; per-dialect epoch-day and integer-division
+    spellings.  Pooled moments enter via SUM() OVER () windows on the
+    per-user table (the feature_target_encoding pattern) so no 1-row
+    join — and no nested-loop node — exists in the plan."""
+    return f"""
+WITH e AS (
+    SELECT user_id, {day_idx} AS d,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events
+), b AS (
+    SELECT user_id, d, cents,
+           (MIN(d) OVER () + MAX(d) OVER ()) {idiv} 2 AS mid
+    FROM e
+), per_user AS (
+    SELECT user_id % 2 AS arm,
+           CAST(SUM(CASE WHEN d <= mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN d > mid THEN cents ELSE 0 END) AS BIGINT) AS y
+    FROM b GROUP BY user_id
+), pooled AS (
+    SELECT arm, x, y,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,0))) OVER () AS DOUBLE) AS psx,
+           CAST(SUM(CAST(y AS DECIMAL(38,0))) OVER () AS DOUBLE) AS psy,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                OVER () AS DOUBLE) AS psxx,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                OVER () AS DOUBLE) AS psxy
+    FROM per_user
+), arms AS (
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                AS DOUBLE) AS syy,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                AS DOUBLE) AS sxy,
+           MAX(n) AS n, MAX(psx) AS psx, MAX(psy) AS psy,
+           MAX(psxx) AS psxx, MAX(psxy) AS psxy
+    FROM pooled GROUP BY arm
+)
+SELECT CAST(arm AS INT) AS arm, n_users,
+       (n * psxy - psx * psy) / (n * psxx - psx * psx) AS theta,
+       sy / n_users AS mean_y,
+       sy / n_users
+           - (n * psxy - psx * psy) / (n * psxx - psx * psx)
+             * (sx / n_users - psx / n) AS mean_y_cuped,
+       (syy - sy * sy / n_users) / (n_users - 1) AS var_y,
+       (syy - sy * sy / n_users) / (n_users - 1)
+           - 2 * ((n * psxy - psx * psy) / (n * psxx - psx * psx))
+               * ((sxy - sx * sy / n_users) / (n_users - 1))
+           + ((n * psxy - psx * psy) / (n * psxx - psx * psx))
+             * ((n * psxy - psx * psy) / (n * psxx - psx * psx))
+             * ((sxx - sx * sx / n_users) / (n_users - 1)) AS var_y_cuped
+FROM arms
+"""
+
+
+_CUPED_ORACLE = _cuped_sql(
+    "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))", "//"
+)
+_CUPED_SPARK = _cuped_sql("UNIX_DATE(CAST(ts AS DATE))", "DIV")
+
+
+@query("events_cuped_adjustment", oracle=_CUPED_ORACLE)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the user-parity A/B split — the
+    technique every modern experimentation platform runs before the
+    t-test: each user's PRE-period spend X (first half of the
+    observation window) predicts their post-period outcome Y, and
+    Y_cuped = Y - theta(X - meanX) with theta = cov(X,Y)/var(X) strips
+    the between-user variance X explains, shrinking CIs without bias
+    (E[X] is arm-independent under randomization).  Companion to
+    events_ab_lift_report: that reads the raw means; this reports the
+    adjusted means and the variance the adjustment actually removed.
+
+    Exactness: no per-row double ever exists — the arm-level adjusted
+    mean and variance are ALGEBRAIC identities over exact integer/
+    decimal power sums (mean_cuped = meanY - theta(meanX_arm -
+    meanX_all); var_cuped = varY - 2*theta*cov + theta^2*varX), so the
+    whole readout is exact sums through one shared IEEE chain.  X/Y are
+    integer cents; power sums accumulate in DECIMAL(38,0) (cents^2
+    crosses 2^63 at warehouse scale).
+
+    Scale: one per-user reduction (the only fact-sized shuffle), one
+    |users|-row window pass for the pooled moments, a 2-row arm fold."""
+    from etl_pipeline_aws_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CUPED_SPARK)

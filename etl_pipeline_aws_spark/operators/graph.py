@@ -720,3 +720,123 @@ def graph_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor("cos_raw").cast("long").alias("cosine_ppm"),
         )
     )
+
+
+_GRAPH_EDGE_CTE = """
+WITH pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
+), edges AS (
+    SELECT pa AS u, pb AS v FROM pairs
+    UNION ALL
+    SELECT pb AS u, pa AS v FROM pairs
+), deg AS (
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u
+)"""
+
+
+_ASSORT_SQL = _GRAPH_EDGE_CTE + """
+, de AS (
+    SELECT du.deg AS j, dv.deg AS k
+    FROM edges e
+    JOIN deg du ON e.u = du.node
+    JOIN deg dv ON e.v = dv.node
+), sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(j) AS BIGINT) AS sj,
+           CAST(SUM(k) AS BIGINT) AS sk,
+           CAST(SUM(j * k) AS BIGINT) AS sjk,
+           CAST(SUM(j * j) AS BIGINT) AS sjj,
+           CAST(SUM(k * k) AS BIGINT) AS skk
+    FROM de
+)
+SELECT m AS n_directed_edges,
+       CAST(m * sjk - sj * sk AS DOUBLE)
+           / (SQRT(CAST(m * sjj - sj * sj AS DOUBLE))
+              * SQRT(CAST(m * skk - sk * sk AS DOUBLE))) AS assortativity
+FROM sums
+"""
+
+
+@query("graph_degree_assortativity", oracle=_ASSORT_SQL)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supported part co-occurrence graph —
+    Newman's r: the Pearson correlation of endpoint degrees over edges.
+    r > 0 means hubs attach to hubs (social-network shape, skew
+    COMPOUNDS under joins), r < 0 means hub-and-spoke (router/retail
+    shape, hot keys pair with cold) — the one-number answer to "which
+    skew treatment does this graph need" that degree histograms
+    (graph_degree_distribution) can't give, because assortativity is a
+    property of the EDGES, not the degree marginals.
+
+    Exactness: degrees are exact counts; over the SYMMETRIZED edge list
+    every power sum is BIGINT; r is one shared IEEE closing formula.
+    Same support-pruned edge semantics as the PageRank/triangle family
+    (>= 2 shared orders), so the number describes the same graph those
+    operators compute on.
+
+    Scale: edge build is the bounded <=7-line-order self-join; the two
+    degree joins shuffle on node keys; the fold is map-side combined to
+    6 cells."""
+    from etl_pipeline_aws_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ASSORT_SQL)
+
+
+def _clustering_sql(idiv: str) -> str:
+    """Shared global-clustering text; integer-division per dialect."""
+    return _GRAPH_EDGE_CTE + f"""
+, tri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e2.pa = e1.pb
+    JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+), wedge AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(deg) AS BIGINT) {idiv} 2 AS n_edges,
+           CAST(SUM(deg * (deg - 1)) AS BIGINT) AS wedges2
+    FROM deg
+)
+SELECT n_nodes, n_edges, triangles,
+       wedges2 {idiv} 2 AS wedges,
+       CAST((6 * triangles * 1000000) {idiv} wedges2 AS BIGINT)
+           AS clustering_ppm
+FROM wedge, tri
+"""
+
+
+_CLUSTERING_ORACLE = _clustering_sql("//")
+_CLUSTERING_SPARK = _clustering_sql("DIV")
+
+
+@query("graph_global_clustering", oracle=_CLUSTERING_ORACLE)
+def graph_global_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the supported
+    part co-occurrence graph: C = 3*triangles / wedges — what fraction
+    of open two-paths close into triangles.  The one-number "is this a
+    community graph or a random graph" read: C far above the
+    Erdos-Renyi baseline says co-purchase neighborhoods are real
+    communities (so label propagation / CF will find structure), C near
+    it says they're noise.  Complements graph_triangle_count (per-node
+    counts) with the graph-level normalized ratio.
+
+    Exactness: triangles via the canonical a<b<c three-way equi-join on
+    the u<v pair list (each triangle counted exactly once); wedges
+    carried DOUBLED (sum deg(deg-1), always even) so C = 6*tri/wedges2
+    needs no half anywhere; the ppm is floor integer division on
+    all-positive BIGINTs — identical both engines.
+
+    The 1x1 join of the two global folds is the agg_hll_sketch_rollup
+    pattern (scale-free; allowlisted).
+
+    Scale: same support-pruned discipline as graph_triangle_count — the
+    prune IS what makes the triangle join feasible; wedges reduce
+    map-side from the degree table."""
+    from etl_pipeline_aws_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CLUSTERING_SPARK)

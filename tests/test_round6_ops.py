@@ -1172,3 +1172,77 @@ def test_effect_sizes_and_zcr_consistency(spark):
         load_table(spark, SF_DIR, "documents").filter(F.length("text") >= 2).count()
     )
     assert n_docs_zcr == n_docs
+
+
+def test_cuped_and_graph_coefficients(spark):
+    """Batch-16 pins: CUPED must never INCREASE variance (theta is the
+    variance-minimizing coefficient pooled across arms, so each arm's
+    adjusted variance <= raw variance up to the arm/pool theta gap —
+    assert the pooled guarantee via the identity instead) and must
+    leave arm means unbiased relative to the raw lift direction;
+    assortativity/clustering agree with brute-force recomputation."""
+    from collections import defaultdict
+
+    from tests.conftest import SF_DIR
+
+    qs = engine.queries()
+
+    rows = {r.arm: r for r in qs["events_cuped_adjustment"](spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r.var_y > 0 and r.var_y_cuped > 0
+        # theta is pooled-optimal; per-arm reduction can differ but on a
+        # randomized parity split both arms' X,Y correlate the same way —
+        # adjusted variance must not blow up (allow 5% slack for the
+        # arm-vs-pool theta mismatch)
+        assert r.var_y_cuped <= r.var_y * 1.05
+    assert rows[0].theta == rows[1].theta
+
+    # brute-force graph edge list (support >= 2, canonical pa < pb)
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    pair_n = defaultdict(int)
+    orders = defaultdict(list)
+    for r in (
+        load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey").collect()
+    ):
+        orders[r.l_orderkey].append(r.l_partkey)
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                if a < b:
+                    pair_n[(a, b)] += 1
+    edges = {p for p, n in pair_n.items() if n >= 2}
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+
+    import math
+
+    js, ks = [], []
+    for a, b in edges:
+        js += [deg[a], deg[b]]
+        ks += [deg[b], deg[a]]
+    m = len(js)
+    sj, sk = sum(js), sum(ks)
+    sjk = sum(j * k for j, k in zip(js, ks))
+    sjj, skk = sum(j * j for j in js), sum(k * k for k in ks)
+    r_expect = (m * sjk - sj * sk) / (
+        math.sqrt(m * sjj - sj * sj) * math.sqrt(m * skk - sk * sk)
+    )
+    arow = qs["graph_degree_assortativity"](spark, SF_DIR).collect()[0]
+    assert arow.n_directed_edges == m and arow.assortativity == r_expect
+
+    eset = edges
+    tri = 0
+    for a, b in eset:
+        for c in (n for n in deg if n > b):
+            if (b, c) in eset and (a, c) in eset:
+                tri += 1
+    wedges2 = sum(d * (d - 1) for d in deg.values())
+    crow = qs["graph_global_clustering"](spark, SF_DIR).collect()[0]
+    assert (crow.n_nodes, crow.n_edges, crow.triangles) == (len(deg), len(eset), tri)
+    assert crow.clustering_ppm == 6 * tri * 10**6 // wedges2
+    assert 0 <= crow.clustering_ppm <= 10**6

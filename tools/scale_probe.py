@@ -151,6 +151,18 @@ PROBE_QUERIES = [
     "layout_range_partition_plan",
     "graph_link_prediction_ra",
     "window_rolling_median_7d",
+    # round-6 session-3 additions
+    "ivm_incremental_distinct",
+    "events_interarrival_burstiness",
+    "stat_kendall_tau",
+    "stat_spearman_rho",
+    "stat_kaplan_meier",
+    "events_diversity_simpson",
+    "feature_robust_scaler",
+    "customer_lorenz_deciles",
+    "multimodal_audio_zero_crossing",
+    "stat_cohens_d",
+    "stat_cramers_v",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
