@@ -3724,3 +3724,83 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_CUPED_SPARK)
+
+
+# OLS normal equations, 2 features + intercept, solved in closed form by
+# Cramer's rule over exact power sums — identical SQL text both engines.
+_OLS_SQL = """
+WITH feats AS (
+    SELECT o.o_orderkey,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+           CAST(COUNT(*) AS BIGINT) AS x1,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS x2
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+), sums AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+           CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+           CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+           CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+           CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS s1y,
+           CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS s2y,
+           CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+    FROM feats
+), det AS (
+    SELECT n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy,
+           n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS d
+    FROM sums
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       (sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y)) / d AS b0,
+       (n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2)) / d AS b1,
+       (n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2)) / d AS b2,
+       1 - (syy
+            - ((sy * (s11 * s22 - s12 * s12)
+                    - s1 * (s1y * s22 - s12 * s2y)
+                    + s2 * (s1y * s12 - s11 * s2y)) / d) * sy
+            - ((n * (s1y * s22 - s12 * s2y)
+                    - sy * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s2y - s1y * s2)) / d) * s1y
+            - ((n * (s11 * s2y - s1y * s12)
+                    - s1 * (s1 * s2y - s1y * s2)
+                    + sy * (s1 * s12 - s11 * s2)) / d) * s2y)
+           / (syy - sy * sy / n) AS r2
+FROM det
+"""
+
+
+@query("ml_ols_normal_equations", oracle=_OLS_SQL)
+def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS training IN the warehouse: order total regressed on line
+    count and total quantity, solved in closed form from the normal
+    equations (X'X)b = X'y by Cramer's rule on the 3x3 system — the
+    training counterpart of ml_linear_scoring (which serves
+    already-trained coefficients), and the pattern that turns "export
+    to a notebook, fit, re-import" into one distributed aggregate for
+    any small-feature-count linear model.
+
+    Exactness: features and target are exact BIGINTs; all ten power
+    sums accumulate in DECIMAL(38,0) (order-insensitive, overflow-proof
+    past 2^63); the determinant expansion and R² are one shared IEEE
+    formula text over those exact operands — bit-identical both
+    engines, no iterative solver, no per-row double.
+
+    Scale: ONE map-side-combined aggregation to 10 cells after the
+    order-line join (which reuses the orderkey shuffle); closed-form
+    solve is O(1).  This is the d<=3 sweet spot — higher-dimension
+    fits need the iterated normal-equation or gradient path."""
+    from etl_pipeline_aws_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_OLS_SQL)

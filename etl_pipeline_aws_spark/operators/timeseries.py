@@ -694,3 +694,152 @@ def events_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined, output bounded by the calendar."""
     register_views(spark, sf_dir)
     return spark.sql(_SIMPSON_SPARK)
+
+
+HOLT_ALPHA_E3 = 300  # level smoothing, thousandths
+HOLT_BETA_E3 = 100  # trend smoothing, thousandths
+
+
+def _holt_sql(idiv: str) -> str:
+    """Shared Holt linear-trend text; integer division per dialect.
+    The level/trend updates can be NEGATIVE, so every division is the
+    explicit trunc-toward-zero CASE (Spark DIV truncates, DuckDB //
+    floors — divergent on negatives otherwise)."""
+
+    def tz(x: str) -> str:
+        return (f"CASE WHEN ({x}) >= 0 THEN ({x}) {idiv} 1000 "
+                f"ELSE -((-({x})) {idiv} 1000) END")
+
+    a, b = HOLT_ALPHA_E3, HOLT_BETA_E3
+    lnew = tz(f"{a} * r.v + {1000 - a} * (h.l + h.t)")
+    tnew = tz(f"{b} * (({lnew}) - h.l) + {1000 - b} * h.t")
+    return f"""
+WITH RECURSIVE daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS v
+    FROM events GROUP BY CAST(ts AS DATE)
+), idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i, day, v
+    FROM daily
+), holt AS (
+    SELECT i, day, v, v AS l, CAST(0 AS BIGINT) AS t
+    FROM idx WHERE i = 1
+    UNION ALL
+    SELECT r.i, r.day, r.v,
+           CAST({lnew} AS BIGINT),
+           CAST({tnew} AS BIGINT)
+    FROM holt h JOIN idx r ON r.i = h.i + 1
+)
+SELECT day, v AS value_cents, l AS level_cents, t AS trend_cents,
+       l + t AS forecast_next_cents
+FROM holt
+"""
+
+
+_HOLT_ORACLE = _holt_sql("//")
+_HOLT_SPARK = _holt_sql("DIV")
+
+
+@query("events_holt_linear_forecast", oracle=_HOLT_ORACLE)
+def events_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of the daily revenue series —
+    the level+trend forecaster one rung above both the EWMA
+    (events_ewma_daily: level only, lags any trend) and the seasonal
+    naive (events_seasonal_naive_backtest: no smoothing at all): each
+    day updates l = alpha*v + (1-alpha)(l+t) and
+    t = beta*(l-l_prev) + (1-beta)*t, and the one-step-ahead forecast
+    is l+t — the standard capacity-planning baseline when the series
+    trends.
+
+    The recurrences are SEQUENTIAL by construction (each day's state
+    feeds the next), so they run as a WITH RECURSIVE CTE — identical
+    text on both engines, the stat_kaplan_meier machinery — in scaled
+    integer arithmetic: alpha/beta in thousandths, state in cents,
+    every division an explicit trunc-toward-zero CASE (level and trend
+    go NEGATIVE on downturns; Spark DIV truncates while DuckDB //
+    floors, so the naive spelling diverges exactly there).  t_1 = 0
+    (zero-trend init, documented choice).
+
+    Scale: the fact-sized stage is the daily reduction; recursion depth
+    = |days| (calendar-bounded, under Spark's 100-level CTE default for
+    any quarter; raise spark.sql.cteRecursionLevelLimit for multi-year
+    spans — or window-chunk the recurrence)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_HOLT_SPARK)
+
+
+def _bot_sql(epoch_us: str, idiv: str) -> str:
+    """Shared bot-gate text; epoch-microsecond and integer-division
+    spellings per dialect (all divisions on non-negative operands)."""
+    metro = f"(m.modal_cnt * 1000000) {idiv} m.n_gaps"
+    return f"""
+WITH gaps AS (
+    SELECT user_id,
+           CAST({epoch_us}(ts) - LAG({epoch_us}(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_us
+    FROM events
+), gap_counts AS (
+    SELECT user_id, gap_us, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id, gap_us
+), modal AS (
+    SELECT user_id, cnt AS modal_cnt,
+           CAST(SUM(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS n_gaps,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY cnt DESC, gap_us ASC) AS rn
+    FROM gap_counts
+), per_user AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+)
+SELECT u.user_id, u.n_events, u.active_days, u.n_types,
+       COALESCE(m.n_gaps, 0) AS n_gaps,
+       COALESCE({metro}, 0) AS metronome_ppm,
+       CASE WHEN (u.n_events {idiv} u.active_days) >= 50 THEN 1 ELSE 0 END
+           AS rate_flag,
+       CASE WHEN u.n_types = 1 AND u.n_events >= 10 THEN 1 ELSE 0 END
+           AS monotone_flag,
+       CASE WHEN COALESCE({metro}, 0) >= 500000 AND m.n_gaps >= 5
+            THEN 1 ELSE 0 END AS metronome_flag,
+       CASE WHEN (u.n_events {idiv} u.active_days) >= 50
+              OR (u.n_types = 1 AND u.n_events >= 10)
+              OR (COALESCE({metro}, 0) >= 500000 AND m.n_gaps >= 5)
+            THEN 1 ELSE 0 END AS is_bot
+FROM per_user u
+LEFT JOIN modal m ON m.user_id = u.user_id AND m.rn = 1
+"""
+
+
+_BOT_ORACLE = _bot_sql("epoch_us", "//")
+_BOT_SPARK = _bot_sql("unix_micros", "DIV")
+
+
+@query("events_bot_score_gate", oracle=_BOT_ORACLE)
+def events_bot_score_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite bot/automation gate per user — the traffic-hygiene
+    filter a training-data pipeline runs BEFORE any behavioral
+    analytics or corpus construction trusts the event stream.  Three
+    orthogonal heuristics, each catching what the others miss:
+    sustained RATE (>= 50 events per active day — humans don't),
+    MONOTONY (one event type over >= 10 events — scrapers click, humans
+    wander; the per-user twin of events_diversity_simpson's daily mix
+    read), and the METRONOME (>= 50% of inter-arrival gaps are the
+    SAME exact microsecond value, >= 5 gaps — schedulers fire on exact
+    periods, humans never do; the modal-gap concentration is the
+    pointwise complement of events_interarrival_burstiness' variance
+    read, which a clever bot with two alternating periods fools while
+    the mode still catches it).
+
+    Exactness: every feature is an exact count off one user-partitioned
+    ordered window + one grouped reduction; the modal gap is a
+    deterministic (count DESC, gap ASC) pick; concentration is floor
+    ppm on non-negative BIGINTs; flags and the OR-verdict are integer
+    CASEs — bit-identical both engines.
+
+    Scale: two shuffles on user_id (window + groupBy, AQE-coalesced),
+    modal pick is a per-user-partition window on the |user x distinct
+    gap| table; output is |users| rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BOT_SPARK)

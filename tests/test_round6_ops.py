@@ -1246,3 +1246,104 @@ def test_cuped_and_graph_coefficients(spark):
     assert (crow.n_nodes, crow.n_edges, crow.triangles) == (len(deg), len(eset), tri)
     assert crow.clustering_ppm == 6 * tri * 10**6 // wedges2
     assert 0 <= crow.clustering_ppm <= 10**6
+
+
+def test_ols_holt_bot_gate(spark):
+    """Batch-17 pins: OLS coefficients agree with numpy's lstsq to
+    1e-9 relative (different arithmetic path, same math); Holt states
+    re-derived exactly in Python; bot-gate flags re-derived exactly
+    including the modal-gap tie-break."""
+    from collections import Counter, defaultdict
+
+    import numpy as np
+
+    from tests.conftest import SF_DIR
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    qs = engine.queries()
+
+    r = qs["ml_ols_normal_equations"](spark, SF_DIR).collect()[0]
+    feats = (
+        load_table(spark, SF_DIR, "orders")
+        .join(load_table(spark, SF_DIR, "lineitem"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("x1"),
+             F.sum(F.col("l_quantity").cast("long")).alias("x2"))
+        .collect()
+    )
+    X = np.array([[1.0, f.x1, f.x2] for f in feats])
+    y = np.array([float(int(round(float(f.o_totalprice) * 100))) for f in feats])
+    b = np.linalg.lstsq(X, y, rcond=None)[0]
+    assert r.n_orders == len(feats)
+    for got, exp in zip((r.b0, r.b1, r.b2), b):
+        assert abs(got - exp) <= 1e-9 * max(1.0, abs(exp)), (got, exp)
+    assert 0.0 <= r.r2 <= 1.0
+
+    from etl_pipeline_aws_spark.operators.timeseries import (
+        HOLT_ALPHA_E3,
+        HOLT_BETA_E3,
+    )
+
+    daily = sorted(
+        (r2.day, r2.v)
+        for r2 in load_table(spark, SF_DIR, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v"))
+        .collect()
+    )
+
+    def tz(x):
+        return x // 1000 if x >= 0 else -((-x) // 1000)
+
+    expect = {}
+    l, t = daily[0][1], 0
+    expect[daily[0][0]] = (daily[0][1], l, t, l + t)
+    for day, v in daily[1:]:
+        lp = l
+        l = tz(HOLT_ALPHA_E3 * v + (1000 - HOLT_ALPHA_E3) * (l + t))
+        t = tz(HOLT_BETA_E3 * (l - lp) + (1000 - HOLT_BETA_E3) * t)
+        expect[day] = (v, l, t, l + t)
+    got = {
+        r2.day: (r2.value_cents, r2.level_cents, r2.trend_cents, r2.forecast_next_cents)
+        for r2 in qs["events_holt_linear_forecast"](spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+    ev = defaultdict(list)
+    for r2 in load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("us"), F.col("ts").cast("date").alias("day"),
+    ).collect():
+        ev[r2.user_id].append((r2.us, r2.event_id, r2.event_type, r2.day))
+    bexpect = {}
+    for uid, rows in ev.items():
+        rows.sort(key=lambda x: (x[0], x[1]))
+        n = len(rows)
+        days = len({x[3] for x in rows})
+        types = len({x[2] for x in rows})
+        gaps = [rows[i][0] - rows[i - 1][0] for i in range(1, n)]
+        if gaps:
+            cnt = Counter(gaps)
+            modal_cnt, modal_gap = max(
+                ((c, -g) for g, c in cnt.items())
+            )  # count desc, gap asc
+            metro = modal_cnt * 10**6 // len(gaps)
+        else:
+            metro = 0
+        rate_f = int(n // days >= 50)
+        mono_f = int(types == 1 and n >= 10)
+        metro_f = int(metro >= 500000 and len(gaps) >= 5)
+        bexpect[uid] = (
+            n, days, types, len(gaps), metro, rate_f, mono_f, metro_f,
+            int(rate_f or mono_f or metro_f),
+        )
+    bgot = {
+        r2.user_id: (
+            r2.n_events, r2.active_days, r2.n_types, r2.n_gaps, r2.metronome_ppm,
+            r2.rate_flag, r2.monotone_flag, r2.metronome_flag, r2.is_bot,
+        )
+        for r2 in qs["events_bot_score_gate"](spark, SF_DIR).collect()
+    }
+    assert bgot == bexpect
