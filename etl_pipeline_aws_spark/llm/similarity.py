@@ -695,3 +695,234 @@ def embedding_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("cosine").alias("min_cosine"),
         F.max("cosine").alias("max_cosine"),
     )
+
+
+MMR_SHORTLIST = 10  # relevance shortlist per query (the rerank window)
+MMR_LAMBDA_E3 = 700  # relevance weight, thousandths; 1-lambda penalizes redundancy
+MMR_K = 3  # greedy selections (unrolled, so the whole query is oracle-backed)
+
+_MMR_DOT = (
+    "list_sum(list_transform(range(1, len({a}.v) + 1), i -> {a}.v[i] * {b}.v[i]))"
+    " / ({a}.nrm * {b}.nrm)"
+)
+
+
+def _mmr_oracle() -> str:
+    lam, inv = MMR_LAMBDA_E3, 1000 - MMR_LAMBDA_E3
+    qc = _MMR_DOT.format(a="q", b="c")
+    ab = _MMR_DOT.format(a="a", b="b")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    ), q AS (
+        SELECT * FROM n WHERE vec_id < {N_QUERIES}
+    ), rel AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand,
+               CAST(FLOOR(({qc}) * 1000000) AS BIGINT) AS rel_ppm
+        FROM q JOIN n c ON c.vec_id <> q.vec_id
+    ), shortlist AS (
+        SELECT query_id, cand, rel_ppm,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel_ppm DESC, cand) AS rn
+        FROM rel QUALIFY rn <= {MMR_SHORTLIST}
+    ), pair AS (
+        SELECT s1.query_id, s1.cand AS ca, s2.cand AS cb,
+               CAST(FLOOR(({ab}) * 1000000) AS BIGINT) AS sim_ppm
+        FROM shortlist s1
+        JOIN shortlist s2 ON s2.query_id = s1.query_id AND s2.cand <> s1.cand
+        JOIN n a ON a.vec_id = s1.cand
+        JOIN n b ON b.vec_id = s2.cand
+    ), pick1 AS (
+        SELECT query_id, cand, {lam} * rel_ppm AS objective
+        FROM shortlist WHERE rn = 1
+    ), score2 AS (
+        SELECT s.query_id, s.cand,
+               {lam} * s.rel_ppm - {inv} * p.sim_ppm AS objective,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                   ORDER BY {lam} * s.rel_ppm - {inv} * p.sim_ppm DESC, s.cand) AS rn2
+        FROM shortlist s
+        JOIN pick1 k ON k.query_id = s.query_id AND s.cand <> k.cand
+        JOIN pair p ON p.query_id = s.query_id AND p.ca = s.cand AND p.cb = k.cand
+    ), pick2 AS (
+        SELECT query_id, cand, objective FROM score2 WHERE rn2 = 1
+    ), score3 AS (
+        SELECT s.query_id, s.cand,
+               {lam} * s.rel_ppm
+                   - {inv} * GREATEST(p1.sim_ppm, p2.sim_ppm) AS objective,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                   ORDER BY {lam} * s.rel_ppm
+                            - {inv} * GREATEST(p1.sim_ppm, p2.sim_ppm) DESC,
+                            s.cand) AS rn3
+        FROM shortlist s
+        JOIN pick1 k1 ON k1.query_id = s.query_id AND s.cand <> k1.cand
+        JOIN pick2 k2 ON k2.query_id = s.query_id AND s.cand <> k2.cand
+        JOIN pair p1 ON p1.query_id = s.query_id AND p1.ca = s.cand AND p1.cb = k1.cand
+        JOIN pair p2 ON p2.query_id = s.query_id AND p2.ca = s.cand AND p2.cb = k2.cand
+    )
+    SELECT query_id, CAST(1 AS INT) AS mmr_rank, cand AS vec_id, objective
+    FROM pick1
+    UNION ALL
+    SELECT query_id, CAST(2 AS INT), cand, objective FROM pick2
+    UNION ALL
+    SELECT query_id, CAST(3 AS INT), cand, objective
+    FROM score3 WHERE rn3 = 1
+    """
+
+
+@query("similarity_mmr_rerank", oracle=_mmr_oracle)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank — the diversification stage
+    production retrieval runs AFTER top-k: greedily pick the candidate
+    maximizing lambda*rel(c) - (1-lambda)*max_sim(c, selected), so the
+    result set covers the query's neighborhood instead of returning
+    {MMR_K} near-duplicates (the failure mode of raw cosine top-k on a
+    corpus with duplicate clusters — exactly what RAG dedup cares
+    about).  Completes the retrieval ladder: brute/IVF/LSH/PQ find, the
+    two-stage rerank sharpens, MMR diversifies.
+
+    The greedy loop is UNROLLED to {MMR_K} fixed selections (pick1 →
+    score2 → pick2 → score3), so the entire operator is one static
+    plan and — unlike iterative MMR implementations — fully
+    oracle-backed: relevance and pairwise similarities are floor-ppm
+    BIGINTs (FLOOR is toward -inf in both engines, safe on negative
+    cosines; the dot-product fold order is the verified shared
+    sequential fold), objectives are integer arithmetic, and every
+    argmax is a deterministic (objective DESC, cand) window pick.
+
+    Scale: relevance is the broadcast-query-set scan (the bruteforce
+    design, allowlisted); everything after operates on
+    |queries| x {MMR_SHORTLIST} rows — the pairwise stage is
+    {MMR_SHORTLIST}^2 per query regardless of corpus size, which is
+    the point of shortlist-then-rerank."""
+    lam, inv = MMR_LAMBDA_E3, 1000 - MMR_LAMBDA_E3
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    rel = q.join(e, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("cand"),
+        F.floor(
+            _cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")) * 1_000_000
+        )
+        .cast("long")
+        .alias("rel_ppm"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("rel_ppm").desc(), "cand")
+    shortlist = (
+        rel.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= MMR_SHORTLIST)
+        .localCheckpoint()  # tiny (|queries| x shortlist); reused by 5 branches
+    )
+    vecs = F.broadcast(
+        shortlist.select("cand").distinct().join(e, F.col("vec_id") == F.col("cand"))
+        .select("cand", "v", "nrm")
+    )
+    a = vecs.select(
+        F.col("cand").alias("ca"), F.col("v").alias("av"), F.col("nrm").alias("anrm")
+    )
+    b = vecs.select(
+        F.col("cand").alias("cb"), F.col("v").alias("bv"), F.col("nrm").alias("bnrm")
+    )
+    s1 = shortlist.alias("s1")
+    s2 = shortlist.alias("s2")
+    pair = (
+        s1.join(
+            s2,
+            (F.col("s2.query_id") == F.col("s1.query_id"))
+            & (F.col("s2.cand") != F.col("s1.cand")),
+        )
+        .select(
+            F.col("s1.query_id").alias("query_id"),
+            F.col("s1.cand").alias("ca"),
+            F.col("s2.cand").alias("cb"),
+        )
+        .join(F.broadcast(a), "ca")
+        .join(F.broadcast(b), "cb")
+        .select(
+            "query_id",
+            "ca",
+            "cb",
+            F.floor(
+                _cosine(F.col("av"), F.col("bv"), F.col("anrm"), F.col("bnrm"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("sim_ppm"),
+        )
+        .localCheckpoint()
+    )
+    pick1 = shortlist.filter(F.col("rn") == 1).select(
+        "query_id",
+        F.col("cand").alias("k1"),
+        (F.lit(lam) * F.col("rel_ppm")).alias("objective"),
+    )
+    s2c = (
+        shortlist.join(
+            pick1.select("query_id", "k1"), "query_id"
+        )
+        .filter(F.col("cand") != F.col("k1"))
+        .join(
+            pair.select(
+                "query_id", F.col("ca").alias("cand"), F.col("cb").alias("k1x"),
+                "sim_ppm",
+            ),
+            ["query_id", "cand"],
+        )
+        .filter(F.col("k1x") == F.col("k1"))
+        .withColumn(
+            "objective", F.lit(lam) * F.col("rel_ppm") - F.lit(inv) * F.col("sim_ppm")
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("objective").desc(), "cand")
+    pick2 = (
+        s2c.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") == 1)
+        .select("query_id", F.col("cand").alias("k2"), "objective")
+    )
+    s3c = (
+        shortlist.join(pick1.select("query_id", "k1"), "query_id")
+        .join(pick2.select("query_id", "k2"), "query_id")
+        .filter((F.col("cand") != F.col("k1")) & (F.col("cand") != F.col("k2")))
+        .join(
+            pair.select(
+                "query_id", F.col("ca").alias("cand"), F.col("cb").alias("p1c"),
+                F.col("sim_ppm").alias("sim1"),
+            ),
+            ["query_id", "cand"],
+        )
+        .filter(F.col("p1c") == F.col("k1"))
+        .join(
+            pair.select(
+                "query_id", F.col("ca").alias("cand"), F.col("cb").alias("p2c"),
+                F.col("sim_ppm").alias("sim2"),
+            ),
+            ["query_id", "cand"],
+        )
+        .filter(F.col("p2c") == F.col("k2"))
+        .withColumn(
+            "objective",
+            F.lit(lam) * F.col("rel_ppm")
+            - F.lit(inv) * F.greatest(F.col("sim1"), F.col("sim2")),
+        )
+    )
+    w3 = W.partitionBy("query_id").orderBy(F.col("objective").desc(), "cand")
+    pick3 = (
+        s3c.withColumn("rn3", F.row_number().over(w3))
+        .filter(F.col("rn3") == 1)
+        .select("query_id", F.col("cand").alias("vec_id"), "objective")
+    )
+    out1 = pick1.select(
+        "query_id", F.lit(1).alias("mmr_rank"), F.col("k1").alias("vec_id"), "objective"
+    )
+    out2 = pick2.select(
+        "query_id", F.lit(2).alias("mmr_rank"), F.col("k2").alias("vec_id"), "objective"
+    )
+    out3 = pick3.select("query_id", F.lit(3).alias("mmr_rank"), "vec_id", "objective")
+    return out1.unionByName(out2).unionByName(out3)

@@ -1347,3 +1347,26 @@ def test_ols_holt_bot_gate(spark):
         for r2 in qs["events_bot_score_gate"](spark, SF_DIR).collect()
     }
     assert bgot == bexpect
+
+
+def test_mmr_rank1_is_bruteforce_top1_and_picks_distinct(spark):
+    """MMR's first pick maximizes pure relevance, so it must equal the
+    brute-force top-1 neighbor per query; the three picks are distinct
+    and come from the relevance shortlist."""
+    from tests.conftest import SF_DIR
+
+    qs = engine.queries()
+    mmr = qs["similarity_mmr_rerank"](spark, SF_DIR).collect()
+    by_q = {}
+    for r in mmr:
+        by_q.setdefault(r.query_id, {})[r.mmr_rank] = r.vec_id
+    brute = {
+        r.query_id: r.neighbor_id
+        for r in qs["similarity_topk_bruteforce"](spark, SF_DIR).collect()
+        if r.rank == 1
+    }
+    assert set(by_q) == set(brute)
+    for qid, picks in by_q.items():
+        assert set(picks) == {1, 2, 3}
+        assert picks[1] == brute[qid]
+        assert len(set(picks.values())) == 3
