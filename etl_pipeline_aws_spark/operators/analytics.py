@@ -3804,3 +3804,81 @@ def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_OLS_SQL)
+
+
+def _growth_sql(day_idx: str, idiv: str) -> str:
+    """Shared growth-accounting text; epoch-day and integer-division
+    spellings per dialect.  Weeks are epoch-day {idiv} 7 buckets —
+    engine-neutral by construction (date_trunc('week') is the
+    documented weekday-numbering trap)."""
+    return f"""
+WITH uw AS (
+    SELECT DISTINCT user_id, {day_idx} {idiv} 7 AS wk FROM events
+), fw AS (
+    SELECT user_id, wk,
+           MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+           LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+           LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk,
+           MAX(wk) OVER () AS last_wk
+    FROM uw
+), states AS (
+    SELECT wk,
+           CASE WHEN wk = first_wk THEN 1 ELSE 0 END AS is_new,
+           CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END AS is_retained,
+           CASE WHEN wk > first_wk AND (prev_wk IS NULL OR prev_wk < wk - 1)
+                THEN 1 ELSE 0 END AS is_resurrected,
+           CASE WHEN wk < last_wk AND (next_wk IS NULL OR next_wk > wk + 1)
+                THEN 1 ELSE 0 END AS churns_after
+    FROM fw
+), weekly AS (
+    SELECT wk,
+           CAST(SUM(is_new) AS BIGINT) AS n_new,
+           CAST(SUM(is_retained) AS BIGINT) AS n_retained,
+           CAST(SUM(is_resurrected) AS BIGINT) AS n_resurrected,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM states GROUP BY wk
+), churn AS (
+    SELECT wk + 1 AS cw, CAST(COUNT(*) AS BIGINT) AS n_churned
+    FROM states WHERE churns_after = 1 GROUP BY wk + 1
+)
+SELECT w.wk AS week_idx, w.n_new, w.n_retained, w.n_resurrected, w.n_active,
+       COALESCE(c.n_churned, 0) AS n_churned,
+       CASE WHEN COALESCE(c.n_churned, 0) > 0
+            THEN CAST(w.n_new + w.n_resurrected AS DOUBLE)
+                 / CAST(c.n_churned AS DOUBLE)
+       END AS quick_ratio
+FROM weekly w LEFT JOIN churn c ON c.cw = w.wk
+"""
+
+
+_GROWTH_ORACLE = _growth_sql(
+    "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))", "//"
+)
+_GROWTH_SPARK = _growth_sql("UNIX_DATE(CAST(ts AS DATE))", "DIV")
+
+
+@query("events_growth_accounting", oracle=_GROWTH_ORACLE)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the new/retained/resurrected/churned
+    decomposition (and quick ratio = (new+resurrected)/churned) that
+    every growth team reads before any topline: DAU can be flat while
+    churn and resurrection churn violently underneath, and this is the
+    standard decomposition that makes conservation exact:
+    active(w) = new + retained + resurrected, with states mutually
+    exclusive by construction (new ⇒ no prior week; retained ⇒ active
+    exactly the week before; resurrected ⇒ returned over a gap).
+    Churn is attributed to the week AFTER last activity; users active
+    in the final observed week are right-censored, not churned — the
+    same honesty rule as stat_kaplan_meier.
+
+    Exactness: weeks are epoch-day integer buckets (sidestepping the
+    engine-specific date_trunc('week') start-of-week trap), states are
+    integer CASEs off one user-partitioned window, and the only double
+    is the guarded quick-ratio division of two exact counts.
+
+    Scale: one distinct (user, week) reduction, one user-keyed window,
+    bounded weekly folds — the DAU/WAU/MAU family's shuffle shape."""
+    from etl_pipeline_aws_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROWTH_SPARK)

@@ -227,7 +227,11 @@ LP_ROUNDS = 2  # fixed min-label propagation rounds
 LP_MIN_SUPPORT = 2  # reuse the supported-edge discipline
 
 
-def _labelprop_oracle() -> str:
+def _lp_cte() -> tuple[str, str]:
+    """Shared unrolled min-label-propagation CTE chain (pairs/edges/
+    nodes/l0..lN); returns (sql_prefix, final_label_cte_name) so both
+    the label-propagation oracle and the modularity oracle compose
+    their own tails over identical community assignments."""
     sql = f"""
     WITH pairs AS (
         SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
@@ -254,6 +258,11 @@ def _labelprop_oracle() -> str:
         GROUP BY n.node, n.lbl
     )"""
         prev = f"l{i}"
+    return sql, prev
+
+
+def _labelprop_oracle() -> str:
+    sql, prev = _lp_cte()
     return sql + f"""
     SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
     FROM {prev} GROUP BY lbl"""
@@ -280,6 +289,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Support-pruned edges (≥{LP_MIN_SUPPORT} co-orders) keep the graph
     meaningful, per the triangle-count discipline."""
     li = load_table(spark, sf_dir, "lineitem")
+    _, labels = _lp_label_frame(li)
+    out = labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return out
+
+
+def _lp_label_frame(li: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared {LP_ROUNDS}-round min-label propagation; returns
+    (symmetrized persisted edge frame, (node, lbl) labels).  Used by
+    graph_label_propagation and graph_modularity so both report over
+    identical community assignments (the Spark twin of _lp_cte)."""
     pairs = co_occurrence_pairs(li, LP_MIN_SUPPORT, distinct_items=False).select(
         "pa", "pb"
     )
@@ -312,10 +333,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels.count()
         prev.unpersist()
-    out = labels.groupBy(F.col("lbl").alias("community")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_members")
-    )
-    return out
+    return edges, labels
 
 
 _ER_ORACLE = """
@@ -840,3 +858,103 @@ def graph_global_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_CLUSTERING_SPARK)
+
+
+def _modularity_oracle() -> str:
+    sql, prev = _lp_cte()
+    return sql + f""", deg AS (
+        SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM pairs
+    ), intra AS (
+        SELECT la.lbl AS community, CAST(COUNT(*) AS BIGINT) AS e_c
+        FROM pairs p
+        JOIN {prev} la ON la.node = p.pa
+        JOIN {prev} lb ON lb.node = p.pb
+        WHERE la.lbl = lb.lbl
+        GROUP BY la.lbl
+    ), dsum AS (
+        SELECT l.lbl AS community, CAST(SUM(deg.d) AS BIGINT) AS d_c
+        FROM {prev} l JOIN deg ON deg.node = l.node
+        GROUP BY l.lbl
+    ), num AS (
+        SELECT CAST(SUM(4 * (SELECT m_edges FROM m) * COALESCE(i.e_c, 0)
+                        - d.d_c * d.d_c) AS BIGINT) AS numerator,
+               CAST(COUNT(*) AS BIGINT) AS n_communities
+        FROM dsum d LEFT JOIN intra i ON i.community = d.community
+    )
+    SELECT n_communities,
+           (SELECT m_edges FROM m) AS m_edges,
+           numerator,
+           CAST(numerator AS DOUBLE)
+               / (4.0 * (SELECT m_edges FROM m) * (SELECT m_edges FROM m))
+               AS modularity
+    FROM num"""
+
+
+@query("graph_modularity", oracle=_modularity_oracle)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the min-label-propagation communities —
+    the number that says whether the communities the engine just found
+    are REAL: Q = sum_c [e_c/m - (d_c/2m)^2] compares each community's
+    internal edge mass against the degree-preserving random baseline
+    (Q near 0: partition no better than chance; Q >= ~0.3: genuine
+    structure).  Closes the community-detection loop: label propagation
+    proposes (graph_label_propagation), modularity scores the proposal
+    — over the IDENTICAL assignment, via the shared _lp_label_frame /
+    _lp_cte pair.
+
+    Exactness: Q's numerator folds to the all-integer identity
+    sum_c (4*m*e_c - d_c^2) (communities with zero internal edges
+    COALESCE to 0 — the LEFT JOIN matters: dropping them inflates Q);
+    the single closing division by 4m^2 is the only double op.
+
+    Scale: beyond the propagation rounds themselves, one canonical-pair
+    label join (shuffle on node key, reusing the LP partitioning) and
+    two bounded community folds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges, labels = _lp_label_frame(li)
+    pairs_c = edges.filter(F.col("u") < F.col("v")).select(
+        F.col("u").alias("pa"), F.col("v").alias("pb")
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    la = labels.select(F.col("node").alias("pa"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("node").alias("pb"), F.col("lbl").alias("lb"))
+    intra = (
+        pairs_c.join(la, "pa")
+        .join(lb, "pb")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    dsum = (
+        labels.join(deg, "node")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.sum("d").cast("long").alias("d_c"))
+    )
+    m_edges = pairs_c.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
+    folded = (
+        dsum.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m_edges))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.max("m_edges").alias("m_edges"),
+            F.sum(
+                4 * F.col("m_edges") * F.coalesce(F.col("e_c"), F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            )
+            .cast("long")
+            .alias("numerator"),
+        )
+    )
+    return folded.select(
+        "n_communities",
+        "m_edges",
+        "numerator",
+        (
+            F.col("numerator").cast("double")
+            / (4.0 * F.col("m_edges").cast("double") * F.col("m_edges").cast("double"))
+        ).alias("modularity"),
+    )

@@ -156,6 +156,7 @@ ALLOWED_NESTED_LOOP = {
     "ml_linear_scoring",  # 1-row MAX(o_orderdate) anchor broadcast (q11 pattern)
     "subquery_not_in_null_aware",  # null-aware NOT IN REQUIRES BNLJ; blocklist is tiny by design
     "ivm_incremental_distinct",  # 1-row median-cut epoch-boundary broadcast (q11 pattern)
+    "graph_modularity",  # 1-row global edge-count broadcast (q11 pattern)
 }
 ALLOWED_PYTHON_EVAL = {
     "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)

@@ -1370,3 +1370,35 @@ def test_mmr_rank1_is_bruteforce_top1_and_picks_distinct(spark):
         assert set(picks) == {1, 2, 3}
         assert picks[1] == brute[qid]
         assert len(set(picks.values())) == 3
+
+
+def test_modularity_and_growth_accounting_identities(spark):
+    """Batch-18 pins: modularity's integer numerator matches the double;
+    Q in [-0.5, 1]; growth accounting conserves actives exactly
+    (new+retained+resurrected = active) and retained(w) <= active(w-1)."""
+    from tests.conftest import SF_DIR
+
+    qs = engine.queries()
+
+    m = qs["graph_modularity"](spark, SF_DIR).collect()[0]
+    assert m.modularity == m.numerator / (4.0 * m.m_edges * m.m_edges)
+    assert -0.5 <= m.modularity <= 1.0
+    # communities must match label propagation's (shared assignment)
+    lp = qs["graph_label_propagation"](spark, SF_DIR).collect()
+    assert m.n_communities == len(lp)
+
+    rows = sorted(
+        qs["events_growth_accounting"](spark, SF_DIR).collect(),
+        key=lambda r: r.week_idx,
+    )
+    assert rows
+    active_by_wk = {r.week_idx: r.n_active for r in rows}
+    for r in rows:
+        assert r.n_new + r.n_retained + r.n_resurrected == r.n_active
+        if r.week_idx - 1 in active_by_wk:
+            assert r.n_retained <= active_by_wk[r.week_idx - 1]
+        if r.n_churned > 0:
+            assert r.quick_ratio == (r.n_new + r.n_resurrected) / r.n_churned
+    # week 1 of the observation: everyone is new
+    first = rows[0]
+    assert first.n_new == first.n_active and first.n_retained == 0
