@@ -796,3 +796,59 @@ def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: |types| × 7 cells regardless of fact size."""
     register_views(spark, sf_dir)
     return spark.sql(_CRAMERS_V_SQL)
+
+
+# Two-proportion pooled z-test: exact conversion counts per arm, one
+# shared IEEE closing formula.  Identical text both engines.
+_PROP_Z_SQL = """
+WITH per_user AS (
+    SELECT user_id % 2 AS arm,
+           MAX(CASE WHEN event_type = 'purchase'
+                     AND CAST(value AS DECIMAL(18,2)) > 90 THEN 1 ELSE 0 END)
+               AS converted
+    FROM events GROUP BY user_id
+), arms AS (
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(converted) AS BIGINT) AS k
+    FROM per_user GROUP BY arm
+), wide AS (
+    SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n1,
+           MAX(CASE WHEN arm = 0 THEN k END) AS k1,
+           MAX(CASE WHEN arm = 1 THEN n END) AS n2,
+           MAX(CASE WHEN arm = 1 THEN k END) AS k2
+    FROM arms
+)
+SELECT n1, k1, n2, k2,
+       CAST(k1 AS DOUBLE) / n1 AS p1,
+       CAST(k2 AS DOUBLE) / n2 AS p2,
+       (CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+           / SQRT((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                  * (1 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                  * (1.0 / n1 + 1.0 / n2)) AS z_stat
+FROM wide
+"""
+
+
+@query("stat_two_proportion_ztest", oracle=_PROP_Z_SQL)
+def stat_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test on user-level HIGH-VALUE purchase
+    conversion (a purchase over 90 — plain any-purchase saturates at
+    p=1 on this fixture, whose pooled variance is 0 and whose z is
+    undefined; the thresholded event is the realistic funnel metric)
+    between the parity A/B arms — the test every conversion-rate
+    experiment actually needs (Welch/Mann-Whitney compare continuous
+    spend; conversion is a Bernoulli, and its variance is p(1-p), not
+    a sample moment).  Completes the test-family matrix: means (t),
+    ranks (U), distributions (KS), categories (chi2), proportions
+    (this).
+
+    Exactness: conversion is a per-user MAX flag (exact), arm counts
+    are BIGINTs, and p1, p2, and the pooled z are one shared IEEE
+    formula chain over those exact counts — no approximation anywhere
+    before the z itself.
+
+    Scale: per-user reduction (the fact-sized stage), 2-row arm fold,
+    scalar output."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PROP_Z_SQL)

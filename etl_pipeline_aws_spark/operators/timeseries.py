@@ -843,3 +843,78 @@ def events_bot_score_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap| table; output is |users| rows."""
     register_views(spark, sf_dir)
     return spark.sql(_BOT_SPARK)
+
+
+def _residual_gate_sql(trend_median: str, seas_median: str, unnest_expr: str) -> str:
+    """Residual anomaly gate = the additive decomposition wrapped as a
+    CTE (nested WITH is legal in both dialects) + a MAD gate on the
+    residual channel.  Global medians enter via MAX(CASE rank-fence)
+    OVER () windows — no 1-row join, no nested-loop node."""
+    return f"""
+WITH base AS ({_decomp_sql(trend_median, seas_median, unnest_expr)}
+), ranked AS (
+    SELECT b.*,
+           ROW_NUMBER() OVER (ORDER BY residual_cents, day) AS rn,
+           COUNT(*) OVER () AS n
+    FROM base b
+), withmed AS (
+    SELECT *,
+           MAX(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+                    THEN residual_cents END) OVER () AS med_res
+    FROM ranked
+), withdev AS (
+    SELECT *, ABS(residual_cents - med_res) AS adev FROM withmed
+), ranked2 AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY adev, day) AS rn2 FROM withdev
+), final AS (
+    SELECT *,
+           MAX(CASE WHEN rn2 = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+                    THEN adev END) OVER () AS mad
+    FROM ranked2
+)
+SELECT day, cents, trend_cents, seasonal_cents, residual_cents,
+       med_res AS residual_median_cents,
+       mad AS residual_mad_cents,
+       CASE WHEN ABS(residual_cents - med_res) * 10000 > 44478 * mad
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM final
+"""
+
+
+_RESID_GATE_ORACLE = _residual_gate_sql(
+    "quantile_disc(c.cents, 0.5)",
+    "quantile_disc(detr, 0.5)",
+    f"unnest(range(0, {ROLLMED_W}))",
+)
+_RESID_GATE_SPARK = _residual_gate_sql(
+    "percentile_disc(0.5) WITHIN GROUP (ORDER BY c.cents)",
+    "percentile_disc(0.5) WITHIN GROUP (ORDER BY detr)",
+    f"explode(sequence(0, {ROLLMED_W - 1}))",
+)
+
+
+@query("events_residual_anomaly_gate", oracle=_RESID_GATE_ORACLE)
+def events_residual_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly gate on the DECOMPOSED residual channel — the composition
+    the raw-value gates can't replace: events_mad_outlier_days flags
+    whole unusual days, but a day can be wildly anomalous FOR A MONDAY
+    while sitting inside the global normal band (and vice versa during
+    a trend ramp).  Running the MAD gate on residual = value - trend -
+    seasonal (events_decompose_additive's exact integer identity) asks
+    the right question: "is this day surprising GIVEN the trend and the
+    weekly rhythm?"
+
+    Exactness: the decomposition is integer cents row-by-row; the
+    residual median and MAD are discrete rank-fence picks delivered by
+    MAX(CASE) OVER () windows (no scalar-subquery join); the gate is
+    the same integer inequality as the raw-value MAD gate
+    (adev * 1e4 > 44478 * MAD = the 3-sigma-equivalent fence with
+    1.4826 consistency scaling, all in BIGINTs).  An all-flat series
+    has MAD 0 and any nonzero deviation flags — the strictest
+    defensible reading, shared by the raw gate.
+
+    Scale: everything after the daily reduction runs on calendar-
+    bounded rows; the explode-to-anchors trend stage is the documented
+    {ROLLMED_W}x calendar fanout."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RESID_GATE_SPARK)

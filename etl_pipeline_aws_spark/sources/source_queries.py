@@ -1386,3 +1386,60 @@ def lakehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+_WHOLEFILE_ORACLE = """
+    SELECT r.r_name AS region,
+           CAST(SUM(LENGTH(n.n_name) + 1) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+"""
+
+
+@query("source_text_wholefile", oracle=_WHOLEFILE_ORACLE)
+def source_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``wholetext`` reads — the connector mode where each FILE is one
+    row (config blobs, small documents, per-entity exports), the
+    opposite contract from the line-oriented default, and the mode
+    that makes "parse this whole file as a unit" expressible without a
+    custom source.  One text file per region is staged Spark-side
+    (repartition-by-key + partitionBy so each region lands in exactly
+    one file, sortWithinPartitions pinning the line order); the
+    whole-file read recovers the region from the partition directory
+    and must see EXACTLY the bytes written: n_chars counts every
+    nation name + its newline, n_lines counts newlines — both derived
+    by the oracle from the source tables, so a reader that splits,
+    trims, or drops a trailing line hash-mismatches.
+
+    Scale: wholetext's unit of parallelism is the file (each file must
+    fit an executor's memory — the documented contract); listing and
+    partition discovery are unchanged from the line reader."""
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    zone = tempfile.mkdtemp(prefix="wholefile_")
+    lines = (
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("value"))
+    )
+    (
+        lines.repartition(F.col("region"))
+        .sortWithinPartitions("region", "value")
+        .write.mode("overwrite")
+        .partitionBy("region")
+        .text(zone)
+    )
+    # NB: the DataFrameReader kwarg form — .option("wholetext", "true")
+    # is silently ignored by the .text() path in pyspark 4.1 (measured:
+    # 25 line-rows instead of 5 file-rows), while text(..., wholetext=True)
+    # applies it.
+    back = spark.read.text(zone, wholetext=True)
+    return back.select(
+        F.col("region").cast("string").alias("region"),
+        F.length("value").cast("long").alias("n_chars"),
+        (F.length("value") - F.length(F.regexp_replace("value", "\n", "")))
+        .cast("long")
+        .alias("n_lines"),
+    )
