@@ -43,6 +43,11 @@ HEADLINE = [
     "pipeline_events_e2e",
     "entity_resolution_parts",
     "graph_pagerank_parts",
+    # round-6 flagship surface: diversified retrieval and growth accounting
+    # (pipeline_dedup_e2e measured 16 s at sf0.1 — representative but too
+    # heavy for a 20-query bench; its scale posture is probed + tested)
+    "similarity_mmr_rerank",
+    "events_growth_accounting",
 ]
 
 

@@ -852,3 +852,64 @@ def stat_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar output."""
     register_views(spark, sf_dir)
     return spark.sql(_PROP_Z_SQL)
+
+
+# Power analysis / minimum detectable effect: exact per-arm moments, the
+# (z_{alpha/2} + z_{power}) multiplier inlined as a shared literal.
+_POWER_MDE_SQL = """
+WITH g AS (
+    SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS x
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), sums AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS DOUBLE) AS s,
+           CAST(SUM(x * x) AS DOUBLE) AS q
+    FROM g GROUP BY grp
+), wide AS (
+    SELECT
+        MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+        MAX(CASE WHEN grp = 2 THEN n END) AS n2,
+        MAX(CASE WHEN grp = 1 THEN q END) AS q1,
+        MAX(CASE WHEN grp = 2 THEN q END) AS q2,
+        MAX(CASE WHEN grp = 1 THEN s END) AS s1,
+        MAX(CASE WHEN grp = 2 THEN s END) AS s2
+    FROM sums
+)
+SELECT n1, n2,
+       sqrt(((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2)) / (n1 + n2 - 2))
+           AS pooled_sd,
+       2.801585218 * sqrt(((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2))
+                          / (n1 + n2 - 2))
+                   * sqrt(1.0 / n1 + 1.0 / n2) AS mde_abs,
+       2.801585218 * sqrt(((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2))
+                          / (n1 + n2 - 2))
+                   * sqrt(1.0 / n1 + 1.0 / n2)
+           / ((s1 + s2) / (n1 + n2)) AS mde_rel
+FROM wide
+"""
+
+
+@query("stat_power_mde", oracle=_POWER_MDE_SQL)
+def stat_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at 80% power / two-sided alpha=0.05
+    for the URGENT-vs-LOW spend comparison — the PRE-experiment
+    question ("is this test even worth running at this sample size?")
+    that the post-hoc tests can't answer: MDE = (z_{a/2} + z_{power})
+    * s_pooled * sqrt(1/n1 + 1/n2), with 1.959964 + 0.841621 =
+    2.801585218 inlined as a shared literal (the only distribution
+    constant in the whole family — a LITERAL, not a libm erf call, so
+    both engines read the identical double).  Completes the
+    experimentation set: lift (events_ab_lift_report) -> variance
+    reduction (events_cuped_adjustment) -> significance
+    (stat_welch_ttest / stat_two_proportion_ztest) -> effect size
+    (stat_cohens_d) -> power (this).
+
+    Exactness: the same exact decimal power sums as the t-test family,
+    one shared IEEE chain; mde_rel divides by the pooled mean for the
+    "X% lift detectable" reading.
+
+    Scale: two-cell reduction."""
+    register_views(spark, sf_dir)
+    return spark.sql(_POWER_MDE_SQL)
