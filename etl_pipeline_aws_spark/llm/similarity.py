@@ -926,3 +926,130 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out3 = pick3.select("query_id", F.lit(3).alias("mmr_rank"), "vec_id", "objective")
     return out1.unionByName(out2).unionByName(out3)
+
+
+MRL_DIMS = (16, 32, 64)  # Matryoshka truncation tiers (64 = full, sanity row)
+
+
+def _mrl_oracle() -> str:
+    per_dim = []
+    for d in MRL_DIMS:
+        per_dim.append(f"""
+    sims_{d} AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(FLOOR(
+                   list_sum(list_transform(range(1, {d} + 1),
+                                           i -> q.v[i] * c.v[i]))
+                   / (sqrt(list_sum(list_transform(list_slice(q.v, 1, {d}),
+                                                   x -> x * x)))
+                      * sqrt(list_sum(list_transform(list_slice(c.v, 1, {d}),
+                                                     x -> x * x))))
+                   * 1000000) AS BIGINT) AS cos_ppm
+        FROM q JOIN n c ON c.vec_id <> q.vec_id
+    ), top_{d} AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_ppm DESC, neighbor_id) AS rn
+              FROM sims_{d})
+        WHERE rn <= {TOP_K}
+    )""")
+    hits = " UNION ALL ".join(
+        f"""SELECT {d} AS trunc_dim, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM top_{d} t JOIN top_{MRL_DIMS[-1]} f
+              ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id"""
+        for d in MRL_DIMS
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+        SELECT vec_id, v FROM e
+    ), q AS (
+        SELECT * FROM n WHERE vec_id < {N_QUERIES}
+    ), {",".join(per_dim)}
+    SELECT trunc_dim, n_hits,
+           CAST(n_hits * 1000000 / ({N_QUERIES} * {TOP_K}) AS BIGINT)
+               AS recall_ppm
+    FROM ({hits})
+    """
+
+
+@query("embedding_matryoshka_recall", oracle=_mrl_oracle)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation — the dimension-vs-recall table
+    behind MRL-style embedding deployment: serve the first d
+    coordinates (a prefix slice, no re-embedding) and measure top-{TOP_K}
+    recall against the full-dimension ranking.  This is the decision
+    input for "can retrieval run at 16 of 64 dims" — a 4x index-size
+    and dot-product saving if recall holds — and the evaluation loop a
+    training-data platform owes its embedding consumers.
+
+    Exactness: per-tier cosines use the prefix dot AND prefix norms
+    (truncated vectors are re-normalized, the MRL convention), floored
+    to ppm so rankings cut identically; top-{TOP_K} picks break ties by
+    neighbor id; recall is an exact integer ratio.  The d=64 row is the
+    full ranking against itself — pinned at recall 1e6 by construction
+    (the built-in sanity check that the tiers share one code path).
+
+    Scale: each tier is the broadcast-query-set scan (bruteforce
+    design, allowlisted) — at corpus scale the truncated tier is the
+    one you'd ANN-index; the eval itself only needs the query panel."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    pairs = q.join(e, F.col("vec_id") != F.col("query_id")).localCheckpoint()
+
+    def topk(d: int) -> DataFrame:
+        def pnorm(col):
+            return F.sqrt(
+                F.aggregate(
+                    F.transform(F.slice(col, 1, d), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+
+        dot = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qv"), 1, d), F.slice(F.col("v"), 1, d),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sims = pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.floor(dot / (pnorm(F.col("qv")) * pnorm(F.col("v"))) * 1_000_000)
+            .cast("long")
+            .alias("cos_ppm"),
+        )
+        w = W.partitionBy("query_id").orderBy(F.col("cos_ppm").desc(), "neighbor_id")
+        return (
+            sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk(MRL_DIMS[-1]).localCheckpoint()
+    out = None
+    for d in MRL_DIMS:
+        t = topk(d) if d != MRL_DIMS[-1] else full
+        hits = (
+            t.join(full, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(F.lit(d).alias("trunc_dim"), "n_hits")
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out.select(
+        "trunc_dim",
+        "n_hits",
+        (F.col("n_hits") * 1_000_000 / F.lit(N_QUERIES * TOP_K))
+        .cast("long")
+        .alias("recall_ppm"),
+    )

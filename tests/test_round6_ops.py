@@ -1402,3 +1402,18 @@ def test_modularity_and_growth_accounting_identities(spark):
     # week 1 of the observation: everyone is new
     first = rows[0]
     assert first.n_new == first.n_active and first.n_retained == 0
+
+
+def test_matryoshka_full_dim_recall_is_one(spark):
+    """The d=64 row evaluates the full ranking against itself — recall
+    must be exactly 1e6; truncated tiers are monotone non-decreasing in
+    d on this fixture's panel."""
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r.trunc_dim: r.recall_ppm
+        for r in engine.queries()["embedding_matryoshka_recall"](spark, SF_DIR).collect()
+    }
+    assert rows[64] == 1_000_000
+    assert set(rows) == {16, 32, 64}
+    assert all(0 <= v <= 1_000_000 for v in rows.values())
