@@ -700,11 +700,13 @@ HOLT_ALPHA_E3 = 300  # level smoothing, thousandths
 HOLT_BETA_E3 = 100  # trend smoothing, thousandths
 
 
-def _holt_sql(idiv: str) -> str:
-    """Shared Holt linear-trend text; integer division per dialect.
-    The level/trend updates can be NEGATIVE, so every division is the
-    explicit trunc-toward-zero CASE (Spark DIV truncates, DuckDB //
-    floors — divergent on negatives otherwise)."""
+def _holt_chain(idiv: str) -> str:
+    """Shared Holt linear-trend recursive CTE chain (daily/idx/holt);
+    integer division per dialect.  The level/trend updates can be
+    NEGATIVE, so every division is the explicit trunc-toward-zero CASE
+    (Spark DIV truncates, DuckDB // floors — divergent on negatives
+    otherwise).  Composable: _holt_sql appends the per-day output,
+    events_forecast_model_selection appends the backtest tail."""
 
     def tz(x: str) -> str:
         return (f"CASE WHEN ({x}) >= 0 THEN ({x}) {idiv} 1000 "
@@ -729,7 +731,12 @@ WITH RECURSIVE daily AS (
            CAST({lnew} AS BIGINT),
            CAST({tnew} AS BIGINT)
     FROM holt h JOIN idx r ON r.i = h.i + 1
-)
+)"""
+
+
+def _holt_sql(idiv: str) -> str:
+    """Full Holt query text: the shared recursive chain + per-day output."""
+    return _holt_chain(idiv) + """
 SELECT day, v AS value_cents, l AS level_cents, t AS trend_cents,
        l + t AS forecast_next_cents
 FROM holt
@@ -918,3 +925,61 @@ def events_residual_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     {ROLLMED_W}x calendar fanout."""
     register_views(spark, sf_dir)
     return spark.sql(_RESID_GATE_SPARK)
+
+
+def _model_selection_sql(idiv: str, day_minus_7: str) -> str:
+    """Shared model-selection text over the Holt chain; date-arithmetic
+    spelling per dialect (Spark ``date_sub(day, 7)``, DuckDB ``day - 7``)."""
+    return _holt_chain(idiv) + f"""
+, with_f AS (
+    SELECT day, v, LAG(l + t) OVER (ORDER BY day) AS f_holt
+    FROM holt
+), naive AS (
+    SELECT a.day, b.v AS f_naive
+    FROM daily a JOIN daily b ON b.day = {day_minus_7}
+), common AS (
+    SELECT w.day, w.v, w.f_holt, n.f_naive
+    FROM with_f w JOIN naive n ON n.day = w.day
+    WHERE w.f_holt IS NOT NULL
+)
+SELECT 'holt' AS model,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(v - f_holt)) AS BIGINT) AS sum_abs_err_cents,
+       CAST(SUM(ABS(v - f_holt)) AS DOUBLE) / COUNT(*) AS mae_cents
+FROM common
+UNION ALL
+SELECT 'seasonal_naive' AS model,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(v - f_naive)) AS BIGINT) AS sum_abs_err_cents,
+       CAST(SUM(ABS(v - f_naive)) AS DOUBLE) / COUNT(*) AS mae_cents
+FROM common
+"""
+
+
+_MODEL_SEL_ORACLE = _model_selection_sql("//", "a.day - 7")
+_MODEL_SEL_SPARK = _model_selection_sql("DIV", "date_sub(a.day, 7)")
+
+
+@query("events_forecast_model_selection", oracle=_MODEL_SEL_ORACLE)
+def events_forecast_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast MODEL SELECTION — Holt's level+trend one-step-ahead
+    forecast backtested head-to-head against the seasonal naive
+    f(d) = v(d-7) on the IDENTICAL day panel (days where both models
+    can forecast: Holt needs one prior day, the naive needs d-7
+    observed), reporting per-model MAE.  This is the decision query
+    the two forecasters themselves can't answer: which one earns the
+    capacity-planning slot on THIS series — trend-following or weekly
+    rhythm?
+
+    Exactness: Holt states come from the shared integer recursive
+    chain (_holt_chain — the same text events_holt_linear_forecast
+    runs); one-step forecasts are a LAG over the state table; absolute
+    errors are BIGINT cents summed exactly; each MAE is one exact
+    division.  The common-panel restriction makes the comparison fair
+    by construction, not by footnote.
+
+    Scale: the daily reduction dominates; everything else is
+    calendar-bounded (recursion depth = |days|, one self-join on the
+    daily table, 2-row output)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MODEL_SEL_SPARK)

