@@ -412,3 +412,49 @@ def sql_named_arguments(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer WHERE c_custkey < 200
         """
     )
+
+
+_SESSION_VAR_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 450000.00
+    GROUP BY o_orderpriority
+"""
+
+
+@query("sql_session_variables", oracle=_SESSION_VAR_ORACLE)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (SQL:2023, shipped in Spark 4.0:
+    DECLARE VARIABLE / SET VAR) — typed, session-scoped state that
+    parameterizes SQL WITHOUT string interpolation: the threshold below
+    travels as a DECIMAL variable the optimizer sees as a foldable
+    constant (so predicate pushdown still happens), not as text pasted
+    into the query — the injection-proof sibling of
+    sql_parameterized's named-argument binding.  DECLARE, re-SET (the
+    initial DEFAULT is deliberately overridden, proving assignment),
+    then reference in a WHERE.
+
+    The oracle inlines the final constant; a binding bug (stale
+    default, type coercion drift) value-hash-mismatches.
+
+    Scale: zero — the variable folds at plan time; the query is a
+    plain pushed-filter aggregation."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE big_order_floor DECIMAL(18,2) DEFAULT 100.00"
+    )
+    spark.sql("SET VAR big_order_floor = 450000.00")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                   AS revenue_cents
+        FROM orders
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) > big_order_floor
+        GROUP BY o_orderpriority
+        """
+    )

@@ -983,3 +983,54 @@ def events_forecast_model_selection(spark: SparkSession, sf_dir: str) -> DataFra
     daily table, 2-row output)."""
     register_views(spark, sf_dir)
     return spark.sql(_MODEL_SEL_SPARK)
+
+
+# Rolling 14-observation OLS slope; identical WINDOW-clause text both
+# engines (the window_rolling_corr discipline), BIGINT sums, one closing
+# IEEE division per row.
+_ROLLING_SLOPE_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+    FROM events GROUP BY CAST(ts AS DATE)
+), idx AS (
+    SELECT day, y, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS x
+    FROM daily
+), sums AS (
+    SELECT day,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n,
+           CAST(SUM(x) OVER w AS BIGINT) AS sx,
+           CAST(SUM(y) OVER w AS BIGINT) AS sy,
+           CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+           CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+    FROM idx
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT day, n AS n_days,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+FROM sums WHERE n = 14
+"""
+
+
+@query("window_rolling_slope_14d", oracle=_ROLLING_SLOPE_SQL)
+def window_rolling_slope_14d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-observation OLS slope of the daily revenue series —
+    the LOCAL trend readout the global fits can't give: events_trend_slope
+    is one number for the whole series and events_theil_sen_trend is its
+    robust twin, but "is revenue accelerating THIS fortnight" needs the
+    regression re-fit per day over a trailing frame.  This is the
+    momentum/trend-reversal signal under every ops dashboard's sparkline.
+
+    Exactness: x is the observation index (slope in cents per OBSERVED
+    day — a ROWS frame, the deliberate row-semantics sibling of the
+    calendar-RANGE family), y is integer cents; all five frame sums are
+    BIGINT-exact via one shared WINDOW clause; each day's slope is one
+    IEEE division of exact operands.  Warm-up days (frame < 14) are
+    dropped, not fudged.
+
+    Scale: one daily reduction, one ordered window — the single-
+    partition pinch is calendar-bounded, the standard fix (range-
+    partition by coarse time, overlap by 13 rows) documented."""
+    register_views(spark, sf_dir)
+    return spark.sql(_ROLLING_SLOPE_SQL)

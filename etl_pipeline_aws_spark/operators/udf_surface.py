@@ -17,6 +17,8 @@ DuckDB oracle can hash-check the *values* produced through the UDF path:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -301,3 +303,44 @@ def udf_arrow_optimized_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
     return c.select("c_custkey", name_tag("c_name").alias("name_tag"))
+
+
+@query(
+    "udf_pandas_iter_series",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) * 100 - 1 AS adjusted_cents
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def udf_pandas_iter_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF — the remaining rung of the pandas
+    UDF ladder (scalar Series->Series, grouped agg, applyInPandas,
+    mapInPandas/Arrow are all covered elsewhere): the iterator form
+    exists precisely so EXPENSIVE ONE-TIME STATE (a model handle, a
+    codec table, a compiled regex set) initializes once per PARTITION
+    and amortizes across every Arrow batch in it, instead of once per
+    batch.  The "state" here is deliberately trivial (a constant
+    surcharge loaded before the loop) so the oracle stays exact — the
+    API shape, batch iteration, and per-partition init are what this
+    pins.
+
+    Exactness: decimal cents in, integer subtraction, decimal out —
+    no float arithmetic in the UDF at all.
+
+    Scale: identical Arrow transfer cost to the scalar pandas UDF;
+    the iterator form wins exactly when init cost x partitions <<
+    init cost x batches."""
+    from pyspark.sql.types import DecimalType
+
+    @F.pandas_udf(DecimalType(20, 0))
+    def adjust(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        surcharge = 1  # per-partition init happens HERE, before the loop
+        for cents in batches:
+            yield cents - surcharge
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(20,0)")
+    return o.select(
+        "o_orderkey", adjust(cents).cast("decimal(21,0)").alias("adjusted_cents")
+    )

@@ -167,6 +167,7 @@ ALLOWED_PYTHON_EVAL = {
     "corpus_split_leakage_safe",  # split key = cluster rep from the same kernel
     "dedup_embedding_lsh",  # Arrow-vectorized hyperplane signature
     "udf_pandas_vectorized",  # UDF surface demonstrations
+    "udf_pandas_iter_series",  # iterator pandas UDF — the demonstrated API
     "udf_arrow_optimized_scalar",  # Arrow-optimized scalar UDF (the demonstrated API)
     "udf_scalar_py",
     "udf_grouped_applyinpandas",
