@@ -163,6 +163,22 @@ PROBE_QUERIES = [
     "multimodal_audio_zero_crossing",
     "stat_cohens_d",
     "stat_cramers_v",
+    "events_cuped_adjustment",
+    "graph_degree_assortativity",
+    "graph_global_clustering",
+    "ml_ols_normal_equations",
+    "events_holt_linear_forecast",
+    "events_bot_score_gate",
+    "similarity_mmr_rerank",
+    "graph_modularity",
+    "events_growth_accounting",
+    "events_residual_anomaly_gate",
+    "stat_two_proportion_ztest",
+    "stat_power_mde",
+    "ml_leakage_audit_target_encoding",
+    "events_forecast_model_selection",
+    "window_rolling_slope_14d",
+    "embedding_matryoshka_recall",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
