@@ -3882,3 +3882,135 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_GROWTH_SPARK)
+
+
+def _experiment_e2e_sql(epoch_us: str, day_idx: str, idiv: str) -> str:
+    """Shared experiment-readout text; microsecond/epoch-day/integer-
+    division spellings per dialect.  Composes the registry's proven
+    pieces into one pass: the bot gate's three heuristics exclude
+    automation, survivors split into parity arms, and each arm reports
+    conversion (with the pooled z via MAX(CASE) OVER () — no 1-row
+    join) and the CUPED-adjusted spend mean."""
+    metro = f"(m.modal_cnt * 1000000) {idiv} m.n_gaps"
+    return f"""
+WITH gaps AS (
+    SELECT user_id,
+           CAST({epoch_us}(ts) - LAG({epoch_us}(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_us
+    FROM events
+), gap_counts AS (
+    SELECT user_id, gap_us, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id, gap_us
+), modal AS (
+    SELECT user_id, cnt AS modal_cnt,
+           CAST(SUM(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS n_gaps,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY cnt DESC, gap_us ASC) AS rn
+    FROM gap_counts
+), feats AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+), bots AS (
+    SELECT u.user_id
+    FROM feats u LEFT JOIN modal m ON m.user_id = u.user_id AND m.rn = 1
+    WHERE (u.n_events {idiv} u.active_days) >= 50
+       OR (u.n_types = 1 AND u.n_events >= 10)
+       OR (COALESCE({metro}, 0) >= 500000 AND m.n_gaps >= 5)
+), clean AS (
+    SELECT e.user_id, {day_idx} AS d,
+           CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CASE WHEN e.event_type = 'purchase'
+                 AND CAST(e.value AS DECIMAL(18,2)) > 90 THEN 1 ELSE 0 END AS hv
+    FROM events e LEFT JOIN bots b ON b.user_id = e.user_id
+    WHERE b.user_id IS NULL
+), bounded AS (
+    SELECT user_id, d, cents, hv,
+           (MIN(d) OVER () + MAX(d) OVER ()) {idiv} 2 AS mid
+    FROM clean
+), per_user AS (
+    SELECT user_id % 2 AS arm,
+           CAST(SUM(CASE WHEN d <= mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN d > mid THEN cents ELSE 0 END) AS BIGINT) AS y,
+           MAX(hv) AS converted
+    FROM bounded GROUP BY user_id
+), pooled AS (
+    SELECT arm, x, y, converted,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,0))) OVER () AS DOUBLE) AS psx,
+           CAST(SUM(CAST(y AS DECIMAL(38,0))) OVER () AS DOUBLE) AS psy,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                OVER () AS DOUBLE) AS psxx,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                OVER () AS DOUBLE) AS psxy
+    FROM per_user
+), arms AS (
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           MAX(n) AS n, MAX(psx) AS psx, MAX(psy) AS psy,
+           MAX(psxx) AS psxx, MAX(psxy) AS psxy
+    FROM pooled GROUP BY arm
+), readout AS (
+    SELECT arm, n_users, n_converted, sx, sy, n, psx, psy, psxx, psxy,
+           (n * psxy - psx * psy) / (n * psxx - psx * psx) AS theta,
+           CAST(SUM(n_users) OVER () AS BIGINT) AS n_all,
+           CAST(SUM(n_converted) OVER () AS BIGINT) AS k_all,
+           MAX(CASE WHEN arm = 0 THEN n_converted END) OVER () AS k0,
+           MAX(CASE WHEN arm = 0 THEN n_users END) OVER () AS n0,
+           MAX(CASE WHEN arm = 1 THEN n_converted END) OVER () AS k1,
+           MAX(CASE WHEN arm = 1 THEN n_users END) OVER () AS n1
+    FROM arms
+)
+SELECT CAST(arm AS INT) AS arm, n_users, n_converted,
+       CAST((n_converted * 10000) {idiv} n_users AS BIGINT) AS conversion_bp,
+       sy / n_users AS mean_post_spend,
+       sy / n_users - theta * (sx / n_users - psx / n) AS mean_post_spend_cuped,
+       theta,
+       (CAST(k0 AS DOUBLE) / n0 - CAST(k1 AS DOUBLE) / n1)
+           / SQRT((CAST(k_all AS DOUBLE) / n_all)
+                  * (1 - CAST(k_all AS DOUBLE) / n_all)
+                  * (1.0 / n0 + 1.0 / n1)) AS z_conversion
+FROM readout
+"""
+
+
+_EXP_E2E_ORACLE = _experiment_e2e_sql(
+    "epoch_us", "date_diff('day', DATE '1970-01-01', CAST(e.ts AS DATE))", "//"
+)
+_EXP_E2E_SPARK = _experiment_e2e_sql(
+    "unix_micros", "UNIX_DATE(CAST(e.ts AS DATE))", "DIV"
+)
+
+
+@query("pipeline_experiment_e2e", oracle=_EXP_E2E_ORACLE)
+def pipeline_experiment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout END TO END — the composition an
+    experimentation platform actually ships, in one pass: (1) exclude
+    automation with the bot gate's three heuristics (rate, monotony,
+    metronome — events_bot_score_gate's exact flags; bots in an A/B
+    panel are variance and bias, not users), (2) split survivors into
+    parity arms, (3) per arm report thresholded conversion with the
+    pooled two-proportion z (stat_two_proportion_ztest's machinery,
+    wide-cased through windows so no 1-row join exists), and (4) the
+    CUPED-adjusted post-period spend mean (events_cuped_adjustment's
+    algebra — theta from pooled pre/post power sums).  Each piece is
+    registry-proven standalone; this pins that they COMPOSE, which is
+    where hand-rolled pipelines actually break (the bot filter must
+    apply before arm counts, the CUPED window before the arm fold).
+
+    Exactness: inherited from the pieces — integer flags and counts,
+    DECIMAL(38,0) power sums, every double birthed by one shared IEEE
+    chain over exact operands.
+
+    Scale: three user-keyed reductions (gate features, modal gap,
+    pre/post sums) + one |users|-row window pass — nothing fact-sized
+    past the first shuffles."""
+    from etl_pipeline_aws_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXP_E2E_SPARK)

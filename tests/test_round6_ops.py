@@ -1450,3 +1450,30 @@ def test_leakage_audit_and_model_selection(spark):
             total += abs(r.value_cents - f)
             n += 1
     assert (sel["holt"].n_days, sel["holt"].sum_abs_err_cents) == (n, total)
+
+
+def test_experiment_e2e_composes_with_pieces(spark):
+    """The e2e readout must agree with its standalone pieces where the
+    panels coincide: total users = non-bot users; theta equal across
+    arms; conversion_bp consistent with its own counts."""
+    from tests.conftest import SF_DIR
+
+    qs = engine.queries()
+    rows = {r.arm: r for r in qs["pipeline_experiment_e2e"](spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1}
+    bots = {
+        r.user_id
+        for r in qs["events_bot_score_gate"](spark, SF_DIR).collect()
+        if r.is_bot == 1
+    }
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    total_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows.values()) == total_users - len(bots)
+    assert rows[0].theta == rows[1].theta
+    for r in rows.values():
+        assert r.conversion_bp == r.n_converted * 10000 // r.n_users
+        assert abs(rows[0].z_conversion) < 10  # sanity: finite, same both rows
+    assert rows[0].z_conversion == rows[1].z_conversion
