@@ -179,6 +179,7 @@ PROBE_QUERIES = [
     "events_forecast_model_selection",
     "window_rolling_slope_14d",
     "embedding_matryoshka_recall",
+    "pipeline_experiment_e2e",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
