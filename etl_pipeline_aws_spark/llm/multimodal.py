@@ -1539,3 +1539,87 @@ def multimodal_audio_zero_crossing(spark: SparkSession, sf_dir: str) -> DataFram
     return encoded.mapInPandas(
         window_zcr, schema="doc_id long, win int, n_pairs int, n_crossings long"
     )
+
+
+EDGE_THRESHOLD = 40  # luma delta that counts as an edge
+
+
+@query(
+    "multimodal_image_edge_density",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, text,
+               len(text) // 3 AS n_px,
+               unnest(range(0, len(text) // 3)) AS i
+        FROM documents
+        WHERE len(text) >= 6
+    ), luma AS (
+        SELECT doc_id, i, n_px,
+               (299 * ascii(substring(text, CAST(3 * i + 1 AS INT), 1))
+                + 587 * ascii(substring(text, CAST(3 * i + 2 AS INT), 1))
+                + 114 * ascii(substring(text, CAST(3 * i + 3 AS INT), 1)))
+                   // 1000 AS y
+        FROM px
+    ), grads AS (
+        SELECT a.doc_id, ABS(b.y - a.y) AS g
+        FROM luma a JOIN luma b
+          ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        WHERE a.i % {PPM_WIDTH} < {PPM_WIDTH - 1} AND a.i + 1 < a.n_px
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gradients,
+           CAST(SUM(g) AS BIGINT) AS sum_abs_gradient,
+           CAST(SUM(CASE WHEN g > {EDGE_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_edges
+    FROM grads GROUP BY doc_id
+    """,
+)
+def multimodal_image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal edge density over the real P6 codec path — the
+    blur/texture QC read one step past multimodal_image_grayscale:
+    adjacent-pixel luma deltas WITHIN each {PPM_WIDTH}-pixel raster row
+    (no wrap-around pair between a row's last pixel and the next row's
+    first — the off-by-one every hand-rolled raster walk ships), with
+    per-image gradient count, exact total |delta|, and the count above
+    the {EDGE_THRESHOLD}-luma edge threshold.  Low edge density at
+    normal exposure = blurred or synthetic-flat imagery — a standard
+    pretraining-corpus image filter.
+
+    Exactness: Rec.601 fixed-point luma (shared with the grayscale
+    query), integer deltas, integer threshold — the oracle recomputes
+    from source bytes with an explicit i -> i+1 self-join, certifying
+    codec + raster geometry + arithmetic.
+
+    Scale: per-doc numpy map (the adjacency is a vectorized shift, not
+    a join, on the Spark side — the payload-direct pixel framing shared
+    with multimodal_image_grayscale), bounded output rows per doc."""
+    import numpy as np
+
+    framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def edge_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_px = len(payload) // 3
+                if n_px < 2:
+                    continue
+                rgb = np.frombuffer(payload[: n_px * 3], dtype=np.uint8).reshape(
+                    n_px, 3
+                ).astype(np.int64)
+                y = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+                idx = np.arange(n_px - 1)
+                mask = (idx % PPM_WIDTH) < (PPM_WIDTH - 1)
+                g = np.abs(y[1:] - y[:-1])[mask]
+                rows.append(
+                    (doc_id, len(g), int(g.sum()), int((g > EDGE_THRESHOLD).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_gradients", "sum_abs_gradient", "n_edges"],
+            )
+
+    return framed.mapInPandas(
+        edge_stats,
+        schema="doc_id long, n_gradients bigint, sum_abs_gradient bigint, n_edges bigint",
+    )
