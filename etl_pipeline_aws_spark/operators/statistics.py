@@ -913,3 +913,96 @@ def stat_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two-cell reduction."""
     register_views(spark, sf_dir)
     return spark.sql(_POWER_MDE_SQL)
+
+
+BOOT_K = 30  # bootstrap replicas
+BOOT_TRIALS = 8  # Binomial(8, 1/8) ~ Poisson(1) resampling weights
+
+
+def _bootstrap_sql(seed_gen: str) -> str:
+    """Shared counter-based bootstrap text; only the replica generator
+    differs per dialect.  Resampling weights are Binomial({BOOT_TRIALS},
+    1/{BOOT_TRIALS}) per (row, replica) — the Poisson-bootstrap
+    approximation every distributed bootstrap uses (exact multinomial
+    needs global coordination) — drawn from the permutation test's
+    overflow-free modular mix, so both engines compute identical
+    weights with no RNG state."""
+    # engine-neutral boolean->int: CASE each Bernoulli trial.  The mixed
+    # value is SQUARED mod P before the mod-{BOOT_TRIALS} cut: the linear
+    # mix alone is an arithmetic progression in the trial counter, and 8
+    # consecutive odd-step values mod 8 hit zero EXACTLY once — every row
+    # would get weight exactly 1 (measured: all replica means identical).
+    # The quadratic kills the progression; weights become Binomial.
+    w_terms = " + ".join(
+        "CASE WHEN ("
+        f"((key % {PERM_P}) * (2 * ({BOOT_TRIALS} * seed + {j}) + 1)"
+        f" + 7919 * ({BOOT_TRIALS} * seed + {j})) % {PERM_P}"
+        f" * (((key % {PERM_P}) * (2 * ({BOOT_TRIALS} * seed + {j}) + 1)"
+        f" + 7919 * ({BOOT_TRIALS} * seed + {j})) % {PERM_P})"
+        f") % {PERM_P} % {BOOT_TRIALS} = 0"
+        f" THEN 1 ELSE 0 END"
+        for j in range(BOOT_TRIALS)
+    )
+    return f"""
+WITH pts AS (
+    SELECT o_orderkey AS key,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+), fan AS (
+    SELECT {seed_gen} AS seed, key, cents FROM pts
+), weighted AS (
+    SELECT seed, cents, CAST({w_terms} AS BIGINT) AS w
+    FROM fan
+), replicas AS (
+    SELECT seed,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(CAST(w AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
+                AS DOUBLE) AS s
+    FROM weighted GROUP BY seed
+), means AS (
+    SELECT CAST(ROUND(s / n_eff, 6) AS DECIMAL(28,6)) AS m
+    FROM replicas WHERE n_eff > 0
+), folded AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(m) AS DOUBLE) AS sm,
+           CAST(SUM(m * m) AS DOUBLE) AS smm
+    FROM means
+), base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS sc
+    FROM pts
+)
+SELECT b.n AS n_rows, f.k AS k_replicas,
+       b.sc / b.n AS mean_cents,
+       SQRT((f.smm - f.sm * f.sm / f.k) / (f.k - 1)) AS bootstrap_se_cents
+FROM folded f, base b
+"""
+
+
+_BOOT_ORACLE = _bootstrap_sql(f"unnest(range(0, {BOOT_K}))")
+_BOOT_SPARK = _bootstrap_sql(f"explode(sequence(0, {BOOT_K - 1}))")
+
+
+@query("stat_bootstrap_se", oracle=_BOOT_ORACLE)
+def stat_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap standard error of the mean URGENT order value — the
+    distribution-free uncertainty quote for ANY statistic, here run as
+    the {BOOT_K}-replica Poisson bootstrap every distributed system
+    uses (per-row independent Binomial({BOOT_TRIALS}, 1/{BOOT_TRIALS})
+    resampling weights ~ Poisson(1); exact multinomial resampling
+    would need a global draw).  Weights come from the permutation
+    test's counter-based modular mix — deterministic, seedable,
+    identical on both engines, no RNG state to synchronize.
+
+    Exactness discipline for a statistic OF doubles: each replica mean
+    is one IEEE division of exact sums, then ROUNDED to DECIMAL(28,6)
+    before the cross-replica moments (the chi-square trick), so the
+    variance fold is exact decimal arithmetic and the closing sqrt is
+    the only further float op.
+
+    Scale: the K-way fanout pipelines into a map-side partial
+    aggregation — the shuffle carries K rows per partition, not
+    K x rows (the stat_permutation_shift shape); the 1x1 join of the
+    two global folds is the agg_hll_sketch_rollup pattern."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BOOT_SPARK)

@@ -1084,3 +1084,46 @@ def window_rolling_slope_14d(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition by coarse time, overlap by 13 rows) documented."""
     register_views(spark, sf_dir)
     return spark.sql(_ROLLING_SLOPE_SQL)
+
+
+# Strict local maxima over a +-3-day ROWS frame, exact integer margins.
+_LOCAL_PEAKS_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS v
+    FROM events GROUP BY CAST(ts AS DATE)
+), framed AS (
+    SELECT day, v,
+           CAST(MAX(v) OVER (ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS left_max,
+           CAST(MAX(v) OVER (ORDER BY day
+                ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS right_max,
+           CAST(COUNT(*) OVER (ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS n_frame
+    FROM daily
+)
+SELECT day, v AS value_cents,
+       v - left_max AS left_margin_cents,
+       v - right_max AS right_margin_cents
+FROM framed
+WHERE n_frame = 7 AND v > left_max AND v > right_max
+"""
+
+
+@query("events_local_peaks", oracle=_LOCAL_PEAKS_SQL)
+def events_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local peaks of the daily revenue series — days greater
+    than EVERY neighbor within +-3 rows, with exact integer margins to
+    the nearest-side maxima.  The capacity-alerting complement of the
+    trough-finding gates: anomaly detectors ask "is today weird?",
+    peak detection asks "was that the local top?" (campaign attribution
+    windows, load-test scheduling, cache-warm windows all key off it).
+
+    Exactness: integer cents, two one-sided MAX frames, strict
+    comparisons; edge days (incomplete +-3 frame) are excluded by the
+    frame-count predicate instead of being silently compared against a
+    truncated window — the warm-up discipline of the rolling family.
+
+    Scale: one daily reduction + one calendar-bounded ordered window."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LOCAL_PEAKS_SQL)

@@ -118,6 +118,7 @@ ALLOWED_CARTESIAN = {
     "agg_hll_sketch_rollup",  # 1×1 join of two global aggregates (scale-free)
     "embedding_pc1_explained_variance",  # 1×1 join of two global folds (scale-free)
     "graph_global_clustering",  # 1×1 join of two global folds (scale-free)
+    "stat_bootstrap_se",  # 1×1 join of two global folds (scale-free)
 }
 ALLOWED_NESTED_LOOP = {
     "q22_sales_opportunity",  # single-row scalar-subquery broadcast (scale-free)

@@ -1477,3 +1477,40 @@ def test_experiment_e2e_composes_with_pieces(spark):
         assert r.conversion_bp == r.n_converted * 10000 // r.n_users
         assert abs(rows[0].z_conversion) < 10  # sanity: finite, same both rows
     assert rows[0].z_conversion == rows[1].z_conversion
+
+
+def test_bootstrap_se_tracks_analytic_se_and_peaks_are_strict(spark):
+    """Batch-20 pins: the Poisson-bootstrap SE must land within 35% of
+    the analytic sigma/sqrt(n) (30 replicas — the bound is loose but
+    catches degenerate weights, which once made every replica mean
+    identical and the SE zero); local peaks strictly dominate both
+    window sides."""
+    import math
+
+    from tests.conftest import SF_DIR
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    qs = engine.queries()
+    r = qs["stat_bootstrap_se"](spark, SF_DIR).collect()[0]
+    vals = [
+        int(round(float(x.o_totalprice) * 100))
+        for x in load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_totalprice")
+        .collect()
+    ]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    analytic_se = math.sqrt(var / n)
+    assert r.n_rows == n and r.k_replicas == 30
+    assert r.bootstrap_se_cents > 0
+    assert abs(r.bootstrap_se_cents - analytic_se) <= 0.35 * analytic_se, (
+        r.bootstrap_se_cents,
+        analytic_se,
+    )
+
+    peaks = qs["events_local_peaks"](spark, SF_DIR).collect()
+    for p in peaks:
+        assert p.left_margin_cents > 0 and p.right_margin_cents > 0
