@@ -1006,3 +1006,78 @@ def stat_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     two global folds is the agg_hll_sketch_rollup pattern."""
     register_views(spark, sf_dir)
     return spark.sql(_BOOT_SPARK)
+
+
+def _wilcoxon_sql(day_idx: str, idiv: str) -> str:
+    """Shared Wilcoxon signed-rank text; epoch-day and integer-division
+    spellings per dialect."""
+    return f"""
+WITH e AS (
+    SELECT user_id, {day_idx} AS d,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events
+), b AS (
+    SELECT user_id, d, cents,
+           (MIN(d) OVER () + MAX(d) OVER ()) {idiv} 2 AS mid
+    FROM e
+), per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN d > mid THEN cents ELSE 0 END)
+                - SUM(CASE WHEN d <= mid THEN cents ELSE 0 END) AS BIGINT) AS diff
+    FROM b GROUP BY user_id
+), diffs AS (
+    SELECT diff FROM per_user WHERE diff <> 0
+), by_abs AS (
+    SELECT ABS(diff) AS ad,
+           CAST(COUNT(*) AS BIGINT) AS t,
+           CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+    FROM diffs GROUP BY ABS(diff)
+), ranked AS (
+    SELECT ad, t, pos,
+           COALESCE(SUM(t) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS c_prev
+    FROM by_abs
+), folded AS (
+    SELECT CAST(SUM(t) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(pos * (2 * c_prev + t + 1)) AS BIGINT) AS two_w_plus,
+           CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cubes
+    FROM ranked
+)
+SELECT n, n_pos, two_w_plus, tie_cubes,
+       CAST(2 * two_w_plus - n * (n + 1) AS DOUBLE)
+           / (4 * SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+                       - CAST(tie_cubes AS DOUBLE) / 48.0)) AS z_stat
+FROM folded
+"""
+
+
+_WILCOXON_ORACLE = _wilcoxon_sql(
+    "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))", "//"
+)
+_WILCOXON_SPARK = _wilcoxon_sql("UNIX_DATE(CAST(ts AS DATE))", "DIV")
+
+
+@query("stat_wilcoxon_signed_rank", oracle=_WILCOXON_ORACLE)
+def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on per-user pre-vs-post spend (the
+    CUPED split's own panel) — the PAIRED nonparametric test the family
+    still lacked: Mann-Whitney compares two independent groups, but
+    "did the same users spend more after the midpoint?" is a paired
+    question, and pairing removes the between-user variance that
+    swamps unpaired tests.  Classical mechanics: drop zero diffs, rank
+    |d| with tie-averaged ranks, sum ranks of the positive diffs, and
+    read the tie-corrected normal approximation.
+
+    Exactness: diffs are BIGINT cents; the tie-averaged rank sum is
+    carried DOUBLED (pos*(2*c_prev + t + 1) — the Mann-Whitney 2R
+    machinery verbatim) so W+ stays integer; the tie-correction term
+    sum(t^3 - t) is an exact fold; z is one shared IEEE formula
+    ((2*two_w_plus - n(n+1)) / (4*sigma) — the doubled-numerator form
+    that never materializes the .25-step mean).
+
+    Scale: per-user reduction, then |distinct |d|| rows through one
+    ordered prefix window — the stat_mann_whitney_u shape, pre-bin at
+    fact scale."""
+    register_views(spark, sf_dir)
+    return spark.sql(_WILCOXON_SPARK)

@@ -1514,3 +1514,39 @@ def test_bootstrap_se_tracks_analytic_se_and_peaks_are_strict(spark):
     peaks = qs["events_local_peaks"](spark, SF_DIR).collect()
     for p in peaks:
         assert p.left_margin_cents > 0 and p.right_margin_cents > 0
+
+
+def test_wilcoxon_bruteforce(spark):
+    """Wilcoxon re-derived in Python: same diffs, tie-averaged ranks,
+    doubled rank sum, tie-corrected z."""
+    import math
+    from collections import Counter, defaultdict
+
+    from tests.conftest import SF_DIR
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "user_id", F.unix_date(F.col("ts").cast("date")).alias("d"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    ).collect()
+    lo, hi = min(r.d for r in rows), max(r.d for r in rows)
+    mid = (lo + hi) // 2
+    per = defaultdict(int)
+    for r in rows:
+        per[r.user_id] += r.cents if r.d > mid else -r.cents
+    diffs = [v for v in per.values() if v != 0]
+    cnt = Counter(abs(v) for v in diffs)
+    c_prev, two_r = 0, {}
+    for ad in sorted(cnt):
+        two_r[ad] = 2 * c_prev + cnt[ad] + 1
+        c_prev += cnt[ad]
+    n = len(diffs)
+    two_w_plus = sum(two_r[abs(v)] for v in diffs if v > 0)
+    tie_cubes = sum(t**3 - t for t in cnt.values())
+    z = (2 * two_w_plus - n * (n + 1)) / (
+        4 * math.sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tie_cubes / 48.0)
+    )
+    r = engine.queries()["stat_wilcoxon_signed_rank"](spark, SF_DIR).collect()[0]
+    assert (r.n, r.two_w_plus, r.tie_cubes) == (n, two_w_plus, tie_cubes)
+    assert r.z_stat == z
