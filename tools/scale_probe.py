@@ -180,6 +180,11 @@ PROBE_QUERIES = [
     "window_rolling_slope_14d",
     "embedding_matryoshka_recall",
     "pipeline_experiment_e2e",
+    "stat_bootstrap_se",
+    "stat_wilcoxon_signed_rank",
+    "events_local_peaks",
+    "multimodal_image_edge_density",
+    "ml_leakage_audit_target_encoding",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
