@@ -472,3 +472,95 @@ def bitemporal_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corrections side is a real changelog table, far smaller."""
     register_views(spark, sf_dir)
     return spark.sql(_BT_SPARK)
+
+
+_LATE_DIM_ORACLE = """
+    WITH active AS (
+        SELECT DISTINCT o_custkey FROM orders
+    ), dim AS (
+        SELECT c.c_mktsegment AS segment, c.c_custkey,
+               CASE WHEN c.c_custkey % 5 = 0 THEN 1 ELSE 0 END AS backfilled
+        FROM customer c JOIN active a ON a.o_custkey = c.c_custkey
+    ), rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT d.segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(d.backfilled) AS BIGINT) AS n_backfilled,
+           CAST(SUM(r.cents) AS BIGINT) AS revenue_cents
+    FROM dim d JOIN rev r ON r.o_custkey = d.c_custkey
+    GROUP BY d.segment
+"""
+
+
+@query("dim_late_arriving_inferred", oracle=_LATE_DIM_ORACLE)
+def dim_late_arriving_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling — the Kimball pattern every
+    warehouse eventually needs: facts reference a dimension key whose
+    row hasn't landed yet, so the load creates an INFERRED MEMBER
+    (key + UNKNOWN attributes + audit flag) instead of dropping or
+    quarantining the fact, and the late dimension batch SCD1-overwrites
+    the placeholder in place when it arrives.  Staged for real: the
+    initial dimension load deliberately withholds every fifth customer,
+    inferred members are minted from the orphaned fact keys, the late
+    batch backfills them, and the report rolls up the HEALED dimension
+    — per segment, member count, how many went through the inferred
+    path (the audit column the pattern requires), and fact revenue now
+    fully attributable.
+
+    The oracle recomputes the end state from the intact source tables,
+    so a broken heal (lost inferred member, unflipped flag, duplicated
+    key, revenue dropped with the orphan) value-hash-mismatches.
+
+    Scale: two key-hashed merges (anti-join to find orphans, union +
+    SCD1 coalesce to heal) and the standard fact-rollup join — nothing
+    beyond the scd1_upsert_orders shapes."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    # phase 0: the on-time dimension load is missing every 5th customer
+    on_time = customer.filter(F.col("c_custkey") % 5 != 0)
+    late_batch = customer.filter(F.col("c_custkey") % 5 == 0)
+    fact_keys = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    # phase 1: mint inferred members for orphaned fact keys
+    inferred = (
+        fact_keys.join(on_time, "c_custkey", "left_anti")
+        .select(
+            "c_custkey",
+            F.lit("INFERRED MEMBER").alias("c_name"),
+            F.lit("UNKNOWN").alias("c_mktsegment"),
+            F.lit(1).alias("is_inferred"),
+        )
+    )
+    dim_v1 = on_time.withColumn("is_inferred", F.lit(0)).unionByName(inferred)
+    # phase 2: the late batch SCD1-overwrites attributes, keeps the audit flag
+    healed = (
+        dim_v1.alias("d")
+        .join(late_batch.alias("l"), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("l.c_name"), F.col("d.c_name")).alias("c_name"),
+            F.coalesce(F.col("l.c_mktsegment"), F.col("d.c_mktsegment")).alias(
+                "segment"
+            ),
+            F.col("d.is_inferred").alias("was_inferred"),
+        )
+    )
+    rev = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("long")
+        .alias("cents")
+    )
+    return (
+        healed.join(rev, "c_custkey")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("was_inferred").cast("long").alias("n_backfilled"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
