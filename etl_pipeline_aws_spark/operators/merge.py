@@ -564,3 +564,80 @@ def dim_late_arriving_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+_SCD6_ORACLE = """
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment AS seg,
+               CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS changed
+        FROM customer
+    )
+    SELECT c_custkey,
+           seg AS segment_asof,
+           CASE WHEN changed = 1 THEN 'RESEGMENTED' ELSE seg END
+               AS current_segment,
+           CASE WHEN changed = 1 THEN 0 ELSE 1 END AS is_current,
+           1 AS version
+    FROM base
+    UNION ALL
+    SELECT c_custkey,
+           'RESEGMENTED' AS segment_asof,
+           'RESEGMENTED' AS current_segment,
+           1 AS is_current,
+           2 AS version
+    FROM base WHERE changed = 1
+"""
+
+
+@query("scd6_hybrid_dim", oracle=_SCD6_ORACLE)
+def scd6_hybrid_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 6 (1+2+3 hybrid) — the dimension shape BI teams
+    actually ask for: full history rows (Type 2: a change closes the
+    old row and appends a new version) PLUS a current_segment column
+    OVERWRITTEN ON EVERY HISTORICAL ROW (Type 1 within the row set), so
+    one dimension answers both "slice facts by the segment AS OF the
+    fact date" (join on the history row) and "slice ALL history by
+    today's segment" (filter on current_segment) without a second
+    dimension or a self-join at query time.  Staged change batch: every
+    7th customer is re-segmented.
+
+    Mechanics on the engine side are the real ones, not a CASE
+    construction: the change batch closes matching rows and appends
+    version-2 rows (the scd2_merge_orders shape), then the Type-1
+    current-attribute PROPAGATION is one window — max_by(segment,
+    version) over the customer's rows painted onto every version.  The
+    oracle builds the expected end state independently from the source
+    table; the hash certifies history preserved, current painted
+    everywhere, flags and versions exact.
+
+    Scale: one key-hashed union-merge + one customer-keyed window —
+    the standard SCD shuffle shapes."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    changes = customer.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("RESEGMENTED").alias("new_seg")
+    )
+    v1 = customer.join(changes, "c_custkey", "left").select(
+        "c_custkey",
+        F.col("seg").alias("segment_asof"),
+        F.when(F.col("new_seg").isNotNull(), 0).otherwise(1).alias("is_current"),
+        F.lit(1).alias("version"),
+    )
+    v2 = changes.select(
+        "c_custkey",
+        F.col("new_seg").alias("segment_asof"),
+        F.lit(1).alias("is_current"),
+        F.lit(2).alias("version"),
+    )
+    hist = v1.unionByName(v2)
+    from pyspark.sql import Window as W
+
+    wc = W.partitionBy("c_custkey")
+    return hist.select(
+        "c_custkey",
+        "segment_asof",
+        F.expr("max_by(segment_asof, version)").over(wc).alias("current_segment"),
+        "is_current",
+        "version",
+    )
