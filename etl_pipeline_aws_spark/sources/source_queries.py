@@ -1443,3 +1443,130 @@ def source_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_lines"),
     )
+
+
+_CSV_NULL_EMPTY_ORACLE = """
+    SELECT CAST(SUM(CASE WHEN n_comment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(SUM(CASE WHEN n_comment = '' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty,
+           CAST(SUM(CASE WHEN n_comment IS NOT NULL AND n_comment <> ''
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_value
+    FROM (
+        SELECT CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                    WHEN n_nationkey % 3 = 1 THEN ''
+                    ELSE n_name END AS n_comment
+        FROM nation
+    )
+"""
+
+
+@query("csv_null_vs_empty_roundtrip", oracle=_CSV_NULL_EMPTY_ORACLE)
+def csv_null_vs_empty_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-vs-empty-string disambiguation through a CSV round trip —
+    THE classic CSV fidelity trap (and the exact semantic knife-edge
+    the reference's R5 rule lives on: missing must become \"\" and stay
+    distinguishable from a value).  CSV has one hole where both NULL
+    and '' want to live; Spark's writer ``nullValue`` token plus reader
+    ``nullValue``/``emptyValue`` options are the contract that keeps
+    them apart.  A nation feed is staged with a deterministic
+    three-way mix (every 3rd comment NULL, every 3rd '', the rest
+    real values), written with an explicit NULL sentinel, read back,
+    and counted by class — a reader that collapses '' into NULL (the
+    default without emptyValue handling) or writes NULL as '' shifts
+    the counts and hash-mismatches.
+
+    Scale: pure connector-option surface; one bounded scan."""
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    feed = nation.select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 3 == 0, F.lit(None).cast("string"))
+        .when(F.col("n_nationkey") % 3 == 1, F.lit(""))
+        .otherwise(F.col("n_name"))
+        .alias("n_comment"),
+    )
+    zone = tempfile.mkdtemp(prefix="csv_nullempty_")
+    out = os.path.join(zone, "feed")
+    # writer: NULL as an explicit sentinel; empty string keeps the writer
+    # DEFAULT quoted-empty ("") — overriding writer emptyValue to the bare
+    # token writes an unquoted hole that reads back as NULL (measured),
+    # which is precisely the collapse this operator guards against
+    (
+        feed.write.mode("overwrite")
+        .option("header", True)
+        .option("nullValue", "\\N")
+        .csv(out)
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
+        .schema("n_nationkey int, n_comment string")
+        .csv(out)
+    )
+    return back.agg(
+        F.sum(F.when(F.col("n_comment").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.sum(F.when(F.col("n_comment") == "", 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty"),
+        F.sum(
+            F.when(F.col("n_comment").isNotNull() & (F.col("n_comment") != ""), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_value"),
+    )
+
+
+_JSON_MULTILINE_ORACLE = """
+    SELECT r_name AS region, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name
+"""
+
+
+@query("json_multiline_array_source", oracle=_JSON_MULTILINE_ORACLE)
+def json_multiline_array_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multiLine`` JSON reads — the OTHER JSON file shape: a single
+    pretty-printed JSON ARRAY spanning many lines (the default export
+    of most REST tooling), which the line-oriented NDJSON reader
+    (ndjson_roundtrip's path) shreds into parse errors.  One array
+    file per region is staged (each element a nation object), read
+    with ``multiLine=true``, and rolled up per region — the oracle
+    recomputes from the source tables, so an element dropped by
+    array-boundary mishandling mismatches.
+
+    Scale: multiLine files are NOT splittable (the whole document is
+    one record boundary scan) — the documented trade vs NDJSON, which
+    is why this engine lands NDJSON and treats multiLine as an ingest
+    compatibility surface."""
+    import json as _json
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    zone = tempfile.mkdtemp(prefix="json_multiline_")
+    # stage one pretty-printed array file per region (driver-side file
+    # creation is fixture staging; the read path below is the operator)
+    rows = joined.select("r_name", "n_nationkey", "n_name").collect()
+    by_region: dict[str, list] = {}
+    for r in rows:
+        by_region.setdefault(r.r_name, []).append(
+            {"region": r.r_name, "nationkey": r.n_nationkey, "name": r.n_name}
+        )
+    for rname, objs in by_region.items():
+        with open(os.path.join(zone, f"{rname}.json"), "w", encoding="utf-8") as fh:
+            _json.dump(sorted(objs, key=lambda o: o["nationkey"]), fh, indent=2)
+    back = (
+        spark.read.option("multiLine", True)
+        .schema("region string, nationkey int, name string")
+        .json(zone)
+    )
+    return back.groupBy(F.col("region")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations")
+    )
