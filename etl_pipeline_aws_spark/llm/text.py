@@ -1495,3 +1495,66 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     readability columns land next to the quality gate in one pass."""
     register_views(spark, sf_dir)
     return spark.sql(_READ_SPARK)
+
+
+VOCAB_COVERAGE_FENCES = (5, 10, 20)  # vocab sizes evaluated (fixture-scaled)
+
+
+def _coverage_sql(split_expr: str, idiv: str) -> str:
+    """Shared vocabulary-coverage text; tokenizer and integer-division
+    spellings per dialect."""
+    selects = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({k} AS BIGINT) AS vocab_size,
+           CAST(MAX(CASE WHEN r <= {k} THEN cum END) * 1000000
+                {idiv} MAX(total) AS BIGINT) AS coverage_ppm,
+           CAST(MAX(n_types) AS BIGINT) AS n_types
+    FROM cum"""
+        for k in VOCAB_COVERAGE_FENCES
+    )
+    return f"""
+WITH toks AS (
+    SELECT {split_expr} AS tok FROM documents
+), counts AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks WHERE tok <> '' GROUP BY tok
+), ranked AS (
+    SELECT cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS r
+    FROM counts
+), cum AS (
+    SELECT r,
+           CAST(SUM(cnt) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(SUM(cnt) OVER () AS BIGINT) AS total,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_types
+    FROM ranked
+)
+{selects}
+"""
+
+
+_COVERAGE_ORACLE = _coverage_sql("unnest(string_split(text, ' '))", "//")
+_COVERAGE_SPARK = _coverage_sql("explode(split(text, ' '))", "DIV")
+
+
+@query("text_vocab_coverage_curve", oracle=_COVERAGE_ORACLE)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — for each candidate vocab size k, the
+    exact fraction (ppm) of all corpus TOKENS covered by the k most
+    frequent TYPES.  This is the tokenizer-sizing decision table ("how
+    big must the vocab be for 95% coverage, and where does the curve
+    flatten?") that text_zipf_histogram's shape check motivates but
+    can't answer, and the direct input to text_vocab_oov_rate's
+    top-k-vocab choice.  Fences are fixture-scaled ({VOCAB_COVERAGE_FENCES}
+    over this corpus's small synthetic vocabulary; at a real corpus
+    they'd be 2^13..2^17).
+
+    Exactness: exact type counts, deterministic (count DESC, token)
+    ranking, one cumulative window over |vocabulary| rows, floor-ppm
+    coverage — each fence read as a conditional MAX over the same tiny
+    cum table (no range join, no fanout).
+
+    Scale: the token reduction is the only corpus-sized stage
+    (map-side combined); everything after is vocabulary-sized."""
+    register_views(spark, sf_dir)
+    return spark.sql(_COVERAGE_SPARK)
