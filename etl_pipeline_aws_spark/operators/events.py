@@ -563,3 +563,70 @@ def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_abandoned"),
     )
+
+
+def _allen_sql(epoch_us: str) -> str:
+    """Shared Allen-relation text; epoch-microsecond spelling per
+    dialect.  Canonical (ua < ub) pairs, so the 6 inverse relations
+    fold onto their primals and the classification is a 7-way CASE."""
+    return f"""
+WITH spans AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(MIN({epoch_us}(ts)) AS BIGINT) AS s,
+           CAST(MAX({epoch_us}(ts)) AS BIGINT) AS e
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+    HAVING COUNT(*) >= 2
+), pairs AS (
+    SELECT a.s AS sa, a.e AS ea, b.s AS sb, b.e AS eb
+    FROM spans a JOIN spans b
+      ON a.day = b.day AND a.user_id < b.user_id
+), classified AS (
+    SELECT CASE
+        WHEN ea < sb OR eb < sa THEN 'before'
+        WHEN ea = sb OR eb = sa THEN 'meets'
+        WHEN sa = sb AND ea = eb THEN 'equals'
+        WHEN sa = sb THEN 'starts'
+        WHEN ea = eb THEN 'finishes'
+        WHEN (sa > sb AND ea < eb) OR (sb > sa AND eb < ea) THEN 'during'
+        ELSE 'overlaps'
+    END AS relation
+    FROM pairs
+)
+SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM classified GROUP BY relation
+"""
+
+
+_ALLEN_ORACLE = _allen_sql("epoch_us")
+_ALLEN_SPARK = _allen_sql("unix_micros")
+
+
+@query("interval_allen_relations", oracle=_ALLEN_ORACLE)
+def interval_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra over same-day user activity spans — the
+    COMPLETE classification of how two intervals can relate (before /
+    meets / overlaps / starts / during / finishes / equals, inverses
+    folded onto primals by the canonical user ordering), where the
+    existing interval operators only ever ask one of its cells:
+    interval_overlap_pairs asks "overlaps?", events_concurrent_sessions
+    asks "how many during?".  The full matrix is the temporal-reasoning
+    read behind contact tracing, meeting-room conflicts, and
+    co-session attribution — and `meets` (endpoint EQUALITY at
+    microsecond grain) is exactly the boundary class a float or
+    second-truncated timestamp pipeline silently destroys.
+
+    Exactness: spans are exact microsecond MIN/MAX per (user, day)
+    (≥2 events so every span is a genuine interval); the CASE ladder
+    is ordered so each pair lands in exactly ONE relation (disjunction
+    tested first, endpoint equalities before the open-interval
+    classes); counts are the fold.
+
+    Scale: the pair build is an EQUI-join on day (the concurrency
+    family's shape); per-day pair counts are the documented quadratic
+    tier — cap or bucket users-per-day at fact scale (the
+    events_copresence_topk treatment)."""
+    from etl_pipeline_aws_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ALLEN_SPARK)

@@ -1550,3 +1550,33 @@ def test_wilcoxon_bruteforce(spark):
     r = engine.queries()["stat_wilcoxon_signed_rank"](spark, SF_DIR).collect()[0]
     assert (r.n, r.two_w_plus, r.tie_cubes) == (n, two_w_plus, tie_cubes)
     assert r.z_stat == z
+
+
+def test_allen_case_ladder_covers_all_seven(spark):
+    """The fixture only exercises before/overlaps/during, so pin the
+    other four classes (meets, starts, finishes, equals) — plus the
+    one-relation-per-pair exactness — on crafted endpoint pairs run
+    through the very same CASE ladder text."""
+    from etl_pipeline_aws_spark.operators.events import _allen_sql
+
+    sql = _allen_sql("unix_micros")
+    case = sql[sql.index("CASE"):sql.index("END AS relation") + len("END AS relation")]
+    pairs = [
+        (0, 10, 20, 30, "before"),
+        (0, 10, 10, 30, "meets"),
+        (0, 10, 5, 30, "overlaps"),
+        (0, 10, 0, 30, "starts"),
+        (5, 30, 0, 30, "finishes"),
+        (5, 10, 0, 30, "during"),
+        (0, 30, 0, 30, "equals"),
+        (20, 30, 0, 10, "before"),  # inverse folds onto primal
+        (10, 30, 0, 10, "meets"),
+    ]
+    values = ", ".join(f"({sa}, {ea}, {sb}, {eb})" for sa, ea, sb, eb, _ in pairs)
+    got = [
+        r.relation
+        for r in spark.sql(
+            f"SELECT {case} FROM (VALUES {values}) AS t(sa, ea, sb, eb)"
+        ).collect()
+    ]
+    assert got == [p[4] for p in pairs]
