@@ -978,3 +978,98 @@ def dq_double_charge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("dup_orderkey"),
         F.datediff("day", "prev_day").cast("long").alias("days_apart"),
     )
+
+
+_ERASURE_ORACLE = """
+    SELECT 'customer' AS tbl,
+           CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_erased,
+           CAST(SUM(CASE WHEN c_custkey % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+           CAST(0 AS BIGINT) AS n_residual
+    FROM customer
+    UNION ALL
+    SELECT 'orders',
+           CAST(SUM(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem',
+           CAST(SUM(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+"""
+
+
+@query("dq_erasure_audit", oracle=_ERASURE_ORACLE)
+def dq_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure with a CASCADING audit — the
+    privacy-ops pass that the k-anonymity / l-diversity / PII-scrub
+    trio still leaves open: given an erasure list (every 97th customer,
+    the staged request set), delete the subject rows AND their
+    transitive fact footprint (orders via custkey, lineitems via the
+    erased orders — the cascade is where hand-rolled erasure fails),
+    then prove completeness: per table, rows erased, rows retained,
+    and the RESIDUAL count of subject-linked rows still present —
+    which must be exactly 0 and is computed from the post-erasure
+    frames themselves, not assumed.
+
+    The oracle derives all three numbers per table from the intact
+    sources, so an incomplete cascade (lineitems orphaned by erased
+    orders surviving) or an over-delete both hash-mismatch.
+
+    Scale: three anti-joins on their natural keys (customer broadcast,
+    order keys shuffled); the residual probe reuses the same join
+    shapes — erasure at 100 TB is exactly this plan plus the rewrite
+    of affected files (lakehouse_merge_on_read's deletion-vector tier
+    is the no-rewrite variant).  The audit row assembly cross-joins
+    1x1 count folds (the agg_hll_sketch_rollup pattern — scale-free,
+    allowlisted)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    subjects = customer.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    # cascade: subject rows, their orders, those orders' lineitems
+    erased_orders = orders.join(
+        subjects, orders["o_custkey"] == subjects["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    cust_after = customer.join(subjects, "c_custkey", "left_anti")
+    orders_after = orders.join(
+        subjects, orders["o_custkey"] == subjects["c_custkey"], "left_anti"
+    )
+    li_after = lineitem.join(
+        erased_orders, lineitem["l_orderkey"] == erased_orders["o_orderkey"],
+        "left_anti",
+    )
+
+    def audit(tbl, before, after, residual):
+        n_before = before.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        n_after = after.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        n_res = residual.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        return (
+            n_before.crossJoin(
+                n_after.withColumnRenamed("n", "n_after")
+            ).crossJoin(n_res.withColumnRenamed("n", "n_res"))
+            .select(
+                F.lit(tbl).alias("tbl"),
+                (F.col("n") - F.col("n_after")).alias("n_erased"),
+                F.col("n_after").alias("n_retained"),
+                F.col("n_res").alias("n_residual"),
+            )
+        )
+
+    res_c = cust_after.join(subjects, "c_custkey", "left_semi")
+    res_o = orders_after.join(
+        subjects, orders_after["o_custkey"] == subjects["c_custkey"], "left_semi"
+    )
+    res_l = li_after.join(
+        erased_orders, li_after["l_orderkey"] == erased_orders["o_orderkey"],
+        "left_semi",
+    )
+    return (
+        audit("customer", customer, cust_after, res_c)
+        .unionByName(audit("orders", orders, orders_after, res_o))
+        .unionByName(audit("lineitem", lineitem, li_after, res_l))
+    )

@@ -119,6 +119,7 @@ ALLOWED_CARTESIAN = {
     "embedding_pc1_explained_variance",  # 1×1 join of two global folds (scale-free)
     "graph_global_clustering",  # 1×1 join of two global folds (scale-free)
     "stat_bootstrap_se",  # 1×1 join of two global folds (scale-free)
+    "dq_erasure_audit",  # 1×1 joins of per-table count folds (scale-free)
 }
 ALLOWED_NESTED_LOOP = {
     "q22_sales_opportunity",  # single-row scalar-subquery broadcast (scale-free)
