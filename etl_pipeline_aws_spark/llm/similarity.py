@@ -1053,3 +1053,87 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+_KNN_EVAL_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ), sims AS (
+        SELECT a.vec_id, a.label AS true_label, b.label AS nb_label,
+               CAST(FLOOR(
+                   list_sum(list_transform(range(1, len(a.v) + 1),
+                                           i -> a.v[i] * b.v[i]))
+                   / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cos_ppm,
+               b.vec_id AS nb_id
+        FROM n a JOIN n b ON b.vec_id <> a.vec_id
+    ), top1 AS (
+        SELECT true_label, nb_label
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY cos_ppm DESC, nb_id) AS rn
+              FROM sims)
+        WHERE rn = 1
+    )
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN nb_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN nb_label = true_label THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS accuracy_bp
+    FROM top1 GROUP BY true_label
+"""
+
+
+@query("embedding_knn_label_eval", oracle=_KNN_EVAL_ORACLE)
+def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label agreement — the standard intrinsic
+    evaluation of an embedding SPACE (not a retrieval index): for every
+    vector, does its nearest neighbor carry the same label?  Per-label
+    accuracy separates "the space clusters label A tightly" from "label
+    B is smeared" — the readout that decides whether embeddings are
+    good enough to drive dedup_embedding_cosine / similarity routing
+    before any ANN tier is tuned.  (On this fixture's uniform-random
+    synthetic vectors the expected accuracy is the label-marginal
+    baseline — the eval exists to MEASURE that honestly, and the test
+    pins agreement with the brute-force ranking.)
+
+    Exactness: floor-ppm cosines over the verified shared fold,
+    deterministic (cos DESC, vec_id) top-1 pick, integer counts and
+    floor-bp accuracy.
+
+    Scale: the all-pairs LOO scan is the eval-panel cost (it runs on a
+    SAMPLE at corpus scale — the panel is the unit of evaluation, not
+    the corpus); the shape is the allowlisted bruteforce design."""
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    a = e.select(
+        F.col("vec_id").alias("aid"), F.col("label").alias("true_label"),
+        F.col("v").alias("av"), F.col("nrm").alias("anrm"),
+    )
+    sims = F.broadcast(a).join(e, F.col("vec_id") != F.col("aid")).select(
+        "aid",
+        "true_label",
+        F.col("label").alias("nb_label"),
+        F.col("vec_id").alias("nb_id"),
+        F.floor(
+            _cosine(F.col("av"), F.col("v"), F.col("anrm"), F.col("nrm")) * 1_000_000
+        )
+        .cast("long")
+        .alias("cos_ppm"),
+    )
+    w = W.partitionBy("aid").orderBy(F.col("cos_ppm").desc(), "nb_id")
+    top1 = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    agg = top1.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("nb_label") == F.col("true_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    # floor basis points via integer division (Spark casts double->long by
+    # TRUNCATION while DuckDB rounds — the documented cross-engine trap)
+    return agg.select(
+        "label", "n_vectors", "n_correct",
+        F.expr("n_correct * 10000 DIV n_vectors").alias("accuracy_bp"),
+    )
