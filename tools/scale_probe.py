@@ -185,6 +185,12 @@ PROBE_QUERIES = [
     "events_local_peaks",
     "multimodal_image_edge_density",
     "ml_leakage_audit_target_encoding",
+    "scd6_hybrid_dim",
+    "dim_late_arriving_inferred",
+    "interval_allen_relations",
+    "dq_erasure_audit",
+    "text_vocab_coverage_curve",
+    "embedding_knn_label_eval",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
