@@ -458,3 +458,52 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+_ANALYZE_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_actual,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_stats,
+           CAST(1 AS INT) AS stats_match
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@query("sql_analyze_table_stats", oracle=_ANALYZE_ORACLE)
+def sql_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer statistics — ANALYZE TABLE ... COMPUTE
+    STATISTICS, the catalog surface that feeds Spark's CBO (join
+    reordering, broadcast decisions from rowCount/sizeInBytes instead
+    of file-size guesses).  A managed table is materialized, analyzed,
+    and the ROW COUNT THE CATALOG NOW BELIEVES is read back from
+    DESCRIBE EXTENDED and compared against the live count — the oracle
+    pins both to the source construction, so stale or missing stats
+    (the silent CBO failure mode: plans regress and nothing errors)
+    hash-mismatch instead of lurking.
+
+    Scale: ANALYZE is one scan (NOSCAN skips rowCount — deliberately
+    not used); stats are per-table catalog metadata, the same
+    mechanism that makes partitioned-fact CBO viable at 100 TB."""
+    import re as _re
+    import uuid as _uuid
+
+    register_views(spark, sf_dir)
+    tbl = f"urgent_orders_{_uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE TABLE {tbl} USING parquet AS "
+        "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'"
+    )
+    try:
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+        stats_line = next(
+            r.data_type for r in desc if r.col_name.strip() == "Statistics"
+        )
+        m = _re.search(r"(\d+)\s+rows", stats_line)
+        n_stats = int(m.group(1)) if m else -1
+        actual = spark.table(tbl).count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return spark.createDataFrame(
+        [(actual, n_stats, 1 if n_stats == actual else 0)],
+        "n_rows_actual bigint, n_rows_stats bigint, stats_match int",
+    )
