@@ -1144,3 +1144,94 @@ def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "n_vectors", "n_correct",
         F.expr("n_correct * 10000 DIV n_vectors").alias("accuracy_bp"),
     )
+
+
+CONTRASTIVE_PANEL = 100  # anchors mined per run (panel x corpus cost)
+
+
+_CONTRASTIVE_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ), anchors AS (
+        SELECT * FROM n WHERE vec_id < {CONTRASTIVE_PANEL}
+    ), sims AS (
+        SELECT a.vec_id AS anchor_id, a.label,
+               b.vec_id AS cand_id,
+               CASE WHEN b.label = a.label THEN 1 ELSE 0 END AS is_same,
+               CAST(FLOOR(
+                   list_sum(list_transform(range(1, len(a.v) + 1),
+                                           i -> a.v[i] * b.v[i]))
+                   / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cos_ppm
+        FROM anchors a JOIN n b ON b.vec_id <> a.vec_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, is_same
+                                     ORDER BY cos_ppm DESC, cand_id) AS rn
+        FROM sims
+    )
+    SELECT anchor_id, label,
+           MAX(CASE WHEN is_same = 1 THEN cand_id END) AS pos_id,
+           MAX(CASE WHEN is_same = 1 THEN cos_ppm END) AS pos_cos_ppm,
+           MAX(CASE WHEN is_same = 0 THEN cand_id END) AS neg_id,
+           MAX(CASE WHEN is_same = 0 THEN cos_ppm END) AS neg_cos_ppm,
+           MAX(CASE WHEN is_same = 1 THEN cos_ppm END)
+               - MAX(CASE WHEN is_same = 0 THEN cos_ppm END) AS margin_ppm
+    FROM ranked WHERE rn = 1
+    GROUP BY anchor_id, label
+"""
+
+
+@query("embedding_contrastive_pairs", oracle=_CONTRASTIVE_ORACLE)
+def embedding_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining — the construction step behind
+    every embedding fine-tune (SimCSE/InfoNCE-style): for each anchor,
+    the nearest SAME-label vector (the positive) and the nearest
+    DIFFERENT-label vector (the HARD negative — random negatives teach
+    nothing once the space is half-decent; the nearest wrong-label
+    point is where the loss gradient lives).  The margin_ppm column
+    (positive cosine minus hard-negative cosine, often NEGATIVE on an
+    untrained space) is the curriculum key: training loops consume
+    pairs hardest-first.
+
+    Exactness: floor-ppm cosines on the verified shared fold; one
+    window partitioned by (anchor, same-label flag) with deterministic
+    ties; the pivot to one row per anchor is exact MAX(CASE) over the
+    two rn=1 rows.
+
+    Scale: panel x corpus like embedding_knn_label_eval (the
+    measured-and-documented fix there); mining MORE pairs raises the
+    panel, never the exponent — and at corpus scale the candidate side
+    routes through the ANN tiers."""
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    a = e.filter(F.col("vec_id") < CONTRASTIVE_PANEL).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label"),
+        F.col("v").alias("av"), F.col("nrm").alias("anrm"),
+    )
+    sims = F.broadcast(a).join(e, F.col("vec_id") != F.col("anchor_id")).select(
+        "anchor_id",
+        F.col("a_label").alias("label"),
+        F.col("vec_id").alias("cand_id"),
+        F.when(F.col("label") == F.col("a_label"), 1).otherwise(0).alias("is_same"),
+        F.floor(
+            _cosine(F.col("av"), F.col("v"), F.col("anrm"), F.col("nrm")) * 1_000_000
+        )
+        .cast("long")
+        .alias("cos_ppm"),
+    )
+    w = W.partitionBy("anchor_id", "is_same").orderBy(
+        F.col("cos_ppm").desc(), "cand_id"
+    )
+    top = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return top.groupBy("anchor_id", "label").agg(
+        F.max(F.when(F.col("is_same") == 1, F.col("cand_id"))).alias("pos_id"),
+        F.max(F.when(F.col("is_same") == 1, F.col("cos_ppm"))).alias("pos_cos_ppm"),
+        F.max(F.when(F.col("is_same") == 0, F.col("cand_id"))).alias("neg_id"),
+        F.max(F.when(F.col("is_same") == 0, F.col("cos_ppm"))).alias("neg_cos_ppm"),
+        (
+            F.max(F.when(F.col("is_same") == 1, F.col("cos_ppm")))
+            - F.max(F.when(F.col("is_same") == 0, F.col("cos_ppm")))
+        ).alias("margin_ppm"),
+    )

@@ -15,6 +15,7 @@ relational_ext.sql_parameterized (typed named parameters).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_pipeline_aws_spark.catalog import register_views, table_path
 from etl_pipeline_aws_spark.registry import query
@@ -507,3 +508,55 @@ def sql_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(actual, n_stats, 1 if n_stats == actual else 0)],
         "n_rows_actual bigint, n_rows_stats bigint, stats_match int",
     )
+
+
+_DEFAULT_COL_ORACLE = """
+    SELECT 'NEW' AS status, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM nation WHERE n_nationkey % 2 = 0
+    UNION ALL
+    SELECT 'LEGACY' AS status, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM nation WHERE n_nationkey % 2 = 1
+"""
+
+
+@query("sql_default_column_values", oracle=_DEFAULT_COL_ORACLE)
+def sql_default_column_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFAULT column values (SQL standard, Spark 3.4+ for the parquet
+    source) — the schema-evolution knob that lets writers OMIT a column
+    and still land a typed value, which is how a table grows a new
+    NOT-NULL-semantics column without rewriting producers: even-keyed
+    nations are inserted WITHOUT the status column (the declared
+    DEFAULT 'NEW' must fill it), odd-keyed rows write 'LEGACY'
+    explicitly, and the read-back rollup is pinned by the oracle to the
+    construction — a reader seeing NULL where the DEFAULT belongs (the
+    pre-3.4 behavior, and the bug class this feature exists to kill)
+    hash-mismatches.
+
+    Scale: catalog metadata only — the default is applied at INSERT
+    analysis time, no data-path cost."""
+    import uuid as _uuid
+
+    register_views(spark, sf_dir)
+    tbl = f"nation_status_{_uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE TABLE {tbl} (n_nationkey INT, status STRING DEFAULT 'NEW') "
+        "USING parquet"
+    )
+    try:
+        spark.sql(
+            f"INSERT INTO {tbl} (n_nationkey) "
+            "SELECT n_nationkey FROM nation WHERE n_nationkey % 2 = 0"
+        )
+        spark.sql(
+            f"INSERT INTO {tbl} "
+            "SELECT n_nationkey, 'LEGACY' FROM nation WHERE n_nationkey % 2 = 1"
+        )
+        out = (
+            spark.table(tbl)
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tbl
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return out

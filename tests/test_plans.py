@@ -147,6 +147,7 @@ ALLOWED_NESTED_LOOP = {
     "market_basket_rules",  # 1-row global basket-count broadcast (scale-free)
     "similarity_topk_dot",  # broadcast query set, != residual (bruteforce design)
     "embedding_knn_label_eval",  # broadcast LOO eval panel (bruteforce design)
+    "embedding_contrastive_pairs",  # broadcast anchor panel (bruteforce design)
     "similarity_two_stage_rerank",  # broadcast query set; int8 coarse pass (same design)
     "embedding_similarity_histogram",  # broadcast query set; bounded 21-bucket output
     "corpus_epoch_upsampling",  # 1-row global quota broadcast (q11 pattern)
