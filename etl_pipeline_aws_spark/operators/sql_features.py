@@ -555,8 +555,11 @@ def sql_default_column_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.table(tbl)
             .groupBy("status")
             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            # eager checkpoint detaches the 2-row result from the managed
+            # table so the DROP below can't invalidate it — no driver
+            # collect in the query path
+            .localCheckpoint()
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tbl
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return out
