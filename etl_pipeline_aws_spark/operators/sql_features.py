@@ -501,6 +501,9 @@ def sql_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         m = _re.search(r"(\d+)\s+rows", stats_line)
         n_stats = int(m.group(1)) if m else -1
+        # the audit's second operand: one scalar count action (the same
+        # class as the iterative operators' convergence probes) — catalog
+        # metadata vs live data is inherently a driver-side comparison
         actual = spark.table(tbl).count()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
