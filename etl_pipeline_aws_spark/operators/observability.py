@@ -149,3 +149,90 @@ def governance_column_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             if col:
                 rows.append((table, col.split(":", 1)[0]))
     return spark.createDataFrame(rows, "table_name string, column_name string")
+
+
+ROW_POLICIES = {  # principal -> region allowlist (the policy table)
+    "amer": ("AMERICA",),
+    "emea": ("EUROPE", "AFRICA", "MIDDLE EAST"),
+    "apac": ("ASIA",),
+}
+
+
+def _policy_oracle() -> str:
+    arms = []
+    for principal, regions in sorted(ROW_POLICIES.items()):
+        inlist = ", ".join(f"'{r}'" for r in regions)
+        arms.append(f"""
+    SELECT '{principal}' AS principal,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS revenue_cents,
+           CAST(0 AS BIGINT) AS n_leaked
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE r.r_name IN ({inlist})""")
+    return "\n    UNION ALL\n".join(arms)
+
+
+def apply_row_policy(spark: SparkSession, sf_dir: str, principal: str) -> DataFrame:
+    """The policy engine: the customer table as PRINCIPAL sees it —
+    a region-allowlist filter joined through nation/region.  Every
+    consumer goes through this function, so the policy has one
+    definition (the governance requirement) instead of per-query
+    WHERE clauses that drift."""
+    regions = ROW_POLICIES[principal]
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        customer.join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin(*regions))
+    )
+
+
+@query("governance_row_level_policy", oracle=_policy_oracle)
+def governance_row_level_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level security as a POLICY LAYER — the governance surface
+    beside column lineage (governance_column_lineage) and the privacy
+    audits: each principal's view of the customer table is the single
+    ``apply_row_policy`` function (region allowlist via the dimension
+    chain), and this query audits all principals at once — visible
+    customers, attributable revenue, and a LEAKAGE COUNT computed from
+    the policy-filtered frame itself (rows outside the principal's
+    allowlist that survived the filter — pinned at 0 by the oracle, so
+    a policy regression fails the value hash, not a code review).
+
+    Scale: the policy filter is a broadcast dim-chain join — predicate
+    pushdown carries the region filter into the scan when the region
+    key is a partition/cluster column, which is exactly how row
+    policies stay cheap at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = None
+    for principal, regions in sorted(ROW_POLICIES.items()):
+        visible = apply_row_policy(spark, sf_dir, principal)
+        leaked = visible.filter(~F.col("r_name").isin(*regions))
+        joined = visible.join(orders, visible["c_custkey"] == orders["o_custkey"])
+        row = (
+            joined.agg(
+                F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("revenue_cents"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    leaked.agg(F.count(F.lit(1)).cast("long").alias("n_leaked"))
+                )
+            )
+            .select(
+                F.lit(principal).alias("principal"),
+                "n_customers",
+                "revenue_cents",
+                "n_leaked",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

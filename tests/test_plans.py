@@ -148,6 +148,7 @@ ALLOWED_NESTED_LOOP = {
     "similarity_topk_dot",  # broadcast query set, != residual (bruteforce design)
     "embedding_knn_label_eval",  # broadcast LOO eval panel (bruteforce design)
     "embedding_contrastive_pairs",  # broadcast anchor panel (bruteforce design)
+    "governance_row_level_policy",  # 1-row leakage-count broadcast per principal (q11 pattern)
     "similarity_two_stage_rerank",  # broadcast query set; int8 coarse pass (same design)
     "embedding_similarity_histogram",  # broadcast query set; bounded 21-bucket output
     "corpus_epoch_upsampling",  # 1-row global quota broadcast (q11 pattern)
