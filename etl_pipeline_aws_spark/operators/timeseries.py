@@ -1127,3 +1127,72 @@ def events_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one daily reduction + one calendar-bounded ordered window."""
     register_views(spark, sf_dir)
     return spark.sql(_LOCAL_PEAKS_SQL)
+
+
+SLO_BUDGET_PPM = 10_000  # 1% error budget
+BURN_FAST_X100 = 1440  # 14.4x — the standard page threshold (fast window)
+BURN_SLOW_X100 = 600  # 6x — the standard page threshold (slow window)
+
+
+def _burn_rate_sql(idiv: str) -> str:
+    """Shared multi-window burn-rate text; integer division per dialect
+    (all operands non-negative)."""
+    return f"""
+WITH hourly AS (
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS errors
+    FROM events GROUP BY CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP)
+), windows AS (
+    SELECT hour, total, errors,
+           CAST(SUM(total) OVER w6 AS BIGINT) AS total_6h,
+           CAST(SUM(errors) OVER w6 AS BIGINT) AS errors_6h,
+           CAST(COUNT(*) OVER w6 AS BIGINT) AS n_hours_6h
+    FROM hourly
+    WINDOW w6 AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+), burn AS (
+    SELECT hour,
+           (errors * 1000000 {idiv} total) {idiv} {SLO_BUDGET_PPM // 100}
+               AS burn_fast_x100,
+           (errors_6h * 1000000 {idiv} total_6h) {idiv} {SLO_BUDGET_PPM // 100}
+               AS burn_slow_x100,
+           n_hours_6h
+    FROM windows
+)
+SELECT hour,
+       CAST(burn_fast_x100 AS BIGINT) AS burn_fast_x100,
+       CAST(burn_slow_x100 AS BIGINT) AS burn_slow_x100,
+       CASE WHEN burn_fast_x100 >= {BURN_FAST_X100}
+             AND burn_slow_x100 >= {BURN_SLOW_X100}
+            THEN 1 ELSE 0 END AS page
+FROM burn WHERE n_hours_6h = 6
+"""
+
+
+_BURN_ORACLE = _burn_rate_sql("//")
+_BURN_SPARK = _burn_rate_sql("DIV")
+
+
+@query("events_slo_burn_rate", oracle=_BURN_ORACLE)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window error-budget burn rate — the SRE-workbook alerting
+    policy, verbatim: burn = error_rate / SLO_budget (1% here) over a
+    FAST window (1 hour — catches cliffs) and a SLOW window (trailing
+    6 hours — rejects blips), and a page fires only when BOTH exceed
+    their thresholds (14.4x / 6x — the standard pair that spends 2% of
+    a 30-day budget before paging).  This is the alert the raw anomaly
+    gates (zscore/MAD/CUSUM) feed but cannot replace: burn rate is
+    denominated in BUDGET, so the same alert definition holds at any
+    traffic volume.
+
+    Exactness: error counts and totals are exact; burn is two chained
+    floor divisions (error ppm, then budget units x100) on non-negative
+    BIGINTs; the page flag is an integer conjunction.  Warm-up hours
+    (incomplete 6h frame) are dropped, not compared against a short
+    denominator — the rolling family's discipline.
+
+    Scale: one hourly reduction (map-side combined), one
+    calendar-bounded ordered window."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BURN_SPARK)
