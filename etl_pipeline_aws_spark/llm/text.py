@@ -1558,3 +1558,113 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combined); everything after is vocabulary-sized."""
     register_views(spark, sf_dir)
     return spark.sql(_COVERAGE_SPARK)
+
+
+_BM25_K1 = "1.2"  # saturation constant, literal text shared verbatim by both engines
+_BM25_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM base
+    ), postings AS (
+        SELECT b.doc_id, len(b.toks) AS dl, t.term
+        FROM base b, unnest(b.toks) AS t(term)
+        WHERE t.term IN {_SEARCH_TERMS!r}
+    ), tfc AS (
+        SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM postings GROUP BY doc_id, dl, term
+    ), dfc AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM postings GROUP BY term
+    ), scored AS (
+        SELECT doc_id,
+               CAST((n_docs * 1000) // df AS DOUBLE)
+               * (CAST(tf AS DOUBLE) * ({_BM25_K1} + 1))
+               / (CAST(tf AS DOUBLE)
+                  + {_BM25_K1} * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                   AS term_score
+        FROM tfc JOIN dfc USING (term) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(FLOOR(term_score * 1000) AS BIGINT)) AS BIGINT)
+               AS bm25_score_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25_score_milli DESC, doc_id
+    LIMIT {_SEARCH_TOP}
+"""
+
+
+@query("text_bm25_search", oracle=_BM25_ORACLE)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked keyword search (k1 = 1.2, b = 0.75) — the ranking
+    function production search engines actually run, completing the
+    retrieval pair with text_keyword_search's plain TF-IDF: BM25 adds
+    TF SATURATION (a term's 50th occurrence adds almost nothing — the
+    k1 damping) and LENGTH NORMALIZATION (a hit in a short doc beats
+    the same hit diluted in a long one — the b·dl/avgdl term).
+
+    Cross-engine determinism: the idf factor stays the floor-divided
+    integer ⌊N·1000/df⌋ (the keyword-search discipline — a float ln()
+    idf can flip ranks in the last ulp); the saturation ratio is pure
+    IEEE arithmetic (multiply/divide of identical doubles — exact on
+    both engines) written as ONE shared formula text; each term
+    score is then floor-scaled to integer MILLI-points (floor of
+    identical doubles is identical) so the per-doc summation is exact
+    BIGINT arithmetic — engines disagree on double→DECIMAL rounding
+    modes (measured: a 1-ulp flip at the 12th decimal), integers
+    cannot.  1−b and k1+1 appear as the
+    exact literals 0.25 and (1.2 + 1).
+
+    Plan shape (same inverted-index discipline as text_keyword_search):
+    explode is filtered to the query's terms immediately — posting
+    lists, never vocabulary; doc length rides the posting rows so no
+    second scan joins it back; N and avgdl are a single-row broadcast.
+    At 100 TB the postings become a term-partitioned index and query
+    cost scales with |terms|, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.size(_tokens()).alias("dl"),
+        F.explode(_tokens()).alias("term"),
+    )
+    postings = base.filter(F.col("term").isin(*_SEARCH_TERMS))
+    tf = postings.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_counts = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(_tokens())).cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    k1 = float(_BM25_K1)
+    term_score = (
+        F.expr("(n_docs * 1000) div df").cast("double")
+        * (F.col("tf").cast("double") * F.lit(k1 + 1))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl")))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.floor(F.col("term_score") * 1000).cast("long"))
+            .cast("long")
+            .alias("bm25_score_milli"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(
+        F.col("bm25_score_milli").desc(), "doc_id"
+    ).limit(_SEARCH_TOP)

@@ -21,8 +21,9 @@ input is calendar-sized at any fact size.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import register_views
+from etl_pipeline_aws_spark.catalog import load_table, register_views
 from etl_pipeline_aws_spark.registry import query
 
 _OHLC_SQL = """
@@ -1196,3 +1197,93 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded ordered window."""
     register_views(spark, sf_dir)
     return spark.sql(_BURN_SPARK)
+
+
+XCORR_MAX_LAG = 7  # days of lead tested: does today's view volume predict purchases L days out?
+
+_XCORR_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY 1, 2
+    ), v AS (SELECT day, n AS xv FROM daily WHERE event_type = 'view'),
+    p AS (SELECT day, n AS xp FROM daily WHERE event_type = 'purchase'),
+    lags AS (SELECT CAST(range AS INT) AS lag FROM range(0, {XCORR_MAX_LAG + 1})),
+    aligned AS (
+        SELECT l.lag, v.xv, p.xp
+        FROM v CROSS JOIN lags l
+        JOIN p ON p.day = v.day + l.lag
+    ), sums AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xv) AS BIGINT) AS sx,
+               CAST(SUM(xp) AS BIGINT) AS sy,
+               CAST(SUM(xv * xp) AS BIGINT) AS sxy,
+               CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+               CAST(SUM(xp * xp) AS BIGINT) AS syy
+        FROM aligned GROUP BY lag
+    )
+    SELECT lag, n AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / sqrt(GREATEST(CAST(n * sxx - sx * sx AS DOUBLE), 1e-12))
+           / sqrt(GREATEST(CAST(n * syy - sy * sy AS DOUBLE), 1e-12)) AS pearson_r
+    FROM sums
+"""
+
+
+@query("events_lead_lag_xcorr", oracle=_XCORR_ORACLE)
+def events_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation sweep: Pearson r between the daily
+    view-count series and the purchase-count series shifted 0..7 days
+    forward — the "how long does demand take to convert" scan that sits
+    behind marketing-mix lag models and metric-causality triage
+    (events_series_correlation answers lag 0 only; the sweep locates
+    the lag where the relationship PEAKS).
+
+    Determinism: both series are exact integer daily counts; each lag's
+    r comes from exact BIGINT power sums (n, Σx, Σy, Σxy, Σx², Σy² —
+    magnitudes bounded by days×(daily count)², far under int64) pushed
+    through the shared one-shot IEEE formula, sqrt floored at 1e-12 —
+    the events_series_correlation discipline swept across a lag
+    dimension.
+
+    Plan shape: one daily reduction over events (map-side combined),
+    then the 8-row lag dimension broadcast-fans the view series and an
+    equi join on the SHIFTED day aligns it with purchases — alignment
+    is a join on a computed key, never a window over the fact table.
+    Scale: post-reduction everything is calendar-sized (days × 8 rows)
+    regardless of event volume; at 100 TB only the first groupBy
+    touches the facts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    v = daily.filter(F.col("event_type") == "view").select(
+        "day", F.col("n").alias("xv")
+    )
+    p = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("pday"), F.col("n").alias("xp")
+    )
+    lags = spark.range(0, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    aligned = (
+        v.crossJoin(F.broadcast(lags))
+        .withColumn("tday", F.date_add(F.col("day"), F.col("lag")))
+        .join(p, F.col("tday") == F.col("pday"))
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("xv")
+    sy = F.sum("xp")
+    sxy = F.sum(F.col("xv") * F.col("xp"))
+    sxx = F.sum(F.col("xv") * F.col("xv"))
+    syy = F.sum(F.col("xp") * F.col("xp"))
+    r = (
+        (n * sxy - sx * sy).cast("double")
+        / F.sqrt(F.greatest((n * sxx - sx * sx).cast("double"), F.lit(1e-12)))
+        / F.sqrt(F.greatest((n * syy - sy * sy).cast("double"), F.lit(1e-12)))
+    )
+    return aligned.groupBy("lag").agg(n.alias("n_days"), r.alias("pearson_r"))
