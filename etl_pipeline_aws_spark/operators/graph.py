@@ -958,3 +958,126 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (4.0 * F.col("m_edges").cast("double") * F.col("m_edges").cast("double"))
         ).alias("modularity"),
     )
+
+
+BFS_MAX_HOPS = 3  # frontier rounds; hop > 3 reported as unreached
+BFS_SEED_MOD = 50  # seed set: every node whose part key is divisible by this
+
+
+def _bfs_oracle() -> str:
+    """Unrolled {BFS_MAX_HOPS}-round BFS as chained CTEs: f{{i}} is the
+    hop-i frontier (neighbors of f{{i-1}} not yet visited), v{{i}} the
+    visited accumulation — the same frontier/visited split the Spark
+    loop materializes round by round."""
+    sql = f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {LP_MIN_SUPPORT}
+    ), edges AS (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION ALL
+        SELECT pb AS u, pa AS v FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT u AS node FROM edges
+    ), f0 AS (
+        SELECT node FROM nodes WHERE node % {BFS_SEED_MOD} = 0
+    ), v0 AS (
+        SELECT node, 0 AS hop FROM f0
+    )"""
+    prev_f, prev_v = "f0", "v0"
+    for i in range(1, BFS_MAX_HOPS + 1):
+        sql += f""", f{i} AS (
+        SELECT DISTINCT e.v AS node
+        FROM {prev_f} f JOIN edges e ON e.u = f.node
+        WHERE e.v NOT IN (SELECT node FROM {prev_v})
+    ), v{i} AS (
+        SELECT node, hop FROM {prev_v}
+        UNION ALL
+        SELECT node, {i} AS hop FROM f{i}
+    )"""
+        prev_f, prev_v = f"f{i}", f"v{i}"
+    return sql + f"""
+    SELECT CAST(hop AS INT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM {prev_v} GROUP BY hop"""
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first search over the supported part
+    co-occurrence graph: every part key divisible by {BFS_SEED_MOD}
+    seeds at hop 0, and {BFS_MAX_HOPS} frontier rounds label each newly
+    reached node with its MINIMUM hop distance from the seed set — the
+    reachability/blast-radius primitive behind "which entities sit
+    within k links of a flagged set" (fraud rings, recall cascades,
+    dependency fallout).  Completes the iterative-graph family: PageRank
+    is fixed-point numeric, label propagation is fixed-round labeling,
+    connected components is run-to-convergence — BFS is the
+    FRONTIER-DRIVEN shape whose per-round cost tracks the frontier,
+    not the graph.
+
+    Exactness: hop labels are small integers by construction (a node
+    joins the visited set exactly once, at its first reachable round —
+    min-hop needs no tie-break); the report is exact counts and key
+    extrema per hop.
+
+    Plan shape: each round is ONE equi join of the (persisted,
+    materialized) frontier against the symmetrized edge list, a
+    distinct, and an anti join against the visited set — the visited
+    set is persisted and row-counted per round so the branched lineage
+    (anti join + union both reference it) never re-executes the prior
+    chain (the label-propagation round discipline, graph.py:310-335).
+    At 100 TB edges pre-bucket on u, making the frontier join
+    exchange-free; the anti join shuffles only frontier-sized rows.
+    Caches are released by the sweep's clear_caches; the final visited
+    frame is materialized so intermediate rounds never pin memory past
+    the loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = co_occurrence_pairs(li, LP_MIN_SUPPORT, distinct_items=False).select(
+        "pa", "pb"
+    )
+    edges = pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    ).persist()
+    seeds = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .filter(F.col("node") % BFS_SEED_MOD == 0)
+    )
+    visited = seeds.withColumn("hop", F.lit(0).cast("int"))
+    round_caches: list[DataFrame] = []
+    for i in range(1, BFS_MAX_HOPS + 1):
+        cur = visited.persist()
+        cur.count()
+        for c in round_caches:
+            c.unpersist()
+        round_caches = [cur]
+        # The hop-(i-1) frontier is re-read FROM the materialized cache
+        # (filter on the hop column) rather than kept as a live plan —
+        # a dangling frontier plan would re-execute the whole prior
+        # chain once its round's cache is released.
+        frontier = cur.filter(F.col("hop") == i - 1).select("node")
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new_nodes = nxt.join(cur.select("node"), "node", "left_anti")
+        visited = cur.unionByName(
+            new_nodes.withColumn("hop", F.lit(i).cast("int"))
+        )
+    final = visited.persist()
+    final.count()
+    for c in round_caches:
+        c.unpersist()
+    edges.unpersist()
+    return final.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )

@@ -1081,3 +1081,117 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact scale."""
     register_views(spark, sf_dir)
     return spark.sql(_WILCOXON_SPARK)
+
+
+FDR_B = 999  # permutations per hypothesis; p granularity 1/1000
+FDR_ALPHA_INV = 10  # alpha = 1/10 target false-discovery rate
+FDR_GROUPS = 25  # pseudo-group modulus = nation count (uniform fixture)
+
+
+def _fdr_bh_sql(seed_gen: str) -> str:
+    """Shared BH-over-permutation-family text; per-dialect seed
+    generator only.  One counter-based seed fan serves ALL hypotheses:
+    hash(key, seed) mod {FDR_GROUPS} assigns every customer to exactly
+    one pseudo-nation per seed, so the m per-nation null distributions
+    come out of a single (seed, group) aggregation.  The mix is TWO
+    multiplicative rounds mod the prime — the single-round affine form
+    ((key·(2s+1)+c·s) mod P) is constant mod 25 whenever 2s+1 ≡ 0
+    (mod 25) and key·(2s+1) < P (small keys never wrap), which put every
+    customer in one group for seeds 12, 37, 62, … (measured); the second
+    multiply forces a wrap so no seed can degenerate."""
+    return f"""
+WITH pts AS (
+    SELECT c_custkey AS key, c_nationkey AS obs_g,
+           CAST(c_acctbal AS DECIMAL(18,2)) AS x
+    FROM customer
+), seeded AS (
+    SELECT {seed_gen} AS seed, obs_g, key, x FROM pts
+), fan AS (
+    SELECT seed,
+           CASE WHEN seed = -1 THEN obs_g
+                ELSE CAST(((key * 48271 + (seed + 1) * 7919) % {PERM_P})
+                          * 48271 % {PERM_P} % {FDR_GROUPS} AS INT)
+           END AS g,
+           x
+    FROM seeded
+), cells AS (
+    SELECT seed, g, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS DECIMAL(30,2)) AS sx
+    FROM fan GROUP BY seed, g
+), tots AS (
+    SELECT seed, g, n, sx,
+           CAST(SUM(n) OVER (PARTITION BY seed) AS BIGINT) AS n_tot,
+           CAST(SUM(sx) OVER (PARTITION BY seed) AS DECIMAL(30,2)) AS sx_tot
+    FROM cells
+), stats AS (
+    SELECT seed, g,
+           ABS(CAST(sx AS DOUBLE) / n
+               - CAST(sx_tot - sx AS DOUBLE) / (n_tot - n)) AS t
+    FROM tots
+), scored AS (
+    SELECT seed, g, t,
+           MAX(CASE WHEN seed = -1 THEN t END) OVER (PARTITION BY g) AS t_obs
+    FROM stats
+), pvals AS (
+    SELECT g,
+           MAX(t_obs) AS t_obs,
+           CAST(SUM(CASE WHEN t >= t_obs THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_extreme
+    FROM scored WHERE seed >= 0
+    GROUP BY g
+), ranked AS (
+    SELECT g, t_obs, n_extreme,
+           CAST(1 + n_extreme AS DOUBLE) / {FDR_B + 1} AS p_emp,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_extreme, g) AS BIGINT)
+               AS bh_rank,
+           CAST(COUNT(*) OVER () AS BIGINT) AS m
+    FROM pvals
+), flagged AS (
+    SELECT g, t_obs, n_extreme, p_emp, bh_rank,
+           CASE WHEN {FDR_ALPHA_INV} * m * (1 + n_extreme)
+                     <= bh_rank * {FDR_B + 1}
+                THEN bh_rank ELSE 0 END AS passing_rank
+    FROM ranked
+)
+SELECT CAST(g AS INT) AS nation_key, t_obs, n_extreme, p_emp,
+       CAST(bh_rank AS BIGINT) AS bh_rank,
+       CAST(CASE WHEN bh_rank <= MAX(passing_rank) OVER () THEN 1 ELSE 0 END
+            AS INT) AS rejected
+FROM flagged
+"""
+
+
+_FDR_ORACLE = _fdr_bh_sql(f"unnest(range(-1, {FDR_B}))")
+_FDR_SPARK = _fdr_bh_sql(f"explode(sequence(-1, {FDR_B - 1}))")
+
+
+@query("stat_fdr_bh_control", oracle=_FDR_ORACLE)
+def stat_fdr_bh_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over a FAMILY of
+    m = 25 simultaneous hypotheses (one per nation: "this nation's mean
+    account balance differs from the rest") — the multiple-testing
+    correction every metrics platform needs the moment a dashboard
+    slices one metric 25 ways: at α = 0.1 uncorrected, ~2.5 null slices
+    "significant" by construction; BH's step-up (reject all p ≤ the
+    LARGEST i with p_(i) ≤ i·α/m) bounds the expected false-discovery
+    fraction instead.
+
+    p-values are exact-rational permutation p's, (1+#extreme)/(B+1)
+    with B = {FDR_B} counter-based reshuffles (the stat_permutation_shift
+    machinery): one hash(key, seed) mod {FDR_GROUPS} fan assigns every
+    customer a pseudo-nation per seed, so ALL 25 null distributions
+    share a single (seed, group) aggregation — m tests cost one test's
+    shuffle.  The BH inequality is evaluated in pure integers
+    (10·m·(1+e) ≤ i·(B+1) ⇔ p ≤ i·α/m for α = 1/10) — no float ever
+    decides a rejection; the t ≥ t_obs compares are double-vs-double on
+    identically computed values (decimal sums, one shared division
+    text).  On this null-uniform fixture the correct, stable answer is
+    few-to-zero rejections — the procedure's POINT is refusing the
+    ~2-3 uncorrected false positives.
+
+    Scale: the (B+1)-way fan exists only map-side and reduces to
+    (B+1)×{FDR_GROUPS} cells before any shuffle; everything after is
+    25-row arithmetic.  At 100 TB: same plan, the fan pipelines into
+    the partial agg."""
+    register_views(spark, sf_dir)
+    return spark.sql(_FDR_SPARK)
