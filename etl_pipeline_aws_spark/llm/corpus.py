@@ -1437,3 +1437,226 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+PACK_BIN_CAPACITY = 256  # tokens per padded training bin (~4-5 fixture docs)
+
+_NEXT_FIT_ORACLE = f"""
+    WITH RECURSIVE docs AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                    AS BIGINT) AS idx
+        FROM documents
+    ), walk AS (
+        SELECT source, idx, tok,
+               CAST(1 AS BIGINT) AS bin_idx, tok AS fill
+        FROM docs WHERE idx = 1
+        UNION ALL
+        SELECT d.source, d.idx, d.tok,
+               CASE WHEN w.fill + d.tok <= {PACK_BIN_CAPACITY}
+                    THEN w.bin_idx ELSE w.bin_idx + 1 END,
+               CASE WHEN w.fill + d.tok <= {PACK_BIN_CAPACITY}
+                    THEN w.fill + d.tok ELSE d.tok END
+        FROM walk w JOIN docs d ON d.source = w.source AND d.idx = w.idx + 1
+    )
+    SELECT source, CAST(bin_idx AS BIGINT) AS bin_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS fill_tokens
+    FROM walk GROUP BY source, bin_idx
+"""
+
+
+@query("corpus_pack_next_fit", oracle=_NEXT_FIT_ORACLE)
+def corpus_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-boundary-preserving bin packing (NEXT-FIT): walk each
+    source's documents in doc_id order, filling {PACK_BIN_CAPACITY}-token
+    training bins; a document that would overflow the open bin starts a
+    new one (an oversized document occupies a bin alone).  This is the
+    packing strategy for recipes where documents must NOT straddle
+    sequence boundaries (instruction tuning, contrastive batches) —
+    text_pack_offsets is the complementary concat-and-chunk form that
+    splits documents; next-fit trades padding waste for boundary
+    integrity and is the 2-approximation-with-one-pass packer.
+
+    Spark shape: the greedy recurrence (bin of doc i depends on the
+    running fill after doc i-1) is inherently sequential WITHIN a
+    source, so it runs as applyInPandas — one Arrow batch per source,
+    linear scan inside, parallel ACROSS sources.  That matches the
+    production layout: a 100 TB corpus is sharded, and packing
+    parallelism comes from shard count (here: the source key; at scale,
+    (source, shard) — same plan, finer key).  The only pre-pass is a
+    narrow projection to (source, doc_id, token count) — text never
+    enters the Python worker, so the Arrow transfer is a few bytes per
+    document.  Oracle: the identical walk as a recursive CTE advancing
+    all sources in lockstep.
+
+    Output is per-bin exact integers: the (source, bin) manifest a
+    batch loader consumes, and the padding-waste audit falls out as
+    capacity − fill."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("tok")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        out: list[tuple[str, int, int, int]] = []
+        bin_idx, fill, n_docs = 0, 0, 0
+        source = pdf["source"].iloc[0]
+        for tok in pdf["tok"]:
+            if bin_idx == 0 or fill + tok > PACK_BIN_CAPACITY:
+                if bin_idx > 0:
+                    out.append((source, bin_idx, n_docs, fill))
+                bin_idx += 1
+                fill, n_docs = 0, 0
+            fill += int(tok)
+            n_docs += 1
+        if bin_idx > 0:
+            out.append((source, bin_idx, n_docs, fill))
+        return pd.DataFrame(
+            out, columns=["source", "bin_idx", "n_docs", "fill_tokens"]
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        pack, "source string, bin_idx long, n_docs long, fill_tokens long"
+    )
+
+
+KM_K = 4  # clusters; init = the K lowest vec_ids' vectors
+KM_ROUNDS = 2  # assignment rounds (update between them)
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations as chained CTEs: a{i} = per-(vec,
+    cluster) squared L2 (ordered fold over pos), asg{i} = argmin with
+    cluster-id tie-break, c{i} = per-dimension mean update (ordered
+    fold over vec_id) — the Spark builder round for round."""
+    sql = f"""
+    WITH x AS (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS val,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings
+    ), c1 AS (
+        SELECT vec_id AS cl, pos, val AS cv FROM x WHERE vec_id < {KM_K}
+    )"""
+    for i in range(1, KM_ROUNDS + 1):
+        sql += f""", a{i} AS (
+        SELECT x.vec_id, c.cl,
+               list_sum(list((x.val - c.cv) * (x.val - c.cv)
+                             ORDER BY x.pos)) AS dist
+        FROM x JOIN c{i} c ON c.pos = x.pos
+        GROUP BY x.vec_id, c.cl
+    ), asg{i} AS (
+        SELECT vec_id, cl, dist FROM (
+            SELECT vec_id, cl, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cl) AS rn
+            FROM a{i}) t
+        WHERE rn = 1
+    )"""
+        if i < KM_ROUNDS:
+            sql += f""", c{i + 1} AS (
+        SELECT g.cl, x.pos,
+               list_sum(list(x.val ORDER BY x.vec_id)) / COUNT(*) AS cv
+        FROM x JOIN asg{i} g ON g.vec_id = x.vec_id
+        GROUP BY g.cl, x.pos
+    )"""
+    return sql + f"""
+    SELECT CAST(cl AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           list_sum(list(dist ORDER BY vec_id)) AS inertia,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+    FROM asg{KM_ROUNDS} GROUP BY cl"""
+
+
+@query("embedding_kmeans_lloyd", oracle=_kmeans_oracle())
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means clustering by {KM_ROUNDS} fixed Lloyd rounds (k = {KM_K},
+    init = the {KM_K} lowest vec_ids' vectors — deterministic, no RNG):
+    the E-step assigns every vector to its nearest centroid by squared
+    L2 (ties to the lowest cluster id), the M-step recomputes
+    per-dimension means, and the report is per-cluster size, inertia,
+    and the smallest member id.  This is the iterative-ML workload
+    (quantizer training, IVF coarse codebooks — similarity_topk_ivf and
+    _pq CONSUME exactly these centroids) expressed as DataFrame joins:
+    the vector matrix never materializes, fixed round count, unrolled
+    CTE oracle — the PageRank discipline applied to Lloyd's algorithm.
+
+    Cross-engine exactness for FLOAT math: every double summation (the
+    64-term squared-distance fold, the M-step component sums, the
+    inertia rollup) gathers its terms sorted (by pos / vec_id) and folds
+    left-to-right, so both engines add identical doubles in identical
+    order (the embedding_centroids trick); argmin compares those
+    bit-identical distances with an integer tie-break.  No transcendental
+    ever appears.
+
+    Scale: per round, the E-step is a broadcast of k×dim centroid cells
+    against the exploded vectors (k·dim rows — always broadcastable) +
+    one vec_id reduction; the M-step is one (cluster, pos) reduction.
+    At 100 TB with large k: centroids stay a broadcast until k·dim
+    outgrows memory, then the E-step becomes the IVF-style blocked join;
+    the per-round persist/materialize keeps branched lineage from
+    re-running prior rounds (the BFS/label-propagation round
+    discipline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+            "pos0", "val"
+        ),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    x = x.persist()
+    x.count()
+
+    def ordered_fold(order_col: str, term):
+        """Σ term, gathered sorted by order_col, folded left-to-right."""
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(order_col), term.alias("t")))),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    c = x.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cl"), "pos", F.col("val").alias("cv")
+    )
+    caches: list[DataFrame] = []
+    asg = None
+    for i in range(1, KM_ROUNDS + 1):
+        d2 = (F.col("val") - F.col("cv")) * (F.col("val") - F.col("cv"))
+        a = (
+            x.join(F.broadcast(c), "pos")
+            .groupBy("vec_id", "cl")
+            .agg(ordered_fold("pos", d2).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cl")
+        asg = (
+            a.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        asg = asg.persist()
+        asg.count()
+        for old in caches:
+            old.unpersist()
+        caches = [asg]
+        if i < KM_ROUNDS:
+            c = (
+                x.join(asg.select("vec_id", "cl"), "vec_id")
+                .groupBy("cl", "pos")
+                .agg(
+                    (ordered_fold("vec_id", F.col("val")) / F.count(F.lit(1))).alias(
+                        "cv"
+                    )
+                )
+            )
+    return asg.groupBy(F.col("cl").cast("long").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        ordered_fold("vec_id", F.col("dist")).alias("inertia"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+    )

@@ -1287,3 +1287,87 @@ def events_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sqrt(F.greatest((n * syy - sy * sy).cast("double"), F.lit(1e-12)))
     )
     return aligned.groupBy("lag").agg(n.alias("n_days"), r.alias("pearson_r"))
+
+
+LTTB_BUCKETS = 12  # output size of the downsampled series
+
+
+def _lttb_sql(idiv: str) -> str:
+    """Shared fixed-anchor LTTB text; integer-division token per
+    dialect (all operands non-negative)."""
+    b = LTTB_BUCKETS
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY CAST(ts AS DATE)
+), indexed AS (
+    SELECT day, y,
+           CAST(day - DATE '1970-01-01' AS BIGINT) AS xd,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS idx,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM daily
+), bucketed AS (
+    SELECT day, y, xd, idx, n,
+           CAST(((idx - 1) * {b}) {idiv} n AS BIGINT) AS bucket
+    FROM indexed
+), anchors AS (
+    SELECT bucket,
+           CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS ax,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS ay
+    FROM bucketed GROUP BY bucket
+), scored AS (
+    SELECT p.bucket, p.day, p.y,
+           ABS((l.ax - r.ax) * (CAST(p.y AS DOUBLE) - l.ay)
+               - (l.ax - CAST(p.xd AS DOUBLE)) * (r.ay - l.ay)) AS area
+    FROM bucketed p
+    JOIN anchors l ON l.bucket = p.bucket - 1
+    JOIN anchors r ON r.bucket = p.bucket + 1
+    WHERE p.bucket BETWEEN 1 AND {b - 2}
+), picked AS (
+    SELECT bucket, day, y,
+           ROW_NUMBER() OVER (PARTITION BY bucket
+                              ORDER BY area DESC, day) AS rn
+    FROM scored
+)
+SELECT CAST(bucket AS INT) AS bucket, day, y FROM picked WHERE rn = 1
+UNION ALL
+SELECT CAST(bucket AS INT) AS bucket, day, y
+FROM bucketed WHERE idx = 1 OR idx = n
+"""
+
+
+_LTTB_ORACLE = _lttb_sql("//")
+_LTTB_SPARK = _lttb_sql("DIV")
+
+
+@query("events_lttb_downsample", oracle=_LTTB_ORACLE)
+def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of the daily event
+    series to {LTTB_BUCKETS} points — the standard charting reduction
+    (Steinarsson 2013) that keeps the VISUALLY IMPORTANT points (peaks,
+    cliffs) where per-bucket averaging would flatten them: each interior
+    bucket keeps the point forming the largest triangle with its
+    neighbor buckets' anchors; the endpoints are always kept.
+
+    This is the FIXED-ANCHOR variant: both anchors are the neighbor
+    buckets' averages.  Canonical LTTB anchors the left side on the
+    previously SELECTED point — a sequential dependency that serializes
+    the whole series through one scan; fixing both anchors makes every
+    bucket's selection independent (one join + one windowed argmax,
+    embarrassingly parallel) at a small fidelity cost the original paper
+    itself measures as minor (its own streaming variant makes the same
+    trade).  At 100 TB you run THIS shape; the sequential refinement is
+    a days-sized post-pass if ever needed.
+
+    Exactness: x is the epoch-day integer, y an exact count; anchors
+    are single divisions of exact sums (identical doubles cross-engine);
+    the triangle area is one shared multiply/subtract formula (no
+    transcendentals), and the argmax tie-breaks on day — double-vs-
+    double comparison of identically computed values.
+
+    Plan: one fact-sized daily reduction; everything after (index
+    window, bucket agg, neighbor equi-joins, per-bucket argmax) runs on
+    the calendar-sized series.  The single-partition ROW_NUMBER is over
+    |days| rows — the rolling family's documented bound."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LTTB_SPARK)
