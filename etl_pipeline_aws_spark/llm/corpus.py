@@ -1660,3 +1660,108 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered_fold("vec_id", F.col("dist")).alias("inertia"),
         F.min("vec_id").cast("long").alias("min_vec_id"),
     )
+
+
+_SILHOUETTE_ORACLE = """
+    WITH x AS (
+        SELECT label, vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS val,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings
+    ), cent AS (
+        SELECT label AS cl, pos,
+               list_sum(list(val ORDER BY vec_id)) / COUNT(*) AS cv
+        FROM x GROUP BY label, pos
+    ), d AS (
+        SELECT x.vec_id, x.label, c.cl,
+               sqrt(list_sum(list((x.val - c.cv) * (x.val - c.cv)
+                                  ORDER BY x.pos))) AS dist
+        FROM x JOIN cent c ON c.pos = x.pos
+        GROUP BY x.vec_id, x.label, c.cl
+    ), ab AS (
+        SELECT vec_id, label,
+               MAX(CASE WHEN cl = label THEN dist END) AS a,
+               MIN(CASE WHEN cl <> label THEN dist END) AS b
+        FROM d GROUP BY vec_id, label
+    ), s AS (
+        SELECT vec_id, label, (b - a) / GREATEST(a, b) AS sil
+        FROM ab
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           list_sum(list(sil ORDER BY vec_id)) / COUNT(*) AS mean_silhouette,
+           MIN(sil) AS worst_silhouette
+    FROM s GROUP BY label
+"""
+
+
+@query("embedding_silhouette_centroid", oracle=_SILHOUETTE_ORACLE)
+def embedding_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette score per labeled cluster: for every
+    vector, a = L2 distance to its OWN label's centroid, b = distance to
+    the nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1] — the
+    cluster-quality number that says whether the labeling is geometric
+    reality or wishful metadata, read before trusting labels for
+    retrieval eval (embedding_knn_label_eval) or per-label routing.
+    This is the "simplified silhouette" (centroid distances instead of
+    the classic all-pairs mean) — THE standard scale substitution: exact
+    silhouette is O(n²) by definition; the centroid form is O(n·k) and
+    monotone-consistent with it for compact clusters.
+
+    Exactness: centroids are ordered folds (the embedding_centroids
+    trick); each vector-to-centroid distance is an ordered fold over pos
+    under an IEEE sqrt; s is one shared division/greatest expression;
+    per-label mean-s is an ordered fold by vec_id.  No transcendentals,
+    no accumulation-order ambiguity anywhere.
+
+    Scale: one (label, pos) reduction builds the k×dim centroid table
+    (always broadcastable); the distance pass is a broadcast join on
+    pos against the exploded vectors with a (vec, cl) reduction; the
+    report is k rows.  100 TB: identical plan — the n×k distance
+    matrix exists only as a streamed aggregation, never materialized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+            "pos0", "val"
+        ),
+    ).select("label", "vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+
+    def ordered_fold(order_col: str, term):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(order_col), term.alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cent = x.groupBy(F.col("label").alias("cl"), "pos").agg(
+        (ordered_fold("vec_id", F.col("val")) / F.count(F.lit(1))).alias("cv")
+    )
+    d2 = (F.col("val") - F.col("cv")) * (F.col("val") - F.col("cv"))
+    d = (
+        x.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "cl")
+        .agg(F.sqrt(ordered_fold("pos", d2)).alias("dist"))
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("cl") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("cl") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    s = ab.select(
+        "vec_id",
+        "label",
+        ((F.col("b") - F.col("a")) / F.greatest("a", "b")).alias("sil"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        (ordered_fold("vec_id", F.col("sil")) / F.count(F.lit(1))).alias(
+            "mean_silhouette"
+        ),
+        F.min("sil").alias("worst_silhouette"),
+    )

@@ -1235,3 +1235,157 @@ def embedding_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.max(F.when(F.col("is_same") == 0, F.col("cos_ppm")))
         ).alias("margin_ppm"),
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_POOL = 20  # candidates taken from each ranker
+RRF_TOP = 10  # fused results returned
+
+_HYBRID_RRF_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM base
+    ), postings AS (
+        SELECT b.doc_id, len(b.toks) AS dl, t.term
+        FROM base b, unnest(b.toks) AS t(term)
+        WHERE t.term IN ('hash', 'join', 'vector')
+    ), tfc AS (
+        SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM postings GROUP BY doc_id, dl, term
+    ), dfc AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM postings GROUP BY term
+    ), bm25 AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(FLOOR(
+                   CAST((n_docs * 1000) // df AS DOUBLE)
+                   * (CAST(tf AS DOUBLE) * (1.2 + 1))
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                   * 1000) AS BIGINT)) AS BIGINT) AS milli
+        FROM tfc JOIN dfc USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+    ), r_text AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY milli DESC, doc_id) AS BIGINT)
+                   AS r_text
+        FROM bm25
+        QUALIFY r_text <= {RRF_POOL}
+    ), e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ), q AS (SELECT * FROM n WHERE vec_id = 0),
+    sims AS (
+        SELECT c.vec_id AS doc_id,
+               list_sum(list_transform(range(1, len(q.v) + 1),
+                                       i -> q.v[i] * c.v[i]))
+                   / (q.nrm * c.nrm) AS cosine
+        FROM q JOIN n c ON c.vec_id <> q.vec_id
+    ), r_vec AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+                   AS r_vec
+        FROM sims
+        QUALIFY r_vec <= {RRF_POOL}
+    ), fused AS (
+        SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+               COALESCE(t.r_text, 0) AS r_text,
+               COALESCE(v.r_vec, 0) AS r_vec,
+               COALESCE(1.0 / ({RRF_K} + t.r_text), 0.0)
+                   + COALESCE(1.0 / ({RRF_K} + v.r_vec), 0.0) AS rrf_score
+        FROM r_text t FULL OUTER JOIN r_vec v ON t.doc_id = v.doc_id
+    )
+    SELECT doc_id, CAST(r_text AS BIGINT) AS r_text,
+           CAST(r_vec AS BIGINT) AS r_vec, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {RRF_TOP}
+"""
+
+
+@query("search_hybrid_rrf", oracle=_HYBRID_RRF_ORACLE)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector search fused by Reciprocal Rank Fusion —
+    the retrieval architecture RAG stacks actually deploy: a BM25 ranker
+    (llm/text.py's shared core, terms 'hash join vector') and a
+    dense-vector ranker (cosine to the vec_id-0 query embedding; the
+    documents and embeddings fixtures share the id space) each nominate
+    their top {RRF_POOL}, and the fused score is Σ 1/({RRF_K}+rank) —
+    rank-space fusion needs NO score calibration between rankers whose
+    raw scores aren't comparable (integer milli-BM25 vs cosine), which
+    is exactly why RRF beats score-blending in practice.
+
+    Determinism: both ranks are integer row numbers over deterministic
+    orderings (integer-milli BM25; cosine doubles that are bit-identical
+    cross-engine by the ordered zip_with fold); the fused score is two
+    exact divisions added in one fixed written order; absent ranks
+    contribute 0 and are REPORTED as 0 (a NULL rank would surface as a
+    dtype-unstable NaN in the driver canonicalizer).
+
+    Plan shape: the BM25 side touches posting lists only (inverted-index
+    discipline); the vector side is one broadcast query row against the
+    corpus scan with TakeOrdered top-{RRF_POOL} (no global sort, no
+    corpus-wide window); the fusion is a {RRF_POOL}×{RRF_POOL} full
+    outer join — constant-size regardless of corpus.  At 100 TB each
+    ranker is its own index lookup; fusion cost never grows."""
+    from etl_pipeline_aws_spark.llm.text import bm25_scored_milli
+
+    docs = load_table(spark, sf_dir, "documents")
+    r_text = (
+        bm25_scored_milli(docs)
+        .orderBy(F.col("bm25_score_milli").desc(), "doc_id")
+        .limit(RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("bm25_score_milli").desc(), "doc_id"))
+            .cast("long")
+            .alias("r_text"),
+        )
+    )
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(
+            F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+        )
+    )
+    sims = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    r_vec = (
+        sims.orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("cosine").desc(), "doc_id"))
+            .cast("long")
+            .alias("r_vec"),
+        )
+    )
+    fused = (
+        r_text.join(r_vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("r_text"), F.lit(0)).cast("long").alias("r_text"),
+            F.coalesce(F.col("r_vec"), F.lit(0)).cast("long").alias("r_vec"),
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_text")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_vec")), F.lit(0.0))
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(RRF_TOP)

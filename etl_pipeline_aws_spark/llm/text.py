@@ -1598,6 +1598,53 @@ _BM25_ORACLE = f"""
 """
 
 
+def bm25_scored_milli(docs: DataFrame) -> DataFrame:
+    """Shared BM25 scoring core: (doc_id, bm25_score_milli, n_terms_hit)
+    for every document hitting at least one of {_SEARCH_TERMS} — the
+    un-truncated ranking text_bm25_search top-10s and the hybrid RRF
+    fusion (llm/similarity.py) re-ranks.  See text_bm25_search for the
+    determinism and plan-shape rationale."""
+    base = docs.select(
+        "doc_id", F.size(_tokens()).alias("dl"),
+        F.explode(_tokens()).alias("term"),
+    )
+    postings = base.filter(F.col("term").isin(*_SEARCH_TERMS))
+    tf = postings.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_counts = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(_tokens())).cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    k1 = float(_BM25_K1)
+    term_score = (
+        F.expr("(n_docs * 1000) div df").cast("double")
+        * (F.col("tf").cast("double") * F.lit(k1 + 1))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl")))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.floor(F.col("term_score") * 1000).cast("long"))
+            .cast("long")
+            .alias("bm25_score_milli"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+    )
+
+
 @query("text_bm25_search", oracle=_BM25_ORACLE)
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25-ranked keyword search (k1 = 1.2, b = 0.75) — the ranking
@@ -1626,45 +1673,6 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the postings become a term-partitioned index and query
     cost scales with |terms|, not the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", F.size(_tokens()).alias("dl"),
-        F.explode(_tokens()).alias("term"),
-    )
-    postings = base.filter(F.col("term").isin(*_SEARCH_TERMS))
-    tf = postings.groupBy("doc_id", "dl", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    df_counts = postings.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum(F.size(_tokens())).cast("double") / F.count(F.lit(1))
-        ).alias("avgdl"),
-    )
-    k1 = float(_BM25_K1)
-    term_score = (
-        F.expr("(n_docs * 1000) div df").cast("double")
-        * (F.col("tf").cast("double") * F.lit(k1 + 1))
-        / (
-            F.col("tf").cast("double")
-            + F.lit(k1)
-            * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl")))
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(df_counts), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", term_score.alias("term_score"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.floor(F.col("term_score") * 1000).cast("long"))
-            .cast("long")
-            .alias("bm25_score_milli"),
-            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
-        )
-    )
-    return scored.orderBy(
+    return bm25_scored_milli(docs).orderBy(
         F.col("bm25_score_milli").desc(), "doc_id"
     ).limit(_SEARCH_TOP)

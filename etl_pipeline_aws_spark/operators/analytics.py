@@ -4014,3 +4014,95 @@ def pipeline_experiment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_EXP_E2E_SPARK)
+
+
+_WOW_ATTRIBUTION_ORACLE = """
+    WITH weekly AS (
+        SELECT event_type,
+               CAST(date_trunc('week', ts) AS DATE) AS week_start,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS wv
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT event_type, wv,
+               DENSE_RANK() OVER (ORDER BY week_start DESC) AS rk
+        FROM weekly
+    ), pivoted AS (
+        SELECT event_type,
+               COALESCE(MAX(CASE WHEN rk = 1 THEN wv END),
+                        CAST(0 AS DECIMAL(30,2))) AS cur,
+               COALESCE(MAX(CASE WHEN rk = 2 THEN wv END),
+                        CAST(0 AS DECIMAL(30,2))) AS prev
+        FROM ranked WHERE rk <= 2
+        GROUP BY event_type
+    ), d AS (
+        SELECT event_type, cur, prev, cur - prev AS delta,
+               SUM(cur - prev) OVER () AS total_delta
+        FROM pivoted
+    )
+    SELECT event_type,
+           CAST(cur AS DOUBLE) AS cur_value,
+           CAST(prev AS DOUBLE) AS prev_value,
+           CAST(delta AS DOUBLE) AS delta_value,
+           CASE WHEN total_delta = 0 THEN 0.0
+                ELSE CAST(delta AS DOUBLE) / CAST(total_delta AS DOUBLE)
+           END AS contribution_share
+    FROM d
+"""
+
+
+@query("events_wow_attribution", oracle=_WOW_ATTRIBUTION_ORACLE)
+def events_wow_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-movement attribution: the latest week's total value change
+    vs the prior week, DECOMPOSED into per-event-type contributions that
+    sum exactly to the total — the "why did the KPI move" root-cause
+    table (events_wow_change reports each series' own delta; this query
+    answers which slice OWNS the aggregate move, the question an
+    on-call analyst actually asks).  Because the metric is a sum, slice
+    deltas partition the total by construction — contribution_share is
+    an identity, not a model.
+
+    Exactness: weekly slice totals are exact decimals; cur/prev/delta
+    stay decimal through the subtraction; the share divides two
+    decimal-derived doubles (identical cross-engine) with the
+    zero-total-week case pinned to 0.0 by an exact decimal compare.
+    Week selection is a dense_rank over DISTINCT week starts — slices
+    missing from either week coalesce to exact 0, so entering/exiting
+    slices attribute correctly.
+
+    Scale: one map-side-combined weekly reduction is the only
+    fact-sized stage; ranking and attribution run on |series|×|weeks|
+    rows, and the total-delta window is over |series| rows in one
+    partition — dashboard-sized, not data-sized."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(30,2)")
+        .alias("wv")
+    )
+    ranked = weekly.select(
+        "event_type",
+        "wv",
+        F.dense_rank().over(Window.orderBy(F.col("week_start").desc())).alias("rk"),
+    ).filter(F.col("rk") <= 2)
+    zero = F.lit(0).cast("decimal(30,2)")
+    pivoted = ranked.groupBy("event_type").agg(
+        F.coalesce(F.max(F.when(F.col("rk") == 1, F.col("wv"))), zero).alias("cur"),
+        F.coalesce(F.max(F.when(F.col("rk") == 2, F.col("wv"))), zero).alias("prev"),
+    )
+    d = pivoted.withColumn("delta", F.col("cur") - F.col("prev")).withColumn(
+        "total_delta", F.sum(F.col("delta")).over(Window.partitionBy())
+    )
+    return d.select(
+        "event_type",
+        F.col("cur").cast("double").alias("cur_value"),
+        F.col("prev").cast("double").alias("prev_value"),
+        F.col("delta").cast("double").alias("delta_value"),
+        F.when(F.col("total_delta") == 0, F.lit(0.0))
+        .otherwise(F.col("delta").cast("double") / F.col("total_delta").cast("double"))
+        .alias("contribution_share"),
+    )

@@ -146,6 +146,7 @@ ALLOWED_NESTED_LOOP = {
     "events_trend_slope",  # 1-row calendar-origin broadcast (scale-free)
     "market_basket_rules",  # 1-row global basket-count broadcast (scale-free)
     "similarity_topk_dot",  # broadcast query set, != residual (bruteforce design)
+    "search_hybrid_rrf",  # single-row query-vector broadcast (q11 pattern)
     "embedding_knn_label_eval",  # broadcast LOO eval panel (bruteforce design)
     "embedding_contrastive_pairs",  # broadcast anchor panel (bruteforce design)
     "governance_row_level_policy",  # 1-row leakage-count broadcast per principal (q11 pattern)
