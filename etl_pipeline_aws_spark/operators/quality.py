@@ -1073,3 +1073,96 @@ def dq_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("orders", orders, orders_after, res_o))
         .unionByName(audit("lineitem", lineitem, li_after, res_l))
     )
+
+
+_IQR_FENCES_ORACLE = """
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), quartiles AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = (n - 1) // 4 + 1 THEN value END) AS q1,
+               MIN(CASE WHEN rn = 3 * (n - 1) // 4 + 1 THEN value END) AS q3
+        FROM ranked GROUP BY event_type
+    ), fences AS (
+        SELECT event_type, q1, q3,
+               q1 - 1.5 * (q3 - q1) AS fence_low,
+               q3 + 1.5 * (q3 - q1) AS fence_high
+        FROM quartiles
+    )
+    SELECT e.event_type, f.q1, f.q3, f.fence_low, f.fence_high,
+           CAST(SUM(CASE WHEN e.value < f.fence_low
+                           OR e.value > f.fence_high
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events e
+    JOIN fences f ON f.event_type = e.event_type
+    GROUP BY e.event_type, f.q1, f.q3, f.fence_low, f.fence_high
+"""
+
+
+@query("dq_iqr_fences", oracle=_IQR_FENCES_ORACLE)
+def dq_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot fences per metric series: outliers are values
+    outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the third member of the
+    robust-outlier family (z-score assumes normality and is itself
+    dragged by outliers; MAD — agg_mad_outliers — resists but has no
+    conventional threshold; the 1.5·IQR fence is the boxplot default
+    every data-profiling tool reports).
+
+    Quartiles are exact DISCRETE picks (rank ⌊(n−1)·p⌋+1, event_id
+    tie-break — the agg_quantiles_exact discipline: interpolated
+    quantiles round engine-specifically, element picks cannot); fences
+    are one shared arithmetic text on those picked doubles; outlier
+    classification compares raw values against identically computed
+    fences.
+
+    Plan: one per-type window sort (the inherent exact-quantile cost —
+    the scale relief is percentile_approx, documented there), then the
+    5-row fence table broadcast-joins back to the fact scan for the
+    count — two scans total, no fact-sized shuffle beyond the sort."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    quartiles = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(n - 1) div 4 + 1"), F.col("value"))
+        ).alias("q1"),
+        F.min(
+            F.when(F.col("rn") == F.expr("3 * (n - 1) div 4 + 1"), F.col("value"))
+        ).alias("q3"),
+    )
+    fences = quartiles.select(
+        "event_type",
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("fence_low"),
+        (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("fence_high"),
+    )
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "q1", "q3", "fence_low", "fence_high")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("fence_low"))
+                    | (F.col("value") > F.col("fence_high")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )

@@ -1195,3 +1195,58 @@ def stat_fdr_bh_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partial agg."""
     register_views(spark, sf_dir)
     return spark.sql(_FDR_SPARK)
+
+
+def _poisson_ci_sql(span_days: str) -> str:
+    """Shared Poisson-CI text; per-dialect day-span expression (DATE
+    minus DATE is an integer in DuckDB but an INTERVAL in Spark)."""
+    return f"""
+WITH per_type AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(CAST(ts AS DATE)) AS d0,
+           MAX(CAST(ts AS DATE)) AS d1
+    FROM events GROUP BY event_type
+), spanned AS (
+    SELECT event_type, n_events,
+           {span_days} + 1 AS n_days
+    FROM per_type
+)
+SELECT event_type, n_events, n_days,
+       CAST(n_events AS DOUBLE) / n_days AS rate_per_day,
+       CAST(n_events AS DOUBLE) / n_days
+           - 1.96 * sqrt(CAST(n_events AS DOUBLE)) / n_days AS ci_low,
+       CAST(n_events AS DOUBLE) / n_days
+           + 1.96 * sqrt(CAST(n_events AS DOUBLE)) / n_days AS ci_high
+FROM spanned
+"""
+
+
+_POISSON_ORACLE = _poisson_ci_sql(
+    "CAST(date_diff('day', MIN(d0) OVER (), MAX(d1) OVER ()) AS BIGINT)"
+)
+_POISSON_SPARK = _poisson_ci_sql(
+    "CAST(datediff(MAX(d1) OVER (), MIN(d0) OVER ()) AS BIGINT)"
+)
+
+
+@query("stat_poisson_rate_ci", oracle=_POISSON_ORACLE)
+def stat_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily arrival rate with a 95% Poisson confidence
+    interval (normal approximation: rate ± 1.96·√n / days) — the
+    error-bar every "events per day" dashboard number needs before two
+    rates are declared different; pairs with events_interarrival_stats
+    (the Poisson assumption's own diagnostic) and the z-era cousin
+    stat_two_proportion_ztest.
+
+    Exactness: n is an exact count, the day span an exact integer
+    (global calendar window over the 5 per-type rows, not a join);
+    rate and half-width are one shared division/sqrt text — no
+    variance estimate, no transcendental (for counts this small a
+    Wilson/Garwood exact interval needs gamma quantiles — out of
+    engine-exact scope, documented).
+
+    Scale: one map-side-combined per-type reduction is the only
+    fact-sized stage; the span window runs over |event types| rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_POISSON_SPARK)

@@ -1371,3 +1371,137 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     |days| rows — the rolling family's documented bound."""
     register_views(spark, sf_dir)
     return spark.sql(_LTTB_SPARK)
+
+
+CROSTON_ALPHA_E3 = 200  # smoothing for both demand size and interval, thousandths
+CROSTON_VALUE_MIN = 300  # error events above this value form the sparse demand series
+
+
+def _croston_grid(day_gen: str) -> str:
+    """Shared gapfilled-daily-grid text for the sparse demand series;
+    per-dialect calendar generator (Spark explode(sequence), DuckDB
+    unnest(generate_series)).  Zero-demand days MUST exist as rows —
+    Croston's interval state q counts them."""
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS v
+    FROM events
+    WHERE event_type = 'error' AND value > {CROSTON_VALUE_MIN}
+    GROUP BY CAST(ts AS DATE)
+), bounds AS (
+    SELECT MIN(CAST(ts AS DATE)) AS dmin, MAX(CAST(ts AS DATE)) AS dmax
+    FROM events
+), grid AS (
+    SELECT {day_gen} AS day FROM bounds
+), idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY g.day) AS BIGINT) AS i,
+           g.day, COALESCE(d.v, CAST(0 AS BIGINT)) AS v
+    FROM grid g LEFT JOIN daily d ON d.day = g.day
+)"""
+
+
+_CROSTON_TAIL = f"""
+SELECT day, v AS demand, z AS z_milli, p AS p_milli,
+       (z * 1000) {{idiv}} p AS croston_forecast_milli
+FROM walk WHERE v > 0
+"""
+
+
+def _croston_oracle() -> str:
+    a = CROSTON_ALPHA_E3
+    return (
+        _croston_grid(
+            "CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE)"
+        ).replace("WITH daily", "WITH RECURSIVE daily")
+        + f""", walk AS (
+    SELECT i, day, v,
+           CASE WHEN v > 0 THEN 1 ELSE 0 END AS started,
+           CASE WHEN v > 0 THEN v * 1000 ELSE CAST(0 AS BIGINT) END AS z,
+           CASE WHEN v > 0 THEN CAST(1000 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS p,
+           CASE WHEN v > 0 THEN CAST(1 AS BIGINT)
+                ELSE CAST(2 AS BIGINT) END AS q
+    FROM idx WHERE i = 1
+    UNION ALL
+    SELECT r.i, r.day, r.v,
+           CASE WHEN r.v > 0 THEN 1 ELSE w.started END AS started,
+           CASE WHEN r.v > 0 THEN
+                CASE WHEN w.started = 0 THEN r.v * 1000
+                     ELSE ({a} * (r.v * 1000) + {1000 - a} * w.z) // 1000 END
+                ELSE w.z END AS z,
+           CASE WHEN r.v > 0 THEN
+                CASE WHEN w.started = 0 THEN w.q * 1000
+                     ELSE ({a} * (w.q * 1000) + {1000 - a} * w.p) // 1000 END
+                ELSE w.p END AS p,
+           CASE WHEN r.v > 0 THEN CAST(1 AS BIGINT) ELSE w.q + 1 END AS q
+    FROM walk w JOIN idx r ON r.i = w.i + 1
+)"""
+        + _CROSTON_TAIL.format(idiv="//")
+    )
+
+
+def _croston_spark() -> str:
+    a = CROSTON_ALPHA_E3
+    znew = f"CAST(({a} * (x.v * 1000) + {1000 - a} * acc.z) DIV 1000 AS BIGINT)"
+    pnew = f"CAST(({a} * (acc.q * 1000) + {1000 - a} * acc.p) DIV 1000 AS BIGINT)"
+    return (
+        _croston_grid("explode(sequence(dmin, dmax))")
+        + f""", packed AS (
+    SELECT array_sort(collect_list(named_struct('day', day, 'v', v))) AS series
+    FROM idx
+), folded AS (
+    SELECT aggregate(
+        series,
+        named_struct('started', false, 'z', CAST(0 AS BIGINT),
+                     'p', CAST(0 AS BIGINT), 'q', CAST(1 AS BIGINT),
+                     'out', CAST(array() AS
+                         ARRAY<STRUCT<day: DATE, v: BIGINT, z: BIGINT, p: BIGINT>>)),
+        (acc, x) -> CASE
+            WHEN x.v > 0 AND NOT acc.started THEN named_struct(
+                'started', true, 'z', x.v * 1000, 'p', acc.q * 1000,
+                'q', CAST(1 AS BIGINT),
+                'out', array_append(acc.out, named_struct('day', x.day, 'v', x.v,
+                       'z', x.v * 1000, 'p', acc.q * 1000)))
+            WHEN x.v > 0 THEN named_struct(
+                'started', true, 'z', {znew}, 'p', {pnew},
+                'q', CAST(1 AS BIGINT),
+                'out', array_append(acc.out, named_struct('day', x.day, 'v', x.v,
+                       'z', {znew}, 'p', {pnew})))
+            ELSE named_struct(
+                'started', acc.started, 'z', acc.z, 'p', acc.p,
+                'q', acc.q + 1, 'out', acc.out)
+            END,
+        acc -> acc.out) AS out
+    FROM packed
+), walk AS (
+    SELECT o.day, o.v, o.z, o.p FROM folded LATERAL VIEW explode(out) ex AS o
+)"""
+        + _CROSTON_TAIL.format(idiv="DIV")
+    )
+
+
+@query("events_croston_intermittent", oracle=_croston_oracle())
+def events_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand — the standard forecaster
+    when most periods are zero (spare parts, rare-error budgeting, tail
+    SKUs), where Holt/EWMA are biased toward zero by all the empty days:
+    smooth the nonzero demand SIZES (z) and the BETWEEN-demand intervals
+    (p) as two separate exponential states updated only on demand days,
+    and forecast the per-period rate as z/p.  Demand here: daily counts
+    of high-value error events (> {CROSTON_VALUE_MIN}) — ~20% of days at
+    the gate scale, a genuinely sparse series.
+
+    Same execution split as events_holt_linear_forecast (the measured
+    ~0.3 s/recursion-level Spark overhead): the ORACLE spells the
+    recurrence as WITH RECURSIVE over the gapfilled calendar; the Spark
+    side folds the packed series in ONE aggregate() stage.  States are
+    scaled integers (alpha = {CROSTON_ALPHA_E3}/1000, milli states,
+    non-negative throughout so // and DIV agree); the zero-day rows the
+    interval counter depends on come from an explicit calendar
+    gapfill — a forecaster that only sees demand rows silently halves p.
+
+    Scale: daily reduction (fact-sized) → calendar-sized fold; at
+    100 TB the fold input is |days| rows regardless of event volume,
+    same bound as the Holt family."""
+    register_views(spark, sf_dir)
+    return spark.sql(_croston_spark())
