@@ -21,7 +21,7 @@ import pytest
 
 import etl_pipeline_aws_spark as engine
 from pyspark.sql import functions as F
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_DIR, SF_SMALL
 from tests.oracle import compare, duckdb_con
 
 
@@ -1580,3 +1580,150 @@ def test_allen_case_ladder_covers_all_seven(spark):
         ).collect()
     ]
     assert got == [p[4] for p in pairs]
+
+
+# ---------------------------------------------------------------- session 4
+
+
+def test_bfs_seeds_are_hop_zero_and_counts_positive(spark):
+    from etl_pipeline_aws_spark.operators.graph import BFS_SEED_MOD
+
+    rows = {
+        r.hop: r
+        for r in engine.queries()["graph_bfs_hops"](spark, SF_DIR).collect()
+    }
+    assert 0 in rows and rows[0].n_nodes > 0
+    assert rows[0].min_node % BFS_SEED_MOD == 0
+    assert rows[0].max_node % BFS_SEED_MOD == 0
+    assert all(r.n_nodes > 0 for r in rows.values())
+
+
+def test_kmeans_second_round_does_not_increase_inertia(spark, monkeypatch):
+    """Lloyd guarantee: (update centroids, reassign) cannot raise the
+    total within-cluster cost — pin it by running the builder at 1 and
+    2 rounds and comparing summed inertia."""
+    import etl_pipeline_aws_spark.llm.corpus as corpus
+
+    totals = {}
+    for rounds in (1, 2):
+        monkeypatch.setattr(corpus, "KM_ROUNDS", rounds)
+        engine.clear_caches(spark)
+        rows = corpus.embedding_kmeans_lloyd(spark, SF_DIR).collect()
+        totals[rounds] = sum(r.inertia for r in rows)
+        assert sum(r.n_members for r in rows) == 500  # every vector assigned
+    assert totals[2] <= totals[1] + 1e-9
+
+
+def test_silhouette_is_bounded_and_covers_corpus(spark):
+    rows = engine.queries()["embedding_silhouette_centroid"](spark, SF_DIR).collect()
+    assert sum(r.n_members for r in rows) == 500
+    for r in rows:
+        assert -1.0 <= r.worst_silhouette <= r.mean_silhouette <= 1.0
+
+
+def test_rrf_score_is_the_rank_identity(spark):
+    from etl_pipeline_aws_spark.llm.similarity import RRF_K, RRF_TOP
+
+    rows = engine.queries()["search_hybrid_rrf"](spark, SF_DIR).collect()
+    assert len(rows) == RRF_TOP
+    for r in rows:
+        want = (1.0 / (RRF_K + r.r_text) if r.r_text > 0 else 0.0) + (
+            1.0 / (RRF_K + r.r_vec) if r.r_vec > 0 else 0.0
+        )
+        assert r.rrf_score == want
+        assert r.r_text > 0 or r.r_vec > 0
+
+
+def test_next_fit_bins_respect_capacity_and_conserve_tokens(spark):
+    from etl_pipeline_aws_spark.llm.corpus import PACK_BIN_CAPACITY
+
+    rows = engine.queries()["corpus_pack_next_fit"](spark, SF_DIR).collect()
+    per_source: dict[str, list] = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r)
+        assert r.fill_tokens <= PACK_BIN_CAPACITY or r.n_docs == 1
+    docs = engine.queries()["text_token_stats"](spark, SF_DIR)
+    total_tokens = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(r.fill_tokens for r in rows) == total_tokens
+    for src, bins in per_source.items():
+        idxs = sorted(b.bin_idx for b in bins)
+        assert idxs == list(range(1, len(idxs) + 1)), src  # contiguous bins
+
+
+def test_wow_attribution_shares_partition_the_total(spark):
+    rows = engine.queries()["events_wow_attribution"](spark, SF_DIR).collect()
+    total = sum(r.delta_value for r in rows)
+    if abs(total) > 1e-9:
+        assert abs(sum(r.contribution_share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert abs((r.cur_value - r.prev_value) - r.delta_value) < 1e-9
+
+
+def test_croston_states_positive_and_demand_days_match(spark):
+    from etl_pipeline_aws_spark.operators.timeseries import CROSTON_VALUE_MIN
+
+    rows = engine.queries()["events_croston_intermittent"](spark, SF_DIR).collect()
+    con = duckdb_con(SF_DIR)
+    want_days = con.sql(
+        f"SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events "
+        f"WHERE event_type = 'error' AND value > {CROSTON_VALUE_MIN}"
+    ).fetchone()[0]
+    con.close()
+    assert len(rows) == want_days
+    for r in rows:
+        assert r.demand > 0
+        assert r.z_milli > 0
+        assert r.p_milli >= 1000  # interval can never smooth below 1 period
+        assert r.croston_forecast_milli > 0
+
+
+def test_fdr_rejections_form_a_rank_prefix(spark):
+    rows = sorted(
+        engine.queries()["stat_fdr_bh_control"](spark, SF_DIR).collect(),
+        key=lambda r: r.bh_rank,
+    )
+    assert len(rows) == 25
+    rejected = [r.bh_rank for r in rows if r.rejected == 1]
+    assert rejected == list(range(1, len(rejected) + 1))  # step-up is a prefix
+    for r in rows:
+        assert 0.0 < r.p_emp <= 1.0
+
+
+def test_iqr_fences_order_and_bounds(spark):
+    for r in engine.queries()["dq_iqr_fences"](spark, SF_DIR).collect():
+        assert r.fence_low <= r.q1 <= r.q3 <= r.fence_high
+        assert 0 <= r.n_outliers <= r.n_rows
+
+
+def test_poisson_ci_brackets_rate(spark):
+    for r in engine.queries()["stat_poisson_rate_ci"](spark, SF_DIR).collect():
+        assert r.ci_low <= r.rate_per_day <= r.ci_high
+        assert abs(r.rate_per_day * r.n_days - r.n_events) < 1e-6
+
+
+def test_lttb_keeps_endpoints_and_bucket_count(spark):
+    from etl_pipeline_aws_spark.operators.timeseries import LTTB_BUCKETS
+
+    rows = sorted(
+        engine.queries()["events_lttb_downsample"](spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    assert len(rows) == LTTB_BUCKETS  # every interior bucket non-empty at sf0.01
+    con = duckdb_con(SF_DIR)
+    dmin, dmax = con.sql(
+        "SELECT MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)) FROM events"
+    ).fetchone()
+    con.close()
+    assert rows[0].day == dmin and rows[-1].day == dmax
+    assert len({r.bucket for r in rows}) == LTTB_BUCKETS
+
+
+def test_xcorr_day_counts_shrink_with_lag(spark):
+    from etl_pipeline_aws_spark.operators.timeseries import XCORR_MAX_LAG
+
+    rows = {r.lag: r for r in engine.queries()["events_lead_lag_xcorr"](spark, SF_DIR).collect()}
+    assert set(rows) == set(range(XCORR_MAX_LAG + 1))
+    for lag in range(1, XCORR_MAX_LAG + 1):
+        assert rows[lag].n_days <= rows[lag - 1].n_days
+    for r in rows.values():
+        assert -1.0 - 1e-12 <= r.pearson_r <= 1.0 + 1e-12
