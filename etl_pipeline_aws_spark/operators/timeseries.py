@@ -1505,3 +1505,64 @@ def events_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bound as the Holt family."""
     register_views(spark, sf_dir)
     return spark.sql(_croston_spark())
+
+
+XMR_SIGMA_E3 = 2660  # 2.66 = 3/d2(n=2), the individuals-chart constant, thousandths
+
+
+def _xmr_sql() -> str:
+    """Shared XmR (individuals + moving range) control-chart text —
+    identical on both dialects."""
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events WHERE event_type = 'error'
+    GROUP BY CAST(ts AS DATE)
+), mr AS (
+    SELECT day, x,
+           ABS(x - LAG(x) OVER (ORDER BY day)) AS moving_range
+    FROM daily
+), center AS (
+    SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS x_bar,
+           CAST(SUM(moving_range) AS DOUBLE)
+               / SUM(CASE WHEN moving_range IS NOT NULL THEN 1 ELSE 0 END)
+               AS mr_bar
+    FROM mr
+)
+SELECT day, x, moving_range,
+       x_bar,
+       x_bar + ({XMR_SIGMA_E3} * mr_bar) / 1000 AS ucl,
+       x_bar - ({XMR_SIGMA_E3} * mr_bar) / 1000 AS lcl,
+       CASE WHEN CAST(x AS DOUBLE) > x_bar + ({XMR_SIGMA_E3} * mr_bar) / 1000
+              OR CAST(x AS DOUBLE) < x_bar - ({XMR_SIGMA_E3} * mr_bar) / 1000
+            THEN 1 ELSE 0 END AS out_of_control
+FROM mr CROSS JOIN center
+"""
+
+
+@query("events_xmr_control_chart", oracle=_xmr_sql())
+def events_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals & moving-range) control chart over the daily
+    error count — the Shewhart SPC chart for metrics with ONE
+    observation per period: sigma is estimated from the mean of
+    consecutive |differences| (MR̄), limits are x̄ ± 2.66·MR̄, and a point
+    outside them is a special-cause signal.  Completes the
+    anomaly-detection ladder with the classical process-control member:
+    z-score assumes a stable variance estimate, CUSUM detects small
+    sustained drifts, MAD resists outliers — XmR is the standard when
+    the "distribution" is one point per day and variance must come from
+    short-range structure, not the (possibly trending) global spread.
+
+    Exactness: counts and moving ranges are exact integers; x̄ and MR̄
+    are single divisions of exact sums; the 2.66 constant is carried as
+    the integer {XMR_SIGMA_E3}/1000 inside one shared limit text; the
+    flag is a comparison of identically computed doubles.  (MR̄ divides
+    by the count of DEFINED ranges — n−1, not n: the first day has no
+    predecessor, and dividing by n reads ~4% tight limits.)
+
+    Scale: daily reduction (fact-sized, map-side combined) → one
+    calendar-sized lag window → a single-row center-line broadcast.
+    The cross join is 1×|days| — the q11 scalar pattern."""
+    register_views(spark, sf_dir)
+    return spark.sql(_xmr_sql())

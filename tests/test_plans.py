@@ -120,6 +120,7 @@ ALLOWED_CARTESIAN = {
     "graph_global_clustering",  # 1×1 join of two global folds (scale-free)
     "stat_bootstrap_se",  # 1×1 join of two global folds (scale-free)
     "dq_erasure_audit",  # 1×1 joins of per-table count folds (scale-free)
+    "events_xmr_control_chart",  # 1×|days| center-line broadcast (q11 pattern)
 }
 ALLOWED_NESTED_LOOP = {
     "q22_sales_opportunity",  # single-row scalar-subquery broadcast (scale-free)
@@ -147,6 +148,7 @@ ALLOWED_NESTED_LOOP = {
     "market_basket_rules",  # 1-row global basket-count broadcast (scale-free)
     "similarity_topk_dot",  # broadcast query set, != residual (bruteforce design)
     "search_hybrid_rrf",  # single-row query-vector broadcast (q11 pattern)
+    "embedding_kmeans_lloyd",  # k-row centroid broadcast E-step (k=4; IVF-style blocked join is the large-k path)
     "embedding_knn_label_eval",  # broadcast LOO eval panel (bruteforce design)
     "embedding_contrastive_pairs",  # broadcast anchor panel (bruteforce design)
     "governance_row_level_policy",  # 1-row leakage-count broadcast per principal (q11 pattern)

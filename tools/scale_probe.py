@@ -191,6 +191,20 @@ PROBE_QUERIES = [
     "dq_erasure_audit",
     "text_vocab_coverage_curve",
     "embedding_knn_label_eval",
+    # round-6 session-4 operators
+    "events_lead_lag_xcorr",
+    "text_bm25_search",
+    "graph_bfs_hops",
+    "stat_fdr_bh_control",
+    "events_lttb_downsample",
+    "corpus_pack_next_fit",
+    "embedding_kmeans_lloyd",
+    "search_hybrid_rrf",
+    "embedding_silhouette_centroid",
+    "events_wow_attribution",
+    "events_croston_intermittent",
+    "stat_poisson_rate_ci",
+    "dq_iqr_fences",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
