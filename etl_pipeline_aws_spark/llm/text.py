@@ -1676,3 +1676,109 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scored_milli(docs).orderBy(
         F.col("bm25_score_milli").desc(), "doc_id"
     ).limit(_SEARCH_TOP)
+
+
+_KAPPA_PRED_CTE = """
+    WITH pred AS (
+        SELECT lang AS labeled_lang,
+               CASE
+                 WHEN len(list_filter(string_split(text, ' '),
+                                      w -> w IN ('the','fast','slow')))
+                      >= len(list_filter(string_split(text, ' '),
+                                         w -> w IN ('data','table','row')))
+                  AND len(list_filter(string_split(text, ' '),
+                                      w -> w IN ('the','fast','slow')))
+                      >= len(list_filter(string_split(text, ' '),
+                                         w -> w IN ('spark','batch','window')))
+                 THEN 'en'
+                 WHEN len(list_filter(string_split(text, ' '),
+                                      w -> w IN ('data','table','row')))
+                      >= len(list_filter(string_split(text, ' '),
+                                         w -> w IN ('spark','batch','window')))
+                 THEN 'es'
+                 ELSE 'de'
+               END AS predicted_lang
+        FROM documents
+    )"""
+
+_KAPPA_ORACLE = _KAPPA_PRED_CTE + """
+    , cells AS (
+        SELECT labeled_lang AS l, predicted_lang AS p,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN l = p THEN n ELSE 0 END) AS BIGINT) AS n_agree
+        FROM cells
+    ), marg AS (
+        SELECT CAST(SUM(r.rn * c.cn) AS BIGINT) AS sum_rc
+        FROM (SELECT l, CAST(SUM(n) AS BIGINT) AS rn FROM cells GROUP BY l) r
+        JOIN (SELECT p, CAST(SUM(n) AS BIGINT) AS cn FROM cells GROUP BY p) c
+          ON r.l = c.p
+    )
+    SELECT n_total, n_agree, sum_rc,
+           CAST(n_total * n_agree - sum_rc AS DOUBLE)
+               / CAST(n_total * n_total - sum_rc AS DOUBLE) AS kappa
+    FROM tot CROSS JOIN marg
+"""
+
+
+@query("stat_cohens_kappa", oracle=_KAPPA_ORACLE)
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the marker-word language-ID against the labeled
+    language — chance-corrected agreement, the number that keeps a
+    classifier honest on imbalanced classes (raw accuracy flatters any
+    majority-class guesser; kappa subtracts exactly the agreement the
+    marginals would produce by chance).  Completes the classifier-QA
+    family: the confusion matrix (text_lang_confusion_matrix) shows
+    WHERE it fails, kappa scores HOW MUCH better than chance it is.
+
+    Exactness: kappa = (N·Σn_kk − Σ_k row_k·col_k) / (N² − Σ_k
+    row_k·col_k) — the po/pe form cleared of denominators, so the whole
+    statistic is exact BIGINT arithmetic with ONE closing division
+    (magnitudes ≤ N², far under int64 at any plausible doc count... at
+    N > 3·10⁹ switch the products to DECIMAL, plan unchanged).
+
+    Scale: one narrow scan feeds a |langs|²-cell reduction; everything
+    after is 3-row marginal arithmetic and a 1×1 join (allowlisted
+    scale-free cartesian, the q11 pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def marker_hits(markers: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda w: w.isin(*markers)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in _LANG_MARKERS.items()}
+    predicted = (
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]), "en"
+        )
+        .when(scores["es"] >= scores["de"], "es")
+        .otherwise("de")
+    )
+    cells = (
+        docs.select(F.col("lang").alias("l"), predicted.alias("p"))
+        .groupBy("l", "p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("l") == F.col("p"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    rows = cells.groupBy("l").agg(F.sum("n").cast("long").alias("rn"))
+    cols = cells.groupBy("p").agg(F.sum("n").cast("long").alias("cn"))
+    marg = (
+        rows.join(cols, rows["l"] == cols["p"])
+        .agg(F.sum(F.col("rn") * F.col("cn")).cast("long").alias("sum_rc"))
+    )
+    return tot.crossJoin(marg).select(
+        "n_total",
+        "n_agree",
+        "sum_rc",
+        (
+            (F.col("n_total") * F.col("n_agree") - F.col("sum_rc")).cast("double")
+            / (F.col("n_total") * F.col("n_total") - F.col("sum_rc")).cast("double")
+        ).alias("kappa"),
+    )

@@ -4106,3 +4106,132 @@ def events_wow_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("delta").cast("double") / F.col("total_delta").cast("double"))
         .alias("contribution_share"),
     )
+
+
+_UPLIFT_DECILE_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INT) AS treated,
+               COALESCE(SUM(CASE WHEN event_type = 'view'
+                                 THEN CAST(value AS DECIMAL(18,2)) END),
+                        CAST(0 AS DECIMAL(18,2))) AS score,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ), deciled AS (
+        SELECT treated, converted,
+               CAST(NTILE(10) OVER (ORDER BY score DESC, user_id) AS INT)
+                   AS decile
+        FROM per_user
+    ), cells AS (
+        SELECT decile,
+               CAST(SUM(treated) AS BIGINT) AS n_treat,
+               CAST(SUM(1 - treated) AS BIGINT) AS n_control,
+               CAST(SUM(treated * converted) AS BIGINT) AS conv_treat,
+               CAST(SUM((1 - treated) * converted) AS BIGINT) AS conv_control
+        FROM deciled GROUP BY decile
+    ), rates AS (
+        SELECT decile, n_treat, n_control, conv_treat, conv_control,
+               CAST(conv_treat AS DOUBLE) / n_treat
+                   - CAST(conv_control AS DOUBLE) / n_control AS uplift_rate,
+               CAST(conv_treat AS DOUBLE)
+                   - CAST(conv_control AS DOUBLE) * n_treat / n_control
+                   AS incr_conversions
+        FROM cells
+    )
+    SELECT decile, n_treat, n_control, conv_treat, conv_control, uplift_rate,
+           SUM(incr_conversions) OVER (ORDER BY decile
+                                       ROWS UNBOUNDED PRECEDING) AS qini_cum
+    FROM rates
+"""
+
+
+@query("events_uplift_by_decile", oracle=_UPLIFT_DECILE_ORACLE)
+def events_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift (Qini-style) decile table for the A/B split: users are
+    deciled by an engagement score (total view value — the targeting
+    score a marketer would rank by), and each decile reports the
+    treatment-vs-control conversion-rate gap plus the running count of
+    INCREMENTAL conversions (treatment conversions minus the
+    control rate scaled to the treatment population) — the table the
+    Qini curve plots, which answers "whom should we target" where the
+    flat A/B readout (events_ab_lift_report) only answers "did it work
+    on average".
+
+    Determinism: arm = user_id parity (the platform convention here);
+    deciles are NTILE over (exact-decimal score DESC, user_id) — no
+    float ordering; all cell counts are exact integers; rates and
+    incremental conversions are single divisions of exact quantities;
+    the cumulative qini sums those doubles in DECILE ORDER through an
+    ordered-frame window, so both engines add identical doubles in an
+    identical sequence.
+
+    Scale: one user_id reduction (fact-sized, map-side combined), then
+    a users-sized NTILE window and a 10-row rollup.  At extreme user
+    counts the NTILE swaps for broadcast decile fences (the
+    ml_calibration_bins pattern) with the rest of the plan unchanged."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "view",
+                    F.col("value").cast("decimal(18,2)"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,2)"),
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("treated"),
+        "score",
+        "converted",
+        "user_id",
+    )
+    deciled = per_user.select(
+        "treated",
+        "converted",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), "user_id"))
+        .cast("int")
+        .alias("decile"),
+    )
+    cells = deciled.groupBy("decile").agg(
+        F.sum("treated").cast("long").alias("n_treat"),
+        F.sum(1 - F.col("treated")).cast("long").alias("n_control"),
+        F.sum(F.col("treated") * F.col("converted")).cast("long").alias("conv_treat"),
+        F.sum((1 - F.col("treated")) * F.col("converted"))
+        .cast("long")
+        .alias("conv_control"),
+    )
+    rates = cells.select(
+        "decile",
+        "n_treat",
+        "n_control",
+        "conv_treat",
+        "conv_control",
+        (
+            F.col("conv_treat").cast("double") / F.col("n_treat")
+            - F.col("conv_control").cast("double") / F.col("n_control")
+        ).alias("uplift_rate"),
+        (
+            F.col("conv_treat").cast("double")
+            - F.col("conv_control").cast("double")
+            * F.col("n_treat")
+            / F.col("n_control")
+        ).alias("incr_conversions"),
+    )
+    wq = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return rates.select(
+        "decile",
+        "n_treat",
+        "n_control",
+        "conv_treat",
+        "conv_control",
+        "uplift_rate",
+        F.sum("incr_conversions").over(wq).alias("qini_cum"),
+    )
