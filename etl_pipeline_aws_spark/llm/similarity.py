@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.catalog import load_table, register_views
 from etl_pipeline_aws_spark.registry import query, rows_only_query
 
 N_QUERIES = 10  # vec_id < 10 are the query set
@@ -1389,3 +1389,146 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(RRF_TOP)
+
+
+METRIC_AGREE_POOL = 100  # cosine top pool whose ordering is compared
+
+
+def _metric_agreement_sql(unnest_expr: str) -> str:
+    """Shared cosine-vs-dot Kendall tau-b text; per-dialect pair-index
+    generator (the stat_kendall_tau explode+equi-join rewrite)."""
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+    SELECT vec_id, v,
+           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+    FROM e
+), q AS (SELECT * FROM n WHERE vec_id = 0),
+sims AS (
+    SELECT c.vec_id,
+           list_sum(list_transform(range(1, len(q.v) + 1),
+                                   i -> q.v[i] * c.v[i])) AS dot,
+           list_sum(list_transform(range(1, len(q.v) + 1),
+                                   i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm)
+               AS cosine
+    FROM q JOIN n c ON c.vec_id <> q.vec_id
+), pool AS (
+    SELECT vec_id, dot, cosine,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) - 1
+               AS i
+    FROM sims
+    QUALIFY i < {METRIC_AGREE_POOL}
+), lefts AS (
+    SELECT i AS j, dot AS dj, cosine AS cj, {unnest_expr} AS i_left
+    FROM pool WHERE i > 0
+), pairs AS (
+    SELECT CASE WHEN (l.cj - r.cosine) * (l.dj - r.dot) > 0 THEN 1 ELSE 0 END
+               AS conc,
+           CASE WHEN (l.cj - r.cosine) * (l.dj - r.dot) < 0 THEN 1 ELSE 0 END
+               AS disc,
+           CASE WHEN l.cj = r.cosine THEN 1 ELSE 0 END AS tie_c,
+           CASE WHEN l.dj = r.dot THEN 1 ELSE 0 END AS tie_d
+    FROM lefts l JOIN pool r ON l.i_left = r.i
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(conc) AS BIGINT) AS concordant,
+       CAST(SUM(disc) AS BIGINT) AS discordant,
+       CAST(SUM(conc) - SUM(disc) AS DOUBLE)
+           / (SQRT(CAST(COUNT(*) - SUM(tie_c) AS DOUBLE))
+              * SQRT(CAST(COUNT(*) - SUM(tie_d) AS DOUBLE))) AS tau_b
+FROM pairs
+"""
+
+
+_METRIC_AGREE_ORACLE = _metric_agreement_sql("unnest(range(0, i))")
+
+
+@query("similarity_metric_agreement", oracle=_METRIC_AGREE_ORACLE)
+def similarity_metric_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does METRIC CHOICE matter on this embedding space?  Kendall tau-b
+    between the cosine ordering and the raw dot-product ordering of the
+    query's top-{METRIC_AGREE_POOL} cosine pool — the pre-deployment QC
+    that decides whether an index built for inner-product search (most
+    ANN libraries' native metric) can serve cosine queries unmodified:
+    tau ≈ 1 means norms are uniform enough that the rankings coincide;
+    low tau says normalize first or rebuild the index.  Complements
+    embedding_similarity_histogram (score SPREAD) with ranking
+    STABILITY across metrics.
+
+    Exactness: both scores per candidate are ordered-fold doubles
+    (bit-identical cross-engine); every pair contributes integer
+    concordance/tie flags from sign tests on those doubles; tau-b is
+    the one shared closing formula (the stat_kendall_tau discipline).
+
+    Scale: one broadcast-query scan ranks the pool (TakeOrdered);
+    pair enumeration is the explode+equi-join rewrite bounded at
+    {METRIC_AGREE_POOL}²/2 pairs — constant, corpus-independent."""
+    from pyspark.sql.window import Window
+
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(
+            F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    sims = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            dot.alias("dot"),
+            (dot / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    pool = (
+        sims.orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(METRIC_AGREE_POOL)
+        .select(
+            "dot",
+            "cosine",
+            (
+                F.row_number().over(
+                    Window.orderBy(F.col("cosine").desc(), "vec_id")
+                ).cast("long")
+                - 1
+            ).alias("i"),
+        )
+    )
+    lefts = pool.filter(F.col("i") > 0).select(
+        F.col("i").alias("j"),
+        F.col("dot").alias("dj"),
+        F.col("cosine").alias("cj"),
+        F.explode(F.expr("sequence(CAST(0 AS BIGINT), i - 1)")).alias("i_left"),
+    )
+    r = pool.select(
+        F.col("i").alias("i_r"), F.col("dot").alias("dr"), F.col("cosine").alias("cr")
+    )
+    pairs = lefts.join(r, F.col("i_left") == F.col("i_r")).select(
+        F.when((F.col("cj") - F.col("cr")) * (F.col("dj") - F.col("dr")) > 0, 1)
+        .otherwise(0)
+        .alias("conc"),
+        F.when((F.col("cj") - F.col("cr")) * (F.col("dj") - F.col("dr")) < 0, 1)
+        .otherwise(0)
+        .alias("disc"),
+        F.when(F.col("cj") == F.col("cr"), 1).otherwise(0).alias("tie_c"),
+        F.when(F.col("dj") == F.col("dr"), 1).otherwise(0).alias("tie_d"),
+    )
+    n = F.count(F.lit(1))
+    return pairs.agg(
+        n.cast("long").alias("n_pairs"),
+        F.sum("conc").cast("long").alias("concordant"),
+        F.sum("disc").cast("long").alias("discordant"),
+        (
+            (F.sum("conc") - F.sum("disc")).cast("double")
+            / (
+                F.sqrt((n - F.sum("tie_c")).cast("double"))
+                * F.sqrt((n - F.sum("tie_d")).cast("double"))
+            )
+        ).alias("tau_b"),
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.catalog import load_table, register_views
 from etl_pipeline_aws_spark.functions.numeric import davg, dec, dsum
 from etl_pipeline_aws_spark.registry import query
 
@@ -749,3 +749,57 @@ def scalar_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
     )
+
+
+def _date_edge_sql(weekday_mon0: str, weekofyear: str) -> str:
+    """Shared calendar-edge text; per-dialect weekday (Spark weekday()
+    is Monday=0; DuckDB isodow is Monday=1) and weekofyear input cast."""
+    return f"""
+WITH probes(label, d) AS (
+    VALUES ('month_end_jan',      DATE '2024-01-31'),
+           ('leap_day',           DATE '2024-02-29'),
+           ('month_end_nonleap',  DATE '2023-01-31'),
+           ('feb_nonleap',        DATE '2023-02-28'),
+           ('year_end',           DATE '2023-12-31'),
+           ('iso_week_53',        DATE '2021-01-01'),
+           ('iso_week_1_spill',   DATE '2019-12-30'),
+           ('mid_month',          DATE '2024-06-15')
+)
+SELECT label, d,
+       d + INTERVAL '1 month' AS plus_one_month,
+       d + INTERVAL '1 year' AS plus_one_year,
+       last_day(d) AS month_last_day,
+       CAST(EXTRACT(quarter FROM d) AS INT) AS qtr,
+       CAST({weekofyear} AS INT) AS iso_week,
+       CAST({weekday_mon0} AS INT) AS dow_mon0
+FROM probes
+"""
+
+
+_DATE_EDGE_ORACLE = _date_edge_sql(
+    "EXTRACT(isodow FROM d) - 1", "weekofyear(CAST(d AS TIMESTAMP))"
+)
+_DATE_EDGE_SPARK = _date_edge_sql("weekday(d)", "weekofyear(d)")
+
+
+@query("scalar_date_edge_cases", oracle=_DATE_EDGE_ORACLE)
+def scalar_date_edge_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar edge-case parity pinned on a zero-scan VALUES probe set:
+    month-end clamping (Jan 31 + 1 month = Feb 29/28, BOTH engines
+    clamp — a pipeline migrating from engines that roll into March
+    silently shifts billing dates), leap-day + 1 year (Feb 29 → Feb
+    28), last_day, quarter extraction, and the two ISO-week traps every
+    week-keyed rollup eventually hits (2021-01-01 is ISO week 53 OF
+    2020; 2019-12-30 is ISO week 1 OF 2020).  The date_funcs scalar
+    family exercises the happy path over facts; this op pins the
+    boundary semantics the oracle comparison would otherwise only
+    discover when a fixture happens to land on one.
+
+    One shared SQL text (LocalRelation — constant-folded, no scan);
+    the dialect splits are DuckDB's weekofyear needing a TIMESTAMP cast
+    and the weekday origin (Spark weekday() is Monday=0, Spark
+    dayofweek() is Sunday=1, DuckDB dayofweek is Sunday=0 — measured;
+    the op standardizes on Monday=0 and pins the conversion).
+    Engine-identical calendar math is exactly the claim under test."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DATE_EDGE_SPARK)

@@ -150,6 +150,7 @@ ALLOWED_NESTED_LOOP = {
     "similarity_topk_dot",  # broadcast query set, != residual (bruteforce design)
     "search_hybrid_rrf",  # single-row query-vector broadcast (q11 pattern)
     "embedding_kmeans_lloyd",  # k-row centroid broadcast E-step (k=4; IVF-style blocked join is the large-k path)
+    "similarity_metric_agreement",  # single-row query-vector broadcast (q11 pattern)
     "embedding_knn_label_eval",  # broadcast LOO eval panel (bruteforce design)
     "embedding_contrastive_pairs",  # broadcast anchor panel (bruteforce design)
     "governance_row_level_policy",  # 1-row leakage-count broadcast per principal (q11 pattern)
