@@ -1727,3 +1727,68 @@ def test_xcorr_day_counts_shrink_with_lag(spark):
         assert rows[lag].n_days <= rows[lag - 1].n_days
     for r in rows.values():
         assert -1.0 - 1e-12 <= r.pearson_r <= 1.0 + 1e-12
+
+
+def test_stream_windowed_topk_respects_k_and_order(spark):
+    rows = engine.queries()["stream_windowed_topk"](spark, SF_DIR).collect()
+    by_window: dict = {}
+    for r in rows:
+        by_window.setdefault(r.window_start, []).append(r)
+    assert by_window
+    for ws, rs in by_window.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= 2
+        rs = sorted(rs, key=lambda r: r.rank)
+        for a, b in zip(rs, rs[1:]):
+            assert (a.n_events, ) >= (b.n_events, )  # rank follows count
+
+
+def test_xmr_limits_bracket_center(spark):
+    rows = engine.queries()["events_xmr_control_chart"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.lcl <= r.x_bar <= r.ucl
+        flagged = r.x > r.ucl or r.x < r.lcl
+        assert bool(r.out_of_control) == flagged
+
+
+def test_kappa_never_exceeds_accuracy_identity(spark):
+    r = engine.queries()["stat_cohens_kappa"](spark, SF_DIR).collect()[0]
+    po = r.n_agree / r.n_total
+    pe = r.sum_rc / (r.n_total * r.n_total)
+    assert abs(r.kappa - (po - pe) / (1 - pe)) < 1e-12
+    assert -1.0 <= r.kappa <= 1.0
+
+
+def test_uplift_deciles_partition_users(spark):
+    rows = engine.queries()["events_uplift_by_decile"](spark, SF_DIR).collect()
+    assert sorted(r.decile for r in rows) == list(range(1, 11))
+    con = duckdb_con(SF_DIR)
+    n_users = con.sql("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    con.close()
+    assert sum(r.n_treat + r.n_control for r in rows) == n_users
+    # qini_cum is the running sum of per-decile increments
+    run = 0.0
+    for r in sorted(rows, key=lambda r: r.decile):
+        run += r.conv_treat - r.conv_control * r.n_treat / r.n_control
+        assert abs(r.qini_cum - run) < 1e-9
+
+
+def test_date_edges_pin_clamping_and_iso_weeks(spark):
+    rows = {r.label: r for r in engine.queries()["scalar_date_edge_cases"](spark, SF_DIR).collect()}
+    import datetime as dt
+
+    assert rows["month_end_jan"].plus_one_month == dt.date(2024, 2, 29)
+    assert rows["month_end_nonleap"].plus_one_month == dt.date(2023, 2, 28)
+    assert rows["leap_day"].plus_one_year == dt.date(2025, 2, 28)
+    assert rows["iso_week_53"].iso_week == 53
+    assert rows["iso_week_1_spill"].iso_week == 1
+    assert rows["mid_month"].month_last_day == dt.date(2024, 6, 30)
+
+
+def test_metric_agreement_tau_bounded_and_pairs_complete(spark):
+    from etl_pipeline_aws_spark.llm.similarity import METRIC_AGREE_POOL
+
+    r = engine.queries()["similarity_metric_agreement"](spark, SF_DIR).collect()[0]
+    assert r.n_pairs == METRIC_AGREE_POOL * (METRIC_AGREE_POOL - 1) // 2
+    assert r.concordant + r.discordant <= r.n_pairs
+    assert -1.0 - 1e-12 <= r.tau_b <= 1.0 + 1e-12  # closing division can land 1+2ulp
