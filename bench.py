@@ -48,6 +48,10 @@ HEADLINE = [
     # heavy for a 20-query bench; its scale posture is probed + tested)
     "similarity_mmr_rerank",
     "events_growth_accounting",
+    # round-6 session-4 flagship surface: iterative ML (Lloyd rounds with
+    # the zip_with E-step) and hybrid lexical+vector retrieval fusion
+    "embedding_kmeans_lloyd",
+    "search_hybrid_rrf",
 ]
 
 

@@ -1166,3 +1166,85 @@ def dq_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
     )
+
+
+T_CLOSENESS_MAX = 0.25  # flag QI classes whose sensitive distribution drifts further
+
+
+_TCLOSE_SQL = f"""
+WITH classed AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+    FROM customer
+), gband AS (
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS g FROM classed GROUP BY band
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT band) AS BIGINT) AS m
+    FROM classed
+), classes AS (
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_class
+    FROM classed GROUP BY c_nationkey, c_mktsegment
+), cells AS (
+    SELECT c_nationkey, c_mktsegment, band, CAST(COUNT(*) AS BIGINT) AS n_cb
+    FROM classed GROUP BY c_nationkey, c_mktsegment, band
+), spine AS (
+    SELECT cl.c_nationkey, cl.c_mktsegment, cl.n_class, gb.band, gb.g,
+           COALESCE(ce.n_cb, CAST(0 AS BIGINT)) AS n_cb
+    FROM classes cl
+    CROSS JOIN gband gb
+    LEFT JOIN cells ce
+      ON ce.c_nationkey = cl.c_nationkey
+     AND ce.c_mktsegment = cl.c_mktsegment
+     AND ce.band = gb.band
+), cums AS (
+    SELECT c_nationkey, c_mktsegment, n_class, band,
+           SUM(n_cb * n_total - g * n_class) OVER (
+               PARTITION BY c_nationkey, c_mktsegment
+               ORDER BY band ROWS UNBOUNDED PRECEDING) AS cumdiff,
+           n_total, m
+    FROM spine CROSS JOIN tot
+), emd AS (
+    SELECT c_nationkey, c_mktsegment, n_class, n_total, m,
+           CAST(SUM(ABS(cumdiff)) AS BIGINT) AS emd_scaled
+    FROM cums
+    GROUP BY c_nationkey, c_mktsegment, n_class, n_total, m
+)
+SELECT c_nationkey, c_mktsegment,
+       n_class AS class_size,
+       CAST(emd_scaled AS DOUBLE)
+           / (CAST(n_class AS DOUBLE) * n_total * (m - 1)) AS t_closeness,
+       CASE WHEN CAST(emd_scaled AS DOUBLE)
+                     / (CAST(n_class AS DOUBLE) * n_total * (m - 1))
+                 > {T_CLOSENESS_MAX}
+            THEN 1 ELSE 0 END AS above_t
+FROM emd
+"""
+
+
+@query("dq_t_closeness", oracle=_TCLOSE_SQL)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the attack l-diversity misses: a QI class can
+    hold l distinct sensitive values yet still LEAK because its
+    DISTRIBUTION differs from the table's (a class that is 90% top
+    balance band discloses "probably rich" even with diverse members —
+    the skewness attack).  Per (nation, segment) class: Earth Mover's
+    Distance between the class' balance-band distribution and the
+    global one, flagged at t > {T_CLOSENESS_MAX}.  Completes the
+    release-gate triad: dq_k_anonymity (class size), dq_l_diversity
+    (value diversity), t-closeness (value distribution) — same bands,
+    so the three audits read one consistent anonymization model.
+
+    Exactness: for ordered bands with unit ground distance, EMD =
+    Σ_b |Σ_{{b'≤b}} (P − Q)| / (m−1); clearing denominators scales each
+    cumulative term to the integer n_cb·N − g_b·n_class, so the whole
+    distance is exact BIGINT window arithmetic with one closing
+    division (magnitudes ≤ N²·m — int64-safe past 10⁸ customers).
+
+    Scale: two QI-key reductions (fact-sized, map-side combined), then
+    a |classes|×|bands| spine (bounded dimension product — the only
+    cartesian, rows ≤ nations×segments×bands), one ordered window per
+    class, one rollup.  The 1-row totals join is the q11 scalar
+    pattern."""
+    register_views(spark, sf_dir)
+    return spark.sql(_TCLOSE_SQL)

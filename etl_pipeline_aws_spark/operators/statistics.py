@@ -1250,3 +1250,55 @@ def stat_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-sized stage; the span window runs over |event types| rows."""
     register_views(spark, sf_dir)
     return spark.sql(_POISSON_SPARK)
+
+
+CA_TREND_PRICE = 150_000  # "large order" success definition
+
+
+_CA_TREND_SQL = f"""
+WITH groups AS (
+    SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS x,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_totalprice > {CA_TREND_PRICE}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS r
+    FROM orders GROUP BY SUBSTRING(o_orderpriority, 1, 1)
+), sums AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nn,
+           CAST(SUM(r) AS BIGINT) AS rr,
+           CAST(SUM(x * r) AS BIGINT) AS sxr,
+           CAST(SUM(x * n) AS BIGINT) AS sxn,
+           CAST(SUM(x * x * n) AS BIGINT) AS sxxn,
+           CAST(COUNT(*) AS BIGINT) AS k_groups
+    FROM groups
+)
+SELECT nn AS n_total, rr AS n_success, k_groups,
+       CAST(nn * sxr - rr * sxn AS DOUBLE) AS t_num_scaled,
+       (CAST(nn * sxr - rr * sxn AS DOUBLE) / nn)
+           / sqrt((CAST(rr AS DOUBLE) / nn) * (1 - CAST(rr AS DOUBLE) / nn)
+                  * (CAST(sxxn AS DOUBLE) - CAST(sxn AS DOUBLE) * sxn / nn))
+           AS z_trend
+FROM sums
+"""
+
+
+@query("stat_cochran_armitage_trend", oracle=_CA_TREND_SQL)
+def stat_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: is the large-order rate MONOTONE in
+    order priority?  The chi-square independence test (stat_chi_square_
+    independence) asks only "are they related"; when the groups are
+    ORDERED (priority 1→5, dose levels, age bands), testing the linear
+    trend component is strictly more powerful — the standard
+    dose-response / severity-gradient test.
+
+    Statistic: T = Σxᵢrᵢ − R·Σxᵢnᵢ/N with integer scores xᵢ = the
+    priority digit; z = T / √(p(1−p)(Σxᵢ²nᵢ − (Σxᵢnᵢ)²/N)).  Every
+    power sum is exact BIGINT (cleared numerator reported too — the
+    sign and magnitude are exact even before the IEEE closing
+    formula); one shared division/sqrt text produces z identically on
+    both engines (the z-statistic discipline: no CDF, no
+    transcendental).
+
+    Scale: one 5-group map-side-combined reduction over the fact scan;
+    everything after is single-row arithmetic."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CA_TREND_SQL)

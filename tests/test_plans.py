@@ -122,6 +122,7 @@ ALLOWED_CARTESIAN = {
     "dq_erasure_audit",  # 1×1 joins of per-table count folds (scale-free)
     "events_xmr_control_chart",  # 1×|days| center-line broadcast (q11 pattern)
     "stat_cohens_kappa",  # 1×1 join of the agreement and marginal folds (scale-free)
+    "dq_t_closeness",  # |classes|×|bands| dimension spine + 1-row totals (bounded)
 }
 ALLOWED_NESTED_LOOP = {
     "q22_sales_opportunity",  # single-row scalar-subquery broadcast (scale-free)
