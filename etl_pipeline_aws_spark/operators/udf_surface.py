@@ -344,3 +344,61 @@ def udf_pandas_iter_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", adjust(cents).cast("decimal(21,0)").alias("adjusted_cents")
     )
+
+
+UDTF_FIRST_N = 3  # analyze-time literal: how many leading tokens become columns
+
+
+@query(
+    "udtf_dynamic_schema",
+    oracle=f"""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS tok0,
+           string_split(text, ' ')[2] AS tok1,
+           string_split(text, ' ')[3] AS tok2
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze``-time schema): the
+    table function's OUTPUT SCHEMA is computed from its arguments — the
+    static ``analyze`` method reads the literal n = {UDTF_FIRST_N} and
+    returns a StructType of n token columns, so ``first_tokens(text, 2)``
+    and ``first_tokens(text, 5)`` are different relations from ONE
+    registration.  This is the extension point for generic
+    unpack/pivot/parse table functions whose shape depends on
+    configuration, impossible with the fixed ``returnType`` of
+    udtf_split_props (the static sibling).
+
+    Value parity is oracle-certified against the built-in array
+    indexing that production code should prefer; short documents yield
+    NULL columns on both engines (list index past end = NULL in DuckDB,
+    tuple None here).  Arrow-batched like every UDTF; narrow map, no
+    shuffle."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"tok{i}", StringType())
+                        for i in range(int(n.value))
+                    ]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    spark.udtf.register("first_tokens", udtf(FirstTokens))
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs.select("doc_id", "text").createOrReplaceTempView("docs_small_udtf")
+    return spark.sql(
+        f"SELECT doc_id, tok0, tok1, tok2 "
+        f"FROM docs_small_udtf, LATERAL first_tokens(text, {UDTF_FIRST_N})"
+    )

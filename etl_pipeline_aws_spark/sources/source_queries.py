@@ -1570,3 +1570,58 @@ def json_multiline_array_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(F.col("region")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nations")
     )
+
+
+@query(
+    "parquet_codec_roundtrip",
+    oracle="""
+    SELECT 'zstd' AS codec,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    UNION ALL
+    SELECT 'gzip' AS codec,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    """,
+)
+def parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec fidelity sweep: lineitem written as Parquet
+    under zstd AND gzip, re-read, and value-certified against the
+    source — plus a pyarrow footer assertion that each file really
+    carries the requested codec (a silent fall-back to snappy would
+    otherwise pass the value check; codec choice is a REAL 100 TB
+    decision — zstd ≈ gzip ratios at ~3x the decode speed, and the
+    default snappy trades ~30% more bytes for cheap CPU).
+
+    Citation: the reference stores plain-text objects (glue/job.py:19)
+    — codec discipline is engine scope, not reference scope."""
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, sf_dir, "lineitem")
+    zone = tempfile.mkdtemp(prefix="pq_codec_")
+    outs = []
+    for codec in ("zstd", "gzip"):
+        out = os.path.join(zone, codec)
+        li.write.mode("overwrite").option("compression", codec).parquet(out)
+        part = next(
+            f for f in sorted(os.listdir(out)) if f.endswith(".parquet")
+        )
+        meta = pq.ParquetFile(os.path.join(out, part)).metadata
+        claimed = meta.row_group(0).column(0).compression.lower()
+        if claimed != codec:
+            raise AssertionError(
+                f"requested {codec}, footer says {claimed}"
+            )
+        back = spark.read.parquet(out)
+        outs.append(
+            back.agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).cast("long").alias("n_lines"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            ).select("codec", "n_lines", "sum_qty")
+        )
+    return outs[0].unionByName(outs[1])

@@ -183,6 +183,7 @@ ALLOWED_PYTHON_EVAL = {
     "udf_scalar_py",
     "udf_grouped_applyinpandas",
     "udtf_split_props",  # true Python UDTF — the extension point itself
+    "udtf_dynamic_schema",  # analyze-time polymorphic UDTF — the extension point itself
 }
 # Build-time side effects (streams run, sinks write) make these unplannable
 # in a pure sweep; their physical posture is asserted by their own tests.
