@@ -566,3 +566,42 @@ def sql_default_column_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return out
+
+
+_ORDERED_SET_ORACLE = """
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS median_disc,
+           quantile_disc(value, 0.9) AS p90_disc,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+"""
+
+
+@query("sql_ordered_set_aggregates", oracle=_ORDERED_SET_ORACLE)
+def sql_ordered_set_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 ordered-set aggregate syntax: ``percentile_disc(p)
+    WITHIN GROUP (ORDER BY value)`` — the standard's spelling of
+    order-dependent aggregation, planned as a native aggregate (no
+    window, no self-join).  Discrete percentiles return an ACTUAL
+    element, which is what makes this oracle-checkable at all — the
+    continuous variant interpolates with engine-specific float rounding
+    (the agg_quantiles_exact lesson), while an element pick is exact on
+    any engine.  Sibling of sql_listagg_ordered on the WITHIN GROUP
+    surface.
+
+    One map-side-combined aggregation; percentile_disc is implemented
+    as a sort-based aggregate whose per-group state is the value
+    multiset — at 100 TB swap for approx_percentile where the group
+    cardinality is unbounded (documented trade, agg_percentile_approx)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+                   AS median_disc,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY value)
+                   AS p90_disc,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+        """
+    )

@@ -1566,3 +1566,55 @@ def events_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cross join is 1×|days| — the q11 scalar pattern."""
     register_views(spark, sf_dir)
     return spark.sql(_xmr_sql())
+
+
+def _strength_sql(inner: str) -> str:
+    """Hyndman seasonal/trend strength over the decomposition output;
+    the inner text is the dialect's full decomposition query."""
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       GREATEST(0.0, 1 - (COUNT(*) * CAST(SUM(r2) AS DOUBLE)
+                          - CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE))
+                       / GREATEST(COUNT(*) * CAST(SUM(sr2) AS DOUBLE)
+                                  - CAST(SUM(sr) AS DOUBLE) * CAST(SUM(sr) AS DOUBLE),
+                                  1e-12)) AS seasonal_strength,
+       GREATEST(0.0, 1 - (COUNT(*) * CAST(SUM(r2) AS DOUBLE)
+                          - CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE))
+                       / GREATEST(COUNT(*) * CAST(SUM(tr2) AS DOUBLE)
+                                  - CAST(SUM(tr) AS DOUBLE) * CAST(SUM(tr) AS DOUBLE),
+                                  1e-12)) AS trend_strength
+FROM (
+    SELECT residual_cents AS r,
+           residual_cents * residual_cents AS r2,
+           seasonal_cents + residual_cents AS sr,
+           (seasonal_cents + residual_cents)
+               * (seasonal_cents + residual_cents) AS sr2,
+           trend_cents + residual_cents AS tr,
+           (trend_cents + residual_cents)
+               * (trend_cents + residual_cents) AS tr2
+    FROM ({inner}) comp
+) moments
+"""
+
+
+@query("events_seasonal_strength", oracle=_strength_sql(_DECOMP_ORACLE))
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal and trend STRENGTH of the daily revenue series — the
+    Hyndman feature pair (F_s = max(0, 1 − Var(R)/Var(S+R)), F_t with
+    the trend component): the one-number answers to "is this series
+    worth a seasonal model" and "does it trend at all", read before
+    choosing between the engine's forecasters (seasonal-naive vs Holt
+    vs Croston — events_forecast_model_selection automates the
+    backtest; this scores the decomposition itself).  Composes DIRECTLY
+    over events_decompose_additive's exact integer components.
+
+    Exactness: the components are integer cents, so every power sum is
+    exact BIGINT; the two variance ratios go through one shared IEEE
+    formula with the n·Σx² products lifted to DOUBLE (identical inputs
+    → identical doubles) and denominators floored at 1e-12.
+
+    Scale: inherits the decomposition's plan (one fact-sized daily
+    reduction, calendar-sized joins); the strength tail is a single
+    fold over |days| rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_strength_sql(_DECOMP_SPARK))
