@@ -1273,3 +1273,68 @@ def pipeline_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div count(1) as bigint)"
         ).alias("survival_ppm"),
     )
+
+
+@rows_only_query("dedup_minhash_eval")
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation QUALITY REPORT for the MinHash-LSH tier:
+    band-bucket candidate pairs scored against the exact 3-gram-Jaccard
+    truth set (dedup_ngram_jaccard at the same ≥{JACCARD_THRESHOLD}
+    threshold) — recall (what fraction of true near-dup pairs the bands
+    surfaced) and precision (what fraction of surfaced candidates are
+    true).  This is the eval every LSH deployment runs on a sample
+    BEFORE trusting the banding budget at corpus scale: band/row counts
+    trade recall against candidate volume, and this table is the
+    evidence for that dial (the pytest recall pin in tests/test_llm.py
+    checks the same contract; this op makes it a runnable, reportable
+    artifact).
+
+    Rows-only by design (the MinHash side is an Arrow kernel, not
+    SQL); the join of truth vs candidates is a full outer on the pair
+    key so all three counts come from ONE aggregation — no 1×1
+    cartesian, no driver collect.  At 100 TB you run this on a sampled
+    partition: both sides' costs are the documented costs of their
+    parent operators."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = minhash_feature_table(docs).persist()
+    bands = _band_table(feats)
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .withColumn("is_cand", F.lit(1))
+    )
+    truth = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true")
+    )
+    j = truth.join(candidates, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce(F.col("is_true"), F.lit(0))).cast("long").alias("n_true"),
+        F.sum(F.coalesce(F.col("is_cand"), F.lit(0))).cast("long").alias("n_candidates"),
+        F.sum(
+            F.coalesce(F.col("is_true"), F.lit(0))
+            * F.coalesce(F.col("is_cand"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_detected"),
+        (
+            F.sum(
+                F.coalesce(F.col("is_true"), F.lit(0))
+                * F.coalesce(F.col("is_cand"), F.lit(0))
+            ).cast("double")
+            / F.greatest(F.sum(F.coalesce(F.col("is_true"), F.lit(0))), F.lit(1))
+        ).alias("recall"),
+        (
+            F.sum(
+                F.coalesce(F.col("is_true"), F.lit(0))
+                * F.coalesce(F.col("is_cand"), F.lit(0))
+            ).cast("double")
+            / F.greatest(F.sum(F.coalesce(F.col("is_cand"), F.lit(0))), F.lit(1))
+        ).alias("precision"),
+    )

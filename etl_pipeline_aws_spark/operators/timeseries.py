@@ -1618,3 +1618,159 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold over |days| rows."""
     register_views(spark, sf_dir)
     return spark.sql(_strength_sql(_DECOMP_SPARK))
+
+
+HW_ALPHA_E3 = 300  # level smoothing, thousandths
+HW_BETA_E3 = 100  # trend smoothing, thousandths
+HW_GAMMA_E3 = 200  # seasonal smoothing, thousandths
+HW_PERIOD = 7  # weekly seasonality
+
+
+def _hw_oracle() -> str:
+    """Holt-Winters additive recurrence as WITH RECURSIVE, seasonal
+    state as {HW_PERIOD} explicit columns (DuckDB list lambdas lack a
+    stable index form; the Spark fold carries an array instead — same
+    values, different carrier)."""
+    a, b, g, m = HW_ALPHA_E3, HW_BETA_E3, HW_GAMMA_E3, HW_PERIOD
+    s_old = ("CASE CAST((r.i - 1) % 7 AS INT) "
+             + " ".join(f"WHEN {k} THEN w.s{k}" for k in range(m))
+             + " END")
+    lnew = _tz_div("//", f"{a} * (r.v - ({s_old})) + {1000 - a} * (w.l + w.t)")
+    tnew = _tz_div("//", f"{b} * (({lnew}) - w.l) + {1000 - b} * w.t")
+    snew = _tz_div("//", f"{g} * (r.v - ({lnew})) + {1000 - g} * ({s_old})")
+    s_cols = ", ".join(
+        f"CAST(CASE WHEN CAST((r.i - 1) % 7 AS INT) = {k} THEN {snew} "
+        f"ELSE w.s{k} END AS BIGINT) AS s{k}"
+        for k in range(m)
+    )
+    init_s = ", ".join(
+        f"CAST(MAX(CASE WHEN i = {k + 1} THEN v END) - (CAST(SUM(v) AS BIGINT) // {m}) "
+        f"AS BIGINT) AS s{k}"
+        for k in range(m)
+    )
+    return f"""
+WITH RECURSIVE daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS v
+    FROM events GROUP BY CAST(ts AS DATE)
+), idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i, day, v
+    FROM daily
+), init AS (
+    SELECT CAST(SUM(v) AS BIGINT) // {m} AS l0, {init_s}
+    FROM idx WHERE i <= {m}
+), walk AS (
+    SELECT x.i, x.day, x.v,
+           CAST(0 AS BIGINT) AS fitted,
+           init.l0 AS l, CAST(0 AS BIGINT) AS t,
+           {', '.join(f'init.s{k} AS s{k}' for k in range(m))}
+    FROM idx x CROSS JOIN init WHERE x.i = {m}
+    UNION ALL
+    SELECT r.i, r.day, r.v,
+           CAST(w.l + w.t + ({s_old}) AS BIGINT) AS fitted,
+           CAST({lnew} AS BIGINT) AS l,
+           CAST({tnew} AS BIGINT) AS t,
+           {s_cols}
+    FROM walk w JOIN idx r ON r.i = w.i + 1
+)
+SELECT day, v AS value_cents, fitted AS fitted_cents,
+       l AS level_cents, t AS trend_cents,
+       v - fitted AS residual_cents
+FROM walk WHERE i > {m}
+"""
+
+
+def _hw_spark() -> str:
+    """The identical recurrence as ONE aggregate() fold (the Holt/
+    Croston execution split; seasonal state rides an ARRAY<BIGINT>
+    updated with the two-arg transform lambda)."""
+    a, b, g, m = HW_ALPHA_E3, HW_BETA_E3, HW_GAMMA_E3, HW_PERIOD
+    s_old = f"element_at(acc.s, CAST(acc.cnt % {m} AS INT) + 1)"
+    lnew = _tz_div("DIV", f"{a} * (x.v - ({s_old})) + {1000 - a} * (acc.l + acc.t)")
+    tnew = _tz_div("DIV", f"{b} * (({lnew}) - acc.l) + {1000 - b} * acc.t")
+    snew = _tz_div("DIV", f"{g} * (x.v - ({lnew})) + {1000 - g} * ({s_old})")
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS v
+    FROM events GROUP BY CAST(ts AS DATE)
+), packed AS (
+    SELECT array_sort(collect_list(named_struct('day', day, 'v', v))) AS series
+    FROM daily
+), folded AS (
+    SELECT aggregate(
+        series,
+        named_struct(
+            'cnt', CAST(0 AS BIGINT),
+            'buf', CAST(array() AS ARRAY<BIGINT>),
+            'l', CAST(0 AS BIGINT), 't', CAST(0 AS BIGINT),
+            's', CAST(array() AS ARRAY<BIGINT>),
+            'out', CAST(array() AS ARRAY<STRUCT<day: DATE, v: BIGINT,
+                        fitted: BIGINT, l: BIGINT, t: BIGINT>>)),
+        (acc, x) -> CASE
+            WHEN acc.cnt < {m - 1} THEN named_struct(
+                'cnt', acc.cnt + 1, 'buf', array_append(acc.buf, x.v),
+                'l', acc.l, 't', acc.t, 's', acc.s, 'out', acc.out)
+            WHEN acc.cnt = {m - 1} THEN named_struct(
+                'cnt', acc.cnt + 1, 'buf', array_append(acc.buf, x.v),
+                'l', aggregate(array_append(acc.buf, x.v), CAST(0 AS BIGINT),
+                               (sa, bv) -> sa + bv) DIV {m},
+                't', CAST(0 AS BIGINT),
+                's', transform(array_append(acc.buf, x.v),
+                     bv -> bv - aggregate(array_append(acc.buf, x.v),
+                                          CAST(0 AS BIGINT),
+                                          (sa, b2) -> sa + b2) DIV {m}),
+                'out', acc.out)
+            ELSE named_struct(
+                'cnt', acc.cnt + 1, 'buf', acc.buf,
+                'l', CAST({lnew} AS BIGINT),
+                't', CAST({tnew} AS BIGINT),
+                's', transform(acc.s, (sv, k) ->
+                         CASE WHEN k = CAST(acc.cnt % {m} AS INT)
+                              THEN CAST({snew} AS BIGINT) ELSE sv END),
+                'out', array_append(acc.out, named_struct(
+                    'day', x.day, 'v', x.v,
+                    'fitted', CAST(acc.l + acc.t + ({s_old}) AS BIGINT),
+                    'l', CAST({lnew} AS BIGINT), 't', CAST({tnew} AS BIGINT))))
+            END,
+        acc -> acc.out) AS out
+    FROM packed
+), walk AS (
+    SELECT o.day, o.v, o.fitted, o.l, o.t
+    FROM folded LATERAL VIEW explode(out) ex AS o
+)
+SELECT day, v AS value_cents, fitted AS fitted_cents,
+       l AS level_cents, t AS trend_cents,
+       v - fitted AS residual_cents
+FROM walk
+"""
+
+
+@query("events_holt_winters_additive", oracle=_hw_oracle())
+def events_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing of daily
+    revenue (weekly seasonality, m = {HW_PERIOD}) — the top of the
+    engine's exponential-smoothing ladder: EWMA smooths a level, Holt
+    adds a trend, Croston handles intermittency, and Holt-Winters adds
+    the SEASONAL state a weekly-cycled business series actually needs
+    (the per-day fitted value l+t+s_j is the one-step forecast a
+    capacity planner reads).  l ← α(x−s_j)+(1−α)(l+t);
+    t ← β(Δl)+(1−β)t; s_j ← γ(x−l)+(1−γ)s_j; init: first-week mean
+    level, zero trend, first-week deviations as seasonals (documented
+    standard choice); output starts at day {HW_PERIOD}+1.
+
+    Same execution split as Holt/Croston: recursive CTE oracle vs ONE
+    Spark aggregate() fold — here the seasonal state rides an
+    ARRAY<BIGINT> updated in place by the two-arg transform lambda
+    (the oracle carries 7 explicit columns: DuckDB's list lambdas lack
+    the index form).  All states are scaled integers in cents with
+    trunc-toward-zero divisions (level/trend/seasonal all go negative
+    on downturns — the DIV-vs-// floor trap, pinned by _tz_div on both
+    sides).
+
+    Scale: the fact-sized stage is the daily reduction; the fold input
+    is |days| rows — calendar-bounded at any event volume, one stage,
+    no recursion-level scheduling overhead (the measured Holt
+    motivation: 19.5 s recursive vs 1.9 s fold at sf0.1)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_hw_spark())

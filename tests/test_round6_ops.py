@@ -1792,3 +1792,49 @@ def test_metric_agreement_tau_bounded_and_pairs_complete(spark):
     assert r.n_pairs == METRIC_AGREE_POOL * (METRIC_AGREE_POOL - 1) // 2
     assert r.concordant + r.discordant <= r.n_pairs
     assert -1.0 - 1e-12 <= r.tau_b <= 1.0 + 1e-12  # closing division can land 1+2ulp
+
+
+def test_minhash_eval_recall_meets_band_budget(spark):
+    """The banding budget's recall contract, as the runnable report:
+    planted dups sit at J≈0.95+ where 4x4 banding detects ~always."""
+    engine.clear_caches(spark)
+    r = engine.queries()["dedup_minhash_eval"](spark, SF_DIR).collect()[0]
+    assert r.n_detected <= min(r.n_true, r.n_candidates)
+    assert r.recall >= 0.9
+    assert 0.0 <= r.precision <= 1.0
+
+
+def test_holt_winters_identity_and_start(spark):
+    from etl_pipeline_aws_spark.operators.timeseries import HW_PERIOD
+
+    rows = sorted(
+        engine.queries()["events_holt_winters_additive"](spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    con = duckdb_con(SF_DIR)
+    n_days = con.sql("SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events").fetchone()[0]
+    con.close()
+    assert len(rows) == n_days - HW_PERIOD  # first week is init, not output
+    for r in rows:
+        assert r.residual_cents == r.value_cents - r.fitted_cents
+
+
+def test_seasonal_strength_bounded(spark):
+    r = engine.queries()["events_seasonal_strength"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= r.seasonal_strength <= 1.0
+    assert 0.0 <= r.trend_strength <= 1.0
+
+
+def test_t_closeness_bounds_and_flags(spark):
+    from etl_pipeline_aws_spark.operators.quality import T_CLOSENESS_MAX
+
+    rows = engine.queries()["dq_t_closeness"](spark, SF_DIR).collect()
+    for r in rows:
+        assert 0.0 <= r.t_closeness <= 1.0 + 1e-12
+        assert bool(r.above_t) == (r.t_closeness > T_CLOSENESS_MAX)
+
+
+def test_cochran_armitage_matches_python_fold(spark):
+    r = engine.queries()["stat_cochran_armitage_trend"](spark, SF_DIR).collect()[0]
+    assert r.k_groups == 5
+    assert 0 < r.n_success < r.n_total
