@@ -1783,3 +1783,69 @@ def embedding_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.min("sil").alias("worst_silhouette"),
     )
+
+
+_SHARD_GINI_ORACLE = f"""
+    WITH assigned AS (
+        SELECT source,
+               CAST((ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                     - 1) % {_N_SHARDS} AS BIGINT) AS shard
+        FROM documents
+    ), cells AS (
+        SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM assigned GROUP BY shard, source
+    ), tots AS (
+        SELECT shard, CAST(SUM(n) AS BIGINT) AS n_shard,
+               CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM cells GROUP BY shard
+    )
+    SELECT shard, n_shard, n_sources,
+           1 - CAST(sum_sq AS DOUBLE) / (CAST(n_shard AS DOUBLE) * n_shard)
+               AS gini_impurity
+    FROM tots
+"""
+
+
+@query("corpus_shard_mix_gini", oracle=_SHARD_GINI_ORACLE)
+def corpus_shard_mix_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard source-mix impurity audit: Gini impurity 1 − Σp² of
+    each training shard's source distribution — the one-number balance
+    check on corpus_shard_interleave's stratification promise (every
+    shard should score ≈ the corpus-wide impurity; a shard whose score
+    drops is source-collapsed and will bias any run that consumes
+    shards sequentially).  Gini impurity, not entropy, DELIBERATELY:
+    the diversity literature's entropy needs ln() (the documented
+    cross-engine trap) while 1 − Σp² is exact rational arithmetic —
+    same monotone "how mixed" reading (it is entropy's Tsallis q=2
+    sibling, the events_diversity_simpson discipline on a different
+    axis).
+
+    Exactness: Σn² and n are exact BIGINTs per shard; one shared
+    closing division.  Scale: the assignment window partitions by
+    source (the interleave's own plan), then two tiny-key reductions —
+    report is {_N_SHARDS} rows at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    assigned = docs.select(
+        "source",
+        ((F.row_number().over(w) - 1) % _N_SHARDS).cast("long").alias("shard"),
+    )
+    cells = assigned.groupBy("shard", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tots = cells.groupBy("shard").agg(
+        F.sum("n").cast("long").alias("n_shard"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    return tots.select(
+        "shard",
+        "n_shard",
+        "n_sources",
+        (
+            F.lit(1)
+            - F.col("sum_sq").cast("double")
+            / (F.col("n_shard").cast("double") * F.col("n_shard"))
+        ).alias("gini_impurity"),
+    )

@@ -1782,3 +1782,100 @@ def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_total") * F.col("n_total") - F.col("sum_rc")).cast("double")
         ).alias("kappa"),
     )
+
+
+KN_DISCOUNT = "0.75"  # absolute discount; exact binary fraction, shared literal
+KN_TOP = 20
+
+_KN_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bi AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+    ), counts AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1, 2
+    ), prefix AS (
+        SELECT w1, CAST(SUM(c) AS BIGINT) AS cp,
+               CAST(COUNT(*) AS BIGINT) AS n1p_w1
+        FROM counts GROUP BY w1
+    ), cont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_cont
+        FROM counts GROUP BY w2
+    ), t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM counts
+    )
+    SELECT w1, w2, c,
+           CAST(c AS DOUBLE) / cp AS p_mle,
+           (CAST(c AS DOUBLE) - {KN_DISCOUNT}) / cp
+               + ({KN_DISCOUNT} * n1p_w1 / cp)
+                 * (CAST(n1p_cont AS DOUBLE) / t_types) AS p_kn
+    FROM counts
+    JOIN prefix USING (w1)
+    JOIN cont USING (w2)
+    CROSS JOIN t
+    ORDER BY c DESC, w1, w2
+    LIMIT {KN_TOP}
+"""
+
+
+@query("text_bigram_kneser_ney", oracle=_KN_ORACLE)
+def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram probabilities (absolute discount
+    d = {KN_DISCOUNT}) for the corpus' top-{KN_TOP} bigrams — THE n-gram
+    smoothing method (the one every LM textbook lands on): mass
+    discounted from seen bigrams is redistributed by CONTINUATION
+    probability (how many distinct contexts a word completes), which is
+    why "san francisco" lends almost nothing to "francisco" appearing
+    elsewhere — the insight raw MLE (text_bigram_lm) and additive
+    smoothing both miss.  p_kn = (c−d)/c(w1·) + d·N1+(w1·)/c(w1·) ·
+    N1+(·w2)/T.
+
+    Exactness: every input is an exact count; d = 0.75 is an exact
+    binary fraction so c−d is exact; the two terms are single-division
+    products added in one fixed written order — no transcendental, no
+    accumulation (c ≥ 1 keeps c−d positive, so no max() clamp is
+    needed).  Ranking is by integer count with lexicographic
+    tie-break.
+
+    Scale: the model tables ARE the aggregations (bigram, prefix,
+    continuation — each one shuffle on its key, vocabulary-bounded
+    output); T is a single-row broadcast (q11 pattern).  At 100 TB
+    these persist as the LM's bucketed model tables; scoring joins
+    co-locate on w1 exactly as text_bigram_novelty documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    bi = docs.select(
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+                " (w, i) -> struct(w AS w1, split(text, ' ')[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    prefix = counts.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("cp"),
+        F.count(F.lit(1)).cast("long").alias("n1p_w1"),
+    )
+    cont = counts.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_cont")
+    )
+    t = counts.agg(F.count(F.lit(1)).cast("long").alias("t_types"))
+    d = float(KN_DISCOUNT)
+    scored = (
+        counts.join(prefix, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            (F.col("c").cast("double") / F.col("cp")).alias("p_mle"),
+            (
+                (F.col("c").cast("double") - F.lit(d)) / F.col("cp")
+                + (F.lit(d) * F.col("n1p_w1") / F.col("cp"))
+                * (F.col("n1p_cont").cast("double") / F.col("t_types"))
+            ).alias("p_kn"),
+        )
+    )
+    return scored.orderBy(F.col("c").desc(), "w1", "w2").limit(KN_TOP)

@@ -133,6 +133,7 @@ ALLOWED_NESTED_LOOP = {
     "corpus_mix_equalize",  # single-row min-count cap broadcast (q11 pattern)
     "text_cosine_pairs",  # single-row corpus-count broadcast for the df cutoff
     "text_keyword_search",  # single-row corpus-count broadcast (q11 pattern)
+    "text_bigram_kneser_ney",  # single-row bigram-type-total broadcast (q11 pattern)
     "dq_benford_digits",  # single-row total-count broadcast for the ppm share
     "cdc_time_travel",  # 3-row version-dim broadcast; replication = versions asked
     "similarity_topk_bruteforce",  # broadcast query set is the operator's design
