@@ -134,6 +134,8 @@ ALLOWED_NESTED_LOOP = {
     "text_cosine_pairs",  # single-row corpus-count broadcast for the df cutoff
     "text_keyword_search",  # single-row corpus-count broadcast (q11 pattern)
     "text_bigram_kneser_ney",  # single-row bigram-type-total broadcast (q11 pattern)
+    "text_bm25_search",  # single-row (N, avgdl) stats broadcast (q11 pattern)
+    "events_lead_lag_xcorr",  # 8-row lag-dimension broadcast fan (scale-free)
     "dq_benford_digits",  # single-row total-count broadcast for the ppm share
     "cdc_time_travel",  # 3-row version-dim broadcast; replication = versions asked
     "similarity_topk_bruteforce",  # broadcast query set is the operator's design
@@ -176,6 +178,7 @@ ALLOWED_PYTHON_EVAL = {
     "dedup_minhash_incremental",  # same kernel, batch-vs-index probe
     "dedup_cluster_keepers",  # consumes the MinHash kernel's pair set
     "pipeline_dedup_e2e",  # full funnel composition over the same MinHash kernel
+    "dedup_minhash_eval",  # scores the same MinHash kernel against the exact truth set
     "corpus_split_leakage_safe",  # split key = cluster rep from the same kernel
     "dedup_embedding_lsh",  # Arrow-vectorized hyperplane signature
     "udf_pandas_vectorized",  # UDF surface demonstrations
