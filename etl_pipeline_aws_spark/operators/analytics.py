@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.catalog import load_table, register_views
 from etl_pipeline_aws_spark.registry import query
 
 
@@ -4235,3 +4235,56 @@ def events_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uplift_rate",
         F.sum("incr_conversions").over(wq).alias("qini_cum"),
     )
+
+
+MIGRATION_SPLIT_DATE = "1995-01-01"  # fixture midpoint: period 1 vs period 2
+
+
+_SEGMENT_MIGRATION_SQL = f"""
+WITH spend AS (
+    SELECT o_custkey,
+           CASE WHEN CAST(o_orderdate AS DATE) < DATE '{MIGRATION_SPLIT_DATE}'
+                THEN 1 ELSE 2 END AS period,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2))
+               AS total_spend
+    FROM orders
+    GROUP BY o_custkey,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '{MIGRATION_SPLIT_DATE}'
+                  THEN 1 ELSE 2 END
+), segged AS (
+    SELECT o_custkey, period,
+           CASE NTILE(3) OVER (PARTITION BY period
+                               ORDER BY total_spend DESC, o_custkey)
+                WHEN 1 THEN 'high' WHEN 2 THEN 'mid' ELSE 'low' END AS seg
+    FROM spend
+), p1 AS (SELECT o_custkey, seg FROM segged WHERE period = 1),
+p2 AS (SELECT o_custkey, seg FROM segged WHERE period = 2)
+SELECT COALESCE(p1.seg, 'absent') AS seg_from,
+       COALESCE(p2.seg, 'absent') AS seg_to,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM p1 FULL OUTER JOIN p2 ON p1.o_custkey = p2.o_custkey
+GROUP BY COALESCE(p1.seg, 'absent'), COALESCE(p2.seg, 'absent')
+"""
+
+
+@query("customer_segment_migration", oracle=_SEGMENT_MIGRATION_SQL)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment MIGRATION matrix: value tertile (high/mid/low
+    spend, NTILE over exact decimals with key tie-break) computed
+    independently for the two halves of the order history, then the
+    from→to transition counts including 'absent' on either side — the
+    upgrade/downgrade/churn/acquisition flows a retention team reads,
+    which the static snapshot (customer_rfm_segments) cannot show:
+    segments look stable in aggregate while churning underneath.
+
+    One shared SQL text; exactness from decimal spend totals, integer
+    NTILE boundaries, deterministic tie-break, and COALESCE'd absence
+    labels (the full outer join makes entering/exiting customers
+    first-class rows, not dropped ones).
+
+    Scale: one customer-key reduction (fact-sized), a per-period
+    customers-sized NTILE window (swap for broadcast tertile fences at
+    extreme cardinality — the ml_calibration_bins pattern), and a
+    customer-key full outer join; output is ≤ 4×4 cells."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SEGMENT_MIGRATION_SQL)

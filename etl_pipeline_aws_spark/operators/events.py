@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.catalog import load_table, register_views
 from etl_pipeline_aws_spark.functions.numeric import dsum
 from etl_pipeline_aws_spark.registry import query
 
@@ -630,3 +630,72 @@ def interval_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_ALLEN_SPARK)
+
+
+COVERAGE_TTL_MIN = 30  # each event opens a 30-minute activity interval
+
+
+def _coverage_sql(micros_fn: str) -> str:
+    """Shared interval-union text; per-dialect epoch-micros accessor."""
+    ttl_us = COVERAGE_TTL_MIN * 60 * 1_000_000
+    return f"""
+WITH iv AS (
+    SELECT user_id,
+           {micros_fn} AS s,
+           {micros_fn} + {ttl_us} AS e
+    FROM events
+), marked AS (
+    SELECT user_id, s, e,
+           MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+    FROM iv
+), islands AS (
+    SELECT user_id, s, e,
+           SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS island
+    FROM marked
+), merged AS (
+    SELECT user_id, island,
+           CAST(MIN(s) AS BIGINT) AS island_s,
+           CAST(MAX(e) AS BIGINT) AS island_e
+    FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(island_e - island_s) AS BIGINT) AS covered_micros,
+       CAST(MAX(island_e - island_s) AS BIGINT) AS longest_island_micros
+FROM merged GROUP BY user_id
+"""
+
+
+@query(
+    "events_active_coverage_union",
+    oracle=_coverage_sql("epoch_us(ts)"),
+)
+def events_active_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total ACTIVE time per user as an interval UNION: every event opens
+    a {COVERAGE_TTL_MIN}-minute activity window, overlapping windows
+    merge, and the answer is the deduplicated coverage — the
+    "time actually spent" metric billing and engagement models need
+    (summing per-event TTLs double-counts every burst; session counts
+    hide duration).  The third member of the interval family:
+    events_concurrent_sessions sweeps for PEAK overlap,
+    interval_overlap_pairs enumerates overlaps, this one measures the
+    union.
+
+    Merge = the gaps-and-islands prefix-max trick, one pass, NO
+    self-join: an interval starts a new island iff its start exceeds
+    the running max end of everything before it (MAX ... ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING); island ids are the running sum of those
+    starts.  Exactness: epoch microseconds end to end — integer
+    arithmetic only (the r5-advice lesson: second-truncated casts
+    diverge from interval comparisons at boundaries).
+
+    Scale: two windows and one reduction, all partitioned on user_id —
+    one user-key shuffle total; no per-pair work, so a user with 10⁶
+    events costs 10⁶ log-sorted rows, never 10¹² pairs."""
+    register_views(spark, sf_dir)
+    return spark.sql(_coverage_sql("unix_micros(ts)"))
