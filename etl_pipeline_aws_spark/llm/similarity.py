@@ -1241,7 +1241,7 @@ RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 RRF_POOL = 20  # candidates taken from each ranker
 RRF_TOP = 10  # fused results returned
 
-_HYBRID_RRF_ORACLE = f"""
+_HYBRID_FUSED_CTES = f"""
     WITH base AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), stats AS (
@@ -1300,7 +1300,9 @@ _HYBRID_RRF_ORACLE = f"""
                COALESCE(1.0 / ({RRF_K} + t.r_text), 0.0)
                    + COALESCE(1.0 / ({RRF_K} + v.r_vec), 0.0) AS rrf_score
         FROM r_text t FULL OUTER JOIN r_vec v ON t.doc_id = v.doc_id
-    )
+    )"""
+
+_HYBRID_RRF_ORACLE = _HYBRID_FUSED_CTES + f"""
     SELECT doc_id, CAST(r_text AS BIGINT) AS r_text,
            CAST(r_vec AS BIGINT) AS r_vec, rrf_score
     FROM fused
@@ -1334,6 +1336,15 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide window); the fusion is a {RRF_POOL}×{RRF_POOL} full
     outer join — constant-size regardless of corpus.  At 100 TB each
     ranker is its own index lookup; fusion cost never grows."""
+    fused = rrf_fused_frame(spark, sf_dir)
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(RRF_TOP)
+
+
+def rrf_fused_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared RRF fusion core: the un-truncated fused candidate frame
+    (doc_id, r_text, r_vec, rrf_score) that search_hybrid_rrf top-10s
+    and pipeline_hybrid_search_e2e re-ranks after dup suppression.  See
+    search_hybrid_rrf for determinism and plan rationale."""
     from etl_pipeline_aws_spark.llm.text import bm25_scored_milli
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1376,7 +1387,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r_vec"),
         )
     )
-    fused = (
+    return (
         r_text.join(r_vec, "doc_id", "full_outer")
         .select(
             "doc_id",
@@ -1388,7 +1399,6 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rrf_score"),
         )
     )
-    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(RRF_TOP)
 
 
 METRIC_AGREE_POOL = 100  # cosine top pool whose ordering is compared
@@ -1531,4 +1541,94 @@ def similarity_metric_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.sqrt((n - F.sum("tie_d")).cast("double"))
             )
         ).alias("tau_b"),
+    )
+
+
+def _hybrid_e2e_oracle() -> str:
+    from etl_pipeline_aws_spark.llm.dedup import NGRAM_JACCARD_ORACLE
+
+    return (
+        _HYBRID_FUSED_CTES.replace("    WITH base AS (", "    WITH RECURSIVE base AS (")
+        + f"""
+    , pairs AS ({NGRAM_JACCARD_ORACLE})
+    , dedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM dedges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src
+    ), dups AS (
+        SELECT src AS doc_id FROM reach
+        GROUP BY src HAVING src > LEAST(src, MIN(dst))
+    ), survivors AS (
+        SELECT f.* FROM fused f
+        WHERE f.doc_id NOT IN (SELECT doc_id FROM dups)
+    )
+    SELECT s.doc_id, d.lang, d.source,
+           CAST(s.r_text AS BIGINT) AS r_text,
+           CAST(s.r_vec AS BIGINT) AS r_vec,
+           s.rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY s.rrf_score DESC, s.doc_id)
+                AS BIGINT) AS final_rank
+    FROM survivors s JOIN documents d ON d.doc_id = s.doc_id
+    ORDER BY final_rank
+    LIMIT {RRF_TOP}
+"""
+    )
+
+
+@query("pipeline_hybrid_search_e2e", oracle=_hybrid_e2e_oracle())
+def pipeline_hybrid_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid search SERVING pipeline end-to-end, as one declarative
+    query: BM25 + dense-vector rankers → reciprocal-rank fusion →
+    NEAR-DUP SUPPRESSION (a result that is a non-keeper of an
+    exact-Jaccard duplicate cluster is removed — returning three copies
+    of one boilerplate page is the classic search-quality failure) →
+    the final top-{RRF_TOP} slate re-ranked and joined to document
+    metadata.  This is the composition a retrieval stack actually
+    serves; the registry's pieces (search_hybrid_rrf,
+    dedup_cluster_keepers, dedup_ngram_jaccard) are its unit tests.
+
+    Suppression keeps cluster KEEPERS (smallest doc_id), so a
+    fully-duplicated result set still returns one representative —
+    drop-all would silently censor boilerplate-heavy corpora.  The
+    oracle recomputes the WHOLE composition including the
+    recursive-CTE transitive closure of the duplicate graph.
+
+    Scale: each stage inherits its parent operator's documented plan
+    (posting-list BM25, broadcast-query vector scan, banded-LSH-backed
+    components at production scale — here the exact pair graph, whose
+    absence of a quadratic shingle join tests/test_plans.py pins);
+    fusion, suppression, and the final rank all run on pool-sized
+    frames (≤ 2×{RRF_POOL} rows)."""
+    from etl_pipeline_aws_spark.llm.dedup import (
+        dedup_ngram_jaccard,
+        min_label_components,
+    )
+
+    fused = rrf_fused_frame(spark, sf_dir)
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    labels = min_label_components(pairs)
+    dups = labels.filter(F.col("label") != F.col("doc_id")).select("doc_id")
+    survivors = fused.join(F.broadcast(dups), "doc_id", "left_anti")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    from pyspark.sql.window import Window
+
+    ranked = (
+        survivors.orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(RRF_TOP)
+        .join(docs, "doc_id")
+        .withColumn(
+            "final_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf_score").desc(), "doc_id"))
+            .cast("long"),
+        )
+    )
+    return ranked.select(
+        "doc_id", "lang", "source", "r_text", "r_vec", "rrf_score", "final_rank"
     )

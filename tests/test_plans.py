@@ -153,6 +153,7 @@ ALLOWED_NESTED_LOOP = {
     "market_basket_rules",  # 1-row global basket-count broadcast (scale-free)
     "similarity_topk_dot",  # broadcast query set, != residual (bruteforce design)
     "search_hybrid_rrf",  # single-row query-vector broadcast (q11 pattern)
+    "pipeline_hybrid_search_e2e",  # same single-row query-vector broadcast (composition)
     "embedding_kmeans_lloyd",  # k-row centroid broadcast E-step (k=4; IVF-style blocked join is the large-k path)
     "similarity_metric_agreement",  # single-row query-vector broadcast (q11 pattern)
     "embedding_knn_label_eval",  # broadcast LOO eval panel (bruteforce design)
