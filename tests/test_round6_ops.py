@@ -1838,3 +1838,62 @@ def test_cochran_armitage_matches_python_fold(spark):
     r = engine.queries()["stat_cochran_armitage_trend"](spark, SF_DIR).collect()[0]
     assert r.k_groups == 5
     assert 0 < r.n_success < r.n_total
+
+
+def test_coverage_union_bounds(spark):
+    from etl_pipeline_aws_spark.operators.events import COVERAGE_TTL_MIN
+
+    ttl_us = COVERAGE_TTL_MIN * 60 * 1_000_000
+    rows = engine.queries()["events_active_coverage_union"](spark, SF_DIR).collect()
+    con = duckdb_con(SF_DIR)
+    per_user = dict(
+        con.sql("SELECT user_id, COUNT(*) FROM events GROUP BY user_id").fetchall()
+    )
+    con.close()
+    assert len(rows) == len(per_user)
+    for r in rows:
+        n_ev = per_user[r.user_id]
+        assert ttl_us <= r.covered_micros <= n_ev * ttl_us  # union bounds
+        assert r.longest_island_micros >= ttl_us
+        assert 1 <= r.n_islands <= n_ev
+
+
+def test_segment_migration_conserves_customers(spark):
+    rows = engine.queries()["customer_segment_migration"](spark, SF_DIR).collect()
+    con = duckdb_con(SF_DIR)
+    n_cust = con.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    con.close()
+    # every customer appears in exactly one (from, to) cell
+    assert sum(r.n_customers for r in rows) >= n_cust  # absent-both never emitted
+    segs = {"high", "mid", "low", "absent"}
+    for r in rows:
+        assert r.seg_from in segs and r.seg_to in segs
+
+
+def test_kneser_ney_probability_sane(spark):
+    rows = engine.queries()["text_bigram_kneser_ney"](spark, SF_DIR).collect()
+    for r in rows:
+        assert 0.0 < r.p_kn <= 1.0 + 1e-12
+        assert 0.0 < r.p_mle <= 1.0
+        assert r.p_kn < r.p_mle + 0.25  # discounting cannot inflate much
+
+
+def test_shard_gini_matches_interleave_balance(spark):
+    rows = engine.queries()["corpus_shard_mix_gini"](spark, SF_DIR).collect()
+    ginis = [r.gini_impurity for r in rows]
+    assert all(0.0 <= g < 1.0 for g in ginis)
+    # stratified interleave => shards are near-identically mixed
+    assert max(ginis) - min(ginis) < 0.02
+
+
+def test_hybrid_e2e_suppresses_non_keepers(spark):
+    from etl_pipeline_aws_spark.llm.dedup import dedup_ngram_jaccard, min_label_components
+
+    engine.clear_caches(spark)
+    slate = engine.queries()["pipeline_hybrid_search_e2e"](spark, SF_DIR).collect()
+    labels = min_label_components(dedup_ngram_jaccard(spark, SF_DIR))
+    dups = {r.doc_id for r in labels.filter("label != doc_id").collect()}
+    ranks = sorted(r.final_rank for r in slate)
+    assert ranks == list(range(1, len(slate) + 1))
+    for r in slate:
+        assert r.doc_id not in dups  # no near-dup non-keeper is served

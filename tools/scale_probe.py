@@ -205,6 +205,14 @@ PROBE_QUERIES = [
     "events_croston_intermittent",
     "stat_poisson_rate_ci",
     "dq_iqr_fences",
+    "events_croston_intermittent",
+    "events_holt_winters_additive",
+    "events_active_coverage_union",
+    "customer_segment_migration",
+    "text_bigram_kneser_ney",
+    "pipeline_hybrid_search_e2e",
+    "dq_t_closeness",
+    "events_uplift_by_decile",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
