@@ -205,7 +205,6 @@ PROBE_QUERIES = [
     "events_croston_intermittent",
     "stat_poisson_rate_ci",
     "dq_iqr_fences",
-    "events_croston_intermittent",
     "events_holt_winters_additive",
     "events_active_coverage_union",
     "customer_segment_migration",
