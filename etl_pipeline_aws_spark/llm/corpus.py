@@ -1849,3 +1849,78 @@ def corpus_shard_mix_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_shard").cast("double") * F.col("n_shard"))
         ).alias("gini_impurity"),
     )
+
+
+def _ivf_balance_oracle() -> str:
+    """One Lloyd assignment round (the kmeans oracle's a1/asg1 CTEs) +
+    the posting-balance rollup."""
+    base = _kmeans_oracle()
+    prefix = base[: base.index("\n    SELECT CAST(cl AS BIGINT) AS cluster")]
+    return prefix + f"""
+    , cells AS (
+        SELECT cl, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM asg1 GROUP BY cl
+    )
+    SELECT cl AS cell, n_vectors,
+           CAST(SUM(n_vectors) OVER () AS BIGINT) AS n_total,
+           CAST(n_vectors AS DOUBLE)
+               / (CAST(SUM(n_vectors) OVER () AS DOUBLE) / COUNT(*) OVER ())
+               AS balance_ratio
+    FROM cells
+"""
+
+
+@query("embedding_ivf_cell_balance", oracle=_ivf_balance_oracle())
+def embedding_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-build health report: assign every vector to its nearest
+    coarse centroid (one Lloyd E-step over the deterministic {KM_K}-seed
+    codebook — the round-1 assignment embedding_kmeans_lloyd refines)
+    and report per-cell posting-list sizes and the balance ratio
+    (cell size ÷ perfect share).  This is the number that decides
+    whether an IVF index will work: a cell at 10× its share makes every
+    probe of it 10× slower, and the fix (re-train, split, or spill the
+    hot cell) happens at BUILD time — similarity_topk_ivf's query cost
+    is only as good as this table.
+
+    Exactness: assignment reuses the kmeans discipline (zip_with
+    squared-L2 folds, integer tie-break), counts are exact; the ratio
+    is one shared division over window totals (cells-sized window, no
+    extra join).
+
+    Scale: one k-row centroid broadcast E-step over the corpus scan +
+    a k-cell reduction — the cheapest possible pass over the vectors;
+    at real k the report is still |cells| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("v")
+    )
+    c = vecs.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cl"), F.col("v").alias("cv")
+    )
+    dist_expr = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    a = vecs.crossJoin(F.broadcast(c)).select(
+        "vec_id", "cl", dist_expr.alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cl")
+    asg = (
+        a.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    cells = asg.groupBy("cl").agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    wall = Window.partitionBy()
+    return cells.select(
+        F.col("cl").alias("cell"),
+        "n_vectors",
+        F.sum("n_vectors").over(wall).cast("long").alias("n_total"),
+        (
+            F.col("n_vectors").cast("double")
+            / (
+                F.sum("n_vectors").over(wall).cast("double")
+                / F.count(F.lit(1)).over(wall)
+            )
+        ).alias("balance_ratio"),
+    )

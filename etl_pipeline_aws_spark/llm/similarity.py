@@ -1598,18 +1598,29 @@ def pipeline_hybrid_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE transitive closure of the duplicate graph.
 
     Scale: each stage inherits its parent operator's documented plan
-    (posting-list BM25, broadcast-query vector scan, banded-LSH-backed
-    components at production scale — here the exact pair graph, whose
-    absence of a quadratic shingle join tests/test_plans.py pins);
+    (posting-list BM25, broadcast-query vector scan, banded-LSH pair
+    generation with exact-Jaccard verification feeding the component
+    labels — no quadratic shingle join anywhere, probe-measured);
     fusion, suppression, and the final rank all run on pool-sized
     frames (≤ 2×{RRF_POOL} rows)."""
     from etl_pipeline_aws_spark.llm.dedup import (
-        dedup_ngram_jaccard,
         min_label_components,
+        minhash_feature_table,
+        minhash_lsh_pairs,
     )
 
     fused = rrf_fused_frame(spark, sf_dir)
-    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    # Pair source is the SCALE path: banded LSH candidates verified by
+    # exact Jaccard (the dedup_cluster_keepers discipline) — the first
+    # cut used the exact all-pairs shingle join and the 10x probe
+    # measured 11.8 s → 114 s (the replica's duplicate texts make the
+    # shingle self-join quadratic); the oracle still recomputes the
+    # EXACT closure, so passing certifies the banded path found every
+    # ≥-threshold edge.
+    feats = minhash_feature_table(
+        load_table(spark, sf_dir, "documents")
+    ).persist()
+    pairs = minhash_lsh_pairs(feats)
     labels = min_label_components(pairs)
     dups = labels.filter(F.col("label") != F.col("doc_id")).select("doc_id")
     survivors = fused.join(F.broadcast(dups), "doc_id", "left_anti")

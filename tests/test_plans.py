@@ -156,6 +156,7 @@ ALLOWED_NESTED_LOOP = {
     "pipeline_hybrid_search_e2e",  # same single-row query-vector broadcast (composition)
     "embedding_kmeans_lloyd",  # k-row centroid broadcast E-step (k=4; IVF-style blocked join is the large-k path)
     "similarity_metric_agreement",  # single-row query-vector broadcast (q11 pattern)
+    "embedding_ivf_cell_balance",  # k-row centroid broadcast E-step (kmeans design)
     "embedding_knn_label_eval",  # broadcast LOO eval panel (bruteforce design)
     "embedding_contrastive_pairs",  # broadcast anchor panel (bruteforce design)
     "governance_row_level_policy",  # 1-row leakage-count broadcast per principal (q11 pattern)
@@ -180,6 +181,7 @@ ALLOWED_PYTHON_EVAL = {
     "dedup_cluster_keepers",  # consumes the MinHash kernel's pair set
     "pipeline_dedup_e2e",  # full funnel composition over the same MinHash kernel
     "dedup_minhash_eval",  # scores the same MinHash kernel against the exact truth set
+    "pipeline_hybrid_search_e2e",  # dup suppression rides the same MinHash kernel
     "corpus_split_leakage_safe",  # split key = cluster rep from the same kernel
     "dedup_embedding_lsh",  # Arrow-vectorized hyperplane signature
     "udf_pandas_vectorized",  # UDF surface demonstrations
