@@ -1844,11 +1844,14 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     these persist as the LM's bucketed model tables; scoring joins
     co-locate on w1 exactly as text_bigram_novelty documents."""
     docs = load_table(spark, sf_dir, "documents")
-    bi = docs.select(
+    # split() evaluated ONCE per row (the inline triple-split spelling the
+    # siblings use re-tokenizes 3x; measured 50 s at the 10x replica where
+    # string volume dominates — one projected split column removes it)
+    bi = docs.select(F.split("text", " ").alias("ws")).select(
         F.explode(
             F.expr(
-                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
-                " (w, i) -> struct(w AS w1, split(text, ' ')[i + 1] AS w2))"
+                "transform(slice(ws, 1, size(ws) - 1),"
+                " (w, i) -> struct(w AS w1, ws[i + 1] AS w2))"
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
