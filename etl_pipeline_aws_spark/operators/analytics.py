@@ -4288,3 +4288,72 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-key full outer join; output is ≤ 4×4 cells."""
     register_views(spark, sf_dir)
     return spark.sql(_SEGMENT_MIGRATION_SQL)
+
+
+def _pr_curve_sql(thresholds_cte: str) -> str:
+    """Shared PR-curve text; the thresholds CTE is per-dialect (DuckDB's
+    quantile_disc takes a parameterized fraction; Spark's
+    percentile_disc requires a foldable literal, so its side unrolls
+    nine aggregates and stacks them)."""
+    return f"""
+WITH pts AS (
+    SELECT o_totalprice AS score,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+    FROM orders
+), thresholds AS ({thresholds_cte}), cells AS (
+    SELECT th.k, th.t,
+           CAST(SUM(CASE WHEN p.score > th.t AND p.label = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN p.score > th.t AND p.label = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN p.score <= th.t AND p.label = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn
+    FROM pts p CROSS JOIN thresholds th
+    GROUP BY th.k, th.t
+)
+SELECT k AS decile, t AS threshold, tp, fp, fn,
+       CAST(CASE WHEN tp + fp = 0 THEN 0
+                 ELSE (tp * 10000) {{idiv}} (tp + fp) END AS BIGINT)
+           AS precision_bp,
+       CAST((tp * 10000) {{idiv}} (tp + fn) AS BIGINT) AS recall_bp,
+       CAST((2 * tp * 10000) {{idiv}} (2 * tp + fp + fn) AS BIGINT) AS f1_bp
+FROM cells
+"""
+
+
+_PR_CURVE_ORACLE = _pr_curve_sql("""
+    SELECT k, CASE k WHEN 1 THEN t1 WHEN 2 THEN t2 WHEN 3 THEN t3 WHEN 4 THEN t4 WHEN 5 THEN t5 WHEN 6 THEN t6 WHEN 7 THEN t7 WHEN 8 THEN t8 WHEN 9 THEN t9 END AS t
+    FROM (SELECT quantile_disc(score, 0.1) AS t1, quantile_disc(score, 0.2) AS t2, quantile_disc(score, 0.3) AS t3, quantile_disc(score, 0.4) AS t4, quantile_disc(score, 0.5) AS t5, quantile_disc(score, 0.6) AS t6, quantile_disc(score, 0.7) AS t7, quantile_disc(score, 0.8) AS t8, quantile_disc(score, 0.9) AS t9 FROM pts) one
+    CROSS JOIN (SELECT CAST(unnest(range(1, 10)) AS INT) AS k) ks
+""").format(idiv="//")
+_PR_CURVE_SPARK = _pr_curve_sql("""
+    SELECT stack(9, 1, t1, 2, t2, 3, t3, 4, t4, 5, t5, 6, t6, 7, t7, 8, t8, 9, t9) AS (k, t)
+    FROM (SELECT percentile_disc(0.1) WITHIN GROUP (ORDER BY score) AS t1, percentile_disc(0.2) WITHIN GROUP (ORDER BY score) AS t2, percentile_disc(0.3) WITHIN GROUP (ORDER BY score) AS t3, percentile_disc(0.4) WITHIN GROUP (ORDER BY score) AS t4, percentile_disc(0.5) WITHIN GROUP (ORDER BY score) AS t5, percentile_disc(0.6) WITHIN GROUP (ORDER BY score) AS t6, percentile_disc(0.7) WITHIN GROUP (ORDER BY score) AS t7, percentile_disc(0.8) WITHIN GROUP (ORDER BY score) AS t8, percentile_disc(0.9) WITHIN GROUP (ORDER BY score) AS t9 FROM pts) one
+""").format(idiv="DIV")
+
+
+@query("ml_pr_curve_points", oracle=_PR_CURVE_ORACLE)
+def ml_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve at the nine decile thresholds — the
+    operating-curve view that completes the shared eval family:
+    stat_auc_roc ranks (threshold-free), ml_calibration_bins checks
+    probability levels, ml_confusion_threshold scores ONE operating
+    point, and this table shows the whole precision/recall trade a
+    deployment chooses from (the artifact behind "we can have 80%
+    recall at 31% precision or 50/45 — pick").
+
+    Exactness: thresholds are DISCRETE percentile picks (actual score
+    values, the agg_quantiles_exact discipline; both engines require
+    FOLDABLE fractions, so the nine picks unroll into one aggregate row
+    and unpivot — measured, not assumed); counts are exact; the three
+    rates are integer-basis-point floor divisions including the F1
+    identity 2·tp·10⁴ div (2·tp+fp+fn), so no float division chain can
+    diverge.  Empty-positive-prediction deciles pin precision to 0 by
+    an exact integer compare.
+
+    Scale: the 9-threshold fan is a broadcast onto one
+    partial-aggregated pass over the facts (the permutation-test
+    map-side-fan shape) after a same-pass grouped quantile; output is
+    9 rows at any scale."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PR_CURVE_SPARK)

@@ -605,3 +605,37 @@ def sql_ordered_set_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
         """
     )
+
+
+@query(
+    "sql_select_star_except",
+    oracle="""
+    SELECT * EXCLUDE (n_comment)
+    FROM (SELECT n_nationkey, n_name, n_regionkey,
+                 'x' AS n_comment
+          FROM nation) t
+    ORDER BY n_nationkey LIMIT 5
+    """,
+)
+def sql_select_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection-by-exclusion: ``SELECT * EXCEPT (cols)`` — the wide-
+    table ergonomic (drop the 2 audit columns from a 400-column scan
+    without enumerating 398) that also matters at 100 TB because the
+    EXCEPT form still column-prunes: the analyzer expands it to a
+    concrete projection, so the parquet reader reads exactly the kept
+    columns, same as an explicit list.  Dialect note pinned by this op:
+    Spark spells it EXCEPT, DuckDB spells it EXCLUDE — same semantics,
+    different keyword (a migration grep target).
+
+    The probe row fabricates a to-be-dropped column so the exclusion is
+    observable in the compared schema."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * EXCEPT (n_comment)
+        FROM (SELECT n_nationkey, n_name, n_regionkey,
+                     'x' AS n_comment
+              FROM nation) t
+        ORDER BY n_nationkey LIMIT 5
+        """
+    )
