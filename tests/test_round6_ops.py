@@ -1897,3 +1897,25 @@ def test_hybrid_e2e_suppresses_non_keepers(spark):
     assert ranks == list(range(1, len(slate) + 1))
     for r in slate:
         assert r.doc_id not in dups  # no near-dup non-keeper is served
+
+
+def test_ivf_cells_partition_corpus(spark):
+    engine.clear_caches(spark)
+    rows = engine.queries()["embedding_ivf_cell_balance"](spark, SF_DIR).collect()
+    assert sum(r.n_vectors for r in rows) == rows[0].n_total == 500
+    mean = rows[0].n_total / len(rows)
+    for r in rows:
+        assert abs(r.balance_ratio - r.n_vectors / mean) < 1e-9
+
+
+def test_pr_curve_recall_monotone_in_threshold(spark):
+    rows = sorted(
+        engine.queries()["ml_pr_curve_points"](spark, SF_DIR).collect(),
+        key=lambda r: r.decile,
+    )
+    assert len(rows) == 9
+    for a, b in zip(rows, rows[1:]):
+        assert b.threshold >= a.threshold
+        assert b.recall_bp <= a.recall_bp  # higher fence, fewer recalled
+    for r in rows:
+        assert 0 <= r.precision_bp <= 10000 and 0 <= r.f1_bp <= 10000
