@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_aws_spark.catalog import load_table, register_views
-from etl_pipeline_aws_spark.registry import query
+from etl_pipeline_aws_spark.registry import query, rows_only_query
 
 # Shared tokenization: whitespace split (the documents table is
 # space-separated word soup; see FIXTURES.md).
@@ -1882,3 +1882,61 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("c").desc(), "w1", "w2").limit(KN_TOP)
+
+
+def _compression_kernel(texts):
+    """Arrow-batched zlib ratio kernel (module-level so Spark pickles a
+    reference, not a closure)."""
+    import zlib
+
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "n_raw": texts.str.len().astype("int64"),
+            "n_compressed": texts.map(
+                lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            ).astype("int64"),
+        }
+    )
+
+
+@rows_only_query("text_compression_ratio")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression ratio as a text-quality signal: zlib level-6 bytes ÷
+    raw bytes per document — the cheap, tokenizer-free redundancy
+    detector production pretraining filters actually use (boilerplate,
+    keyword stuffing, and template spam compress far better than prose;
+    the CCNet/RefinedWeb lineage gates on exactly this).  Complements
+    the exact-arithmetic filters: text_repetition_filter counts
+    duplicate trigrams (a SPECIFIC redundancy), compression measures
+    ALL of it at once.
+
+    Rows-only by design: DEFLATE is not SQL-expressible — but it IS
+    deterministic (fixed level, fixed input bytes), so the pytest pins
+    assert bounds, determinism across runs, and the monotone
+    relationship with the repetition filter's flags on the fixture.
+    Plan: one Arrow-batched pandas_udf projection (mapInPandas-class
+    cost, ~bytes in / 16 bytes out per doc), zero shuffles; at 100 TB
+    this is embarrassingly parallel scan work."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    kernel = pandas_udf(
+        lambda texts: _compression_kernel(texts),
+        "struct<n_raw: long, n_compressed: long>",
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        kernel(F.col("text")).alias("z"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("z.n_raw").alias("n_raw"),
+        F.col("z.n_compressed").alias("n_compressed"),
+        (F.col("z.n_compressed").cast("double") / F.col("z.n_raw")).alias(
+            "compression_ratio"
+        ),
+    )

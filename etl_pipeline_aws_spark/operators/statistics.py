@@ -1302,3 +1302,58 @@ def stat_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after is single-row arithmetic."""
     register_views(spark, sf_dir)
     return spark.sql(_CA_TREND_SQL)
+
+
+def _median_ci_sql(idiv: str) -> str:
+    """Shared order-statistic median-CI text; integer-division token per
+    dialect (rank arithmetic is non-negative)."""
+    return f"""
+WITH ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+), fences AS (
+    SELECT event_type, value, rn, n,
+           (n - 1) {idiv} 2 + 1 AS r_med,
+           CAST(FLOOR(CAST(n AS DOUBLE) / 2
+                      - 1.96 * sqrt(CAST(n AS DOUBLE)) / 2) AS BIGINT)
+               AS r_lo,
+           CAST(FLOOR(CAST(n AS DOUBLE) / 2
+                      + 1.96 * sqrt(CAST(n AS DOUBLE)) / 2) AS BIGINT) + 1
+               AS r_hi
+    FROM ranked
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MIN(CASE WHEN rn = r_med THEN value END) AS median,
+       MIN(CASE WHEN rn = GREATEST(r_lo, 1) THEN value END) AS ci_lo,
+       MIN(CASE WHEN rn = LEAST(r_hi, n) THEN value END) AS ci_hi
+FROM fences
+GROUP BY event_type
+"""
+
+
+@query("stat_median_ci_orderstat", oracle=_median_ci_sql("//"))
+def stat_median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the MEDIAN via
+    order statistics: the interval between ranks n/2 ± 1.96·√n/2 covers
+    the true median with ~95% probability for ANY continuous
+    distribution (the binomial argument: each observation falls below
+    the median with p = ½, so the median's rank is Binomial(n, ½) —
+    no variance estimate, no normality of the DATA, only of the rank
+    count).  The error bar stat_poisson_rate_ci gives rates, this gives
+    to the dashboard's p50 latency/value lines — and it is the
+    nonparametric answer bootstrap-SE (stat_bootstrap_se) approximates
+    by resampling.
+
+    Exactness: all three reported values are ACTUAL elements picked at
+    integer ranks (the discrete-quantile discipline); the rank fences
+    come from one shared FLOOR(√n) formula — IEEE sqrt + floor of
+    identical doubles, then pure integer clamps.
+
+    Scale: one per-type window sort (the exact-quantile cost, documented
+    trade vs approx) and a group fold; output is |event types| rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_median_ci_sql("DIV"))

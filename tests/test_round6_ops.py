@@ -1919,3 +1919,34 @@ def test_pr_curve_recall_monotone_in_threshold(spark):
         assert b.recall_bp <= a.recall_bp  # higher fence, fewer recalled
     for r in rows:
         assert 0 <= r.precision_bp <= 10000 and 0 <= r.f1_bp <= 10000
+
+
+def test_compression_ratio_bounds_determinism_and_signal(spark):
+    q = engine.queries()["text_compression_ratio"]
+    rows = {r.doc_id: r for r in q(spark, SF_DIR).collect()}
+    again = {r.doc_id: r.compression_ratio for r in q(spark, SF_DIR).collect()}
+    assert len(rows) == 500
+    for did, r in rows.items():
+        assert 0.0 < r.compression_ratio < 1.5  # zlib header can exceed 1 on tiny docs
+        assert r.n_compressed > 0 and r.n_raw > 0
+        assert again[did] == r.compression_ratio  # DEFLATE is deterministic
+    # redundancy signal: docs flagged by the trigram repetition filter
+    # must compress better (lower ratio) than the corpus median
+    import statistics
+
+    flagged = {
+        r.doc_id
+        for r in engine.queries()["text_repetition_filter"](spark, SF_DIR).collect()
+        if not r.keep
+    }
+    if flagged:
+        med = statistics.median(r.compression_ratio for r in rows.values())
+        flagged_med = statistics.median(
+            rows[d].compression_ratio for d in flagged if d in rows
+        )
+        assert flagged_med <= med
+
+
+def test_median_ci_brackets_median(spark):
+    for r in engine.queries()["stat_median_ci_orderstat"](spark, SF_DIR).collect():
+        assert r.ci_lo <= r.median <= r.ci_hi
