@@ -1623,3 +1623,59 @@ def multimodal_image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame
         edge_stats,
         schema="doc_id long, n_gradients bigint, sum_abs_gradient bigint, n_edges bigint",
     )
+
+
+def _video_e2e_oracle() -> str:
+    """Per-language video-content rollup over the full shot-detection
+    chain (its oracle text inlined as a CTE)."""
+    import etl_pipeline_aws_spark.registry as _reg
+
+    shot_sql = _reg._ORACLES["multimodal_video_shot_detection"]
+    return f"""
+    WITH shots AS ({shot_sql})
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_videos,
+           CAST(SUM(s.n_frames) AS BIGINT) AS total_frames,
+           CAST(SUM(s.n_shots) AS BIGINT) AS total_shots,
+           CAST(SUM(s.n_frames) AS DOUBLE) / SUM(s.n_shots)
+               AS avg_frames_per_shot,
+           CAST(MAX(s.n_shots) AS BIGINT) AS max_shots
+    FROM shots s JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY d.lang
+"""
+
+
+@query("pipeline_video_e2e", oracle=_video_e2e_oracle())
+def pipeline_video_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed VIDEO pipeline as one job — container frame walk →
+    per-frame sums → shot segmentation → per-language shot-structure
+    report (videos, frames, shots, average shot length) — the
+    corpus-level audit a video-corpus build runs before committing
+    frame-extraction budget ("which language shards are static slides
+    vs rapid-cut footage"), the video leg beside pipeline_audio_e2e.
+
+    Every stage reuses semantics its standalone operator pins
+    (multimodal_video_shot_detection's honest container walk and
+    engine-side lag); the rollup joins the broadcastable documents dim
+    for language; the ratio divides two exact BIGINTs (single division,
+    identical cross-engine).  The oracle recomputes the WHOLE chain
+    from source bytes (the shot oracle inlined as a CTE).
+
+    Scale: one mapInPandas frame pass (per-doc work), one doc_id lag
+    window, a language rollup — the audio e2e's plan on the video
+    verbs."""
+    shots = multimodal_video_shot_detection(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        shots.join(F.broadcast(langs), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_videos"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+            F.sum("n_shots").cast("long").alias("total_shots"),
+            (
+                F.sum("n_frames").cast("double") / F.sum("n_shots")
+            ).alias("avg_frames_per_shot"),
+            F.max("n_shots").cast("long").alias("max_shots"),
+        )
+    )

@@ -1774,3 +1774,71 @@ def events_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     motivation: 19.5 s recursive vs 1.9 s fold at sf0.1)."""
     register_views(spark, sf_dir)
     return spark.sql(_hw_spark())
+
+
+def _residual_diag_sql(inner: str) -> str:
+    """Durbin-Watson + Wald-Wolfowitz runs test over the decomposition
+    residuals — the inner text is the dialect's full decomposition."""
+    return f"""
+WITH resid AS (
+    SELECT day, residual_cents AS e FROM ({inner}) comp
+), lagged AS (
+    SELECT day, e,
+           LAG(e) OVER (ORDER BY day) AS e_prev,
+           CASE WHEN e > 0 THEN 1 ELSE 0 END AS pos,
+           LAG(CASE WHEN e > 0 THEN 1 ELSE 0 END) OVER (ORDER BY day)
+               AS pos_prev
+    FROM resid
+), sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(e * e) AS BIGINT) AS sse,
+           CAST(SUM(CASE WHEN e_prev IS NULL THEN 0
+                         ELSE (e - e_prev) * (e - e_prev) END) AS BIGINT)
+               AS ssd,
+           CAST(SUM(pos) AS BIGINT) AS n1,
+           CAST(SUM(1 - pos) AS BIGINT) AS n2,
+           CAST(1 + SUM(CASE WHEN pos_prev IS NOT NULL
+                              AND pos <> pos_prev THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_runs
+    FROM lagged
+)
+SELECT n, n1, n2, n_runs,
+       CAST(ssd AS DOUBLE) / sse AS durbin_watson,
+       (CAST(n_runs AS DOUBLE)
+        - (CAST(2 AS DOUBLE) * n1 * n2 / (n1 + n2) + 1))
+       / sqrt(GREATEST(
+             (CAST(2 AS DOUBLE) * n1 * n2)
+             * (CAST(2 AS DOUBLE) * n1 * n2 - n1 - n2)
+             / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1)),
+             1e-12)) AS runs_z
+FROM sums
+"""
+
+
+@query("stat_residual_diagnostics", oracle=_residual_diag_sql(_DECOMP_ORACLE))
+def stat_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual WHITENESS diagnostics for the additive decomposition —
+    the model-adequacy check that closes the forecasting loop: if the
+    residuals still carry structure, the trend/seasonal fit is leaving
+    signal on the table.  Two classical tests in one pass: the
+    Durbin-Watson statistic (Σ(eₜ−eₜ₋₁)²/Σeₜ² — ≈2 for white residuals,
+    →0 under positive autocorrelation, →4 under negative) and the
+    Wald-Wolfowitz RUNS test z-score on residual signs (too few sign
+    runs = sticky level the decomposition missed; too many =
+    over-differencing).  DW is the regression-residual standard; the
+    runs test is its distribution-free cross-check.
+
+    Exactness: residuals are exact integer cents, so SSE/SSD and the
+    sign/run counts are exact BIGINTs; DW is one division; the runs z
+    is one shared rational-plus-sqrt formula (expected runs and
+    variance are exact-input arithmetic — no CDF, the z-statistic
+    discipline; the 2.0 literal is spelled CAST(2 AS DOUBLE) because
+    DuckDB parses bare float literals as DECIMAL and its fixed-scale
+    decimal division diverged in the 6th digit — measured).  Zero
+    residuals count as non-positive (documented tie rule, identical
+    both sides).
+
+    Scale: inherits the decomposition's calendar-bounded plan; the
+    diagnostics tail is one lag window + one fold over |days| rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_residual_diag_sql(_DECOMP_SPARK))
