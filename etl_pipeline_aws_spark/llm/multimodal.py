@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.catalog import load_table, register_views
 from etl_pipeline_aws_spark.registry import query
 
 FRAME_BYTES = 32  # fake "video" frame size for frame sampling
@@ -1679,3 +1679,99 @@ def pipeline_video_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_shots").cast("long").alias("max_shots"),
         )
     )
+
+
+AHASH_PIXELS = 63  # 63-bit hash: bit 63 stays clear so BIGINT stays non-negative
+AHASH_MAX_HAMMING = 3  # pigeonhole: 4x16-bit bands guarantee detection at <= 3 flips
+
+
+def _ahash_sql(gen_px: str, gen_band: str, idiv: str, shl, popxor) -> str:
+    """Shared average-hash near-dup text; per-dialect generators, integer
+    division, shift-left, and popcount-of-xor spellings."""
+    luma = (
+        "(299 * ascii(substring(text, CAST(3 * k + 1 AS INT), 1))"
+        " + 587 * ascii(substring(text, CAST(3 * k + 2 AS INT), 1))"
+        " + 114 * ascii(substring(text, CAST(3 * k + 3 AS INT), 1)))"
+        f" {idiv} 1000"
+    )
+    return f"""
+WITH px AS (
+    SELECT doc_id, CAST(g AS BIGINT) AS k,
+           CAST({luma} AS BIGINT) AS luma
+    FROM documents, ({gen_px}) gk
+), means AS (
+    SELECT doc_id, CAST(SUM(luma) {idiv} {AHASH_PIXELS} AS BIGINT) AS mu
+    FROM px GROUP BY doc_id
+), hashes AS (
+    SELECT p.doc_id,
+           CAST(SUM(CASE WHEN p.luma > m.mu
+                         THEN {shl('CAST(1 AS BIGINT)', 'p.k')}
+                         ELSE 0 END) AS BIGINT) AS h
+    FROM px p JOIN means m ON m.doc_id = p.doc_id
+    GROUP BY p.doc_id
+), bands AS (
+    SELECT doc_id, h, CAST(b AS INT) AS band_id,
+           CAST((h {idiv} (CASE CAST(b AS INT)
+                           WHEN 0 THEN 1 WHEN 1 THEN 65536
+                           WHEN 2 THEN 4294967296
+                           ELSE 281474976710656 END)) % 65536 AS BIGINT)
+               AS band_val
+    FROM hashes, ({gen_band}) gb
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({popxor('ha.h', 'hb.h')} AS INT) AS hamming
+FROM cand c
+JOIN hashes ha ON ha.doc_id = c.doc_a
+JOIN hashes hb ON hb.doc_id = c.doc_b
+WHERE {popxor('ha.h', 'hb.h')} <= {AHASH_MAX_HAMMING}
+"""
+
+
+_AHASH_ORACLE = _ahash_sql(
+    f"SELECT unnest(range(0, {AHASH_PIXELS})) AS g",
+    "SELECT unnest(range(0, 4)) AS b",
+    "//",
+    lambda a, b: f"({a} << CAST({b} AS INT))",
+    lambda a, b: f"bit_count(xor({a}, {b}))",
+)
+_AHASH_SPARK = _ahash_sql(
+    f"SELECT explode(sequence(0, {AHASH_PIXELS - 1})) AS g",
+    "SELECT explode(sequence(0, 3)) AS b",
+    "DIV",
+    lambda a, b: f"shiftleft({a}, CAST({b} AS INT))",
+    lambda a, b: f"bit_count({a} ^ {b})",
+)
+
+
+@query("multimodal_image_ahash_dedup", oracle=_AHASH_ORACLE)
+def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual IMAGE near-dup via average-hash: the first 8×8-ish
+    luma block ({AHASH_PIXELS} Rec.601 pixels off the payload framing)
+    thresholds against its own mean into a {AHASH_PIXELS}-bit
+    fingerprint, and images within Hamming distance
+    {AHASH_MAX_HAMMING} pair up — aHash is the cheapest member of the
+    perceptual-hash family (pHash adds a DCT — a transcendental this
+    engine-exact harness deliberately avoids; aHash is pure integer
+    arithmetic and is what large-scale image dedup actually runs
+    FIRST, with pHash as the verify tier).  Extends the dedup family
+    across modalities: exact/MinHash/SimHash cover text,
+    dedup_embedding covers vectors, this covers the image payloads.
+
+    Scale shape is the SimHash discipline verbatim: 16-bit band
+    pigeonhole (4 bands — any pair within Hamming {AHASH_MAX_HAMMING}
+    shares at least one intact band) makes candidate generation an
+    equi-join on (band, value), never all-pairs; verification is one
+    popcount per candidate.  Exactness: luma and the mean threshold
+    are integer fixed-point (the grayscale op's formula), the hash is
+    a 63-bit non-negative BIGINT (sign bit clear, so the shared
+    div/mod band split is engine-identical), Hamming is
+    bit_count(xor).  The band split is spelled with integer div/mod
+    because DuckDB and Spark disagree on shift-operator syntax — the
+    CASE powers are exact 2^16k constants."""
+    register_views(spark, sf_dir)
+    return spark.sql(_AHASH_SPARK)
