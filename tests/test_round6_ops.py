@@ -1950,3 +1950,29 @@ def test_compression_ratio_bounds_determinism_and_signal(spark):
 def test_median_ci_brackets_median(spark):
     for r in engine.queries()["stat_median_ci_orderstat"](spark, SF_DIR).collect():
         assert r.ci_lo <= r.median <= r.ci_hi
+
+
+def test_residual_diagnostics_dw_bounds(spark):
+    r = engine.queries()["stat_residual_diagnostics"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= r.durbin_watson <= 4.0
+    assert r.n_runs >= 1 and r.n1 + r.n2 == r.n
+
+
+def test_video_e2e_conserves_videos(spark):
+    rows = engine.queries()["pipeline_video_e2e"](spark, SF_DIR).collect()
+    assert sum(r.n_videos for r in rows) == 500
+    for r in rows:
+        assert r.total_shots >= r.n_videos  # every video has >= 1 shot
+        assert r.avg_frames_per_shot > 0
+
+
+def test_ahash_pairs_are_symmetric_free_and_verified(spark):
+    from etl_pipeline_aws_spark.llm.multimodal import AHASH_MAX_HAMMING
+
+    rows = engine.queries()["multimodal_image_ahash_dedup"](spark, SF_DIR).collect()
+    seen = set()
+    for r in rows:
+        assert r.doc_a < r.doc_b  # canonical order, no mirror duplicates
+        assert 0 <= r.hamming <= AHASH_MAX_HAMMING
+        assert (r.doc_a, r.doc_b) not in seen
+        seen.add((r.doc_a, r.doc_b))
