@@ -123,6 +123,7 @@ ALLOWED_CARTESIAN = {
     "events_xmr_control_chart",  # 1×|days| center-line broadcast (q11 pattern)
     "stat_cohens_kappa",  # 1×1 join of the agreement and marginal folds (scale-free)
     "dq_t_closeness",  # |classes|×|bands| dimension spine + 1-row totals (bounded)
+    "ml_pr_curve_points",  # 9-row threshold fan onto one partial-agg pass (scale-free)
 }
 ALLOWED_NESTED_LOOP = {
     "q22_sales_opportunity",  # single-row scalar-subquery broadcast (scale-free)
