@@ -1940,3 +1940,75 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compression_ratio"
         ),
     )
+
+
+CHAR_LANG_PROFILE_K = 30  # trigrams kept per language profile
+
+
+def _char_lang_sql(gen: str) -> str:
+    """Shared char-trigram language-ID text; per-dialect index
+    generator.  Docs shorter than 3 chars are excluded on BOTH sides
+    (Spark's sequence() auto-reverses when start > stop — measured
+    trap)."""
+    return f"""
+WITH tri AS (
+    SELECT DISTINCT doc_id, lang, substring(text, i, 3) AS g
+    FROM documents{gen}
+    WHERE LENGTH(text) >= 3
+), prof AS (
+    SELECT lang, g FROM (
+        SELECT lang, g,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY COUNT(*) DESC, g) AS rn
+        FROM tri GROUP BY lang, g) t
+    WHERE rn <= {CHAR_LANG_PROFILE_K}
+), scores AS (
+    SELECT t.doc_id, t.lang AS labeled_lang, p.lang AS cand,
+           COUNT(*) AS overlap
+    FROM tri t JOIN prof p ON p.g = t.g
+    GROUP BY t.doc_id, t.lang, p.lang
+), pred AS (
+    SELECT doc_id, labeled_lang, cand AS predicted_lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY overlap DESC, cand) AS rn
+    FROM scores
+)
+SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY labeled_lang, predicted_lang
+"""
+
+
+_CHAR_LANG_ORACLE = _char_lang_sql(
+    ", LATERAL (SELECT unnest(range(1, LENGTH(text) - 1)) AS i) r"
+)
+_CHAR_LANG_SPARK = _char_lang_sql(
+    " LATERAL VIEW explode(sequence(1, length(text) - 2)) t AS i"
+)
+
+
+@query("text_lang_id_char_ngram", oracle=_CHAR_LANG_ORACLE)
+def text_lang_id_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language identification — the OTHER standard
+    lang-ID architecture beside the marker-word heuristic
+    (text_lang_id): each language's profile is its top-{CHAR_LANG_PROFILE_K}
+    document-frequency char trigrams (trained in-query from the labeled
+    corpus — the Cavnar-Trenkle n-gram-profile idea in its set-overlap
+    form), and a document classifies to the profile it overlaps most.
+    Char n-grams survive typos, morphology, and unseen vocabulary that
+    break word lists — the reason production langid stacks are
+    character-based.  Reported as the labeled-vs-predicted confusion
+    matrix, directly comparable to text_lang_confusion_matrix's (and
+    feedable to stat_cohens_kappa for the chance-corrected score).
+
+    Determinism: profiles rank by integer document frequency with
+    lexicographic tie-break; classification is integer overlap with
+    language-name tie-break; zero-overlap documents abstain (absent on
+    both engines identically).
+
+    Scale: one distinct trigram expansion (narrow + one dedup shuffle),
+    a vocabulary-sized profile rank, and a posting-list join against
+    the 3×{CHAR_LANG_PROFILE_K}-row profile broadcast — classification
+    cost scales with corpus trigram volume, never vocabulary²."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CHAR_LANG_SPARK)

@@ -1625,3 +1625,92 @@ def parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("codec", "n_lines", "sum_qty")
         )
     return outs[0].unionByName(outs[1])
+
+
+ADVISOR_TARGET_BYTES = 32 * 1024 * 1024  # compressed bytes per output file
+_ADVISOR_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+
+@query(
+    "layout_partition_size_advisor",
+    oracle=lambda: "\nUNION ALL\n".join(
+        f"""
+    SELECT '{t}' AS table_name,
+           CAST(SUM(DISTINCT_ROWS.r) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(total_compressed_size)
+                 FROM parquet_metadata('{gate_sf_dir()}/{t}.parquet'))
+                AS BIGINT) AS compressed_bytes,
+           CAST(GREATEST(1,
+                CAST(CEIL(CAST((SELECT SUM(total_compressed_size)
+                     FROM parquet_metadata('{gate_sf_dir()}/{t}.parquet'))
+                     AS DOUBLE) / {ADVISOR_TARGET_BYTES}) AS BIGINT))
+                AS BIGINT) AS recommended_files
+    FROM (SELECT row_group_id, MAX(row_group_num_rows) AS r
+          FROM parquet_metadata('{gate_sf_dir()}/{t}.parquet')
+          GROUP BY row_group_id) DISTINCT_ROWS
+"""
+        for t in _ADVISOR_TABLES
+    ),
+)
+def layout_partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction/partition-size ADVISORY from footers alone: per table,
+    exact row count and compressed bytes read from Parquet metadata, and
+    the recommended output-file count at a {ADVISOR_TARGET_BYTES}-byte
+    target — the planning table behind every "small files problem"
+    remediation and the write-side `repartition(n)` choice
+    (sink_compaction EXECUTES a compaction; this op produces the plan,
+    at ~0.01% of the data bytes, the parquet_rowgroup_stats discipline).
+    At 100 TB this is the difference between a metadata query and a
+    lake-wide scan to answer "how should this table be laid out".
+
+    Footers are read in parallel by a pyarrow mapInPandas over the
+    table-path list (metadata-scale input, one task per batch); bytes =
+    Σ column-chunk total_compressed_size — the SAME definition DuckDB's
+    parquet_metadata exposes, so the oracle is an independent footer
+    reader agreeing number-for-number.  Path templated from the gate
+    sf_dir (table-function constants; gate_sf_dir note above)."""
+    import pandas as pd
+
+    pdf = spark.createDataFrame(
+        [(t, table_path(sf_dir, t)) for t in _ADVISOR_TABLES],
+        "table_name string, path string",
+    )
+
+    def read_footers(batches):
+        import math
+
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            rows = []
+            for t, p in zip(b["table_name"], b["path"]):
+                meta = pq.ParquetFile(p).metadata
+                n_rows = meta.num_rows
+                comp = sum(
+                    meta.row_group(i).column(j).total_compressed_size
+                    for i in range(meta.num_row_groups)
+                    for j in range(meta.num_columns)
+                )
+                rows.append(
+                    (
+                        t,
+                        n_rows,
+                        comp,
+                        max(1, math.ceil(comp / ADVISOR_TARGET_BYTES)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "table_name",
+                    "n_rows",
+                    "compressed_bytes",
+                    "recommended_files",
+                ],
+            )
+
+    return pdf.mapInPandas(
+        read_footers,
+        "table_name string, n_rows long, compressed_bytes long,"
+        " recommended_files long",
+    )
