@@ -1976,3 +1976,32 @@ def test_ahash_pairs_are_symmetric_free_and_verified(spark):
         assert 0 <= r.hamming <= AHASH_MAX_HAMMING
         assert (r.doc_a, r.doc_b) not in seen
         seen.add((r.doc_a, r.doc_b))
+
+
+def test_partition_advisor_covers_tables_with_sane_math(spark):
+    import math
+
+    from etl_pipeline_aws_spark.sources.source_queries import (
+        ADVISOR_TARGET_BYTES,
+        _ADVISOR_TABLES,
+    )
+
+    rows = {r.table_name: r for r in engine.queries()[
+        "layout_partition_size_advisor"](spark, SF_DIR).collect()}
+    assert set(rows) == set(_ADVISOR_TABLES)
+    for r in rows.values():
+        assert r.n_rows > 0 and r.compressed_bytes > 0
+        assert r.recommended_files == max(
+            1, math.ceil(r.compressed_bytes / ADVISOR_TARGET_BYTES)
+        )
+
+
+def test_char_ngram_lang_id_beats_chance(spark):
+    rows = engine.queries()["text_lang_id_char_ngram"](spark, SF_DIR).collect()
+    agree = sum(r.n_docs for r in rows if r.labeled_lang == r.predicted_lang)
+    total = sum(r.n_docs for r in rows)
+    k = len({r.labeled_lang for r in rows})
+    assert total > 0 and k >= 2
+    # word-soup fixture shares vocabulary across languages, so the bar is
+    # the k-class coin, not human-text accuracy
+    assert agree / total > 1.0 / k
