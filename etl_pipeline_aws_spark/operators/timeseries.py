@@ -1842,3 +1842,58 @@ def stat_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostics tail is one lag window + one fold over |days| rows."""
     register_views(spark, sf_dir)
     return spark.sql(_residual_diag_sql(_DECOMP_SPARK))
+
+
+BOLLINGER_W = 7  # trailing window (days); bands at ±2 sample std
+
+
+_BOLLINGER_SQL = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+    FROM events GROUP BY CAST(ts AS DATE)
+), win AS (
+    SELECT day, cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n,
+           CAST(SUM(cents) OVER w AS BIGINT) AS s1,
+           CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN {BOLLINGER_W - 1} PRECEDING
+                 AND CURRENT ROW)
+), bands AS (
+    SELECT day, cents, n,
+           CAST(s1 AS DOUBLE) / n AS mid,
+           sqrt(GREATEST((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                         / (CAST(n AS DOUBLE) * (n - 1)), 0.0)) AS sd
+    FROM win WHERE n = {BOLLINGER_W}
+)
+SELECT day, cents AS value_cents, mid AS band_mid,
+       mid - 2 * sd AS band_lo, mid + 2 * sd AS band_hi,
+       CAST(CASE WHEN CAST(cents AS DOUBLE) > mid + 2 * sd THEN 1
+                 WHEN CAST(cents AS DOUBLE) < mid - 2 * sd THEN -1
+                 ELSE 0 END AS INT) AS breakout
+FROM bands
+"""
+
+
+@query("events_bollinger_bands", oracle=_BOLLINGER_SQL)
+def events_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over daily revenue: trailing-{BOLLINGER_W}-day
+    mean ± 2 sample standard deviations, with a ternary breakout flag —
+    the volatility-scaled envelope (vs the fixed-multiplier XmR limits
+    and the quantile envelope of events_percentile_bands_daily: the
+    Bollinger width ADAPTS to recent volatility, which is why trading
+    and capacity dashboards both draw it).  Warm-up days (incomplete
+    window) are dropped, the rolling family's discipline.
+
+    Exactness: cents are exact integers so the windowed power sums are
+    exact BIGINTs (bounded: days×cents² ≪ 2⁶³ until daily revenue
+    exceeds ~$10¹² — then lift s2 to DECIMAL, plan unchanged); mean,
+    sample variance, and the band arithmetic are one shared IEEE
+    formula text; the variance numerator is floored at 0 (catastrophic
+    cancellation on constant windows would otherwise sqrt a −ε).
+
+    Scale: one fact-sized daily reduction, one calendar-bounded ordered
+    window — the SLO-burn-rate plan with different math."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BOLLINGER_SQL)

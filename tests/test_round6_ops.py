@@ -2005,3 +2005,10 @@ def test_char_ngram_lang_id_beats_chance(spark):
     # word-soup fixture shares vocabulary across languages, so the bar is
     # the k-class coin, not human-text accuracy
     assert agree / total > 1.0 / k
+
+
+def test_bollinger_bands_order_and_flags(spark):
+    for r in engine.queries()["events_bollinger_bands"](spark, SF_DIR).collect():
+        assert r.band_lo <= r.band_mid <= r.band_hi
+        want = 1 if r.value_cents > r.band_hi else (-1 if r.value_cents < r.band_lo else 0)
+        assert r.breakout == want
