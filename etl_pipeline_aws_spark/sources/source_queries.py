@@ -1677,20 +1677,32 @@ def layout_partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     def read_footers(batches):
+        import glob
         import math
+        import os as _os
 
         import pyarrow.parquet as pq
 
         for b in batches:
             rows = []
             for t, p in zip(b["table_name"], b["path"]):
-                meta = pq.ParquetFile(p).metadata
-                n_rows = meta.num_rows
-                comp = sum(
-                    meta.row_group(i).column(j).total_compressed_size
-                    for i in range(meta.num_row_groups)
-                    for j in range(meta.num_columns)
+                # a "table" may be one file (the fixture layout) or a
+                # directory of part files (any Spark-written dataset,
+                # incl. the 10x probe replica) — sum footers either way
+                parts = (
+                    sorted(glob.glob(_os.path.join(p, "*.parquet")))
+                    if _os.path.isdir(p)
+                    else [p]
                 )
+                n_rows, comp = 0, 0
+                for part in parts:
+                    meta = pq.ParquetFile(part).metadata
+                    n_rows += meta.num_rows
+                    comp += sum(
+                        meta.row_group(i).column(j).total_compressed_size
+                        for i in range(meta.num_row_groups)
+                        for j in range(meta.num_columns)
+                    )
                 rows.append(
                     (
                         t,

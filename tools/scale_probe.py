@@ -212,6 +212,9 @@ PROBE_QUERIES = [
     "pipeline_hybrid_search_e2e",
     "dq_t_closeness",
     "events_uplift_by_decile",
+    "text_lang_id_char_ngram",
+    "events_bollinger_bands",
+    "layout_partition_size_advisor",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
