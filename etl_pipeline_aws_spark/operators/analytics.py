@@ -4357,3 +4357,75 @@ def ml_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     9 rows at any scale."""
     register_views(spark, sf_dir)
     return spark.sql(_PR_CURVE_SPARK)
+
+
+def _anomaly_ensemble_sql(idiv: str) -> str:
+    """Shared consensus-anomaly text; integer-division token per dialect
+    (rank arithmetic is non-negative)."""
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY CAST(ts AS DATE)
+), idx AS (
+    SELECT day, x,
+           ROW_NUMBER() OVER (ORDER BY x, day) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n,
+           CAST(SUM(x) OVER () AS BIGINT) AS s1,
+           CAST(SUM(x * x) OVER () AS BIGINT) AS s2
+    FROM daily
+), picks AS (
+    SELECT MIN(CASE WHEN rn = (n - 1) {idiv} 2 + 1 THEN x END) AS med,
+           MIN(CASE WHEN rn = (n - 1) {idiv} 4 + 1 THEN x END) AS q1,
+           MIN(CASE WHEN rn = 3 * (n - 1) {idiv} 4 + 1 THEN x END) AS q3
+    FROM idx
+), dev AS (
+    SELECT i.day, i.x, i.n, i.s1, i.s2, p.med, p.q1, p.q3,
+           ABS(i.x - p.med) AS dv
+    FROM idx i CROSS JOIN picks p
+), dr AS (
+    SELECT dev.*, ROW_NUMBER() OVER (ORDER BY dv, day) AS drn FROM dev
+), madv AS (
+    SELECT MIN(CASE WHEN drn = (n - 1) {idiv} 2 + 1 THEN dv END) AS mad
+    FROM dr
+), flagged AS (
+    SELECT d.day, d.x,
+           CASE WHEN ABS(CAST(d.n * d.x - d.s1 AS DOUBLE))
+                     > 2 * sqrt(CAST(d.n * d.s2 - d.s1 * d.s1 AS DOUBLE))
+                THEN 1 ELSE 0 END AS z_flag,
+           CASE WHEN d.dv > 3 * m.mad THEN 1 ELSE 0 END AS mad_flag,
+           CASE WHEN 2 * d.x < 2 * d.q1 - 3 * (d.q3 - d.q1)
+                  OR 2 * d.x > 2 * d.q3 + 3 * (d.q3 - d.q1)
+                THEN 1 ELSE 0 END AS iqr_flag
+    FROM dev d CROSS JOIN madv m
+)
+SELECT day, x AS n_events, z_flag, mad_flag, iqr_flag,
+       CAST(z_flag + mad_flag + iqr_flag AS INT) AS votes,
+       CAST(CASE WHEN z_flag + mad_flag + iqr_flag >= 2
+                 THEN 1 ELSE 0 END AS INT) AS consensus_anomaly
+FROM flagged
+"""
+
+
+@query("events_anomaly_ensemble", oracle=_anomaly_ensemble_sql("//"))
+def events_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consensus anomaly detection: the three classical detectors the
+    engine implements separately — z-score (parametric), MAD (robust
+    location), and Tukey IQR fences (robust spread) — voted per day,
+    with an alert only at 2-of-3 agreement.  This is how mature
+    alerting actually ships: each detector has a known failure mode
+    (z is dragged by the very outliers it hunts, MAD degenerates on
+    >50%-constant series, IQR is coarse on short windows), and the
+    ensemble vote suppresses each one's solo false positives.
+
+    Exactness: the z rule is cleared of divisions (|n·x − s1| >
+    2·√(n·s2 − s1²) — exact BIGINT power sums under one shared sqrt),
+    the MAD rule is pure integers (dv > 3·mad, the agg_mad_outliers
+    convention), and the IQR rule is doubled into integers
+    (2x < 2q1 − 3·(q3−q1)) so no 1.5 float ever appears.  All three
+    thresholds share the exact same daily series and discrete picks.
+
+    Scale: one fact-sized daily reduction; the global windows, rank
+    picks, and the two 1×|days| scalar broadcasts (q11 pattern) are
+    calendar-bounded."""
+    register_views(spark, sf_dir)
+    return spark.sql(_anomaly_ensemble_sql("DIV"))

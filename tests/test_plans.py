@@ -124,6 +124,7 @@ ALLOWED_CARTESIAN = {
     "stat_cohens_kappa",  # 1×1 join of the agreement and marginal folds (scale-free)
     "dq_t_closeness",  # |classes|×|bands| dimension spine + 1-row totals (bounded)
     "ml_pr_curve_points",  # 9-row threshold fan onto one partial-agg pass (scale-free)
+    "events_anomaly_ensemble",  # two 1×|days| scalar broadcasts (q11 pattern)
 }
 ALLOWED_NESTED_LOOP = {
     "q22_sales_opportunity",  # single-row scalar-subquery broadcast (scale-free)

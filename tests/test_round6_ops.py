@@ -2012,3 +2012,13 @@ def test_bollinger_bands_order_and_flags(spark):
         assert r.band_lo <= r.band_mid <= r.band_hi
         want = 1 if r.value_cents > r.band_hi else (-1 if r.value_cents < r.band_lo else 0)
         assert r.breakout == want
+
+
+def test_anomaly_ensemble_vote_identity(spark):
+    rows = engine.queries()["events_anomaly_ensemble"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.votes == r.z_flag + r.mad_flag + r.iqr_flag
+        assert r.consensus_anomaly == (1 if r.votes >= 2 else 0)
+        for f in (r.z_flag, r.mad_flag, r.iqr_flag):
+            assert f in (0, 1)
