@@ -2012,3 +2012,71 @@ def text_lang_id_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost scales with corpus trigram volume, never vocabulary²."""
     register_views(spark, sf_dir)
     return spark.sql(_CHAR_LANG_SPARK)
+
+
+def _source_tv_sql(tok_gen: str) -> str:
+    """Shared TV-matrix text; per-dialect token generator."""
+    return f"""
+WITH cells AS (
+    SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ({tok_gen})
+    GROUP BY source, w
+), totals AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY source
+), inner_pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(CAST(ABS(a.c * tb.n - b.c * ta.n)
+                         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS num_inner,
+           CAST(SUM(a.c) AS BIGINT) AS shared_a,
+           CAST(SUM(b.c) AS BIGINT) AS shared_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_tokens,
+           CAST(MAX(ta.n) AS BIGINT) AS n_a,
+           CAST(MAX(tb.n) AS BIGINT) AS n_b
+    FROM cells a
+    JOIN cells b ON a.w = b.w AND a.source < b.source
+    JOIN totals ta ON ta.source = a.source
+    JOIN totals tb ON tb.source = b.source
+    GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_shared_tokens,
+       CAST(CAST(num_inner
+                 + CAST((n_a - shared_a) AS DECIMAL(38,0)) * n_b
+                 + CAST((n_b - shared_b) AS DECIMAL(38,0)) * n_a
+            AS DOUBLE)
+            / (CAST(2 AS DOUBLE) * n_a * n_b) AS DOUBLE) AS tv_distance
+FROM inner_pairs
+"""
+
+
+_SOURCE_TV_ORACLE = _source_tv_sql(
+    "SELECT source, unnest(string_split(text, ' ')) AS w FROM documents"
+)
+_SOURCE_TV_SPARK = _source_tv_sql(
+    "SELECT source, explode(split(text, ' ')) AS w FROM documents"
+)
+
+
+@query("text_source_vocab_tv_matrix", oracle=_SOURCE_TV_ORACLE)
+def text_source_vocab_tv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise total-variation distance between source unigram
+    distributions — the corpus-mix redundancy map ("are these two
+    sources the same text distribution?") read before weighting a data
+    mixture: near-zero TV pairs are interchangeable (down-weight one),
+    high-TV sources add coverage.  TV = ½Σ|p−q| is the exact-rational
+    sibling of the KL/JS divergences this harness cannot hash-match
+    (they need log); it is also what dq_distribution_drift uses on the
+    time axis — this is the same metric on the SOURCE axis.
+
+    Exactness: the cleared-denominator identity Σ_t|c_a·N_b − c_b·N_a|
+    splits into shared-vocabulary terms plus two complement terms
+    ((N_a − Σ_shared c_a)·N_b and symmetric), so ONE inner join on the
+    token key computes the whole sum — no full outer join, no per-pair
+    vocabulary union; products are summed in DECIMAL(38,0) (token-count
+    × corpus-size products pass int64 near 10⁹-token sources — lifted,
+    not hoped).  One closing division.
+
+    Scale: one (source, token) reduction, one token-key self-join whose
+    output is |shared vocab|×|source pairs| — vocabulary-bounded, never
+    corpus-bounded; totals are a |sources|-row broadcast."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SOURCE_TV_SPARK)

@@ -2022,3 +2022,15 @@ def test_anomaly_ensemble_vote_identity(spark):
         assert r.consensus_anomaly == (1 if r.votes >= 2 else 0)
         for f in (r.z_flag, r.mad_flag, r.iqr_flag):
             assert f in (0, 1)
+
+
+def test_source_tv_matrix_is_a_bounded_metric(spark):
+    rows = engine.queries()["text_source_vocab_tv_matrix"](spark, SF_DIR).collect()
+    srcs = set()
+    for r in rows:
+        assert r.source_a < r.source_b  # canonical half-matrix
+        assert 0.0 <= r.tv_distance <= 1.0 + 1e-12
+        assert r.n_shared_tokens > 0
+        srcs.update((r.source_a, r.source_b))
+    k = len(srcs)
+    assert len(rows) == k * (k - 1) // 2  # every pair shares vocabulary here
