@@ -1081,3 +1081,72 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").cast("long").alias("min_node"),
         F.max("node").cast("long").alias("max_node"),
     )
+
+
+def _community_inequality_oracle() -> str:
+    """LP community sizes pushed through the agg_gini_coefficient rank
+    formula (its oracle text, one group)."""
+    sql, prev = _lp_cte()
+    return sql + f"""
+    , sizes AS (
+        SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz FROM {prev} GROUP BY lbl
+    ), ranked AS (
+        SELECT CAST(sz AS DECIMAL(18,2)) AS x,
+               ROW_NUMBER() OVER (ORDER BY CAST(sz AS DECIMAL(18,2)), lbl) AS i,
+               sz
+        FROM sizes
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(i * x) AS DOUBLE) AS six,
+               CAST(MAX(sz) AS BIGINT) AS max_sz,
+               CAST(SUM(sz) AS BIGINT) AS n_nodes
+        FROM ranked
+    )
+    SELECT n AS n_communities, n_nodes,
+           (2.0 * six) / (n * sx) - (n + 1.0) / n AS gini_size,
+           CAST(max_sz AS DOUBLE) / n_nodes AS largest_share
+    FROM sums"""
+
+
+@query("graph_community_inequality", oracle=_community_inequality_oracle())
+def graph_community_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-SIZE inequality of the label-propagation partition:
+    Gini over community sizes plus the largest community's node share —
+    the one-row diagnostic that tells you whether "communities" means a
+    real partition or one giant component plus dust (the regime where
+    modularity scores flatter and per-community rollups mislead; high
+    Gini or a dominant share says report percentiles, prepare for the
+    skew tier).  Composes two pinned cores verbatim: the shared
+    min-label assignment (_lp_label_frame) and the rank-formula Gini
+    (aggregates.gini_by_rank_formula, property-tested against the
+    pairwise definition).
+
+    Exactness inherited from both parents: integer labels/sizes,
+    pinned total order (size, then label), decimal power sums, one
+    shared closing formula; the share is a single division of exact
+    counts.
+
+    Scale: the LP rounds dominate (graph-diameter-bounded node-key
+    shuffles, documented at graph_label_propagation); the inequality
+    tail runs on |communities| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    _, labels = _lp_label_frame(li)
+    from etl_pipeline_aws_spark.operators.aggregates import gini_by_rank_formula
+
+    sizes = labels.groupBy(F.col("lbl")).agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    ).withColumn("grp", F.lit("all"))
+    gini = gini_by_rank_formula(sizes, "grp", "sz", "lbl").select(
+        F.col("n").alias("n_communities"), "gini"
+    )
+    extremes = sizes.agg(
+        F.max("sz").cast("long").alias("max_sz"),
+        F.sum("sz").cast("long").alias("n_nodes"),
+    )
+    return gini.crossJoin(F.broadcast(extremes)).select(
+        "n_communities",
+        "n_nodes",
+        F.col("gini").alias("gini_size"),
+        (F.col("max_sz").cast("double") / F.col("n_nodes")).alias("largest_share"),
+    )

@@ -159,6 +159,7 @@ ALLOWED_NESTED_LOOP = {
     "embedding_kmeans_lloyd",  # k-row centroid broadcast E-step (k=4; IVF-style blocked join is the large-k path)
     "similarity_metric_agreement",  # single-row query-vector broadcast (q11 pattern)
     "embedding_ivf_cell_balance",  # k-row centroid broadcast E-step (kmeans design)
+    "graph_community_inequality",  # 1×1 join of the gini and extremes folds (scale-free)
     "embedding_knn_label_eval",  # broadcast LOO eval panel (bruteforce design)
     "embedding_contrastive_pairs",  # broadcast anchor panel (bruteforce design)
     "governance_row_level_policy",  # 1-row leakage-count broadcast per principal (q11 pattern)

@@ -2034,3 +2034,11 @@ def test_source_tv_matrix_is_a_bounded_metric(spark):
         srcs.update((r.source_a, r.source_b))
     k = len(srcs)
     assert len(rows) == k * (k - 1) // 2  # every pair shares vocabulary here
+
+
+def test_community_inequality_bounds(spark):
+    engine.clear_caches(spark)
+    r = engine.queries()["graph_community_inequality"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= r.gini_size <= 1.0
+    assert 0.0 < r.largest_share <= 1.0
+    assert r.n_communities <= r.n_nodes
