@@ -1775,3 +1775,61 @@ def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE powers are exact 2^16k constants."""
     register_views(spark, sf_dir)
     return spark.sql(_AHASH_SPARK)
+
+
+_CREST_ORACLE = """
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(string_split(text, '')) AS c
+        FROM documents
+    ), samples AS (
+        SELECT doc_id, CAST((ascii(c) - 128) * 256 AS BIGINT) AS s
+        FROM chars
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(abs(s)) AS BIGINT) AS peak,
+           sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms,
+           CAST(MAX(abs(s)) AS DOUBLE)
+               / sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS crest_factor
+    FROM samples GROUP BY doc_id
+"""
+
+
+@query("multimodal_audio_crest_factor", oracle=_CREST_ORACLE)
+def multimodal_audio_crest_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crest factor (peak ÷ RMS) per audio document — the dynamic-range
+    QC number an audio-corpus build reads alongside energy and VAD:
+    speech sits near crest ≈ 3-5, hard-limited/compressed material near
+    1-2, and digital silence-with-clicks spikes high — the cheap screen
+    for over-compressed or degenerate recordings before transcription
+    spend.  Completes the audio-QC verb set (decode / energy / VAD /
+    zero-crossing / resample / chunks / CREST).
+
+    Same 16-bit sample mapping as multimodal_audio_energy ((byte −
+    128)·256 over the payload PCM), so all three QC metrics describe
+    the same signal.  Exactness: peak and Σs² are exact BIGINTs; RMS
+    and the ratio are one shared sqrt/division text.
+
+    Scale: one narrow per-doc reduction — the energy op's plan without
+    the window key."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(MAX(abs(s)) AS BIGINT) AS peak,
+               sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms,
+               CAST(MAX(abs(s)) AS DOUBLE)
+                   / sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS crest_factor
+        FROM (
+            SELECT doc_id,
+                   CAST((ascii(c) - 128) * 256 AS BIGINT) AS s
+            FROM (
+                SELECT doc_id, explode(split(text, '')) AS c
+                FROM documents
+            ) ch
+        ) samples
+        GROUP BY doc_id
+        """
+    )

@@ -2042,3 +2042,11 @@ def test_community_inequality_bounds(spark):
     assert 0.0 <= r.gini_size <= 1.0
     assert 0.0 < r.largest_share <= 1.0
     assert r.n_communities <= r.n_nodes
+
+
+def test_crest_factor_bounds(spark):
+    rows = engine.queries()["multimodal_audio_crest_factor"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.crest_factor >= 1.0 - 1e-12  # peak >= rms always
+        assert r.peak <= 32768 and r.rms > 0
