@@ -4429,3 +4429,97 @@ def events_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded."""
     register_views(spark, sf_dir)
     return spark.sql(_anomaly_ensemble_sql("DIV"))
+
+
+_MONTH_INDEX_SQL = """
+WITH monthly AS (
+    SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT) AS yr,
+           CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS INT) AS mo,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2))
+               AS rev
+    FROM orders
+    GROUP BY EXTRACT(year FROM CAST(o_orderdate AS DATE)),
+             EXTRACT(month FROM CAST(o_orderdate AS DATE))
+), per_month AS (
+    SELECT mo,
+           CAST(COUNT(*) AS BIGINT) AS n_years,
+           CAST(SUM(rev) AS DECIMAL(30,2)) AS tot
+    FROM monthly GROUP BY mo
+), base AS (
+    SELECT mo, n_years, tot,
+           CAST(tot AS DOUBLE) / n_years AS month_avg,
+           CAST(SUM(tot) OVER () AS DOUBLE)
+               / CAST(SUM(n_years) OVER () AS BIGINT) AS overall_avg
+    FROM per_month
+)
+SELECT mo AS month,
+       n_years,
+       month_avg,
+       month_avg / overall_avg AS seasonal_index
+FROM base
+"""
+
+
+@query("orders_month_seasonal_index", oracle=_MONTH_INDEX_SQL)
+def orders_month_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal index over ~7 years of order revenue:
+    average revenue for each calendar month divided by the overall
+    monthly average — the classical ratio-to-moving-average seasonal
+    factor in its multi-year form (events_seasonality_dow_index is the
+    weekly sibling on the 30-day event stream; orders is the table with
+    enough history for ANNUAL seasonality).  An index of 1.10 for March
+    reads directly as "+10% vs a typical month" — the number demand
+    planning multiplies into a baseline forecast.
+
+    Exactness: monthly revenue is exact decimal; month averages divide
+    exact decimals by exact year counts (months observed in fewer years
+    — the partial first/last calendar years — divide by THEIR OWN count,
+    not a global 7); the index is a ratio of two identically-computed
+    doubles.  The overall average uses the same (Σtot)/(Σn) weighting
+    so the index is exactly revenue-share-normalized.
+
+    Scale: one fact-sized (year, month) reduction, then ≤12-row window
+    arithmetic."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MONTH_INDEX_SQL)
+
+
+def _return_rate_sql(idiv: str) -> str:
+    """Shared brand return-rate text; integer division per dialect."""
+    return f"""
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned,
+       CAST((SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) * 10000)
+            {idiv} COUNT(*) AS BIGINT) AS return_rate_bp,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS returned_revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+"""
+
+
+@query("parts_return_rate_by_brand", oracle=_return_rate_sql("//"))
+def parts_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quality scorecard: per part BRAND, the returned-line rate
+    (integer basis points) and the discounted revenue those returns
+    represent — the merchandising view of the return flag that q10
+    reads per CUSTOMER (who to contact) and this reads per BRAND (what
+    to fix or delist).  A brand whose rate sits above the portfolio
+    band is a quality/supplier escalation with a revenue number
+    attached.
+
+    Exactness: counts are exact; the rate is a single integer floor
+    division to basis points; returned revenue is the exact decimal
+    revenue expression (price × (1−discount), the q1 discipline) cast
+    once at the end.
+
+    Scale: one broadcast dimension join (part is the small side —
+    Catalyst broadcasts it under default thresholds) into a
+    map-side-combined brand rollup; output is |brands| rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_return_rate_sql("DIV"))

@@ -2050,3 +2050,24 @@ def test_crest_factor_bounds(spark):
     for r in rows:
         assert r.crest_factor >= 1.0 - 1e-12  # peak >= rms always
         assert r.peak <= 32768 and r.rms > 0
+
+
+def test_month_index_weighted_mean_is_one(spark):
+    rows = engine.queries()["orders_month_seasonal_index"](spark, SF_DIR).collect()
+    assert len(rows) == 12
+    # index = month_avg / overall with overall = Σ(month_avg·n)/Σn, so the
+    # n_years-weighted mean of the index is exactly 1
+    den = sum(r.n_years for r in rows)
+    weighted = sum(r.seasonal_index * r.n_years for r in rows) / den
+    assert abs(weighted - 1.0) < 1e-9
+    for r in rows:
+        assert r.seasonal_index > 0
+
+
+def test_brand_return_rate_bounds(spark):
+    rows = engine.queries()["parts_return_rate_by_brand"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_returned <= r.n_lines
+        assert 0 <= r.return_rate_bp <= 10000
+        assert r.returned_revenue >= 0.0
