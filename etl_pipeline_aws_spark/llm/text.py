@@ -2080,3 +2080,53 @@ def text_source_vocab_tv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-bounded; totals are a |sources|-row broadcast."""
     register_views(spark, sf_dir)
     return spark.sql(_SOURCE_TV_SPARK)
+
+
+BURSTINESS_TOP = 25  # terms reported, by collection frequency
+
+
+def _term_burstiness_sql(tok_gen: str) -> str:
+    """Shared Church-Gale term-burstiness text; per-dialect tokenizer."""
+    return f"""
+WITH toks AS ({tok_gen}), stats AS (
+    SELECT w,
+           CAST(COUNT(*) AS BIGINT) AS cf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks GROUP BY w
+)
+SELECT w AS term, cf, df,
+       CAST(cf AS DOUBLE) / df AS burstiness
+FROM stats
+ORDER BY cf DESC, w
+LIMIT {BURSTINESS_TOP}
+"""
+
+
+@query(
+    "text_term_burstiness",
+    oracle=_term_burstiness_sql(
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
+    ),
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale): collection frequency ÷ document
+    frequency for the top-{BURSTINESS_TOP} terms — the statistic that
+    separates FUNCTION words (cf/df ≈ tokens-per-doc everywhere, spread
+    thin) from bursty CONTENT words (when they appear, they appear
+    repeatedly).  This is the principled input to stopword discovery
+    (text_adaptive_stopwords thresholds document-frequency; burstiness
+    adds the within-doc clumping axis) and to BM25-family term weighting
+    (burstiness is why tf saturation exists at all).
+
+    Exactness: cf and df are exact counts; burstiness is one division;
+    ranking is by integer cf with lexicographic tie-break.
+
+    Scale: one token reduction per term (cf map-side combined; df
+    expands to (term, doc) partials first — both vocabulary-bounded
+    outputs), then a vocabulary-sized TakeOrdered."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _term_burstiness_sql(
+            "SELECT doc_id, explode(split(text, ' ')) AS w FROM documents"
+        )
+    )

@@ -4523,3 +4523,51 @@ def parts_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined brand rollup; output is |brands| rows."""
     register_views(spark, sf_dir)
     return spark.sql(_return_rate_sql("DIV"))
+
+
+_DISCOUNT_SLOPE_SQL = """
+WITH pts AS (
+    SELECT p.p_brand,
+           CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+           CAST(l.l_quantity AS BIGINT) AS y
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), sums AS (
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM pts GROUP BY p_brand
+)
+SELECT p_brand, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / GREATEST(CAST(n * sxx - sx * sx AS DOUBLE), 1e-12)
+           AS qty_per_discount_point,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / sqrt(GREATEST(CAST(n * sxx - sx * sx AS DOUBLE), 1e-12))
+       / sqrt(GREATEST(CAST(n * syy - sy * sy AS DOUBLE), 1e-12)) AS pearson_r
+FROM sums
+"""
+
+
+@query("parts_discount_quantity_slope", oracle=_DISCOUNT_SLOPE_SQL)
+def parts_discount_quantity_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount sensitivity: the OLS slope of line quantity on
+    discount points (and the correlation qualifying it) — the pricing
+    team's first elasticity read ("does discounting this brand move
+    volume at all"), per-group where ml_ols_normal_equations fits one
+    global line.  A near-zero slope with tight r says the discount
+    budget buys nothing for that brand.
+
+    Exactness: discount lifts to exact integer PERCENT points
+    (decimal×100), quantity is integer, so all five power sums are
+    exact BIGINTs (magnitudes ≤ lines×(100·50)² — int64-safe past 10¹²
+    lines); slope and r are the shared cleared-denominator formulas
+    with 1e-12 floors (the events_lead_lag_xcorr discipline, grouped).
+
+    Scale: one broadcast part-dim join into a map-side-combined brand
+    rollup; output is |brands| rows of arithmetic."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DISCOUNT_SLOPE_SQL)

@@ -2071,3 +2071,19 @@ def test_brand_return_rate_bounds(spark):
         assert 0 <= r.n_returned <= r.n_lines
         assert 0 <= r.return_rate_bp <= 10000
         assert r.returned_revenue >= 0.0
+
+
+def test_discount_slope_r_bounded(spark):
+    for r in engine.queries()["parts_discount_quantity_slope"](spark, SF_DIR).collect():
+        assert -1.0 - 1e-9 <= r.pearson_r <= 1.0 + 1e-9
+        assert r.n > 0
+
+
+def test_term_burstiness_at_least_one(spark):
+    from etl_pipeline_aws_spark.llm.text import BURSTINESS_TOP
+
+    rows = engine.queries()["text_term_burstiness"](spark, SF_DIR).collect()
+    assert len(rows) == BURSTINESS_TOP
+    for r in rows:
+        assert r.cf >= r.df >= 1
+        assert r.burstiness >= 1.0
