@@ -4571,3 +4571,72 @@ def parts_discount_quantity_slope(spark: SparkSession, sf_dir: str) -> DataFrame
     rollup; output is |brands| rows of arithmetic."""
     register_views(spark, sf_dir)
     return spark.sql(_DISCOUNT_SLOPE_SQL)
+
+
+FISCAL_ANCHOR = "1995-01-02"  # fiscal week 1 day 1 (a Monday); 52-week years
+
+
+def _fiscal_445_sql(idiv: str, day_diff: str) -> str:
+    """Shared 4-4-5 fiscal rollup text; per-dialect integer division and
+    date-difference spelling."""
+    return f"""
+WITH based AS (
+    SELECT CAST({day_diff} AS BIGINT) AS d,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '{FISCAL_ANCHOR}'
+), weeks AS (
+    SELECT (d {idiv} 7) AS wk_abs, price FROM based
+), mapped AS (
+    SELECT (wk_abs {idiv} 52) AS fy_index,
+           (wk_abs % 52) AS wk_in_fy,
+           ((wk_abs % 52) {idiv} 13) AS fq,
+           ((wk_abs % 52) % 13) AS wk_in_q,
+           price
+    FROM weeks
+)
+SELECT CAST(1995 + fy_index AS INT) AS fiscal_year,
+       CAST(fq * 3 + CASE WHEN wk_in_q < 4 THEN 1
+                          WHEN wk_in_q < 8 THEN 2
+                          ELSE 3 END AS INT) AS fiscal_period,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(price) AS DOUBLE) AS revenue
+FROM mapped
+GROUP BY fy_index, fq, wk_in_q < 4, wk_in_q < 8
+"""
+
+
+@query(
+    "orders_fiscal_445_rollup",
+    oracle=_fiscal_445_sql(
+        "//", f"CAST(o_orderdate AS DATE) - DATE '{FISCAL_ANCHOR}'"
+    ),
+)
+def orders_fiscal_445_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by 4-4-5 FISCAL period — the retail/enterprise calendar
+    (each quarter = two 4-week periods + one 5-week period, 52-week
+    years from a fixed Monday anchor) that makes periods
+    comparable-by-construction (same weekday mix, whole weeks) where
+    calendar months differ by up to 3 selling days.  Every ERP
+    migration meets this mapping; expressing it as pure integer
+    arithmetic (days-since-anchor // 7, then //52, //13, and the
+    4/8-week splits) keeps it exact on any engine — no calendar UDF,
+    no locale.  Pre-anchor history is excluded (a production mapping
+    would anchor at the earliest fiscal year; the constant is the
+    documented knob).  53rd-week years are absorbed by the fixed
+    52-week convention (the simplest of the three standard leap-week
+    policies; swap the constant block for ISO-leap handling without
+    touching the plan).
+
+    GROUP BY uses the raw integer splits (fy, quarter, the two week
+    fences) so the aggregation key is exactly the mapping — the period
+    label is derived, never grouped-by-derived-expression-mismatch.
+
+    Scale: one scan with the arithmetic inline (codegen'd), one
+    map-side-combined rollup to ≤ years×12 rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _fiscal_445_sql(
+            "DIV", f"datediff(CAST(o_orderdate AS DATE), DATE '{FISCAL_ANCHOR}')"
+        )
+    )

@@ -2087,3 +2087,18 @@ def test_term_burstiness_at_least_one(spark):
     for r in rows:
         assert r.cf >= r.df >= 1
         assert r.burstiness >= 1.0
+
+
+def test_fiscal_445_periods_well_formed(spark):
+    rows = engine.queries()["orders_fiscal_445_rollup"](spark, SF_DIR).collect()
+    con = duckdb_con(SF_DIR)
+    from etl_pipeline_aws_spark.operators.analytics import FISCAL_ANCHOR
+
+    total = con.sql(
+        f"SELECT COUNT(*) FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '{FISCAL_ANCHOR}'"
+    ).fetchone()[0]
+    con.close()
+    assert sum(r.n_orders for r in rows) == total  # partition of post-anchor orders
+    for r in rows:
+        assert 1 <= r.fiscal_period <= 12
+        assert r.fiscal_year >= 1995
