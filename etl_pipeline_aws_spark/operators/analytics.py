@@ -4640,3 +4640,59 @@ def orders_fiscal_445_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV", f"datediff(CAST(o_orderdate AS DATE), DATE '{FISCAL_ANCHOR}')"
         )
     )
+
+
+_PV_BRIDGE_SQL = """
+WITH weekly AS (
+    SELECT event_type,
+           CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS tot
+    FROM events GROUP BY 1, 2
+), ranked AS (
+    SELECT event_type, n, tot,
+           DENSE_RANK() OVER (ORDER BY week_start DESC) AS rk
+    FROM weekly
+), pivoted AS (
+    SELECT event_type,
+           MAX(CASE WHEN rk = 1 THEN n END) AS n2,
+           MAX(CASE WHEN rk = 2 THEN n END) AS n1,
+           MAX(CASE WHEN rk = 1 THEN tot END) AS t2,
+           MAX(CASE WHEN rk = 2 THEN tot END) AS t1
+    FROM ranked WHERE rk <= 2
+    GROUP BY event_type
+    HAVING MAX(CASE WHEN rk = 1 THEN n END) IS NOT NULL
+       AND MAX(CASE WHEN rk = 2 THEN n END) IS NOT NULL
+)
+SELECT event_type,
+       CAST(t2 - t1 AS DOUBLE) AS total_delta,
+       (CAST(n2 AS DOUBLE) - n1) * (CAST(t1 AS DOUBLE) / n1) AS volume_effect,
+       CAST(n2 AS DOUBLE)
+           * (CAST(t2 AS DOUBLE) / n2 - CAST(t1 AS DOUBLE) / n1) AS rate_effect
+FROM pivoted
+"""
+
+
+@query("events_wow_price_volume_bridge", oracle=_PV_BRIDGE_SQL)
+def events_wow_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume BRIDGE for the week-over-week move: each series'
+    total delta decomposed into a VOLUME effect ((n₂−n₁)·old average)
+    and a RATE effect (n₂·(new avg − old avg)) — the FP&A waterfall
+    that answers "did revenue move because we did MORE events or
+    RICHER events", the orthogonal cut to events_wow_attribution
+    (which slices the move ACROSS series; this splits it WITHIN one).
+    The two effects sum to the total delta by algebraic identity
+    (Δ(n·a) = Δn·a₁ + n₂·Δa) — an identity, not a model, pinned by
+    test.
+
+    Exactness: weekly totals are exact decimals and counts exact
+    integers; the three reported numbers are one shared
+    division/multiplication text over them (identical doubles both
+    engines).  Series present in only one of the two weeks are
+    excluded — a bridge needs both endpoints; the attribution op is
+    where entering/exiting series belong.
+
+    Scale: one map-side-combined weekly reduction; everything after is
+    |series|-row arithmetic."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PV_BRIDGE_SQL)

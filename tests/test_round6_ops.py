@@ -2102,3 +2102,10 @@ def test_fiscal_445_periods_well_formed(spark):
     for r in rows:
         assert 1 <= r.fiscal_period <= 12
         assert r.fiscal_year >= 1995
+
+
+def test_pv_bridge_effects_sum_to_delta(spark):
+    rows = engine.queries()["events_wow_price_volume_bridge"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs((r.volume_effect + r.rate_effect) - r.total_delta) < 1e-6
