@@ -1833,3 +1833,74 @@ def multimodal_audio_crest_factor(spark: SparkSession, sf_dir: str) -> DataFrame
         GROUP BY doc_id
         """
     )
+
+
+CONTRAST_MIN_STD = 20.0  # low-contrast flag threshold on 0..255 luma
+
+
+def _contrast_sql(idiv: str, gen: str) -> str:
+    """Shared image-contrast text; per-dialect integer division and
+    pixel-index generator."""
+    luma = (
+        "(299 * ascii(substring(text, CAST(3 * k + 1 AS INT), 1))"
+        " + 587 * ascii(substring(text, CAST(3 * k + 2 AS INT), 1))"
+        " + 114 * ascii(substring(text, CAST(3 * k + 3 AS INT), 1)))"
+        f" {idiv} 1000"
+    )
+    return f"""
+WITH framed AS (
+    SELECT doc_id, text, (LENGTH(text) {idiv} 3) AS n_px
+    FROM documents WHERE LENGTH(text) >= 3
+), px AS (
+    SELECT doc_id, CAST({luma} AS BIGINT) AS y
+    FROM framed{gen}
+), sums AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS s1,
+           CAST(SUM(y * y) AS BIGINT) AS s2
+    FROM px GROUP BY doc_id
+)
+SELECT doc_id, n AS n_pixels,
+       CAST(s1 AS DOUBLE) / n AS mean_luma,
+       sqrt(GREATEST((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                     / (CAST(n AS DOUBLE) * n), 0.0)) AS std_luma,
+       CAST(CASE WHEN sqrt(GREATEST((n * CAST(s2 AS DOUBLE)
+                                     - CAST(s1 AS DOUBLE) * s1)
+                                    / (CAST(n AS DOUBLE) * n), 0.0))
+                      < {CONTRAST_MIN_STD}
+                 THEN 1 ELSE 0 END AS INT) AS low_contrast
+FROM sums
+"""
+
+
+@query(
+    "multimodal_image_contrast",
+    oracle=_contrast_sql(
+        "//", ", LATERAL (SELECT unnest(range(0, n_px)) AS k) g"
+    ),
+)
+def multimodal_image_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image contrast QC: population standard deviation of the Rec.601
+    luma over every pixel of the payload framing, with a low-contrast
+    flag — the blank/near-blank/washed-out screen an image-corpus build
+    runs before spending caption or embedding budget (edge density
+    catches BLUR — a blurred image can still span the luma range; this
+    catches FLAT, and together they cover the two degenerate-image
+    axes).
+
+    Exactness: fixed-point integer luma (the grayscale op's formula),
+    exact BIGINT power sums, one shared population-variance text with
+    the cancellation floor (the Bollinger discipline); the flag
+    compares identically computed doubles against an exact-binary
+    threshold constant (20.0).
+
+    Scale: pixel expansion is a narrow per-doc generator feeding a
+    map-side-combined doc reduction — one scan, no shuffle beyond the
+    doc key."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _contrast_sql(
+            "DIV", " LATERAL VIEW explode(sequence(0, n_px - 1)) g AS k"
+        )
+    )

@@ -2109,3 +2109,12 @@ def test_pv_bridge_effects_sum_to_delta(spark):
     assert rows
     for r in rows:
         assert abs((r.volume_effect + r.rate_effect) - r.total_delta) < 1e-6
+
+
+def test_image_contrast_bounds(spark):
+    rows = engine.queries()["multimodal_image_contrast"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mean_luma <= 255.0
+        assert 0.0 <= r.std_luma <= 128.0  # max possible std on [0,255]
+        assert r.low_contrast in (0, 1)
