@@ -215,6 +215,17 @@ PROBE_QUERIES = [
     "text_lang_id_char_ngram",
     "events_bollinger_bands",
     "layout_partition_size_advisor",
+    "events_anomaly_ensemble",
+    "text_source_vocab_tv_matrix",
+    "graph_community_inequality",
+    "multimodal_audio_crest_factor",
+    "orders_month_seasonal_index",
+    "parts_return_rate_by_brand",
+    "parts_discount_quantity_slope",
+    "text_term_burstiness",
+    "orders_fiscal_445_rollup",
+    "events_wow_price_volume_bridge",
+    "multimodal_image_contrast",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
