@@ -4696,3 +4696,59 @@ def events_wow_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFram
     |series|-row arithmetic."""
     register_views(spark, sf_dir)
     return spark.sql(_PV_BRIDGE_SQL)
+
+
+NTH_EVENT_N = 5  # habit threshold: time from first to fifth event
+
+
+def _nth_event_sql(idiv: str) -> str:
+    """Shared time-to-Nth-event text; integer division per dialect."""
+    return f"""
+WITH ordered AS (
+    SELECT user_id, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), firsts AS (
+    SELECT user_id,
+           MAX(CASE WHEN rn = 1 THEN ts END) AS t1,
+           MAX(CASE WHEN rn = {NTH_EVENT_N} THEN ts END) AS tn
+    FROM ordered WHERE rn IN (1, {NTH_EVENT_N})
+    GROUP BY user_id
+), gaps AS (
+    SELECT user_id, t1, tn FROM firsts WHERE tn IS NOT NULL
+), ranked AS (
+    SELECT user_id, t1, tn,
+           ROW_NUMBER() OVER (ORDER BY tn, user_id) AS gr,
+           COUNT(*) OVER () AS gn
+    FROM gaps
+)
+SELECT CAST((SELECT COUNT(*) FROM firsts) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST((COUNT(*) * 10000) {idiv} (SELECT COUNT(*) FROM firsts)
+            AS BIGINT) AS reach_rate_bp,
+       CAST(MIN(CASE WHEN gr = (gn - 1) {idiv} 2 + 1 THEN tn END)
+            AS TIMESTAMP) AS median_nth_ts
+FROM ranked
+"""
+
+
+@query("events_time_to_nth_event", oracle=_nth_event_sql("//"))
+def events_time_to_nth_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Habit-formation gate: how many users ever reach their
+    {NTH_EVENT_N}th event, and the median calendar point at which the
+    reachers got there — the activation metric behind "N events in the
+    first week predicts retention" playbooks (events_conversion_latency
+    times ONE transition; this times depth of engagement).
+
+    Exactness: the Nth event is an exact ROW_NUMBER pick with event_id
+    tie-break; the reach rate is an integer floor division to basis
+    points; the median Nth timestamp is a DISCRETE rank pick (an actual
+    timestamp — interpolating timestamps is meaningless and
+    engine-divergent).
+
+    Scale: one user-key window (rows filtered to ranks 1 and N before
+    the per-user fold), then scalar arithmetic; the only global sort is
+    the |reachers|-row median rank."""
+    register_views(spark, sf_dir)
+    return spark.sql(_nth_event_sql("DIV"))

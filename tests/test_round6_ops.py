@@ -2118,3 +2118,11 @@ def test_image_contrast_bounds(spark):
         assert 0.0 <= r.mean_luma <= 255.0
         assert 0.0 <= r.std_luma <= 128.0  # max possible std on [0,255]
         assert r.low_contrast in (0, 1)
+
+
+def test_time_to_nth_event_bounds(spark):
+    r = engine.queries()["events_time_to_nth_event"](spark, SF_DIR).collect()[0]
+    assert 0 <= r.n_reached <= r.n_users
+    assert 0 <= r.reach_rate_bp <= 10000
+    if r.n_reached:
+        assert r.median_nth_ts is not None
