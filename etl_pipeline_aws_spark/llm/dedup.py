@@ -1338,3 +1338,49 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.sum(F.coalesce(F.col("is_cand"), F.lit(0))), F.lit(1))
         ).alias("precision"),
     )
+
+
+_THRESHOLD_SWEEP_ORACLE = f"""
+    WITH pairs AS ({NGRAM_JACCARD_ORACLE}),
+    taus AS (SELECT CAST(unnest(range(5, 10)) AS INT) AS tau_x10)
+    SELECT t.tau_x10,
+           CAST(SUM(CASE WHEN p.jaccard * 10 >= t.tau_x10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+    FROM taus t CROSS JOIN pairs p
+    GROUP BY t.tau_x10
+"""
+
+
+@query("dedup_threshold_sensitivity", oracle=_THRESHOLD_SWEEP_ORACLE)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sensitivity of the near-dup decision: how many pairs
+    survive at Jaccard ≥ 0.5, 0.6, … 0.9 — the one-table answer to
+    "how much does the dedup volume swing if we move the knob", read
+    BEFORE committing a threshold corpus-wide (a cliff between 0.5 and
+    0.6 means the corpus has a mid-similarity boilerplate band and the
+    choice is consequential; a flat curve means any τ serves).
+    Complements dedup_minhash_eval (which scores the CANDIDATE
+    GENERATOR at one τ) by sweeping the decision itself.
+
+    Exactness: jaccard values are exact integer ratios (the
+    dedup_ngram_jaccard discipline), and jaccard·10 ≥ τ compares
+    identically computed doubles against exact integers; pair counts
+    are exact.  The τ fan is 5 rows against the (already ≥0.5) pair
+    set — constant-size cross, the permutation-fan shape.
+
+    Scale: inherits the pair source's cost; at corpus scale the pair
+    set comes from the banded-LSH path (dedup_cluster_keepers'
+    documented substitution) with identical ≥-τ semantics."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    taus = spark.range(5, 10).select(F.col("id").cast("int").alias("tau_x10"))
+    return (
+        taus.crossJoin(pairs)
+        .groupBy("tau_x10")
+        .agg(
+            F.sum(
+                F.when(F.col("jaccard") * 10 >= F.col("tau_x10"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pairs")
+        )
+    )

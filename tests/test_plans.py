@@ -125,6 +125,7 @@ ALLOWED_CARTESIAN = {
     "dq_t_closeness",  # |classes|×|bands| dimension spine + 1-row totals (bounded)
     "ml_pr_curve_points",  # 9-row threshold fan onto one partial-agg pass (scale-free)
     "events_anomaly_ensemble",  # two 1×|days| scalar broadcasts (q11 pattern)
+    "dedup_threshold_sensitivity",  # 5-row tau fan onto the pair set (permutation-fan shape)
 }
 ALLOWED_NESTED_LOOP = {
     "q22_sales_opportunity",  # single-row scalar-subquery broadcast (scale-free)

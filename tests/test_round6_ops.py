@@ -2126,3 +2126,14 @@ def test_time_to_nth_event_bounds(spark):
     assert 0 <= r.reach_rate_bp <= 10000
     if r.n_reached:
         assert r.median_nth_ts is not None
+
+
+def test_threshold_sensitivity_monotone(spark):
+    engine.clear_caches(spark)
+    rows = sorted(
+        engine.queries()["dedup_threshold_sensitivity"](spark, SF_DIR).collect(),
+        key=lambda r: r.tau_x10,
+    )
+    assert [r.tau_x10 for r in rows] == [5, 6, 7, 8, 9]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_pairs <= a.n_pairs  # raising tau can only drop pairs
