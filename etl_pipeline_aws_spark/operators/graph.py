@@ -1150,3 +1150,76 @@ def graph_community_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gini").alias("gini_size"),
         (F.col("max_sz").cast("double") / F.col("n_nodes")).alias("largest_share"),
     )
+
+
+def _avg_neighbor_degree_oracle() -> str:
+    return f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {LP_MIN_SUPPORT}
+    ), edges AS (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION ALL
+        SELECT pb AS u, pa AS v FROM pairs
+    ), deg AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u
+    ), annotated AS (
+        SELECT du.d AS deg_u, dv.d AS deg_v
+        FROM edges e
+        JOIN deg du ON du.u = e.u
+        JOIN deg dv ON dv.u = e.v
+    )
+    SELECT CAST(FLOOR(LOG2(deg_u)) AS BIGINT) AS degree_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_edge_endpoints,
+           CAST(SUM(deg_v) AS BIGINT) AS sum_neighbor_degree,
+           CAST(SUM(deg_v) AS DOUBLE) / COUNT(*) AS avg_neighbor_degree
+    FROM annotated GROUP BY CAST(FLOOR(LOG2(deg_u)) AS BIGINT)
+"""
+
+
+@query("graph_avg_neighbor_degree", oracle=_avg_neighbor_degree_oracle())
+def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k_nn(k) curve: average NEIGHBOR degree per (log2-bucketed)
+    node degree — the degree-correlation profile that
+    graph_degree_assortativity compresses to one number: a falling
+    curve (hubs attach to leaves) warns that hub partitions carry
+    disproportionate 2-hop fan-out; a rising curve (rich-club) says hub
+    co-location pays.  The practical consumer is the same as the degree
+    histogram's: choosing skew handling for the iterative family
+    (PageRank/LP/BFS all message along these edges).
+
+    Exactness: degrees are exact counts; per-bucket sums are exact
+    BIGINTs with ONE closing division; floor(log2(d)) of exact integers
+    buckets identically on both engines (the degree-distribution
+    argument: log2 of an integer only lands ON a boundary at exact
+    powers of two, where both engines are exact).
+
+    Scale: the two degree joins are node-key equi joins against the
+    edge list (the message-passing shape); output is ≤ ~20 buckets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = co_occurrence_pairs(li, LP_MIN_SUPPORT, distinct_items=False).select(
+        "pa", "pb"
+    )
+    edges = pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    du = deg.select(F.col("u").alias("uu"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("u").alias("vv"), F.col("d").alias("deg_v"))
+    annotated = (
+        edges.join(du, F.col("u") == F.col("uu"))
+        .join(dv, F.col("v") == F.col("vv"))
+        .select("deg_u", "deg_v")
+    )
+    return annotated.groupBy(
+        F.floor(F.log2("deg_u")).cast("long").alias("degree_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_edge_endpoints"),
+        F.sum("deg_v").cast("long").alias("sum_neighbor_degree"),
+        (F.sum("deg_v").cast("double") / F.count(F.lit(1))).alias(
+            "avg_neighbor_degree"
+        ),
+    )

@@ -2137,3 +2137,12 @@ def test_threshold_sensitivity_monotone(spark):
     assert [r.tau_x10 for r in rows] == [5, 6, 7, 8, 9]
     for a, b in zip(rows, rows[1:]):
         assert b.n_pairs <= a.n_pairs  # raising tau can only drop pairs
+
+
+def test_avg_neighbor_degree_identity(spark):
+    rows = engine.queries()["graph_avg_neighbor_degree"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.degree_bucket >= 0
+        assert abs(r.avg_neighbor_degree - r.sum_neighbor_degree / r.n_edge_endpoints) < 1e-12
+        assert r.avg_neighbor_degree >= 1.0  # every neighbor has >= 1 edge
