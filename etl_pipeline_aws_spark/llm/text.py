@@ -2130,3 +2130,81 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT doc_id, explode(split(text, ' ')) AS w FROM documents"
         )
     )
+
+
+VOCAB_GROWTH_STEP = 100  # checkpoint every N doc ids
+
+
+def _vocab_growth_sql(tok_gen: str, idiv: str) -> str:
+    """Shared vocabulary-growth text; per-dialect tokenizer and integer
+    division.  Join-free: types bucket by their FIRST document's
+    checkpoint and both curves are ordered cumulative sums (Spark
+    rejects correlated scalar subqueries inside grouped selects — the
+    bucket+cumsum spelling needs none)."""
+    step = VOCAB_GROWTH_STEP
+    return f"""
+WITH toks AS ({tok_gen}), firsts AS (
+    SELECT w, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM toks GROUP BY w
+), type_buckets AS (
+    SELECT ((first_doc {idiv} {step}) + 1) * {step} AS checkpoint,
+           CAST(COUNT(*) AS BIGINT) AS new_types
+    FROM firsts GROUP BY ((first_doc {idiv} {step}) + 1) * {step}
+), token_buckets AS (
+    SELECT ((CAST(doc_id AS BIGINT) {idiv} {step}) + 1) * {step} AS checkpoint,
+           CAST(COUNT(*) AS BIGINT) AS new_tokens
+    FROM toks GROUP BY ((CAST(doc_id AS BIGINT) {idiv} {step}) + 1) * {step}
+), merged AS (
+    SELECT COALESCE(ty.checkpoint, tk.checkpoint) AS checkpoint,
+           COALESCE(ty.new_types, 0) AS new_types,
+           COALESCE(tk.new_tokens, 0) AS new_tokens
+    FROM type_buckets ty FULL OUTER JOIN token_buckets tk
+      ON ty.checkpoint = tk.checkpoint
+)
+SELECT CAST(checkpoint AS BIGINT) AS checkpoint,
+       CAST(SUM(new_tokens) OVER (ORDER BY checkpoint
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_tokens,
+       CAST(SUM(new_types) OVER (ORDER BY checkpoint
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_types
+FROM merged
+"""
+
+
+@query(
+    "text_vocab_growth_checkpoints",
+    oracle=_vocab_growth_sql(
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents",
+        "//",
+    ),
+)
+def text_vocab_growth_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary GROWTH curve: distinct token types and total tokens at
+    corpus prefixes (every {VOCAB_GROWTH_STEP} doc ids) — the Heaps-law
+    table that answers "is the vocabulary saturating" (tokenizer sizing,
+    crawl-more-or-not decisions; text_vocab_coverage_curve sizes a FIXED
+    vocabulary, this tracks the OPEN one as the corpus grows).
+
+    The cumulative-distinct trick: a type's contribution to every
+    checkpoint is determined by its FIRST document alone, so one
+    (token → min doc_id) reduction replaces K prefix re-scans — the
+    events_cumulative_unique_users discipline on the vocabulary axis;
+    both curves then roll up as ordered cumulative sums over the
+    checkpoint rows (no fan, no prefix re-scan, no correlated
+    subquery — Spark rejects those inside grouped selects, measured).
+
+    Exactness: all counts exact; no ratios reported (downstreams divide
+    as they like — a Heaps exponent fit needs log and belongs in a
+    notebook, not a hash-matched oracle).
+
+    Scale: one token reduction per type + one per doc (both map-side
+    combined), then a 5-row fan over the doc-count table — prefix
+    re-scans never happen."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _vocab_growth_sql(
+            "SELECT doc_id, explode(split(text, ' ')) AS w FROM documents",
+            "DIV",
+        )
+    )

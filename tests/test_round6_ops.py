@@ -2146,3 +2146,17 @@ def test_avg_neighbor_degree_identity(spark):
         assert r.degree_bucket >= 0
         assert abs(r.avg_neighbor_degree - r.sum_neighbor_degree / r.n_edge_endpoints) < 1e-12
         assert r.avg_neighbor_degree >= 1.0  # every neighbor has >= 1 edge
+
+
+def test_vocab_growth_monotone(spark):
+    rows = sorted(
+        engine.queries()["text_vocab_growth_checkpoints"](spark, SF_DIR).collect(),
+        key=lambda r: r.checkpoint,
+    )
+    assert rows[-1].checkpoint == 500
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_tokens > a.n_tokens and b.n_types >= a.n_types
+    # concavity-ish: later checkpoints add fewer NEW types than the first
+    first_new = rows[0].n_types
+    last_new = rows[-1].n_types - rows[-2].n_types
+    assert last_new <= first_new
