@@ -1904,3 +1904,91 @@ def multimodal_image_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV", " LATERAL VIEW explode(sequence(0, n_px - 1)) g AS k"
         )
     )
+
+
+_MOTION_ORACLE = f"""
+    WITH f AS (
+        SELECT doc_id, text, LENGTH(text) AS n,
+               GREATEST(1, (LENGTH(text) + {VID_FRAME_BYTES - 1})
+                           // {VID_FRAME_BYTES}) AS n_frames
+        FROM documents
+    ), sums AS (
+        SELECT doc_id, i AS frame_idx,
+               COALESCE(list_sum(list_transform(
+                   range({VID_FRAME_BYTES} * i,
+                         LEAST({VID_FRAME_BYTES} * (i + 1), n)),
+                   p -> ascii(substring(text, p + 1, 1)))), 0) AS s
+        FROM f, unnest(range(0, n_frames)) AS t(i)
+    ), deltas AS (
+        SELECT doc_id, frame_idx, s,
+               s - LAG(s) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS d
+        FROM sums
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN d IS NULL THEN 0 ELSE ABS(d) END) AS BIGINT)
+               AS total_abs_delta,
+           CAST(SUM(CASE WHEN d IS NULL THEN 0 ELSE ABS(d) END) AS DOUBLE)
+               / GREATEST(COUNT(*) - 1, 1) AS mean_abs_delta,
+           CAST(MAX(CASE WHEN d IS NULL THEN 0 ELSE ABS(d) END) AS BIGINT)
+               AS max_abs_delta
+    FROM deltas GROUP BY doc_id
+"""
+
+
+@query("multimodal_video_motion_intensity", oracle=_MOTION_ORACLE)
+def multimodal_video_motion_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video MOTION score: mean and max absolute frame-to-frame
+    pixel-sum delta over the full container walk — the "static slides
+    vs action footage" number that budgets frame sampling
+    (multimodal_frame_sample picks every Nth frame; high-motion videos
+    deserve denser sampling, and this table is the dial).  Shot
+    detection (multimodal_video_shot_detection) thresholds these same
+    deltas into cuts; this reports their magnitude distribution
+    unthresholded.
+
+    Exactness: frame sums and deltas are exact integers off the honest
+    container walk; the mean is one closing division by the exact
+    transition count (single-frame videos report 0 over the
+    GREATEST(1) floor, not NULL).
+
+    Scale: identical plan to shot detection — one mapInPandas frame
+    pass, one doc_id lag window, one doc rollup."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def frame_sums(batches):
+        for b in batches:
+            rows = []
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                data = bytes(payload)
+                n_frames = max(
+                    1, (len(data) + VID_FRAME_BYTES - 1) // VID_FRAME_BYTES
+                )
+                for i in range(n_frames):
+                    chunk = data[i * VID_FRAME_BYTES : (i + 1) * VID_FRAME_BYTES]
+                    rows.append(
+                        (int(doc_id), i, int(np.frombuffer(chunk, dtype=np.uint8).sum()))
+                    )
+            import pandas as pd
+
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "s"])
+
+    sums = framed.mapInPandas(
+        frame_sums, schema="doc_id long, frame_idx int, s long"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = sums.withColumn("d", F.col("s") - F.lag("s").over(w))
+    absd = F.when(F.col("d").isNull(), F.lit(0)).otherwise(F.abs(F.col("d")))
+    return deltas.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum(absd).cast("long").alias("total_abs_delta"),
+        (
+            F.sum(absd).cast("double")
+            / F.greatest(F.count(F.lit(1)) - 1, F.lit(1))
+        ).alias("mean_abs_delta"),
+        F.max(absd).cast("long").alias("max_abs_delta"),
+    )

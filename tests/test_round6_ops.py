@@ -2160,3 +2160,27 @@ def test_vocab_growth_monotone(spark):
     first_new = rows[0].n_types
     last_new = rows[-1].n_types - rows[-2].n_types
     assert last_new <= first_new
+
+
+def test_motion_intensity_consistent_with_shots(spark):
+    motion = {
+        r.doc_id: r
+        for r in engine.queries()["multimodal_video_motion_intensity"](
+            spark, SF_DIR
+        ).collect()
+    }
+    shots = {
+        r.doc_id: r
+        for r in engine.queries()["multimodal_video_shot_detection"](
+            spark, SF_DIR
+        ).collect()
+    }
+    from etl_pipeline_aws_spark.llm.multimodal import SHOT_DELTA_MIN
+
+    assert set(motion) == set(shots)
+    for did, m in motion.items():
+        assert m.n_frames == shots[did].n_frames
+        assert 0 <= m.mean_abs_delta <= m.max_abs_delta or m.n_frames == 1
+        # a video with any cut must show a delta above the cut threshold
+        if shots[did].n_shots > 1:
+            assert m.max_abs_delta > SHOT_DELTA_MIN
