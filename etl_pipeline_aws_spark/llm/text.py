@@ -2208,3 +2208,112 @@ def text_vocab_growth_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame
             "DIV",
         )
     )
+
+
+def _mcnemar_hits(fn_len: str, fn_filter: str, fn_split: str):
+    """Per-dialect marker-hit counter factory."""
+
+    def hits(markers: str) -> str:
+        return (f"{fn_len}({fn_filter}({fn_split}(text, ' '),"
+                f" w -> w IN ({markers})))")
+
+    return hits
+
+
+def _mcnemar_sql(tok_gen: str, hits) -> str:
+    """Shared McNemar text over the two lang-ID architectures; the
+    char-ngram side re-uses _char_lang_sql's CTE structure inline (per
+    doc, not confusion-matrix rolled)."""
+    return f"""
+WITH tri AS (
+    SELECT DISTINCT doc_id, lang, substring(text, i, 3) AS g
+    FROM documents{tok_gen}
+    WHERE LENGTH(text) >= 3
+), prof AS (
+    SELECT lang, g FROM (
+        SELECT lang, g,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY COUNT(*) DESC, g) AS rn
+        FROM tri GROUP BY lang, g) t
+    WHERE rn <= {CHAR_LANG_PROFILE_K}
+), scores AS (
+    SELECT t.doc_id, t.lang AS labeled_lang, p.lang AS cand,
+           COUNT(*) AS overlap
+    FROM tri t JOIN prof p ON p.g = t.g
+    GROUP BY t.doc_id, t.lang, p.lang
+), char_pred AS (
+    SELECT doc_id, labeled_lang, cand AS char_lang FROM (
+        SELECT doc_id, labeled_lang, cand,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY overlap DESC, cand) AS rn
+        FROM scores) s
+    WHERE rn = 1
+), marker_pred AS (
+    SELECT doc_id,
+           CASE
+             WHEN {hits("'the','fast','slow'")}
+                  >= {hits("'data','table','row'")}
+              AND {hits("'the','fast','slow'")}
+                  >= {hits("'spark','batch','window'")}
+             THEN 'en'
+             WHEN {hits("'data','table','row'")}
+                  >= {hits("'spark','batch','window'")}
+             THEN 'es'
+             ELSE 'de'
+           END AS marker_lang
+    FROM documents
+), joined AS (
+    SELECT c.doc_id,
+           CASE WHEN m.marker_lang = c.labeled_lang THEN 1 ELSE 0 END AS m_ok,
+           CASE WHEN c.char_lang = c.labeled_lang THEN 1 ELSE 0 END AS c_ok
+    FROM char_pred c JOIN marker_pred m ON m.doc_id = c.doc_id
+)
+SELECT CAST(SUM(m_ok * c_ok) AS BIGINT) AS n_both_right,
+       CAST(SUM(m_ok * (1 - c_ok)) AS BIGINT) AS n_marker_only,
+       CAST(SUM((1 - m_ok) * c_ok) AS BIGINT) AS n_char_only,
+       CAST(SUM((1 - m_ok) * (1 - c_ok)) AS BIGINT) AS n_both_wrong,
+       CAST(CASE WHEN SUM(m_ok * (1 - c_ok)) + SUM((1 - m_ok) * c_ok) = 0
+                 THEN 0.0
+                 ELSE CAST((SUM(m_ok * (1 - c_ok)) - SUM((1 - m_ok) * c_ok))
+                           * (SUM(m_ok * (1 - c_ok)) - SUM((1 - m_ok) * c_ok))
+                           AS DOUBLE)
+                      / (SUM(m_ok * (1 - c_ok)) + SUM((1 - m_ok) * c_ok))
+            END AS DOUBLE) AS mcnemar_chi2
+FROM joined
+"""
+
+
+@query(
+    "stat_mcnemar_classifiers",
+    oracle=_mcnemar_sql(
+        ", LATERAL (SELECT unnest(range(1, LENGTH(text) - 1)) AS i) r",
+        _mcnemar_hits("len", "list_filter", "string_split"),
+    ),
+)
+def stat_mcnemar_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test between the engine's two language classifiers —
+    THE paired-classifier comparison (comparing two models on the SAME
+    examples must condition on the disagreement cells; comparing raw
+    accuracies wastes the pairing and stat_two_proportion_ztest would
+    be wrong here): χ² = (b−c)²/(b+c) over the discordant pair counts,
+    where b = marker-right/char-wrong and c = the reverse.  Composes
+    text_lang_id's marker CASE and text_lang_id_char_ngram's profile
+    classifier per document — the eval that decides whether the fancier
+    architecture actually beats the word list on this corpus.
+
+    Exactness: all four agreement cells are exact integer counts off
+    deterministic classifiers; the statistic is one integer-cleared
+    division (b+c = 0 pinned to 0.0 by exact compare — no CDF, the
+    z/χ²-statistic discipline).  Char-ngram abstentions (docs with no
+    profile overlap) drop from the pairing on both engines identically.
+
+    Scale: the char side's posting-list join dominates (documented
+    there); the marker side is a narrow map; the pairing is one doc_id
+    join and a single fold."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _mcnemar_sql(
+            " LATERAL VIEW explode(sequence(1, length(text) - 2)) t AS i",
+            _mcnemar_hits("size", "filter", "split"),
+        )
+    )

@@ -2184,3 +2184,12 @@ def test_motion_intensity_consistent_with_shots(spark):
         # a video with any cut must show a delta above the cut threshold
         if shots[did].n_shots > 1:
             assert m.max_abs_delta > SHOT_DELTA_MIN
+
+
+def test_mcnemar_cells_partition_pairs(spark):
+    r = engine.queries()["stat_mcnemar_classifiers"](spark, SF_DIR).collect()[0]
+    total = r.n_both_right + r.n_marker_only + r.n_char_only + r.n_both_wrong
+    assert total > 0
+    b, c = r.n_marker_only, r.n_char_only
+    want = 0.0 if b + c == 0 else (b - c) ** 2 / (b + c)
+    assert abs(r.mcnemar_chi2 - want) < 1e-9
