@@ -4752,3 +4752,64 @@ def events_time_to_nth_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |reachers|-row median rank."""
     register_views(spark, sf_dir)
     return spark.sql(_nth_event_sql("DIV"))
+
+
+_NRR_SQL = """
+WITH firsts AS (
+    SELECT o_custkey,
+           CAST(MIN(EXTRACT(year FROM CAST(o_orderdate AS DATE))) AS INT)
+               AS cohort_year
+    FROM orders GROUP BY o_custkey
+), yearly AS (
+    SELECT o_custkey,
+           CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT) AS yr,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2))
+               AS rev
+    FROM orders
+    GROUP BY o_custkey, EXTRACT(year FROM CAST(o_orderdate AS DATE))
+), joined AS (
+    SELECT f.cohort_year, y.yr, y.rev, y.o_custkey
+    FROM yearly y JOIN firsts f ON f.o_custkey = y.o_custkey
+)
+SELECT cohort_year,
+       CAST(COUNT(DISTINCT CASE WHEN yr = cohort_year
+                                THEN o_custkey END) AS BIGINT)
+           AS n_customers,
+       CAST(SUM(CASE WHEN yr = cohort_year THEN rev
+                     ELSE CAST(0 AS DECIMAL(30,2)) END) AS DOUBLE)
+           AS year0_revenue,
+       CAST(SUM(CASE WHEN yr = cohort_year + 1 THEN rev
+                     ELSE CAST(0 AS DECIMAL(30,2)) END) AS DOUBLE)
+           AS year1_revenue,
+       CAST(SUM(CASE WHEN yr = cohort_year + 1 THEN rev
+                     ELSE CAST(0 AS DECIMAL(30,2)) END) AS DOUBLE)
+           / CAST(SUM(CASE WHEN yr = cohort_year THEN rev
+                           ELSE CAST(0 AS DECIMAL(30,2)) END) AS DOUBLE)
+           AS nrr_year1
+FROM joined
+GROUP BY cohort_year
+"""
+
+
+@query("customer_cohort_nrr", oracle=_NRR_SQL)
+def customer_cohort_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue retention by acquisition cohort: each cohort's
+    second-year revenue (expansion minus contraction minus churn, all
+    netted — that is the point of NRR vs logo retention) divided by its
+    first-year revenue — the one number subscription and repeat-purchase
+    businesses are valued on, here over the order history's annual
+    cohorts.  events_retention_cohorts counts USERS retained; this
+    weighs them by MONEY, which is why a cohort can retain 60% of
+    customers yet show NRR > 1.
+
+    Exactness: cohort year is an integer MIN; yearly revenue is exact
+    decimal; year-0 and year-1 sums stay decimal through the
+    conditional aggregation (explicit decimal zero on the ELSE — the
+    funnel-by-cohort lesson: a bare 0 would widen types differently
+    across engines) with ONE closing division.  The last cohort's
+    year-1 window falls outside the data and reads 0 honestly.
+
+    Scale: one customer-key reduction, one broadcastable firsts join,
+    one cohort rollup — all map-side combined."""
+    register_views(spark, sf_dir)
+    return spark.sql(_NRR_SQL)

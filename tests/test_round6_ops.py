@@ -2193,3 +2193,14 @@ def test_mcnemar_cells_partition_pairs(spark):
     b, c = r.n_marker_only, r.n_char_only
     want = 0.0 if b + c == 0 else (b - c) ** 2 / (b + c)
     assert abs(r.mcnemar_chi2 - want) < 1e-9
+
+
+def test_nrr_cohorts_cover_customers(spark):
+    rows = engine.queries()["customer_cohort_nrr"](spark, SF_DIR).collect()
+    con = duckdb_con(SF_DIR)
+    n_cust = con.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    con.close()
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert r.year0_revenue > 0
+        assert r.nrr_year1 >= 0.0
