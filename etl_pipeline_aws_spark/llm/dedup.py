@@ -1368,10 +1368,14 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact.  The τ fan is 5 rows against the (already ≥0.5) pair
     set — constant-size cross, the permutation-fan shape.
 
-    Scale: inherits the pair source's cost; at corpus scale the pair
-    set comes from the banded-LSH path (dedup_cluster_keepers'
-    documented substitution) with identical ≥-τ semantics."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    Scale: the pair source IS the banded-LSH path (candidates verified
+    by exact Jaccard — the dedup_cluster_keepers discipline; the first
+    cut consumed the exact all-pairs shingle join and the 10x probe
+    measured 8.9 s → 214 s on the duplicate-heavy replica); the oracle
+    still sweeps the EXACT pair set, so passing certifies banding found
+    every ≥0.5 edge before the knob analysis."""
+    feats = minhash_feature_table(load_table(spark, sf_dir, "documents")).persist()
+    pairs = minhash_lsh_pairs(feats)
     taus = spark.range(5, 10).select(F.col("id").cast("int").alias("tau_x10"))
     return (
         taus.crossJoin(pairs)

@@ -187,6 +187,7 @@ ALLOWED_PYTHON_EVAL = {
     "dedup_minhash_eval",  # scores the same MinHash kernel against the exact truth set
     "text_compression_ratio",  # Arrow-vectorized zlib kernel (DEFLATE is the point)
     "pipeline_hybrid_search_e2e",  # dup suppression rides the same MinHash kernel
+    "dedup_threshold_sensitivity",  # tau sweep rides the same MinHash kernel
     "corpus_split_leakage_safe",  # split key = cluster rep from the same kernel
     "dedup_embedding_lsh",  # Arrow-vectorized hyperplane signature
     "udf_pandas_vectorized",  # UDF surface demonstrations

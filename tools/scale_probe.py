@@ -226,6 +226,13 @@ PROBE_QUERIES = [
     "orders_fiscal_445_rollup",
     "events_wow_price_volume_bridge",
     "multimodal_image_contrast",
+    "events_time_to_nth_event",
+    "dedup_threshold_sensitivity",
+    "graph_avg_neighbor_degree",
+    "text_vocab_growth_checkpoints",
+    "multimodal_video_motion_intensity",
+    "stat_mcnemar_classifiers",
+    "customer_cohort_nrr",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
