@@ -1924,3 +1924,117 @@ def embedding_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("balance_ratio"),
     )
+
+
+_TRAINING_BUILD_ORACLE = f"""
+    WITH RECURSIVE gated AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        FROM (
+            SELECT doc_id, lang, text,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS diversity,
+                   MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper_id
+            FROM documents
+        ) f
+        WHERE doc_id = keeper_id
+          AND n_tokens BETWEEN 20 AND 1000 AND diversity > 0.05
+    ), docs AS (
+        SELECT lang, doc_id, tok,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+                    AS BIGINT) AS idx
+        FROM gated
+    ), walk AS (
+        SELECT lang, idx, tok,
+               CAST(1 AS BIGINT) AS bin_idx, tok AS fill
+        FROM docs WHERE idx = 1
+        UNION ALL
+        SELECT d.lang, d.idx, d.tok,
+               CASE WHEN w.fill + d.tok <= {PACK_BIN_CAPACITY}
+                    THEN w.bin_idx ELSE w.bin_idx + 1 END,
+               CASE WHEN w.fill + d.tok <= {PACK_BIN_CAPACITY}
+                    THEN w.fill + d.tok ELSE d.tok END
+        FROM walk w JOIN docs d ON d.lang = w.lang AND d.idx = w.idx + 1
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           CAST(MAX(bin_idx) AS BIGINT) AS n_bins,
+           CAST((MAX(bin_idx) * {PACK_BIN_CAPACITY} - SUM(tok)) * 10000
+                // (MAX(bin_idx) * {PACK_BIN_CAPACITY}) AS BIGINT)
+               AS padding_waste_bp
+    FROM walk GROUP BY lang
+"""
+
+
+@query("pipeline_training_build_e2e", oracle=_TRAINING_BUILD_ORACLE)
+def pipeline_training_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data BUILD as one declarative job: exact-dup
+    keeper gate + quality screen (corpus_curation_gate's exact
+    criteria) → boundary-preserving NEXT-FIT packing per language
+    (corpus_pack_next_fit's greedy, now over the CURATED stream) →
+    the per-language manifest a batch loader consumes (docs, tokens,
+    bins, padding waste in basis points).  This is the capstone that
+    strings the session's packing operator into the established
+    curation chain — the e2e family member where documents must NOT
+    straddle bins (instruction-tuning layout), beside the
+    concat-and-chunk build (pipeline_pretraining_shards_e2e).
+
+    Execution split as in corpus_pack_next_fit: the sequential packing
+    recurrence runs as applyInPandas per language partition (token
+    counts only cross Arrow); the oracle replays the ENTIRE composition
+    — gate, curation, and the greedy walk — as one recursive CTE, so
+    the driver hash certifies the whole pipeline, not its pieces.
+
+    Scale: gate + quality are one content-hash window over the scan;
+    packing parallelism = language count here, (lang, shard) at 100 TB
+    (same plan, finer key); the manifest is |langs| rows."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    f = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("tok"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("diversity"),
+        F.min("doc_id").over(
+            Window.partitionBy(F.sha2(F.col("text"), 256))
+        ).alias("keeper_id"),
+    )
+    gated = f.filter(
+        (F.col("doc_id") == F.col("keeper_id"))
+        & F.col("tok").between(20, 1000)
+        & (F.col("diversity") > 0.05)
+    ).select("lang", "doc_id", "tok")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        lang = pdf["lang"].iloc[0]
+        n_docs, n_tokens, bin_idx, fill = 0, 0, 0, 0
+        for tok in pdf["tok"]:
+            if bin_idx == 0 or fill + tok > PACK_BIN_CAPACITY:
+                bin_idx += 1
+                fill = 0
+            fill += int(tok)
+            n_docs += 1
+            n_tokens += int(tok)
+        waste_bp = (
+            (bin_idx * PACK_BIN_CAPACITY - n_tokens) * 10000
+            // (bin_idx * PACK_BIN_CAPACITY)
+            if bin_idx
+            else 0
+        )
+        return pd.DataFrame(
+            [(lang, n_docs, n_tokens, bin_idx, waste_bp)],
+            columns=["lang", "n_docs", "n_tokens", "n_bins", "padding_waste_bp"],
+        )
+
+    return gated.groupBy("lang").applyInPandas(
+        pack,
+        "lang string, n_docs long, n_tokens long, n_bins long,"
+        " padding_waste_bp long",
+    )

@@ -186,6 +186,7 @@ ALLOWED_PYTHON_EVAL = {
     "pipeline_dedup_e2e",  # full funnel composition over the same MinHash kernel
     "dedup_minhash_eval",  # scores the same MinHash kernel against the exact truth set
     "text_compression_ratio",  # Arrow-vectorized zlib kernel (DEFLATE is the point)
+    "pipeline_training_build_e2e",  # sequential packing recurrence per language shard
     "pipeline_hybrid_search_e2e",  # dup suppression rides the same MinHash kernel
     "dedup_threshold_sensitivity",  # tau sweep rides the same MinHash kernel
     "corpus_split_leakage_safe",  # split key = cluster rep from the same kernel

@@ -2204,3 +2204,24 @@ def test_nrr_cohorts_cover_customers(spark):
     for r in rows:
         assert r.year0_revenue > 0
         assert r.nrr_year1 >= 0.0
+
+
+def test_training_build_consistent_with_gate_and_packer(spark):
+    """The capstone must agree with its parent operators: kept docs per
+    lang match the curation gate, and waste is non-negative."""
+    from etl_pipeline_aws_spark.llm.corpus import PACK_BIN_CAPACITY
+
+    build = {r.lang: r for r in engine.queries()[
+        "pipeline_training_build_e2e"](spark, SF_DIR).collect()}
+    gate = engine.queries()["corpus_curation_gate"](spark, SF_DIR)
+    docs = engine.queries()["text_token_stats"](spark, SF_DIR)  # doc_id→n_tokens
+    kept = {r.doc_id for r in gate.collect() if r.keep}
+    con = duckdb_con(SF_DIR)
+    lang_of = dict(con.sql("SELECT doc_id, lang FROM documents").fetchall())
+    con.close()
+    from collections import Counter
+    want = Counter(lang_of[d] for d in kept)
+    assert {k: v.n_docs for k, v in build.items()} == dict(want)
+    for r in build.values():
+        assert 0 <= r.padding_waste_bp < 10000
+        assert r.n_bins * PACK_BIN_CAPACITY >= r.n_tokens
