@@ -233,6 +233,7 @@ PROBE_QUERIES = [
     "multimodal_video_motion_intensity",
     "stat_mcnemar_classifiers",
     "customer_cohort_nrr",
+    "pipeline_training_build_e2e",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
