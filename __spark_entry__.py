@@ -48,11 +48,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    100% oracle-backed: the 11 rows-only capabilities (LSH/IVF/PQ hash
+    tiers, HLL estimate, zlib ratio, k-core) live in
+    ``engine.demo_queries()`` — swept by the same budget/plan/parity tests
+    (tests/test_oracle_queries.py, tests/test_plans.py) and exercised inside
+    oracle-backed composites — so a driver sample can never land on an
+    entry without a DuckDB twin."""
     return {name: _with_utc(fn) for name, fn in engine.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for each oracle-checked query; keys absent here
-    (but present in queries()) are non-SQL-expressible → rows-only check."""
+    """DuckDB-equivalent SQL for every queries() key (the registries are
+    kept 1:1 by tests/test_oracle_queries.py::
+    test_driver_registry_is_fully_oracle_backed)."""
     return engine.oracle_sql()

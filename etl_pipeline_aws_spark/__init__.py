@@ -15,6 +15,8 @@ loops over collected data.
 from etl_pipeline_aws_spark.session import clear_caches, get_spark, session_builder
 from etl_pipeline_aws_spark.catalog import TABLES, load_table, register_views
 from etl_pipeline_aws_spark.registry import (
+    all_queries,
+    demo_queries,
     oracle_sql,
     queries,
     query,
@@ -29,6 +31,8 @@ __all__ = [
     "load_table",
     "register_views",
     "queries",
+    "demo_queries",
+    "all_queries",
     "oracle_sql",
     "query",
     "rows_only_query",

@@ -1,0 +1,472 @@
+"""Round-7 corpus-curation signals — the pre-training data screens the
+round-6 surface did not yet cover: rule-attributed quality funnels
+(which rule kills how many docs), Gopher-style within-document
+repetition (Rae et al. 2021 §A1.1's duplicate-n-gram screens),
+character-level gibberish screening, tokenizer-fertility accounting
+(Ács 2019 / mBERT fertility — subwords per word/char by language), a
+leakage-safe k-fold assignment (duplicate groups never straddle folds),
+and NEXT-FIT-DECREASING packing beside the existing arrival-order
+next-fit.
+
+Reference parity note: the reference repo (pedrohw12/etl-pipeline-aws,
+glue/job.py) has no curation tier — this module extends the declared
+north-star surface (SURVEY.md §2.B), not R1-R18.
+
+Determinism discipline (module-wide): every emitted measure is either a
+BIGINT count or a floor-scaled integer ratio (ppm / basis points), so
+Spark and DuckDB can never diverge in a last ulp; token semantics are
+single-space splits matching the corpus fixtures (the same contract as
+llm/corpus.py packing), and the subword tokenizer is a shared 4-char
+regex chunker evaluated by both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.registry import query
+
+# --------------------------------------------------------------------------
+# corpus_quality_funnel — ordered rule gate with first-kill attribution
+# --------------------------------------------------------------------------
+
+FUNNEL_MIN_TOK = 20  # kill docs shorter than this many tokens
+FUNNEL_MAX_TOK = 90  # and longer than this (fixture max is 99)
+FUNNEL_MIN_DISTINCT_PCT = 35  # distinct-token ratio floor (percent)
+FUNNEL_TOP_TOKEN_DIV = 6  # kill if top token > 1/6 of all tokens
+
+_QUALITY_FUNNEL_ORACLE = f"""
+    WITH u AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), c AS (
+        SELECT doc_id, w, COUNT(*) AS n FROM u GROUP BY doc_id, w
+    ), m AS (
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS tok,
+               CAST(COUNT(*) AS BIGINT) AS dtok,
+               CAST(MAX(n) AS BIGINT) AS topn
+        FROM c GROUP BY doc_id
+    ), verdicts AS (
+        SELECT doc_id, tok,
+               CASE
+                   WHEN tok < {FUNNEL_MIN_TOK} THEN 'r1_too_short'
+                   WHEN tok > {FUNNEL_MAX_TOK} THEN 'r2_too_long'
+                   WHEN dtok * 100 < tok * {FUNNEL_MIN_DISTINCT_PCT}
+                       THEN 'r3_low_diversity'
+                   WHEN topn * {FUNNEL_TOP_TOKEN_DIV} > tok
+                       THEN 'r4_top_token_dominance'
+                   ELSE 'survivor'
+               END AS rule
+        FROM m
+    )
+    SELECT rule, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens
+    FROM verdicts GROUP BY rule
+"""
+
+
+@query("corpus_quality_funnel", oracle=_QUALITY_FUNNEL_ORACLE)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate FUNNEL with first-kill attribution: every document is
+    judged by an ordered rule chain (too short < {FUNNEL_MIN_TOK} tok,
+    too long > {FUNNEL_MAX_TOK} tok, distinct-token ratio <
+    {FUNNEL_MIN_DISTINCT_PCT}%, top-token share > 1/{FUNNEL_TOP_TOKEN_DIV})
+    and charged to the FIRST rule it fails — the report a curation team
+    actually reads before shipping a gate (a plain pass/fail rate can't
+    say which rule to retune; the funnel attributes every kill exactly
+    once, so the rows sum to the corpus).
+
+    Integer-exact throughout: rule predicates are cross-multiplied
+    integer comparisons (dtok*100 < tok*pct), never float ratios.
+
+    Scale: one explode → (doc, token) count → per-doc triple (tok,
+    distinct, max) in a single groupBy; the verdict is a row-local CASE;
+    the final rollup is 5 groups.  No joins, two shuffles (token count,
+    doc fold), both map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    per_tok = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("tok"),
+        F.count(F.lit(1)).cast("long").alias("dtok"),
+        F.max("n").cast("long").alias("topn"),
+    )
+    verdict = per_doc.select(
+        "tok",
+        F.when(F.col("tok") < FUNNEL_MIN_TOK, F.lit("r1_too_short"))
+        .when(F.col("tok") > FUNNEL_MAX_TOK, F.lit("r2_too_long"))
+        .when(
+            F.col("dtok") * 100 < F.col("tok") * FUNNEL_MIN_DISTINCT_PCT,
+            F.lit("r3_low_diversity"),
+        )
+        .when(
+            F.col("topn") * FUNNEL_TOP_TOKEN_DIV > F.col("tok"),
+            F.lit("r4_top_token_dominance"),
+        )
+        .otherwise(F.lit("survivor"))
+        .alias("rule"),
+    )
+    return verdict.groupBy("rule").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_gopher_repetition — within-document duplicate-bigram screens
+# --------------------------------------------------------------------------
+
+REP_DUP_FLAG_PPM = 50_000  # flag docs with > 5% duplicate bigram mass
+
+_GOPHER_REPETITION_ORACLE = f"""
+    WITH u AS (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS w,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents
+    ), b AS (
+        SELECT doc_id, source,
+               w || '|' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS bg
+        FROM u
+    ), c AS (
+        SELECT doc_id, source, bg, COUNT(*) AS n
+        FROM b WHERE bg IS NOT NULL GROUP BY doc_id, source, bg
+    ), g AS (
+        SELECT doc_id, source,
+               CAST(SUM(n) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS dst,
+               CAST(MAX(n) AS BIGINT) AS mx
+        FROM c GROUP BY doc_id, source
+    ), scored AS (
+        SELECT doc_id, source,
+               CAST((tot - dst) * 1000000 // tot AS BIGINT) AS dup_ppm,
+               CAST(mx * 1000000 // tot AS BIGINT) AS top_ppm
+        FROM g
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dup_ppm) // COUNT(*) AS BIGINT) AS avg_dup_bigram_ppm,
+           CAST(MAX(top_ppm) AS BIGINT) AS max_top_bigram_ppm,
+           CAST(SUM(CASE WHEN dup_ppm > {REP_DUP_FLAG_PPM} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM scored GROUP BY source
+"""
+
+
+@query("text_gopher_repetition", oracle=_GOPHER_REPETITION_ORACLE)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition screen in the Gopher style (Rae et al.
+    2021, §A1.1 "repetitious text"): per document, the DUPLICATE-BIGRAM
+    mass (1 − distinct/total bigrams, in ppm) and the top single
+    bigram's share — the two signals that catch looping generation,
+    boilerplate stutter, and keyword stuffing that per-token diversity
+    misses (text_repetition_filter is the token-level sibling; this is
+    the order-sensitive n-gram form).  Rolled up per source: average
+    duplicate mass, worst top-bigram share, and the count of documents
+    over the {REP_DUP_FLAG_PPM} ppm gate.
+
+    Bigrams ride a per-doc ordered window (lead over token position),
+    so the measure sees true adjacency, not a bag; ratios are
+    floor-scaled integers.
+
+    Scale: posexplode → per-doc lead window (shuffles once on doc_id,
+    the natural partitioner — documents are parallel units) → two
+    map-side-combinable folds.  Window partitions are document-sized,
+    never corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws("|", F.col("w"), F.lead("w").over(w)).alias("bg"),
+        F.lead("w").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = bg.groupBy("doc_id", "source", "bg").agg(F.count(F.lit(1)).alias("n"))
+    g = c.groupBy("doc_id", "source").agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("dst"),
+        F.max("n").cast("long").alias("mx"),
+    )
+    scored = g.select(
+        "source",
+        F.expr("(tot - dst) * 1000000 div tot").alias("dup_ppm"),
+        F.expr("mx * 1000000 div tot").alias("top_ppm"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("sum(dup_ppm) div count(*)").cast("long").alias("avg_dup_bigram_ppm"),
+        F.max("top_ppm").cast("long").alias("max_top_bigram_ppm"),
+        F.sum(F.when(F.col("dup_ppm") > REP_DUP_FLAG_PPM, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_tokenizer_fertility — subwords per word / per char by language
+# --------------------------------------------------------------------------
+
+# BPE-ish chunker shared by both engines: greedy 1-4 char lowercase runs.
+# Kept deliberately simple so Java regex (Spark) and RE2 (DuckDB) agree.
+FERTILITY_REGEX = "[a-z]{1,4}"
+
+_FERTILITY_ORACLE = f"""
+    WITH f AS (
+        SELECT lang,
+               CAST(len(regexp_extract_all(text, '{FERTILITY_REGEX}'))
+                    AS BIGINT) AS sub,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+               n_chars
+        FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(sub) AS BIGINT) AS n_subwords,
+           CAST(SUM(words) AS BIGINT) AS n_words,
+           CAST(SUM(sub) * 10000 // SUM(words) AS BIGINT)
+               AS subwords_per_word_bp,
+           CAST(SUM(sub) * 10000 // SUM(n_chars) AS BIGINT)
+               AS subwords_per_char_bp
+    FROM f GROUP BY lang
+"""
+
+
+@query("text_tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — subword tokens emitted per
+    whitespace word and per character (basis points), under a shared
+    4-char greedy chunker standing in for a BPE vocabulary (the
+    container has no tokenizer lib; the regex keeps both engines'
+    token counts identical).  Fertility is the standard multilingual
+    cost metric (Ács 2019): a language tokenizing at 2× fertility pays
+    2× the sequence length for the same text, which is exactly the
+    knob corpus_mix_temperature's token accounting needs to price.
+
+    Scale: a narrow per-row map (regexp count — no explode; the token
+    LIST never materializes) followed by a 5-group fold.  The regexp
+    runs in the JVM inside whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(FERTILITY_REGEX), F.lit(0)))
+        .cast("long")
+        .alias("sub"),
+        F.size(F.split("text", " ")).cast("long").alias("words"),
+        "n_chars",
+    )
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("sub").cast("long").alias("n_subwords"),
+        F.sum("words").cast("long").alias("n_words"),
+        F.expr("sum(sub) * 10000 div sum(words)")
+        .cast("long")
+        .alias("subwords_per_word_bp"),
+        F.expr("sum(sub) * 10000 div sum(n_chars)")
+        .cast("long")
+        .alias("subwords_per_char_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_kfold_leakage_safe — duplicate-group-aware fold assignment
+# --------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+_KFOLD_ORACLE = f"""
+    WITH keepers AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+        FROM documents
+    )
+    SELECT CAST(keeper_id % {KFOLD_K} AS BIGINT) AS fold, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT keeper_id) AS BIGINT) AS n_groups,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens
+    FROM keepers GROUP BY 1, 2
+"""
+
+
+@query("corpus_kfold_leakage_safe", oracle=_KFOLD_ORACLE)
+def corpus_kfold_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe {KFOLD_K}-fold assignment: the fold key is the
+    document's exact-duplicate GROUP (min doc_id over the md5(text)
+    class), not the document — so byte-identical copies can never land
+    in different folds and leak train text into eval (the k-fold form
+    of corpus_split_leakage_safe's holdout guarantee; same failure mode
+    the dedup tier exists to prevent, applied to cross-validation).
+    Deterministic: fold = keeper_id mod {KFOLD_K}, no RNG.  The report
+    is the (fold × lang) balance sheet — docs, duplicate groups, tokens
+    — which is what you inspect before trusting fold-averaged evals.
+
+    Scale: one hash-partitioned window over md5(text) (the dedup
+    shuffle), then a (fold, lang) fold.  No joins; the md5 window is
+    the same shape as dedup_exact's keeper assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("tok"),
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("keeper_id"),
+    )
+    return keepers.groupBy(
+        (F.col("keeper_id") % KFOLD_K).cast("long").alias("fold"), "lang"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("keeper_id").cast("long").alias("n_groups"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_pack_next_fit_decreasing — size-ordered packing twin
+# --------------------------------------------------------------------------
+
+# Shares PACK_BIN_CAPACITY with the arrival-order next-fit packer.
+from etl_pipeline_aws_spark.llm.corpus import PACK_BIN_CAPACITY  # noqa: E402
+
+_NFD_ORACLE = f"""
+    WITH RECURSIVE docs AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY len(string_split(text, ' '))
+                                           DESC, doc_id)
+                    AS BIGINT) AS idx
+        FROM documents
+    ), walk AS (
+        SELECT source, idx, tok,
+               CAST(1 AS BIGINT) AS bin_idx, tok AS fill
+        FROM docs WHERE idx = 1
+        UNION ALL
+        SELECT d.source, d.idx, d.tok,
+               CASE WHEN w.fill + d.tok <= {PACK_BIN_CAPACITY}
+                    THEN w.bin_idx ELSE w.bin_idx + 1 END,
+               CASE WHEN w.fill + d.tok <= {PACK_BIN_CAPACITY}
+                    THEN w.fill + d.tok ELSE d.tok END
+        FROM walk w JOIN docs d ON d.source = w.source AND d.idx = w.idx + 1
+    )
+    SELECT source, CAST(bin_idx AS BIGINT) AS bin_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS fill_tokens
+    FROM walk GROUP BY source, bin_idx
+"""
+
+
+@query("corpus_pack_next_fit_decreasing", oracle=_NFD_ORACLE)
+def corpus_pack_next_fit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXT-FIT-DECREASING packing: the size-ordered twin of
+    corpus_pack_next_fit — documents walk in (token count DESC, doc_id)
+    order, so big documents pack first and the long tail of small ones
+    tops bins up, cutting padding waste versus arrival order (classical
+    bin-packing: NFD's asymptotic bound beats plain next-fit's 2×OPT).
+    The trade is the one the docstring pair documents: arrival-order
+    next-fit preserves curriculum/order locality; NFD buys utilization
+    by giving that up.  Same per-bin manifest shape, so the two plans
+    diff directly.
+
+    Spark shape: identical to next-fit — the greedy walk is sequential
+    WITHIN a source, so applyInPandas with one Arrow batch per source
+    (only (source, doc_id, tok) crosses the boundary — text never
+    leaves the JVM), parallel across sources; at 100 TB the key refines
+    to (source, shard).  Oracle: the identical walk as a recursive CTE
+    in the NFD sort order.  Cites corpus.py's corpus_pack_next_fit."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("tok")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tok", "doc_id"], ascending=[False, True])
+        out: list[tuple[str, int, int, int]] = []
+        bin_idx, fill, n_docs = 0, 0, 0
+        source = pdf["source"].iloc[0]
+        for tok in pdf["tok"]:
+            if bin_idx == 0 or fill + tok > PACK_BIN_CAPACITY:
+                if bin_idx > 0:
+                    out.append((source, bin_idx, n_docs, fill))
+                bin_idx += 1
+                fill, n_docs = 0, 0
+            fill += int(tok)
+            n_docs += 1
+        if bin_idx > 0:
+            out.append((source, bin_idx, n_docs, fill))
+        return pd.DataFrame(
+            out, columns=["source", "bin_idx", "n_docs", "fill_tokens"]
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        pack, "source string, bin_idx long, n_docs long, fill_tokens long"
+    )
+
+
+# --------------------------------------------------------------------------
+# text_char_diversity_screen — character-bigram gibberish screen
+# --------------------------------------------------------------------------
+
+CHAR_DIV_FLOOR_PPM = 250_000  # flag docs whose char-bigram diversity < 25%
+
+_CHAR_DIVERSITY_ORACLE = f"""
+    WITH p AS (
+        SELECT doc_id, lang, text,
+               unnest(range(1, len(text))) AS pos
+        FROM documents
+    ), cb AS (
+        SELECT doc_id, lang, substr(text, CAST(pos AS INT), 2) AS bg FROM p
+    ), g AS (
+        SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS tot,
+               CAST(COUNT(DISTINCT bg) AS BIGINT) AS dst
+        FROM cb GROUP BY doc_id, lang
+    ), scored AS (
+        SELECT lang, CAST(dst * 1000000 // tot AS BIGINT) AS div_ppm FROM g
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(div_ppm) AS BIGINT) AS min_div_ppm,
+           CAST(SUM(div_ppm) // COUNT(*) AS BIGINT) AS avg_div_ppm,
+           CAST(SUM(CASE WHEN div_ppm < {CHAR_DIV_FLOOR_PPM} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM scored GROUP BY lang
+"""
+
+
+@query("text_char_diversity_screen", oracle=_CHAR_DIVERSITY_ORACLE)
+def text_char_diversity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram diversity screen — the GIBBERISH detector that
+    token-level measures can't be: a doc of "aaaa bbbb aaaa" has healthy
+    token diversity but a collapsed character-bigram set, and OCR noise /
+    encoding mangling / key-mash spam all show the same signature.  Per
+    doc, distinct char-bigrams over total (ppm, floor-scaled); per
+    language, the minimum, the average, and the count under the
+    {CHAR_DIV_FLOOR_PPM} ppm floor (fixture range is ~20%-86%, so the
+    25% floor flags the genuinely degenerate tail, not normal text).
+
+    Scale: the bigram explode is length(text)−1 rows per doc — linear in
+    corpus bytes, the same cost class as tokenization; the distinct
+    count shuffles on doc_id (documents are the parallel unit).  At
+    100 TB this runs as the same explode with the doc_id partitioner the
+    dedup tier already uses."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    cb = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        ).alias("bg"),
+    )
+    g = cb.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("tot"),
+        F.countDistinct("bg").cast("long").alias("dst"),
+    )
+    scored = g.select("lang", F.expr("dst * 1000000 div tot").alias("div_ppm"))
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("div_ppm").cast("long").alias("min_div_ppm"),
+        F.expr("sum(div_ppm) div count(*)").cast("long").alias("avg_div_ppm"),
+        F.sum(F.when(F.col("div_ppm") < CHAR_DIV_FLOOR_PPM, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+    )

@@ -9,6 +9,23 @@ Determinism discipline: ranks are kept in scaled INTEGER arithmetic
 (start 1e6, damping 17/20, floor division per edge), so every engine
 computes bit-identical values — float PageRank sums doubles in
 engine-specific orders and can never hash-match an oracle.
+
+Fault tolerance of the per-round localCheckpoint (applies to the whole
+iterative family: PageRank / label propagation / k-core / BFS here, and
+the Lloyd rounds in llm/corpus.py): localCheckpoint() truncates lineage
+by pinning round N's blocks in EXECUTOR storage — if an executor dies
+(spot reclaim, dynamic-allocation scale-down, OOM kill), those blocks
+are gone and the truncated lineage CANNOT recompute them; the job
+restarts from round zero.  That trade is right on local[32] (zero I/O,
+one JVM, nothing to lose) and acceptable for short loops on stable
+clusters, but a 100 TB run on preemptible capacity must swap in
+reliable checkpoints: ``sparkContext.setCheckpointDir`` on durable
+storage + ``df.checkpoint()`` per round (same call shape, blocks on the
+cluster FS survive executor loss), or equivalently materialize each
+round to a bucketed table keyed on the node column — which ALSO makes
+the next round's join exchange-free, paying for its write.  The loop
+code is agnostic: only the checkpoint call changes.  See
+ARCHITECTURE.md "Iterative operators: checkpointing in cluster mode".
 """
 
 from __future__ import annotations
@@ -1222,4 +1239,109 @@ def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("deg_v").cast("double") / F.count(F.lit(1))).alias(
             "avg_neighbor_degree"
         ),
+    )
+
+
+JACCARD_TOPK = 3  # neighbors-of-neighbors similarity shortlist per node
+
+
+@query(
+    "graph_node_jaccard_topk",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT u, v FROM pairs WHERE n >= {LP_MIN_SUPPORT}
+    ), adj AS (
+        SELECT u AS node, v AS nbr FROM edges
+        UNION ALL SELECT v, u FROM edges
+    ), deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node
+    ), cn AS (
+        SELECT x.node AS a, y.node AS b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        GROUP BY x.node, y.node
+    ), scored AS (
+        SELECT cn.a, cn.b,
+               CAST(cn.c * 1000000 // (da.d + db.d - cn.c) AS BIGINT)
+                   AS jaccard_ppm
+        FROM cn JOIN deg da ON cn.a = da.node JOIN deg db ON cn.b = db.node
+    ), directed AS (
+        SELECT a AS node, b AS peer, jaccard_ppm FROM scored
+        UNION ALL SELECT b, a, jaccard_ppm FROM scored
+    ), ranked AS (
+        SELECT node, peer, jaccard_ppm,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY jaccard_ppm DESC, peer) AS rk
+        FROM directed
+    )
+    SELECT node AS p_partkey, CAST(rk AS BIGINT) AS rk,
+           peer AS peer_partkey, jaccard_ppm
+    FROM ranked WHERE rk <= {JACCARD_TOPK}
+    """,
+)
+def graph_node_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node neighborhood-Jaccard top-{JACCARD_TOPK}: for every part,
+    the {JACCARD_TOPK} parts whose SUPPORTED co-occurrence neighborhoods
+    overlap most (|N(u)∩N(v)| / |N(u)∪N(v)|, floor-scaled ppm) — the
+    structural-equivalence shortlist behind "substitutable parts" /
+    role-similarity features, complementing graph_link_prediction_ra
+    (which scores only NON-edges and weights common neighbors by
+    rarity) and graph_item_cf_cosine (which weights by co-order counts;
+    Jaccard is the set-shape-only view).
+
+    Determinism: Jaccard folds as floor(1e6·cn/(da+db−cn)) — pure
+    BIGINT arithmetic; the top-k window breaks ppm ties by peer id.
+
+    Scale: candidate pairs come ONLY from the common-neighbor wedge
+    join over the support-pruned adjacency (the same boundedness as the
+    triangle count — never all-pairs); degrees join node-keyed; the
+    per-node ranking window partitions by node over candidate lists
+    bounded by the 2-hop neighborhood.  At 100 TB the adjacency
+    pre-buckets on node and every stage is an equi-join on part keys."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = co_occurrence_pairs(li, LP_MIN_SUPPORT, distinct_items=False).select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    )
+    adj = pairs.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        pairs.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    x, y = adj.alias("x"), adj.alias("y")
+    cn = (
+        x.join(y, (F.col("x.nbr") == F.col("y.nbr")) & (F.col("x.node") < F.col("y.node")))
+        .groupBy(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    scored = (
+        cn.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.expr("c * 1000000 div (da + db - c)").cast("long").alias("jaccard_ppm"),
+        )
+    )
+    directed = scored.select(
+        F.col("a").alias("node"), F.col("b").alias("peer"), "jaccard_ppm"
+    ).unionByName(
+        scored.select(
+            F.col("b").alias("node"), F.col("a").alias("peer"), "jaccard_ppm"
+        )
+    )
+    w = W.partitionBy("node").orderBy(F.col("jaccard_ppm").desc(), "peer")
+    return (
+        directed.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= JACCARD_TOPK)
+        .select(
+            F.col("node").alias("p_partkey"), "rk",
+            F.col("peer").alias("peer_partkey"), "jaccard_ppm",
+        )
     )

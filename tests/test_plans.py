@@ -14,7 +14,7 @@ from tests.conftest import SF_DIR
 
 
 def _q(name, spark):
-    return engine.queries()[name](spark, SF_DIR)
+    return engine.all_queries()[name](spark, SF_DIR)
 
 
 def test_filter_pushdown_reaches_parquet(spark):
@@ -210,7 +210,7 @@ def test_registry_sweep_no_scale_hostile_plans(spark):
     explicit allowlists above, each a deliberate, documented trade.  This
     is the guard that a future operator can't silently regress into a
     plan that dies at 100 TB."""
-    qs = engine.queries()
+    qs = engine.all_queries()
     offenders = []
     for name in sorted(qs):
         fn = qs[name]
@@ -259,7 +259,7 @@ def test_no_query_broadcasts_a_fact_side(spark):
     Runtime AQE broadcast conversion from *measured* sizes remains
     allowed; this guards the estimate-based static plan, which is what
     must survive a 100x scale-up."""
-    qs = engine.queries()
+    qs = engine.all_queries()
     relational = [
         n
         for n in qs
@@ -409,6 +409,44 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     assert spark.read.parquet(compact).count() == ev.count()
 
 
+def test_write_partitioned_one_file_per_directory(spark, tmp_path):
+    """write_partitioned (round-7: the systemic fix for the
+    lakehouse_partition_evolution small-files defect) must land exactly
+    files_per_partition data file(s) in every partition directory — a bare
+    partitionBy write over a per-day key from 32 upstream tasks would land
+    up to 32 files per directory and a same-sized read-task explosion."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.sources.source_queries import write_partitioned
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    out = str(tmp_path / "by_day")
+    write_partitioned(ev, out, "day")
+    part_dirs = [d for d in os.listdir(out) if d.startswith("day=")]
+    assert len(part_dirs) > 10  # the fixture spans many days
+    for d in part_dirs:
+        files = [
+            p for p in os.listdir(os.path.join(out, d)) if p.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+    assert spark.read.parquet(out).count() == ev.count()
+
+    # files_per_partition > 1: bounded fan-out for the 100 TB case
+    out2 = str(tmp_path / "by_day_salted")
+    write_partitioned(ev, out2, "day", files_per_partition=3)
+    for d in [d for d in os.listdir(out2) if d.startswith("day=")]:
+        files = [
+            p for p in os.listdir(os.path.join(out2, d)) if p.endswith(".parquet")
+        ]
+        assert 1 <= len(files) <= 3, (d, files)
+    assert spark.read.parquet(out2).count() == ev.count()
+
+
 def test_bloom_prune_actually_prunes(spark):
     """join_bloom_pruned's membership set must cut the probe side before
     the exact join: rows surviving the bucket join should be well under
@@ -505,7 +543,7 @@ def test_aqe_join_switch_happened(spark):
     """The dynamic-switch demo must really switch: initial plan sort-merge,
     final adaptive plan broadcast."""
     engine.clear_caches(spark)
-    df = engine.queries()["aqe_dynamic_join_switch"](spark, SF_DIR)
+    df = engine.all_queries()["aqe_dynamic_join_switch"](spark, SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]

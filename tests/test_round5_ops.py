@@ -49,7 +49,7 @@ def test_no_oracle_query_declares_complex_output(spark):
     offenders = []
     for name in sorted(engine.oracle_sql()):
         engine.clear_caches(spark)
-        df = engine.queries()[name](spark, SF_DIR)
+        df = engine.all_queries()[name](spark, SF_DIR)
         bad = [
             f.name
             for f in df.schema.fields
@@ -80,7 +80,7 @@ def test_readme_counts_match_registry():
             fh.read(),
         )
     assert m, "README no longer carries the registry-count sentence"
-    assert int(m.group(1)) == len(engine.queries())
+    assert int(m.group(1)) == len(engine.all_queries())
     assert int(m.group(2)) == len(engine.oracle_sql())
 
 
@@ -88,7 +88,7 @@ def test_pyds_writer_readback_honors_manifest(spark):
     """The roundtrip query plants a dead (unmanifested) shard in the zone;
     if the read-back used a part-* glob instead of the manifest, the
     planted doc_id=-1 row would leak into the result."""
-    df = engine.queries()["pyds_ndjson_writer_roundtrip"](spark, SF_DIR)
+    df = engine.all_queries()["pyds_ndjson_writer_roundtrip"](spark, SF_DIR)
     assert df.filter("doc_id = -1").count() == 0
 
 
@@ -101,7 +101,7 @@ def test_weighted_median_is_attained_value_with_half_mass(spark):
 
     res = {
         r.l_returnflag: r.weighted_median
-        for r in engine.queries()["agg_weighted_median"](spark, SF_DIR).collect()
+        for r in engine.all_queries()["agg_weighted_median"](spark, SF_DIR).collect()
     }
     li = load_table(spark, SF_DIR, "lineitem")
     for flag, med in res.items():
@@ -119,7 +119,7 @@ def test_weighted_median_is_attained_value_with_half_mass(spark):
 def test_shard_interleave_mix_is_exact(spark):
     """Round-robin dealing guarantees each source's docs split across the
     8 shards within +-1 — the exact-mix property the operator exists for."""
-    rows = engine.queries()["corpus_shard_interleave"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["corpus_shard_interleave"](spark, SF_DIR).collect()
     per_source: dict = {}
     for r in rows:
         per_source.setdefault(r.source, []).append(r.n_docs)
@@ -134,7 +134,7 @@ def test_churn_hazard_life_table_identities(spark):
 
     from etl_pipeline_aws_spark.catalog import load_table
 
-    rows = engine.queries()["events_churn_hazard"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["events_churn_hazard"](spark, SF_DIR).collect()
     n_users = (
         load_table(spark, SF_DIR, "events").agg(F.countDistinct("user_id")).first()[0]
     )
@@ -145,7 +145,7 @@ def test_churn_hazard_life_table_identities(spark):
 
 
 def test_session_overlap_pairs_canonical(spark):
-    rows = engine.queries()["events_session_overlap_pairs"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["events_session_overlap_pairs"](spark, SF_DIR).collect()
     assert rows, "fixture sessions should overlap somewhere"
     for r in rows:
         assert r.user_a < r.user_b
@@ -153,7 +153,7 @@ def test_session_overlap_pairs_canonical(spark):
 
 
 def test_epoch_upsampling_plan_arithmetic(spark):
-    rows = engine.queries()["corpus_epoch_upsampling"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["corpus_epoch_upsampling"](spark, SF_DIR).collect()
     for r in rows:
         assert r.quota_tokens == r.n_full_epochs * r.n_tokens + r.remainder_tokens
         assert r.repeat_factor <= 3.0 + 1e-12  # the epoch cap
@@ -169,7 +169,7 @@ def test_vocab_oov_rates_bounded_and_total(spark):
 
     from etl_pipeline_aws_spark.catalog import load_table
 
-    rows = engine.queries()["text_vocab_oov_rate"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["text_vocab_oov_rate"](spark, SF_DIR).collect()
     docs = load_table(spark, SF_DIR, "documents")
     total = docs.select(
         F.explode(F.split("text", " ")).alias("t")
@@ -180,7 +180,7 @@ def test_vocab_oov_rates_bounded_and_total(spark):
 
 
 def test_max_drawdown_nonnegative(spark):
-    rows = engine.queries()["events_max_drawdown"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["events_max_drawdown"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert r.max_drawdown >= 0.0
@@ -194,7 +194,7 @@ def test_audio_energy_window_count_matches_length(spark):
     from etl_pipeline_aws_spark.catalog import load_table
 
     per_doc = (
-        engine.queries()["multimodal_audio_energy"](spark, SF_DIR)
+        engine.all_queries()["multimodal_audio_energy"](spark, SF_DIR)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_wins"), F.sum("n_samples").alias("n_total"))
     )
@@ -207,7 +207,7 @@ def test_audio_energy_window_count_matches_length(spark):
 
 
 def test_gini_bounded(spark):
-    rows = engine.queries()["agg_gini_coefficient"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["agg_gini_coefficient"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert 0.0 <= r.gini < 1.0
@@ -216,7 +216,7 @@ def test_gini_bounded(spark):
 def test_sql_scalar_udf_stays_codegen(spark):
     """The SQL UDF must inline — no Python evaluation node may appear."""
     plan = (
-        engine.queries()["sql_scalar_udf"](spark, SF_DIR)
+        engine.all_queries()["sql_scalar_udf"](spark, SF_DIR)
         ._jdf.queryExecution()
         .sparkPlan()
         .toString()
@@ -230,19 +230,19 @@ def test_sql_table_udf_keeps_pushdown(spark):
     parquet scan as a pushed data filter."""
     from etl_pipeline_aws_spark.plans.inspect import formatted_plan
 
-    plan = formatted_plan(engine.queries()["sql_table_udf"](spark, SF_DIR))
+    plan = formatted_plan(engine.all_queries()["sql_table_udf"](spark, SF_DIR))
     assert "PushedFilters" in plan
     assert "c_acctbal" in plan.split("PushedFilters", 1)[1][:200]
 
 
 def test_conversion_lag_quantiles_ordered(spark):
-    r = engine.queries()["events_conversion_lag_quantiles"](spark, SF_DIR).first()
+    r = engine.all_queries()["events_conversion_lag_quantiles"](spark, SF_DIR).first()
     assert r.n_converted > 0
     assert 0 <= r.p25_s <= r.p50_s <= r.p75_s <= r.max_s
 
 
 def test_autocorrelation_bounded(spark):
-    r = engine.queries()["events_weekly_autocorrelation"](spark, SF_DIR).first()
+    r = engine.all_queries()["events_weekly_autocorrelation"](spark, SF_DIR).first()
     assert r.n > 0
     assert -1.0 <= r.autocorr_lag7 <= 1.0
 
@@ -254,7 +254,7 @@ def test_ab_arms_partition_population(spark):
 
     from etl_pipeline_aws_spark.catalog import load_table
 
-    rows = engine.queries()["events_ab_lift_report"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["events_ab_lift_report"](spark, SF_DIR).collect()
     per_type = {
         r.event_type: r["count"]
         for r in load_table(spark, SF_DIR, "events")
@@ -269,12 +269,12 @@ def test_ab_arms_partition_population(spark):
 def test_hashed_bow_buckets_in_range(spark):
     import pyspark.sql.functions as F
 
-    df = engine.queries()["feature_hashed_bow"](spark, SF_DIR)
+    df = engine.all_queries()["feature_hashed_bow"](spark, SF_DIR)
     assert df.filter((F.col("bucket") < 0) | (F.col("bucket") >= 32)).count() == 0
 
 
 def test_knn_graph_canonical(spark):
-    rows = engine.queries()["text_jaccard_knn_graph"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["text_jaccard_knn_graph"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert r.doc_id != r.neighbor_id
@@ -285,7 +285,7 @@ def test_knn_graph_canonical(spark):
 def test_embedding_standardize_z_is_finite(spark):
     import math
 
-    rows = engine.queries()["embedding_standardize"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["embedding_standardize"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert math.isfinite(r.z)
@@ -296,7 +296,7 @@ def test_scd1_upsert_audit_counts(spark):
 
     from etl_pipeline_aws_spark.catalog import load_table
 
-    df = engine.queries()["scd1_upsert_orders"](spark, SF_DIR)
+    df = engine.all_queries()["scd1_upsert_orders"](spark, SF_DIR)
     o = load_table(spark, SF_DIR, "orders")
     n = o.count()
     n_upd = o.filter(F.col("o_orderkey") % 10 == 0).count()
@@ -308,7 +308,7 @@ def test_scd1_upsert_audit_counts(spark):
 
 
 def test_pretraining_shards_mix_exact(spark):
-    rows = engine.queries()["pipeline_pretraining_shards_e2e"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["pipeline_pretraining_shards_e2e"](spark, SF_DIR).collect()
     per_source: dict = {}
     for r in rows:
         per_source.setdefault(r.source, []).append(r.n_docs)
@@ -318,7 +318,7 @@ def test_pretraining_shards_mix_exact(spark):
 
 
 def test_copresence_topk_bounds(spark):
-    rows = engine.queries()["events_copresence_topk"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["events_copresence_topk"](spark, SF_DIR).collect()
     assert rows
     per_user: dict = {}
     for r in rows:
@@ -334,7 +334,7 @@ def test_copresence_topk_bounds(spark):
 def test_power_iteration_unit_norm_and_dim_cover(spark):
     import math
 
-    rows = engine.queries()["embedding_power_iteration_pc1"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["embedding_power_iteration_pc1"](spark, SF_DIR).collect()
     dims = sorted(r.dim for r in rows)
     assert dims == list(range(len(dims)))  # every dimension exactly once
     norm = math.sqrt(sum(r.component**2 for r in rows))
@@ -346,10 +346,10 @@ def test_flip_augment_conserves_pixels(spark):
     multimodal_image_decode — augmentation moves pixels, never makes them."""
     import pyspark.sql.functions as F
 
-    flip = engine.queries()["multimodal_image_flip_augment"](spark, SF_DIR).select(
+    flip = engine.all_queries()["multimodal_image_flip_augment"](spark, SF_DIR).select(
         "doc_id", "total_sum"
     )
-    dec = engine.queries()["multimodal_image_decode"](spark, SF_DIR).select(
+    dec = engine.all_queries()["multimodal_image_decode"](spark, SF_DIR).select(
         "doc_id",
         (F.col("sum_r") + F.col("sum_g") + F.col("sum_b")).alias("orig_total"),
     )
@@ -358,13 +358,13 @@ def test_flip_augment_conserves_pixels(spark):
 
 
 def test_repurchase_quantiles_ordered(spark):
-    r = engine.queries()["orders_repurchase_intervals"](spark, SF_DIR).first()
+    r = engine.all_queries()["orders_repurchase_intervals"](spark, SF_DIR).first()
     assert r.n_intervals > 0
     assert r.min_days <= r.median_days <= r.p90_days <= r.max_days
 
 
 def test_outage_gaps_exceed_threshold(spark):
-    rows = engine.queries()["events_outage_windows"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["events_outage_windows"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert r.gap_seconds > 30 * 60
@@ -378,7 +378,7 @@ def test_new_vs_returning_accounting(spark):
 
     from etl_pipeline_aws_spark.catalog import load_table
 
-    rows = engine.queries()["events_new_vs_returning"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["events_new_vs_returning"](spark, SF_DIR).collect()
     first = min(rows, key=lambda r: r.day)
     assert first.returning_users == 0
     n_users = (
@@ -388,7 +388,7 @@ def test_new_vs_returning_accounting(spark):
 
 
 def test_funnel_by_cohort_monotone(spark):
-    rows = engine.queries()["events_funnel_by_cohort"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["events_funnel_by_cohort"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert r.n_converted is not None  # zero-conversion cohorts emit 0, not NULL
@@ -396,7 +396,7 @@ def test_funnel_by_cohort_monotone(spark):
 
 
 def test_dup_rate_bounded(spark):
-    rows = engine.queries()["dedup_rate_by_source"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["dedup_rate_by_source"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert 0.0 <= r.dup_rate < 1.0

@@ -34,7 +34,7 @@ def test_gate_path_oracles_follow_env_at_alternate_sf(spark, name, monkeypatch):
     assert SF_SMALL in sql  # template resolved against the env var
     con = duckdb_con(SF_SMALL)
     try:
-        compare(engine.queries()[name](spark, SF_SMALL), con, sql)
+        compare(engine.all_queries()[name](spark, SF_SMALL), con, sql)
     finally:
         con.close()
 
@@ -54,11 +54,11 @@ def test_hll_sliding_within_5pct_of_exact_twin(spark):
 
     exact = {
         r.anchor_day: r.trailing_users
-        for r in engine.queries()["agg_sliding_distinct_exact"](spark, SF_DIR).collect()
+        for r in engine.all_queries()["agg_sliding_distinct_exact"](spark, SF_DIR).collect()
     }
     approx = {
         r.anchor_day: r.approx_trailing_users
-        for r in engine.queries()["agg_hll_sliding_distinct"](spark, SF_DIR).collect()
+        for r in engine.all_queries()["agg_hll_sliding_distinct"](spark, SF_DIR).collect()
     }
     assert set(exact) == set(approx)
     for day, n in exact.items():
@@ -71,7 +71,7 @@ def test_funnel_by_cohort_zero_conversion_emits_zero(spark):
     silently diverges from the oracle's COUNT(CASE ...))."""
     from tests.conftest import SF_DIR
 
-    rows = engine.queries()["events_funnel_by_cohort"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["events_funnel_by_cohort"](spark, SF_DIR).collect()
     assert rows
     assert all(r.n_converted is not None for r in rows)
 
@@ -112,7 +112,7 @@ def test_gap_thresholds_are_microsecond_precise(spark):
 def test_cusum_charts_nonnegative_and_flag_consistent(spark):
     """Both CUSUM charts are >= 0 by the reset identity, and the drift
     flag is exactly 'either chart exceeds one average day's excess'."""
-    rows = engine.queries()["events_cusum_changepoint"](
+    rows = engine.all_queries()["events_cusum_changepoint"](
         spark, "/root/testdata/sf0.01"
     ).collect()
     assert rows
@@ -125,7 +125,7 @@ def test_cusum_charts_nonnegative_and_flag_consistent(spark):
 def test_hhi_definitional_bounds(spark):
     """HHI in ppm lies in (0, 1e6]; a single-supplier market is exactly
     1e6; and HHI >= top_share^2/1e6 (the top supplier's own square)."""
-    rows = engine.queries()["parts_supplier_hhi"](
+    rows = engine.all_queries()["parts_supplier_hhi"](
         spark, "/root/testdata/sf0.01"
     ).collect()
     assert rows
@@ -147,7 +147,7 @@ def test_consecutive_pattern_is_subset_of_funnel_users(spark):
     sf = "/root/testdata/sf0.01"
     strict = {
         r.user_id
-        for r in engine.queries()["events_consecutive_pattern"](spark, sf).collect()
+        for r in engine.all_queries()["events_consecutive_pattern"](spark, sf).collect()
     }
     ev = load_table(spark, sf, "events")
     loose = {
@@ -175,7 +175,7 @@ def test_ivm_retraction_matches_insert_only_on_no_deletes(spark):
     sf = "/root/testdata/sf0.01"
     zset = {
         r.nation: (r.n_orders, r.revenue)
-        for r in engine.queries()["ivm_retraction_zset"](spark, sf).collect()
+        for r in engine.all_queries()["ivm_retraction_zset"](spark, sf).collect()
     }
     # direct recompute of the post-change state (the oracle's shape)
     orders = load_table(spark, sf, "orders")
@@ -217,7 +217,7 @@ def test_stat_tests_semantic_invariants(spark):
     """
     from tests.conftest import SF_DIR
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     ks = qs["stat_ks_two_sample"](spark, SF_DIR).collect()[0]
     assert 0.0 <= ks.ks_d <= 1.0 and ks.n1 > 0 and ks.n2 > 0
 
@@ -247,7 +247,7 @@ def test_timeseries_semantic_invariants(spark):
     """
     from tests.conftest import SF_DIR
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     for bar in qs["events_ohlc_bars"](spark, SF_DIR).collect():
         assert bar.low <= bar.open <= bar.high
         assert bar.low <= bar.close <= bar.high
@@ -291,7 +291,7 @@ def test_feature_engineering_invariants(spark):
     """
     from tests.conftest import SF_DIR
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     enc = qs["feature_target_encoding"](spark, SF_DIR).collect()
     prior = sum(r.raw_mean * r.n_g for r in enc) / sum(r.n_g for r in enc)
     for r in enc:
@@ -333,7 +333,7 @@ def test_k_core_defining_predicates(spark):
         co_occurrence_pairs,
     )
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     kept = {
         r.p_partkey: r.core_degree
         for r in qs["graph_k_core"](spark, SF_DIR).collect()
@@ -370,7 +370,7 @@ def test_bitmap_retention_equals_join_based_retention(spark):
 
     from etl_pipeline_aws_spark.catalog import load_table
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     days = sorted(
         r.day
         for r in load_table(spark, SF_DIR, "events")
@@ -418,7 +418,7 @@ def test_stat_family_identities(spark):
     """
     from tests.conftest import SF_DIR
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     auc_row = qs["stat_auc_roc"](spark, SF_DIR).collect()[0]
     mwu_row = qs["stat_mann_whitney_u"](spark, SF_DIR).collect()[0]
     assert auc_row.n_pos == mwu_row.n1 and auc_row.n_neg == mwu_row.n2
@@ -456,7 +456,7 @@ def test_theil_sen_and_binseg_against_bruteforce(spark):
     from the same daily cents series and demand exact agreement."""
     from tests.conftest import SF_DIR
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     daily = sorted(
         (r.day, int(r.cents))
         for r in engine_daily_cents(spark, SF_DIR).collect()
@@ -521,7 +521,7 @@ def test_permutation_checksum_planner_mad_invariants(spark):
     from etl_pipeline_aws_spark.operators.statistics import PERM_K
     from etl_pipeline_aws_spark.operators.timeseries import MAD_K_X10000
 
-    qs = engine.queries()
+    qs = engine.all_queries()
 
     # permutation test: valid p, full K, and t_obs == Welch's |mean_diff|
     # (same two groups, same exact-decimal means)
@@ -617,7 +617,7 @@ def test_link_prediction_and_rolling_median_bruteforce(spark):
     from etl_pipeline_aws_spark.catalog import load_table
     from etl_pipeline_aws_spark.operators.timeseries import ROLLMED_W
 
-    qs = engine.queries()
+    qs = engine.all_queries()
 
     # RA link prediction vs Python adjacency recomputation
     li = load_table(spark, SF_DIR, "lineitem")
@@ -675,7 +675,7 @@ def test_additive_decomposition_identity_and_trend(spark):
     constant within each dow bucket."""
     from tests.conftest import SF_DIR
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     rows = qs["events_decompose_additive"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
@@ -701,7 +701,7 @@ def test_readability_and_otif_invariants(spark):
     from etl_pipeline_aws_spark.catalog import load_table
     from etl_pipeline_aws_spark.operators.analytics import OTIF_SLA_DAYS
 
-    qs = engine.queries()
+    qs = engine.all_queries()
 
     # readability: recompute a sample of documents in Python
     docs = {r.doc_id: r.text for r in load_table(spark, SF_DIR, "documents")
@@ -755,7 +755,7 @@ def test_bitemporal_restatement_axes(spark):
         BT_RESTATE_LAG_DAYS,
     )
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     rows = qs["bitemporal_restatement"](spark, SF_DIR).collect()
     k1 = dt.date.fromisoformat(BT_K1)
     slices = {}
@@ -794,7 +794,7 @@ def test_ldiversity_and_backtest_invariants(spark):
     from etl_pipeline_aws_spark.operators.quality import LDIV_L
     from etl_pipeline_aws_spark.operators.timeseries import BACKTEST_LAG_DAYS
 
-    qs = engine.queries()
+    qs = engine.all_queries()
 
     ld = qs["dq_l_diversity"](spark, SF_DIR).collect()
     assert ld
@@ -851,7 +851,7 @@ def test_ml_eval_family_consistency(spark):
     on the same underlying scorer and labels."""
     from tests.conftest import SF_DIR
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     auc = qs["stat_auc_roc"](spark, SF_DIR).collect()[0]
 
     calib = sorted(
@@ -884,7 +884,7 @@ def test_session_conversion_and_double_charge(spark):
     """Batch-10 pins."""
     from tests.conftest import SF_DIR
 
-    qs = engine.queries()
+    qs = engine.all_queries()
 
     conv = qs["events_session_conversion"](spark, SF_DIR).collect()
     assert conv
@@ -929,7 +929,7 @@ def test_item_cf_and_stickiness(spark):
         CF_MIN_SUPPORT,
     )
 
-    qs = engine.queries()
+    qs = engine.all_queries()
 
     baskets = defaultdict(set)
     for r in (
@@ -992,7 +992,7 @@ def test_rank_correlation_km_simpson_bruteforce(spark):
 
     from etl_pipeline_aws_spark.catalog import load_table
 
-    qs = engine.queries()
+    qs = engine.all_queries()
 
     # Shared monthly series (x = order count, y = revenue cents).
     monthly = defaultdict(lambda: [0, 0])
@@ -1098,7 +1098,7 @@ def test_robust_scaler_bruteforce_and_lorenz_invariants(spark):
 
     from etl_pipeline_aws_spark.catalog import load_table
 
-    qs = engine.queries()
+    qs = engine.all_queries()
 
     segs = defaultdict(list)
     for r in load_table(spark, SF_DIR, "customer").select(
@@ -1146,7 +1146,7 @@ def test_effect_sizes_and_zcr_consistency(spark):
 
     from tests.conftest import SF_DIR
 
-    qs = engine.queries()
+    qs = engine.all_queries()
 
     chi = qs["stat_chi_square_independence"](spark, SF_DIR).collect()[0]
     v = qs["stat_cramers_v"](spark, SF_DIR).collect()[0]
@@ -1185,7 +1185,7 @@ def test_cuped_and_graph_coefficients(spark):
 
     from tests.conftest import SF_DIR
 
-    qs = engine.queries()
+    qs = engine.all_queries()
 
     rows = {r.arm: r for r in qs["events_cuped_adjustment"](spark, SF_DIR).collect()}
     assert set(rows) == {0, 1}
@@ -1261,7 +1261,7 @@ def test_ols_holt_bot_gate(spark):
 
     from etl_pipeline_aws_spark.catalog import load_table
 
-    qs = engine.queries()
+    qs = engine.all_queries()
 
     r = qs["ml_ols_normal_equations"](spark, SF_DIR).collect()[0]
     feats = (
@@ -1355,7 +1355,7 @@ def test_mmr_rank1_is_bruteforce_top1_and_picks_distinct(spark):
     and come from the relevance shortlist."""
     from tests.conftest import SF_DIR
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     mmr = qs["similarity_mmr_rerank"](spark, SF_DIR).collect()
     by_q = {}
     for r in mmr:
@@ -1378,7 +1378,7 @@ def test_modularity_and_growth_accounting_identities(spark):
     (new+retained+resurrected = active) and retained(w) <= active(w-1)."""
     from tests.conftest import SF_DIR
 
-    qs = engine.queries()
+    qs = engine.all_queries()
 
     m = qs["graph_modularity"](spark, SF_DIR).collect()[0]
     assert m.modularity == m.numerator / (4.0 * m.m_edges * m.m_edges)
@@ -1412,7 +1412,7 @@ def test_matryoshka_full_dim_recall_is_one(spark):
 
     rows = {
         r.trunc_dim: r.recall_ppm
-        for r in engine.queries()["embedding_matryoshka_recall"](spark, SF_DIR).collect()
+        for r in engine.all_queries()["embedding_matryoshka_recall"](spark, SF_DIR).collect()
     }
     assert rows[64] == 1_000_000
     assert set(rows) == {16, 32, 64}
@@ -1426,7 +1426,7 @@ def test_leakage_audit_and_model_selection(spark):
     query's forecasts recomputed as one-step errors."""
     from tests.conftest import SF_DIR
 
-    qs = engine.queries()
+    qs = engine.all_queries()
 
     rows = qs["ml_leakage_audit_target_encoding"](spark, SF_DIR).collect()
     assert rows and all(r.max_loo_gap > 0 for r in rows)
@@ -1458,7 +1458,7 @@ def test_experiment_e2e_composes_with_pieces(spark):
     arms; conversion_bp consistent with its own counts."""
     from tests.conftest import SF_DIR
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     rows = {r.arm: r for r in qs["pipeline_experiment_e2e"](spark, SF_DIR).collect()}
     assert set(rows) == {0, 1}
     bots = {
@@ -1491,7 +1491,7 @@ def test_bootstrap_se_tracks_analytic_se_and_peaks_are_strict(spark):
 
     from etl_pipeline_aws_spark.catalog import load_table
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     r = qs["stat_bootstrap_se"](spark, SF_DIR).collect()[0]
     vals = [
         int(round(float(x.o_totalprice) * 100))
@@ -1547,7 +1547,7 @@ def test_wilcoxon_bruteforce(spark):
     z = (2 * two_w_plus - n * (n + 1)) / (
         4 * math.sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tie_cubes / 48.0)
     )
-    r = engine.queries()["stat_wilcoxon_signed_rank"](spark, SF_DIR).collect()[0]
+    r = engine.all_queries()["stat_wilcoxon_signed_rank"](spark, SF_DIR).collect()[0]
     assert (r.n, r.two_w_plus, r.tie_cubes) == (n, two_w_plus, tie_cubes)
     assert r.z_stat == z
 
@@ -1590,7 +1590,7 @@ def test_bfs_seeds_are_hop_zero_and_counts_positive(spark):
 
     rows = {
         r.hop: r
-        for r in engine.queries()["graph_bfs_hops"](spark, SF_DIR).collect()
+        for r in engine.all_queries()["graph_bfs_hops"](spark, SF_DIR).collect()
     }
     assert 0 in rows and rows[0].n_nodes > 0
     assert rows[0].min_node % BFS_SEED_MOD == 0
@@ -1615,7 +1615,7 @@ def test_kmeans_second_round_does_not_increase_inertia(spark, monkeypatch):
 
 
 def test_silhouette_is_bounded_and_covers_corpus(spark):
-    rows = engine.queries()["embedding_silhouette_centroid"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["embedding_silhouette_centroid"](spark, SF_DIR).collect()
     assert sum(r.n_members for r in rows) == 500
     for r in rows:
         assert -1.0 <= r.worst_silhouette <= r.mean_silhouette <= 1.0
@@ -1624,7 +1624,7 @@ def test_silhouette_is_bounded_and_covers_corpus(spark):
 def test_rrf_score_is_the_rank_identity(spark):
     from etl_pipeline_aws_spark.llm.similarity import RRF_K, RRF_TOP
 
-    rows = engine.queries()["search_hybrid_rrf"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["search_hybrid_rrf"](spark, SF_DIR).collect()
     assert len(rows) == RRF_TOP
     for r in rows:
         want = (1.0 / (RRF_K + r.r_text) if r.r_text > 0 else 0.0) + (
@@ -1637,12 +1637,12 @@ def test_rrf_score_is_the_rank_identity(spark):
 def test_next_fit_bins_respect_capacity_and_conserve_tokens(spark):
     from etl_pipeline_aws_spark.llm.corpus import PACK_BIN_CAPACITY
 
-    rows = engine.queries()["corpus_pack_next_fit"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["corpus_pack_next_fit"](spark, SF_DIR).collect()
     per_source: dict[str, list] = {}
     for r in rows:
         per_source.setdefault(r.source, []).append(r)
         assert r.fill_tokens <= PACK_BIN_CAPACITY or r.n_docs == 1
-    docs = engine.queries()["text_token_stats"](spark, SF_DIR)
+    docs = engine.all_queries()["text_token_stats"](spark, SF_DIR)
     total_tokens = docs.agg(F.sum("n_tokens")).collect()[0][0]
     assert sum(r.fill_tokens for r in rows) == total_tokens
     for src, bins in per_source.items():
@@ -1651,7 +1651,7 @@ def test_next_fit_bins_respect_capacity_and_conserve_tokens(spark):
 
 
 def test_wow_attribution_shares_partition_the_total(spark):
-    rows = engine.queries()["events_wow_attribution"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["events_wow_attribution"](spark, SF_DIR).collect()
     total = sum(r.delta_value for r in rows)
     if abs(total) > 1e-9:
         assert abs(sum(r.contribution_share for r in rows) - 1.0) < 1e-9
@@ -1662,7 +1662,7 @@ def test_wow_attribution_shares_partition_the_total(spark):
 def test_croston_states_positive_and_demand_days_match(spark):
     from etl_pipeline_aws_spark.operators.timeseries import CROSTON_VALUE_MIN
 
-    rows = engine.queries()["events_croston_intermittent"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["events_croston_intermittent"](spark, SF_DIR).collect()
     con = duckdb_con(SF_DIR)
     want_days = con.sql(
         f"SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events "
@@ -1679,7 +1679,7 @@ def test_croston_states_positive_and_demand_days_match(spark):
 
 def test_fdr_rejections_form_a_rank_prefix(spark):
     rows = sorted(
-        engine.queries()["stat_fdr_bh_control"](spark, SF_DIR).collect(),
+        engine.all_queries()["stat_fdr_bh_control"](spark, SF_DIR).collect(),
         key=lambda r: r.bh_rank,
     )
     assert len(rows) == 25
@@ -1690,13 +1690,13 @@ def test_fdr_rejections_form_a_rank_prefix(spark):
 
 
 def test_iqr_fences_order_and_bounds(spark):
-    for r in engine.queries()["dq_iqr_fences"](spark, SF_DIR).collect():
+    for r in engine.all_queries()["dq_iqr_fences"](spark, SF_DIR).collect():
         assert r.fence_low <= r.q1 <= r.q3 <= r.fence_high
         assert 0 <= r.n_outliers <= r.n_rows
 
 
 def test_poisson_ci_brackets_rate(spark):
-    for r in engine.queries()["stat_poisson_rate_ci"](spark, SF_DIR).collect():
+    for r in engine.all_queries()["stat_poisson_rate_ci"](spark, SF_DIR).collect():
         assert r.ci_low <= r.rate_per_day <= r.ci_high
         assert abs(r.rate_per_day * r.n_days - r.n_events) < 1e-6
 
@@ -1705,7 +1705,7 @@ def test_lttb_keeps_endpoints_and_bucket_count(spark):
     from etl_pipeline_aws_spark.operators.timeseries import LTTB_BUCKETS
 
     rows = sorted(
-        engine.queries()["events_lttb_downsample"](spark, SF_DIR).collect(),
+        engine.all_queries()["events_lttb_downsample"](spark, SF_DIR).collect(),
         key=lambda r: r.day,
     )
     assert len(rows) == LTTB_BUCKETS  # every interior bucket non-empty at sf0.01
@@ -1721,7 +1721,7 @@ def test_lttb_keeps_endpoints_and_bucket_count(spark):
 def test_xcorr_day_counts_shrink_with_lag(spark):
     from etl_pipeline_aws_spark.operators.timeseries import XCORR_MAX_LAG
 
-    rows = {r.lag: r for r in engine.queries()["events_lead_lag_xcorr"](spark, SF_DIR).collect()}
+    rows = {r.lag: r for r in engine.all_queries()["events_lead_lag_xcorr"](spark, SF_DIR).collect()}
     assert set(rows) == set(range(XCORR_MAX_LAG + 1))
     for lag in range(1, XCORR_MAX_LAG + 1):
         assert rows[lag].n_days <= rows[lag - 1].n_days
@@ -1730,7 +1730,7 @@ def test_xcorr_day_counts_shrink_with_lag(spark):
 
 
 def test_stream_windowed_topk_respects_k_and_order(spark):
-    rows = engine.queries()["stream_windowed_topk"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["stream_windowed_topk"](spark, SF_DIR).collect()
     by_window: dict = {}
     for r in rows:
         by_window.setdefault(r.window_start, []).append(r)
@@ -1744,7 +1744,7 @@ def test_stream_windowed_topk_respects_k_and_order(spark):
 
 
 def test_xmr_limits_bracket_center(spark):
-    rows = engine.queries()["events_xmr_control_chart"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["events_xmr_control_chart"](spark, SF_DIR).collect()
     for r in rows:
         assert r.lcl <= r.x_bar <= r.ucl
         flagged = r.x > r.ucl or r.x < r.lcl
@@ -1752,7 +1752,7 @@ def test_xmr_limits_bracket_center(spark):
 
 
 def test_kappa_never_exceeds_accuracy_identity(spark):
-    r = engine.queries()["stat_cohens_kappa"](spark, SF_DIR).collect()[0]
+    r = engine.all_queries()["stat_cohens_kappa"](spark, SF_DIR).collect()[0]
     po = r.n_agree / r.n_total
     pe = r.sum_rc / (r.n_total * r.n_total)
     assert abs(r.kappa - (po - pe) / (1 - pe)) < 1e-12
@@ -1760,7 +1760,7 @@ def test_kappa_never_exceeds_accuracy_identity(spark):
 
 
 def test_uplift_deciles_partition_users(spark):
-    rows = engine.queries()["events_uplift_by_decile"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["events_uplift_by_decile"](spark, SF_DIR).collect()
     assert sorted(r.decile for r in rows) == list(range(1, 11))
     con = duckdb_con(SF_DIR)
     n_users = con.sql("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
@@ -1774,7 +1774,7 @@ def test_uplift_deciles_partition_users(spark):
 
 
 def test_date_edges_pin_clamping_and_iso_weeks(spark):
-    rows = {r.label: r for r in engine.queries()["scalar_date_edge_cases"](spark, SF_DIR).collect()}
+    rows = {r.label: r for r in engine.all_queries()["scalar_date_edge_cases"](spark, SF_DIR).collect()}
     import datetime as dt
 
     assert rows["month_end_jan"].plus_one_month == dt.date(2024, 2, 29)
@@ -1788,7 +1788,7 @@ def test_date_edges_pin_clamping_and_iso_weeks(spark):
 def test_metric_agreement_tau_bounded_and_pairs_complete(spark):
     from etl_pipeline_aws_spark.llm.similarity import METRIC_AGREE_POOL
 
-    r = engine.queries()["similarity_metric_agreement"](spark, SF_DIR).collect()[0]
+    r = engine.all_queries()["similarity_metric_agreement"](spark, SF_DIR).collect()[0]
     assert r.n_pairs == METRIC_AGREE_POOL * (METRIC_AGREE_POOL - 1) // 2
     assert r.concordant + r.discordant <= r.n_pairs
     assert -1.0 - 1e-12 <= r.tau_b <= 1.0 + 1e-12  # closing division can land 1+2ulp
@@ -1798,7 +1798,7 @@ def test_minhash_eval_recall_meets_band_budget(spark):
     """The banding budget's recall contract, as the runnable report:
     planted dups sit at J≈0.95+ where 4x4 banding detects ~always."""
     engine.clear_caches(spark)
-    r = engine.queries()["dedup_minhash_eval"](spark, SF_DIR).collect()[0]
+    r = engine.all_queries()["dedup_minhash_eval"](spark, SF_DIR).collect()[0]
     assert r.n_detected <= min(r.n_true, r.n_candidates)
     assert r.recall >= 0.9
     assert 0.0 <= r.precision <= 1.0
@@ -1808,7 +1808,7 @@ def test_holt_winters_identity_and_start(spark):
     from etl_pipeline_aws_spark.operators.timeseries import HW_PERIOD
 
     rows = sorted(
-        engine.queries()["events_holt_winters_additive"](spark, SF_DIR).collect(),
+        engine.all_queries()["events_holt_winters_additive"](spark, SF_DIR).collect(),
         key=lambda r: r.day,
     )
     con = duckdb_con(SF_DIR)
@@ -1820,7 +1820,7 @@ def test_holt_winters_identity_and_start(spark):
 
 
 def test_seasonal_strength_bounded(spark):
-    r = engine.queries()["events_seasonal_strength"](spark, SF_DIR).collect()[0]
+    r = engine.all_queries()["events_seasonal_strength"](spark, SF_DIR).collect()[0]
     assert 0.0 <= r.seasonal_strength <= 1.0
     assert 0.0 <= r.trend_strength <= 1.0
 
@@ -1828,14 +1828,14 @@ def test_seasonal_strength_bounded(spark):
 def test_t_closeness_bounds_and_flags(spark):
     from etl_pipeline_aws_spark.operators.quality import T_CLOSENESS_MAX
 
-    rows = engine.queries()["dq_t_closeness"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["dq_t_closeness"](spark, SF_DIR).collect()
     for r in rows:
         assert 0.0 <= r.t_closeness <= 1.0 + 1e-12
         assert bool(r.above_t) == (r.t_closeness > T_CLOSENESS_MAX)
 
 
 def test_cochran_armitage_matches_python_fold(spark):
-    r = engine.queries()["stat_cochran_armitage_trend"](spark, SF_DIR).collect()[0]
+    r = engine.all_queries()["stat_cochran_armitage_trend"](spark, SF_DIR).collect()[0]
     assert r.k_groups == 5
     assert 0 < r.n_success < r.n_total
 
@@ -1844,7 +1844,7 @@ def test_coverage_union_bounds(spark):
     from etl_pipeline_aws_spark.operators.events import COVERAGE_TTL_MIN
 
     ttl_us = COVERAGE_TTL_MIN * 60 * 1_000_000
-    rows = engine.queries()["events_active_coverage_union"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["events_active_coverage_union"](spark, SF_DIR).collect()
     con = duckdb_con(SF_DIR)
     per_user = dict(
         con.sql("SELECT user_id, COUNT(*) FROM events GROUP BY user_id").fetchall()
@@ -1859,7 +1859,7 @@ def test_coverage_union_bounds(spark):
 
 
 def test_segment_migration_conserves_customers(spark):
-    rows = engine.queries()["customer_segment_migration"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["customer_segment_migration"](spark, SF_DIR).collect()
     con = duckdb_con(SF_DIR)
     n_cust = con.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders").fetchone()[0]
     con.close()
@@ -1871,7 +1871,7 @@ def test_segment_migration_conserves_customers(spark):
 
 
 def test_kneser_ney_probability_sane(spark):
-    rows = engine.queries()["text_bigram_kneser_ney"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["text_bigram_kneser_ney"](spark, SF_DIR).collect()
     for r in rows:
         assert 0.0 < r.p_kn <= 1.0 + 1e-12
         assert 0.0 < r.p_mle <= 1.0
@@ -1879,7 +1879,7 @@ def test_kneser_ney_probability_sane(spark):
 
 
 def test_shard_gini_matches_interleave_balance(spark):
-    rows = engine.queries()["corpus_shard_mix_gini"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["corpus_shard_mix_gini"](spark, SF_DIR).collect()
     ginis = [r.gini_impurity for r in rows]
     assert all(0.0 <= g < 1.0 for g in ginis)
     # stratified interleave => shards are near-identically mixed
@@ -1890,7 +1890,7 @@ def test_hybrid_e2e_suppresses_non_keepers(spark):
     from etl_pipeline_aws_spark.llm.dedup import dedup_ngram_jaccard, min_label_components
 
     engine.clear_caches(spark)
-    slate = engine.queries()["pipeline_hybrid_search_e2e"](spark, SF_DIR).collect()
+    slate = engine.all_queries()["pipeline_hybrid_search_e2e"](spark, SF_DIR).collect()
     labels = min_label_components(dedup_ngram_jaccard(spark, SF_DIR))
     dups = {r.doc_id for r in labels.filter("label != doc_id").collect()}
     ranks = sorted(r.final_rank for r in slate)
@@ -1901,7 +1901,7 @@ def test_hybrid_e2e_suppresses_non_keepers(spark):
 
 def test_ivf_cells_partition_corpus(spark):
     engine.clear_caches(spark)
-    rows = engine.queries()["embedding_ivf_cell_balance"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["embedding_ivf_cell_balance"](spark, SF_DIR).collect()
     assert sum(r.n_vectors for r in rows) == rows[0].n_total == 500
     mean = rows[0].n_total / len(rows)
     for r in rows:
@@ -1910,7 +1910,7 @@ def test_ivf_cells_partition_corpus(spark):
 
 def test_pr_curve_recall_monotone_in_threshold(spark):
     rows = sorted(
-        engine.queries()["ml_pr_curve_points"](spark, SF_DIR).collect(),
+        engine.all_queries()["ml_pr_curve_points"](spark, SF_DIR).collect(),
         key=lambda r: r.decile,
     )
     assert len(rows) == 9
@@ -1922,7 +1922,7 @@ def test_pr_curve_recall_monotone_in_threshold(spark):
 
 
 def test_compression_ratio_bounds_determinism_and_signal(spark):
-    q = engine.queries()["text_compression_ratio"]
+    q = engine.all_queries()["text_compression_ratio"]
     rows = {r.doc_id: r for r in q(spark, SF_DIR).collect()}
     again = {r.doc_id: r.compression_ratio for r in q(spark, SF_DIR).collect()}
     assert len(rows) == 500
@@ -1936,7 +1936,7 @@ def test_compression_ratio_bounds_determinism_and_signal(spark):
 
     flagged = {
         r.doc_id
-        for r in engine.queries()["text_repetition_filter"](spark, SF_DIR).collect()
+        for r in engine.all_queries()["text_repetition_filter"](spark, SF_DIR).collect()
         if not r.keep
     }
     if flagged:
@@ -1948,18 +1948,18 @@ def test_compression_ratio_bounds_determinism_and_signal(spark):
 
 
 def test_median_ci_brackets_median(spark):
-    for r in engine.queries()["stat_median_ci_orderstat"](spark, SF_DIR).collect():
+    for r in engine.all_queries()["stat_median_ci_orderstat"](spark, SF_DIR).collect():
         assert r.ci_lo <= r.median <= r.ci_hi
 
 
 def test_residual_diagnostics_dw_bounds(spark):
-    r = engine.queries()["stat_residual_diagnostics"](spark, SF_DIR).collect()[0]
+    r = engine.all_queries()["stat_residual_diagnostics"](spark, SF_DIR).collect()[0]
     assert 0.0 <= r.durbin_watson <= 4.0
     assert r.n_runs >= 1 and r.n1 + r.n2 == r.n
 
 
 def test_video_e2e_conserves_videos(spark):
-    rows = engine.queries()["pipeline_video_e2e"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["pipeline_video_e2e"](spark, SF_DIR).collect()
     assert sum(r.n_videos for r in rows) == 500
     for r in rows:
         assert r.total_shots >= r.n_videos  # every video has >= 1 shot
@@ -1969,7 +1969,7 @@ def test_video_e2e_conserves_videos(spark):
 def test_ahash_pairs_are_symmetric_free_and_verified(spark):
     from etl_pipeline_aws_spark.llm.multimodal import AHASH_MAX_HAMMING
 
-    rows = engine.queries()["multimodal_image_ahash_dedup"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["multimodal_image_ahash_dedup"](spark, SF_DIR).collect()
     seen = set()
     for r in rows:
         assert r.doc_a < r.doc_b  # canonical order, no mirror duplicates
@@ -1986,7 +1986,7 @@ def test_partition_advisor_covers_tables_with_sane_math(spark):
         _ADVISOR_TABLES,
     )
 
-    rows = {r.table_name: r for r in engine.queries()[
+    rows = {r.table_name: r for r in engine.all_queries()[
         "layout_partition_size_advisor"](spark, SF_DIR).collect()}
     assert set(rows) == set(_ADVISOR_TABLES)
     for r in rows.values():
@@ -1997,7 +1997,7 @@ def test_partition_advisor_covers_tables_with_sane_math(spark):
 
 
 def test_char_ngram_lang_id_beats_chance(spark):
-    rows = engine.queries()["text_lang_id_char_ngram"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["text_lang_id_char_ngram"](spark, SF_DIR).collect()
     agree = sum(r.n_docs for r in rows if r.labeled_lang == r.predicted_lang)
     total = sum(r.n_docs for r in rows)
     k = len({r.labeled_lang for r in rows})
@@ -2008,14 +2008,14 @@ def test_char_ngram_lang_id_beats_chance(spark):
 
 
 def test_bollinger_bands_order_and_flags(spark):
-    for r in engine.queries()["events_bollinger_bands"](spark, SF_DIR).collect():
+    for r in engine.all_queries()["events_bollinger_bands"](spark, SF_DIR).collect():
         assert r.band_lo <= r.band_mid <= r.band_hi
         want = 1 if r.value_cents > r.band_hi else (-1 if r.value_cents < r.band_lo else 0)
         assert r.breakout == want
 
 
 def test_anomaly_ensemble_vote_identity(spark):
-    rows = engine.queries()["events_anomaly_ensemble"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["events_anomaly_ensemble"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert r.votes == r.z_flag + r.mad_flag + r.iqr_flag
@@ -2025,7 +2025,7 @@ def test_anomaly_ensemble_vote_identity(spark):
 
 
 def test_source_tv_matrix_is_a_bounded_metric(spark):
-    rows = engine.queries()["text_source_vocab_tv_matrix"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["text_source_vocab_tv_matrix"](spark, SF_DIR).collect()
     srcs = set()
     for r in rows:
         assert r.source_a < r.source_b  # canonical half-matrix
@@ -2038,14 +2038,14 @@ def test_source_tv_matrix_is_a_bounded_metric(spark):
 
 def test_community_inequality_bounds(spark):
     engine.clear_caches(spark)
-    r = engine.queries()["graph_community_inequality"](spark, SF_DIR).collect()[0]
+    r = engine.all_queries()["graph_community_inequality"](spark, SF_DIR).collect()[0]
     assert 0.0 <= r.gini_size <= 1.0
     assert 0.0 < r.largest_share <= 1.0
     assert r.n_communities <= r.n_nodes
 
 
 def test_crest_factor_bounds(spark):
-    rows = engine.queries()["multimodal_audio_crest_factor"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["multimodal_audio_crest_factor"](spark, SF_DIR).collect()
     assert len(rows) == 500
     for r in rows:
         assert r.crest_factor >= 1.0 - 1e-12  # peak >= rms always
@@ -2053,7 +2053,7 @@ def test_crest_factor_bounds(spark):
 
 
 def test_month_index_weighted_mean_is_one(spark):
-    rows = engine.queries()["orders_month_seasonal_index"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["orders_month_seasonal_index"](spark, SF_DIR).collect()
     assert len(rows) == 12
     # index = month_avg / overall with overall = Σ(month_avg·n)/Σn, so the
     # n_years-weighted mean of the index is exactly 1
@@ -2065,7 +2065,7 @@ def test_month_index_weighted_mean_is_one(spark):
 
 
 def test_brand_return_rate_bounds(spark):
-    rows = engine.queries()["parts_return_rate_by_brand"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["parts_return_rate_by_brand"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert 0 <= r.n_returned <= r.n_lines
@@ -2074,7 +2074,7 @@ def test_brand_return_rate_bounds(spark):
 
 
 def test_discount_slope_r_bounded(spark):
-    for r in engine.queries()["parts_discount_quantity_slope"](spark, SF_DIR).collect():
+    for r in engine.all_queries()["parts_discount_quantity_slope"](spark, SF_DIR).collect():
         assert -1.0 - 1e-9 <= r.pearson_r <= 1.0 + 1e-9
         assert r.n > 0
 
@@ -2082,7 +2082,7 @@ def test_discount_slope_r_bounded(spark):
 def test_term_burstiness_at_least_one(spark):
     from etl_pipeline_aws_spark.llm.text import BURSTINESS_TOP
 
-    rows = engine.queries()["text_term_burstiness"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["text_term_burstiness"](spark, SF_DIR).collect()
     assert len(rows) == BURSTINESS_TOP
     for r in rows:
         assert r.cf >= r.df >= 1
@@ -2090,7 +2090,7 @@ def test_term_burstiness_at_least_one(spark):
 
 
 def test_fiscal_445_periods_well_formed(spark):
-    rows = engine.queries()["orders_fiscal_445_rollup"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["orders_fiscal_445_rollup"](spark, SF_DIR).collect()
     con = duckdb_con(SF_DIR)
     from etl_pipeline_aws_spark.operators.analytics import FISCAL_ANCHOR
 
@@ -2105,14 +2105,14 @@ def test_fiscal_445_periods_well_formed(spark):
 
 
 def test_pv_bridge_effects_sum_to_delta(spark):
-    rows = engine.queries()["events_wow_price_volume_bridge"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["events_wow_price_volume_bridge"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert abs((r.volume_effect + r.rate_effect) - r.total_delta) < 1e-6
 
 
 def test_image_contrast_bounds(spark):
-    rows = engine.queries()["multimodal_image_contrast"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["multimodal_image_contrast"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert 0.0 <= r.mean_luma <= 255.0
@@ -2121,7 +2121,7 @@ def test_image_contrast_bounds(spark):
 
 
 def test_time_to_nth_event_bounds(spark):
-    r = engine.queries()["events_time_to_nth_event"](spark, SF_DIR).collect()[0]
+    r = engine.all_queries()["events_time_to_nth_event"](spark, SF_DIR).collect()[0]
     assert 0 <= r.n_reached <= r.n_users
     assert 0 <= r.reach_rate_bp <= 10000
     if r.n_reached:
@@ -2131,7 +2131,7 @@ def test_time_to_nth_event_bounds(spark):
 def test_threshold_sensitivity_monotone(spark):
     engine.clear_caches(spark)
     rows = sorted(
-        engine.queries()["dedup_threshold_sensitivity"](spark, SF_DIR).collect(),
+        engine.all_queries()["dedup_threshold_sensitivity"](spark, SF_DIR).collect(),
         key=lambda r: r.tau_x10,
     )
     assert [r.tau_x10 for r in rows] == [5, 6, 7, 8, 9]
@@ -2140,7 +2140,7 @@ def test_threshold_sensitivity_monotone(spark):
 
 
 def test_avg_neighbor_degree_identity(spark):
-    rows = engine.queries()["graph_avg_neighbor_degree"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["graph_avg_neighbor_degree"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert r.degree_bucket >= 0
@@ -2150,7 +2150,7 @@ def test_avg_neighbor_degree_identity(spark):
 
 def test_vocab_growth_monotone(spark):
     rows = sorted(
-        engine.queries()["text_vocab_growth_checkpoints"](spark, SF_DIR).collect(),
+        engine.all_queries()["text_vocab_growth_checkpoints"](spark, SF_DIR).collect(),
         key=lambda r: r.checkpoint,
     )
     assert rows[-1].checkpoint == 500
@@ -2165,13 +2165,13 @@ def test_vocab_growth_monotone(spark):
 def test_motion_intensity_consistent_with_shots(spark):
     motion = {
         r.doc_id: r
-        for r in engine.queries()["multimodal_video_motion_intensity"](
+        for r in engine.all_queries()["multimodal_video_motion_intensity"](
             spark, SF_DIR
         ).collect()
     }
     shots = {
         r.doc_id: r
-        for r in engine.queries()["multimodal_video_shot_detection"](
+        for r in engine.all_queries()["multimodal_video_shot_detection"](
             spark, SF_DIR
         ).collect()
     }
@@ -2187,7 +2187,7 @@ def test_motion_intensity_consistent_with_shots(spark):
 
 
 def test_mcnemar_cells_partition_pairs(spark):
-    r = engine.queries()["stat_mcnemar_classifiers"](spark, SF_DIR).collect()[0]
+    r = engine.all_queries()["stat_mcnemar_classifiers"](spark, SF_DIR).collect()[0]
     total = r.n_both_right + r.n_marker_only + r.n_char_only + r.n_both_wrong
     assert total > 0
     b, c = r.n_marker_only, r.n_char_only
@@ -2196,7 +2196,7 @@ def test_mcnemar_cells_partition_pairs(spark):
 
 
 def test_nrr_cohorts_cover_customers(spark):
-    rows = engine.queries()["customer_cohort_nrr"](spark, SF_DIR).collect()
+    rows = engine.all_queries()["customer_cohort_nrr"](spark, SF_DIR).collect()
     con = duckdb_con(SF_DIR)
     n_cust = con.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders").fetchone()[0]
     con.close()
@@ -2211,10 +2211,10 @@ def test_training_build_consistent_with_gate_and_packer(spark):
     lang match the curation gate, and waste is non-negative."""
     from etl_pipeline_aws_spark.llm.corpus import PACK_BIN_CAPACITY
 
-    build = {r.lang: r for r in engine.queries()[
+    build = {r.lang: r for r in engine.all_queries()[
         "pipeline_training_build_e2e"](spark, SF_DIR).collect()}
-    gate = engine.queries()["corpus_curation_gate"](spark, SF_DIR)
-    docs = engine.queries()["text_token_stats"](spark, SF_DIR)  # doc_id→n_tokens
+    gate = engine.all_queries()["corpus_curation_gate"](spark, SF_DIR)
+    docs = engine.all_queries()["text_token_stats"](spark, SF_DIR)  # doc_id→n_tokens
     kept = {r.doc_id for r in gate.collect() if r.keep}
     con = duckdb_con(SF_DIR)
     lang_of = dict(con.sql("SELECT doc_id, lang FROM documents").fetchall())

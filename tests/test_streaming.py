@@ -84,7 +84,7 @@ def test_stream_batch_parity_tumbling(spark):
     (both already oracle-checked; this pins them to each other directly)."""
     import etl_pipeline_aws_spark as engine
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     sf = "/root/testdata/sf0.001"
     batch = {
         (r.window_start, r.event_type): (r.n_events, r.sum_value)
@@ -142,7 +142,7 @@ def test_stateful_sessions_merge_across_micro_batches(spark, tmp_path):
     }
     single = {
         (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
-        for r in engine.queries()["stream_stateful_sessions"](spark, sf).collect()
+        for r in engine.all_queries()["stream_stateful_sessions"](spark, sf).collect()
     }
     assert multi == single
 
@@ -203,7 +203,7 @@ def test_foreachbatch_routing_layout(spark):
     the R13 dynamic-output contract."""
     import etl_pipeline_aws_spark as engine
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     df = qs["stream_foreachbatch_routing"](spark, "/root/testdata/sf0.001")
     routes = {r.route for r in df.collect()}
     assert routes  # at least one route materialized
@@ -216,7 +216,7 @@ def test_state_eviction_audit_set_algebra(spark):
     dropped = exactly the windows whose end the final watermark passed."""
     import etl_pipeline_aws_spark as engine
 
-    rows = engine.queries()["stream_state_eviction_audit"](
+    rows = engine.all_queries()["stream_state_eviction_audit"](
         spark, "/root/testdata/sf0.001"
     ).collect()
     before = {

@@ -284,7 +284,7 @@ def plan_shape(df) -> dict[str, int]:
 def probe(spark, sf_dir: str) -> dict[str, dict]:
     import etl_pipeline_aws_spark as engine
 
-    qs = engine.queries()
+    qs = engine.all_queries()
     out: dict[str, dict] = {}
     for name in PROBE_QUERIES:
         engine.clear_caches(spark)
