@@ -470,3 +470,312 @@ def text_char_diversity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_flagged"),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_pack_waste_report — next-fit vs next-fit-decreasing, priced
+# --------------------------------------------------------------------------
+
+_WASTE_REPORT_ORACLE = f"""
+    WITH RECURSIVE docs AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                    AS BIGINT) AS idx_nf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY len(string_split(text, ' '))
+                                           DESC, doc_id)
+                    AS BIGINT) AS idx_nfd
+        FROM documents
+    ), walk_nf AS (
+        SELECT source, idx_nf AS idx, tok,
+               CAST(1 AS BIGINT) AS bin_idx, tok AS fill
+        FROM docs WHERE idx_nf = 1
+        UNION ALL
+        SELECT d.source, d.idx_nf, d.tok,
+               CASE WHEN w.fill + d.tok <= {PACK_BIN_CAPACITY}
+                    THEN w.bin_idx ELSE w.bin_idx + 1 END,
+               CASE WHEN w.fill + d.tok <= {PACK_BIN_CAPACITY}
+                    THEN w.fill + d.tok ELSE d.tok END
+        FROM walk_nf w JOIN docs d
+          ON d.source = w.source AND d.idx_nf = w.idx + 1
+    ), walk_nfd AS (
+        SELECT source, idx_nfd AS idx, tok,
+               CAST(1 AS BIGINT) AS bin_idx, tok AS fill
+        FROM docs WHERE idx_nfd = 1
+        UNION ALL
+        SELECT d.source, d.idx_nfd, d.tok,
+               CASE WHEN w.fill + d.tok <= {PACK_BIN_CAPACITY}
+                    THEN w.bin_idx ELSE w.bin_idx + 1 END,
+               CASE WHEN w.fill + d.tok <= {PACK_BIN_CAPACITY}
+                    THEN w.fill + d.tok ELSE d.tok END
+        FROM walk_nfd w JOIN docs d
+          ON d.source = w.source AND d.idx_nfd = w.idx + 1
+    ), nf AS (
+        SELECT source, CAST(MAX(bin_idx) AS BIGINT) AS n_bins,
+               CAST(SUM(tok) AS BIGINT) AS toks
+        FROM walk_nf GROUP BY source
+    ), nfd AS (
+        SELECT source, CAST(MAX(bin_idx) AS BIGINT) AS n_bins,
+               CAST(SUM(tok) AS BIGINT) AS toks
+        FROM walk_nfd GROUP BY source
+    )
+    SELECT nf.source, nf.toks AS total_tokens,
+           nf.n_bins AS nf_bins, nfd.n_bins AS nfd_bins,
+           CAST(nf.n_bins - nfd.n_bins AS BIGINT) AS bins_saved,
+           CAST(nf.toks * 10000 // (nf.n_bins * {PACK_BIN_CAPACITY})
+                AS BIGINT) AS nf_utilization_bp,
+           CAST(nfd.toks * 10000 // (nfd.n_bins * {PACK_BIN_CAPACITY})
+                AS BIGINT) AS nfd_utilization_bp
+    FROM nf JOIN nfd ON nf.source = nfd.source
+"""
+
+
+@query("corpus_pack_waste_report", oracle=_WASTE_REPORT_ORACLE)
+def corpus_pack_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-strategy price sheet: next-fit (arrival order) vs
+    next-fit-decreasing per source — bin counts, bins saved by NFD, and
+    floor-scaled utilization basis points for each.  This is the table
+    that decides whether giving up arrival-order locality is worth the
+    padding reclaimed: at a fixed {PACK_BIN_CAPACITY}-token context,
+    bins_saved × capacity is exactly the compute NFD returns to the
+    training run.
+
+    Spark shape: BOTH packers run as their registered applyInPandas
+    walks (corpus.py:corpus_pack_next_fit / the NFD twin above — one
+    Arrow batch per source, parallel across sources), each folded to a
+    per-source summary, then a 5-row join.  The oracle replays both
+    greedy walks as two recursive CTEs over one shared doc scan."""
+    from etl_pipeline_aws_spark.llm.corpus import corpus_pack_next_fit
+
+    nf = (
+        corpus_pack_next_fit(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.max("bin_idx").cast("long").alias("nf_bins"),
+            F.sum("fill_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    nfd = (
+        corpus_pack_next_fit_decreasing(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.max("bin_idx").cast("long").alias("nfd_bins"),
+            F.sum("fill_tokens").cast("long").alias("nfd_toks"),
+        )
+    )
+    return (
+        nf.join(nfd, "source")
+        .select(
+            "source",
+            "total_tokens",
+            "nf_bins",
+            "nfd_bins",
+            (F.col("nf_bins") - F.col("nfd_bins")).cast("long").alias("bins_saved"),
+            F.expr(f"total_tokens * 10000 div (nf_bins * {PACK_BIN_CAPACITY})")
+            .cast("long")
+            .alias("nf_utilization_bp"),
+            F.expr(f"nfd_toks * 10000 div (nfd_bins * {PACK_BIN_CAPACITY})")
+            .cast("long")
+            .alias("nfd_utilization_bp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# pipeline_curation_screens_e2e — the round-7 screens composed end-to-end
+# --------------------------------------------------------------------------
+
+_CURATION_SCREENS_ORACLE = f"""
+    WITH u AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents
+    ), tok_c AS (
+        SELECT doc_id, w, COUNT(*) AS n FROM u GROUP BY doc_id, w
+    ), tok_stats AS (
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS tok,
+               CAST(COUNT(*) AS BIGINT) AS dtok,
+               CAST(MAX(n) AS BIGINT) AS topn
+        FROM tok_c GROUP BY doc_id
+    ), b AS (
+        SELECT doc_id,
+               w || '|' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS bg
+        FROM u
+    ), bi_c AS (
+        SELECT doc_id, bg, COUNT(*) AS n
+        FROM b WHERE bg IS NOT NULL GROUP BY doc_id, bg
+    ), bi_stats AS (
+        SELECT doc_id,
+               CAST((SUM(n) - COUNT(*)) * 1000000 // SUM(n) AS BIGINT)
+                   AS dup_ppm
+        FROM bi_c GROUP BY doc_id
+    ), cpos AS (
+        SELECT doc_id, unnest(range(1, len(text))) AS pos, text
+        FROM documents
+    ), cb AS (
+        SELECT doc_id, substr(text, CAST(pos AS INT), 2) AS bg FROM cpos
+    ), cb_stats AS (
+        SELECT doc_id,
+               CAST(COUNT(DISTINCT bg) * 1000000 // COUNT(*) AS BIGINT)
+                   AS div_ppm
+        FROM cb GROUP BY doc_id
+    ), folded AS (
+        SELECT d.doc_id, d.lang,
+               MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) AS keeper_id,
+               t.tok, t.dtok, t.topn, bi.dup_ppm, cbs.div_ppm
+        FROM documents d
+        JOIN tok_stats t ON t.doc_id = d.doc_id
+        JOIN bi_stats bi ON bi.doc_id = d.doc_id
+        JOIN cb_stats cbs ON cbs.doc_id = d.doc_id
+    )
+    SELECT CAST(keeper_id % {KFOLD_K} AS BIGINT) AS fold, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens
+    FROM folded
+    WHERE tok >= {FUNNEL_MIN_TOK} AND tok <= {FUNNEL_MAX_TOK}
+      AND dtok * 100 >= tok * {FUNNEL_MIN_DISTINCT_PCT}
+      AND topn * {FUNNEL_TOP_TOKEN_DIV} <= tok
+      AND dup_ppm <= {REP_DUP_FLAG_PPM}
+      AND div_ppm >= {CHAR_DIV_FLOOR_PPM}
+    GROUP BY 1, 2
+"""
+
+
+@query("pipeline_curation_screens_e2e", oracle=_CURATION_SCREENS_ORACLE)
+def pipeline_curation_screens_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 screens composed as ONE job — the curation pass a
+    training-data team would actually schedule: quality-funnel rules
+    (length / diversity / dominance), the Gopher duplicate-bigram gate,
+    and the char-bigram gibberish floor all applied per document, the
+    survivors assigned their leakage-safe fold (exact-duplicate group
+    keeper mod {KFOLD_K}), and the output reduced to the (fold × lang)
+    loader manifest with token totals.  Composing them in one plan is
+    the point: Catalyst shares the single tokenization explode between
+    the token-stat and bigram-stat branches instead of re-scanning text
+    per screen.
+
+    Scale: every per-doc statistic reduces on doc_id (the corpus's
+    natural partitioner) and joins back doc-keyed — co-partitioned,
+    no skew (doc stats are 1 row each); the md5 keeper window is the
+    dedup tier's shuffle.  One final 25-cell rollup."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    tok_c = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
+    tok_stats = tok_c.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("tok"),
+        F.count(F.lit(1)).cast("long").alias("dtok"),
+        F.max("n").cast("long").alias("topn"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        "doc_id",
+        F.concat_ws("|", F.col("w"), F.lead("w").over(w)).alias("bg"),
+        F.lead("w").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    bi_c = bi.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
+    bi_stats = bi_c.groupBy("doc_id").agg(
+        F.expr("(sum(n) - count(*)) * 1000000 div sum(n)")
+        .cast("long")
+        .alias("dup_ppm")
+    )
+    cb = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    cb_stats = cb.groupBy("doc_id").agg(
+        F.expr("count(distinct bg) * 1000000 div count(*)")
+        .cast("long")
+        .alias("div_ppm")
+    )
+    folded = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("keeper_id"),
+        )
+        .join(tok_stats, "doc_id")
+        .join(bi_stats, "doc_id")
+        .join(cb_stats, "doc_id")
+    )
+    survivors = folded.filter(
+        (F.col("tok") >= FUNNEL_MIN_TOK)
+        & (F.col("tok") <= FUNNEL_MAX_TOK)
+        & (F.col("dtok") * 100 >= F.col("tok") * FUNNEL_MIN_DISTINCT_PCT)
+        & (F.col("topn") * FUNNEL_TOP_TOKEN_DIV <= F.col("tok"))
+        & (F.col("dup_ppm") <= REP_DUP_FLAG_PPM)
+        & (F.col("div_ppm") >= CHAR_DIV_FLOOR_PPM)
+    )
+    return survivors.groupBy(
+        (F.col("keeper_id") % KFOLD_K).cast("long").alias("fold"), "lang"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_template_prefix_families — shared-opening boilerplate detector
+# --------------------------------------------------------------------------
+
+TEMPLATE_PREFIX_TOKENS = 8  # family key = the first 8 tokens
+
+_TEMPLATE_FAMILIES_ORACLE = f"""
+    WITH p AS (
+        SELECT doc_id, source,
+               array_to_string(
+                   list_slice(string_split(text, ' '), 1,
+                              {TEMPLATE_PREFIX_TOKENS}), ' ') AS prefix
+        FROM documents
+    ), fam AS (
+        SELECT prefix, CAST(COUNT(*) AS BIGINT) AS family_size,
+               CAST(MIN(doc_id) AS BIGINT) AS exemplar_doc_id,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM p GROUP BY prefix
+    )
+    SELECT prefix, family_size, exemplar_doc_id, n_sources
+    FROM fam WHERE family_size > 1
+"""
+
+
+@query("text_template_prefix_families", oracle=_TEMPLATE_FAMILIES_ORACLE)
+def text_template_prefix_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate FAMILY detection by shared opening: documents
+    whose first {TEMPLATE_PREFIX_TOKENS} tokens are identical are one
+    family (form letters, scraped page shells, generated reports — the
+    near-dup class where the BODY varies but the opening is stamped,
+    which full-document MinHash under-scores when the shared prefix is a
+    small fraction of a long doc; dedup_prefix_containment is the
+    character-level sibling, this is the token-level family census).
+    Families of size > 1 are reported with an exemplar doc and how many
+    sources they span — cross-source families are the scraper-duplication
+    signal corpus_contamination_by_source prices.
+
+    Scale: one narrow map (slice of the split array — the full token
+    list never shuffles, only the 8-token prefix string), one groupBy on
+    the prefix hash.  Exactly the dedup_exact shuffle shape with a
+    derived key."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ", F.slice(F.split("text", " "), 1, TEMPLATE_PREFIX_TOKENS)
+        ).alias("prefix"),
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("family_size"),
+            F.min("doc_id").cast("long").alias("exemplar_doc_id"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .filter(F.col("family_size") > 1)
+    )

@@ -4813,3 +4813,236 @@ def customer_cohort_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     one cohort rollup — all map-side combined."""
     register_views(spark, sf_dir)
     return spark.sql(_NRR_SQL)
+
+
+# Exact discrete ship-delay quantiles per supplier nation: rank ties break
+# on the lineitem primary key, reported values are actual elements.
+_SHIP_DELAY_SQL = """
+WITH delays AS (
+    SELECT n.n_name AS nation,
+           CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delay_days,
+           l.l_orderkey, l.l_linenumber
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+), ranked AS (
+    SELECT nation, delay_days,
+           ROW_NUMBER() OVER (PARTITION BY nation
+                              ORDER BY delay_days, l_orderkey, l_linenumber)
+               AS rn,
+           COUNT(*) OVER (PARTITION BY nation) AS n
+    FROM delays
+)
+SELECT nation, CAST(MAX(n) AS BIGINT) AS n_lines,
+       MIN(CASE WHEN rn = (n - 1) // 2 + 1 THEN delay_days END) AS p50_days,
+       MIN(CASE WHEN rn = 9 * (n - 1) // 10 + 1 THEN delay_days END)
+           AS p90_days,
+       MIN(CASE WHEN rn = 99 * (n - 1) // 100 + 1 THEN delay_days END)
+           AS p99_days
+FROM ranked GROUP BY nation
+"""
+
+
+@query("supplier_ship_delay_quantiles", oracle=_SHIP_DELAY_SQL)
+def supplier_ship_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation ship-delay SLA table: exact discrete p50/p90/p99 of
+    (ship date − order date) in days per supplier nation — the tail-latency
+    scorecard behind supplier_otif_scorecard's on-time flag (OTIF tells you
+    WHO missed the promise; the quantile tail tells you by HOW MUCH and
+    whether the p99 is drifting before the average moves).  Values are
+    actual elements at rank ⌊(n−1)·p⌋+1 with primary-key tie-breaks — the
+    agg_quantiles_exact discipline, so no interpolation can diverge
+    between engines.
+
+    Scale: the lineitem⋈orders equi-join is the one fact shuffle
+    (bucketing co-locates it at 100 TB); supplier and nation are
+    broadcast dims; the exact-quantile window sorts within each of the
+    25 nation partitions — the inherent cost of exact tails, with
+    agg_percentile_approx as the documented sketch alternative."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    delays = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            )
+            .cast("long")
+            .alias("delay_days"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(
+        "delay_days", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("nation")
+    ranked = delays.select(
+        "nation",
+        "delay_days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(num: int, den: int):
+        return F.min(
+            F.when(
+                F.col("rn") == F.expr(f"{num} * (n - 1) div {den}") + 1,
+                F.col("delay_days"),
+            )
+        )
+
+    return ranked.groupBy("nation").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        at(1, 2).alias("p50_days"),
+        at(9, 10).alias("p90_days"),
+        at(99, 100).alias("p99_days"),
+    )
+
+
+MARKOV_SCALE = 1_000_000  # probabilities and masses in integer ppm
+MARKOV_ROUNDS = 3  # unrolled power-iteration rounds
+
+
+def _markov_oracle() -> str:
+    """Unrolled integer power iteration as chained CTEs — the same
+    round-for-round discipline as the kmeans oracle (llm/corpus.py)."""
+    sql = f"""
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ), pairs AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ), rowtot AS (
+        SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM pairs GROUP BY src
+    ), p AS (
+        SELECT pairs.src, pairs.dst,
+               CAST(pairs.n * {MARKOV_SCALE} // rowtot.tot AS BIGINT) AS p_ppm
+        FROM pairs JOIN rowtot ON pairs.src = rowtot.src
+    ), pi0 AS (
+        SELECT src AS s,
+               CAST({MARKOV_SCALE} // (SELECT COUNT(*) FROM rowtot) AS BIGINT)
+                   AS v
+        FROM rowtot
+    )"""
+    for i in range(1, MARKOV_ROUNDS + 1):
+        sql += f""", pi{i} AS (
+        SELECT p.dst AS s,
+               CAST(SUM(pi{i - 1}.v * p.p_ppm) // {MARKOV_SCALE} AS BIGINT)
+                   AS v
+        FROM pi{i - 1} JOIN p ON p.src = pi{i - 1}.s
+        GROUP BY p.dst
+    )"""
+    return sql + f"""
+    SELECT s AS event_type, CAST(v AS BIGINT) AS stationary_ppm
+    FROM pi{MARKOV_ROUNDS}"""
+
+
+@query("events_markov_stationary_power", oracle=_markov_oracle())
+def events_markov_stationary_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by
+    {MARKOV_ROUNDS} unrolled power-iteration rounds — the "where does a
+    user journey settle" summary that events_transition_matrix's raw
+    per-step probabilities only hint at (the stationary mass is the
+    long-run fraction of steps spent in each state, the single number a
+    capacity planner or notification budgeter actually uses).  Start is
+    uniform; each round is pi' = pi·P in integer ppm arithmetic (mass ×
+    transition ppm, floor-divided once per destination) — bit-identical
+    on any engine, the graph_pagerank_parts determinism discipline
+    applied to a dense 5-state chain.
+
+    Scale: the per-user lead window + pair count is the ONE fact-sized
+    stage (identical shape to events_transition_matrix, shuffling on
+    user_id then on the 25-cell pair key); the transition matrix is
+    |types|² rows, so every iteration round is constant-size work —
+    power iteration on the REDUCED chain, never on raw events.  No
+    checkpointing needed: the loop is over broadcast-sized frames."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"), F.lead("event_type").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rowtot = pairs.groupBy("src").agg(F.sum("n").cast("long").alias("tot"))
+    p = pairs.join(rowtot, "src").select(
+        "src", "dst", F.expr(f"n * {MARKOV_SCALE} div tot").alias("p_ppm")
+    )
+    n_states = rowtot.count()  # |event types| = 5: a bounded dimension read
+    pi = rowtot.select(
+        F.col("src").alias("s"),
+        F.lit(MARKOV_SCALE // n_states).cast("long").alias("v"),
+    )
+    for _ in range(MARKOV_ROUNDS):
+        pi = (
+            pi.join(p, pi.s == p.src)
+            .groupBy(F.col("dst").alias("s2"))
+            .agg(F.expr(f"sum(v * p_ppm) div {MARKOV_SCALE}").alias("v"))
+            .select(F.col("s2").alias("s"), F.col("v").cast("long"))
+        )
+    return pi.select(
+        F.col("s").alias("event_type"), F.col("v").alias("stationary_ppm")
+    )
+
+
+_ORDER_SIZE_SQL = """
+WITH sizes AS (
+    SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+), hist AS (
+    SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders FROM sizes GROUP BY n_lines
+), tot AS (
+    SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM hist
+)
+SELECT h.n_lines, h.n_orders,
+       CAST(h.n_orders * 10000 // t.total AS BIGINT) AS share_bp,
+       CAST(h.n_lines * h.n_orders AS BIGINT) AS total_lines
+FROM hist h, tot t
+"""
+
+
+@query("orders_order_size_histogram", oracle=_ORDER_SIZE_SQL)
+def orders_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size (lines per order) histogram with share basis points —
+    the q13 customer-distribution pattern applied one level down (q13
+    stacks orders-per-customer; this stacks lines-per-order), and the
+    empirical input behind every "orders hold ≤ K lines" boundedness
+    argument the co-occurrence operators rely on: the histogram is the
+    evidence, refreshed as data grows, that the self-join fan-out stays
+    quadratic in a SMALL constant.
+
+    Scale: two stacked map-side-combinable folds (orderkey reduction,
+    size reduction); the totals join is a broadcast single row.  Output
+    is |distinct sizes| rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    hist = sizes.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return hist.select(
+        "n_lines",
+        "n_orders",
+        F.expr(
+            "n_orders * 10000 div sum(n_orders) over ()"
+        ).cast("long").alias("share_bp"),
+        (F.col("n_lines") * F.col("n_orders")).cast("long").alias("total_lines"),
+    )

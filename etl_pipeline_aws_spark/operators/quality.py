@@ -1248,3 +1248,88 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern."""
     register_views(spark, sf_dir)
     return spark.sql(_TCLOSE_SQL)
+
+
+# Cross-field rule audit: every rule is an exact predicate over one joined
+# row; counts fold map-side.  Rates are floor-scaled basis points.
+_CROSS_FIELD_SQL = """
+WITH joined AS (
+    SELECT l.l_shipdate, l.l_discount, l.l_tax, l.l_quantity, o.o_orderdate
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), audited AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+                AS BIGINT) AS ship_before_order,
+           CAST(SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)
+                AS BIGINT) AS discount_over_cap,
+           CAST(SUM(CASE WHEN l_tax > 0.06 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tax_over_cap,
+           CAST(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+                AS BIGINT) AS quantity_over_cap
+    FROM joined
+)
+SELECT rule, n_violations, n_rows,
+       CAST(n_violations * 10000 // n_rows AS BIGINT) AS violation_bp
+FROM (
+    SELECT 'ship_before_order' AS rule, ship_before_order AS n_violations,
+           n_rows FROM audited
+    UNION ALL
+    SELECT 'discount_over_cap', discount_over_cap, n_rows FROM audited
+    UNION ALL
+    SELECT 'tax_over_cap', tax_over_cap, n_rows FROM audited
+    UNION ALL
+    SELECT 'quantity_over_cap', quantity_over_cap, n_rows FROM audited
+) t
+"""
+
+
+@query("dq_cross_field_rules", oracle=_CROSS_FIELD_SQL)
+def dq_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FIELD consistency audit — the DQ layer between the per-column
+    expectation suite (dq_expectations_suite: type/range/set checks one
+    column at a time) and the aggregate reconciliation
+    (dq_reconcile_order_totals): each rule is a predicate over MULTIPLE
+    fields of one logical row (ship date vs its order's date; discount
+    and tax vs policy caps; quantity vs the order-size cap), reported as
+    violation counts and floor-scaled basis-point rates.  These are the
+    "impossible row" checks that catch timezone bugs, unit confusions,
+    and policy drift — none of which a single-column profile can see.
+
+    Exactness: predicates compare raw stored values; rates are integer
+    cross-multiplied (n·10000 // total).
+
+    Scale: ONE pass over the join (all four rules fold in the same
+    aggregate — adding a rule costs a column, not a scan); the join is
+    the orderkey equi-join every TPC-H query already shuffles on, and
+    at 100 TB rides the same bucketing.  Output is |rules| rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CROSS_FIELD_SQL.replace("//", "DIV"))
+
+
+_DISTINCT_PROFILE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS d_returnflag,
+       CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS d_linestatus,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d_partkey,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS d_suppkey,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d_orderkey
+FROM lineitem
+"""
+
+
+@query("profile_distinct_counts", oracle=_DISTINCT_PROFILE_SQL)
+def profile_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column EXACT cardinality profile in one statement — the
+    first question against any new table (which columns are enums,
+    which are keys, which are degenerate) answered for five lineitem
+    columns at once.  Complements profile_key_skew (per-key frequency
+    shape for ONE column) and agg_approx_distinct (the sketch tier):
+    this is the exact multi-column census.
+
+    Scale: Spark plans N simultaneous COUNT(DISTINCT) via Expand — one
+    scan multiplied N ways then aggregated, trading memory for a single
+    pass; at 100 TB with high-cardinality columns the documented swap is
+    one approx_count_distinct pass (agg_approx_distinct) or per-column
+    jobs.  The plan is still one shuffle round, no joins."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DISTINCT_PROFILE_SQL)

@@ -234,6 +234,16 @@ PROBE_QUERIES = [
     "stat_mcnemar_classifiers",
     "customer_cohort_nrr",
     "pipeline_training_build_e2e",
+    # round-7 additions
+    "corpus_quality_funnel",
+    "text_gopher_repetition",
+    "text_tokenizer_fertility",
+    "corpus_kfold_leakage_safe",
+    "corpus_pack_next_fit_decreasing",
+    "text_char_diversity_screen",
+    "stat_runs_test_daily",
+    "graph_node_jaccard_topk",
+    "lakehouse_partition_evolution",  # post-fix: hot-tail + one-file-per-dir
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
