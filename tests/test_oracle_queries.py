@@ -35,6 +35,8 @@ HEAVY_ALLOWLIST = {
     "dedup_threshold_sensitivity",  # 9-threshold sweep over the LSH pairs
     "subquery_recursive_cte",  # DuckDB recursive oracle dominates
     "graph_pagerank_parts",  # 10 iterative rounds, 7-12 s cold
+    "graph_pagerank_bucketed_rounds",  # +6 bucketed table writes: the
+    # durability cost the cluster-mode demo deliberately pays per round
     "graph_community_inequality",  # LP parent + Lorenz, volume-bound
     "embedding_kmeans_lloyd",  # unrolled Lloyd rounds oracle
     "lakehouse_partition_evolution",  # multi-generation lakehouse rewrite

@@ -283,3 +283,31 @@ def test_profile_distinct_counts_sane(spark):
     assert r.d_returnflag <= 3 and r.d_linestatus <= 2
     assert r.d_orderkey <= r.n_rows
     assert r.d_partkey > 100 and r.d_suppkey > 10
+
+
+def test_bucketed_pagerank_parity_and_exchange_free_round_join(spark):
+    """The bucketed-rounds variant must be value-identical to the
+    localCheckpoint twin (same integer arithmetic), and the round's
+    rank-edge join must be EXCHANGE-FREE over the bucketed tables —
+    the cluster-mode claim ARCHITECTURE.md makes, pinned in a plan."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_aws_spark.operators.scale import _sf_tag
+
+    qs = engine.all_queries()
+    a = {r.node: r.rank_val for r in qs["graph_pagerank_bucketed_rounds"](spark, SF_DIR).collect()}
+    b = {r.node: r.rank_val for r in qs["graph_pagerank_parts"](spark, SF_DIR).collect()}
+    assert a == b and a
+    tag = _sf_tag(SF_DIR)
+    ranks = spark.table(f"b_pr_ranks_{tag}_1")
+    e = spark.table(f"b_pr_edges_{tag}").hint("merge")
+    plan = (
+        ranks.join(e, F.col("node") == F.col("eu"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert not re.findall(r"Exchange", plan), plan

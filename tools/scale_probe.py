@@ -244,6 +244,15 @@ PROBE_QUERIES = [
     "stat_runs_test_daily",
     "graph_node_jaccard_topk",
     "lakehouse_partition_evolution",  # post-fix: hot-tail + one-file-per-dir
+    "dq_cross_field_rules",
+    "supplier_ship_delay_quantiles",
+    "events_markov_stationary_power",
+    "corpus_pack_waste_report",
+    "pipeline_curation_screens_e2e",
+    "text_template_prefix_families",
+    "orders_order_size_histogram",
+    "profile_distinct_counts",
+    "graph_pagerank_bucketed_rounds",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
