@@ -52,6 +52,10 @@ HEADLINE = [
     # the zip_with E-step) and hybrid lexical+vector retrieval fusion
     "embedding_kmeans_lloyd",
     "search_hybrid_rrf",
+    # round-7 flagship surface: the composed curation screens (shared-scan
+    # multi-branch plan) and the fixed lakehouse dual-layout read
+    "pipeline_curation_screens_e2e",
+    "lakehouse_partition_evolution",
 ]
 
 

@@ -86,6 +86,15 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final rollup is 5 groups.  No joins, two shuffles (token count,
     doc fold), both map-side combinable."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return funnel_rollup(funnel_verdicts(docs))
+
+
+def funnel_verdicts(docs: DataFrame) -> DataFrame:
+    """Per-document funnel verdict (doc_id, tok, rule) — the stateless
+    stage shared by the batch funnel and its streaming twin
+    (streaming/stream_queries.py:stream_curation_gate): each doc's rule
+    depends only on that doc's tokens, so ANY micro-batch split yields
+    the batch answer."""
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     per_tok = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
     per_doc = per_tok.groupBy("doc_id").agg(
@@ -93,7 +102,8 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("dtok"),
         F.max("n").cast("long").alias("topn"),
     )
-    verdict = per_doc.select(
+    return per_doc.select(
+        "doc_id",
         "tok",
         F.when(F.col("tok") < FUNNEL_MIN_TOK, F.lit("r1_too_short"))
         .when(F.col("tok") > FUNNEL_MAX_TOK, F.lit("r2_too_long"))
@@ -108,7 +118,11 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("survivor"))
         .alias("rule"),
     )
-    return verdict.groupBy("rule").agg(
+
+
+def funnel_rollup(verdicts: DataFrame) -> DataFrame:
+    """(rule, n_docs, n_tokens) fold over funnel_verdicts output."""
+    return verdicts.groupBy("rule").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("tok").cast("long").alias("n_tokens"),
     )

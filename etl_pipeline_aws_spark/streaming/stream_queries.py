@@ -1645,3 +1645,66 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         fin.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 2)
     )
+
+
+def _curation_gate_oracle() -> str:
+    """The batch funnel's oracle, verbatim — stream/batch parity is the
+    point, so the two queries must share one truth (constants included)."""
+    from etl_pipeline_aws_spark.llm.curation import _QUALITY_FUNNEL_ORACLE
+
+    return _QUALITY_FUNNEL_ORACLE
+
+
+@query("stream_curation_gate", oracle=_curation_gate_oracle)
+def stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus quality funnel (llm/curation.py) applied AS A STREAM —
+    the shape a continuously-ingesting corpus actually runs: documents
+    land in micro-batches (three staged shards, maxFilesPerTrigger=1 —
+    three separate epochs), each batch's per-doc verdicts are computed by
+    the SAME funnel_verdicts stage the batch operator uses and appended
+    to a verdict sink via foreachBatch, and the result re-aggregates the
+    sink.  Because the verdict is per-document (stateless across docs),
+    ANY micro-batch split reproduces the batch answer exactly — so this
+    query shares the batch funnel's DuckDB oracle, and the stream/batch
+    parity IS the correctness argument (the module-docstring discipline,
+    applied to the curation tier).
+
+    Scale: each epoch does one explode + two doc-keyed folds over ONLY
+    that batch's documents; the sink carries one verdict row per doc.
+    Unbounded operation is the same topology with the file source
+    incrementally listing the landing zone — no state store needed, the
+    gate is embarrassingly per-document."""
+    from etl_pipeline_aws_spark.llm.curation import funnel_rollup, funnel_verdicts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    zone = tempfile.mkdtemp(prefix="doc_landing_")
+    landing = os.path.join(zone, "landing")
+    # three shards by doc_id range: deterministic, covers every doc once
+    (
+        docs.withColumn("shard", (F.col("doc_id") % 3).cast("int"))
+        .repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(landing)
+    )
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+        .select("doc_id", "text")
+    )
+    verdict_sink = os.path.join(zone, "verdicts")
+
+    def gate_batch(batch: DataFrame, epoch_id: int) -> None:
+        funnel_verdicts(batch).write.mode("append").parquet(verdict_sink)
+
+    q = (
+        stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", os.path.join(zone, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return funnel_rollup(spark.read.parquet(verdict_sink))

@@ -311,3 +311,18 @@ def test_bucketed_pagerank_parity_and_exchange_free_round_join(spark):
     )
     assert "SortMergeJoin" in plan
     assert not re.findall(r"Exchange", plan), plan
+
+
+def test_stream_curation_gate_matches_batch_funnel(spark):
+    """Stream/batch parity — the streaming gate over 3 micro-batches must
+    reproduce the batch funnel exactly (stateless per-doc verdicts)."""
+    qs = engine.all_queries()
+    got = {
+        r.rule: (r.n_docs, r.n_tokens)
+        for r in qs["stream_curation_gate"](spark, SF_DIR).collect()
+    }
+    want = {
+        r.rule: (r.n_docs, r.n_tokens)
+        for r in qs["corpus_quality_funnel"](spark, SF_DIR).collect()
+    }
+    assert got == want

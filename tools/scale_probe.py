@@ -253,6 +253,7 @@ PROBE_QUERIES = [
     "orders_order_size_histogram",
     "profile_distinct_counts",
     "graph_pagerank_bucketed_rounds",
+    "stream_curation_gate",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
