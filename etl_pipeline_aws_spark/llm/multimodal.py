@@ -1992,3 +1992,65 @@ def multimodal_video_motion_intensity(spark: SparkSession, sf_dir: str) -> DataF
         ).alias("mean_abs_delta"),
         F.max(absd).cast("long").alias("max_abs_delta"),
     )
+
+
+DC_FLAG_PCT = 1  # flag |mean sample| above this percent of full scale
+
+_DC_OFFSET_ORACLE = f"""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(string_split(text, '')) AS c
+        FROM documents
+    ), samples AS (
+        SELECT doc_id, CAST((ascii(c) - 128) * 256 AS BIGINT) AS s
+        FROM chars
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS sum_s,
+           CAST(SUM(s) AS DOUBLE) / COUNT(*) AS dc_offset,
+           CAST(CASE WHEN abs(SUM(s)) * 100 > COUNT(*) * 32768 * {DC_FLAG_PCT}
+                     THEN 1 ELSE 0 END AS INT) AS dc_biased
+    FROM samples GROUP BY doc_id
+"""
+
+
+@query("multimodal_audio_dc_offset", oracle=_DC_OFFSET_ORACLE)
+def multimodal_audio_dc_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DC-offset (mean-sample bias) per audio document — the remaining
+    hole in the audio-QC verb set (energy measures power, crest measures
+    dynamics, ZCR measures frequency; NONE of them sees a constant bias,
+    and a biased capture chain wastes headroom and breaks
+    energy-threshold VADs).  Mean sample value per doc plus an exact
+    integer flag at {DC_FLAG_PCT}% of int16 full scale — the
+    mic-coupling defect screen run before any resample/augment spend.
+
+    Same 16-bit sample mapping as multimodal_audio_energy/crest
+    ((byte − 128)·256 over the payload), so the QC metrics describe one
+    signal.  Exactness: Σs is an exact BIGINT; the mean is one shared
+    division; the flag is a cross-multiplied integer predicate, so no
+    float threshold can disagree.
+
+    Scale: one narrow per-doc reduction, map-side combinable — the
+    cheapest plan in the audio family."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(s) AS BIGINT) AS sum_s,
+               CAST(SUM(s) AS DOUBLE) / COUNT(*) AS dc_offset,
+               CAST(CASE WHEN abs(SUM(s)) * 100
+                              > COUNT(*) * 32768 * {DC_FLAG_PCT}
+                         THEN 1 ELSE 0 END AS INT) AS dc_biased
+        FROM (
+            SELECT doc_id,
+                   CAST((ascii(c) - 128) * 256 AS BIGINT) AS s
+            FROM (
+                SELECT doc_id, explode(split(text, '')) AS c
+                FROM documents
+            ) ch
+        ) samples
+        GROUP BY doc_id
+        """
+    )

@@ -24,7 +24,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_pipeline_aws_spark.catalog import register_views
+from pyspark.sql import functions as F
+
+from etl_pipeline_aws_spark.catalog import load_table, register_views
 from etl_pipeline_aws_spark.registry import query
 
 # KS two-sample: per-distinct-value counts -> cumulative counts -> the D
@@ -1425,3 +1427,93 @@ def stat_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     over |days| rows — bounded, like every control-chart operator here."""
     register_views(spark, sf_dir)
     return spark.sql(_RUNS_TEST_SQL)
+
+
+# Friedman test: integer average-ranks in 2x scale (2*min_rank + ties - 1),
+# exact BIGINT rank-sum squares, one shared double chain at the end.
+_FRIEDMAN_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+           CAST(date_trunc('day', ts) AS DATE) AS dd,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+), complete AS (
+    SELECT wk FROM daily GROUP BY wk HAVING COUNT(*) = 7
+), ranked AS (
+    SELECT d.wk, date_diff('day', d.wk, d.dd) AS dow, d.cnt,
+           RANK() OVER (PARTITION BY d.wk ORDER BY d.cnt) AS rk,
+           COUNT(*) OVER (PARTITION BY d.wk, d.cnt) AS tie
+    FROM daily d JOIN complete c ON d.wk = c.wk
+), r2 AS (
+    SELECT dow, CAST(SUM(2 * rk + tie - 1) AS BIGINT) AS r2_sum
+    FROM ranked GROUP BY dow
+), agg AS (
+    SELECT CAST((SELECT COUNT(*) FROM complete) AS BIGINT) AS n_weeks,
+           CAST(SUM(r2_sum * r2_sum) AS BIGINT) AS sum_r2sq
+    FROM r2
+)
+SELECT n_weeks, CAST(7 AS BIGINT) AS k, sum_r2sq,
+       3e0 * sum_r2sq / (n_weeks * 7 * 8) - 3e0 * n_weeks * 8 AS chi2_f
+FROM agg
+"""
+
+
+@query("stat_friedman_dow", oracle=_FRIEDMAN_ORACLE)
+def stat_friedman_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test for a day-of-week effect on daily event volume —
+    the REPEATED-MEASURES nonparametric that the one-way tests here
+    cannot be: each complete ISO week is a block, its seven days are
+    ranked WITHIN the week (average ranks for ties, carried exactly in
+    2x-scaled integers: 2·min_rank + ties − 1), and the statistic
+    chi2_F = 12/(n·k·(k+1))·ΣR_j² − 3n(k+1) asks whether some weekday
+    systematically outranks others across weeks.  Blocking by week
+    removes week-to-week level shifts that would drown a pooled
+    Kruskal-Wallis — the same reason events_seasonality_dow_index
+    normalizes per week before indexing; this is its significance test.
+
+    Exactness: ranks, tie adjustments, and ΣR_j² are pure BIGINT
+    arithmetic (the 2x scale folds the .5 average ranks into integers);
+    chi2_F is one shared double formula over those integers.  Only
+    complete (7-day) weeks enter, so blocks are balanced by
+    construction.
+
+    Scale: the daily rollup is the fact-sized stage; ranking windows
+    partition by week over 7-row partitions; everything after is
+    |dow| = 7 rows."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+        F.date_trunc("day", "ts").cast("date").alias("dd"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    complete = daily.groupBy("wk").agg(F.count(F.lit(1)).alias("nd")).filter(
+        F.col("nd") == 7
+    ).select("wk")
+    ranked = (
+        daily.join(complete, "wk")
+        .select(
+            "wk",
+            F.datediff(F.col("dd"), F.col("wk")).alias("dow"),
+            "cnt",
+            F.rank().over(Window.partitionBy("wk").orderBy("cnt")).alias("rk"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("wk", "cnt"))
+            .alias("tie"),
+        )
+    )
+    r2 = ranked.groupBy("dow").agg(
+        F.sum(2 * F.col("rk") + F.col("tie") - 1).cast("long").alias("r2_sum")
+    )
+    n_weeks = complete.count()  # bounded dimension read (|weeks|)
+    agg = r2.agg(
+        F.sum(F.col("r2_sum") * F.col("r2_sum")).cast("long").alias("sum_r2sq")
+    )
+    return agg.select(
+        F.lit(n_weeks).cast("long").alias("n_weeks"),
+        F.lit(7).cast("long").alias("k"),
+        "sum_r2sq",
+        F.expr(
+            f"3e0 * sum_r2sq / ({n_weeks} * 7 * 8) - 3e0 * {n_weeks} * 8"
+        ).alias("chi2_f"),
+    )

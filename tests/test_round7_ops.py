@@ -326,3 +326,61 @@ def test_stream_curation_gate_matches_batch_funnel(spark):
         for r in qs["corpus_quality_funnel"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_friedman_recomputed_from_daily_counts(spark):
+    """Independent Python recomputation of the Friedman statistic from
+    the raw daily counts (average ranks, complete weeks only)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("wk"),
+            F.date_trunc("day", "ts").cast("date").alias("dd"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    weeks = defaultdict(list)
+    for r in daily:
+        weeks[r.wk].append(((r.dd - r.wk).days, r.cnt))
+    rank_sums = defaultdict(float)
+    n = 0
+    for wk, rows in weeks.items():
+        if len(rows) != 7:
+            continue
+        n += 1
+        by_cnt = sorted(rows, key=lambda t: t[1])
+        ranks = {}
+        i = 0
+        while i < len(by_cnt):
+            j = i
+            while j < len(by_cnt) and by_cnt[j][1] == by_cnt[i][1]:
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[by_cnt[k][0]] = avg
+            i = j
+        for dow, _ in rows:
+            rank_sums[dow] += ranks[dow]
+    chi2 = (12.0 / (n * 7 * 8)) * sum(v * v for v in rank_sums.values()) - 3 * n * 8
+    got = engine.all_queries()["stat_friedman_dow"](spark, SF_DIR).first()
+    assert got.n_weeks == n
+    assert abs(got.chi2_f - chi2) < 1e-9
+
+
+def test_audio_dc_offset_identity(spark):
+    rows = engine.all_queries()["multimodal_audio_dc_offset"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == N_DOCS
+    for r in rows:
+        assert abs(r.dc_offset - r.sum_s / r.n_samples) < 1e-9
+        expected_flag = 1 if abs(r.sum_s) * 100 > r.n_samples * 32768 else 0
+        assert r.dc_biased == expected_flag
+        assert -32768.0 <= r.dc_offset <= 32512.0
