@@ -793,3 +793,114 @@ def text_template_prefix_families(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .filter(F.col("family_size") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# text_unigram_surprisal_gate — perplexity-style quality filter (CCNet shape)
+# --------------------------------------------------------------------------
+
+# Gates in micro-nats per token, straddling the fixture corpus entropy
+# (~3.40e6 µnat/token over a 31-type vocabulary) so BOTH tails fire at
+# sf0.01: the low tail is "too predictable" (templated/stamped text), the
+# high tail is "too surprising" (rare-token salad / gibberish).
+SURPRISAL_LOW_UNAT = 3_394_000
+SURPRISAL_HIGH_UNAT = 3_424_000
+
+_SURPRISAL_ORACLE = f"""
+    WITH u AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), cw AS (
+        SELECT doc_id, source, w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM u GROUP BY doc_id, source, w
+    ), vocab AS (
+        SELECT w, CAST(SUM(n) AS BIGINT) AS cnt FROM cw GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab
+    ), s AS (
+        SELECT w, CAST(FLOOR(LN(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE))
+                             * 1000000) AS BIGINT) AS s_unat
+        FROM vocab, tot
+    ), per_doc AS (
+        SELECT c.doc_id, c.source,
+               CAST(SUM(c.n) AS BIGINT) AS tok,
+               CAST(SUM(c.n * s.s_unat) AS BIGINT) AS sur
+        FROM cw c JOIN s ON c.w = s.w
+        GROUP BY c.doc_id, c.source
+    ), scored AS (
+        SELECT source, sur // tok AS mean_unat FROM per_doc
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(mean_unat) // COUNT(*) AS BIGINT) AS avg_surprisal_unat,
+           CAST(SUM(CASE WHEN mean_unat < {SURPRISAL_LOW_UNAT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_too_predictable,
+           CAST(SUM(CASE WHEN mean_unat > {SURPRISAL_HIGH_UNAT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_too_surprising
+    FROM scored GROUP BY source
+"""
+
+
+@query("text_unigram_surprisal_gate", oracle=_SURPRISAL_ORACLE)
+def text_unigram_surprisal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality gate in the CCNet/Wenzek et al. 2020 shape:
+    score every document by its MEAN TOKEN SURPRISAL under a language
+    model trained on the corpus itself (here the exact unigram LM — the
+    engine's KN-bigram tier, text_bigram_kneser_ney, is the model
+    upgrade path), then flag both tails per source: too-predictable
+    (templated/stamped text the low tail catches) and too-surprising
+    (rare-token salad the high tail catches).  This is the filter that
+    actually ranks web text for pre-training — length/punct heuristics
+    (text_quality_score) can't see distributional oddness.
+
+    Determinism: the ONLY double op is one LN per VOCABULARY TYPE (31
+    here), computed from two exact BIGINTs and immediately floor-scaled
+    to integer micro-nats; per-document totals are then exact integer
+    dot products (n·s_unat), so engines cannot drift in a summation
+    order.  (A last-ulp libm difference in LN would need to land within
+    ~1e-10 of a floor boundary to flip one integer — and it would flip
+    identically for every document sharing that type.)
+
+    Scale: token-count groupBy (the TF shuffle every text op shares) →
+    vocabulary-sized surprisal table (broadcast side) → per-doc integer
+    fold.  The vocab table is |V| rows regardless of corpus size; the
+    1-row total broadcast is the q11 scalar pattern."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    u = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    cw = u.groupBy("doc_id", "source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    vocab = cw.groupBy("w").agg(F.sum("n").cast("long").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    s = (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            F.floor(
+                F.log(F.col("total").cast("double") / F.col("cnt").cast("double"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("s_unat"),
+        )
+    )
+    per_doc = (
+        cw.join(F.broadcast(s), "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n").cast("long").alias("tok"),
+            F.sum(F.col("n") * F.col("s_unat")).cast("long").alias("sur"),
+        )
+    )
+    scored = per_doc.select("source", F.expr("sur div tok").alias("mean_unat"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("sum(mean_unat) div count(*)").cast("long").alias("avg_surprisal_unat"),
+        F.sum(F.when(F.col("mean_unat") < SURPRISAL_LOW_UNAT, 1).otherwise(0))
+        .cast("long")
+        .alias("n_too_predictable"),
+        F.sum(F.when(F.col("mean_unat") > SURPRISAL_HIGH_UNAT, 1).otherwise(0))
+        .cast("long")
+        .alias("n_too_surprising"),
+    )

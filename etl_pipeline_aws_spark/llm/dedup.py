@@ -1388,3 +1388,103 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_pairs")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_source_overlap_matrix — which sources mirror each other
+# --------------------------------------------------------------------------
+
+_SOURCE_OVERLAP_ORACLE = """
+    WITH toks AS (
+        SELECT source, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT source,
+               unnest(CASE WHEN len(ws) >= 3
+                           THEN list_distinct([array_to_string(ws[i:i+2], ' ')
+                                               for i in range(1, len(ws) - 1)])
+                           ELSE [] END) AS shingle
+        FROM toks
+    ), ss AS (
+        SELECT DISTINCT source, shingle FROM sh
+    ), sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM ss GROUP BY source
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_shingles
+        FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.shared_shingles,
+           CAST(i.shared_shingles * 1000000
+                // (sa.sz + sb.sz - i.shared_shingles) AS BIGINT) AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+"""
+
+
+@query("dedup_source_overlap_matrix", oracle=_SOURCE_OVERLAP_ORACLE)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE content-overlap matrix: for every source pair, the
+    Jaccard similarity (floor-scaled ppm) of their distinct 3-word
+    shingle SETS — the provenance census that catches mirror sites,
+    re-crawled feeds, and scraper duplication BEFORE doc-level dedup
+    runs (dedup_rate_by_source reports within-source duplication; this
+    is the between-source map that says which source pairs to dedup
+    against each other, and which are disjoint and can be sharded
+    apart).
+
+    Integer-exact: shared/size counts are BIGINTs from distinct-set
+    groupBys; the only division is one floor-scaled ppm per pair.
+
+    Scale: the shingle→source census is one distinct over (shingle,
+    source) — the same shuffle dedup_ngram_jaccard already pays, but
+    grouped to |sources| rows per shingle instead of doc pairs.  The
+    self-join fan-out per shingle is bounded by |sources|² (a catalog
+    constant, not a data size), and the output is |sources|²/2 rows.
+    At 100 TB this is strictly cheaper than any doc-level near-dup
+    pass, which is why it runs first in a curation funnel."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.withColumn("ws", F.split(F.lower(F.trim(F.col("text"))), " "))
+    sh = F.when(
+        F.size("ws") >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 2),
+                lambda i: F.concat_ws(" ", F.slice("ws", i, 3)),
+            )
+        ),
+    ).otherwise(F.array())
+    ss = toks.select("source", F.explode(sh).alias("shingle")).distinct()
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    inter = (
+        ss.alias("a")
+        .join(
+            ss.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_shingles"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sza"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("szb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            F.expr("shared_shingles * 1000000 div (sza + szb - shared_shingles)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )

@@ -384,3 +384,32 @@ def test_audio_dc_offset_identity(spark):
         expected_flag = 1 if abs(r.sum_s) * 100 > r.n_samples * 32768 else 0
         assert r.dc_biased == expected_flag
         assert -32768.0 <= r.dc_offset <= 32512.0
+
+
+def test_surprisal_gate_tails_fire_and_cover(spark):
+    """Corpus entropy sits ~3.40e6 µnat/tok; the gate straddles it so both
+    tails must fire somewhere, every doc is counted once, and per-source
+    averages stay inside the observed corpus band."""
+    rows = engine.all_queries()["text_unigram_surprisal_gate"](spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in rows) == N_DOCS
+    assert sum(r.n_too_predictable for r in rows) > 0
+    assert sum(r.n_too_surprising for r in rows) > 0
+    for r in rows:
+        assert 3_300_000 < r.avg_surprisal_unat < 3_800_000
+        assert r.n_too_predictable + r.n_too_surprising <= r.n_docs
+
+
+def test_source_overlap_matrix_is_upper_triangle(spark):
+    """Each unordered source pair appears at most once (a < b), Jaccard is
+    a valid ppm, and the shared count can never exceed what Jaccard=1
+    would allow."""
+    rows = engine.all_queries()["dedup_source_overlap_matrix"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 190  # 20 sources -> C(20,2) pairs max
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        key = (r.source_a, r.source_b)
+        assert key not in seen
+        seen.add(key)
+        assert 0 < r.jaccard_ppm <= 1_000_000
+        assert r.shared_shingles > 0
