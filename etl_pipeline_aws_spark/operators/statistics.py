@@ -1517,3 +1517,120 @@ def stat_friedman_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"3e0 * sum_r2sq / ({n_weeks} * 7 * 8) - 3e0 * {n_weeks} * 8"
         ).alias("chi2_f"),
     )
+
+
+# Jarque-Bera normality test: exact decimal power sums S1..S4 -> one shared
+# double formula (only +,-,*,/,sqrt — every op correctly rounded, so equal
+# exact inputs give bit-identical doubles on both engines).
+_JB_SQL = """
+WITH s AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)))
+                AS DOUBLE) AS s1,
+           CAST(SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                         AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+           CAST(SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                         * CAST(l_quantity AS BIGINT)
+                         AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+           CAST(SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                         * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                         AS DECIMAL(38,0))) AS DOUBLE) AS s4
+    FROM lineitem GROUP BY l_returnflag
+), m AS (
+    SELECT l_returnflag, n,
+           s1 / n AS mean,
+           s2 / n - (s1 / n) * (s1 / n) AS m2,
+           s3 / n - 3e0 * (s1 / n) * (s2 / n)
+                  + 2e0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+           s4 / n - 4e0 * (s1 / n) * (s3 / n)
+                  + 6e0 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3e0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+    FROM s
+)
+SELECT l_returnflag, n, mean,
+       m3 / SQRT(m2 * m2 * m2) AS skewness,
+       m4 / (m2 * m2) AS kurtosis,
+       CAST(n AS DOUBLE) / 6e0
+           * ((m3 / SQRT(m2 * m2 * m2)) * (m3 / SQRT(m2 * m2 * m2))
+              + (m4 / (m2 * m2) - 3e0) * (m4 / (m2 * m2) - 3e0) / 4e0)
+           AS jarque_bera
+FROM m
+"""
+
+
+@query("stat_jarque_bera", oracle=_JB_SQL)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per return-flag group: JB = n/6·(S² +
+    (K−3)²/4) from exact moments of l_quantity — the gate a forecasting
+    or anomaly pipeline runs before trusting a z-score threshold
+    (events_anomaly_zscore assumes normal tails; this test is what says
+    whether that assumption holds per segment).  Uniform-ish quantities
+    give strongly negative excess kurtosis, so JB here is huge — the
+    test correctly rejects normality, which is the point of pinning it.
+
+    Determinism: quantities are integer-valued (cast to BIGINT exactly);
+    the four power sums accumulate as DECIMAL(38,0) — exact and
+    order-insensitive on both engines (Spark decimal sum, DuckDB
+    hugeint-backed decimal sum) with headroom to ~1e38/6.25e6 rows.  The
+    double formula after the fold uses only +,-,*,/ and sqrt — all
+    IEEE-correctly-rounded, so equal exact inputs cannot diverge; powers
+    are written as explicit products (pow() is NOT correctly rounded).
+
+    Scale: one map-side-combinable groupBy to |groups| rows; the moment
+    formula is row-local on that bounded table.  This is the textbook
+    single-pass parallel moments fold."""
+    register_views(spark, sf_dir)
+    return spark.sql(_JB_SQL)
+
+
+# Theil-Sen trend: median of pairwise slopes over the DAILY revenue series.
+# The day spine is calendar-bounded (|days|² pairs regardless of fact rows);
+# slopes are one exact-decimal subtraction + one double division each, and
+# the median is percentile_disc — pure selection, no interpolation math.
+_THEIL_SEN_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+    GROUP BY CAST(o_orderdate AS DATE)
+), pairs AS (
+    SELECT (b.rev - a.rev) / CAST(DATEDIFF('DAY', a.d, b.d) AS DOUBLE)
+               AS slope
+    FROM daily a JOIN daily b ON a.d < b.d
+)
+SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY slope) AS slope_p25,
+       PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY slope) AS sen_slope,
+       PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY slope) AS slope_p75
+FROM pairs
+"""
+
+
+@query("stat_theil_sen_daily_slope", oracle=_THEIL_SEN_SQL)
+def stat_theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator over the daily-revenue series: the
+    median of all pairwise slopes, with the quartile slopes as a
+    distribution-free confidence band — the trend line outliers cannot
+    drag (window_rolling_slope_14d is the OLS sibling; one promo-day
+    spike moves OLS but not the pairwise-slope median).
+
+    Determinism: daily revenue is an exact DECIMAL(18,2) fold surfaced
+    as double; each slope is ONE double division of exact operands
+    (decimal difference / integer day gap); the median/quartiles are
+    PERCENTILE_DISC — order-statistic selection of an existing double,
+    no interpolation arithmetic to diverge.
+
+    Scale: the quadratic is over the DAY SPINE, not the fact table —
+    one year = 365 days → ~66k pairs whether orders holds 15k rows or
+    15B (the full 7-year spine is the same SQL minus the year filter:
+    2.4k days → 2.9M pairs, measured 34 s at sf0.01 against the
+    dual-engine budget, which is why the registry entry pins one year;
+    multi-decade spines use the same SQL over month buckets).  The
+    fact-sized work is the one groupBy building the spine."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _THEIL_SEN_SQL.replace("DATEDIFF('DAY', a.d, b.d)", "DATEDIFF(b.d, a.d)")
+    )

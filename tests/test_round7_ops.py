@@ -413,3 +413,28 @@ def test_source_overlap_matrix_is_upper_triangle(spark):
         seen.add(key)
         assert 0 < r.jaccard_ppm <= 1_000_000
         assert r.shared_shingles > 0
+
+
+def test_jarque_bera_rejects_uniformish_quantities(spark):
+    """Quantities are near-uniform on [1,50]: kurtosis must sit near the
+    uniform value 1.8 (far below the normal 3.0), skewness near 0, and
+    JB = n/6*(S^2 + (K-3)^2/4) must be enormous — recomputed here from
+    the row's own skew/kurt to pin the formula."""
+    rows = engine.all_queries()["stat_jarque_bera"](spark, SF_DIR).collect()
+    assert len(rows) == 3  # A/N/R
+    for r in rows:
+        assert abs(r.skewness) < 0.1
+        assert 1.6 < r.kurtosis < 2.0
+        expected = r.n / 6.0 * (r.skewness**2 + (r.kurtosis - 3.0) ** 2 / 4.0)
+        assert abs(r.jarque_bera - expected) < 1e-6 * max(1.0, expected)
+        assert r.jarque_bera > 100  # decisively non-normal
+
+
+def test_theil_sen_slopes_ordered_and_pairs_exact(spark):
+    """Quartile slopes must be ordered, and n_pairs must equal the exact
+    C(n_days, 2) the pairwise construction implies."""
+    row = engine.all_queries()["stat_theil_sen_daily_slope"](spark, SF_DIR).collect()[0]
+    assert row.n_pairs == row.n_days * (row.n_days - 1) // 2
+    assert row.slope_p25 <= row.sen_slope <= row.slope_p75
+    # flat-ish stationary series: the robust slope is tiny vs daily noise
+    assert abs(row.sen_slope) < (row.slope_p75 - row.slope_p25)
