@@ -2038,3 +2038,163 @@ def pipeline_training_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang string, n_docs long, n_tokens long, n_bins long,"
         " padding_waste_bp long",
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_dsir_importance_weights — DSIR-style domain selection
+# --------------------------------------------------------------------------
+
+DSIR_TARGET_SOURCE = "src0"  # the "target domain" exemplar slice
+DSIR_TOP_K = 100  # documents selected for the target-domain mix
+
+_DSIR_ORACLE = f"""
+    WITH u AS (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS w,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents
+    ), b AS (
+        SELECT doc_id, source,
+               w || '|' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS bg
+        FROM u
+    ), cw AS (
+        SELECT doc_id, source, bg, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b WHERE bg IS NOT NULL GROUP BY doc_id, source, bg
+    ), raw_lm AS (
+        SELECT bg, CAST(SUM(n) AS BIGINT) AS cnt_r FROM cw GROUP BY bg
+    ), tgt_lm AS (
+        SELECT bg, CAST(SUM(n) AS BIGINT) AS cnt_t
+        FROM cw WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bg
+    ), scalars AS (
+        SELECT CAST(SUM(cnt_r) AS BIGINT) AS tot_r,
+               CAST(COUNT(*) AS BIGINT) AS v,
+               (SELECT CAST(SUM(cnt_t) AS BIGINT) FROM tgt_lm) AS tot_t
+        FROM raw_lm
+    ), lm AS (
+        SELECT r.bg,
+               CAST(FLOOR(LN(CAST(COALESCE(t.cnt_t, 0) + 1 AS DOUBLE)
+                             / CAST(s.tot_t + s.v AS DOUBLE)) * 1000000)
+                    AS BIGINT)
+               - CAST(FLOOR(LN(CAST(r.cnt_r + 1 AS DOUBLE)
+                               / CAST(s.tot_r + s.v AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS delta_unat
+        FROM raw_lm r LEFT JOIN tgt_lm t ON r.bg = t.bg, scalars s
+    ), weights AS (
+        SELECT c.doc_id, c.source,
+               CAST(SUM(c.n) AS BIGINT) AS n_bigrams,
+               CAST(SUM(c.n * l.delta_unat) AS BIGINT) AS w_unat
+        FROM cw c JOIN lm l ON c.bg = l.bg
+        GROUP BY c.doc_id, c.source
+    ), ranked AS (
+        SELECT source, w_unat,
+               ROW_NUMBER() OVER (ORDER BY w_unat DESC, doc_id) AS rk
+        FROM weights
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= {DSIR_TOP_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           CAST(SUM(w_unat) // COUNT(*) AS BIGINT) AS avg_w_unat,
+           CAST(MAX(w_unat) AS BIGINT) AS max_w_unat
+    FROM ranked GROUP BY source
+"""
+
+
+@query("corpus_dsir_importance_weights", oracle=_DSIR_ORACLE)
+def corpus_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log importance ratio log p_target(x) − log p_raw(x) under two
+    add-one-smoothed BIGRAM language models — target trained on the
+    '{DSIR_TARGET_SOURCE}' slice (the domain exemplar), raw on the whole
+    corpus — then take the top {DSIR_TOP_K} documents as the
+    target-domain training mix.  Reported per source: how many of its
+    docs the selector kept and the weight distribution — the "which
+    sources actually look like my target domain" answer that
+    temperature mixing (corpus_mix_temperature) needs as its input.
+    (DSIR proper hashes n-grams into a fixed bucket space; this corpus'
+    bigram vocabulary is already bounded, so the hash step is an
+    identity — feature_hashed_bow demonstrates the hashing mechanics.)
+
+    Determinism: both LMs are exact integer count tables; each bigram's
+    log-ratio is two LNs of exact rationals floor-scaled to µnats
+    (vocabulary-sized table, one pair of libm calls per TYPE, not per
+    token); per-doc weights are then exact integer dot products, and
+    selection is an integer-rank cut with doc_id tie-break.
+
+    Scale: the bigram TF shuffle (doc-partitioned lead window) is the
+    corpus-sized cost, shared shape with text_gopher_repetition; both
+    LM folds are map-side combinable to |V| rows; the LM join is a
+    broadcast; the global top-K rank over per-doc weights is the one
+    scale pinch — at fact scale swap the ROW_NUMBER for a TakeOrdered /
+    approx-threshold cut (the documented orders_pareto_frontier
+    pattern), which changes no semantics for a fixed K."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    b = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws("|", F.col("w"), F.lead("w").over(wnd)).alias("bg"),
+        F.lead("w").over(wnd).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cw = b.groupBy("doc_id", "source", "bg").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    raw_lm = cw.groupBy("bg").agg(F.sum("n").cast("long").alias("cnt_r"))
+    tgt_lm = (
+        cw.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("bg")
+        .agg(F.sum("n").cast("long").alias("cnt_t"))
+    )
+    scalars = raw_lm.crossJoin(
+        F.broadcast(tgt_lm.agg(F.sum("cnt_t").cast("long").alias("tot_t")))
+    ).agg(
+        F.sum("cnt_r").cast("long").alias("tot_r"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.max("tot_t").cast("long").alias("tot_t"),
+    )
+    lm = (
+        raw_lm.join(tgt_lm, "bg", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "bg",
+            (
+                F.floor(
+                    F.log(
+                        (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1).cast("double")
+                        / (F.col("tot_t") + F.col("v")).cast("double")
+                    )
+                    * 1_000_000
+                ).cast("long")
+                - F.floor(
+                    F.log(
+                        (F.col("cnt_r") + 1).cast("double")
+                        / (F.col("tot_r") + F.col("v")).cast("double")
+                    )
+                    * 1_000_000
+                ).cast("long")
+            ).alias("delta_unat"),
+        )
+    )
+    weights = (
+        cw.join(F.broadcast(lm), "bg")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("delta_unat")).cast("long").alias("w_unat"),
+        )
+    )
+    rk = Window.orderBy(F.col("w_unat").desc(), F.col("doc_id"))
+    ranked = weights.select(
+        "source", "w_unat", F.row_number().over(rk).alias("rk")
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rk") <= DSIR_TOP_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_selected"),
+        F.expr("sum(w_unat) div count(*)").cast("long").alias("avg_w_unat"),
+        F.max("w_unat").cast("long").alias("max_w_unat"),
+    )

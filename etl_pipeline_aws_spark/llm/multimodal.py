@@ -2054,3 +2054,105 @@ def multimodal_audio_dc_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id
         """
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_audio_clipping_rate — full-scale saturation QC
+# --------------------------------------------------------------------------
+
+CLIP_LIMIT = 7168  # |sample| at/above this counts as clipped (int16 scale)
+CLIP_FLAG_PPM = 300_000  # flag clips above 30% of samples
+
+_CLIPPING_ORACLE = f"""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(string_split(text, '')) AS c,
+               unnest(range(1, len(text) + 1)) AS pos
+        FROM documents
+    ), samples AS (
+        SELECT doc_id, pos,
+               CASE WHEN abs((ascii(c) - 128) * 256) >= {CLIP_LIMIT}
+                    THEN 1 ELSE 0 END AS clip
+        FROM chars
+    ), runs AS (
+        SELECT doc_id,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM samples WHERE clip = 1
+    ), runlen AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run
+        FROM runs GROUP BY doc_id, grp
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(clip) AS BIGINT) AS n_clipped
+        FROM samples GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_samples, p.n_clipped,
+           CAST(p.n_clipped * 1000000 // p.n_samples AS BIGINT) AS clip_ppm,
+           CAST(COALESCE(MAX(r.run), 0) AS BIGINT) AS max_clip_run,
+           CAST(CASE WHEN p.n_clipped * 1000000
+                          > p.n_samples * {CLIP_FLAG_PPM}
+                     THEN 1 ELSE 0 END AS INT) AS clipped_flag
+    FROM per_doc p LEFT JOIN runlen r ON p.doc_id = r.doc_id
+    GROUP BY p.doc_id, p.n_samples, p.n_clipped
+"""
+
+
+@query("multimodal_audio_clipping_rate", oracle=_CLIPPING_ORACLE)
+def multimodal_audio_clipping_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping/saturation QC per audio document: the fraction of samples
+    at or beyond {CLIP_LIMIT} of int16 full scale AND the longest
+    consecutive clipped run — the pair that separates sustained
+    saturation (a broken gain stage; max run large) from isolated peaks
+    (a hot transient; run of 1-2), which a rate alone cannot tell apart.
+    Crest factor sees dynamics and DC offset sees bias; this is the
+    remaining headroom defect in the QC verb set.
+
+    Same deterministic 16-bit sample mapping as the rest of the audio
+    family ((byte − 128)·256 over the payload).  Exactness: the run
+    decomposition is the integer gaps-and-islands fold (pos −
+    row_number), counts are BIGINTs, the rate is floor-scaled ppm, and
+    the flag is a cross-multiplied integer predicate.
+
+    Scale: samples shuffle once on doc_id for the per-doc ordered
+    window (document-sized partitions — the audio family's standard
+    partitioner), then two map-side-combinable folds and a doc-keyed
+    join.  No corpus-sized window anywhere."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH chars AS (
+            SELECT doc_id, pos + 1 AS pos, c
+            FROM documents
+            LATERAL VIEW posexplode(split(text, '')) AS pos, c
+        ), samples AS (
+            SELECT doc_id, pos,
+                   CASE WHEN abs((ascii(c) - 128) * 256) >= {CLIP_LIMIT}
+                        THEN 1 ELSE 0 END AS clip
+            FROM chars
+        ), runs AS (
+            SELECT doc_id,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+            FROM samples WHERE clip = 1
+        ), runlen AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run
+            FROM runs GROUP BY doc_id, grp
+        ), per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(SUM(clip) AS BIGINT) AS n_clipped
+            FROM samples GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.n_samples, p.n_clipped,
+               CAST(p.n_clipped * 1000000 div p.n_samples AS BIGINT)
+                   AS clip_ppm,
+               CAST(COALESCE(MAX(r.run), 0) AS BIGINT) AS max_clip_run,
+               CAST(CASE WHEN p.n_clipped * 1000000
+                              > p.n_samples * {CLIP_FLAG_PPM}
+                         THEN 1 ELSE 0 END AS INT) AS clipped_flag
+        FROM per_doc p LEFT JOIN runlen r ON p.doc_id = r.doc_id
+        GROUP BY p.doc_id, p.n_samples, p.n_clipped
+        """
+    )

@@ -438,3 +438,38 @@ def test_theil_sen_slopes_ordered_and_pairs_exact(spark):
     assert row.slope_p25 <= row.sen_slope <= row.slope_p75
     # flat-ish stationary series: the robust slope is tiny vs daily noise
     assert abs(row.sen_slope) < (row.slope_p75 - row.slope_p25)
+
+
+def test_clipping_rate_counts_and_runs_consistent(spark):
+    """A max run of k clipped samples implies at least k clipped samples;
+    rates are valid ppm; the flag matches its own cross-multiplied
+    predicate recomputed from the row."""
+    rows = engine.all_queries()["multimodal_audio_clipping_rate"](spark, SF_DIR).collect()
+    assert len(rows) == N_DOCS
+    assert any(r.max_clip_run >= 2 for r in rows)  # sustained runs exist
+    for r in rows:
+        assert 0 <= r.n_clipped <= r.n_samples
+        assert r.max_clip_run <= r.n_clipped
+        assert (r.max_clip_run == 0) == (r.n_clipped == 0)
+        assert 0 <= r.clip_ppm <= 1_000_000
+        assert r.clipped_flag == int(r.n_clipped * 1_000_000 > r.n_samples * 300_000)
+
+
+def test_dsir_selects_target_domain_docs(spark):
+    """The importance sampler's whole point: the target-domain slice must
+    be over-represented among the selected top-K relative to its corpus
+    share, selections must sum to K, and the target source's average
+    weight must exceed the corpus-wide average."""
+    rows = engine.all_queries()["corpus_dsir_importance_weights"](spark, SF_DIR).collect()
+    by_src = {r.source: r for r in rows}
+    total_sel = sum(r.n_selected for r in rows)
+    total_docs = sum(r.n_docs for r in rows)
+    assert total_sel == 100
+    tgt = by_src["src0"]
+    # over-representation: selected share > corpus share
+    assert tgt.n_selected * total_docs > tgt.n_docs * total_sel
+    overall_avg = sum(r.avg_w_unat * r.n_docs for r in rows) / total_docs
+    assert tgt.avg_w_unat > overall_avg
+    for r in rows:
+        assert 0 <= r.n_selected <= r.n_docs
+        assert r.max_w_unat >= r.avg_w_unat
