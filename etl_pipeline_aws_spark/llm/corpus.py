@@ -2198,3 +2198,141 @@ def corpus_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr("sum(w_unat) div count(*)").cast("long").alias("avg_w_unat"),
         F.max("w_unat").cast("long").alias("max_w_unat"),
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_pc2_deflation — second principal direction via deflation
+# --------------------------------------------------------------------------
+
+
+def _pc2_oracle() -> str:
+    """PC1 unrolled power iteration → normalize → deflate (x₂ = x −
+    ⟨x,v̂₁⟩·v̂₁) → second unrolled power iteration → normalize.  Every
+    sum is an ordered-fold list sum so both engines add identical
+    doubles in identical order."""
+    sql = """
+    WITH flat AS (
+        SELECT vec_id,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    ), v0 AS (
+        SELECT DISTINCT dim, CASE WHEN dim = 0 THEN 1.0 ELSE 0.0 END AS v
+        FROM flat
+    )"""
+    prev = "v0"
+    for i in range(1, _PI_ITERATIONS + 1):
+        sql += f""", d{i} AS (
+        SELECT f.vec_id,
+               list_sum(list(f.x * p.v ORDER BY f.dim)) AS dot
+        FROM flat f JOIN {prev} p USING (dim)
+        GROUP BY f.vec_id
+    ), v{i} AS (
+        SELECT f.dim,
+               list_sum(list(f.x * d.dot ORDER BY f.vec_id)) AS v
+        FROM flat f JOIN d{i} d USING (vec_id)
+        GROUP BY f.dim
+    )"""
+        prev = f"v{i}"
+    sql += f""", v1n AS (
+        SELECT dim,
+               v / (SELECT sqrt(list_sum(list(v * v ORDER BY dim)))
+                    FROM {prev}) AS v
+        FROM {prev}
+    ), proj AS (
+        SELECT f.vec_id,
+               list_sum(list(f.x * p.v ORDER BY f.dim)) AS dot
+        FROM flat f JOIN v1n p USING (dim)
+        GROUP BY f.vec_id
+    ), flat2 AS (
+        SELECT f.vec_id, f.dim, f.x - pr.dot * p.v AS x
+        FROM flat f
+        JOIN proj pr USING (vec_id)
+        JOIN v1n p USING (dim)
+    ), w0 AS (
+        SELECT DISTINCT dim, CASE WHEN dim = 0 THEN 1.0 ELSE 0.0 END AS v
+        FROM flat2
+    )"""
+    prev = "w0"
+    for i in range(1, _PI_ITERATIONS + 1):
+        sql += f""", e{i} AS (
+        SELECT f.vec_id,
+               list_sum(list(f.x * p.v ORDER BY f.dim)) AS dot
+        FROM flat2 f JOIN {prev} p USING (dim)
+        GROUP BY f.vec_id
+    ), w{i} AS (
+        SELECT f.dim,
+               list_sum(list(f.x * e.dot ORDER BY f.vec_id)) AS v
+        FROM flat2 f JOIN e{i} e USING (vec_id)
+        GROUP BY f.dim
+    )"""
+        prev = f"w{i}"
+    return sql + f"""
+    SELECT CAST(dim AS BIGINT) AS dim,
+           v / (SELECT sqrt(list_sum(list(v * v ORDER BY dim)))
+                FROM {prev}) AS component
+    FROM {prev}
+    """
+
+
+@query("embedding_pc2_deflation", oracle=_pc2_oracle())
+def embedding_pc2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal direction by HOTELLING DEFLATION: compute v̂₁
+    with the shared power-iteration kernel, project it out of every
+    vector (x₂ = x − ⟨x,v̂₁⟩·v̂₁), and power-iterate again on the
+    deflated matrix — the minimal full-distributed step from "1-D
+    spread" (embedding_power_iteration_pc1) to a 2-D PCA map, which is
+    what cluster visualization, whitening, and IVF cell shaping
+    actually consume.  The same deflate-and-repeat loop yields PC-k
+    without ever materializing the d×d covariance.
+
+    Determinism: the PC1 kernel, the projection fold, and both
+    normalizations are ordered folds (bit-exact across engines); the
+    deflation is one elementwise double FMA-free expression (x −
+    dot·v) evaluated identically on both sides.
+
+    Scale: deflation is a narrow map over the long-form matrix (one
+    broadcast of the d-row v̂₁ and a vec-keyed join of per-vector
+    dots) — the iteration cost simply doubles versus PC1; each round
+    stays the matrix-vector product whose 100 TB variant is the
+    pre-bucketed exchange-free shape documented on the iterative
+    family (operators/graph.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = _pc1_flat(emb)
+    v1 = _pc1_unit(flat)  # normalized (dim, component)
+    proj = (
+        flat.join(F.broadcast(v1), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "dim", (F.col("x") * F.col("component")).alias("p")
+                            )
+                        )
+                    ),
+                    lambda s: s["p"],
+                ),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            ).alias("dot")
+        )
+    )
+    flat2 = (
+        flat.join(proj, "vec_id")
+        .join(F.broadcast(v1), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            (F.col("x") - F.col("dot") * F.col("component")).alias("x"),
+        )
+        .localCheckpoint()
+    )
+    return _pc2_unit_from(flat2)
+
+
+def _pc2_unit_from(flat2: "DataFrame") -> "DataFrame":
+    """The PC1 kernel applied to an already-deflated long-form matrix."""
+    return _pc1_unit(flat2)

@@ -473,3 +473,16 @@ def test_dsir_selects_target_domain_docs(spark):
     for r in rows:
         assert 0 <= r.n_selected <= r.n_docs
         assert r.max_w_unat >= r.avg_w_unat
+
+
+def test_pc2_is_unit_and_orthogonal_to_pc1(spark):
+    """Deflation's defining property: PC2 must be unit-norm and (up to
+    power-iteration convergence) orthogonal to PC1."""
+    qs = engine.all_queries()
+    v1 = {r.dim: r.component for r in qs["embedding_power_iteration_pc1"](spark, SF_DIR).collect()}
+    v2 = {r.dim: r.component for r in qs["embedding_pc2_deflation"](spark, SF_DIR).collect()}
+    assert set(v1) == set(v2) and len(v2) == 64
+    n2 = sum(x * x for x in v2.values())
+    assert abs(n2 - 1.0) < 1e-9
+    dot = sum(v1[d] * v2[d] for d in v1)
+    assert abs(dot) < 1e-6
