@@ -2317,3 +2317,139 @@ def stat_mcnemar_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _mcnemar_hits("size", "filter", "split"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_bigram_holdout_surprisal — held-out LM generalization eval
+# --------------------------------------------------------------------------
+
+_HOLDOUT_ORACLE = """
+    WITH u AS (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS w,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents
+    ), b AS (
+        SELECT doc_id, source, doc_id % 2 AS fold, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM u
+    ), bg AS (
+        SELECT doc_id, source, fold, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b WHERE w2 IS NOT NULL GROUP BY doc_id, source, fold, w1, w2
+    ), train_bg AS (
+        SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12
+        FROM bg WHERE fold = 0 GROUP BY w1, w2
+    ), train_uni AS (
+        SELECT w1, CAST(SUM(n) AS BIGINT) AS c1
+        FROM bg WHERE fold = 0 GROUP BY w1
+    ), vsize AS (
+        SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM train_bg
+    ), eval_types AS (
+        SELECT DISTINCT w1, w2 FROM bg WHERE fold = 1
+    ), lm AS (
+        SELECT e.w1, e.w2,
+               CAST(FLOOR(LN(CAST(COALESCE(t1.c1, 0) + s.v AS DOUBLE)
+                             / CAST(COALESCE(t12.c12, 0) + 1 AS DOUBLE))
+                          * 1000000) AS BIGINT) AS s_unat
+        FROM eval_types e
+        LEFT JOIN train_bg t12 ON e.w1 = t12.w1 AND e.w2 = t12.w2
+        LEFT JOIN train_uni t1 ON e.w1 = t1.w1
+        CROSS JOIN vsize s
+    ), per_doc AS (
+        SELECT g.doc_id, g.source,
+               CAST(SUM(g.n) AS BIGINT) AS n_bigrams,
+               CAST(SUM(g.n * l.s_unat) AS BIGINT) AS sur
+        FROM bg g JOIN lm l ON g.w1 = l.w1 AND g.w2 = l.w2
+        WHERE g.fold = 1
+        GROUP BY g.doc_id, g.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+           CAST(SUM(sur) // SUM(n_bigrams) AS BIGINT)
+               AS heldout_surprisal_unat
+    FROM per_doc GROUP BY source
+"""
+
+
+@query("text_bigram_holdout_surprisal", oracle=_HOLDOUT_ORACLE)
+def text_bigram_holdout_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model evaluation: train an add-one-smoothed
+    bigram LM on the even-doc_id fold, score the odd fold's bigrams,
+    and report mean held-out surprisal (µnats/bigram) per source — the
+    GENERALIZATION measure that tells a curation team whether an
+    LM-based filter (text_unigram_surprisal_gate and its upgrade path
+    text_bigram_kneser_ney) is modeling the corpus or memorizing its
+    training fold: exp(of this number) is the held-out perplexity, and
+    a source whose held-out surprisal sits far above the rest is the
+    out-of-domain slice an in-domain-trained filter will mis-score.
+    Smoothing: p(w2|w1) = (c12+1)/(c1+V) with V = the train fold's
+    continuation vocabulary; unseen histories degrade to the uniform
+    1/V floor — every held-out bigram gets finite mass.
+
+    Determinism: both count tables are exact integers; one LN per
+    DISTINCT evaluated bigram type (vocabulary²-bounded, not
+    token-bounded), floor-scaled to µnats; per-doc totals are exact
+    integer dot products and the per-source mean is a floor division.
+
+    Scale: the bigram TF shuffle (doc-partitioned lead window, the
+    text-family standard); the LM join runs on the distinct-type table
+    (|V|²-bounded broadcast side), never per token.  The fold split is
+    a row-local predicate — no data movement to hold out."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    from pyspark.sql.window import Window
+
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    b = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 2).alias("fold"),
+        F.col("w").alias("w1"),
+        F.lead("w").over(wnd).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    bg = b.groupBy("doc_id", "source", "fold", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    train = bg.filter(F.col("fold") == 0)
+    train_bg = train.groupBy("w1", "w2").agg(F.sum("n").cast("long").alias("c12"))
+    train_uni = train.groupBy("w1").agg(F.sum("n").cast("long").alias("c1"))
+    vsize = train_bg.agg(
+        F.countDistinct("w2").cast("long").alias("v")
+    )
+    eval_types = bg.filter(F.col("fold") == 1).select("w1", "w2").distinct()
+    lm = (
+        eval_types.join(train_bg, ["w1", "w2"], "left")
+        .join(F.broadcast(train_uni), "w1", "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+                    / (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("s_unat"),
+        )
+    )
+    per_doc = (
+        bg.filter(F.col("fold") == 1)
+        .join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("s_unat")).cast("long").alias("sur"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
+        F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        F.expr("sum(sur) div sum(n_bigrams)")
+        .cast("long")
+        .alias("heldout_surprisal_unat"),
+    )

@@ -1430,3 +1430,90 @@ def graph_pagerank_bucketed_rounds(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(f"b_pr_ranks_{tag}_{PR_ITERATIONS % 2}").select(
         "node", "rank_val"
     )
+
+
+# --------------------------------------------------------------------------
+# graph_ktruss_support_tiers — per-edge triangle support, truss-tier census
+# --------------------------------------------------------------------------
+
+_KTRUSS_ORACLE = f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT u, v FROM pairs WHERE n >= {TRIANGLE_MIN_SUPPORT}
+    ), tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), edge_hits AS (
+        SELECT a AS u, b AS v FROM tri
+        UNION ALL SELECT b, c FROM tri
+        UNION ALL SELECT a, c FROM tri
+    ), support AS (
+        SELECT e.u, e.v, CAST(COALESCE(h.n_tri, 0) AS BIGINT) AS n_tri
+        FROM edges e
+        LEFT JOIN (
+            SELECT u, v, COUNT(*) AS n_tri FROM edge_hits GROUP BY u, v
+        ) h ON e.u = h.u AND e.v = h.v
+    )
+    SELECT n_tri + 2 AS truss_tier,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM support GROUP BY n_tri
+"""
+
+
+@query("graph_ktruss_support_tiers", oracle=_KTRUSS_ORACLE)
+def graph_ktruss_support_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE triangle support rolled into a truss-tier census: every
+    supported co-occurrence edge is scored by how many triangles contain
+    it, and tier k = support+2 is the k-truss the edge would enter on
+    the FIRST peel round (an edge in tier k belongs to the k-truss iff
+    it survives peeling; this census is the peel schedule's exact
+    input and the standard cohesion profile — how much of the graph is
+    tied into dense 4-, 5-, 6-truss cores vs triangle-free fringe).
+    graph_triangle_count is the per-NODE projection of the same
+    triangles; k-core (demo tier) is the degree-based sibling.  The
+    full fixpoint truss is the iterative-family pattern
+    (graph_pagerank_bucketed_rounds' bucketed rounds apply unchanged).
+
+    Exactness: triangles enumerate once in a<b<c orientation; each
+    contributes to exactly its three edges via an integer union-fold;
+    support-0 edges are kept by the left join (tier 2 = triangle-free).
+
+    Scale: identical support-pruned edge discipline as
+    graph_triangle_count (prune first, THEN the two triangle joins);
+    the extra cost over it is one edge-keyed left join, and the output
+    is |tiers| rows.  No new shuffle shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        co_occurrence_pairs(li, TRIANGLE_MIN_SUPPORT, distinct_items=False)
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .persist()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    hits = (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    support = edges.join(hits, ["u", "v"], "left").select(
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri")
+    )
+    return support.groupBy("n_tri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    ).select((F.col("n_tri") + 2).alias("truss_tier"), "n_edges")

@@ -641,3 +641,81 @@ def scd6_hybrid_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         "version",
     )
+
+
+@query(
+    "scd4_history_split",
+    oracle=f"""
+    SELECT 'current' AS table_role, o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+               AS status,
+           CASE WHEN o_orderkey % 10 = 0
+                THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                ELSE o_totalprice END AS price,
+           CAST(NULL AS VARCHAR) AS archived_at
+    FROM orders
+    UNION ALL
+    SELECT 'history', o_orderkey, o_orderstatus, o_totalprice, '{_NOW}'
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def scd4_history_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-4 SCD: the CURRENT table stays clean (no validity columns —
+    every consumer query hits a key-unique, always-latest dimension)
+    while each overwritten version is archived to a separate HISTORY
+    table stamped with its archive time.  This is the remaining member
+    of the SCD family (1 overwrite / 2 in-table versions / 6 hybrid all
+    exist); warehouses pick Type 4 exactly when point-in-time queries
+    are rare enough that the current table shouldn't pay Type 2's
+    row-version tax on every read.  One batch of updates (the staged
+    key%10 slice, the scd2_merge_orders change feed) is applied; the
+    result carries both tables role-tagged, which is how a single-output
+    engine materializes a two-table contract (the sink splits on
+    table_role — the partitioned-write discipline of write_partitioned).
+
+    Scale: pure narrow map + conditional explode per row (the module's
+    zero-shuffle SCD shape) — each input row emits its current version
+    and, if changed, one archive row.  No join, no shuffle; the history
+    append is O(changed rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    changed = F.col("o_orderkey") % 10 == 0
+    fan = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.explode(
+            F.when(
+                changed,
+                F.array(
+                    F.struct(
+                        F.lit("current").alias("table_role"),
+                        F.lit("X").alias("status"),
+                        (F.col("o_totalprice") * F.lit(1.1)).alias("price"),
+                        F.lit(None).cast("string").alias("archived_at"),
+                    ),
+                    F.struct(
+                        F.lit("history").alias("table_role"),
+                        F.col("o_orderstatus").alias("status"),
+                        F.col("o_totalprice").alias("price"),
+                        F.lit(_NOW).cast("string").alias("archived_at"),
+                    ),
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(
+                        F.lit("current").alias("table_role"),
+                        F.col("o_orderstatus").alias("status"),
+                        F.col("o_totalprice").alias("price"),
+                        F.lit(None).cast("string").alias("archived_at"),
+                    )
+                )
+            )
+        ).alias("r"),
+    )
+    return fan.select(
+        F.col("r.table_role").alias("table_role"),
+        "o_orderkey",
+        F.col("r.status").alias("status"),
+        F.col("r.price").alias("price"),
+        F.col("r.archived_at").alias("archived_at"),
+    )

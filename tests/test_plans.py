@@ -179,6 +179,7 @@ ALLOWED_NESTED_LOOP = {
     "graph_modularity",  # 1-row global edge-count broadcast (q11 pattern)
     "text_unigram_surprisal_gate",  # 1-row corpus-total broadcast to |V| rows (q11 pattern)
     "corpus_dsir_importance_weights",  # 1-row LM-totals broadcast to |V| rows (q11 pattern)
+    "text_bigram_holdout_surprisal",  # 1-row train-vocab-size broadcast to |V|² types (q11 pattern)
 }
 ALLOWED_PYTHON_EVAL = {
     "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)

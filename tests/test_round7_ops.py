@@ -486,3 +486,47 @@ def test_pc2_is_unit_and_orthogonal_to_pc1(spark):
     assert abs(n2 - 1.0) < 1e-9
     dot = sum(v1[d] * v2[d] for d in v1)
     assert abs(dot) < 1e-6
+
+
+def test_scd4_roles_partition_and_preserve(spark):
+    """Current table must stay key-unique and cover every order; history
+    holds exactly the changed keys with their PRE-change values."""
+    df = engine.all_queries()["scd4_history_split"](spark, SF_DIR)
+    cur = df.filter("table_role = 'current'")
+    hist = df.filter("table_role = 'history'")
+    n_orders = cur.count()
+    assert cur.select("o_orderkey").distinct().count() == n_orders
+    h = hist.collect()
+    assert all(r.o_orderkey % 10 == 0 for r in h)
+    assert all(r.archived_at == "2026-01-01" for r in h)
+    assert len(h) > 0
+    # every changed key's current row carries the Type-4 overwrite
+    changed_cur = {r.o_orderkey: r for r in cur.filter("o_orderkey % 10 = 0").collect()}
+    assert all(r.status == "X" for r in changed_cur.values())
+
+
+def test_ktruss_tiers_reconcile_with_triangle_counts(spark):
+    """Σ_edges support = 3·|triangles| and Σ_nodes triangle-count =
+    3·|triangles| — the two projections of one triangle set must
+    agree; tier numbering starts at the triangle-free 2-truss."""
+    qs = engine.all_queries()
+    tiers = qs["graph_ktruss_support_tiers"](spark, SF_DIR).collect()
+    node_tri = qs["graph_triangle_count"](spark, SF_DIR).collect()
+    assert all(t.truss_tier >= 2 for t in tiers)
+    edge_support_sum = sum((t.truss_tier - 2) * t.n_edges for t in tiers)
+    node_sum = sum(r.n_triangles for r in node_tri)
+    assert edge_support_sum == node_sum  # both equal 3 * n_triangles
+    assert edge_support_sum % 3 == 0 and edge_support_sum > 0
+
+
+def test_holdout_surprisal_bounded_by_uniform_floor(spark):
+    """Held-out surprisal can never exceed the uniform floor ln(V·(1+ε))
+    — with add-one smoothing every bigram's probability is at least
+    1/(c1+V) ≥ 1/(tot+V) — and must be positive; eval docs are the odd
+    fold only (~half the corpus)."""
+    rows = engine.all_queries()["text_bigram_holdout_surprisal"](spark, SF_DIR).collect()
+    n_eval = sum(r.n_eval_docs for r in rows)
+    assert 0 < n_eval <= N_DOCS // 2 + 1
+    for r in rows:
+        assert 0 < r.heldout_surprisal_unat < 20_000_000  # << ln(huge)
+        assert r.n_bigrams > 0
