@@ -2156,3 +2156,124 @@ def multimodal_audio_clipping_rate(spark: SparkSession, sf_dir: str) -> DataFram
         GROUP BY p.doc_id, p.n_samples, p.n_clipped
         """
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_image_psnr_pairs — exact-pixel verification of aHash candidates
+# --------------------------------------------------------------------------
+
+PSNR_CHANNELS = AHASH_PIXELS * 3  # RGB bytes compared per image pair
+PSNR_IDENTICAL_MDB = 999_000  # sentinel for sse = 0 (infinite PSNR)
+
+
+def _psnr_sql(gen_px: str, gen_band: str, gen_byte: str, idiv: str, shl, popxor) -> str:
+    """aHash candidate chain (identical to _ahash_sql) + an exact RGB
+    sum-of-squared-error tail and a floor-scaled milli-dB PSNR."""
+    luma = (
+        "(299 * ascii(substring(text, CAST(3 * k + 1 AS INT), 1))"
+        " + 587 * ascii(substring(text, CAST(3 * k + 2 AS INT), 1))"
+        " + 114 * ascii(substring(text, CAST(3 * k + 3 AS INT), 1)))"
+        f" {idiv} 1000"
+    )
+    byte_d = (
+        "(ascii(substring(da.text, CAST(c + 1 AS INT), 1))"
+        " - ascii(substring(db.text, CAST(c + 1 AS INT), 1)))"
+    )
+    return f"""
+WITH px AS (
+    SELECT doc_id, CAST(g AS BIGINT) AS k,
+           CAST({luma} AS BIGINT) AS luma
+    FROM documents, ({gen_px}) gk
+), means AS (
+    SELECT doc_id, CAST(SUM(luma) {idiv} {AHASH_PIXELS} AS BIGINT) AS mu
+    FROM px GROUP BY doc_id
+), hashes AS (
+    SELECT p.doc_id,
+           CAST(SUM(CASE WHEN p.luma > m.mu
+                         THEN {shl('CAST(1 AS BIGINT)', 'p.k')}
+                         ELSE 0 END) AS BIGINT) AS h
+    FROM px p JOIN means m ON m.doc_id = p.doc_id
+    GROUP BY p.doc_id
+), bands AS (
+    SELECT doc_id, h, CAST(b AS INT) AS band_id,
+           CAST((h {idiv} (CASE CAST(b AS INT)
+                           WHEN 0 THEN 1 WHEN 1 THEN 65536
+                           WHEN 2 THEN 4294967296
+                           ELSE 281474976710656 END)) % 65536 AS BIGINT)
+               AS band_val
+    FROM hashes, ({gen_band}) gb
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+), pairs AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST({popxor('ha.h', 'hb.h')} AS INT) AS hamming
+    FROM cand c
+    JOIN hashes ha ON ha.doc_id = c.doc_a
+    JOIN hashes hb ON hb.doc_id = c.doc_b
+    WHERE {popxor('ha.h', 'hb.h')} <= {AHASH_MAX_HAMMING}
+), sse AS (
+    SELECT p.doc_a, p.doc_b, p.hamming,
+           CAST(SUM({byte_d} * {byte_d}) AS BIGINT) AS sse
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    CROSS JOIN ({gen_byte}) gc
+    GROUP BY p.doc_a, p.doc_b, p.hamming
+)
+SELECT doc_a, doc_b, hamming, sse,
+       CAST(CASE WHEN sse = 0 THEN {PSNR_IDENTICAL_MDB}
+                 ELSE FLOOR(10 * LOG10(CAST(255 * 255 AS DOUBLE)
+                                       * {PSNR_CHANNELS}
+                                       / CAST(sse AS DOUBLE)) * 1000)
+            END AS BIGINT) AS psnr_mdb
+FROM sse
+"""
+
+
+_PSNR_ORACLE = _psnr_sql(
+    f"SELECT unnest(range(0, {AHASH_PIXELS})) AS g",
+    "SELECT unnest(range(0, 4)) AS b",
+    f"SELECT unnest(range(0, {PSNR_CHANNELS})) AS c",
+    "//",
+    lambda a, b: f"({a} << CAST({b} AS INT))",
+    lambda a, b: f"bit_count(xor({a}, {b}))",
+)
+_PSNR_SPARK = _psnr_sql(
+    f"SELECT explode(sequence(0, {AHASH_PIXELS - 1})) AS g",
+    "SELECT explode(sequence(0, 3)) AS b",
+    f"SELECT explode(sequence(0, {PSNR_CHANNELS - 1})) AS c",
+    "DIV",
+    lambda a, b: f"shiftleft({a}, CAST({b} AS INT))",
+    lambda a, b: f"bit_count({a} ^ {b})",
+)
+
+
+@query("multimodal_image_psnr_pairs", oracle=_PSNR_ORACLE)
+def multimodal_image_psnr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-pixel VERIFICATION of the aHash near-dup candidates: every
+    pair the banded average-hash pass surfaces (hamming ≤
+    {AHASH_MAX_HAMMING}) is re-scored with full-resolution PSNR over
+    the raw RGB bytes — the two-stage shape every production image
+    dedup runs (cheap perceptual hash to generate, exact pixel metric
+    to confirm), because a 63-bit luma hash CAN collide on images whose
+    chroma differs (identical luma, different RGB), and PSNR is the
+    metric that catches exactly that.  sse = 0 pins byte-identical
+    images with the {PSNR_IDENTICAL_MDB} sentinel; finite scores are
+    floor-scaled milli-dB.
+
+    Exactness: sse is an exact BIGINT fold over the {PSNR_CHANNELS}
+    channel differences; the single LOG10 per PAIR (not per pixel)
+    consumes an exact rational and is floor-scaled — the audio family's
+    determinism discipline applied to images.  Same deterministic
+    text→RGB byte mapping as the rest of the image tier.
+
+    Scale: the candidate set rides the banded LSH join (never
+    all-pairs); the verify stage is |candidates| × {PSNR_CHANNELS}
+    rows — linear in survivors, which is the entire point of
+    hash-then-verify.  At 100 TB the byte fetch is the only wide cost
+    and touches candidate images only."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PSNR_SPARK)

@@ -530,3 +530,25 @@ def test_holdout_surprisal_bounded_by_uniform_floor(spark):
     for r in rows:
         assert 0 < r.heldout_surprisal_unat < 20_000_000  # << ln(huge)
         assert r.n_bigrams > 0
+
+
+def test_psnr_pairs_formula_and_candidate_discipline(spark):
+    """PSNR must recompute exactly from each row's own sse (10·log10
+    (255²·189/sse), floor-scaled mdB), hamming must respect the aHash
+    gate, and pairs must be canonical a<b."""
+    import math
+
+    rows = engine.all_queries()["multimodal_image_psnr_pairs"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 3
+        if r.sse == 0:
+            assert r.psnr_mdb == 999_000
+        else:
+            expect = math.floor(10 * math.log10(255 * 255 * 189 / r.sse) * 1000)
+            assert r.psnr_mdb == expect
+    # ordering sanity: strictly larger sse can never give larger PSNR
+    finite = sorted((r for r in rows if r.sse > 0), key=lambda r: r.sse)
+    for a, b in zip(finite, finite[1:]):
+        assert a.psnr_mdb >= b.psnr_mdb
