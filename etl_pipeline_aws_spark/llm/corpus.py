@@ -2129,19 +2129,38 @@ def corpus_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFram
     scale pinch — at fact scale swap the ROW_NUMBER for a TakeOrdered /
     approx-threshold cut (the documented orders_pareto_frontier
     pattern), which changes no semantics for a fixed K."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    cw = dsir_bigram_counts(docs)
+    lm = dsir_lm_table(cw)
+    weights = dsir_doc_weights(cw, lm)
+    return dsir_selection_report(weights)
+
+
+def dsir_bigram_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, bg, n) bigram term counts — the stateless per-doc
+    stage shared by the batch selector and its streaming twin
+    (streaming/stream_queries.py:stream_dsir_scoring): a doc's bigram
+    counts depend only on that doc, so ANY micro-batch split yields the
+    batch answer."""
+    tok = docs.select(
         "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
     )
     wnd = Window.partitionBy("doc_id").orderBy("pos")
-    b = docs.select(
+    b = tok.select(
         "doc_id",
         "source",
         F.concat_ws("|", F.col("w"), F.lead("w").over(wnd)).alias("bg"),
         F.lead("w").over(wnd).alias("nxt"),
     ).filter(F.col("nxt").isNotNull())
-    cw = b.groupBy("doc_id", "source", "bg").agg(
+    return b.groupBy("doc_id", "source", "bg").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+def dsir_lm_table(cw: DataFrame) -> DataFrame:
+    """(bg, delta_unat) importance-ratio table from the corpus bigram
+    counts — the FROZEN model both the batch selector and the stream
+    scorer broadcast."""
     raw_lm = cw.groupBy("bg").agg(F.sum("n").cast("long").alias("cnt_r"))
     tgt_lm = (
         cw.filter(F.col("source") == DSIR_TARGET_SOURCE)
@@ -2178,7 +2197,14 @@ def corpus_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("delta_unat"),
         )
     )
-    weights = (
+    return lm
+
+
+def dsir_doc_weights(cw: DataFrame, lm: DataFrame) -> DataFrame:
+    """(doc_id, source, n_bigrams, w_unat) per-doc importance weights —
+    a stateless exact integer dot product against the broadcast frozen
+    LM, so the stream scorer applies it per micro-batch unchanged."""
+    return (
         cw.join(F.broadcast(lm), "bg")
         .groupBy("doc_id", "source")
         .agg(
@@ -2186,6 +2212,10 @@ def corpus_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.col("n") * F.col("delta_unat")).cast("long").alias("w_unat"),
         )
     )
+
+
+def dsir_selection_report(weights: DataFrame) -> DataFrame:
+    """Global top-K cut + per-source census over the per-doc weights."""
     rk = Window.orderBy(F.col("w_unat").desc(), F.col("doc_id"))
     ranked = weights.select(
         "source", "w_unat", F.row_number().over(rk).alias("rk")

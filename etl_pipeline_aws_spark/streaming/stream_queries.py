@@ -1708,3 +1708,78 @@ def stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return funnel_rollup(spark.read.parquet(verdict_sink))
+
+
+def _dsir_oracle() -> str:
+    """The batch selector's oracle, verbatim — the frozen-LM scoring is
+    stateless per document, so stream/batch parity is the correctness
+    argument (the stream_curation_gate discipline)."""
+    from etl_pipeline_aws_spark.llm.corpus import _DSIR_ORACLE
+
+    return _DSIR_ORACLE
+
+
+@query("stream_dsir_scoring", oracle=_dsir_oracle)
+def stream_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring AS A STREAM — the production deployment
+    shape of corpus_dsir_importance_weights: the bigram LM pair is
+    trained ONCE on the existing corpus (batch, frozen), then documents
+    arrive in micro-batches (three staged shards, maxFilesPerTrigger=1)
+    and each batch's docs are scored against the broadcast frozen LM by
+    the SAME dsir_doc_weights stage, appended to a weight sink via
+    foreachBatch; the final top-K selection re-ranks the sink.  Because
+    per-doc scoring is stateless given the frozen model, any micro-batch
+    split reproduces the batch answer exactly — this query shares the
+    batch selector's DuckDB oracle, and stream/batch parity IS the
+    correctness check.
+
+    Scale: per epoch one bigram explode + one broadcast-LM dot product
+    over ONLY that batch's documents; the sink carries one weight row
+    per doc.  Unbounded operation swaps the staged shards for the real
+    landing zone; the LM refresh cadence (retrain nightly, hot-swap the
+    broadcast) is the standard frozen-scorer topology — no state store,
+    the scorer is embarrassingly per-document."""
+    from etl_pipeline_aws_spark.llm.corpus import (
+        dsir_bigram_counts,
+        dsir_doc_weights,
+        dsir_lm_table,
+        dsir_selection_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    lm = dsir_lm_table(dsir_bigram_counts(docs)).persist()
+    lm.count()  # freeze the model before the stream starts
+
+    zone = tempfile.mkdtemp(prefix="dsir_landing_")
+    landing = os.path.join(zone, "landing")
+    (
+        docs.withColumn("shard", (F.col("doc_id") % 3).cast("int"))
+        .repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(landing)
+    )
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+        .select("doc_id", "source", "text")
+    )
+    weight_sink = os.path.join(zone, "weights")
+
+    def score_batch(batch: DataFrame, epoch_id: int) -> None:
+        dsir_doc_weights(dsir_bigram_counts(batch), lm).write.mode(
+            "append"
+        ).parquet(weight_sink)
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", os.path.join(zone, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    lm.unpersist()
+    return dsir_selection_report(spark.read.parquet(weight_sink))

@@ -43,6 +43,8 @@ HEAVY_ALLOWLIST = {
     # (PC1 + deflated PC2) — exactly 2x the PC1 cost, ~23 s clean with
     # the doubled ordered-fold oracle; the iterative-family budget case
     "lakehouse_partition_evolution",  # multi-generation lakehouse rewrite
+    "stream_dsir_scoring",  # LM train + 3-epoch availableNow stream +
+    # sink re-rank: ~13 s warm, tips past 15 s on a cold first run
 }
 
 

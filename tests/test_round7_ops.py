@@ -552,3 +552,20 @@ def test_psnr_pairs_formula_and_candidate_discipline(spark):
     finite = sorted((r for r in rows if r.sse > 0), key=lambda r: r.sse)
     for a, b in zip(finite, finite[1:]):
         assert a.psnr_mdb >= b.psnr_mdb
+
+
+def test_stream_dsir_matches_batch_selector(spark):
+    """Stream/batch parity: the frozen-LM stream scorer must reproduce
+    the batch selector's report exactly, row for row."""
+    qs = engine.all_queries()
+    batch = {r.source: r for r in qs["corpus_dsir_importance_weights"](spark, SF_DIR).collect()}
+    stream = {r.source: r for r in qs["stream_dsir_scoring"](spark, SF_DIR).collect()}
+    assert set(batch) == set(stream)
+    for src, b in batch.items():
+        s = stream[src]
+        assert (b.n_docs, b.n_selected, b.avg_w_unat, b.max_w_unat) == (
+            s.n_docs,
+            s.n_selected,
+            s.avg_w_unat,
+            s.max_w_unat,
+        )
