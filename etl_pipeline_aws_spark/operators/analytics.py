@@ -5046,3 +5046,258 @@ def orders_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("share_bp"),
         (F.col("n_lines") * F.col("n_orders")).cast("long").alias("total_lines"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_attribution_markov_removal — removal-effect (Markov) attribution
+# --------------------------------------------------------------------------
+
+MARKOV_ATTR_CHANNELS = ["click", "error", "signup", "view"]
+MARKOV_ATTR_ROUNDS = 8  # truncated absorption horizon (shared by both engines)
+
+
+def _markov_journey_cte() -> str:
+    """Shared journey → transition-probability CTE prefix: per user, the
+    event sequence up to and including the FIRST purchase (CONV) or the
+    whole history (ending in NULL), then exact transition counts and
+    single-division probabilities."""
+    return """
+    WITH fp AS (
+        SELECT user_id, ts AS p_ts, event_id AS p_eid
+        FROM (
+            SELECT user_id, ts, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) p WHERE rn = 1
+    ), j AS (
+        SELECT e.user_id, e.ts, e.event_id,
+               CASE WHEN e.event_type = 'purchase' THEN 'conv'
+                    ELSE e.event_type END AS state,
+               CASE WHEN f.user_id IS NULL THEN 0 ELSE 1 END AS converted
+        FROM events e LEFT JOIN fp f ON e.user_id = f.user_id
+        WHERE f.user_id IS NULL
+           OR e.ts < f.p_ts
+           OR (e.ts = f.p_ts AND e.event_id <= f.p_eid)
+    ), seq AS (
+        SELECT user_id, state, converted,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               LEAD(state) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS nxt
+        FROM j
+    ), trans AS (
+        SELECT state AS a,
+               COALESCE(nxt, CASE WHEN converted = 1 THEN NULL
+                                  ELSE 'null' END) AS b
+        FROM seq WHERE state <> 'conv'
+        UNION ALL
+        SELECT 'start', state FROM seq WHERE rn = 1
+    ), counts AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM trans WHERE b IS NOT NULL GROUP BY a, b
+    ), probs AS MATERIALIZED (
+        SELECT a, b,
+               CAST(n AS DOUBLE)
+                   / CAST(SUM(n) OVER (PARTITION BY a) AS DOUBLE) AS p
+        FROM counts
+    )"""
+
+
+def _markov_oracle() -> str:
+    """Unrolled truncated-absorption oracle: per scenario (baseline +
+    one removed channel each), MARKOV_ATTR_ROUNDS rounds of v(a) ← cv(a) +
+    Σ_b w(a→b)·v(b) with the Σ as an ordered list fold, then the
+    removal-effect shares from the five absorption probabilities."""
+    sql = _markov_journey_cte()
+    scen = ["none"] + MARKOV_ATTR_CHANNELS
+    for s in scen:
+        tag = s.replace("none", "base")
+        sql += f""", cv_{tag} AS MATERIALIZED (
+        SELECT a, p FROM probs WHERE b = 'conv' AND a <> '{s}'
+    ), w_{tag} AS MATERIALIZED (
+        SELECT a, b, p FROM probs
+        WHERE b NOT IN ('conv', 'null') AND b <> '{s}' AND a <> '{s}'
+    ), v_{tag}_0 AS MATERIALIZED (
+        SELECT a, p AS v FROM cv_{tag}
+    )"""
+        prev = f"v_{tag}_0"
+        for k in range(1, MARKOV_ATTR_ROUNDS + 1):
+            sql += f""", v_{tag}_{k} AS MATERIALIZED (
+        SELECT w.a,
+               COALESCE(MAX(c.p), 0.0)
+                   + COALESCE(list_sum(list(w.p * v.v ORDER BY w.b)), 0.0)
+                   AS v
+        FROM w_{tag} w
+        LEFT JOIN {prev} v ON w.b = v.a
+        LEFT JOIN cv_{tag} c ON w.a = c.a
+        GROUP BY w.a
+        UNION ALL
+        SELECT c.a, c.p AS v FROM cv_{tag} c
+        WHERE c.a NOT IN (SELECT a FROM w_{tag})
+    )"""
+            prev = f"v_{tag}_{k}"
+        sql += f""", p_{tag} AS MATERIALIZED (
+        SELECT COALESCE(MAX(v), 0.0) AS p FROM {prev} WHERE a = 'start'
+    )"""
+    chan_terms = " + ".join(
+        f"(SELECT p FROM p_base) - (SELECT p FROM p_{c})" for c in MARKOV_ATTR_CHANNELS
+    )
+    parts = []
+    for c in MARKOV_ATTR_CHANNELS:
+        parts.append(f"""
+    SELECT '{c}' AS channel,
+           (SELECT p FROM p_base) AS conv_prob_base,
+           (SELECT p FROM p_{c}) AS conv_prob_removed,
+           (SELECT p FROM p_base) - (SELECT p FROM p_{c}) AS removal_effect,
+           CAST(FLOOR(((SELECT p FROM p_base) - (SELECT p FROM p_{c}))
+                      * 1000000 / ({chan_terms})) AS BIGINT)
+               AS attribution_ppm""")
+    return sql + "\nUNION ALL".join(parts)
+
+
+@query("events_attribution_markov_removal", oracle=_markov_oracle())
+def events_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-effect (Markov-chain) attribution — the algorithmic member
+    that completes the attribution ladder (last-touch / linear /
+    time-decay are positional heuristics; this one MODELS the journey):
+    fit a first-order Markov chain over user event sequences truncated
+    at first purchase, compute the absorption probability of converting
+    from START, then for each channel recompute it with that channel's
+    inbound transitions removed — the conversion probability DROP is the
+    channel's causal contribution, normalized to attribution shares
+    (Anderl et al. 2014, the industry-standard "Markov attribution").
+
+    Determinism: transition probabilities are single divisions of exact
+    integer counts; each absorption round sums ≤|channels| products via
+    an ORDERED fold (the PC1 kernel discipline), truncated at the same
+    {MARKOV_ATTR_ROUNDS} rounds on both engines (a monotone lower bound that
+    converges geometrically — channel ordering is insensitive to the
+    horizon); the share is floor-scaled ppm of identically-computed
+    doubles.
+
+    Scale: the fact-sized work is one user-partitioned ordered window
+    (journey build) and one (a,b) groupBy, both distributed; the
+    transition matrix they reduce to is a BOUNDED DIMENSION (|states|²
+    ≤ 36 rows — the event-type catalog squared, a constant regardless
+    of fact size), so the {MARKOV_ATTR_ROUNDS}×5 scenario rounds run as
+    driver-side matrix math on the collected table — the justified
+    bounded-dim collect pattern (a first distributed cut spent ~90 s on
+    45 micro-jobs over ≤36 rows; catalog-sized math does not belong on
+    the cluster)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(uw))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_eid"))
+    )
+    j = (
+        ev.join(fp, "user_id", "left")
+        .filter(
+            F.col("p_ts").isNull()
+            | (F.col("ts") < F.col("p_ts"))
+            | ((F.col("ts") == F.col("p_ts")) & (F.col("event_id") <= F.col("p_eid")))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", F.lit("conv"))
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+            F.when(F.col("p_ts").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("converted"),
+        )
+    )
+    seq = j.select(
+        "user_id",
+        "state",
+        "converted",
+        F.row_number().over(uw).alias("rn"),
+        F.lead("state").over(uw).alias("nxt"),
+    )
+    trans = (
+        seq.filter(F.col("state") != "conv")
+        .select(
+            F.col("state").alias("a"),
+            F.coalesce(
+                F.col("nxt"),
+                F.when(F.col("converted") == 0, F.lit("null")),
+            ).alias("b"),
+        )
+        .unionByName(
+            seq.filter(F.col("rn") == 1).select(
+                F.lit("start").alias("a"), F.col("state").alias("b")
+            )
+        )
+        .filter(F.col("b").isNotNull())
+    )
+    counts = trans.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # The transition matrix is a BOUNDED DIMENSION: |states|² ≤ 36 rows
+    # for any corpus size (states = event-type catalog + start/conv/null),
+    # so collecting it is the same justified pattern as the repo's other
+    # two .collect() sites (fixture staging over ≤25-row dims) — the
+    # fact-scale work (journey windows, transition groupBy) stayed
+    # distributed above; only the catalog-sized matrix math runs on the
+    # driver, exactly mirroring the oracle's ordered folds.
+    mat = {(r["a"], r["b"]): r["n"] for r in counts.collect()}
+    tot_a: dict[str, int] = {}
+    for (a, _b), n in mat.items():
+        tot_a[a] = tot_a.get(a, 0) + n
+    prob = {(a, b): n / tot_a[a] for (a, b), n in mat.items()}
+
+    def absorption(removed: str) -> float:
+        cv = {
+            a: p
+            for (a, b), p in prob.items()
+            if b == "conv" and a != removed
+        }
+        w: dict[str, list[tuple[str, float]]] = {}
+        for (a, b), p in prob.items():
+            if b in ("conv", "null") or b == removed or a == removed:
+                continue
+            w.setdefault(a, []).append((b, p))
+        for a in w:
+            w[a].sort()  # ordered fold over b — the list_sum(ORDER BY b) twin
+        v = dict(cv)
+        for _ in range(MARKOV_ATTR_ROUNDS):
+            nxt = {}
+            for a, edges in w.items():
+                acc = 0.0
+                for b, p in edges:
+                    acc = acc + p * v.get(b, 0.0)
+                nxt[a] = cv.get(a, 0.0) + acc
+            for a, p in cv.items():
+                if a not in w:
+                    nxt[a] = p
+            v = nxt
+        return v.get("start", 0.0)
+
+    p_base = absorption("__none__")
+    removed = {c: absorption(c) for c in MARKOV_ATTR_CHANNELS}
+    tot_re = 0.0
+    for c in MARKOV_ATTR_CHANNELS:
+        tot_re = tot_re + (p_base - removed[c])
+    import math
+
+    rows = [
+        (
+            c,
+            p_base,
+            removed[c],
+            p_base - removed[c],
+            int(math.floor((p_base - removed[c]) * 1000000 / tot_re)),
+        )
+        for c in MARKOV_ATTR_CHANNELS
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="channel string, conv_prob_base double, "
+        "conv_prob_removed double, removal_effect double, "
+        "attribution_ppm long",
+    )

@@ -569,3 +569,20 @@ def test_stream_dsir_matches_batch_selector(spark):
             s.avg_w_unat,
             s.max_w_unat,
         )
+
+
+def test_markov_attribution_shares_and_bounds(spark):
+    """Removal effects must be positive (removing any touch channel can
+    only reduce truncated conversion probability), shares must sum to
+    ~1e6 (floor slack < 4 ppm), and the baseline must dominate every
+    removed-channel probability."""
+    rows = engine.all_queries()["events_attribution_markov_removal"](spark, SF_DIR).collect()
+    assert {r.channel for r in rows} == {"click", "error", "signup", "view"}
+    base = rows[0].conv_prob_base
+    assert 0 < base <= 1
+    for r in rows:
+        assert r.conv_prob_base == base
+        assert 0 <= r.conv_prob_removed < base
+        assert abs(r.removal_effect - (base - r.conv_prob_removed)) < 1e-12
+    total_ppm = sum(r.attribution_ppm for r in rows)
+    assert 1_000_000 - 4 <= total_ppm <= 1_000_000
