@@ -2453,3 +2453,129 @@ def text_bigram_holdout_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("heldout_surprisal_unat"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_rake_keyphrases — RAKE keyphrase extraction
+# --------------------------------------------------------------------------
+
+RAKE_STOPWORDS = ("the", "a", "data", "row")  # fixture function-word list
+RAKE_MAX_PHRASE = 4  # standard RAKE candidate cap
+RAKE_TOP_K = 15
+
+_RAKE_ORACLE = f"""
+    WITH u AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, pos, w,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM u WHERE w NOT IN {RAKE_STOPWORDS}
+    ), sized AS (
+        SELECT doc_id, grp, pos, w,
+               COUNT(*) OVER (PARTITION BY doc_id, grp) AS n_words
+        FROM kept
+    ), cand AS (
+        SELECT * FROM sized WHERE n_words <= {RAKE_MAX_PHRASE}
+    ), wstat AS (
+        SELECT w,
+               CAST(SUM(n_words) * 1000000 // COUNT(*) AS BIGINT)
+                   AS wscore_ppm
+        FROM cand GROUP BY w
+    ), phrases AS (
+        SELECT c.doc_id, c.grp,
+               string_agg(c.w, ' ' ORDER BY c.pos) AS phrase,
+               CAST(MAX(c.n_words) AS BIGINT) AS n_words,
+               CAST(SUM(s.wscore_ppm) AS BIGINT) AS score_ppm
+        FROM cand c JOIN wstat s ON c.w = s.w
+        GROUP BY c.doc_id, c.grp
+    ), grouped AS (
+        SELECT phrase, MAX(n_words) AS n_words, MAX(score_ppm) AS score_ppm,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM phrases GROUP BY phrase
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY score_ppm DESC, phrase) AS rk
+        FROM grouped
+    )
+    SELECT phrase, n_words, score_ppm, n_occurrences
+    FROM ranked WHERE rk <= {RAKE_TOP_K}
+"""
+
+
+@query("text_rake_keyphrases", oracle=_RAKE_ORACLE)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, "Rapid Automatic
+    Keyword Extraction"): candidate phrases are the maximal non-stopword
+    token runs (gaps-and-islands on token position), capped at
+    {RAKE_MAX_PHRASE} words; each word is scored degree/frequency over
+    the candidate set (degree = Σ lengths of phrases containing it —
+    co-occurrence reach; frequency = appearances), and a phrase scores
+    the sum of its words' scores.  Top {RAKE_TOP_K} phrases corpus-wide
+    — the unsupervised "what is this corpus about" summary that needs
+    no training, the standard first pass before topic models.  The
+    stopword list here is the fixture's function words; production
+    swaps in text_adaptive_stopwords' corpus-derived list.
+
+    Exactness: degree and frequency are exact integers; word scores are
+    floor-scaled ppm divisions; phrase scores are integer sums of those
+    — no float ever crosses an aggregation.
+
+    Scale: one token explode → doc-partitioned islands window (document-
+    sized partitions) → two map-side-combinable folds (word stats are
+    |vocab| rows, phrase census is |distinct phrases|); the top-K rank
+    runs on the phrase census, with the TakeOrdered swap documented for
+    unbounded phrase spaces."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    from pyspark.sql.window import Window
+
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    kept = docs.filter(~F.col("w").isin(*RAKE_STOPWORDS)).select(
+        "doc_id",
+        "pos",
+        "w",
+        (F.col("pos") - F.row_number().over(dw)).alias("grp"),
+    )
+    sized = kept.select(
+        "doc_id",
+        "grp",
+        "pos",
+        "w",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "grp")).alias("n_words"),
+    )
+    cand = sized.filter(F.col("n_words") <= RAKE_MAX_PHRASE)
+    wstat = cand.groupBy("w").agg(
+        F.expr("sum(n_words) * 1000000 div count(*)")
+        .cast("long")
+        .alias("wscore_ppm")
+    )
+    phrases = (
+        cand.join(F.broadcast(wstat), "w")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+            F.max("n_words").cast("long").alias("n_words"),
+            F.sum("wscore_ppm").cast("long").alias("score_ppm"),
+        )
+    )
+    grouped = phrases.groupBy("phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.max("score_ppm").alias("score_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    rk = Window.orderBy(F.col("score_ppm").desc(), F.col("phrase"))
+    return (
+        grouped.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= RAKE_TOP_K)
+        .select("phrase", "n_words", "score_ppm", "n_occurrences")
+    )

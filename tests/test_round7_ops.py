@@ -586,3 +586,18 @@ def test_markov_attribution_shares_and_bounds(spark):
         assert abs(r.removal_effect - (base - r.conv_prob_removed)) < 1e-12
     total_ppm = sum(r.attribution_ppm for r in rows)
     assert 1_000_000 - 4 <= total_ppm <= 1_000_000
+
+
+def test_rake_phrases_exclude_stopwords_and_rank_clean(spark):
+    """No candidate phrase may contain a stopword, lengths respect the
+    RAKE cap, the list is exactly top-K, and scores are non-increasing."""
+    rows = engine.all_queries()["text_rake_keyphrases"](spark, SF_DIR).collect()
+    assert len(rows) == 15
+    stop = {"the", "a", "data", "row"}
+    scores = [r.score_ppm for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        words = r.phrase.split(" ")
+        assert 1 <= len(words) == r.n_words <= 4
+        assert not (set(words) & stop)
+        assert r.n_occurrences >= 1
