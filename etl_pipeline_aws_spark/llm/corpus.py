@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.catalog import load_table, register_views
 from etl_pipeline_aws_spark.registry import query
 
 SEQ_LEN = 512  # tokens per packed training sequence
@@ -2366,3 +2366,146 @@ def embedding_pc2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pc2_unit_from(flat2: "DataFrame") -> "DataFrame":
     """The PC1 kernel applied to an already-deflated long-form matrix."""
     return _pc1_unit(flat2)
+
+
+# --------------------------------------------------------------------------
+# embedding_cka_quantization — representation fidelity under quantization
+# --------------------------------------------------------------------------
+
+CKA_QUANT_SCALE = 10  # coarse 1-decimal quantization: visible fidelity loss
+
+_CKA_ORACLE = f"""
+    WITH flat AS (
+        SELECT vec_id,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id, dim, x,
+               ROUND(x * {CKA_QUANT_SCALE}) / {CKA_QUANT_SCALE}.0 AS y
+        FROM flat
+    ), means AS (
+        SELECT dim,
+               list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS mx,
+               list_sum(list(y ORDER BY vec_id)) / COUNT(*) AS my
+        FROM q GROUP BY dim
+    ), c AS (
+        SELECT q.vec_id, q.dim, q.x - m.mx AS xc, q.y - m.my AS yc
+        FROM q JOIN means m ON q.dim = m.dim
+    ), gram AS (
+        SELECT a.dim AS i, b.dim AS j,
+               list_sum(list(a.xc * b.xc ORDER BY a.vec_id)) AS cxx,
+               list_sum(list(a.yc * b.yc ORDER BY a.vec_id)) AS cyy,
+               list_sum(list(a.xc * b.yc ORDER BY a.vec_id)) AS cxy
+        FROM c a JOIN c b ON a.vec_id = b.vec_id
+        GROUP BY a.dim, b.dim
+    ), frob AS (
+        SELECT list_sum(list(cxx * cxx ORDER BY i, j)) AS sxx,
+               list_sum(list(cyy * cyy ORDER BY i, j)) AS syy,
+               list_sum(list(cxy * cxy ORDER BY i, j)) AS sxy,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM gram
+    ), err AS (
+        SELECT list_sum(list((x - y) * (x - y) ORDER BY vec_id, dim))
+                   AS sq_err,
+               CAST(COUNT(*) AS BIGINT) AS n_elems
+        FROM q
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM flat)
+               AS n_vecs,
+           f.n_cells,
+           f.sxy / (SQRT(f.sxx) * SQRT(f.syy)) AS cka,
+           e.sq_err / e.n_elems AS quant_mse
+    FROM frob f, err e
+"""
+
+
+@query("embedding_cka_quantization", oracle=_CKA_ORACLE)
+def embedding_cka_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA (Kornblith et al. 2019, "Similarity of Neural Network
+    Representations Revisited") between the raw embedding space and its
+    1/{CKA_QUANT_SCALE}-step quantized twin — the "how much geometry did
+    quantization destroy" scalar that decides whether the int-quantized
+    tier (embedding_quantized_projection, the two-stage rerank's coarse
+    pass) is safe to route on: CKA compares the full CENTERED Gram
+    structure, so it sees exactly the relative-distance distortion that
+    per-vector MSE (also reported) cannot — two spaces can have tiny
+    MSE and broken neighborhoods, or large MSE and identical geometry
+    (CKA is scale-invariant).
+
+    Determinism: every Gram entry and both Frobenius folds are ordered
+    list folds (the PC1 kernel discipline — bit-identical addition
+    order on both engines); the only other ops are elementwise products
+    and two correctly-rounded SQRTs.
+
+    Scale: the d×d Gram trio reduces 500×64 long-form rows through one
+    vec-keyed self-join — at corpus scale this is the standard
+    d²-bounded representation-similarity fold (d² cells regardless of
+    row count), the same shape as a distributed covariance; the final
+    folds run on d² = {64 * 64} cells.  For d in the thousands, swap
+    the exact fold for decimal-rounded partial sums (the chi-square
+    discipline)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH flat AS (
+            SELECT vec_id, posexplode(CAST(embedding AS ARRAY<DOUBLE>))
+                       AS (dim, x)
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id, dim, x,
+                   ROUND(x * {CKA_QUANT_SCALE}) / {CKA_QUANT_SCALE}.0D AS y
+            FROM flat
+        ), means AS (
+            SELECT dim,
+                   aggregate(transform(array_sort(collect_list(
+                       struct(vec_id, x))), s -> s.x), 0.0D,
+                       (acc, v) -> acc + v) / COUNT(*) AS mx,
+                   aggregate(transform(array_sort(collect_list(
+                       struct(vec_id, y))), s -> s.y), 0.0D,
+                       (acc, v) -> acc + v) / COUNT(*) AS my
+            FROM q GROUP BY dim
+        ), c AS (
+            SELECT q.vec_id, q.dim, q.x - m.mx AS xc, q.y - m.my AS yc
+            FROM q JOIN means m ON q.dim = m.dim
+        ), gram AS (
+            SELECT a.dim AS i, b.dim AS j,
+                   aggregate(transform(array_sort(collect_list(
+                       struct(a.vec_id AS v, a.xc * b.xc AS p))),
+                       s -> s.p), 0.0D, (acc, v) -> acc + v) AS cxx,
+                   aggregate(transform(array_sort(collect_list(
+                       struct(a.vec_id AS v, a.yc * b.yc AS p))),
+                       s -> s.p), 0.0D, (acc, v) -> acc + v) AS cyy,
+                   aggregate(transform(array_sort(collect_list(
+                       struct(a.vec_id AS v, a.xc * b.yc AS p))),
+                       s -> s.p), 0.0D, (acc, v) -> acc + v) AS cxy
+            FROM c a JOIN c b ON a.vec_id = b.vec_id
+            GROUP BY a.dim, b.dim
+        ), frob AS (
+            SELECT aggregate(transform(array_sort(collect_list(
+                       struct(i, j, cxx * cxx AS p))), s -> s.p),
+                       0.0D, (acc, v) -> acc + v) AS sxx,
+                   aggregate(transform(array_sort(collect_list(
+                       struct(i, j, cyy * cyy AS p))), s -> s.p),
+                       0.0D, (acc, v) -> acc + v) AS syy,
+                   aggregate(transform(array_sort(collect_list(
+                       struct(i, j, cxy * cxy AS p))), s -> s.p),
+                       0.0D, (acc, v) -> acc + v) AS sxy,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM gram
+        ), err AS (
+            SELECT aggregate(transform(array_sort(collect_list(
+                       struct(vec_id, dim, (x - y) * (x - y) AS p))),
+                       s -> s.p), 0.0D, (acc, v) -> acc + v) AS sq_err,
+                   CAST(COUNT(*) AS BIGINT) AS n_elems
+            FROM q
+        ), nv AS (
+            SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs
+            FROM flat
+        )
+        SELECT nv.n_vecs, f.n_cells,
+               f.sxy / (SQRT(f.sxx) * SQRT(f.syy)) AS cka,
+               e.sq_err / e.n_elems AS quant_mse
+        FROM frob f JOIN err e JOIN nv
+        """
+    )

@@ -5301,3 +5301,69 @@ def events_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataF
         "conv_prob_removed double, removal_effect double, "
         "attribution_ppm long",
     )
+
+
+# --------------------------------------------------------------------------
+# events_did_estimator — difference-in-differences readout
+# --------------------------------------------------------------------------
+
+DID_CUTOVER = "2024-01-16"  # feature-launch date splitting pre/post
+
+_DID_SQL = f"""
+WITH cells AS (
+    SELECT CAST(user_id % 2 AS INT) AS treated,
+           CASE WHEN ts < TIMESTAMP '{DID_CUTOVER} 00:00:00'
+                THEN 0 ELSE 1 END AS post,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY CAST(user_id % 2 AS INT),
+             CASE WHEN ts < TIMESTAMP '{DID_CUTOVER} 00:00:00'
+                  THEN 0 ELSE 1 END
+), means AS (
+    SELECT treated, post, n_events, sum_value,
+           sum_value / n_events AS mean_value
+    FROM cells
+)
+, wide AS (
+    SELECT MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_value END)
+               AS treated_pre,
+           MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_value END)
+               AS treated_post,
+           MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_value END)
+               AS control_pre,
+           MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_value END)
+               AS control_post,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM means
+)
+SELECT treated_post - treated_pre AS treated_delta,
+       control_post - control_pre AS control_delta,
+       (treated_post - treated_pre) - (control_post - control_pre)
+           AS did_estimate,
+       treated_pre, treated_post, control_pre, control_post, n_events
+FROM wide
+"""
+
+
+@query("events_did_estimator", oracle=_DID_SQL)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the quasi-experimental estimator for a
+    feature launched at {DID_CUTOVER} WITHOUT holdout randomization —
+    treated-arm change minus control-arm change cancels the shared time
+    trend, which a naive pre/post comparison confounds (the launch-week
+    seasonality events_seasonality_dow_index measures would land fully
+    inside a naive delta).  Completes the experimentation family:
+    ab_lift (randomized), cuped (variance-reduced), uplift deciles
+    (heterogeneous) — DiD is the observational member.  Arm = user_id
+    parity, the platform convention shared with events_ab_lift_report.
+
+    Exactness: the four cell means are exact decimal sums divided once;
+    the estimator is three subtractions of identically-derived doubles
+    — the 2×2 pivot is a conditional fold of the 4-row cell table (no join at all).
+
+    Scale: ONE map-side-combinable groupBy over the fact (4 cells out);
+    everything after is constant-size.  The cleanest possible
+    experiment plan — no window, no per-user state."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DID_SQL)

@@ -39,6 +39,8 @@ HEAVY_ALLOWLIST = {
     # durability cost the cluster-mode demo deliberately pays per round
     "graph_community_inequality",  # LP parent + Lorenz, volume-bound
     "embedding_kmeans_lloyd",  # unrolled Lloyd rounds oracle
+    "embedding_cka_quantization",  # d² Gram trio via ordered folds on BOTH
+    # engines (~12 s clean, dual-engine exact-fold cost, the PC-kernel family)
     "embedding_pc2_deflation",  # TWO chained unrolled power iterations
     # (PC1 + deflated PC2) — exactly 2x the PC1 cost, ~23 s clean with
     # the doubled ordered-fold oracle; the iterative-family budget case

@@ -601,3 +601,25 @@ def test_rake_phrases_exclude_stopwords_and_rank_clean(spark):
         assert 1 <= len(words) == r.n_words <= 4
         assert not (set(words) & stop)
         assert r.n_occurrences >= 1
+
+
+def test_did_parallelogram_identity(spark):
+    """The estimator must equal its own four cell means combined, and the
+    cells must partition all events."""
+    r = engine.all_queries()["events_did_estimator"](spark, SF_DIR).collect()[0]
+    expect = (r.treated_post - r.treated_pre) - (r.control_post - r.control_pre)
+    assert abs(r.did_estimate - expect) < 1e-12
+    assert r.n_events == 10_000  # sf0.01 events fixture size
+    for v in (r.treated_pre, r.treated_post, r.control_pre, r.control_post):
+        assert v > 0
+
+
+def test_cka_bounds_and_quantization_sanity(spark):
+    """CKA of a space with its own quantized twin must be high but
+    measurably below 1; the quantization MSE must sit near the uniform
+    rounding-error expectation step²/12."""
+    r = engine.all_queries()["embedding_cka_quantization"](spark, SF_DIR).collect()[0]
+    assert r.n_vecs == 500 and r.n_cells == 64 * 64
+    assert 0.9 < r.cka < 1.0
+    step = 1.0 / 10
+    assert 0.5 * step**2 / 12 < r.quant_mse < 2.0 * step**2 / 12
