@@ -1634,3 +1634,60 @@ def stat_theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _THEIL_SEN_SQL.replace("DATEDIFF('DAY', a.d, b.d)", "DATEDIFF(b.d, a.d)")
     )
+
+
+# G-test (log-likelihood ratio) independence: same exact integer margins as
+# the chi-square op; each cell term O·ln(O·N/(R·C)) takes one LN of an exact
+# rational, is rounded to DECIMAL(28,6), and the cross-cell sum is exact.
+_GTEST_SQL = """
+WITH cells AS (
+    SELECT event_type, CAST(EXTRACT(DAY FROM ts) AS BIGINT) % 7 AS day_bucket,
+           CAST(COUNT(*) AS BIGINT) AS obs
+    FROM events
+    GROUP BY event_type, CAST(EXTRACT(DAY FROM ts) AS BIGINT) % 7
+), marg AS (
+    SELECT event_type, day_bucket, obs,
+           SUM(obs) OVER (PARTITION BY event_type) AS row_tot,
+           SUM(obs) OVER (PARTITION BY day_bucket) AS col_tot,
+           SUM(obs) OVER () AS grand_tot
+    FROM cells
+), terms AS (
+    SELECT event_type, day_bucket, grand_tot,
+           CAST(ROUND(CAST(obs AS DOUBLE)
+                      * LN(CAST(obs AS DOUBLE) * CAST(grand_tot AS DOUBLE)
+                           / (CAST(row_tot AS DOUBLE)
+                              * CAST(col_tot AS DOUBLE))),
+                      6) AS DECIMAL(28,6)) AS term
+    FROM marg
+)
+SELECT CAST(MAX(grand_tot) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((COUNT(DISTINCT event_type) - 1)
+            * (COUNT(DISTINCT day_bucket) - 1) AS BIGINT) AS dof,
+       2e0 * CAST(SUM(term) AS DOUBLE) AS g_stat
+FROM terms
+"""
+
+
+@query("stat_g_test_independence", oracle=_GTEST_SQL)
+def stat_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (likelihood-ratio) of independence between event_type and
+    the day%7 bucket — the chi-square op's exact-likelihood sibling
+    over the SAME margins: G = 2·Σ O·ln(O·N/(R·C)) is additive across
+    partitions of a table (chi-square is not), which is why hierarchical
+    contingency analyses decompose G, and it is the better-calibrated
+    statistic when expected counts are small.  Pinned beside
+    stat_chi_square_independence so consumers can see both converge
+    (G ≈ χ² to first order on these cell sizes).
+
+    Determinism: identical margin discipline as the chi-square op —
+    exact BIGINT cells, one LN per CELL of an exact rational, each term
+    rounded to DECIMAL(28,6) so the cross-cell sum is exact and
+    order-insensitive; the final ×2 is one double multiply.
+
+    Scale: one map-side-combinable groupBy to |types|×7 cells; marginal
+    windows run over that bounded table.  Zero-count cells never occur
+    in the output of a COUNT groupBy, so the O·ln(O) terms are always
+    finite — the convention matching the G-test's 0·ln(0)=0 limit."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GTEST_SQL)

@@ -126,6 +126,10 @@ ALLOWED_CARTESIAN = {
     "ml_pr_curve_points",  # 9-row threshold fan onto one partial-agg pass (scale-free)
     "events_anomaly_ensemble",  # two 1×|days| scalar broadcasts (q11 pattern)
     "dedup_threshold_sensitivity",  # 5-row tau fan onto the pair set (permutation-fan shape)
+    "stat_theil_sen_daily_slope",  # |days|² pair join over ONE YEAR's day
+    # spine — 365 rows by CONSTRUCTION (calendar-bounded, fact-size-free);
+    # the docstring documents the month-bucket swap for longer spines
+    "embedding_cka_quantization",  # 1×1×1 join of the three global folds (scale-free)
 }
 ALLOWED_NESTED_LOOP = {
     "q22_sales_opportunity",  # single-row scalar-subquery broadcast (scale-free)
@@ -170,6 +174,7 @@ ALLOWED_NESTED_LOOP = {
     "text_adaptive_stopwords",  # 1-row corpus-count broadcast (q11 pattern)
     "scd1_upsert_orders",  # 1-row MAX(key) broadcast seeding insert keys (q11 pattern)
     "embedding_power_iteration_pc1",  # 1-row norm broadcast for the final rescale (q11 pattern)
+    "embedding_pc2_deflation",  # same 1-row norm broadcast, twice (PC1 kernel reuse)
     "embedding_pc1_explained_variance",  # 1x1 join of two global folds (scale-free)
     "dq_distribution_drift",  # 1-row midpoint + totals broadcasts (q11 pattern)
     "events_cusum_changepoint",  # 1-row (n_days, total) broadcast to the day spine (q11 pattern)

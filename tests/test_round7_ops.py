@@ -623,3 +623,15 @@ def test_cka_bounds_and_quantization_sanity(spark):
     assert 0.9 < r.cka < 1.0
     step = 1.0 / 10
     assert 0.5 * step**2 / 12 < r.quant_mse < 2.0 * step**2 / 12
+
+
+def test_g_test_tracks_chi_square(spark):
+    """First-order equivalence on healthy cell sizes: G and χ² over the
+    same margins must agree within a few percent, with identical n,
+    cells, and dof."""
+    qs = engine.all_queries()
+    g = qs["stat_g_test_independence"](spark, SF_DIR).collect()[0]
+    x = qs["stat_chi_square_independence"](spark, SF_DIR).collect()[0]
+    assert (g.n_events, g.n_cells, g.dof) == (x.n_events, x.n_cells, x.dof)
+    assert g.g_stat > 0
+    assert abs(g.g_stat - x.chi2) / max(x.chi2, 1.0) < 0.05

@@ -254,6 +254,23 @@ PROBE_QUERIES = [
     "profile_distinct_counts",
     "graph_pagerank_bucketed_rounds",
     "stream_curation_gate",
+    # round-7 session-2 operators
+    "text_unigram_surprisal_gate",
+    "dedup_source_overlap_matrix",
+    "stat_jarque_bera",
+    "stat_theil_sen_daily_slope",
+    "corpus_dsir_importance_weights",
+    "multimodal_audio_clipping_rate",
+    "embedding_pc2_deflation",
+    "scd4_history_split",
+    "graph_ktruss_support_tiers",
+    "text_bigram_holdout_surprisal",
+    "multimodal_image_psnr_pairs",
+    "events_attribution_markov_removal",
+    "text_rake_keyphrases",
+    "events_did_estimator",
+    "embedding_cka_quantization",
+    "stream_dsir_scoring",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
