@@ -5367,3 +5367,63 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     experiment plan — no window, no per-user state."""
     register_views(spark, sf_dir)
     return spark.sql(_DID_SQL)
+
+
+# --------------------------------------------------------------------------
+# events_session_gap_sensitivity — sessionizer knob curve
+# --------------------------------------------------------------------------
+
+SESSION_GAP_TAUS_S = (300, 600, 1800, 3600, 7200)
+
+_GAP_SENS_SQL = f"""
+WITH gaps AS (
+    SELECT user_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), g AS (
+    SELECT user_id,
+           CAST(EXTRACT(EPOCH FROM ts) - EXTRACT(EPOCH FROM prev_ts)
+                AS DOUBLE) AS gap_s
+    FROM gaps WHERE prev_ts IS NOT NULL
+), agg AS (
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN gap_s > {t} THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS brk_{t}" for t in SESSION_GAP_TAUS_S)}
+    FROM g
+)
+{" UNION ALL ".join(
+    f"SELECT CAST({t} AS BIGINT) AS tau_s,"
+    f" n_users + brk_{t} AS n_sessions,"
+    f" CAST((n_users + brk_{t}) * 10000 // n_users AS BIGINT)"
+    f" AS sessions_per_user_bp FROM agg" for t in SESSION_GAP_TAUS_S)}
+"""
+
+
+@query("events_session_gap_sensitivity", oracle=_GAP_SENS_SQL)
+def events_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionizer KNOB CURVE: total session count (and sessions/user in
+    basis points) at five inactivity-gap thresholds in one pass — the
+    sensitivity sweep a team runs BEFORE shipping a session definition
+    (window_session hard-codes one gap; if the count curve is steep at
+    the chosen τ, the metric is an artifact of the knob, not the users
+    — the same knob-sweep discipline as dedup_threshold_sensitivity).
+    Session count per τ = users + inter-event gaps exceeding τ, so the
+    whole sweep is conditional sums over ONE gap table — no τ fan-out
+    join at all.
+
+    Exactness: gaps compare against integer thresholds; counts are
+    BIGINTs; the per-user rate is a floor-scaled bp division.
+
+    Scale: one user-partitioned lag window (the sessionizer's own
+    shuffle) then a map-side-combinable fold to ONE row, unpivoted to
+    |τ| rows.  Adding a τ costs one more conditional sum, not a pass."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _GAP_SENS_SQL.replace(
+            "EXTRACT(EPOCH FROM ts) - EXTRACT(EPOCH FROM prev_ts)",
+            "unix_micros(ts) / 1e6 - unix_micros(prev_ts) / 1e6",
+        ).replace("* 10000 // n_users", "* 10000 div n_users")
+    )

@@ -635,3 +635,17 @@ def test_g_test_tracks_chi_square(spark):
     assert (g.n_events, g.n_cells, g.dof) == (x.n_events, x.n_cells, x.dof)
     assert g.g_stat > 0
     assert abs(g.g_stat - x.chi2) / max(x.chi2, 1.0) < 0.05
+
+
+def test_gap_sensitivity_monotone_in_tau(spark):
+    """Raising the inactivity gap can only merge sessions: n_sessions
+    must be non-increasing in tau and never below the user count."""
+    rows = sorted(
+        engine.all_queries()["events_session_gap_sensitivity"](spark, SF_DIR).collect(),
+        key=lambda r: r.tau_s,
+    )
+    assert [r.tau_s for r in rows] == [300, 600, 1800, 3600, 7200]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_sessions >= b.n_sessions
+    for r in rows:
+        assert r.sessions_per_user_bp >= 10_000  # >= 1 session per user
