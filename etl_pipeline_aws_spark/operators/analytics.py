@@ -5427,3 +5427,110 @@ def events_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFram
             "unix_micros(ts) / 1e6 - unix_micros(prev_ts) / 1e6",
         ).replace("* 10000 // n_users", "* 10000 div n_users")
     )
+
+
+# k-fold cross-validated OLS: per-fold training sums by EXACT decimal
+# subtraction (total − fold partial), Cramer closed form per fold, held-out
+# MSE via decimal-rounded residual squares — identical SQL text both engines.
+_KFOLD_OLS_SQL = """
+WITH feats AS (
+    SELECT CAST(o.o_orderkey % 5 AS INT) AS fold,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+           CAST(COUNT(*) AS BIGINT) AS x1,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS x2
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+), partial AS (
+    SELECT fold,
+           CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+           SUM(CAST(x1 AS DECIMAL(38,0))) AS s1,
+           SUM(CAST(x2 AS DECIMAL(38,0))) AS s2,
+           SUM(CAST(x1 AS DECIMAL(38,0)) * CAST(x1 AS DECIMAL(38,0))) AS s11,
+           SUM(CAST(x1 AS DECIMAL(38,0)) * CAST(x2 AS DECIMAL(38,0))) AS s12,
+           SUM(CAST(x2 AS DECIMAL(38,0)) * CAST(x2 AS DECIMAL(38,0))) AS s22,
+           SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+           SUM(CAST(x1 AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS s1y,
+           SUM(CAST(x2 AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS s2y
+    FROM feats GROUP BY fold
+), tot AS (
+    SELECT SUM(n) AS n, SUM(s1) AS s1, SUM(s2) AS s2, SUM(s11) AS s11,
+           SUM(s12) AS s12, SUM(s22) AS s22, SUM(sy) AS sy,
+           SUM(s1y) AS s1y, SUM(s2y) AS s2y
+    FROM partial
+), train AS (
+    SELECT p.fold,
+           CAST(t.n - p.n AS DOUBLE) AS n,
+           CAST(t.s1 - p.s1 AS DOUBLE) AS s1,
+           CAST(t.s2 - p.s2 AS DOUBLE) AS s2,
+           CAST(t.s11 - p.s11 AS DOUBLE) AS s11,
+           CAST(t.s12 - p.s12 AS DOUBLE) AS s12,
+           CAST(t.s22 - p.s22 AS DOUBLE) AS s22,
+           CAST(t.sy - p.sy AS DOUBLE) AS sy,
+           CAST(t.s1y - p.s1y AS DOUBLE) AS s1y,
+           CAST(t.s2y - p.s2y AS DOUBLE) AS s2y
+    FROM partial p CROSS JOIN tot t
+), beta AS (
+    SELECT fold, CAST(n AS BIGINT) AS n_train,
+           (sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y))
+               / (n * (s11 * s22 - s12 * s12)
+                  - s1 * (s1 * s22 - s12 * s2)
+                  + s2 * (s1 * s12 - s11 * s2)) AS b0,
+           (n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2))
+               / (n * (s11 * s22 - s12 * s12)
+                  - s1 * (s1 * s22 - s12 * s2)
+                  + s2 * (s1 * s12 - s11 * s2)) AS b1,
+           (n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2))
+               / (n * (s11 * s22 - s12 * s12)
+                  - s1 * (s1 * s22 - s12 * s2)
+                  + s2 * (s1 * s12 - s11 * s2)) AS b2
+    FROM train
+), resid AS (
+    SELECT f.fold, b.n_train, b.b0, b.b1, b.b2,
+           CAST(ROUND(((CAST(f.y AS DOUBLE)
+                        - b.b0 - b.b1 * CAST(f.x1 AS DOUBLE)
+                        - b.b2 * CAST(f.x2 AS DOUBLE)) / 100)
+                      * ((CAST(f.y AS DOUBLE)
+                          - b.b0 - b.b1 * CAST(f.x1 AS DOUBLE)
+                          - b.b2 * CAST(f.x2 AS DOUBLE)) / 100),
+                      6) AS DECIMAL(38,6)) AS sq
+    FROM feats f JOIN beta b ON f.fold = b.fold
+)
+SELECT fold, CAST(MAX(n_train) AS BIGINT) AS n_train,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       MAX(b0) AS b0, MAX(b1) AS b1, MAX(b2) AS b2,
+       CAST(SUM(sq) AS DOUBLE) / COUNT(*) AS test_mse
+FROM resid GROUP BY fold
+"""
+
+
+@query("ml_kfold_cv_ols", oracle=_KFOLD_OLS_SQL)
+def ml_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated OLS in ONE distributed pass: per-fold
+    training sums come from EXACT decimal subtraction (corpus totals −
+    the fold's partials, so five models cost one aggregation, not five
+    scans), each fold's coefficients solve the 3×3 normal equations in
+    closed form (the ml_ols_normal_equations Cramer formula), and the
+    held-out MSE is scored on exactly the rows the model never saw —
+    the generalization evidence ml_ols_normal_equations' in-sample R²
+    cannot give (the text_bigram_holdout_surprisal discipline applied
+    to the regression tier).
+
+    Exactness: all ten power sums are DECIMAL(38,0)-exact and
+    subtract exactly; coefficients are one shared double formula
+    (+,-,*,/ only); each held-out squared residual (dollar units) is
+    rounded to DECIMAL(38,6) before the cross-row sum, so no double is
+    ever summed (the chi-square discipline).
+
+    Scale: one fact-sized per-order fold + one 5-row partial table;
+    the leave-one-fold-out trick makes k-fold COST-FREE in passes (any
+    k is the same single aggregation); the scoring join broadcasts 5
+    coefficient rows back onto the fact.  The 5×1 partial×total join
+    is the q11 scalar pattern."""
+    register_views(spark, sf_dir)
+    return spark.sql(_KFOLD_OLS_SQL)

@@ -649,3 +649,22 @@ def test_gap_sensitivity_monotone_in_tau(spark):
         assert a.n_sessions >= b.n_sessions
     for r in rows:
         assert r.sessions_per_user_bp >= 10_000  # >= 1 session per user
+
+
+def test_kfold_cv_folds_partition_and_generalize(spark):
+    """Folds must partition the orders (train+test = total per fold, same
+    total everywhere), coefficients must stay near the full-data OLS fit
+    (cents vs dollars scaling), and held-out MSE must be positive."""
+    qs = engine.all_queries()
+    rows = qs["ml_kfold_cv_ols"](spark, SF_DIR).collect()
+    assert sorted(r.fold for r in rows) == [0, 1, 2, 3, 4]
+    totals = {r.n_train + r.n_test for r in rows}
+    assert len(totals) == 1
+    full = qs["ml_ols_normal_equations"](spark, SF_DIR).collect()[0]
+    for r in rows:
+        assert r.test_mse > 0
+        # x1 (line count) and x2 (total qty) are collinear, so individual
+        # coefficients legitimately swing across folds — pin sign and a
+        # wide band on each, which still catches a units or fold bug
+        assert r.b1 * full.b1 > 0 and r.b2 * full.b2 > 0
+        assert abs(r.b2 - full.b2) < 0.6 * abs(full.b2)
