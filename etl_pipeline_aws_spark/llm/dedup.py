@@ -1488,3 +1488,58 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_lsh_banding_planner — (bands, rows) S-curve design table
+# --------------------------------------------------------------------------
+
+LSH_PLANNER_CONFIGS = ((2, 8), (4, 4), (8, 2), (16, 1), (8, 4), (16, 2))
+
+_LSH_PLANNER_ORACLE = f"""
+    WITH cfg(b, r) AS (
+        VALUES {", ".join(f"({b}, {r})" for b, r in LSH_PLANNER_CONFIGS)}
+    ), j(j_x10) AS (
+        SELECT unnest(range(1, 10))
+    )
+    SELECT CAST(b AS INT) AS b, CAST(r AS INT) AS r,
+           CAST(b * r AS INT) AS signature_size,
+           CAST(j_x10 AS INT) AS j_x10,
+           CAST(FLOOR((1 - POW(1 - POW(j_x10 / 10.0, r), b)) * 1000000)
+                AS BIGINT) AS p_detect_ppm
+    FROM cfg, j
+"""
+
+
+@query("dedup_lsh_banding_planner", oracle=_LSH_PLANNER_ORACLE)
+def dedup_lsh_banding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH BANDING PLANNER: the S-curve P(candidate | jaccard) =
+    1 − (1 − j^r)^b tabulated for every (bands, rows-per-band) config a
+    team would consider, at Jaccard 0.1..0.9 — the design table that
+    turns "pick b and r" from folklore into a read-off (the engine's
+    own production choice, {4}×{4} in dedup_minhash_lsh, shows its
+    knee at j≈0.5 = JACCARD_THRESHOLD; a (16,1) row shows why
+    single-row bands flood the verifier with low-j candidates).
+    Companion to dedup_threshold_sensitivity: that op sweeps the
+    verify-side τ on REAL pairs; this plans the generate-side hash
+    budget before any data is touched.
+
+    Determinism: the fan is a VALUES table (zero scan); each row takes
+    two POWs of exact rationals and is immediately floor-scaled to ppm
+    (the libm-boundary argument of the LN family — a last-ulp pow
+    difference cannot move a ppm floor except on a measure-zero tie).
+
+    Scale: scale-free by construction — |configs|×9 rows regardless of
+    corpus; it runs before the corpus is even mounted."""
+    cfg_rows = ", ".join(f"({b}, {r})" for b, r in LSH_PLANNER_CONFIGS)
+    return spark.sql(
+        f"""
+        SELECT CAST(b AS INT) AS b, CAST(r AS INT) AS r,
+               CAST(b * r AS INT) AS signature_size,
+               CAST(j_x10 AS INT) AS j_x10,
+               CAST(FLOOR((1 - POW(1 - POW(j_x10 / 10.0, r), b)) * 1000000)
+                    AS BIGINT) AS p_detect_ppm
+        FROM (VALUES {cfg_rows}) AS cfg(b, r)
+        LATERAL VIEW explode(sequence(1, 9)) AS j_x10
+        """
+    )

@@ -668,3 +668,23 @@ def test_kfold_cv_folds_partition_and_generalize(spark):
         # wide band on each, which still catches a units or fold bug
         assert r.b1 * full.b1 > 0 and r.b2 * full.b2 > 0
         assert abs(r.b2 - full.b2) < 0.6 * abs(full.b2)
+
+
+def test_lsh_planner_scurve_properties(spark):
+    """The S-curve must be monotone in j for every config, higher r must
+    sharpen (lower detect at low j for same signature budget), and the
+    production (4,4) config must show its knee near j=0.5."""
+    rows = engine.all_queries()["dedup_lsh_banding_planner"](spark, SF_DIR).collect()
+    assert len(rows) == 6 * 9
+    by_cfg = {}
+    for r in rows:
+        by_cfg.setdefault((r.b, r.r), {})[r.j_x10] = r.p_detect_ppm
+        assert r.signature_size == r.b * r.r
+        assert 0 <= r.p_detect_ppm <= 1_000_000
+    for cfg, curve in by_cfg.items():
+        vals = [curve[j] for j in range(1, 10)]
+        assert vals == sorted(vals)  # monotone in j
+    # sharper banding: at j=0.2, 16 single-row bands fire far more than 2x8
+    assert by_cfg[(16, 1)][2] > by_cfg[(2, 8)][2] * 100
+    # production (4,4): knee property around the 0.5 threshold
+    assert by_cfg[(4, 4)][3] < 250_000 < 600_000 < by_cfg[(4, 4)][7]
