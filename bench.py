@@ -56,6 +56,11 @@ HEADLINE = [
     # multi-branch plan) and the fixed lakehouse dual-layout read
     "pipeline_curation_screens_e2e",
     "lakehouse_partition_evolution",
+    # round-7 session-2 flagship surface: frozen-LM data selection (DSIR)
+    # and the Markov removal-effect attribution (journey windows + bounded
+    # matrix math) — both ~2.5 s at sf0.1 in the 10× probe
+    "corpus_dsir_importance_weights",
+    "events_attribution_markov_removal",
 ]
 
 
