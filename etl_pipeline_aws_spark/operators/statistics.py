@@ -1691,3 +1691,271 @@ def stat_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite — the convention matching the G-test's 0·ln(0)=0 limit."""
     register_views(spark, sf_dir)
     return spark.sql(_GTEST_SQL)
+
+
+def _mann_kendall_sql(unnest_expr: str) -> str:
+    """Shared Mann-Kendall text; per-dialect index generator (the
+    Theil-Sen/Kendall pair-generation rewrite: predecessor indexes are
+    EXPLODED then equi-joined, never inequality-joined)."""
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+    FROM events GROUP BY CAST(ts AS DATE)
+), idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS i, x,
+           CAST(COUNT(*) OVER (PARTITION BY x) AS BIGINT) AS t,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM daily
+), folds AS (
+    SELECT MAX(n) AS n,
+           CAST(SUM((t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+    FROM idx
+), lefts AS (
+    SELECT i AS j, x AS xj, {unnest_expr} AS i_left
+    FROM idx WHERE i > 0
+), pairs AS (
+    SELECT CASE WHEN l.xj > r.x THEN 1
+                WHEN l.xj < r.x THEN -1 ELSE 0 END AS sgn
+    FROM lefts l JOIN idx r ON l.i_left = r.i
+), sfold AS (
+    SELECT CAST(SUM(sgn) AS BIGINT) AS s FROM pairs
+)
+SELECT n AS n_days,
+       s AS s_stat,
+       CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18e0 AS var_s,
+       CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                 / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18e0)
+            WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                 / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18e0)
+            ELSE 0e0 END AS z_mk
+FROM sfold, folds
+"""
+
+
+_MK_ORACLE = _mann_kendall_sql("unnest(range(0, i))")
+_MK_SPARK = _mann_kendall_sql("explode(sequence(CAST(0 AS BIGINT), i - 1))")
+
+
+@query("stat_mann_kendall_trend", oracle=_MK_ORACLE)
+def stat_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend TEST on the daily event-value series — the
+    significance companion to events_theil_sen_trend over the same
+    daily parents: Theil-Sen answers "how steep?", MK answers "is the
+    monotone trend real?" via S = Σ_{{i<j}} sign(x_j − x_i), its
+    tie-corrected variance n(n−1)(2n+5)/18 − Σ t(t−1)(2t+5)/18, and the
+    continuity-corrected normal score — the standard nonparametric
+    trend gate in monitoring/ops dashboards (no distribution assumed,
+    robust to the outlier days that flip an OLS slope's sign).
+
+    Determinism: daily totals fold to exact BIGINT cents; every pair
+    contributes an integer sign (no float enters the comparison); the
+    tie term rides per-ROW as (t−1)(2t+5) so the row sum equals the
+    textbook per-group Σ t(t−1)(2t+5) without a second grouped pass;
+    z is ONE shared closing IEEE formula over exact integers.
+
+    Scale: pair enumeration is the Theil-Sen explode+equi-join rewrite —
+    O(days²) pairs from a days-sized frame (calendar-bounded, never
+    fact-bounded), hash-joined, folded map-side to 1 row; the two
+    1-row folds meet in a scale-free 1×1 join (allowlisted).  The only
+    fact-sized stage is the daily groupBy."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MK_SPARK)
+
+
+# Deming (orthogonal, delta=1) regression of monthly revenue-cents on
+# monthly order count: all five power sums are exact DECIMAL(38,0) folds
+# (operands cast to DECIMAL(19,0) BEFORE multiplying so no BIGINT overflow),
+# and the closed-form slope/intercept is one shared IEEE expression.
+_DEMING_SQL = """
+WITH monthly AS (
+    SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+           CAST(COUNT(*) AS BIGINT) AS x,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+    FROM orders
+    GROUP BY CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE)
+), sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                AS DOUBLE) AS syy,
+           CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                AS DOUBLE) AS sxy
+    FROM monthly
+), cent AS (
+    SELECT n, sx, sy,
+           CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx,
+           CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy,
+           CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy
+    FROM sums
+)
+SELECT n AS n_months,
+       (cyy - cxx + SQRT((cyy - cxx) * (cyy - cxx) + 4e0 * cxy * cxy))
+           / (2e0 * cxy) AS deming_slope,
+       (CAST(sy AS DOUBLE)
+        - ((cyy - cxx + SQRT((cyy - cxx) * (cyy - cxx) + 4e0 * cxy * cxy))
+           / (2e0 * cxy)) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS deming_intercept
+FROM cent
+"""
+
+
+@query("stat_deming_regression", oracle=_DEMING_SQL)
+def stat_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deming (errors-in-both-variables, delta=1 orthogonal) regression
+    of monthly revenue cents on monthly order volume — the
+    measurement-error-honest sibling of ml_ols_normal_equations: OLS
+    assumes x is noiseless and attenuates the slope toward 0 when it
+    is not (both series here are sampled counts/sums); Deming
+    minimizes PERPENDICULAR distance, giving the slope
+    (S_yy−S_xx+sqrt((S_yy−S_xx)²+4S_xy²))/(2S_xy) — the closed-form
+    eigenvector of the 2×2 covariance, and the method-comparison
+    standard (clinical chemistry, sensor cross-calibration).
+
+    Determinism: x is an exact count, y an exact decimal-cents BIGINT;
+    power sums go through DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0)
+    (cast BEFORE multiply — cents² would overflow BIGINT) so both
+    engines fold identical exact decimals; centered moments and the
+    closed form are ONE shared IEEE expression tree (+,*,/,sqrt are
+    bit-specified on equal operands).
+
+    Scale: one fact-sized monthly reduction, then a 1-row fold — the
+    whole regression is two map-side-combinable aggregations; the
+    slope is invariant to the n-scaling of centered moments, so no
+    division order ambiguity exists between engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DEMING_SQL)
+
+
+def _nelson_aalen_sql(day_idx: str, idiv: str) -> str:
+    """Shared Nelson-Aalen text; per-dialect epoch-day spelling and
+    integer division (same split as the Kaplan-Meier twin)."""
+    return f"""
+WITH per_user AS (
+    SELECT user_id,
+           MIN({day_idx}) AS fd,
+           MAX({day_idx}) AS ld
+    FROM events GROUP BY user_id
+), spans AS (
+    SELECT ld - fd AS dur, ld, MAX(ld) OVER () AS maxld FROM per_user
+), marked AS (
+    SELECT dur, CASE WHEN ld > maxld - 7 THEN 1 ELSE 0 END AS censored
+    FROM spans
+), steps AS (
+    SELECT dur AS t,
+           CAST(SUM(1 - censored) AS BIGINT) AS d,
+           CAST(SUM(censored) AS BIGINT) AS c,
+           CAST(COUNT(*) AS BIGINT) AS leaving
+    FROM marked GROUP BY dur
+), risk AS (
+    SELECT t, d, c,
+           CAST(SUM(leaving) OVER (ORDER BY t DESC ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+    FROM steps
+)
+SELECT t AS duration_days, n_risk, d AS n_deaths, c AS n_censored,
+       CAST(SUM((d * 1000000000) {idiv} n_risk) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_hazard_e9
+FROM risk
+"""
+
+
+_NA_ORACLE = _nelson_aalen_sql(
+    "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))", "//"
+)
+_NA_SPARK = _nelson_aalen_sql("UNIX_DATE(CAST(ts AS DATE))", "DIV")
+
+
+@query("stat_nelson_aalen", oracle=_NA_ORACLE)
+def stat_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the SAME
+    user-lifetime spans as stat_kaplan_meier: H(t) = Σ_{{t_i≤t}} d_i/n_i
+    — the additive-increments twin of KM's multiplicative survival
+    (exp(−H) ≈ S), preferred when hazard INCREMENTS are the decision
+    quantity (burn-in vs wear-out shape, competing-risk building block)
+    and the variance story is simpler.  Censoring rule shared with KM:
+    users last seen within 7 days of the observation edge are censored,
+    not churned.
+
+    Determinism: each increment is floor-scaled integer nano-units
+    (d·10⁹ DIV n_risk — exact integer division, both dialects), and the
+    cumulative sum is an INTEGER window fold — no float is ever summed,
+    so no recursion is needed at all (the additive form's practical
+    advantage over KM's product, which forced a recursive CTE).
+
+    Scale: one fact-sized per-user reduction; everything after runs on
+    the |distinct durations| step table through ordered windows.  The
+    reverse-cumulative risk-set trick avoids any self-join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_NA_SPARK)
+
+
+# TOST equivalence: margin = 5% of the pooled mean (an exact-rational
+# anchor), Welch SE from exact decimal power sums, both one-sided t
+# statistics from ONE shared closing expression.
+_TOST_SQL = """
+WITH folds AS (
+    SELECT
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS s1,
+        CAST(SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS s2,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) END)
+             AS DOUBLE) AS q1,
+        CAST(SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) END)
+             AS DOUBLE) AS q2
+    FROM events WHERE event_type IN ('click', 'view')
+), stats AS (
+    SELECT n1, n2,
+           s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE) AS diff,
+           (s1 + s2) / CAST(n1 + n2 AS DOUBLE) * 5e-2 AS eps,
+           SQRT(
+             (q1 - s1 * s1 / CAST(n1 AS DOUBLE))
+                 / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             + (q2 - s2 * s2 / CAST(n2 AS DOUBLE))
+                 / CAST(n2 - 1 AS DOUBLE) / CAST(n2 AS DOUBLE)
+           ) AS se
+    FROM folds
+)
+SELECT n1, n2, diff AS mean_diff, eps AS margin, se AS welch_se,
+       (diff + eps) / se AS t_lower,
+       (eps - diff) / se AS t_upper,
+       CASE WHEN (diff + eps) / se > 1.6449e0
+             AND (eps - diff) / se > 1.6449e0
+            THEN 1 ELSE 0 END AS equivalent
+FROM stats
+"""
+
+
+@query("stat_tost_equivalence", oracle=_TOST_SQL)
+def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST (two one-sided tests) EQUIVALENCE test on click-vs-view
+    event value — the inverse question of stat_welch_ttest: a
+    non-significant t-test never PROVES sameness (absence of evidence),
+    so launch gates that need "the metric did NOT move more than ±5%"
+    run TOST — both one-sided Welch t statistics against the ±ε margin
+    must clear the 5% critical value 1.6449 for the equivalence claim.
+
+    Margin convention: ε = 5% of the pooled mean, an exact-rational
+    anchor computed from the same fold (documented; production passes
+    the contract margin as a literal).
+
+    Determinism: both groups fold in ONE conditional aggregation —
+    exact decimal sums and decimal-product sums of squares (cast before
+    multiply), so the Welch SE and both t statistics are a single
+    shared IEEE closing expression over exact operands; the verdict is
+    an integer flag from double compares of identical values.
+
+    Scale: one partial-aggregated fact pass to a 1-row fold; no join,
+    no window, no second pass — the cheapest possible two-sample
+    reduction shape."""
+    register_views(spark, sf_dir)
+    return spark.sql(_TOST_SQL)

@@ -131,6 +131,7 @@ ALLOWED_CARTESIAN = {
     # the docstring documents the month-bucket swap for longer spines
     "embedding_cka_quantization",  # 1×1×1 join of the three global folds (scale-free)
     "ml_kfold_cv_ols",  # 5×1 join of the fold partials with the totals row (scale-free)
+    "stat_mann_kendall_trend",  # 1×1 join of the pair-sign fold and the tie fold (scale-free)
 }
 ALLOWED_NESTED_LOOP = {
     "q22_sales_opportunity",  # single-row scalar-subquery broadcast (scale-free)

@@ -704,3 +704,77 @@ def test_shapley_attribution_axioms(spark):
     assert 0 < total <= 1.0 + 1e-9
     for r in rows:
         assert -1.0 <= r.shapley_value <= 1.0
+
+
+def test_mann_kendall_statistic_bounds_and_tie_variance(spark):
+    """|S| is bounded by the pair count, the tie-corrected variance is
+    positive and no larger than the tie-free n(n-1)(2n+5)/18, and the
+    continuity-corrected z carries S's sign."""
+    r = engine.all_queries()["stat_mann_kendall_trend"](spark, SF_DIR).collect()[0]
+    n = r.n_days
+    assert abs(r.s_stat) <= n * (n - 1) // 2
+    assert 0 < r.var_s <= n * (n - 1) * (2 * n + 5) / 18.0
+    if r.s_stat > 0:
+        assert r.z_mk > 0
+    elif r.s_stat < 0:
+        assert r.z_mk < 0
+    else:
+        assert r.z_mk == 0.0
+
+
+def test_deming_slope_corrects_ols_attenuation(spark):
+    """Orthogonal regression must sit at or above the OLS slope in
+    magnitude when the association is positive (OLS attenuates under
+    x-noise): recompute the OLS slope from the same monthly reduction
+    and compare."""
+    import duckdb
+
+    r = engine.all_queries()["stat_deming_regression"](spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    ols = con.sql(f"""
+        WITH monthly AS (
+            SELECT DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS m,
+                   COUNT(*) AS x,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+            FROM read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1
+        )
+        SELECT (COUNT(*) * SUM(CAST(x AS DOUBLE) * y) - SUM(x) * SUM(CAST(y AS DOUBLE)))
+               / (COUNT(*) * SUM(CAST(x AS DOUBLE) * x) - SUM(x) * SUM(CAST(x AS DOUBLE)))
+        FROM monthly
+    """).fetchone()[0]
+    assert r.deming_slope > 0 and ols > 0
+    assert r.deming_slope >= ols - 1e-9
+    assert r.n_months > 24
+
+
+def test_nelson_aalen_monotone_and_bounds_km(spark):
+    """H(t) is nondecreasing, the risk set strictly shrinks down the
+    step table, and exp(-H) lower-bounds the KM survival at every step
+    (the classical Nelson-Aalen/Kaplan-Meier inequality S_KM >= e^-H)."""
+    import math
+
+    na = engine.all_queries()["stat_nelson_aalen"](spark, SF_DIR).collect()
+    km = {
+        r.duration_days: r.survival_e9
+        for r in engine.all_queries()["stat_kaplan_meier"](spark, SF_DIR).collect()
+    }
+    na = sorted(na, key=lambda r: r.duration_days)
+    prev_h, prev_risk = -1, None
+    for r in na:
+        assert r.cum_hazard_e9 >= prev_h
+        prev_h = r.cum_hazard_e9
+        if prev_risk is not None:
+            assert r.n_risk < prev_risk
+        prev_risk = r.n_risk
+        s_km = km[r.duration_days] / 1e9
+        # floor-scaled integers undershoot true H by < #steps ulps; the
+        # classical inequality S_KM >= exp(-H) then holds with slack
+        assert s_km >= math.exp(-r.cum_hazard_e9 / 1e9) - 1e-6
+
+
+def test_tost_verdict_consistent_with_t_stats(spark):
+    r = engine.all_queries()["stat_tost_equivalence"](spark, SF_DIR).collect()[0]
+    assert r.welch_se > 0 and r.margin > 0
+    assert abs((r.t_lower - r.t_upper) * r.welch_se - 2 * r.mean_diff) < 1e-9
+    expected = 1 if (r.t_lower > 1.6449 and r.t_upper > 1.6449) else 0
+    assert r.equivalent == expected
