@@ -5633,3 +5633,209 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collect, no window wider than the user partition."""
     register_views(spark, sf_dir)
     return spark.sql(_shapley_sql())
+
+
+# --------------------------------------------------------------------------
+# events_entropy_rate — Markov journey predictability
+# --------------------------------------------------------------------------
+
+
+def _entropy_rate_sql(idiv: str) -> str:
+    """Shared entropy-rate text; integer-division spelling per dialect."""
+    return f"""
+WITH trans AS (
+    SELECT prev_t AS s, event_type AS t
+    FROM (
+        SELECT event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_t
+        FROM events
+    ) x WHERE prev_t IS NOT NULL
+), cells AS (
+    SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c FROM trans GROUP BY s, t
+), marg AS (
+    SELECT s, t, c,
+           CAST(SUM(c) OVER (PARTITION BY s) AS BIGINT) AS cs,
+           CAST(SUM(c) OVER () AS BIGINT) AS total
+    FROM cells
+), terms AS (
+    SELECT s, cs, total,
+           CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE))
+                * LOG2(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE))
+                * 1000000000e0) AS BIGINT) AS term_e9
+    FROM marg
+), per_state AS (
+    SELECT s, MAX(cs) AS cs, MAX(total) AS total,
+           CAST(SUM(term_e9) AS BIGINT) AS h_e9
+    FROM terms GROUP BY s
+)
+SELECT s AS state,
+       CAST(cs * 1000000 {idiv} total AS BIGINT) AS pi_ppm,
+       h_e9 AS h_state_e9,
+       CAST(SUM(cs * h_e9) OVER () {idiv} MAX(total) OVER () AS BIGINT)
+           AS entropy_rate_e9
+FROM per_state
+"""
+
+
+_ENTROPY_ORACLE = _entropy_rate_sql("//")
+_ENTROPY_SPARK = _entropy_rate_sql("DIV")
+
+
+@query("events_entropy_rate", oracle=_ENTROPY_ORACLE)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the user-journey Markov chain — the
+    one-number predictability of navigation that
+    events_transition_matrix tabulates: H = Σ_s π(s) H(next | s) in
+    floor-scaled nano-bits, with π the empirical source-state mass and
+    H(next|s) the per-state conditional entropy.  Low rate = journeys
+    are deterministic (prefetchable, cacheable, compressible session
+    logs); rate near log2(|states|) = navigation is noise — the metric
+    behind "how compressible is this clickstream" and the information-
+    theoretic ceiling on next-event predictors.
+
+    Determinism: transition cells are exact BIGINTs from ONE lag
+    window; each −p·log2(p) term is floor-scaled to integer nano-bits
+    BEFORE summation (the curation-family LN convention: one libm call
+    per bounded CELL on an exact rational, never a float sum), so every
+    downstream fold is exact integer arithmetic in both engines.
+
+    Scale: the lag window shuffles once on user_id (journeys are
+    per-user sequences); cells collapse to |types|² ≤ 25 rows and every
+    later window runs on that catalog-bounded frame.  No join
+    anywhere."""
+    register_views(spark, sf_dir)
+    return spark.sql(_ENTROPY_SPARK)
+
+
+# --------------------------------------------------------------------------
+# orders_abc_xyz_classification — inventory policy matrix
+# --------------------------------------------------------------------------
+
+
+def _abc_xyz_sql() -> str:
+    """Shared-dialect ABC-XYZ text (integer-compare fences, no division
+    until the final ppm shares)."""
+    return """
+WITH pm AS (
+    SELECT l_partkey AS pk,
+           CAST(DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS DATE) AS m,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qc,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT)
+               AS rev_tm
+    FROM lineitem
+    GROUP BY l_partkey, CAST(DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS DATE)
+), horizon AS (
+    SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS n_months FROM pm
+), per_part AS (
+    SELECT pk,
+           CAST(SUM(rev_tm) AS BIGINT) AS rev,
+           CAST(SUM(qc) AS BIGINT) AS s,
+           CAST(SUM(qc * qc) AS BIGINT) AS q
+    FROM pm GROUP BY pk
+), ranked AS (
+    SELECT pk, rev, s, q,
+           SUM(rev) OVER (ORDER BY rev DESC, pk
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev,
+           SUM(rev) OVER () AS total_rev
+    FROM per_part
+), classed AS (
+    SELECT CASE WHEN cum_rev * 100 <= total_rev * 80 THEN 'A'
+                WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CASE WHEN 4 * (h.n_months * q - s * s) <= s * s THEN 'X'
+                WHEN h.n_months * q - s * s <= s * s THEN 'Y'
+                ELSE 'Z' END AS xyz_class,
+           rev, total_rev
+    FROM ranked, horizon h
+)
+SELECT abc_class, xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS DOUBLE) * 1000000e0 / CAST(MAX(total_rev) AS DOUBLE)
+           AS rev_share_ppm
+FROM classed
+GROUP BY abc_class, xyz_class
+"""
+
+
+@query("orders_abc_xyz_classification", oracle=_abc_xyz_sql())
+def orders_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory policy matrix — the planning grid that crosses
+    parts_abc_classification's revenue ranking (A/B/C by cumulative
+    80%/95% revenue share) with demand VARIABILITY classes (X/Y/Z by
+    the coefficient of variation of monthly demand at cv fences
+    0.5/1.0): AX parts get just-in-time automation, CZ parts get
+    manual make-to-order — the standard S&OP segmentation that neither
+    ranking alone supports.
+
+    Determinism: every fence is an INTEGER compare — cumulative-share
+    ppm against 80/95 of the exact total, and the cv fences via the
+    algebraic rewrite cv² = (M·Q − S²)/S² so X ⟺ 4(MQ−S²) ≤ S² and
+    Y ⟺ MQ−S² ≤ S² over exact cent-scaled BIGINTs (months without
+    sales count as zero demand periods through the fixed M horizon —
+    the documented XYZ convention); no float touches any boundary.
+
+    Scale: one fact-sized (part, month) reduction, one part-level fold,
+    one part-keyed ranked window (|parts| rows), and a 1-row horizon
+    fold broadcast onto it (q11 pattern, allowlisted); output is the
+    bounded 3×3 grid."""
+    register_views(spark, sf_dir)
+    return spark.sql(_abc_xyz_sql())
+
+
+# --------------------------------------------------------------------------
+# orders_receivable_aging — open-order aging buckets at the snapshot edge
+# --------------------------------------------------------------------------
+
+
+def _aging_sql(day_idx_o: str) -> str:
+    """Shared aging-report text; epoch-day spelling per dialect."""
+    return f"""
+WITH anchor AS (
+    SELECT MAX({day_idx_o}) AS snap FROM orders
+), aged AS (
+    SELECT CASE WHEN a.snap - {day_idx_o} <= 30 THEN '0-030'
+                WHEN a.snap - {day_idx_o} <= 60 THEN '031-060'
+                WHEN a.snap - {day_idx_o} <= 90 THEN '061-090'
+                ELSE '091+' END AS age_bucket,
+           o_totalprice
+    FROM orders, anchor a
+    WHERE o_orderstatus = 'O'
+)
+SELECT age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_open_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_value
+FROM aged
+GROUP BY age_bucket
+"""
+
+
+_AGING_ORACLE = _aging_sql(
+    "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+)
+_AGING_SPARK = _aging_sql("UNIX_DATE(CAST(o_orderdate AS DATE))")
+
+
+@query("orders_receivable_aging", oracle=_AGING_ORACLE)
+def orders_receivable_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Receivable/backlog AGING report: open ('O'-status) orders
+    bucketed by days outstanding at the snapshot edge (the max order
+    date — production passes the close date) into the canonical
+    0-30/31-60/61-90/91+ ledger bands, with count and exact open value
+    per band — the finance twin of orders_backlog_curve: the curve
+    shows WHEN backlog accumulated, the aging report shows how STALE
+    what remains is (DSO inputs, write-off risk tiers).
+
+    Determinism: ages are integer epoch-day differences against a
+    1-row exact MAX anchor; bucket fences are integer compares; values
+    are exact decimal sums surfaced once as double.  Bucket labels are
+    zero-padded so lexical sort equals age order.
+
+    Scale: ONE fact pass — the anchor is a 1-row fold broadcast onto
+    the scan (the ml_linear_scoring q11 pattern, allowlisted), then a
+    map-side-combinable groupBy to 4 rows.  No window over the fact,
+    no join beyond the scalar broadcast."""
+    register_views(spark, sf_dir)
+    return spark.sql(_AGING_SPARK)

@@ -1517,3 +1517,75 @@ def graph_ktruss_support_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return support.groupBy("n_tri").agg(
         F.count(F.lit(1)).cast("long").alias("n_edges")
     ).select((F.col("n_tri") + 2).alias("truss_tier"), "n_edges")
+
+
+# --------------------------------------------------------------------------
+# graph_rich_club_coefficient — hub-interconnection density curve
+# --------------------------------------------------------------------------
+
+_RICH_CLUB_KS = (2, 4, 8, 16, 32)
+
+
+def _rich_club_sql() -> str:
+    """Generated shared-dialect SQL: per-k conditional sums over the node
+    and edge frames (no k-fan join at all), then one literal row per k."""
+    nsums = ", ".join(
+        f"CAST(SUM(CASE WHEN deg > {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_{k}"
+        for k in _RICH_CLUB_KS
+    )
+    esums = ", ".join(
+        f"CAST(SUM(CASE WHEN du.deg > {k} AND dv.deg > {k} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS e_{k}"
+        for k in _RICH_CLUB_KS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {k} AS k, n_{k} AS n_rich, e_{k} AS e_rich,"
+        f" CASE WHEN n_{k} > 1 THEN CAST(e_{k} AS DOUBLE) * 2e0"
+        f" / (CAST(n_{k} AS DOUBLE) * CAST(n_{k} - 1 AS DOUBLE))"
+        f" ELSE NULL END AS phi FROM nfold, efold"
+        for k in _RICH_CLUB_KS
+    )
+    return (
+        _GRAPH_EDGE_CTE
+        + f"""
+, nfold AS (
+    SELECT {nsums} FROM deg
+), efold AS (
+    SELECT {esums}
+    FROM pairs e
+    JOIN deg du ON e.pa = du.node
+    JOIN deg dv ON e.pb = dv.node
+)
+{rows}
+"""
+    )
+
+
+@query("graph_rich_club_coefficient", oracle=_rich_club_sql())
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve phi(k) of the supported part
+    co-occurrence graph: among nodes of degree > k, the realized
+    fraction of possible edges — rising phi(k) means hubs form a
+    densely wired club (the Internet-AS shape; one hot executor's
+    neighborhood touches every other hot key), flat/falling means hubs
+    are independent spokes.  The EDGE-level sibling of
+    graph_degree_assortativity: assortativity summarizes hub-hub
+    affinity in one correlation, the rich-club curve shows WHERE in the
+    degree hierarchy the wiring concentrates (Zhou & Mondragón 2004;
+    Colizza et al. 2006 — uncorrected variant, documented).
+
+    Determinism: degrees and club edge counts are exact BIGINTs folded
+    once per k THRESHOLD as conditional sums (the k fan exists only as
+    literal CASE columns — no k-join, no explode); phi is one double
+    division of exact counts; k with fewer than 2 club members yields
+    NULL, the curve's defined-domain convention.
+
+    Scale: same support-pruned edge build as the PageRank family
+    (bounded <=7-line-order self-join), two node-keyed hash joins to
+    attach endpoint degrees, then everything folds map-side to ONE row
+    per frame; the k ladder is catalog-bounded (5 literals).  The 1x1
+    nfold x efold join is scale-free (allowlisted)."""
+    from etl_pipeline_aws_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_rich_club_sql())

