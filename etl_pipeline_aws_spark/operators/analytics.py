@@ -5839,3 +5839,110 @@ def orders_receivable_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     no join beyond the scalar broadcast."""
     register_views(spark, sf_dir)
     return spark.sql(_AGING_SPARK)
+
+
+# --------------------------------------------------------------------------
+# ml_brier_decomposition — reliability / resolution / uncertainty
+# --------------------------------------------------------------------------
+
+
+def _brier_sql(idiv: str) -> str:
+    """Shared Brier-decomposition text; integer division per dialect."""
+    return f"""
+WITH pts AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+    FROM orders
+), per_value AS (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(label) AS BIGINT) AS pos
+    FROM pts GROUP BY v
+), cum AS (
+    SELECT cnt, pos,
+           CAST(2 * SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) - cnt AS BIGINT) AS fnum,
+           CAST(SUM(cnt) OVER () AS BIGINT) AS n
+    FROM per_value
+), binned AS (
+    SELECT CAST((fnum * 10) {idiv} (2 * n) + 1 AS BIGINT) AS bin,
+           CAST(SUM(cnt) AS BIGINT) AS n_k,
+           CAST(SUM(pos) AS BIGINT) AS pos_k,
+           CAST(SUM(cnt * fnum) AS BIGINT) AS fn_k,
+           MAX(n) AS n
+    FROM cum GROUP BY CAST((fnum * 10) {idiv} (2 * n) + 1 AS BIGINT)
+), grand AS (
+    SELECT bin, n_k, pos_k, fn_k, n,
+           CAST(SUM(pos_k) OVER () AS BIGINT) AS p
+    FROM binned
+), terms AS (
+    SELECT n, p,
+           CAST(FLOOR(CAST(n_k AS DOUBLE)
+                * (CAST(pos_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+                   - CAST(fn_k AS DOUBLE) / (2e0 * CAST(n AS DOUBLE)
+                                             * CAST(n_k AS DOUBLE)))
+                * (CAST(pos_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+                   - CAST(fn_k AS DOUBLE) / (2e0 * CAST(n AS DOUBLE)
+                                             * CAST(n_k AS DOUBLE)))
+                / CAST(n AS DOUBLE) * 1000000000000e0) AS BIGINT) AS rel_e12,
+           CAST(FLOOR(CAST(n_k AS DOUBLE)
+                * (CAST(pos_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+                   - CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(pos_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+                   - CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE) * 1000000000000e0) AS BIGINT) AS res_e12,
+           CAST(FLOOR((CAST(pos_k AS DOUBLE)
+                  * (1e0 - CAST(fn_k AS DOUBLE)
+                     / (2e0 * CAST(n AS DOUBLE) * CAST(n_k AS DOUBLE)))
+                  * (1e0 - CAST(fn_k AS DOUBLE)
+                     / (2e0 * CAST(n AS DOUBLE) * CAST(n_k AS DOUBLE)))
+                + CAST(n_k - pos_k AS DOUBLE)
+                  * (CAST(fn_k AS DOUBLE)
+                     / (2e0 * CAST(n AS DOUBLE) * CAST(n_k AS DOUBLE)))
+                  * (CAST(fn_k AS DOUBLE)
+                     / (2e0 * CAST(n AS DOUBLE) * CAST(n_k AS DOUBLE))))
+                / CAST(n AS DOUBLE) * 1000000000000e0) AS BIGINT) AS brier_e12
+    FROM grand
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       MAX(n) AS n,
+       MAX(p) AS n_pos,
+       CAST(SUM(brier_e12) AS BIGINT) AS brier_e12,
+       CAST(SUM(rel_e12) AS BIGINT) AS reliability_e12,
+       CAST(SUM(res_e12) AS BIGINT) AS resolution_e12,
+       CAST(MAX(p) AS DOUBLE) * CAST(MAX(n) - MAX(p) AS DOUBLE)
+           / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)) AS uncertainty
+FROM terms
+"""
+
+
+_BRIER_ORACLE = _brier_sql("//")
+_BRIER_SPARK = _brier_sql("DIV")
+
+
+@query("ml_brier_decomposition", oracle=_BRIER_ORACLE)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — Brier = reliability −
+    resolution + uncertainty — for the shared "order total predicts
+    URGENT" scorer, with the score turned into a probability by its own
+    mid-rank percentile (the rank-calibrated forecast): the eval-family
+    member that says WHY the score is good or bad where stat_auc_roc
+    only ranks (discrimination), ml_calibration_bins only tabulates
+    levels, and ml_confusion_threshold only scores one operating point.
+    Reliability is the calibration penalty (0 = bins mean what they
+    claim), resolution the earned separation between bins, uncertainty
+    the irreducible base-rate entropy p(1−p).
+
+    Determinism: per-distinct-value counts and DOUBLED mid-ranks
+    (fnum = 2·cum − cnt) are exact BIGINTs; decile bins are the integer
+    floor of 10·f — equal-population by construction, no percentile
+    broadcast needed; every bin term is floor-scaled to e-12 units
+    BEFORE the 10-cell sum (the chi-square decimal-term discipline), so
+    the decomposition identity holds to ≤ n_bins ulp-floors and the
+    driver hash is stable.
+
+    Scale: one fact-sized per-value reduction; the ordered window runs
+    over |distinct scores| (bin first at 100 TB cardinalities — the
+    stat_ks_two_sample note applies verbatim); ten-row tail.  No
+    join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BRIER_SPARK)

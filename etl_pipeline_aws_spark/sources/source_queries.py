@@ -1771,3 +1771,100 @@ def layout_partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame
         "table_name string, n_rows long, compressed_bytes long,"
         " recommended_files long",
     )
+
+
+@query(
+    "lakehouse_snapshot_expiry",
+    oracle="""
+    SELECT 'f-001.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT 'f-002.parquet', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderkey % 5 = 1
+    """,
+)
+def lakehouse_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPIRE SNAPSHOTS' discovery half for the manifest-committed zone
+    — the retention maintenance that bounds a lakehouse table's
+    time-travel horizon: data files referenced ONLY by snapshots older
+    than the retention cutoff become deletable; anything reachable from
+    a retained snapshot must survive, INCLUDING old files that later
+    commits still reference (append-only tables expire almost nothing —
+    it is REWRITES that strand files).
+
+    Staged honestly: five commits over the orders fixture — three
+    appends (f-001..f-003, o_orderkey%5 key slices 0..2), a COMPACTION
+    commit v4 that rewrites f-001+f-002 into c-001 (the snapshot now
+    references {c-001, f-003, f-004} — the rewrite is what strands the
+    originals), and an append v5.  Retention keeps the last two
+    snapshots (v4, v5): reachable = union of their manifests; the
+    expirable set is the anti-join of older manifests against it —
+    exactly {f-001, f-002} — reported with per-file row counts (the
+    "what would EXPIRE delete" audit, same contract as
+    pyds_vacuum_orphans' VACUUM half: vacuum removes UNCOMMITTED
+    debris, expiry removes COMMITTED-but-unreachable history).
+
+    The oracle recomputes the stranded files' row counts straight from
+    the fixture slices — certifying that reachability analysis over the
+    manifest metadata identifies precisely the rewritten-away files.
+
+    Scale: manifests are metadata-sized (file lists, not data); the
+    anti-join runs on |files| rows; only the EXPIRED files are ever
+    re-read, and only to audit counts (production logs sizes from the
+    manifest instead — the read here is the test's honesty).  The data
+    path stays untouched: expiry never rewrites live files."""
+    import json
+
+    zone = os.path.join(tempfile.mkdtemp(prefix="lake_expiry_"), "orders_lake")
+    os.makedirs(zone, exist_ok=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+    def stage(name: str, df: DataFrame) -> None:
+        tmp = os.path.join(zone, "_stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part), os.path.join(zone, name))
+        for left in os.listdir(tmp):
+            os.remove(os.path.join(tmp, left))
+        os.rmdir(tmp)
+
+    slices = {i: o.filter(F.col("o_orderkey") % 5 == i) for i in range(4)}
+    stage("f-001.parquet", slices[0])
+    stage("f-002.parquet", slices[1])
+    stage("f-003.parquet", slices[2])
+    stage("c-001.parquet", slices[0].unionAll(slices[1]))  # compaction rewrite
+    stage("f-004.parquet", slices[3])
+    snapshots = [
+        {"version": 1, "files": ["f-001.parquet"]},
+        {"version": 2, "files": ["f-001.parquet", "f-002.parquet"]},
+        {"version": 3, "files": ["f-001.parquet", "f-002.parquet", "f-003.parquet"]},
+        {"version": 4, "files": ["c-001.parquet", "f-003.parquet"]},
+        {"version": 5, "files": ["c-001.parquet", "f-003.parquet", "f-004.parquet"]},
+    ]
+    with open(os.path.join(zone, "snapshots-manifest.jsonl"), "w", encoding="utf-8") as fh:
+        for s in snapshots:
+            fh.write(json.dumps(s) + "\n")
+
+    manifest = spark.read.json(os.path.join(zone, "snapshots-manifest.jsonl"))
+    refs = manifest.select(
+        "version", F.explode("files").alias("file_name")
+    )
+    keep_from = 4  # retention: keep the last 2 snapshots
+    reachable = refs.filter(F.col("version") >= keep_from).select("file_name").distinct()
+    expirable = (
+        refs.filter(F.col("version") < keep_from)
+        .select("file_name")
+        .distinct()
+        .join(F.broadcast(reachable), "file_name", "left_anti")
+    )
+    doomed = [r.file_name for r in expirable.collect()]  # metadata-sized list
+    audited = (
+        spark.read.parquet(*[os.path.join(zone, f) for f in sorted(doomed)])
+        .withColumn(
+            "file_name", F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+        )
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    return audited

@@ -853,3 +853,40 @@ def test_process_capability_relations(spark):
     assert abs(r.usl - 1.2 * r.mu_base) < 1e-9
     assert abs(r.lsl - 0.8 * r.mu_base) < 1e-9
     assert r.n_days >= 28
+
+
+def test_brier_decomposition_identity(spark):
+    """Murphy identity Brier = REL - RES + UNC holds to floor slack;
+    all components nonnegative; uncertainty = p(1-p) <= 0.25."""
+    r = engine.all_queries()["ml_brier_decomposition"](spark, SF_DIR).collect()[0]
+    assert 1 <= r.n_bins <= 10
+    assert r.reliability_e12 >= 0 and r.resolution_e12 >= 0
+    assert 0 < r.uncertainty <= 0.25
+    brier = r.brier_e12 / 1e12
+    ident = r.reliability_e12 / 1e12 - r.resolution_e12 / 1e12 + r.uncertainty
+    # each of the 3*n_bins floored terms undershoots by < 1e-12
+    assert abs(brier - ident) < 3 * r.n_bins * 1e-12 + 1e-9
+    assert 0 < brier < 1
+    base = r.n_pos / r.n
+    assert abs(r.uncertainty - base * (1 - base)) < 1e-12
+
+
+def test_snapshot_expiry_strands_only_rewritten_files(spark):
+    """Exactly the compaction-stranded originals expire; the compacted
+    replacement and every retained-snapshot file survive; audited row
+    counts equal the staged key-slice sizes."""
+    import duckdb
+
+    rows = {
+        r.file_name: r.n_rows
+        for r in engine.all_queries()["lakehouse_snapshot_expiry"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(rows) == {"f-001.parquet", "f-002.parquet"}
+    for fname, mod in (("f-001.parquet", 0), ("f-002.parquet", 1)):
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/orders.parquet')"
+            f" WHERE o_orderkey % 5 = {mod}"
+        ).fetchone()[0]
+        assert rows[fname] == n
