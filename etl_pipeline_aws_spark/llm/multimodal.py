@@ -2277,3 +2277,218 @@ def multimodal_image_psnr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and touches candidate images only."""
     register_views(spark, sf_dir)
     return spark.sql(_PSNR_SPARK)
+
+
+# --------------------------------------------------------------------------
+# multimodal_image_sharpness — Laplacian-variance blur QC
+# --------------------------------------------------------------------------
+
+SHARPNESS_VAR_MIN = 100.0  # Laplacian variance below this = blurry
+
+
+@query(
+    "multimodal_image_sharpness",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, text,
+               len(text) // 3 AS n_px,
+               unnest(range(0, len(text) // 3)) AS i
+        FROM documents
+        WHERE len(text) >= 9
+    ), luma AS (
+        SELECT doc_id, i, n_px,
+               (299 * ascii(substring(text, CAST(3 * i + 1 AS INT), 1))
+                + 587 * ascii(substring(text, CAST(3 * i + 2 AS INT), 1))
+                + 114 * ascii(substring(text, CAST(3 * i + 3 AS INT), 1)))
+                   // 1000 AS y
+        FROM px
+    ), laps AS (
+        SELECT b.doc_id, CAST(a.y + c.y - 2 * b.y AS BIGINT) AS lap
+        FROM luma a
+        JOIN luma b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        JOIN luma c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        WHERE (a.i + 1) % {PPM_WIDTH} BETWEEN 1 AND {PPM_WIDTH - 2}
+          AND a.i + 2 < a.n_px
+    ), folds AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lap,
+               CAST(SUM(lap) AS BIGINT) AS s1,
+               CAST(SUM(lap * lap) AS BIGINT) AS s2
+        FROM laps GROUP BY doc_id
+    )
+    SELECT doc_id, n_lap, s1 AS sum_lap, s2 AS sum_lap_sq,
+           GREATEST(CAST(n_lap AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0e0)
+               / (CAST(n_lap AS DOUBLE) * CAST(n_lap AS DOUBLE)) AS lap_var,
+           CAST(CASE WHEN GREATEST(CAST(n_lap AS DOUBLE) * CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0e0)
+                      / (CAST(n_lap AS DOUBLE) * CAST(n_lap AS DOUBLE))
+                      < {SHARPNESS_VAR_MIN}
+                THEN 1 ELSE 0 END AS BIGINT) AS is_blurry
+    FROM folds
+    """,
+)
+def multimodal_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplacian-variance sharpness QC — the industry-standard blur
+    detector (variance of the Laplacian response; OpenCV's
+    `cv2.Laplacian(...).var()` recipe) over the payload-direct pixel
+    framing: per image, the population variance of the 1-D horizontal
+    Laplacian y[i−1]+y[i+1]−2y[i] evaluated at every interior pixel of
+    each {PPM_WIDTH}-pixel raster row, plus the blurry flag below
+    {SHARPNESS_VAR_MIN}.  Completes the degenerate-image screen
+    triptych: edge density catches low-TEXTURE, contrast catches FLAT
+    exposure, Laplacian variance catches defocus/smear — a soft image
+    can still have full luma range AND visible (soft) edges, but its
+    second derivative collapses.  (The 2-D 4-neighbor kernel adds the
+    vertical term to the same fold; the row form keeps the oracle an
+    i→i+1→i+2 self-join.)
+
+    Exactness: fixed-point Rec.601 luma (shared with grayscale/edge
+    ops), exact BIGINT Laplacian power sums, the shared
+    population-variance text with the cancellation floor (Bollinger
+    discipline), and an exact-binary threshold constant.
+
+    Scale: per-doc vectorized numpy shifts inside ONE mapInPandas pass
+    — no join, no shuffle past the doc key; output is one row per
+    image."""
+    import numpy as np
+
+    framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def sharpness(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_px = len(payload) // 3
+                if n_px < 3:
+                    continue
+                rgb = np.frombuffer(payload[: n_px * 3], dtype=np.uint8).reshape(
+                    n_px, 3
+                ).astype(np.int64)
+                y = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+                j = np.arange(1, n_px - 1)
+                j = j[(j % PPM_WIDTH >= 1) & (j % PPM_WIDTH <= PPM_WIDTH - 2)]
+                if len(j) == 0:
+                    continue
+                lap = y[j - 1] + y[j + 1] - 2 * y[j]
+                n = len(lap)
+                s1 = int(lap.sum())
+                s2 = int((lap * lap).sum())
+                var = max(float(n) * s2 - float(s1) * s1, 0.0) / (float(n) * n)
+                rows.append(
+                    (int(doc_id), n, s1, s2, var, 1 if var < SHARPNESS_VAR_MIN else 0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_lap", "sum_lap", "sum_lap_sq", "lap_var", "is_blurry"],
+            )
+
+    return framed.mapInPandas(
+        sharpness,
+        schema="doc_id long, n_lap bigint, sum_lap bigint, sum_lap_sq bigint,"
+        " lap_var double, is_blurry bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal_audio_snr — VAD-split signal-to-noise estimate
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_audio_snr",
+    oracle=f"""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(string_split(text, '')) AS c,
+               unnest(range(1, len(text) + 1)) AS pos
+        FROM documents
+    ), wins AS (
+        SELECT doc_id,
+               (pos - 1) // {ENERGY_WINDOW} AS win,
+               SUM(CAST((ascii(c) - 128) * 256 AS BIGINT)
+                   * ((ascii(c) - 128) * 256)) AS sum_sq
+        FROM chars GROUP BY doc_id, (pos - 1) // {ENERGY_WINDOW}
+    ), folds AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN sum_sq > {VAD_ENERGY_MIN} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_voiced,
+               CAST(SUM(CASE WHEN sum_sq <= {VAD_ENERGY_MIN} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_noise,
+               CAST(SUM(CASE WHEN sum_sq > {VAD_ENERGY_MIN}
+                        THEN sum_sq ELSE 0 END) AS BIGINT) AS sig_sum,
+               CAST(SUM(CASE WHEN sum_sq <= {VAD_ENERGY_MIN}
+                        THEN sum_sq ELSE 0 END) AS BIGINT) AS noise_sum
+        FROM wins GROUP BY doc_id
+    )
+    SELECT doc_id, n_voiced, n_noise, sig_sum, noise_sum,
+           CASE WHEN n_voiced = 0 OR n_noise = 0 OR noise_sum = 0 THEN NULL
+                ELSE CAST(FLOOR(10e0 * LOG10(
+                     (CAST(sig_sum AS DOUBLE) / CAST(n_voiced AS DOUBLE))
+                     / (CAST(noise_sum AS DOUBLE) / CAST(n_noise AS DOUBLE)))
+                     * 1000000e0) AS BIGINT) END AS snr_db_e6
+    FROM folds
+    """,
+)
+def multimodal_audio_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip SNR estimate from the VAD split — mean energy of voiced
+    windows over mean energy of unvoiced windows in decibels: the
+    recording-quality gate an ASR-corpus build runs after VAD
+    (multimodal_audio_vad finds WHERE the speech is; this asks whether
+    the speech STANDS OUT enough to transcribe — low SNR clips waste
+    label budget).  Clips that are all-speech, all-silence, or have
+    digitally-zero noise floors report NULL (SNR undefined), the
+    documented convention.
+
+    Exactness: identical codec + {ENERGY_WINDOW}-sample windowing +
+    integer sum-of-squares as the energy/VAD parents; both means are
+    exact-rational BIGINT ratios, and the single LOG10 lands on one
+    deterministic double, floor-scaled to micro-dB (the curation-family
+    LN convention — one libm call per DOC, never a float sum).
+
+    Scale: one mapInPandas codec pass folding windows per doc (the
+    window stage never shuffles), then pure scalar arithmetic — no
+    join, output one row per clip."""
+    import math
+
+    import numpy as np
+
+    framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def snr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                if len(data) == 0:
+                    continue
+                pcm = (data - 128) * 256
+                sq = pcm * pcm
+                n_win = (len(sq) + ENERGY_WINDOW - 1) // ENERGY_WINDOW
+                wsums = np.add.reduceat(sq, np.arange(0, len(sq), ENERGY_WINDOW))
+                voiced = wsums > VAD_ENERGY_MIN
+                n_v = int(voiced.sum())
+                n_n = int(n_win - n_v)
+                sig = int(wsums[voiced].sum())
+                noise = int(wsums[~voiced].sum())
+                if n_v == 0 or n_n == 0 or noise == 0:
+                    snr_e6 = None
+                else:
+                    snr_e6 = int(
+                        math.floor(
+                            10.0
+                            * math.log10((sig / n_v) / (noise / n_n))
+                            * 1_000_000.0
+                        )
+                    )
+                rows.append((int(doc_id), n_v, n_n, sig, noise, snr_e6))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_voiced", "n_noise", "sig_sum", "noise_sum", "snr_db_e6"],
+            )
+
+    return framed.mapInPandas(
+        snr,
+        schema="doc_id long, n_voiced bigint, n_noise bigint, sig_sum bigint,"
+        " noise_sum bigint, snr_db_e6 bigint",
+    )

@@ -890,3 +890,37 @@ def test_snapshot_expiry_strands_only_rewritten_files(spark):
             f" WHERE o_orderkey % 5 = {mod}"
         ).fetchone()[0]
         assert rows[fname] == n
+
+
+def test_image_sharpness_flag_and_variance(spark):
+    rows = engine.all_queries()["multimodal_image_sharpness"](spark, SF_DIR).collect()
+    assert len(rows) > N_DOCS // 2
+    for r in rows:
+        assert r.n_lap > 0
+        assert r.lap_var >= 0.0
+        var = max(r.n_lap * r.sum_lap_sq - r.sum_lap * r.sum_lap, 0) / (
+            r.n_lap * r.n_lap
+        )
+        assert abs(var - r.lap_var) < 1e-6 * max(var, 1.0)
+        assert r.is_blurry == (1 if r.lap_var < 100.0 else 0)
+
+
+def test_audio_snr_window_partition_and_null_rule(spark):
+    """Voiced+noise windows must equal the codec's window count, and the
+    NULL rule fires exactly on degenerate splits."""
+    rows = engine.all_queries()["multimodal_audio_snr"](spark, SF_DIR).collect()
+    import duckdb
+
+    lens = dict(
+        duckdb.sql(
+            f"SELECT doc_id, LENGTH(text) FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+    )
+    assert len(rows) == sum(1 for v in lens.values() if v > 0)
+    for r in rows:
+        n_win = (lens[r.doc_id] + 255) // 256
+        assert r.n_voiced + r.n_noise == n_win
+        if r.n_voiced == 0 or r.n_noise == 0 or r.noise_sum == 0:
+            assert r.snr_db_e6 is None
+        else:
+            assert r.snr_db_e6 is not None
