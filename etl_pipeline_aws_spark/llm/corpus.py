@@ -2509,3 +2509,122 @@ def embedding_cka_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM frob f JOIN err e JOIN nv
         """
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_centroid_drift — snapshot-to-snapshot class-prototype drift
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH x AS (
+        SELECT label, vec_id, vec_id % 2 AS half,
+               unnest(CAST(embedding AS DOUBLE[])) AS val,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings
+    ), per AS (
+        SELECT label, pos,
+               list_sum(list(CASE WHEN half = 0 THEN val ELSE 0e0 END
+                             ORDER BY vec_id)) AS sa,
+               list_sum(list(CASE WHEN half = 1 THEN val ELSE 0e0 END
+                             ORDER BY vec_id)) AS sb,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM x GROUP BY label, pos
+    ), terms AS (
+        SELECT label, pos, na, nb,
+               (sa / na) * (sb / nb) AS ab,
+               (sa / na) * (sa / na) AS aa,
+               (sb / nb) * (sb / nb) AS bb
+        FROM per
+    ), folds AS (
+        SELECT label,
+               list_sum(list(ab ORDER BY pos)) AS dot,
+               list_sum(list(aa ORDER BY pos)) AS qa,
+               list_sum(list(bb ORDER BY pos)) AS qb,
+               MAX(na) AS n_a, MAX(nb) AS n_b
+        FROM terms GROUP BY label
+    )
+    SELECT label, n_a, n_b,
+           dot / (SQRT(qa) * SQRT(qb)) AS centroid_cosine,
+           SQRT(qa) / SQRT(qb) AS norm_ratio
+    FROM folds
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid DRIFT between two embedding snapshots (here
+    the deterministic even/odd vec_id split; production keys on
+    model-version or ingest epoch): cosine between each label's old and
+    new class prototype plus the norm ratio — the embedding-space
+    monitoring table that catches silent encoder drift BEFORE ANN
+    recall degrades (cosine < 1 − ε ⟹ the prototype rotated: re-index;
+    norm ratio far from 1 ⟹ the scale moved: recalibrate similarity
+    thresholds).  Complements embedding_dimension_stats (per-dim
+    marginals can all match while the class STRUCTURE rotates — this
+    catches exactly that).
+
+    Determinism: both per-(label,pos) half-sums are ordered folds by
+    vec_id (non-members contribute exact +0.0 no-ops, so both engines
+    add the same doubles in the same order — the centroids trick,
+    conditionally), and the dim-level dot/norm folds are ordered by
+    pos; SQRT and the two closing divisions are bit-specified on equal
+    operands.
+
+    Scale: one (label,pos)-keyed shuffle whose gather is bounded by
+    rows-per-label, then a |labels|×dim frame folding to |labels| rows.
+    No join anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        "vec_id",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+            "pos0", "val"
+        ),
+    ).select("label", "vec_id", "half", (F.col("pos0") + 1).alias("pos"), "val")
+
+    def ordered_fold(order_col: str, term):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(order_col), term.alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    half_a = F.when(F.col("half") == 0, F.col("val")).otherwise(F.lit(0.0))
+    half_b = F.when(F.col("half") == 1, F.col("val")).otherwise(F.lit(0.0))
+    per = x.groupBy("label", "pos").agg(
+        ordered_fold("vec_id", half_a).alias("sa"),
+        ordered_fold("vec_id", half_b).alias("sb"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    terms = per.select(
+        "label",
+        "pos",
+        "na",
+        "nb",
+        ((F.col("sa") / F.col("na")) * (F.col("sb") / F.col("nb"))).alias("ab"),
+        ((F.col("sa") / F.col("na")) * (F.col("sa") / F.col("na"))).alias("aa"),
+        ((F.col("sb") / F.col("nb")) * (F.col("sb") / F.col("nb"))).alias("bb"),
+    )
+    folds = terms.groupBy("label").agg(
+        ordered_fold("pos", F.col("ab")).alias("dot"),
+        ordered_fold("pos", F.col("aa")).alias("qa"),
+        ordered_fold("pos", F.col("bb")).alias("qb"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+    )
+    return folds.select(
+        "label",
+        "n_a",
+        "n_b",
+        (F.col("dot") / (F.sqrt("qa") * F.sqrt("qb"))).alias("centroid_cosine"),
+        (F.sqrt("qa") / F.sqrt("qb")).alias("norm_ratio"),
+    )

@@ -1959,3 +1959,145 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction shape."""
     register_views(spark, sf_dir)
     return spark.sql(_TOST_SQL)
+
+
+def _runs_sql(med_expr: str) -> str:
+    """Shared Wald-Wolfowitz runs-test text; per-dialect discrete-median
+    spelling (Spark ``percentile_disc WITHIN GROUP``, DuckDB
+    ``quantile_disc``)."""
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM events GROUP BY CAST(ts AS DATE)
+), med AS (
+    SELECT {med_expr} AS m FROM daily
+), signs AS (
+    SELECT d, CASE WHEN cents > m THEN 1 ELSE 0 END AS s
+    FROM daily, med WHERE cents <> m
+), seq AS (
+    SELECT s, LAG(s) OVER (ORDER BY d) AS prev FROM signs
+), folds AS (
+    SELECT CAST(SUM(s) AS BIGINT) AS n1,
+           CAST(SUM(1 - s) AS BIGINT) AS n2,
+           CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r
+    FROM seq
+)
+SELECT n1, n2, r AS n_runs,
+       1e0 + 2e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+           / CAST(n1 + n2 AS DOUBLE) AS expected_runs,
+       (CAST(r AS DOUBLE)
+        - (1e0 + 2e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               / CAST(n1 + n2 AS DOUBLE)))
+       / SQRT(2e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              * (2e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+              / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                 * CAST(n1 + n2 - 1 AS DOUBLE))) AS z_runs
+FROM folds
+"""
+
+
+_RUNS_ORACLE = _runs_sql("quantile_disc(cents, 0.5)")
+_RUNS_SPARK = _runs_sql("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+
+
+@query("stat_runs_test", oracle=_RUNS_ORACLE)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz RUNS test for randomness of the daily event-value
+    series around its median — the sequence-order test the trend family
+    can't replace: Mann-Kendall asks "is there a monotone drift?", the
+    runs test asks "is the ORDERING random at all?" — too FEW runs
+    exposes regime clustering (autocorrelation, level shifts), too MANY
+    exposes oscillation (overcorrection, day-parity artifacts); both
+    pass a trend test.  The classic pre-check before any i.i.d.-assuming
+    control chart or test.
+
+    Determinism: the median is a DISCRETE percentile pick (identical
+    data value both engines, no interpolation); median-equal days drop
+    (the textbook convention); signs are exact integers, the run count
+    is an exact lag fold, and E[R]/Var[R]/z close in ONE shared IEEE
+    expression over exact counts.
+
+    Scale: one fact-sized daily reduction; the 1-row median fold rides
+    a scalar broadcast (q11 pattern, allowlisted); the lag window runs
+    on the calendar-bounded day table."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RUNS_SPARK)
+
+
+# Durbin-Watson: exact integer OLS normal equations over the day index,
+# per-day residual terms rounded to DECIMAL(28,6) before the two sums
+# (chi-square discipline), one closing ratio.
+_DW_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM events GROUP BY CAST(ts AS DATE)
+), seq AS (
+    SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i
+    FROM daily
+), sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(i) AS BIGINT) AS si,
+           CAST(SUM(i * i) AS BIGINT) AS sii,
+           CAST(SUM(cents) AS BIGINT) AS sy,
+           CAST(SUM(i * cents) AS BIGINT) AS siy
+    FROM seq
+), coef AS (
+    SELECT n,
+           CAST(n * siy - si * sy AS DOUBLE)
+               / CAST(n * sii - si * si AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+            - CAST(n * siy - si * sy AS DOUBLE)
+              / CAST(n * sii - si * si AS DOUBLE) * CAST(si AS DOUBLE))
+               / CAST(n AS DOUBLE) AS icept
+    FROM sums
+), resid AS (
+    SELECT i, n, slope,
+           CAST(cents AS DOUBLE) - (icept + slope * CAST(i AS DOUBLE)) AS ev
+    FROM seq, coef
+), terms AS (
+    SELECT n, slope,
+           CAST(FLOOR(ev * ev / 1000000e0) AS BIGINT) AS e2,
+           CAST(FLOOR((ev - LAG(ev) OVER (ORDER BY i))
+                      * (ev - LAG(ev) OVER (ORDER BY i)) / 1000000e0)
+                AS BIGINT) AS d2
+    FROM resid
+)
+SELECT MAX(n) AS n_days,
+       MAX(slope) AS ols_slope_cents,
+       CAST(SUM(d2) AS DOUBLE) / CAST(SUM(e2) AS DOUBLE) AS dw_stat,
+       1e0 - CAST(SUM(d2) AS DOUBLE) / CAST(SUM(e2) AS DOUBLE) / 2e0
+           AS rho_lag1_approx
+FROM terms
+"""
+
+
+@query("stat_durbin_watson", oracle=_DW_SQL)
+def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation test on the residuals of the daily
+    event-value OLS trend — the "are my regression errors independent?"
+    gate every trend model needs before its confidence intervals can be
+    believed: DW = Σ(e_t − e_{t−1})² / Σe_t² ≈ 2(1 − ρ₁); DW << 2 means
+    positive serial correlation (the classic way a daily series fakes a
+    significant trend), DW >> 2 oscillation.  Complements
+    stat_runs_test (sign-level randomness) with the residual-magnitude
+    view, and stat_residual_diagnostics' bundle with the canonical
+    single statistic.
+
+    Determinism: the OLS line comes from exact integer normal equations
+    over the day index (one fold); each residual is a double formula on
+    exact operands (bit-identical both engines), and each squared term
+    is FLOOR-scaled to e6-cents² BIGINT units before its sum — the
+    chi-square ROUND→DECIMAL idiom is only conversion-safe below ~9e9
+    (2^53/10^6), and these terms exceed it, so the integer-floor
+    convention applies (relative error < 1e-12 on this ratio); DW is
+    one closing ratio of exact integers.
+
+    Scale: one fact-sized daily reduction; the 1-row coefficient fold
+    rides a scalar broadcast (q11 pattern, allowlisted); lag window on
+    the calendar-bounded day table."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DW_SQL)

@@ -924,3 +924,51 @@ def test_audio_snr_window_partition_and_null_rule(spark):
             assert r.snr_db_e6 is None
         else:
             assert r.snr_db_e6 is not None
+
+
+def test_runs_test_counts_partition_days(spark):
+    """n1+n2 = days excluding median-equal days; run count bounded by
+    the sequence length; z sign matches the observed-vs-expected gap."""
+    r = engine.all_queries()["stat_runs_test"](spark, SF_DIR).collect()[0]
+    assert r.n1 > 0 and r.n2 > 0
+    assert 1 <= r.n_runs <= r.n1 + r.n2
+    assert r.expected_runs == 1 + 2 * r.n1 * r.n2 / (r.n1 + r.n2)
+    assert (r.z_runs > 0) == (r.n_runs > r.expected_runs)
+
+
+def test_durbin_watson_range_and_rho_identity(spark):
+    r = engine.all_queries()["stat_durbin_watson"](spark, SF_DIR).collect()[0]
+    assert 0.0 < r.dw_stat < 4.0
+    assert abs(r.rho_lag1_approx - (1 - r.dw_stat / 2)) < 1e-12
+    assert r.n_days >= 28
+
+
+def test_centroid_drift_matches_numpy_recompute(spark):
+    """Cosine in [-1,1]; both halves populated; and the full row set
+    matches an independent numpy recomputation of the even/odd-split
+    centroids (float64, same mean-then-cosine path)."""
+    import duckdb
+    import numpy as np
+
+    rows = engine.all_queries()["embedding_centroid_drift"](spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    raw = duckdb.sql(
+        f"SELECT label, vec_id, CAST(embedding AS DOUBLE[]) FROM"
+        f" read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).fetchall()
+    by_label: dict = {}
+    for label, vec_id, emb in raw:
+        by_label.setdefault(label, {0: [], 1: []})[vec_id % 2].append(
+            (vec_id, np.array(emb))
+        )
+    for r in rows:
+        assert r.n_a > 0 and r.n_b > 0
+        assert -1.0 <= r.centroid_cosine <= 1.0 + 1e-12
+        assert r.norm_ratio > 0
+        a = np.mean([v for _, v in sorted(by_label[r.label][0])], axis=0)
+        b = np.mean([v for _, v in sorted(by_label[r.label][1])], axis=0)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(cos - r.centroid_cosine) < 1e-9
+        assert abs(np.linalg.norm(a) / np.linalg.norm(b) - r.norm_ratio) < 1e-9
+        assert len(by_label[r.label][0]) == r.n_a
+        assert len(by_label[r.label][1]) == r.n_b
