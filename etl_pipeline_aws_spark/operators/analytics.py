@@ -5742,14 +5742,17 @@ WITH pm AS (
            SUM(rev) OVER () AS total_rev
     FROM per_part
 ), classed AS (
+    -- scalar subqueries, not CROSS JOIN horizon (see stat_runs_test_daily)
     SELECT CASE WHEN cum_rev * 100 <= total_rev * 80 THEN 'A'
                 WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
                 ELSE 'C' END AS abc_class,
-           CASE WHEN 4 * (h.n_months * q - s * s) <= s * s THEN 'X'
-                WHEN h.n_months * q - s * s <= s * s THEN 'Y'
+           CASE WHEN 4 * ((SELECT n_months FROM horizon) * q - s * s)
+                     <= s * s THEN 'X'
+                WHEN (SELECT n_months FROM horizon) * q - s * s
+                     <= s * s THEN 'Y'
                 ELSE 'Z' END AS xyz_class,
            rev, total_rev
-    FROM ranked, horizon h
+    FROM ranked
 )
 SELECT abc_class, xyz_class,
        CAST(COUNT(*) AS BIGINT) AS n_parts,
@@ -5778,9 +5781,9 @@ def orders_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame
     the documented XYZ convention); no float touches any boundary.
 
     Scale: one fact-sized (part, month) reduction, one part-level fold,
-    one part-keyed ranked window (|parts| rows), and a 1-row horizon
-    fold broadcast onto it (q11 pattern, allowlisted); output is the
-    bounded 3×3 grid."""
+    one part-keyed ranked window (|parts| rows), and the 1-row horizon
+    fold riding a scalar subquery (guard-clean); output is the bounded
+    3×3 grid."""
     register_views(spark, sf_dir)
     return spark.sql(_abc_xyz_sql())
 
@@ -5796,12 +5799,16 @@ def _aging_sql(day_idx_o: str) -> str:
 WITH anchor AS (
     SELECT MAX({day_idx_o}) AS snap FROM orders
 ), aged AS (
-    SELECT CASE WHEN a.snap - {day_idx_o} <= 30 THEN '0-030'
-                WHEN a.snap - {day_idx_o} <= 60 THEN '031-060'
-                WHEN a.snap - {day_idx_o} <= 90 THEN '061-090'
+    -- scalar subquery, not CROSS JOIN anchor (see stat_runs_test_daily)
+    SELECT CASE WHEN (SELECT snap FROM anchor) - {day_idx_o} <= 30
+                     THEN '0-030'
+                WHEN (SELECT snap FROM anchor) - {day_idx_o} <= 60
+                     THEN '031-060'
+                WHEN (SELECT snap FROM anchor) - {day_idx_o} <= 90
+                     THEN '061-090'
                 ELSE '091+' END AS age_bucket,
            o_totalprice
-    FROM orders, anchor a
+    FROM orders
     WHERE o_orderstatus = 'O'
 )
 SELECT age_bucket,
@@ -5833,10 +5840,9 @@ def orders_receivable_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact decimal sums surfaced once as double.  Bucket labels are
     zero-padded so lexical sort equals age order.
 
-    Scale: ONE fact pass — the anchor is a 1-row fold broadcast onto
-    the scan (the ml_linear_scoring q11 pattern, allowlisted), then a
-    map-side-combinable groupBy to 4 rows.  No window over the fact,
-    no join beyond the scalar broadcast."""
+    Scale: ONE fact pass — the anchor rides a scalar subquery
+    (guard-clean), then a map-side-combinable groupBy to 4 rows.  No
+    window over the fact, no join at all."""
     register_views(spark, sf_dir)
     return spark.sql(_AGING_SPARK)
 

@@ -1538,11 +1538,16 @@ def _rich_club_sql() -> str:
         f" AS BIGINT) AS e_{k}"
         for k in _RICH_CLUB_KS
     )
+    # scalar subqueries, not a 1x1 nfold x efold cross join (the
+    # stat_runs_test_daily guard-clean idiom)
     rows = " UNION ALL ".join(
-        f"SELECT {k} AS k, n_{k} AS n_rich, e_{k} AS e_rich,"
-        f" CASE WHEN n_{k} > 1 THEN CAST(e_{k} AS DOUBLE) * 2e0"
-        f" / (CAST(n_{k} AS DOUBLE) * CAST(n_{k} - 1 AS DOUBLE))"
-        f" ELSE NULL END AS phi FROM nfold, efold"
+        f"SELECT {k} AS k, (SELECT n_{k} FROM nfold) AS n_rich,"
+        f" (SELECT e_{k} FROM efold) AS e_rich,"
+        f" CASE WHEN (SELECT n_{k} FROM nfold) > 1"
+        f" THEN CAST((SELECT e_{k} FROM efold) AS DOUBLE) * 2e0"
+        f" / (CAST((SELECT n_{k} FROM nfold) AS DOUBLE)"
+        f" * CAST((SELECT n_{k} FROM nfold) - 1 AS DOUBLE))"
+        f" ELSE NULL END AS phi"
         for k in _RICH_CLUB_KS
     )
     return (
@@ -1583,8 +1588,8 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same support-pruned edge build as the PageRank family
     (bounded <=7-line-order self-join), two node-keyed hash joins to
     attach endpoint degrees, then everything folds map-side to ONE row
-    per frame; the k ladder is catalog-bounded (5 literals).  The 1x1
-    nfold x efold join is scale-free (allowlisted)."""
+    per frame; the k ladder is catalog-bounded (5 literals); the two
+    1-row folds ride scalar subqueries (guard-clean)."""
     from etl_pipeline_aws_spark.catalog import register_views
 
     register_views(spark, sf_dir)

@@ -1721,15 +1721,18 @@ WITH daily AS (
 ), sfold AS (
     SELECT CAST(SUM(sgn) AS BIGINT) AS s FROM pairs
 )
-SELECT n AS n_days,
+SELECT (SELECT n FROM folds) AS n_days,
        s AS s_stat,
-       CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18e0 AS var_s,
+       CAST((SELECT n * (n - 1) * (2 * n + 5) - tie_term FROM folds)
+            AS DOUBLE) / 18e0 AS var_s,
        CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
-                 / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18e0)
+                 / SQRT(CAST((SELECT n * (n - 1) * (2 * n + 5) - tie_term
+                              FROM folds) AS DOUBLE) / 18e0)
             WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
-                 / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18e0)
+                 / SQRT(CAST((SELECT n * (n - 1) * (2 * n + 5) - tie_term
+                              FROM folds) AS DOUBLE) / 18e0)
             ELSE 0e0 END AS z_mk
-FROM sfold, folds
+FROM sfold
 """
 
 
@@ -1973,8 +1976,11 @@ WITH daily AS (
 ), med AS (
     SELECT {med_expr} AS m FROM daily
 ), signs AS (
-    SELECT d, CASE WHEN cents > m THEN 1 ELSE 0 END AS s
-    FROM daily, med WHERE cents <> m
+    -- scalar subquery, not CROSS JOIN med: a join against a 1-row
+    -- aggregate plans as CartesianProduct (plan-guard offender); the
+    -- subquery compiles to a scalar expression in both engines
+    SELECT d, CASE WHEN cents > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
+    FROM daily WHERE cents <> (SELECT m FROM med)
 ), seq AS (
     SELECT s, LAG(s) OVER (ORDER BY d) AS prev FROM signs
 ), folds AS (
@@ -2003,16 +2009,18 @@ _RUNS_ORACLE = _runs_sql("quantile_disc(cents, 0.5)")
 _RUNS_SPARK = _runs_sql("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
 
 
-@query("stat_runs_test", oracle=_RUNS_ORACLE)
-def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wald-Wolfowitz RUNS test for randomness of the daily event-value
-    series around its median — the sequence-order test the trend family
-    can't replace: Mann-Kendall asks "is there a monotone drift?", the
-    runs test asks "is the ORDERING random at all?" — too FEW runs
-    exposes regime clustering (autocorrelation, level shifts), too MANY
-    exposes oscillation (overcorrection, day-parity artifacts); both
-    pass a trend test.  The classic pre-check before any i.i.d.-assuming
-    control chart or test.
+@query("stat_runs_test_median", oracle=_RUNS_ORACLE)
+def stat_runs_test_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN-split Wald-Wolfowitz runs test on the daily event-VALUE
+    series — pinned beside stat_runs_test_daily (mean-split, count
+    series) the way the two lang-ID architectures are: the median split
+    is the textbook form and is outlier-robust (one blowout day moves
+    the MEAN split point and relabels half the series; the median
+    doesn't move), and the value series answers "is revenue ordering
+    random?" where the count twin asks it of traffic.  Median-equal
+    days drop (the exclusion convention the mean variant doesn't need);
+    consumers read both: agreement is evidence, divergence localizes
+    WHERE the nonrandomness lives (level vs volume).
 
     Determinism: the median is a DISCRETE percentile pick (identical
     data value both engines, no interpolation); median-equal days drop
@@ -2020,8 +2028,8 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact lag fold, and E[R]/Var[R]/z close in ONE shared IEEE
     expression over exact counts.
 
-    Scale: one fact-sized daily reduction; the 1-row median fold rides
-    a scalar broadcast (q11 pattern, allowlisted); the lag window runs
+    Scale: one fact-sized daily reduction; the median fold rides a
+    scalar subquery (guard-clean, no cartesian); the lag window runs
     on the calendar-bounded day table."""
     register_views(spark, sf_dir)
     return spark.sql(_RUNS_SPARK)
@@ -2055,9 +2063,14 @@ WITH daily AS (
                / CAST(n AS DOUBLE) AS icept
     FROM sums
 ), resid AS (
-    SELECT i, n, slope,
-           CAST(cents AS DOUBLE) - (icept + slope * CAST(i AS DOUBLE)) AS ev
-    FROM seq, coef
+    -- scalar subqueries, not CROSS JOIN coef (see stat_runs_test_daily)
+    SELECT i,
+           (SELECT n FROM coef) AS n,
+           (SELECT slope FROM coef) AS slope,
+           CAST(cents AS DOUBLE)
+               - ((SELECT icept FROM coef)
+                  + (SELECT slope FROM coef) * CAST(i AS DOUBLE)) AS ev
+    FROM seq
 ), terms AS (
     SELECT n, slope,
            CAST(FLOOR(ev * ev / 1000000e0) AS BIGINT) AS e2,
@@ -2096,8 +2109,64 @@ def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention applies (relative error < 1e-12 on this ratio); DW is
     one closing ratio of exact integers.
 
-    Scale: one fact-sized daily reduction; the 1-row coefficient fold
-    rides a scalar broadcast (q11 pattern, allowlisted); lag window on
-    the calendar-bounded day table."""
+    Scale: one fact-sized daily reduction; the coefficient fold rides
+    scalar subqueries (guard-clean); lag window on the calendar-bounded
+    day table."""
     register_views(spark, sf_dir)
     return spark.sql(_DW_SQL)
+
+
+# Cliff's delta: exact dominance counts from one per-value cumulative pass.
+_CLIFFS_SQL = """
+WITH pts AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+           CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS g2
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), per_value AS (
+    SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
+    FROM pts GROUP BY v
+), cum AS (
+    SELECT c1, c2,
+           CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS cum2,
+           CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+           CAST(SUM(c2) OVER () AS BIGINT) AS n2
+    FROM per_value
+), folds AS (
+    SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+           CAST(SUM(c1 * (cum2 - c2)) AS BIGINT) AS wins,
+           CAST(SUM(c1 * (n2 - cum2)) AS BIGINT) AS losses
+    FROM cum
+)
+SELECT n1, n2, wins, losses,
+       CAST(n1 * n2 - wins - losses AS BIGINT) AS ties,
+       CAST(wins - losses AS DOUBLE)
+           / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS cliffs_delta
+FROM folds
+"""
+
+
+@query("stat_cliffs_delta", oracle=_CLIFFS_SQL)
+def stat_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal EFFECT SIZE for URGENT-vs-LOW order spend —
+    the magnitude companion the test family needs: stat_mann_whitney_u
+    says whether one group stochastically dominates, delta says BY HOW
+    MUCH — P(X>Y) − P(X<Y) ∈ [−1,1], distribution-free, outlier-proof,
+    and the standard to report alongside U now that "significant but
+    negligible" is a recognized failure mode (|δ|<0.147 negligible per
+    Romano et al.'s bands, documented for consumers).
+
+    Determinism: dominance pair counts come from the KS-style
+    per-distinct-value cumulative pass — wins = Σ c1(v)·#{{group2 < v}}
+    and losses symmetrically, ALL exact BIGINTs (no pair join, no
+    float until the single closing division); ties fall out by
+    subtraction, cross-checkable against U = wins + ties/2.
+
+    Scale: one per-value reduction (|distinct| rows), one ordered
+    window over it, one 1-row fold — identical plan posture to
+    stat_ks_two_sample, same pre-binning note at 100 TB
+    cardinalities."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CLIFFS_SQL)

@@ -1965,3 +1965,170 @@ def stat_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
     no join anywhere."""
     register_views(spark, sf_dir)
     return spark.sql(_CAPABILITY_SQL)
+
+
+# --------------------------------------------------------------------------
+# events_hurst_exponent — rescaled-range long-memory estimate
+# --------------------------------------------------------------------------
+
+_HURST_WINDOWS = (4, 8, 16)
+# ln(m) literals shared verbatim by both engines (repr round-trips exactly)
+_HURST_LNM = {4: "1.3862943611198906", 8: "2.0794415416798357", 16: "2.772588722239781"}
+
+
+def _hurst_sql(idiv: str) -> str:
+    """Generated shared R/S text; per-dialect integer division.  One
+    block frame per window size m, unioned; the closing Hurst slope is
+    a literal-lx OLS over the three (ln m, ln avg R/S) points."""
+    blocks = " UNION ALL ".join(
+        f"""
+    SELECT {m} AS m, (i {idiv} {m}) AS b,
+           CAST({m} * SUM(y) OVER (PARTITION BY (i {idiv} {m}) ORDER BY i)
+                - (ROW_NUMBER() OVER (PARTITION BY (i {idiv} {m}) ORDER BY i))
+                  * SUM(y) OVER (PARTITION BY (i {idiv} {m})) AS BIGINT) AS mz,
+           CAST(SUM(y) OVER (PARTITION BY (i {idiv} {m})) AS BIGINT) AS s,
+           CAST(SUM(y * y) OVER (PARTITION BY (i {idiv} {m})) AS BIGINT) AS q
+    FROM seq WHERE i < {m} * (n {idiv} {m})"""
+        for m in _HURST_WINDOWS
+    )
+    lx_cases = " ".join(
+        f"WHEN m = {m} THEN {_HURST_LNM[m]}e0" for m in _HURST_WINDOWS
+    )
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+    FROM events GROUP BY CAST(ts AS DATE)
+), seq AS (
+    SELECT y,
+           CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS i,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM daily
+), blocks AS ({blocks}
+), per_block AS (
+    SELECT m, b,
+           CAST(MAX(mz) - MIN(mz) AS BIGINT) AS range_m,
+           MAX(m * q - s * s) AS var_m
+    FROM blocks GROUP BY m, b
+    HAVING MAX(m * q - s * s) > 0
+), rs AS (
+    SELECT m, b,
+           CAST(FLOOR(CAST(range_m AS DOUBLE)
+                / SQRT(CAST(var_m AS DOUBLE)) * 1000000000e0) AS BIGINT)
+               AS rs_e9
+    FROM per_block
+), per_m AS (
+    SELECT m,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(rs_e9) AS BIGINT) AS rs_sum_e9
+    FROM rs GROUP BY m
+), pts AS (
+    SELECT m, n_blocks,
+           CAST(rs_sum_e9 AS DOUBLE) / CAST(n_blocks AS DOUBLE) / 1000000000e0
+               AS avg_rs,
+           CASE {lx_cases} END AS lx,
+           CAST(FLOOR(LN(CAST(rs_sum_e9 AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+                         / 1000000000e0) * 1000000000e0) AS BIGINT) AS ly_e9
+    FROM per_m
+)
+SELECT m AS window_days, n_blocks, avg_rs,
+       (CAST(COUNT(*) OVER () AS DOUBLE)
+          * SUM(lx * CAST(ly_e9 AS DOUBLE) / 1000000000e0) OVER ()
+        - SUM(lx) OVER ()
+          * SUM(CAST(ly_e9 AS DOUBLE) / 1000000000e0) OVER ())
+       / (CAST(COUNT(*) OVER () AS DOUBLE) * SUM(lx * lx) OVER ()
+          - SUM(lx) OVER () * SUM(lx) OVER ()) AS hurst_h
+FROM pts
+"""
+
+
+_HURST_ORACLE = _hurst_sql("//")
+_HURST_SPARK = _hurst_sql("DIV")
+
+
+@query("events_hurst_exponent", oracle=_HURST_ORACLE)
+def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily event-value series by classical
+    rescaled-range (R/S) analysis: split the series into blocks of
+    m ∈ {4,8,16} days, take each block's range of cumulative
+    mean-deviations over its standard deviation, and fit
+    ln(avg R/S) ~ H·ln(m) — H ≈ 0.5 is memoryless, H > 0.5 long-range
+    persistent (busy days cluster: capacity planning cannot assume
+    i.i.d. daily loads and percentile forecasts widen), H < 0.5
+    mean-reverting.  The long-memory lens that Durbin-Watson's lag-1 ρ
+    cannot see (Hurst 1951; Mandelbrot's R/S formulation).
+
+    Determinism: within-block cumulative deviations are carried ×m so
+    they stay exact BIGINTs (m·Z_t = m·cumsum − t·blocksum — Z at t=m
+    closes to exactly 0, keeping the textbook zero anchor in range);
+    each block's R/S is ONE double div+sqrt on exact integers,
+    floor-scaled to e-9; per-m averages are exact integer ratios; the
+    closing slope uses LITERAL ln(m) abscissae (embedded to the exact
+    double) and one LN per window size (curation-family convention) —
+    zero-variance blocks drop, the documented convention.
+
+    Scale: one fact-sized daily reduction; every window is partitioned
+    by block id over the calendar-bounded day table; output is 3 rows.
+    No join anywhere."""
+    register_views(spark, sf_dir)
+    return spark.sql(_HURST_SPARK)
+
+
+# --------------------------------------------------------------------------
+# pipeline_trend_monitoring_e2e — one-job daily-series health panel
+# --------------------------------------------------------------------------
+
+
+def _trend_panel_sql(mk: str, runs: str, dw: str, cap: str) -> str:
+    return f"""
+SELECT 'mann_kendall_z' AS metric, z_mk AS value FROM ({mk}) mk_t
+UNION ALL
+SELECT 'runs_z' AS metric, z_runs AS value FROM ({runs}) runs_t
+UNION ALL
+SELECT 'durbin_watson' AS metric, dw_stat AS value FROM ({dw}) dw_t
+UNION ALL
+SELECT 'cpk' AS metric, cpk AS value FROM ({cap}) cap_t
+"""
+
+
+def _trend_panel_oracle() -> str:
+    from etl_pipeline_aws_spark.operators.statistics import (
+        _DW_SQL,
+        _MK_ORACLE,
+        _RUNS_ORACLE,
+    )
+
+    return _trend_panel_sql(_MK_ORACLE, _RUNS_ORACLE, _DW_SQL, _CAPABILITY_SQL)
+
+
+@query("pipeline_trend_monitoring_e2e", oracle=_trend_panel_oracle)
+def pipeline_trend_monitoring_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed daily-series HEALTH PANEL as one job — the four
+    questions every metrics on-call asks of a series, answered in a
+    single submission over one shared daily reduction: is there a real
+    monotone drift (Mann-Kendall z)?  is the ordering even random
+    (runs-test z)?  are trend residuals serially correlated, i.e. can I
+    trust the trend's error bars (Durbin-Watson)?  and is the process
+    delivering inside its qualified band (Cpk)?  One row per metric —
+    the alerting table a monitoring sink ingests directly, and the
+    composition proof that the four members share the daily-series
+    contract.
+
+    Each leg is the member operator's exact text (same determinism
+    arguments); Spark plans the four folds as one job where AQE dedups
+    the common daily-aggregate subtree when it materializes as an
+    exchange.
+
+    Scale: four calendar-bounded folds over one fact-sized daily
+    reduction each — the panel costs what its members cost; output is
+    4 rows."""
+    from etl_pipeline_aws_spark.operators.statistics import (
+        _DW_SQL,
+        _MK_SPARK,
+        _RUNS_SPARK,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _trend_panel_sql(_MK_SPARK, _RUNS_SPARK, _DW_SQL, _CAPABILITY_SQL)
+    )

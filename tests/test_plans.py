@@ -131,12 +131,6 @@ ALLOWED_CARTESIAN = {
     # the docstring documents the month-bucket swap for longer spines
     "embedding_cka_quantization",  # 1×1×1 join of the three global folds (scale-free)
     "ml_kfold_cv_ols",  # 5×1 join of the fold partials with the totals row (scale-free)
-    "stat_mann_kendall_trend",  # 1×1 join of the pair-sign fold and the tie fold (scale-free)
-    "graph_rich_club_coefficient",  # 1×1 join of the node fold and edge fold (scale-free)
-    "orders_abc_xyz_classification",  # 1-row month-horizon fold broadcast (q11 pattern)
-    "orders_receivable_aging",  # 1-row MAX(o_orderdate) anchor broadcast (q11 pattern)
-    "stat_runs_test",  # 1-row discrete-median fold broadcast (q11 pattern)
-    "stat_durbin_watson",  # 1-row OLS-coefficient fold broadcast (q11 pattern)
 }
 ALLOWED_NESTED_LOOP = {
     "q22_sales_opportunity",  # single-row scalar-subquery broadcast (scale-free)

@@ -926,10 +926,10 @@ def test_audio_snr_window_partition_and_null_rule(spark):
             assert r.snr_db_e6 is not None
 
 
-def test_runs_test_counts_partition_days(spark):
+def test_runs_test_median_counts_partition_days(spark):
     """n1+n2 = days excluding median-equal days; run count bounded by
     the sequence length; z sign matches the observed-vs-expected gap."""
-    r = engine.all_queries()["stat_runs_test"](spark, SF_DIR).collect()[0]
+    r = engine.all_queries()["stat_runs_test_median"](spark, SF_DIR).collect()[0]
     assert r.n1 > 0 and r.n2 > 0
     assert 1 <= r.n_runs <= r.n1 + r.n2
     assert r.expected_runs == 1 + 2 * r.n1 * r.n2 / (r.n1 + r.n2)
@@ -972,3 +972,36 @@ def test_centroid_drift_matches_numpy_recompute(spark):
         assert abs(np.linalg.norm(a) / np.linalg.norm(b) - r.norm_ratio) < 1e-9
         assert len(by_label[r.label][0]) == r.n_a
         assert len(by_label[r.label][1]) == r.n_b
+
+
+def test_hurst_exponent_structure(spark):
+    rows = sorted(
+        engine.all_queries()["events_hurst_exponent"](spark, SF_DIR).collect(),
+        key=lambda r: r.window_days,
+    )
+    assert [r.window_days for r in rows] == [4, 8, 16]
+    h = rows[0].hurst_h
+    assert all(r.hurst_h == h for r in rows)
+    assert -0.5 < h < 1.5  # R/S estimator range with slack on short series
+    for r in rows:
+        assert r.n_blocks >= 1
+        assert r.avg_rs > 0
+        # R/S grows with m for any H > 0
+    assert rows[0].avg_rs < rows[2].avg_rs
+
+
+def test_cliffs_delta_dominance_identity(spark):
+    r = engine.all_queries()["stat_cliffs_delta"](spark, SF_DIR).collect()[0]
+    assert r.wins + r.losses + r.ties == r.n1 * r.n2
+    assert -1.0 <= r.cliffs_delta <= 1.0
+    assert abs(r.cliffs_delta - (r.wins - r.losses) / (r.n1 * r.n2)) < 1e-12
+
+
+def test_trend_panel_matches_members(spark):
+    qs = engine.all_queries()
+    panel = {r.metric: r.value for r in qs["pipeline_trend_monitoring_e2e"](spark, SF_DIR).collect()}
+    assert set(panel) == {"mann_kendall_z", "runs_z", "durbin_watson", "cpk"}
+    assert panel["mann_kendall_z"] == qs["stat_mann_kendall_trend"](spark, SF_DIR).collect()[0].z_mk
+    assert panel["runs_z"] == qs["stat_runs_test_median"](spark, SF_DIR).collect()[0].z_runs
+    assert panel["durbin_watson"] == qs["stat_durbin_watson"](spark, SF_DIR).collect()[0].dw_stat
+    assert panel["cpk"] == qs["stat_process_capability"](spark, SF_DIR).collect()[0].cpk
