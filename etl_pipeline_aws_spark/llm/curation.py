@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.catalog import load_table, register_views
 from etl_pipeline_aws_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -904,3 +904,79 @@ def text_unigram_surprisal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_too_surprising"),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_filter_bias_audit — who does the quality gate reject?
+# --------------------------------------------------------------------------
+
+
+def _bias_audit_sql(tok_gen: str, hashfn: str, idiv: str) -> str:
+    """Shared filter-bias text; per-dialect tokenizer, content hash and
+    integer division.  Length quintiles bin by the integer mid-rank
+    (the ml_brier_decomposition trick), never a percentile broadcast."""
+    return f"""
+WITH f AS (
+    SELECT doc_id, source, n_chars,
+           CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY {hashfn})
+                 AND {tok_gen} BETWEEN 20 AND 1000
+                THEN 1 ELSE 0 END AS kept
+    FROM documents
+), pv AS (
+    SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM f GROUP BY n_chars
+), qmap AS (
+    SELECT n_chars,
+           CAST(((2 * SUM(cnt) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) - cnt) * 5)
+                {idiv} (2 * SUM(cnt) OVER ()) + 1 AS BIGINT) AS len_quintile
+    FROM pv
+), cells AS (
+    SELECT f.source, q.len_quintile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f.kept) AS BIGINT) AS n_kept
+    FROM f JOIN qmap q ON f.n_chars = q.n_chars
+    GROUP BY f.source, q.len_quintile
+)
+SELECT source, len_quintile, n_docs, n_kept,
+       CAST(n_kept * 10000 {idiv} n_docs AS BIGINT) AS keep_bp,
+       CAST((n_kept * CAST(SUM(n_docs) OVER () AS BIGINT) * 1000000)
+            {idiv} (n_docs * CAST(SUM(n_kept) OVER () AS BIGINT)) AS BIGINT)
+           AS lift_vs_overall_ppm
+FROM cells
+"""
+
+
+_BIAS_ORACLE = _bias_audit_sql(
+    "len(string_split(text, ' '))", "sha256(text)", "//"
+)
+_BIAS_SPARK = _bias_audit_sql(
+    "size(split(text, ' '))", "sha2(text, 256)", "DIV"
+)
+
+
+@query("corpus_filter_bias_audit", oracle=_BIAS_ORACLE)
+def corpus_filter_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-BIAS audit of the curation gate — the fairness/coverage
+    check a training-data pipeline owes its corpus: per (source,
+    length-quintile) cell, the keep rate of the shared gate rules
+    (exact-dup keeper + the 20..1000-token screen of
+    corpus_curation_gate) and its LIFT against the overall keep rate.
+    A quality filter that silently rejects one source's long tail —
+    the documented failure mode of perplexity/quality screens on
+    low-resource languages and technical prose — shows up here as a
+    cell with lift far below 10⁶ ppm BEFORE the model quietly loses
+    that distribution (Dodge et al. 2021's C4 audit, as an operator).
+
+    Exactness: gate flags are exact integer predicates (hash-window
+    keeper + token bounds); length quintiles bin by the integer
+    mid-rank over the per-value table (equal-population, no percentile
+    broadcast, no floats); rates and lifts are integer basis
+    points/ppm.
+
+    Scale: one content-hash dedup shuffle (the gate's own cost), one
+    |distinct n_chars| reduction with one ordered window over it, one
+    value-keyed hash join back, one bounded-cell rollup.  The lift
+    window runs over |sources|×5 rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BIAS_SPARK)

@@ -1643,3 +1643,63 @@ def pipeline_hybrid_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "lang", "source", "r_text", "r_vec", "rrf_score", "final_rank"
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_quantization_error_histogram — int8 rounding-error profile
+# --------------------------------------------------------------------------
+
+
+def _quant_err_sql(unnest_expr: str, idiv: str) -> str:
+    """Shared int8 symmetric-quantization error histogram; per-dialect
+    array explode and integer division."""
+    return f"""
+WITH x AS (
+    SELECT vec_id, {unnest_expr} AS v FROM embeddings
+), m AS (
+    SELECT vec_id, MAX(ABS(v)) AS mx FROM x GROUP BY vec_id
+), e AS (
+    SELECT CAST(FLOOR(ABS(x.v * 127e0 / m.mx
+                          - ROUND(x.v * 127e0 / m.mx)) * 20e0) AS BIGINT)
+               AS err_bucket
+    FROM x JOIN m ON x.vec_id = m.vec_id
+    WHERE m.mx > 0
+)
+SELECT err_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(COUNT(*) * 1000000 {idiv} SUM(COUNT(*)) OVER () AS BIGINT)
+           AS share_ppm
+FROM e GROUP BY err_bucket
+"""
+
+
+_QERR_ORACLE = _quant_err_sql("unnest(CAST(embedding AS DOUBLE[]))", "//")
+_QERR_SPARK = _quant_err_sql(
+    "explode(transform(embedding, t -> CAST(t AS DOUBLE)))", "DIV"
+)
+
+
+@query("embedding_quantization_error_histogram", oracle=_QERR_ORACLE)
+def embedding_quantization_error_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Component-level ROUNDING-ERROR histogram of int8 symmetric
+    per-vector quantization (q = round(x·127/max|x|)) in twentieths of
+    a quantization step — the error-budget evidence behind the
+    compressed ANN tiers: embedding_quantized_projection and the
+    two-stage reranker ASSUME int8 loses little; this table SHOWS the
+    loss distribution (uniform over [0, 0.5) steps ⟹ healthy;
+    mass piled at 0.5 ⟹ heavy-tailed components and per-CHANNEL scales
+    or PQ should replace the per-vector scale; the
+    embedding_cka_quantization op then scores downstream geometry).
+
+    Exactness: the per-vector max is an exact fold; each relative
+    error is one shared IEEE expression on identical doubles (round
+    ties cannot arise from binary inputs at 127/max scales), floored
+    into 11 integer buckets; shares are integer ppm.
+
+    Scale: one explode + vec-keyed max fold + value join back (all
+    partial-aggregated, shuffle on vec_id only), 11-row output; the
+    share window runs over those 11 rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_QERR_SPARK)

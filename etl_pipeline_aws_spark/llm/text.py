@@ -2195,8 +2195,8 @@ def text_vocab_growth_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame
     subquery — Spark rejects those inside grouped selects, measured).
 
     Exactness: all counts exact; no ratios reported (downstreams divide
-    as they like — a Heaps exponent fit needs log and belongs in a
-    notebook, not a hash-matched oracle).
+    as they like — the Heaps exponent fit lives in text_heaps_law_fit,
+    which regresses these checkpoints under the floor-ln convention).
 
     Scale: one token reduction per type + one per doc (both map-side
     combined), then a 5-row fan over the doc-count table — prefix
@@ -2578,4 +2578,81 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped.withColumn("rk", F.row_number().over(rk))
         .filter(F.col("rk") <= RAKE_TOP_K)
         .select("phrase", "n_words", "score_ppm", "n_occurrences")
+    )
+
+
+# --------------------------------------------------------------------------
+# text_heaps_law_fit — vocabulary-growth exponent
+# --------------------------------------------------------------------------
+
+
+def _heaps_fit_sql(tok_gen: str, idiv: str) -> str:
+    """Shared Heaps-law fit text over the vocab-growth checkpoint CTE
+    (same parents as text_vocab_growth_checkpoints); floor-ln e9 points,
+    exact DECIMAL(38) normal equations, one closing division."""
+    growth = _vocab_growth_sql(tok_gen, idiv)
+    return f"""
+WITH pts AS (
+    SELECT CAST(FLOOR(LN(CAST(n_tokens AS DOUBLE)) * 1000000000e0) AS BIGINT)
+               AS lx,
+           CAST(FLOOR(LN(CAST(n_types AS DOUBLE)) * 1000000000e0) AS BIGINT)
+               AS ly
+    FROM ({growth}) g
+    WHERE n_tokens > 0 AND n_types > 0
+), sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(lx) AS BIGINT) AS sx,
+           CAST(SUM(ly) AS BIGINT) AS sy,
+           CAST(SUM(CAST(lx AS DECIMAL(19,0)) * CAST(lx AS DECIMAL(19,0)))
+                AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(lx AS DECIMAL(19,0)) * CAST(ly AS DECIMAL(19,0)))
+                AS DOUBLE) AS sxy
+    FROM pts
+)
+SELECT k AS n_checkpoints,
+       (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           AS heaps_beta,
+       (CAST(sy AS DOUBLE)
+        - (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * CAST(sx AS DOUBLE))
+           / CAST(k AS DOUBLE) / 1000000000e0 AS heaps_ln_k
+FROM sums
+"""
+
+
+@query(
+    "text_heaps_law_fit",
+    oracle=_heaps_fit_sql(
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents",
+        "//",
+    ),
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law fit V = K·n^β over the vocabulary-growth checkpoints —
+    the one-number saturation answer the raw curve
+    (text_vocab_growth_checkpoints) leaves to the reader: β near 1
+    means every new token mints new types (crawl more, vocabulary is
+    nowhere near closed; or the corpus is noise), β well below 1 means
+    the vocabulary is saturating and tokenizer budgets can be sized
+    from the fit.  Reported as (β, ln K) — ln K rather than K because
+    exp() is a per-libm call the cross-engine discipline bans from
+    hash-matched outputs; consumers exponentiate locally.
+
+    Exactness: the checkpoint table is the parent's exact-count CTE;
+    each (ln n, ln V) point is floor-scaled to e-9 (one LN per
+    CHECKPOINT — the curation-family convention that unlocked
+    regression-on-logs for the Hurst fit too); the normal equations
+    fold through DECIMAL(19)×DECIMAL(19)→DECIMAL(38) exactly, and β,
+    ln K close in one shared IEEE expression.
+
+    Scale: the parents' two token reductions are the only fact-sized
+    stages; the fit itself folds a handful of checkpoint rows to one."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _heaps_fit_sql(
+            "SELECT doc_id, explode(split(text, ' ')) AS w FROM documents",
+            "DIV",
+        )
     )

@@ -1005,3 +1005,58 @@ def test_trend_panel_matches_members(spark):
     assert panel["runs_z"] == qs["stat_runs_test_median"](spark, SF_DIR).collect()[0].z_runs
     assert panel["durbin_watson"] == qs["stat_durbin_watson"](spark, SF_DIR).collect()[0].dw_stat
     assert panel["cpk"] == qs["stat_process_capability"](spark, SF_DIR).collect()[0].cpk
+
+
+def test_heaps_fit_matches_numpy_loglog_ols(spark):
+    """Beta/lnK must match a float64 log-log OLS over the parent
+    checkpoint table to within the e-9 floor quantization."""
+    import math
+
+    import numpy as np
+
+    qs = engine.all_queries()
+    pts = [
+        (r.n_tokens, r.n_types)
+        for r in qs["text_vocab_growth_checkpoints"](spark, SF_DIR).collect()
+        if r.n_tokens > 0 and r.n_types > 0
+    ]
+    r = qs["text_heaps_law_fit"](spark, SF_DIR).collect()[0]
+    assert r.n_checkpoints == len(pts)
+    lx = np.array([math.log(a) for a, _ in pts])
+    ly = np.array([math.log(b) for _, b in pts])
+    beta, lnk = np.polyfit(lx, ly, 1)
+    assert abs(r.heaps_beta - beta) < 1e-6
+    assert abs(r.heaps_ln_k - lnk) < 1e-6
+    # Heaps regime upper bound; the sf0.01 fixture's ~31-type vocabulary
+    # saturates inside the first checkpoint, so beta == 0.0 exactly here
+    assert 0.0 <= r.heaps_beta <= 1.05
+
+
+def test_filter_bias_audit_partitions_and_lift(spark):
+    rows = engine.all_queries()["corpus_filter_bias_audit"](spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in rows) == N_DOCS
+    assert {r.len_quintile for r in rows} <= {1, 2, 3, 4, 5}
+    total_docs = sum(r.n_docs for r in rows)
+    total_kept = sum(r.n_kept for r in rows)
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+        assert r.keep_bp == r.n_kept * 10000 // r.n_docs
+        exp_lift = (r.n_kept * total_docs * 1_000_000) // (r.n_docs * total_kept)
+        assert r.lift_vs_overall_ppm == exp_lift
+
+
+def test_quantization_error_histogram_bounds(spark):
+    rows = engine.all_queries()["embedding_quantization_error_histogram"](
+        spark, SF_DIR
+    ).collect()
+    buckets = {r.err_bucket for r in rows}
+    assert buckets <= set(range(11))
+    total_share = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= total_share <= 1_000_000
+    n = sum(r.n_components for r in rows)
+    import duckdb
+
+    exp = duckdb.sql(
+        f"SELECT SUM(len(embedding)) FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert n == exp  # every component lands in exactly one bucket
