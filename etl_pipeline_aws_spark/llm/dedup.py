@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import cpu_parallel, load_table
+from etl_pipeline_aws_spark.catalog import cpu_parallel, load_table, register_views
 from etl_pipeline_aws_spark.registry import query, rows_only_query
 
 N_MINHASH = 16
@@ -1543,3 +1543,89 @@ def dedup_lsh_banding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW explode(sequence(1, 9)) AS j_x10
         """
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_url_canonical — crawl-frontier URL canonicalization dedup
+# --------------------------------------------------------------------------
+
+
+def _url_canonical_sql(idiv: str) -> str:
+    """Shared URL-canonicalization text; integer division per dialect.
+    The messy URL is synthesized deterministically from doc metadata
+    (the scalar_url_parsing convention) with doc_id DIV 2 in the path,
+    so adjacent ids are true duplicates once the cosmetic variance
+    (scheme/host case, default port, utm params, fragment, trailing
+    slash) is canonicalized away."""
+    return f"""
+WITH raw AS (
+    -- identity components (host site id, path) derive from doc_id DIV 2,
+    -- so each adjacent id pair names the SAME resource; cosmetic variance
+    -- (case, port, utm, fragment, slash) derives from doc_id itself
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END
+           || CASE WHEN doc_id % 2 = 0
+                   THEN 'SITE' || CAST((doc_id {idiv} 2) % 20 AS STRING)
+                   ELSE 'site' || CAST((doc_id {idiv} 2) % 20 AS STRING) END
+           || '.example.com'
+           || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+           || '/docs/' || CAST(doc_id {idiv} 2 AS STRING)
+           || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+           || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END AS url
+    FROM documents
+), canon AS (
+    SELECT doc_id, url,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(
+                 REGEXP_REPLACE(
+                   LOWER(REGEXP_EXTRACT(url, '^[A-Za-z]+://[^/?#]+', 0))
+                   || SUBSTRING(url, LENGTH(REGEXP_EXTRACT(url, '^[A-Za-z]+://[^/?#]+', 0)) + 1),
+                   -- port strip needs no anchor: ':' cannot occur outside
+                   -- the authority in these URLs (and backreference
+                   -- replacement syntax is NOT dialect-shared: Java $1 vs
+                   -- RE2 \1 — production uses a parser here)
+                   ':443', ''),
+                 '#.*$', ''),
+               '[?]utm_[^#]*', ''),
+             '/$', '') AS canonical_url
+    FROM raw
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM canon
+GROUP BY canonical_url
+"""
+
+
+@query("dedup_url_canonical", oracle=_url_canonical_sql("//"))
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the ZERO-FETCH dedup tier of a web
+    crawl pipeline, upstream of every content-based tier in this
+    module: before fetching (or embedding) anything, collapse URL
+    variants that differ only cosmetically — scheme/host case, the
+    protocol's default port, tracking parameters (utm_*), fragments,
+    trailing slashes — and keep one representative per canonical URL.
+    On a crawl frontier this removes a large slice of candidate fetches
+    for pure string-processing cost; content tiers (exact sha, MinHash)
+    then catch what URL identity cannot.
+
+    The messy URLs are synthesized deterministically from doc metadata
+    (the scalar_url_parsing convention) with ~2 docs per canonical
+    target, so the oracle can rebuild and canonicalize them
+    independently; canonicalization itself is the honest path — parse
+    and rewrite the STRING, not the parts it was built from.  Both
+    engines run the identical regex chain (patterns chosen inside the
+    Java-regex ∩ RE2 common dialect, the BPE_PRETOKEN_PATTERN
+    discipline — and BACKSLASH-FREE, because the engines' SQL string
+    literals disagree on backslash escaping: Spark consumes it, DuckDB
+    keeps it; '[?]' spells a literal '?' in both).
+
+    Scale: a narrow codegen'd per-row map (five regexes) plus ONE
+    groupBy on the canonical key — the cheapest shuffle in the dedup
+    ladder; output is |canonical| rows with variant counts and the
+    deterministic min-id keeper."""
+    register_views(spark, sf_dir)
+    return spark.sql(_url_canonical_sql("DIV"))

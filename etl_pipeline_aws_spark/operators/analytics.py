@@ -5952,3 +5952,63 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     join."""
     register_views(spark, sf_dir)
     return spark.sql(_BRIER_SPARK)
+
+
+# --------------------------------------------------------------------------
+# orders_yoy_growth — gap-safe year-over-year monthly growth
+# --------------------------------------------------------------------------
+
+
+def _yoy_sql(idiv: str) -> str:
+    """Shared YoY text; integer division per dialect.  The prior-year
+    month attaches by an EQUI self-join on the month index minus 12 —
+    gap-safe where a LAG(12) silently pairs wrong months the moment one
+    month is missing (the classic YoY dashboard bug)."""
+    return f"""
+WITH monthly AS (
+    SELECT (EXTRACT(YEAR FROM o_orderdate) * 12
+            + EXTRACT(MONTH FROM o_orderdate) - 1) AS ym,
+           CAST(MIN(CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE))
+                         AS DATE)) AS DATE) AS month_start,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) - 1
+)
+SELECT cur.month_start,
+       cur.n_orders,
+       CAST(cur.rev_cents AS DOUBLE) / 100e0 AS revenue,
+       CAST(prior.rev_cents AS DOUBLE) / 100e0 AS revenue_prior_year,
+       CASE WHEN prior.rev_cents IS NULL OR prior.rev_cents = 0 THEN NULL
+            ELSE CAST(((cur.rev_cents - prior.rev_cents) * 10000)
+                      {idiv} prior.rev_cents AS BIGINT) END AS yoy_bp
+FROM monthly cur
+LEFT JOIN monthly prior ON prior.ym = cur.ym - 12
+"""
+
+
+@query("orders_yoy_growth", oracle=_yoy_sql("//"))
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the seasonality-immune
+    growth headline that the WoW family (events_wow_change,
+    events_wow_price_volume_bridge) cannot give: comparing a month to
+    the SAME month last year nets out the annual cycle that
+    orders_month_seasonal_index measures, so yoy_bp isolates real
+    trajectory.  First-year months report NULL (no comparator), the
+    honest convention — a dashboard that backfills 0% growth there
+    fabricates a flat year.
+
+    Determinism: monthly revenue folds to exact BIGINT cents; growth
+    is integer floor basis points; the prior-year attach is an EQUI
+    self-join on the month ordinal (year·12+month) − 12 — gap-safe
+    where LAG(12) silently pairs the wrong months as soon as one month
+    has no orders (the classic YoY window bug, documented here so
+    consumers don't "simplify" it back).
+
+    Scale: one fact-sized monthly reduction, then a |months|×|months|
+    self-equi-join on a calendar-bounded table — hash join, trivially
+    broadcastable; no window at all."""
+    register_views(spark, sf_dir)
+    return spark.sql(_yoy_sql("DIV"))

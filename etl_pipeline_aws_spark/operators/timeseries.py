@@ -2132,3 +2132,73 @@ def pipeline_trend_monitoring_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.sql(
         _trend_panel_sql(_MK_SPARK, _RUNS_SPARK, _DW_SQL, _CAPABILITY_SQL)
     )
+
+
+# --------------------------------------------------------------------------
+# events_drawdown_recovery — peak/trough/recovery anatomy of the worst slump
+# --------------------------------------------------------------------------
+
+_DRAWDOWN_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM events GROUP BY CAST(ts AS DATE)
+), base AS (
+    SELECT d, cents,
+           CAST(SUM(cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n,
+           CAST(SUM(cents) OVER () AS BIGINT) AS total
+    FROM daily
+), eq AS (
+    -- cumulative deviation from the average day: n*cum - i*total stays an
+    -- exact BIGINT (the Hurst m*Z trick at full-series scope); a raw
+    -- positive-value cumsum never draws down, the DEVIATION curve does
+    SELECT d, CAST(n * cum - i * total AS BIGINT) AS z,
+           CAST(MAX(n * cum - i * total) OVER (ORDER BY d ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak,
+           n
+    FROM base
+), trough AS (
+    SELECT d AS trough_day, z AS tz, peak AS pk, (peak - z) AS mdd, n
+    FROM (SELECT eq.*, ROW_NUMBER() OVER (ORDER BY peak - z DESC, d) AS rk
+          FROM eq) t
+    WHERE rk = 1
+)
+SELECT (SELECT MAX(d) FROM eq
+        WHERE d <= (SELECT trough_day FROM trough)
+          AND z = (SELECT pk FROM trough)) AS peak_day,
+       (SELECT trough_day FROM trough) AS trough_day,
+       (SELECT MIN(d) FROM eq
+        WHERE d > (SELECT trough_day FROM trough)
+          AND z >= (SELECT pk FROM trough)) AS recovery_day,
+       CAST((SELECT mdd FROM trough) AS DOUBLE)
+           / CAST((SELECT n FROM trough) AS DOUBLE) / 100e0
+           AS max_drawdown_dollars
+"""
+
+
+@query("events_drawdown_recovery", oracle=_DRAWDOWN_SQL)
+def events_drawdown_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANATOMY of the worst slump in the daily event-value series —
+    peak day, trough day, recovery day, and depth — on the cumulative
+    DEVIATION-from-average curve (a raw cumsum of positive revenue
+    never draws down; the deviation curve is the "performance vs plan"
+    equity line, and its drawdowns are underperformance spells).
+    events_max_drawdown reports the DEPTH per user; the ops question
+    after any incident review is the TIMELINE — when did decline start,
+    where was bottom, and how long until the cumulative gap was earned
+    back (recovery_day NULL = still underwater at series end, the
+    honest convention).
+
+    Determinism: the deviation curve is carried ×n so it stays an
+    exact BIGINT (z_i = n·cum_i − i·total — the Hurst block trick at
+    full-series scope); peak/trough/recovery are integer compares and
+    date extrema; only the reported depth divides out (n·100) once.
+
+    Scale: one fact-sized daily reduction; every window and every
+    scalar subquery runs over the calendar-bounded day table
+    (guard-clean — the stat_runs_test_daily idiom)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DRAWDOWN_SQL)

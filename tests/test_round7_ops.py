@@ -1060,3 +1060,46 @@ def test_quantization_error_histogram_bounds(spark):
         f"SELECT SUM(len(embedding)) FROM read_parquet('{SF_DIR}/embeddings.parquet')"
     ).fetchone()[0]
     assert n == exp  # every component lands in exactly one bucket
+
+
+def test_url_canonical_collapses_cosmetic_variants(spark):
+    """Adjacent doc ids (k DIV 2) with same source+lang collapse; every
+    canonical URL is lower-scheme/host, portless, fragment- and
+    utm-free, no trailing slash."""
+    rows = engine.all_queries()["dedup_url_canonical"](spark, SF_DIR).collect()
+    n_variants = sum(r.n_variants for r in rows)
+    assert n_variants == N_DOCS
+    assert any(r.n_variants >= 2 for r in rows)
+    for r in rows:
+        u = r.canonical_url
+        assert u.startswith("https://")
+        assert ":443" not in u and "#" not in u and "utm_" not in u
+        assert not u.endswith("/")
+        assert u.split("//")[1].split("/")[0] == u.split("//")[1].split("/")[0].lower()
+        assert r.keeper_doc_id >= 0
+
+
+def test_yoy_growth_gap_safe_join(spark):
+    """Every non-NULL yoy pairs months exactly 12 apart; first-year
+    months are NULL; growth recomputes from the reported revenues."""
+    rows = engine.all_queries()["orders_yoy_growth"](spark, SF_DIR).collect()
+    by_month = {r.month_start: r for r in rows}
+    for r in rows:
+        prior_month = r.month_start.replace(year=r.month_start.year - 1)
+        if prior_month in by_month:
+            assert r.yoy_bp is not None
+            # both engines' integer division truncates toward zero
+            num = (round(r.revenue * 100) - round(r.revenue_prior_year * 100)) * 10000
+            den = round(r.revenue_prior_year * 100)
+            exp = int(num / den) if num * den < 0 else num // den
+            assert r.yoy_bp == exp
+        else:
+            assert r.yoy_bp is None and r.revenue_prior_year is None
+
+
+def test_drawdown_recovery_ordering_and_depth(spark):
+    r = engine.all_queries()["events_drawdown_recovery"](spark, SF_DIR).collect()[0]
+    assert r.peak_day <= r.trough_day
+    if r.recovery_day is not None:
+        assert r.recovery_day > r.trough_day
+    assert r.max_drawdown_dollars >= 0.0
