@@ -61,6 +61,11 @@ HEADLINE = [
     # matrix math) — both ~2.5 s at sf0.1 in the 10× probe
     "corpus_dsir_importance_weights",
     "events_attribution_markov_removal",
+    # round-7 session-3 flagship surface: exact coalition Shapley (the
+    # attribution ladder's capstone — one fact scan to a 16-row coalition
+    # fold) and the four-metric series health panel in one job
+    "events_attribution_shapley",
+    "pipeline_trend_monitoring_e2e",
 ]
 
 

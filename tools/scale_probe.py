@@ -271,6 +271,31 @@ PROBE_QUERIES = [
     "events_did_estimator",
     "embedding_cka_quantization",
     "stream_dsir_scoring",
+    # round-7 session-3 operators (scale-sensitive shapes: pair rewrites,
+    # per-value cumulative passes, graph joins, codec maps, fold chains)
+    "events_attribution_shapley",
+    "stat_mann_kendall_trend",
+    "stat_deming_regression",
+    "stat_nelson_aalen",
+    "stat_cliffs_delta",
+    "stat_durbin_watson",
+    "events_hurst_exponent",
+    "graph_rich_club_coefficient",
+    "events_entropy_rate",
+    "orders_abc_xyz_classification",
+    "orders_receivable_aging",
+    "orders_yoy_growth",
+    "events_drawdown_recovery",
+    "ml_brier_decomposition",
+    "multimodal_image_sharpness",
+    "multimodal_audio_snr",
+    "text_heaps_law_fit",
+    "corpus_filter_bias_audit",
+    "embedding_quantization_error_histogram",
+    "embedding_centroid_drift",
+    "dedup_url_canonical",
+    "pipeline_trend_monitoring_e2e",
+    "lakehouse_snapshot_expiry",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
