@@ -400,3 +400,106 @@ def layout_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# layout_zorder_skipping_planner — modeled row-group pruning, two layouts
+# --------------------------------------------------------------------------
+
+ZPLAN_ROWS_PER_GROUP = 1024  # modeled row-group size
+ZPLAN_BOX_LO, ZPLAN_BOX_HI = 112, 143  # middle 1/8 of the 0..255 code space
+
+
+def _zplan_sql(idiv: str) -> str:
+    """Generated shared planner text; integer division per dialect.  The
+    Morton code is literal integer arithmetic (no shift operators — their
+    spelling differs between dialects; DIV/% do not)."""
+    z_terms = " + ".join(
+        f"((xb {idiv} {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((yb {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(8)
+    )
+
+    def layout_block(name: str, order: str) -> str:
+        return f"""
+    SELECT '{name}' AS layout, grp,
+           MIN(xb) AS min_x, MAX(xb) AS max_x,
+           MIN(yb) AS min_y, MAX(yb) AS max_y
+    FROM (
+        SELECT xb, yb,
+               (ROW_NUMBER() OVER (ORDER BY {order}) - 1)
+                   {idiv} {ZPLAN_ROWS_PER_GROUP} AS grp
+        FROM coded
+    ) t GROUP BY grp"""
+
+    return f"""
+WITH base AS (
+    SELECT CAST(l_partkey AS BIGINT) AS pk,
+           CAST(EXTRACT(YEAR FROM l_shipdate) * 366
+                + EXTRACT(DOY FROM l_shipdate) AS BIGINT) AS xd,
+           l_orderkey, l_linenumber
+    FROM lineitem
+), bounds AS (
+    SELECT MIN(xd) AS xlo, MAX(xd) AS xhi,
+           MIN(pk) AS ylo, MAX(pk) AS yhi
+    FROM base
+), coded AS (
+    SELECT ((xd - (SELECT xlo FROM bounds)) * 256)
+               {idiv} ((SELECT xhi - xlo + 1 FROM bounds)) AS xb,
+           ((pk - (SELECT ylo FROM bounds)) * 256)
+               {idiv} ((SELECT yhi - ylo + 1 FROM bounds)) AS yb,
+           l_orderkey, l_linenumber
+    FROM base
+), groups AS (
+    {layout_block("linear_shipdate", "xb, yb, l_orderkey, l_linenumber")}
+    UNION ALL
+    {layout_block(
+        "zorder_interleaved",
+        f"({z_terms}), l_orderkey, l_linenumber",
+    )}
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN max_x < {ZPLAN_BOX_LO} OR min_x > {ZPLAN_BOX_HI}
+                      OR max_y < {ZPLAN_BOX_LO} OR min_y > {ZPLAN_BOX_HI}
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_scanned,
+       CAST(SUM(CASE WHEN max_x < {ZPLAN_BOX_LO} OR min_x > {ZPLAN_BOX_HI}
+                      OR max_y < {ZPLAN_BOX_LO} OR min_y > {ZPLAN_BOX_HI}
+                     THEN 1 ELSE 0 END) * 10000 {idiv} COUNT(*) AS BIGINT)
+           AS skipped_bp
+FROM groups GROUP BY layout
+"""
+
+
+@query("layout_zorder_skipping_planner", oracle=_zplan_sql("//"))
+def layout_zorder_skipping_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY Z-ORDER: the row-group-skipping planner that puts a NUMBER on
+    the layout decision parquet_zorder_layout executes — model the same
+    rows under (a) linear ship-date clustering and (b) Morton-interleaved
+    (shipdate × partkey) clustering, cut both into
+    {ZPLAN_ROWS_PER_GROUP}-row groups, keep per-group min/max "footer
+    stats", and count which groups a two-dimensional box predicate (the
+    middle-eighth of each coded axis — a typical date-range × key-range
+    probe) could SKIP.  Linear layouts prune one axis and scan ~all
+    groups for the other; the Morton curve bounds BOTH coordinates per
+    group, which is the entire economics of multi-dimensional
+    clustering at 100 TB (Delta/Iceberg OPTIMIZE ZORDER; the planner is
+    the evidence table a layout migration proposal attaches).
+
+    Determinism: byte codes are integer range-normalizations off one
+    exact bounds fold (scalar subqueries, guard-clean); the Morton code
+    is literal DIV/% arithmetic (shift-operator spelling differs
+    between dialects; integer division does not); group ids, stats,
+    and the skip predicate are pure integers.
+
+    Scale: the planner itself is the documented single-partition-window
+    exception — TWO global ORDER BY windows over the modeled table —
+    because it MODELS a sort the real write path performs with
+    repartitionByRange sampling (parquet_zorder_layout,
+    parquet_clustered_layout do the real writes; run the planner on a
+    sample, which is exactly what range-partitioner bounds estimation
+    does anyway)."""
+    from etl_pipeline_aws_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_zplan_sql("DIV"))

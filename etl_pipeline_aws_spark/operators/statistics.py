@@ -2170,3 +2170,85 @@ def stat_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinalities."""
     register_views(spark, sf_dir)
     return spark.sql(_CLIFFS_SQL)
+
+
+# Kruskal-Wallis: doubled mid-ranks per pooled distinct value (exact
+# BIGINTs), per-group rank sums by conditional fold, tie-corrected H in one
+# shared closing chain.
+_KW_GROUPS = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+
+
+def _kruskal_sql() -> str:
+    cs = ", ".join(
+        f"CAST(SUM(CASE WHEN g = {j} THEN 1 ELSE 0 END) AS BIGINT) AS c{j}"
+        for j in range(len(_KW_GROUPS))
+    )
+    rs = ", ".join(
+        f"CAST(SUM(c{j} * a) AS BIGINT) AS a{j},"
+        f" CAST(SUM(c{j}) AS BIGINT) AS n{j}"
+        for j in range(len(_KW_GROUPS))
+    )
+    sum_term = " + ".join(
+        f"CAST(a{j} AS DOUBLE) * CAST(a{j} AS DOUBLE) / CAST(n{j} AS DOUBLE)"
+        for j in range(len(_KW_GROUPS))
+    )
+    g_case = " ".join(
+        f"WHEN o_orderpriority = '{p}' THEN {j}"
+        for j, p in enumerate(_KW_GROUPS)
+    )
+    return f"""
+WITH pts AS (
+    SELECT o_totalprice AS v, CASE {g_case} END AS g FROM orders
+), per_value AS (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt, {cs}
+    FROM pts GROUP BY v
+), ranked AS (
+    SELECT *,
+           CAST(2 * SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) - cnt + 1 AS BIGINT) AS a,
+           CAST(SUM(cnt) OVER () AS BIGINT) AS n,
+           CAST(cnt * cnt * cnt - cnt AS BIGINT) AS tie3
+    FROM per_value
+), folds AS (
+    SELECT MAX(n) AS n, CAST(SUM(tie3) AS BIGINT) AS tie_sum, {rs}
+    FROM ranked
+)
+SELECT CAST({len(_KW_GROUPS)} AS BIGINT) AS k_groups,
+       n,
+       CAST({len(_KW_GROUPS) - 1} AS BIGINT) AS dof,
+       3e0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * ({sum_term})
+           - 3e0 * CAST(n + 1 AS DOUBLE) AS h_stat,
+       (3e0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * ({sum_term})
+           - 3e0 * CAST(n + 1 AS DOUBLE))
+       / (1e0 - CAST(tie_sum AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 - CAST(n AS DOUBLE))) AS h_tie_corrected
+FROM folds
+"""
+
+
+@query("stat_kruskal_wallis", oracle=_kruskal_sql())
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL FIVE order priorities — the k-group
+    closure of the two-sample rank family: Mann-Whitney compares one
+    pair, ANOVA (stat_anova_oneway) assumes normal+equal-variance
+    groups; KW asks "do ANY of the k spend distributions differ?" on
+    ranks alone, and is the test a dashboard needs BEFORE pairwise
+    drill-downs (running 10 MWUs uncorrected is the multiple-testing
+    trap stat_fdr_bh_control exists for).
+
+    Determinism: pooled doubled mid-ranks a_v = 2·cum − cnt + 1 are exact
+    BIGINTs per distinct value (the Spearman/MWU 2R trick); per-group
+    rank sums fold conditionally in the SAME pass (A_j = Σ c_j·a_v, so
+    Σ R_j²/n_j becomes (1/4)Σ A_j²/n_j and 12/4 = the 3 in the closing
+    chain); ties correct by Σ(t³−t) — all integers until ONE shared
+    closing expression.
+
+    Scale: one per-distinct-value reduction + one ordered window over
+    it (the stat_ks_two_sample posture, same 100 TB pre-binning note),
+    then a 1-row fold; group count is catalog-bounded so the
+    conditional-sum fan is literal columns, not a join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_kruskal_sql())

@@ -1103,3 +1103,64 @@ def test_drawdown_recovery_ordering_and_depth(spark):
     if r.recovery_day is not None:
         assert r.recovery_day > r.trough_day
     assert r.max_drawdown_dollars >= 0.0
+
+
+def test_kruskal_wallis_matches_scipy_free_recompute(spark):
+    """H must match a direct mid-rank recomputation in numpy (no scipy in
+    the container), and tie correction can only grow H."""
+    import duckdb
+    import numpy as np
+
+    r = engine.all_queries()["stat_kruskal_wallis"](spark, SF_DIR).collect()[0]
+    raw = duckdb.sql(
+        f"SELECT o_orderpriority, o_totalprice FROM"
+        f" read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    groups: dict = {}
+    vals = []
+    for g, v in raw:
+        groups.setdefault(g, []).append(v)
+        vals.append(v)
+    vals = np.array(vals)
+    order = np.argsort(vals, kind="mergesort")
+    ranks = np.empty(len(vals))
+    sv = vals[order]
+    i = 0
+    pos = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    n = len(vals)
+    idx = 0
+    h = 0.0
+    for g, gv in groups.items():
+        m = len(gv)
+        mask = np.isin(np.arange(n), [k for k, (gg, _) in enumerate(raw) if gg == g])
+        rj = ranks[mask].sum()
+        h += rj * rj / m
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    assert abs(r.h_stat - h) < 1e-6 * max(abs(h), 1.0)
+    assert r.h_tie_corrected >= r.h_stat - 1e-12
+    assert r.n == n and r.k_groups == 5 and r.dof == 4
+
+
+def test_zorder_planner_beats_linear_on_box_probe(spark):
+    """The point of the operator: the Morton layout must skip MORE groups
+    than the linear layout for the 2-D box probe, and counts must
+    partition."""
+    rows = {
+        r.layout: r
+        for r in engine.all_queries()["layout_zorder_skipping_planner"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(rows) == {"linear_shipdate", "zorder_interleaved"}
+    lin, zed = rows["linear_shipdate"], rows["zorder_interleaved"]
+    assert lin.n_groups == zed.n_groups  # same rows, same group size
+    for r in (lin, zed):
+        assert 0 <= r.n_scanned <= r.n_groups
+        assert r.skipped_bp == (r.n_groups - r.n_scanned) * 10000 // r.n_groups
+    assert zed.n_scanned < lin.n_scanned
