@@ -980,3 +980,94 @@ def corpus_filter_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs over |sources|×5 rows."""
     register_views(spark, sf_dir)
     return spark.sql(_BIAS_SPARK)
+
+
+# --------------------------------------------------------------------------
+# pipeline_source_scorecard_e2e — one-job per-source curation scorecard
+# --------------------------------------------------------------------------
+
+
+def _scorecard_sql(tok_len: str, tok_gen: str, hashfn: str, idiv: str) -> str:
+    """Shared source-scorecard text; per-dialect token length/generator,
+    content hash, and integer division.  Three source-keyed folds over
+    the same documents scan, hash-joined on the bounded source key."""
+    return f"""
+WITH gate AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_keeper = 1
+                          AND n_tokens BETWEEN 20 AND 1000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM (
+        SELECT source, {tok_len} AS n_tokens,
+               CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY {hashfn})
+                    THEN 1 ELSE 0 END AS is_keeper
+        FROM documents
+    ) g GROUP BY source
+), stats AS (
+    SELECT source,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY source
+), cells AS (
+    SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ({tok_gen}) toks GROUP BY source, w
+), marg AS (
+    SELECT source, w, c,
+           CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+    FROM cells
+), ent AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                * 1000000000e0) AS BIGINT)) AS BIGINT) AS entropy_e9
+    FROM marg GROUP BY source
+)
+SELECT g.source, g.n_docs, g.n_kept,
+       CAST(g.n_kept * 10000 {idiv} g.n_docs AS BIGINT) AS keep_bp,
+       CAST(s.total_chars {idiv} g.n_docs AS BIGINT) AS avg_chars,
+       s.n_langs, e.n_types, e.entropy_e9
+FROM gate g
+JOIN stats s ON s.source = g.source
+JOIN ent e ON e.source = g.source
+"""
+
+
+_SCORECARD_ORACLE = _scorecard_sql(
+    "len(string_split(text, ' '))",
+    "SELECT source, unnest(string_split(text, ' ')) AS w FROM documents",
+    "sha256(text)",
+    "//",
+)
+_SCORECARD_SPARK = _scorecard_sql(
+    "size(split(text, ' '))",
+    "SELECT source, explode(split(text, ' ')) AS w FROM documents",
+    "sha2(text, 256)",
+    "DIV",
+)
+
+
+@query("pipeline_source_scorecard_e2e", oracle=_SCORECARD_ORACLE)
+def pipeline_source_scorecard_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source CURATION SCORECARD as one job — the table a data
+    lead reads before every mix decision, with one row per source
+    carrying the three signal families this engine computes separately:
+    gate outcomes (docs, kept, keep-rate — the corpus_curation_gate
+    rules rolled up), shape (average chars, language spread), and
+    lexical health (type count, unigram entropy in nano-nats — the
+    text_source_token_entropy signal).  The composition proof that the
+    curation members share the documents contract; a foreachBatch sink
+    writes exactly this shape as the per-ingest source report.
+
+    Each leg is the member's exact arithmetic (hash-window keeper +
+    token-bound screen; exact integer char sums; floor-scaled LN per
+    cell).  The three folds hash-join on the bounded source key —
+    |sources| rows a side, broadcast-trivial.
+
+    Scale: the documents scan feeds three source-keyed partial
+    aggregations (the entropy leg's cell table is the posting-list
+    reduction); joins and output are |sources|-bounded.  One job, no
+    fact-sized join anywhere."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCORECARD_SPARK)

@@ -2656,3 +2656,73 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_source_token_entropy — per-source lexical diversity in nats
+# --------------------------------------------------------------------------
+
+
+def _source_entropy_sql(tok_gen: str, idiv: str) -> str:
+    """Shared per-source unigram-entropy text; per-dialect tokenizer and
+    integer division.  One LN per (source, TYPE) floor-scaled to e-9
+    nats (curation-family convention), exact integer folds after."""
+    return f"""
+WITH toks AS ({tok_gen}), cells AS (
+    SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks GROUP BY source, w
+), marg AS (
+    SELECT source, w, c,
+           CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+    FROM cells
+), terms AS (
+    SELECT source, n,
+           CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                * 1000000000e0) AS BIGINT) AS t_e9
+    FROM marg
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(t_e9) AS BIGINT) AS entropy_nats_e9,
+       CAST((SUM(t_e9) * 1000000)
+            {idiv} (CASE WHEN COUNT(*) > 1
+                    THEN CAST(FLOOR(LN(CAST(COUNT(*) AS DOUBLE))
+                                    * 1000000000e0) AS BIGINT)
+                    ELSE 1 END) AS BIGINT) AS efficiency_ppm
+FROM terms GROUP BY source
+"""
+
+
+_SRC_ENTROPY_ORACLE = _source_entropy_sql(
+    "SELECT source, unnest(string_split(text, ' ')) AS w FROM documents", "//"
+)
+_SRC_ENTROPY_SPARK = _source_entropy_sql(
+    "SELECT source, explode(split(text, ' ')) AS w FROM documents", "DIV"
+)
+
+
+@query("text_source_token_entropy", oracle=_SRC_ENTROPY_ORACLE)
+def text_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram token ENTROPY (nats) with Pielou-style
+    efficiency (H / ln V, the share of the source's own vocabulary
+    ceiling it actually uses) — the lexical-diversity column of the
+    source scorecard: the TV matrix (text_source_vocab_tv_matrix) says
+    how sources differ from EACH OTHER, the shingle-overlap census
+    says who copies whom; entropy says which sources are internally
+    template-degenerate (low H at normal size ⟹ boilerplate/spam mill
+    — downweight in the mix) before any pairwise comparison runs.
+
+    Determinism: per-(source, type) counts are exact; each −p·ln p
+    term is ONE LN per bounded CELL floor-scaled to nano-nats
+    (curation-family convention), so the per-source fold is exact
+    integer arithmetic; the efficiency ratio divides two floor-scaled
+    integers (single-type sources report efficiency over the 1-unit
+    floor — defined, not NULL, flagged by n_types=1).
+
+    Scale: one token reduction to |sources|×|V| cells (map-side
+    combined — the posting-list discipline), a source-partitioned
+    window over those cells, and a |sources|-row rollup.  No join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SRC_ENTROPY_SPARK)

@@ -1164,3 +1164,30 @@ def test_zorder_planner_beats_linear_on_box_probe(spark):
         assert 0 <= r.n_scanned <= r.n_groups
         assert r.skipped_bp == (r.n_groups - r.n_scanned) * 10000 // r.n_groups
     assert zed.n_scanned < lin.n_scanned
+
+
+def test_source_entropy_bounds_and_efficiency(spark):
+    import math
+
+    rows = engine.all_queries()["text_source_token_entropy"](spark, SF_DIR).collect()
+    assert len(rows) == 20  # sf0.01 source catalog
+    for r in rows:
+        assert r.n_tokens > 0 and r.n_types > 0
+        cap = math.log(r.n_types) * 1e9 + r.n_types  # floor slack
+        assert 0 <= r.entropy_nats_e9 <= cap
+        if r.n_types > 1:
+            assert 0 <= r.efficiency_ppm <= 1_000_001
+
+
+def test_source_scorecard_matches_members(spark):
+    """Scorecard legs must agree with the standalone member operators."""
+    qs = engine.all_queries()
+    card = {r.source: r for r in qs["pipeline_source_scorecard_e2e"](spark, SF_DIR).collect()}
+    ent = {r.source: r for r in qs["text_source_token_entropy"](spark, SF_DIR).collect()}
+    assert set(card) == set(ent)
+    assert sum(r.n_docs for r in card.values()) == N_DOCS
+    for src, r in card.items():
+        assert r.entropy_e9 == ent[src].entropy_nats_e9
+        assert r.n_types == ent[src].n_types
+        assert 0 <= r.n_kept <= r.n_docs
+        assert r.keep_bp == r.n_kept * 10000 // r.n_docs
