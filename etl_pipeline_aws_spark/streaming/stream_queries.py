@@ -1783,3 +1783,147 @@ def stream_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     lm.unpersist()
     return dsir_selection_report(spark.read.parquet(weight_sink))
+
+
+# --------------------------------------------------------------------------
+# stream_source_scorecard — the scorecard as mergeable micro-batch partials
+# --------------------------------------------------------------------------
+
+
+def _scorecard_stream_oracle() -> str:
+    from etl_pipeline_aws_spark.llm.curation import _SCORECARD_ORACLE
+
+    return _SCORECARD_ORACLE
+
+
+@query("stream_source_scorecard", oracle=_scorecard_stream_oracle)
+def stream_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source curation scorecard AS A STREAM — the partial-
+    aggregate deployment shape of pipeline_source_scorecard_e2e:
+    documents arrive in micro-batches (three staged shards,
+    maxFilesPerTrigger=1) and each batch appends MERGEABLE partials to
+    two sinks — the doc-level gate manifest (doc_id, source, n_chars,
+    lang, token count, content hash) and the (source, token) count
+    cells — via foreachBatch; the final rollup dedups keepers GLOBALLY
+    on the merged manifest (exact-dup keeper assignment cannot be
+    decided inside one micro-batch — the cross-batch-state lesson,
+    solved here by deferring the hash window to merge time, the
+    continuous_aggregate_merge discipline) and computes entropy on the
+    MERGED exact counts (the floor-LN runs once at rollup, so no
+    per-batch float ever needs re-merging).  Any micro-batch split
+    therefore reproduces the batch scorecard EXACTLY — this query
+    shares pipeline_source_scorecard_e2e's DuckDB oracle, and
+    stream/batch parity IS the correctness check.
+
+    Scale: per batch one narrow doc map + one token reduction over
+    ONLY that batch; sinks carry doc-level metadata and |sources|×|V|
+    cells; the global keeper window runs on the manifest (hash-keyed),
+    never on text.  Unbounded operation swaps the staged shards for
+    the landing zone and compacts the cell sink on a cadence."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    )
+    zone = tempfile.mkdtemp(prefix="scorecard_stream_")
+    landing = os.path.join(zone, "landing")
+    (
+        docs.withColumn("shard", (F.col("doc_id") % 3).cast("int"))
+        .repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(landing)
+    )
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+        .select("doc_id", "source", "lang", "n_chars", "text")
+    )
+    manifest_sink = os.path.join(zone, "manifest")
+    cells_sink = os.path.join(zone, "cells")
+
+    def fold_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            F.sha2("text", 256).alias("h"),
+        ).write.mode("append").parquet(manifest_sink)
+        batch.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        ).groupBy("source", "w").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ).write.mode("append").parquet(cells_sink)
+
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", os.path.join(zone, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from pyspark.sql.window import Window
+
+    man = spark.read.parquet(manifest_sink)
+    gate = (
+        man.withColumn(
+            "is_keeper",
+            (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("h")))
+            .cast("int"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("is_keeper") == 1)
+                    & F.col("n_tokens").between(20, 1000),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )
+    cells = (
+        spark.read.parquet(cells_sink)
+        .groupBy("source", "w")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    marg = cells.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("source"))
+    )
+    ent = (
+        marg.withColumn(
+            "t_e9",
+            F.floor(
+                -(F.col("c").cast("double") / F.col("n").cast("double"))
+                * F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+                * F.lit(1e9)
+            ).cast("long"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("t_e9").cast("long").alias("entropy_e9"),
+        )
+    )
+    return (
+        gate.join(ent, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.expr("n_kept * 10000 div n_docs").cast("long").alias("keep_bp"),
+            F.expr("total_chars div n_docs").cast("long").alias("avg_chars"),
+            "n_langs",
+            "n_types",
+            "entropy_e9",
+        )
+    )

@@ -1191,3 +1191,18 @@ def test_source_scorecard_matches_members(spark):
         assert r.n_types == ent[src].n_types
         assert 0 <= r.n_kept <= r.n_docs
         assert r.keep_bp == r.n_kept * 10000 // r.n_docs
+
+
+def test_stream_scorecard_equals_batch_scorecard(spark):
+    """Stream/batch parity: the micro-batched partial-aggregate rollup
+    must reproduce the batch scorecard row-for-row."""
+    qs = engine.all_queries()
+    batch = {
+        r.source: tuple(r)
+        for r in qs["pipeline_source_scorecard_e2e"](spark, SF_DIR).collect()
+    }
+    stream = {
+        r.source: tuple(r)
+        for r in qs["stream_source_scorecard"](spark, SF_DIR).collect()
+    }
+    assert batch == stream
