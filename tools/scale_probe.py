@@ -296,6 +296,11 @@ PROBE_QUERIES = [
     "dedup_url_canonical",
     "pipeline_trend_monitoring_e2e",
     "lakehouse_snapshot_expiry",
+    "stat_kruskal_wallis",
+    "layout_zorder_skipping_planner",
+    "text_source_token_entropy",
+    "pipeline_source_scorecard_e2e",
+    "dedup_url_canonical",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
