@@ -2202,3 +2202,73 @@ def events_drawdown_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     (guard-clean — the stat_runs_test_daily idiom)."""
     register_views(spark, sf_dir)
     return spark.sql(_DRAWDOWN_SQL)
+
+
+# --------------------------------------------------------------------------
+# events_page_hinkley_drift — online mean-drift alarm
+# --------------------------------------------------------------------------
+
+PH_DELTA_CENTS = 50_000  # tolerated drift per day (500 dollars)
+PH_LAMBDA_DAYS = 3  # alarm threshold, in units of delta-days
+
+
+def _page_hinkley_sql() -> str:
+    """Shared Page-Hinkley text.  The PH statistic is carried ×n so it
+    stays an exact BIGINT: n·m_t = n·cum_t − t·total − t·n·δ."""
+    lam = PH_LAMBDA_DAYS * PH_DELTA_CENTS
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM events GROUP BY CAST(ts AS DATE)
+), base AS (
+    SELECT d,
+           CAST(SUM(cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n,
+           CAST(SUM(cents) OVER () AS BIGINT) AS total
+    FROM daily
+), m AS (
+    SELECT d, n,
+           CAST(n * cum - t * total - t * n * {PH_DELTA_CENTS} AS BIGINT) AS nm
+    FROM base
+), ph AS (
+    SELECT d, n,
+           CAST(nm - MIN(nm) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS nph
+    FROM m
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN nph > n * {lam} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_alarm_days,
+       CAST(MIN(CASE WHEN nph > n * {lam} THEN d END) AS DATE)
+           AS first_alarm_day,
+       CAST(MAX(nph) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) / 100e0
+           AS max_ph_dollars
+FROM ph
+"""
+
+
+@query("events_page_hinkley_drift", oracle=_page_hinkley_sql())
+def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley ONLINE drift alarm on the daily event-value series —
+    the monitoring-time complement of events_cusum_changepoint: CUSUM's
+    argmax localizes the single best changepoint AFTER the fact; PH is
+    the sequential test an alerting pipeline evaluates as each day
+    closes — m_t = Σ(x_i − x̄ − δ), PH_t = m_t − min m, alarm while
+    PH_t > λ — with δ the tolerated per-day drift and λ the patience
+    ({PH_DELTA_CENTS} cents/day and {PH_LAMBDA_DAYS}·δ days here,
+    documented; production passes its SLO constants).  Reports alarm-day
+    count, first alarm date (the page-the-oncall moment), and the peak
+    excursion.
+
+    Determinism: the statistic is carried ×n so every compare is an
+    exact BIGINT (n·m_t = n·cum − t·total − t·n·δ — the drawdown-
+    recovery trick with a drift term); thresholds are integer literals
+    scaled the same way; only the reported peak divides out once.
+
+    Scale: one fact-sized daily reduction, three ordered windows over
+    the calendar-bounded day table, a 1-row fold.  No join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_page_hinkley_sql())

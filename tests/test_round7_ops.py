@@ -1206,3 +1206,33 @@ def test_stream_scorecard_equals_batch_scorecard(spark):
         for r in qs["stream_source_scorecard"](spark, SF_DIR).collect()
     }
     assert batch == stream
+
+
+def test_page_hinkley_recompute(spark):
+    """Alarm days and peak must match a direct python recomputation of
+    the PH recursion over the daily series."""
+    import duckdb
+
+    r = engine.all_queries()["events_page_hinkley_drift"](spark, SF_DIR).collect()[0]
+    daily = duckdb.sql(
+        f"SELECT CAST(ts AS DATE) d,"
+        f" CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) c"
+        f" FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    n = len(daily)
+    total = sum(c for _, c in daily)
+    delta, lam = 50_000, 3 * 50_000
+    cum, mn, alarms, peak, first = 0, None, 0, 0, None
+    for t, (d, c) in enumerate(daily, start=1):
+        cum += c
+        nm = n * cum - t * total - t * n * delta
+        mn = nm if mn is None or nm < mn else mn
+        nph = nm - mn
+        peak = max(peak, nph)
+        if nph > n * lam:
+            alarms += 1
+            first = first or d
+    assert r.n_days == n
+    assert r.n_alarm_days == alarms
+    assert r.first_alarm_day == first
+    assert abs(r.max_ph_dollars - peak / n / 100.0) < 1e-9
