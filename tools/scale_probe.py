@@ -301,6 +301,7 @@ PROBE_QUERIES = [
     "text_source_token_entropy",
     "pipeline_source_scorecard_e2e",
     "dedup_url_canonical",
+    "events_page_hinkley_drift",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
