@@ -6012,3 +6012,60 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable; no window at all."""
     register_views(spark, sf_dir)
     return spark.sql(_yoy_sql("DIV"))
+
+
+# --------------------------------------------------------------------------
+# parts_single_source_risk — the actionable single-sourcing exposure list
+# --------------------------------------------------------------------------
+
+
+def _single_source_sql(idiv: str) -> str:
+    return f"""
+WITH per_part AS (
+    SELECT l_partkey AS pk,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT)
+               AS rev_tc
+    FROM lineitem GROUP BY l_partkey
+), branded AS (
+    SELECT p.p_brand, pp.n_suppliers, pp.rev_tc
+    FROM per_part pp JOIN part p ON p.p_partkey = pp.pk
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_single_sourced,
+       CAST(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) * 10000
+            {idiv} COUNT(*) AS BIGINT) AS single_source_bp,
+       CAST(SUM(CASE WHEN n_suppliers = 1 THEN rev_tc ELSE 0 END) AS DOUBLE)
+           / 10000e0 AS revenue_at_risk,
+       CAST(SUM(CASE WHEN n_suppliers = 1 THEN rev_tc ELSE 0 END) * 10000
+            {idiv} SUM(rev_tc) AS BIGINT) AS revenue_at_risk_bp
+FROM branded
+GROUP BY p_brand
+"""
+
+
+@query("parts_single_source_risk", oracle=_single_source_sql("//"))
+def parts_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-sourcing EXPOSURE by brand — the actionable companion to
+    parts_supplier_hhi: HHI scores concentration on a continuous index,
+    but the procurement action item is the discrete list — parts whose
+    entire observed supply came from ONE supplier, rolled up per brand
+    with the revenue that supplier's failure would strand.  The report
+    every supply-risk review starts from (dual-source the top
+    revenue_at_risk rows first).
+
+    Determinism: supplier counts are exact distincts per part; revenue
+    is the engine-wide exact decimal product sum in tenth-cents; all
+    shares are integer basis points; one final division surfaces
+    dollars.
+
+    Scale: one fact-sized (part) reduction carrying a distinct-count
+    (Spark plans the two-level expand; at 100 TB swap COUNT(DISTINCT)
+    for the exact bitmap fold of agg_bitmap_exact_distinct if supplier
+    cardinality per part is large — here it is ≤ single digits), one
+    broadcast-sized dim join on part, and a |brands|-row rollup."""
+    register_views(spark, sf_dir)
+    return spark.sql(_single_source_sql("DIV"))

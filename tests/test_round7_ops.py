@@ -1236,3 +1236,21 @@ def test_page_hinkley_recompute(spark):
     assert r.n_alarm_days == alarms
     assert r.first_alarm_day == first
     assert abs(r.max_ph_dollars - peak / n / 100.0) < 1e-9
+
+
+def test_single_source_risk_bounds_and_reconciliation(spark):
+    """Per-brand counts partition the part catalog observed in lineitem;
+    at-risk revenue never exceeds brand revenue; bp fields recompute."""
+    import duckdb
+
+    rows = engine.all_queries()["parts_single_source_risk"](spark, SF_DIR).collect()
+    n_parts_obs = duckdb.sql(
+        f"SELECT COUNT(DISTINCT l_partkey) FROM"
+        f" read_parquet('{SF_DIR}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_parts for r in rows) == n_parts_obs
+    for r in rows:
+        assert 0 <= r.n_single_sourced <= r.n_parts
+        assert r.single_source_bp == r.n_single_sourced * 10000 // r.n_parts
+        assert 0 <= r.revenue_at_risk_bp <= 10000
+        assert r.revenue_at_risk >= 0
