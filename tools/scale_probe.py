@@ -302,6 +302,7 @@ PROBE_QUERIES = [
     "pipeline_source_scorecard_e2e",
     "dedup_url_canonical",
     "events_page_hinkley_drift",
+    "parts_single_source_risk",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
