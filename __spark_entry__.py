@@ -8,11 +8,43 @@ flagship pricing-summary query on sf0.001.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 import etl_pipeline_aws_spark as engine
+
+
+def _round_number() -> int:
+    """Current build round, inferred from the driver's own CORRECTNESS
+    artifacts beside this file (r{N} exists => we are building r{N+1})."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        for m in [re.match(r"CORRECTNESS_r(\d+)\.json$", f)]
+        if m
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _rotated(names: list[str]) -> list[str]:
+    """Round-keyed rotation (r7 verdict ask #3): the driver samples the
+    HEAD of this dict, and a stable alphabetical order kept re-drawing the
+    same ~50 `agg_*`/`events_*` names every round (90/616 ever sampled
+    through r7).  Ordering by sha256(f"{name}:r{N}") re-shuffles the head
+    every round so driver evidence rotates across the whole registry;
+    `range_join_binned` (fixed in r3, never re-drawn since its r2 err) is
+    pulled to the front until an artifact shows it driver-green."""
+    n = _round_number()
+    ordered = sorted(
+        names, key=lambda q: hashlib.sha256(f"{q}:r{n}".encode()).hexdigest()
+    )
+    ordered.sort(key=lambda q: q != "range_join_binned")  # stable front-pull
+    return ordered
 
 
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]):
@@ -56,11 +88,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tests/test_oracle_queries.py, tests/test_plans.py) and exercised inside
     oracle-backed composites — so a driver sample can never land on an
     entry without a DuckDB twin."""
-    return {name: _with_utc(fn) for name, fn in engine.queries().items()}
+    qs = engine.queries()
+    return {name: _with_utc(qs[name]) for name in _rotated(sorted(qs))}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every queries() key (the registries are
     kept 1:1 by tests/test_oracle_queries.py::
-    test_driver_registry_is_fully_oracle_backed)."""
-    return engine.oracle_sql()
+    test_driver_registry_is_fully_oracle_backed), in the same round-keyed
+    rotation as queries()."""
+    sql = engine.oracle_sql()
+    return {name: sql[name] for name in _rotated(sorted(sql))}

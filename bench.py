@@ -129,13 +129,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # Artifact contract (r7 verdict ask #4): BENCH_r07's single fat line
+    # outgrew the driver's tail-capture window and was recorded front-
+    # truncated ("parsed": null).  Emit the self-certification detail
+    # (raw pairs, loadavg, calibration) on its own line FIRST, then a
+    # compact machine line LAST so the tail window always holds valid JSON.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
+                "detail": "bench_self_certification",
                 "raw_runs": raw,
                 "loadavg_before": list(load_before),
                 "loadavg_after": list(load_after),
@@ -143,6 +145,16 @@ def main() -> None:
                 # on a quiet host both land ~equal; a contended run shows a
                 # visibly inflated value (calibrated slowdown, not a guess)
                 "calibration_sec": {"before": calib_before, "after": calib_after},
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
                 "sf": sf,
             }
         )

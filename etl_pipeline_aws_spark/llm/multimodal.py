@@ -2164,6 +2164,13 @@ def multimodal_audio_clipping_rate(spark: SparkSession, sf_dir: str) -> DataFram
 
 PSNR_CHANNELS = AHASH_PIXELS * 3  # RGB bytes compared per image pair
 PSNR_IDENTICAL_MDB = 999_000  # sentinel for sse = 0 (infinite PSNR)
+# Verify-budget knob (r7 verdict ask #6): max exact-pixel verifications per
+# left image.  The banded aHash join generates candidates QUADRATICALLY in
+# an image's duplication factor (the 10x probe's honest outlier: 72.6 s on
+# a replica-heavy corpus); capping per-image verifies, best band-collision
+# ranks first, makes the verify stage linear in images while the dropped
+# count is surfaced per row so a production run can see what the budget cut.
+PSNR_VERIFY_CAP = 8
 
 
 def _psnr_sql(gen_px: str, gen_band: str, gen_byte: str, idiv: str, shl, popxor) -> str:
@@ -2203,32 +2210,50 @@ WITH px AS (
                AS band_val
     FROM hashes, ({gen_band}) gb
 ), cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    -- band-collision COUNT per pair (not DISTINCT): the rank key for the
+    -- verify budget — more shared bands = more likely a true near-dup
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_band_hits
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_val = b.band_val
      AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), capped AS (
+    -- verify-budget knob (r7 verdict ask #6): at most {PSNR_VERIFY_CAP}
+    -- exact-pixel verifications per left image, best band-collision
+    -- counts first (deterministic tiebreak on doc_b) — a duplication-
+    -- heavy corpus degrades linearly instead of quadratically
+    SELECT doc_a, doc_b,
+           ROW_NUMBER() OVER (PARTITION BY doc_a
+                              ORDER BY n_band_hits DESC, doc_b) AS cand_rk,
+           CAST(COUNT(*) OVER (PARTITION BY doc_a) AS BIGINT) AS n_cand
+    FROM cand
 ), pairs AS (
     SELECT c.doc_a, c.doc_b,
+           CAST(c.n_cand - LEAST(c.n_cand, {PSNR_VERIFY_CAP}) AS BIGINT)
+               AS doc_a_dropped,
            CAST({popxor('ha.h', 'hb.h')} AS INT) AS hamming
-    FROM cand c
+    FROM capped c
     JOIN hashes ha ON ha.doc_id = c.doc_a
     JOIN hashes hb ON hb.doc_id = c.doc_b
-    WHERE {popxor('ha.h', 'hb.h')} <= {AHASH_MAX_HAMMING}
+    WHERE c.cand_rk <= {PSNR_VERIFY_CAP}
+      AND {popxor('ha.h', 'hb.h')} <= {AHASH_MAX_HAMMING}
 ), sse AS (
-    SELECT p.doc_a, p.doc_b, p.hamming,
+    SELECT p.doc_a, p.doc_b, p.hamming, p.doc_a_dropped,
            CAST(SUM({byte_d} * {byte_d}) AS BIGINT) AS sse
     FROM pairs p
     JOIN documents da ON da.doc_id = p.doc_a
     JOIN documents db ON db.doc_id = p.doc_b
     CROSS JOIN ({gen_byte}) gc
-    GROUP BY p.doc_a, p.doc_b, p.hamming
+    GROUP BY p.doc_a, p.doc_b, p.hamming, p.doc_a_dropped
 )
 SELECT doc_a, doc_b, hamming, sse,
        CAST(CASE WHEN sse = 0 THEN {PSNR_IDENTICAL_MDB}
                  ELSE FLOOR(10 * LOG10(CAST(255 * 255 AS DOUBLE)
                                        * {PSNR_CHANNELS}
                                        / CAST(sse AS DOUBLE)) * 1000)
-            END AS BIGINT) AS psnr_mdb
+            END AS BIGINT) AS psnr_mdb,
+       doc_a_dropped
 FROM sse
 """
 
@@ -2270,11 +2295,16 @@ def multimodal_image_psnr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism discipline applied to images.  Same deterministic
     text→RGB byte mapping as the rest of the image tier.
 
-    Scale: the candidate set rides the banded LSH join (never
-    all-pairs); the verify stage is |candidates| × {PSNR_CHANNELS}
-    rows — linear in survivors, which is the entire point of
-    hash-then-verify.  At 100 TB the byte fetch is the only wide cost
-    and touches candidate images only."""
+    Scale (r7 verdict ask #6): the candidate set rides the banded LSH
+    join (never all-pairs), and the verify stage is now BUDGETED — at
+    most {PSNR_VERIFY_CAP} verifications per left image, ranked by
+    band-collision count (deterministic tiebreak), so a duplication-
+    heavy corpus degrades linearly instead of quadratically (the 10x
+    probe's 72.6 s outlier was replica-duplication blowing up the
+    candidate count).  Each output row carries ``doc_a_dropped`` — how
+    many of that image's candidates the budget cut — so the drop is
+    visible in the result, not silent.  At 100 TB the byte fetch is
+    the only wide cost and touches kept candidates only."""
     register_views(spark, sf_dir)
     return spark.sql(_PSNR_SPARK)
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_aws_spark.catalog import load_table, register_views
+from etl_pipeline_aws_spark.functions.prefix import ranked_prefix_sum
 from etl_pipeline_aws_spark.registry import query
 
 
@@ -1232,36 +1233,36 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     division ever decides which side of 80 % a part falls on; the
     reported cum_share is one double division of two exact decimals.
 
-    Plan: lineitem reduces to a part-sized table first (one l_partkey
-    shuffle with map-side combine), then ONE global running-sum window
-    over |parts| rows.  The global sort is over the aggregated dim-sized
-    table, never the fact table — the same discipline as RFM; if |parts|
-    itself outgrows one task, the classification regroups per category
-    (partitionBy) or switches to a two-pass quantile cut."""
-    from pyspark.sql.window import Window
-
+    Plan (r7 verdict ask #1, second exemplar of the class): lineitem
+    reduces to a part-sized table first (one l_partkey shuffle with
+    map-side combine); the running-sum fence — formerly ONE global
+    unpartitioned window that put all |parts| rows on a single task —
+    now rides the two-phase ranked_prefix_sum (functions/prefix.py):
+    repartitionByRange on (revenue DESC, l_partkey) → per-slice
+    partitioned window → bounded offset fold broadcast back, exact
+    DECIMAL arithmetic end to end and value-identical to the global
+    window.  The grand total comes from the offset fold, so the
+    ``SUM() OVER ()`` unpartitioned window is gone too."""
     from etl_pipeline_aws_spark.functions.numeric import dmul
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(dmul("l_extendedprice", F.lit(1) - F.col("l_discount"))).alias("revenue")
     )
-    w_run = Window.orderBy(F.col("revenue").desc(), "l_partkey")
-    run = rev.select(
-        "l_partkey",
-        "revenue",
-        F.sum("revenue").over(w_run).alias("cum"),
-        F.sum("revenue").over(Window.partitionBy()).alias("total"),
+    ranked, totals = ranked_prefix_sum(
+        rev, [F.col("revenue").desc(), F.asc("l_partkey")], ["revenue"]
     )
+    total_t = next(f.dataType for f in ranked.schema.fields if f.name == "cum_revenue")
+    total = F.lit(totals["revenue"]).cast(total_t)
     cls = (
-        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
-        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+        F.when(F.col("cum_revenue") * 5 <= total * 4, "A")
+        .when(F.col("cum_revenue") * 20 <= total * 19, "B")
         .otherwise("C")
     )
-    return run.select(
+    return ranked.select(
         "l_partkey",
         F.col("revenue").cast("double").alias("revenue"),
-        (F.col("cum").cast("double") / F.col("total").cast("double")).alias("cum_share"),
+        (F.col("cum_revenue").cast("double") / total.cast("double")).alias("cum_share"),
         cls.alias("abc_class"),
     )
 
@@ -5763,6 +5764,54 @@ GROUP BY abc_class, xyz_class
 """
 
 
+_ABC_PM_SPARK = """
+SELECT l_partkey AS pk,
+       CAST(DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS DATE) AS m,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qc,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT)
+           AS rev_tm
+FROM lineitem
+GROUP BY l_partkey, CAST(DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS DATE)
+"""
+
+_ABC_PER_PART_SPARK = """
+SELECT pk,
+       CAST(SUM(rev_tm) AS BIGINT) AS rev,
+       CAST(SUM(qc) AS BIGINT) AS s,
+       CAST(SUM(qc * qc) AS BIGINT) AS q
+FROM abc_xyz_pm GROUP BY pk
+"""
+
+
+def _abc_final_spark(total_rev: int) -> str:
+    """Classing + 3x3 grid over the prefix-summed part frame; the exact
+    grand total comes from the offset fold (a BIGINT literal), the month
+    horizon rides a scalar subquery (guard-clean)."""
+    return f"""
+WITH horizon AS (
+    SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS n_months FROM abc_xyz_pm
+), classed AS (
+    SELECT CASE WHEN cum_rev * 100 <= CAST({total_rev} AS BIGINT) * 80 THEN 'A'
+                WHEN cum_rev * 100 <= CAST({total_rev} AS BIGINT) * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CASE WHEN 4 * ((SELECT n_months FROM horizon) * q - s * s)
+                     <= s * s THEN 'X'
+                WHEN (SELECT n_months FROM horizon) * q - s * s
+                     <= s * s THEN 'Y'
+                ELSE 'Z' END AS xyz_class,
+           rev
+    FROM abc_xyz_ranked
+)
+SELECT abc_class, xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS DOUBLE) * 1000000e0
+           / CAST(CAST({total_rev} AS BIGINT) AS DOUBLE) AS rev_share_ppm
+FROM classed
+GROUP BY abc_class, xyz_class
+"""
+
+
 @query("orders_abc_xyz_classification", oracle=_abc_xyz_sql())
 def orders_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC-XYZ inventory policy matrix — the planning grid that crosses
@@ -5779,13 +5828,28 @@ def orders_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame
     Y ⟺ MQ−S² ≤ S² over exact cent-scaled BIGINTs (months without
     sales count as zero demand periods through the fixed M horizon —
     the documented XYZ convention); no float touches any boundary.
+    The two-phase cumulative sum is value-identical to the oracle's
+    global window: range partition i holds a contiguous slice of the
+    (rev DESC, pk) total order, so offset+local prefix = exact global
+    prefix for every row regardless of boundary placement.
 
-    Scale: one fact-sized (part, month) reduction, one part-level fold,
-    one part-keyed ranked window (|parts| rows), and the 1-row horizon
-    fold riding a scalar subquery (guard-clean); output is the bounded
-    3×3 grid."""
+    Scale (r7 verdict ask #1 — was the registry's worst 10x-probe
+    regression, 4.2 → 20.1 s): the old `SUM(rev) OVER (ORDER BY rev
+    DESC, pk)` fence moved all |parts| rows to ONE task.  Now the ABC
+    fence is the two-phase ranked_prefix_sum (functions/prefix.py):
+    repartitionByRange on (rev DESC, pk) → per-slice partitioned window
+    → ≤n_ranges-row offset fold broadcast back — every fact-scale stage
+    parallel, driver traffic bounded at n_ranges rows.  One fact-sized
+    (part, month) reduction, one part-level fold, and the 1-row horizon
+    scalar subquery; output is the bounded 3×3 grid."""
     register_views(spark, sf_dir)
-    return spark.sql(_abc_xyz_sql())
+    spark.sql(_ABC_PM_SPARK).createOrReplaceTempView("abc_xyz_pm")
+    per_part = spark.sql(_ABC_PER_PART_SPARK)
+    ranked, totals = ranked_prefix_sum(
+        per_part, [F.desc("rev"), F.asc("pk")], ["rev"]
+    )
+    ranked.createOrReplaceTempView("abc_xyz_ranked")
+    return spark.sql(_abc_final_spark(totals["rev"]))
 
 
 # --------------------------------------------------------------------------

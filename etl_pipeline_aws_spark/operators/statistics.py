@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_aws_spark.catalog import load_table, register_views
+from etl_pipeline_aws_spark.functions.prefix import ranked_prefix_sum
 from etl_pipeline_aws_spark.registry import query
 
 # KS two-sample: per-distinct-value counts -> cumulative counts -> the D
@@ -58,6 +59,19 @@ SELECT CAST(MAX(n1) AS BIGINT) AS n1,
 FROM cum
 """
 
+# Spark side stops at the per-value count table; the ECDF accumulation is
+# the two-phase distributed prefix sum (see the function's Scale note).
+_KS_PER_VALUE_SPARK = """
+SELECT o_totalprice AS v,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS c1,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+            AS BIGINT) AS c2
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+GROUP BY o_totalprice
+"""
+
 
 @query("stat_ks_two_sample", oracle=_KS_SQL)
 def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,13 +85,36 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties are handled by grouping to distinct values BEFORE the cumulative
     window — both ECDFs step at the same pooled points.
 
-    Scale: the per-value reduction shuffles (value, 2 counts) — |distinct|
-    rows.  The unbounded-ordered window is the textbook single-partition
-    pinch; at fact scale the documented fix is pre-binning values (the
-    same SQL over quantile bins), which bounds the window input without
-    changing the statistic materially."""
+    Scale (r7 verdict ask #1, ECDF-family exemplar): the per-value
+    reduction shuffles (value, 2 counts) — |distinct| rows, which for
+    ``o_totalprice`` scales WITH the fact table, so the former
+    unbounded-ordered window was a single-task pinch.  The ECDF
+    accumulation now rides the two-phase ranked_prefix_sum
+    (functions/prefix.py): repartitionByRange on value → per-slice
+    partitioned window → bounded offset fold broadcast back —
+    value-identical to the global window (a row's prefix set is fixed
+    by the total order, not by slice boundaries) with every
+    |distinct|-scale stage parallel.  The D-statistic max is an
+    ordinary parallel aggregate; n1/n2 come exact from the offset fold
+    so no ``SUM() OVER ()`` remains either."""
     register_views(spark, sf_dir)
-    return spark.sql(_KS_SQL)
+    per_value = spark.sql(_KS_PER_VALUE_SPARK)
+    ranked, totals = ranked_prefix_sum(per_value, [F.asc("v")], ["c1", "c2"])
+    n1, n2 = totals["c1"], totals["c2"]
+    num = ranked.select(
+        F.abs(
+            F.col("cum_c1") * F.lit(n2).cast("long")
+            - F.col("cum_c2") * F.lit(n1).cast("long")
+        ).alias("num")
+    )
+    return num.agg(F.max("num").alias("_m")).select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        (
+            F.col("_m").cast("double")
+            / (F.lit(n1).cast("double") * F.lit(n2).cast("double"))
+        ).alias("ks_d"),
+    )
 
 
 # Chi-square independence: exact integer cell/marginal counts; each cell's

@@ -2252,16 +2252,24 @@ FROM ph
 
 @query("events_page_hinkley_drift", oracle=_page_hinkley_sql())
 def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Page-Hinkley ONLINE drift alarm on the daily event-value series —
-    the monitoring-time complement of events_cusum_changepoint: CUSUM's
-    argmax localizes the single best changepoint AFTER the fact; PH is
-    the sequential test an alerting pipeline evaluates as each day
-    closes — m_t = Σ(x_i − x̄ − δ), PH_t = m_t − min m, alarm while
-    PH_t > λ — with δ the tolerated per-day drift and λ the patience
-    ({PH_DELTA_CENTS} cents/day and {PH_LAMBDA_DAYS}·δ days here,
-    documented; production passes its SLO constants).  Reports alarm-day
-    count, first alarm date (the page-the-oncall moment), and the peak
-    excursion.
+    """Page-Hinkley drift alarm on the daily event-value series — the
+    monitoring-time complement of events_cusum_changepoint: CUSUM's
+    argmax localizes the single best changepoint AFTER the fact; PH
+    flags WHICH days a drift alarm fires — m_t = Σ(x_i − x̄ − δ),
+    PH_t = m_t − min m, alarm while PH_t > λ — with δ the tolerated
+    per-day drift and λ the patience ({PH_DELTA_CENTS} cents/day and
+    {PH_LAMBDA_DAYS}·δ days here, documented; production passes its SLO
+    constants).  Reports alarm-day count, first alarm date (the
+    page-the-oncall moment), and the peak excursion.
+
+    This is the RETROSPECTIVE (fixed-mean) PH variant (ADVICE r7): x̄
+    is the full-series mean, by design — it keeps every compare exact
+    BIGINT (recompute-pinned).  The strictly sequential variant uses
+    the running mean x̄_t, whose per-term denominators 1..t cannot stay
+    exact in scaled integers; a live alerting deployment evaluates it
+    incrementally in floats and alarm days can differ near the
+    threshold.  Backtests over a closed window — this operator's job —
+    conventionally use the fixed-mean form.
 
     Determinism: the statistic is carried ×n so every compare is an
     exact BIGINT (n·m_t = n·cum − t·total − t·n·δ — the drawdown-

@@ -11,6 +11,8 @@ These are the checks that matter at 100 TB:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -57,6 +59,33 @@ def broadcast_subtrees(df: DataFrame) -> list[str]:
         if "Broadcast" in name and "Join" in name:
             build_right = "BuildRight" in node.buildSide().toString()
             out.append(kids.apply(1 if build_right else 0).treeString())
+    return out
+
+
+_TREE_PREFIX = re.compile(r"^[\s:+*\-()0-9]*")
+_BRACKET_GROUPS = re.compile(r"\[[^\[\]]*(?:\[[^\[\]]*\][^\[\]]*)*\]")
+
+
+def unpartitioned_window_nodes(plan: str) -> list[str]:
+    """Window / WindowGroupLimit nodes with an EMPTY partition spec in a
+    plan's treeString — the nodes Spark warns about with ``WindowExec: No
+    Partition Defined`` and executes as ONE task holding the entire input
+    frame (the r7-verdict single-task class: orders_abc_xyz_classification
+    measured 4.2 → 20.1 s at the 10x probe on exactly this shape).
+
+    A partitioned node prints ``Window [exprs], [partSpec], [orderSpec]``
+    (three top-level bracket groups); an unpartitioned one prints
+    ``Window [exprs], [orderSpec]`` — two groups — or an empty middle
+    group for the ``OVER ()`` spelling.
+    """
+    out = []
+    for raw in plan.splitlines():
+        line = _TREE_PREFIX.sub("", raw)
+        if not (line.startswith("Window ") or line.startswith("WindowGroupLimit ")):
+            continue
+        groups = _BRACKET_GROUPS.findall(line)
+        if len(groups) < 3 or groups[-2] == "[]":
+            out.append(line[:160])
     return out
 
 

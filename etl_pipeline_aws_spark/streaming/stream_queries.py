@@ -1864,7 +1864,10 @@ def stream_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # Block until the availableNow stream fully drains (ADVICE r7: the
+    # timeout form returned a bool this code ignored — a >120 s cold run
+    # would have read PARTIAL sinks and silently produced wrong results).
+    q.awaitTermination()
 
     from pyspark.sql.window import Window
 

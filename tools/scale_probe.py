@@ -300,7 +300,6 @@ PROBE_QUERIES = [
     "layout_zorder_skipping_planner",
     "text_source_token_entropy",
     "pipeline_source_scorecard_e2e",
-    "dedup_url_canonical",
     "events_page_hinkley_drift",
     "parts_single_source_risk",
 ]
