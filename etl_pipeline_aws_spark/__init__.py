@@ -18,6 +18,7 @@ from etl_pipeline_aws_spark.registry import (
     all_queries,
     demo_queries,
     oracle_sql,
+    per_module_counts,
     queries,
     query,
     rows_only_query,
@@ -34,6 +35,7 @@ __all__ = [
     "demo_queries",
     "all_queries",
     "oracle_sql",
+    "per_module_counts",
     "query",
     "rows_only_query",
 ]

@@ -58,6 +58,11 @@ def ranked_prefix_sum(
     spark = df.sparkSession
     if n_ranges is None:
         n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Persist the INPUT as well as the ranged frame: the range exchange's
+    # boundary-sampling pass is its own upstream execution, so without
+    # this the caller's (often fact-sized) aggregation pipeline runs twice
+    # before the cache exists (measured 2x cold cost on the 10x probe).
+    df = df.persist()
     ranged = (
         df.repartitionByRange(n_ranges, *order_cols)
         .withColumn("_pid", F.spark_partition_id().cast("long"))

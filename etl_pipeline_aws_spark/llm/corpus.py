@@ -2628,3 +2628,97 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dot") / (F.sqrt("qa") * F.sqrt("qb"))).alias("centroid_cosine"),
         (F.sqrt("qa") / F.sqrt("qb")).alias("norm_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_domain_reweight_entropy — deterministic DoReMi-flavored mix weights
+# --------------------------------------------------------------------------
+
+DOREMI_STEPS = 8  # exponential temperature buckets (boost = 2^k, k in 0..8)
+
+
+def _domain_reweight_sql(tok_src: str, idiv: str) -> str:
+    """Shared reweight text; token-explode fragment and integer division
+    differ per dialect, every fold below them is identical."""
+    return f"""
+WITH toks AS (
+    {tok_src}
+), cells AS (
+    SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks WHERE w <> '' GROUP BY source, w
+), src_tot AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens FROM cells GROUP BY source
+), terms AS (
+    SELECT c.source,
+           CAST(FLOOR(-(CAST(c.c AS DOUBLE) / CAST(t.n_tokens AS DOUBLE))
+                * LOG2(CAST(c.c AS DOUBLE) / CAST(t.n_tokens AS DOUBLE))
+                * 1000000000e0) AS BIGINT) AS term_e9
+    FROM cells c JOIN src_tot t ON c.source = t.source
+), ent AS (
+    SELECT source, CAST(SUM(term_e9) AS BIGINT) AS h_e9
+    FROM terms GROUP BY source
+), joined AS (
+    SELECT t.source, t.n_tokens, e.h_e9
+    FROM src_tot t JOIN ent e ON t.source = e.source
+), fences AS (
+    SELECT CAST(MIN(h_e9) AS BIGINT) AS hmin,
+           CAST(MAX(h_e9) AS BIGINT) AS hmax
+    FROM joined
+), boosted AS (
+    SELECT source, n_tokens, h_e9,
+           CAST(({DOREMI_STEPS} * (h_e9 - (SELECT hmin FROM fences)))
+                {idiv} GREATEST(CAST(1 AS BIGINT),
+                                (SELECT hmax - hmin FROM fences))
+               AS BIGINT) AS boost_exp
+    FROM joined
+), raw AS (
+    SELECT source, n_tokens, h_e9, boost_exp,
+           CAST(n_tokens * CAST(ROUND(POWER(2e0, CAST(boost_exp AS DOUBLE)), 0)
+                                AS BIGINT) AS BIGINT) AS w_raw
+    FROM boosted
+)
+SELECT source, n_tokens, h_e9, boost_exp,
+       CAST(w_raw AS DOUBLE) * 1000000e0
+           / CAST((SELECT CAST(SUM(w_raw) AS BIGINT) FROM raw) AS DOUBLE)
+           AS weight_ppm
+FROM raw
+"""
+
+
+_DOMAIN_REWEIGHT_ORACLE = _domain_reweight_sql(
+    "SELECT source, unnest(string_split(text, ' ')) AS w FROM documents",
+    "//",
+)
+_DOMAIN_REWEIGHT_SPARK = _domain_reweight_sql(
+    "SELECT source, explode(split(text, ' ')) AS w FROM documents",
+    "DIV",
+)
+
+
+@query("corpus_domain_reweight_entropy", oracle=_DOMAIN_REWEIGHT_ORACLE)
+def corpus_domain_reweight_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix REWEIGHTING from a per-source difficulty proxy — the
+    DoReMi idea (arXiv 2305.10429: upweight domains where the proxy
+    model's excess loss is high) with the engine's deterministic
+    substitution: the proxy signal is each source's unigram token
+    entropy (higher entropy = more diverse/harder text, the same signal
+    text_source_token_entropy reports), and the softmax temperature is
+    replaced by BUCKETED EXPONENTIAL boosts — k = steps·(H−Hmin)/(Hmax−
+    Hmin) in pure integer arithmetic, boost = 2^k exactly — so the whole
+    reweight is reproducible bit-for-bit across engines (a float softmax
+    whose exp() last-ulp differs between libms could flip a mix share;
+    the docstring of the continuous variant belongs in a training run's
+    own stack).  Output: per source, token count, entropy (nano-bits),
+    boost exponent, and final mix weight in ppm.
+
+    Determinism: entropy terms are the established one-libm-call-per-
+    bounded-cell pattern (floor-scaled e9 BEFORE summation); fences,
+    boost exponents, and raw weights are exact BIGINTs; the single
+    weight_ppm division is the only raw-double op.
+
+    Scale: one documents scan exploded to tokens (map-side combinable
+    groupBy to |sources|×|V| cells), a |V|-bounded entropy fold, and
+    |sources|-row arithmetic with scalar-subquery fences (guard-clean —
+    no unpartitioned window, no join fan-out)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DOMAIN_REWEIGHT_SPARK)

@@ -1071,3 +1071,86 @@ def pipeline_source_scorecard_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
     fact-sized join anywhere."""
     register_views(spark, sf_dir)
     return spark.sql(_SCORECARD_SPARK)
+
+
+# --------------------------------------------------------------------------
+# corpus_length_percentile_trim — exact global P1/P99 length fences
+# --------------------------------------------------------------------------
+
+
+def _length_trim_report_sql(cum_src: str) -> str:
+    """Shared trim-report text over a cumulative-count relation
+    ``{cum_src}`` with columns (v, cum_c, n_total): P1/P99 fences ride
+    scalar subqueries; the report is a per-source groupBy."""
+    lo = f"(SELECT MIN(v) FROM {cum_src} WHERE cum_c * 100 >= n_total)"
+    hi = f"(SELECT MIN(v) FROM {cum_src} WHERE cum_c * 100 >= 99 * n_total)"
+    # The fence subqueries ride the pre-aggregation PROJECTION (Spark
+    # rejects scalar subqueries inside aggregate arguments).
+    return f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_low) AS BIGINT) AS n_trimmed_low,
+       CAST(SUM(is_high) AS BIGINT) AS n_trimmed_high,
+       CAST(SUM(1 - is_low - is_high) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN is_low = 0 AND is_high = 0
+                     THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM (
+    SELECT source, n_chars,
+           CASE WHEN n_chars < {lo} THEN 1 ELSE 0 END AS is_low,
+           CASE WHEN n_chars > {hi} THEN 1 ELSE 0 END AS is_high
+    FROM documents
+) flagged
+GROUP BY source
+"""
+
+
+_LENGTH_TRIM_ORACLE = f"""
+WITH pv AS (
+    SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY n_chars
+), cumv AS (
+    SELECT v,
+           CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS cum_c,
+           CAST(SUM(c) OVER () AS BIGINT) AS n_total
+    FROM pv
+)
+{_length_trim_report_sql("cumv")}
+"""
+
+_LENGTH_PV_SPARK = """
+SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+FROM documents GROUP BY n_chars
+"""
+
+
+@query("corpus_length_percentile_trim", oracle=_LENGTH_TRIM_ORACLE)
+def corpus_length_percentile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier TRIM report at exact global P1/P99 character-count
+    fences — the curation screen that drops truncation stubs (sub-P1)
+    and concatenation monsters (super-P99) before packing, reported per
+    source so a mix owner sees WHICH domains lose mass (a crawl dump
+    loses tail-heavy docs; a reference corpus should lose ~2% flat).
+    Fences are ATTAINED values at the pooled ECDF (min v with
+    100·cum ≥ q·n) — exact, not t-digest approximations, because a trim
+    boundary becomes a reproducibility constant of the dataset card.
+
+    Determinism: per-length counts and fence selection are exact
+    BIGINT arithmetic; no floats anywhere.
+
+    Scale: |distinct(n_chars)| is fact-scaling in a heterogeneous crawl,
+    so the ECDF accumulation rides the two-phase ranked_prefix_sum
+    (functions/prefix.py, no unpartitioned window); the fences ride
+    scalar subqueries over the cumulative table (guard-clean) and the
+    report is one map-side-combinable per-source groupBy over a second
+    narrow documents scan."""
+    from etl_pipeline_aws_spark.functions.prefix import ranked_prefix_sum
+
+    register_views(spark, sf_dir)
+    pv = spark.sql(_LENGTH_PV_SPARK)
+    ranked, totals = ranked_prefix_sum(pv, [F.asc("v")], ["c"])
+    n = totals["c"]
+    ranked.withColumn("n_total", F.lit(n).cast("long")).createOrReplaceTempView(
+        "r8_length_trim_cum"
+    )
+    return spark.sql(_length_trim_report_sql("r8_length_trim_cum"))

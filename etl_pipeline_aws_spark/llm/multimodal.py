@@ -2187,10 +2187,19 @@ def _psnr_sql(gen_px: str, gen_band: str, gen_byte: str, idiv: str, shl, popxor)
         " - ascii(substring(db.text, CAST(c + 1 AS INT), 1)))"
     )
     return f"""
-WITH px AS (
+WITH reps AS (
+    -- exact-duplicate PRE-COLLAPSE (r7 verdict ask #6 companion): byte-
+    -- identical payloads re-verify to sse = 0 by definition — that is the
+    -- exact-dedup tier's finding, not this one's — so the near-dup tier
+    -- hashes and verifies ONE representative (min doc_id) per distinct
+    -- payload.  This kills the banded join's quadratic blowup on
+    -- identical items before it can happen.
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
+    FROM documents GROUP BY text
+), px AS (
     SELECT doc_id, CAST(g AS BIGINT) AS k,
            CAST({luma} AS BIGINT) AS luma
-    FROM documents, ({gen_px}) gk
+    FROM reps, ({gen_px}) gk
 ), means AS (
     SELECT doc_id, CAST(SUM(luma) {idiv} {AHASH_PIXELS} AS BIGINT) AS mu
     FROM px GROUP BY doc_id
@@ -2242,8 +2251,8 @@ WITH px AS (
     SELECT p.doc_a, p.doc_b, p.hamming, p.doc_a_dropped,
            CAST(SUM({byte_d} * {byte_d}) AS BIGINT) AS sse
     FROM pairs p
-    JOIN documents da ON da.doc_id = p.doc_a
-    JOIN documents db ON db.doc_id = p.doc_b
+    JOIN reps da ON da.doc_id = p.doc_a
+    JOIN reps db ON db.doc_id = p.doc_b
     CROSS JOIN ({gen_byte}) gc
     GROUP BY p.doc_a, p.doc_b, p.hamming, p.doc_a_dropped
 )
@@ -2295,16 +2304,20 @@ def multimodal_image_psnr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism discipline applied to images.  Same deterministic
     text→RGB byte mapping as the rest of the image tier.
 
-    Scale (r7 verdict ask #6): the candidate set rides the banded LSH
-    join (never all-pairs), and the verify stage is now BUDGETED — at
-    most {PSNR_VERIFY_CAP} verifications per left image, ranked by
-    band-collision count (deterministic tiebreak), so a duplication-
-    heavy corpus degrades linearly instead of quadratically (the 10x
-    probe's 72.6 s outlier was replica-duplication blowing up the
-    candidate count).  Each output row carries ``doc_a_dropped`` — how
-    many of that image's candidates the budget cut — so the drop is
-    visible in the result, not silent.  At 100 TB the byte fetch is
-    the only wide cost and touches kept candidates only."""
+    Scale (r7 verdict ask #6): two layers make a duplication-heavy
+    corpus degrade linearly instead of quadratically (the 10x probe's
+    72.6 s outlier was replica-duplication blowing up the candidate
+    count).  (1) Byte-identical payloads are PRE-COLLAPSED to one
+    min-doc_id representative before hashing — re-verifying exact
+    copies is the exact-dedup tier's job and their sse is 0 by
+    definition, so the banded join never sees the quadratic clone
+    cliques at all.  (2) The verify stage is BUDGETED — at most
+    {PSNR_VERIFY_CAP} verifications per left image, ranked by
+    band-collision count (deterministic tiebreak), with each output
+    row carrying ``doc_a_dropped`` — how many of that image's
+    candidates the budget cut — so the drop is visible in the result,
+    not silent.  At 100 TB the byte fetch is the only wide cost and
+    touches kept representatives only."""
     register_views(spark, sf_dir)
     return spark.sql(_PSNR_SPARK)
 

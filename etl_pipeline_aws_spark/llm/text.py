@@ -9,7 +9,7 @@ as a single scan + (for TF-IDF) one shuffle on the term key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_aws_spark.catalog import load_table, register_views
@@ -2726,3 +2726,98 @@ def text_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over those cells, and a |sources|-row rollup.  No join."""
     register_views(spark, sf_dir)
     return spark.sql(_SRC_ENTROPY_SPARK)
+
+
+# --------------------------------------------------------------------------
+# text_boilerplate_ngrams — per-source boilerplate span detector
+# --------------------------------------------------------------------------
+
+BOILERPLATE_NGRAM = 5  # tokens per candidate boilerplate span
+BOILERPLATE_TOP_K = 3  # spans reported per source
+
+_BOILERPLATE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           string_split(lower(trim(text)), ' ') AS ws FROM documents
+), grams AS (
+    SELECT doc_id, source,
+           CASE WHEN len(ws) >= {BOILERPLATE_NGRAM}
+                THEN list_distinct(
+                    [array_to_string(ws[i:i+{BOILERPLATE_NGRAM}-1], ' ')
+                     for i in range(1, len(ws) - {BOILERPLATE_NGRAM} + 2)])
+                ELSE [] END AS gs
+    FROM toks
+), ex AS (
+    SELECT doc_id, source, unnest(gs) AS g FROM grams
+), df_counts AS (
+    SELECT source, g, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM ex GROUP BY source, g
+), ranked AS (
+    SELECT source, g, doc_freq,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY doc_freq DESC, g) AS rnk
+    FROM df_counts
+), src AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+)
+SELECT r.source, CAST(r.rnk AS BIGINT) AS rnk, r.g AS ngram, r.doc_freq,
+       CAST(r.doc_freq AS DOUBLE) * 1000000e0 / CAST(s.n_docs AS DOUBLE)
+           AS doc_share_ppm
+FROM ranked r JOIN src s ON r.source = s.source
+WHERE r.rnk <= {BOILERPLATE_TOP_K}
+"""
+
+
+@query("text_boilerplate_ngrams", oracle=_BOILERPLATE_ORACLE)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE detector: per source, the {BOILERPLATE_TOP_K} token
+    {BOILERPLATE_NGRAM}-grams present in the most DOCUMENTS (document
+    frequency, each doc counted once via per-doc distinct spans) with
+    their doc-share in ppm — the report that finds repeated headers,
+    footers, cookie banners, and template scaffolding in a crawl source
+    BEFORE they poison a training mix (a span in 80% of a source's docs
+    is markup, not language; the downstream scrubber strips exactly
+    these spans).  The same shape is the "common substring" leg MOSS-
+    style plagiarism pipelines run corpus-wide.
+
+    Determinism: spans are literal lowercase token windows (no hashing
+    at all — the report must show the actual string); counts are exact;
+    ties rank lexicographically; the only double is the final share.
+
+    Scale: per-doc span extraction is row-local array expressions (no
+    shuffle); the doc-frequency reduction is a map-side-combinable
+    groupBy on (source, span) — posting-list sized; the top-k window is
+    PARTITIONED by source (guard-clean) and WindowGroupLimit prunes it
+    to k rows per source before the |sources|-row broadcast join."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), " ")
+    grams = F.when(
+        F.size(ws) >= BOILERPLATE_NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (BOILERPLATE_NGRAM - 1)),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, BOILERPLATE_NGRAM)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select("source", F.explode(grams).alias("g"))
+    df_counts = ex.groupBy("source", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("doc_freq"), F.asc("g"))
+    ranked = df_counts.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= BOILERPLATE_TOP_K
+    )
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return ranked.join(F.broadcast(src), "source").select(
+        "source",
+        "rnk",
+        F.col("g").alias("ngram"),
+        "doc_freq",
+        (
+            F.col("doc_freq").cast("double")
+            * F.lit(1000000.0)
+            / F.col("n_docs").cast("double")
+        ).alias("doc_share_ppm"),
+    )

@@ -5812,6 +5812,98 @@ GROUP BY abc_class, xyz_class
 """
 
 
+_PARETO_DECILES_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey AS ck,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+    FROM orders GROUP BY o_custkey
+), r AS (
+    SELECT ck, cents,
+           ROW_NUMBER() OVER (ORDER BY cents DESC, ck) AS rk,
+           CAST(SUM(cents) OVER (ORDER BY cents DESC, ck
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n,
+           CAST(SUM(cents) OVER () AS BIGINT) AS tot
+    FROM spend
+)
+SELECT CAST((rk - 1) * 10 // n + 1 AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS DOUBLE) * 1000000e0 / CAST(MAX(tot) AS DOUBLE)
+           AS share_ppm,
+       CAST(MAX(cum) AS DOUBLE) * 1000000e0 / CAST(MAX(tot) AS DOUBLE)
+           AS cum_share_ppm
+FROM r GROUP BY CAST((rk - 1) * 10 // n + 1 AS BIGINT)
+"""
+
+_PARETO_SPEND_SPARK = """
+SELECT o_custkey AS ck,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+FROM orders GROUP BY o_custkey
+"""
+
+
+@query("customer_pareto_deciles", oracle=_PARETO_DECILES_ORACLE)
+def customer_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by customer-rank DECILE — the "top 10% of
+    customers carry X% of revenue" table (the account-management twin of
+    customer_lorenz_deciles, which bins by equal revenue mass; this bins
+    by equal CUSTOMER COUNT in rank order, the spelling a sales org
+    staffs territories by).  Each decile reports its customer count,
+    revenue share, and cumulative share.
+
+    Determinism: spend is exact cents; rank and cumulative cents ride
+    the two-phase prefix sum over the (cents DESC, custkey) total order;
+    decile fences are pure integer arithmetic ((rank−1)·10 div n); the
+    only doubles are the final two share divisions of exact BIGINTs —
+    identical IEEE ops on both engines.
+
+    Scale: this is the round-8 SHOWCASE of functions/prefix.py on a
+    frame that genuinely scales with the fact table (|customers| — 15 M
+    at SF100): rank AND running revenue come from ONE two-phase pass
+    (repartitionByRange + per-slice window + broadcast offsets — no
+    unpartitioned window anywhere), the grand totals fall out of the
+    offset fold as literals, and the decile rollup is a 10-row groupBy.
+    The oracle spells the same semantics as the classic single-task
+    global window, proving value-identity."""
+    register_views(spark, sf_dir)
+    spend = spark.sql(_PARETO_SPEND_SPARK).withColumn(
+        "one", F.lit(1).cast("long")
+    )
+    ranked, totals = ranked_prefix_sum(
+        spend, [F.desc("cents"), F.asc("ck")], ["cents", "one"]
+    )
+    n, tot = totals["one"], totals["cents"]
+    if n == 0 or tot == 0:
+        # degenerate empty input: match the oracle's empty group-by
+        return ranked.select(
+            F.lit(None).cast("long").alias("decile"),
+            F.lit(None).cast("long").alias("n_customers"),
+            F.lit(None).cast("double").alias("share_ppm"),
+            F.lit(None).cast("double").alias("cum_share_ppm"),
+        ).limit(0)
+    return (
+        ranked.withColumn(
+            "decile", F.expr(f"CAST((cum_one - 1) * 10 DIV {n} + 1 AS BIGINT)")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (
+                F.sum("cents").cast("double")
+                * F.lit(1000000.0)
+                / F.lit(float(tot))
+            ).alias("share_ppm"),
+            (
+                F.max("cum_cents").cast("double")
+                * F.lit(1000000.0)
+                / F.lit(float(tot))
+            ).alias("cum_share_ppm"),
+        )
+    )
+
+
 @query("orders_abc_xyz_classification", oracle=_abc_xyz_sql())
 def orders_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC-XYZ inventory policy matrix — the planning grid that crosses
@@ -5843,7 +5935,11 @@ def orders_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame
     (part, month) reduction, one part-level fold, and the 1-row horizon
     scalar subquery; output is the bounded 3×3 grid."""
     register_views(spark, sf_dir)
-    spark.sql(_ABC_PM_SPARK).createOrReplaceTempView("abc_xyz_pm")
+    # Persist the (part, month) reduction: it feeds BOTH the prefix-sum
+    # path and the horizon scalar subquery — without the cache the
+    # lineitem-scale aggregation would run twice (measured 2x cold cost).
+    pm = spark.sql(_ABC_PM_SPARK).persist()
+    pm.createOrReplaceTempView("abc_xyz_pm")
     per_part = spark.sql(_ABC_PER_PART_SPARK)
     ranked, totals = ranked_prefix_sum(
         per_part, [F.desc("rev"), F.asc("pk")], ["rev"]

@@ -117,6 +117,201 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact global deciles of event value via a distributed ECDF: per-value
+# counts -> two-phase cumulative counts -> each boundary value self-selects
+# the decile indices it covers (no quantile spine join, no global sort).
+_ECDF_DECILES_ORACLE = """
+WITH pv AS (
+    SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL GROUP BY value
+), cumv AS (
+    SELECT v, c,
+           CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(SUM(c) OVER () AS BIGINT) AS n
+    FROM pv
+), spans AS (
+    SELECT v,
+           (cum - c) * 10 // n + 1 AS q_lo,
+           LEAST(9, cum * 10 // n) AS q_hi
+    FROM cumv
+)
+SELECT CAST(q AS BIGINT) AS decile, CAST(MIN(v) AS DOUBLE) AS boundary
+FROM (
+    SELECT v, unnest(range(q_lo, q_hi + 1)) AS q
+    FROM spans WHERE q_lo <= q_hi
+) t
+GROUP BY q
+"""
+
+_ECDF_PER_VALUE_SPARK = """
+SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS c
+FROM events WHERE value IS NOT NULL GROUP BY value
+"""
+
+
+@query("events_value_ecdf_deciles", oracle=_ECDF_DECILES_ORACLE)
+def events_value_ecdf_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global deciles (d1..d9) of the event ``value`` distribution —
+    the reference points a monitoring dashboard draws percentile bands
+    from, computed WITHOUT approximation (percentile_approx's error is a
+    t-digest artifact; an SLA boundary wants the attained value) and
+    WITHOUT a single-task global sort.
+
+    Boundary d_q = min{v : 10·cum(v) ≥ q·n} — the lower-quantile
+    convention over the pooled value ECDF.  Each distinct value knows its
+    own (prev_cum, cum] span, so it can SELF-SELECT exactly the decile
+    indices it is the boundary for (q in (10·prev/n, 10·cum/n], pure
+    integer arithmetic) — no 9-row spine join, no inequality join, just
+    an explode of at most 9 indices across the whole table and a 9-row
+    groupBy.
+
+    Determinism: values are grouped as raw DOUBLEs (bit-identical parquet
+    reads on both engines — no decimal re-rounding), counts and span
+    fences are exact BIGINTs, and the boundary itself is an attained
+    value, not an interpolation.
+
+    Scale: |distinct(value)| scales WITH the fact table (6.5k distincts
+    in 10k fixture events), so the ECDF accumulation rides the two-phase
+    ranked_prefix_sum (functions/prefix.py) — every stage parallel, no
+    unpartitioned window; the oracle spells the identical semantics with
+    the classic global window, proving value-identity."""
+    register_views(spark, sf_dir)
+    pv = spark.sql(_ECDF_PER_VALUE_SPARK)
+    ranked, totals = ranked_prefix_sum(pv, [F.asc("v")], ["c"])
+    n = totals["c"]
+    if n == 0:
+        return ranked.select(
+            F.lit(None).cast("long").alias("decile"),
+            F.lit(None).cast("double").alias("boundary"),
+        ).limit(0)
+    spans = (
+        ranked.withColumn(
+            "q_lo", F.expr(f"CAST((cum_c - c) * 10 DIV {n} + 1 AS BIGINT)")
+        )
+        .withColumn(
+            "q_hi",
+            F.expr(f"LEAST(CAST(9 AS BIGINT), CAST(cum_c * 10 DIV {n} AS BIGINT))"),
+        )
+        .filter(F.col("q_lo") <= F.col("q_hi"))
+    )
+    return (
+        spans.select(
+            F.explode(F.expr("sequence(q_lo, q_hi)")).alias("decile"), "v"
+        )
+        .groupBy("decile")
+        .agg(F.min("v").cast("double").alias("boundary"))
+    )
+
+
+# Cramér–von Mises two-sample statistic in its pooled-ECDF integral form:
+# T = (n1·n2 / N²) · Σ_v (c_v / N) · ((cum1_v/n1) − (cum2_v/n2))², i.e. the
+# squared ECDF gap integrated against the pooled empirical measure — the
+# "whole-curve" companion to KS's single max gap (KS fires on one large
+# localized shift; CvM fires on many small ones).  Spelled over the SAME
+# per-value count table as stat_ks_two_sample.
+_CVM_ORACLE = """
+WITH pts AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+           CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS g2
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), per_value AS (
+    SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
+    FROM pts GROUP BY v
+), cum AS (
+    SELECT c1 + c2 AS c,
+           CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS cum1,
+           CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS cum2,
+           CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+           CAST(SUM(c2) OVER () AS BIGINT) AS n2
+    FROM per_value
+), terms AS (
+    -- exact integer gap numerator; ONE double square per distinct value,
+    -- rounded to fixed scale so the cross-value sum is exact decimal
+    -- (the chi-square determinism pattern)
+    SELECT n1, n2,
+           CAST(ROUND(CAST(c AS DOUBLE)
+                * (CAST(cum1 * n2 - cum2 * n1 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                * (CAST(cum1 * n2 - cum2 * n1 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))),
+                6) AS DECIMAL(28,6)) AS term
+    FROM cum
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+       CAST(MAX(n2) AS BIGINT) AS n2,
+       CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)
+           / ((CAST(MAX(n1) AS DOUBLE) + CAST(MAX(n2) AS DOUBLE))
+              * (CAST(MAX(n1) AS DOUBLE) + CAST(MAX(n2) AS DOUBLE))
+              * (CAST(MAX(n1) AS DOUBLE) + CAST(MAX(n2) AS DOUBLE)))
+           * CAST(SUM(term) AS DOUBLE) AS cvm_t
+FROM terms
+"""
+
+
+@query("stat_cramer_von_mises", oracle=_CVM_ORACLE)
+def stat_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér–von Mises two-sample T between URGENT and LOW order totals
+    — the whole-curve distribution-shift test beside stat_ks_two_sample's
+    max-gap: T = (n1·n2/N³) · Σ_v c_v · (F̂1(v) − F̂2(v))² over the pooled
+    distinct values (the integral form; rank-formula variants differ by
+    tie conventions, this one's convention is the pooled-measure integral
+    and is pinned by an independent numpy recomputation in
+    tests/test_round8_ops.py).  KS fires on one localized shift; CvM
+    accumulates many small ones — an A/B guardrail wants both.
+
+    Determinism: the gap numerator cum1·n2 − cum2·n1 is an exact BIGINT;
+    each value's squared term is ONE double expression on exact integers
+    rounded to DECIMAL(28,6) BEFORE the cross-value sum (the chi-square
+    pattern), so the sum is exact decimal arithmetic and the final
+    normalization is a fixed sequence of IEEE ops.
+
+    Scale (built scale-right from day one): the per-value reduction is
+    |distinct| rows — fact-scaling for a continuous column — so the ECDF
+    accumulation rides the two-phase ranked_prefix_sum
+    (functions/prefix.py); no unpartitioned window anywhere, n1/n2 come
+    exact from the offset fold, and the term fold is an ordinary
+    parallel aggregate."""
+    register_views(spark, sf_dir)
+    per_value = spark.sql(_KS_PER_VALUE_SPARK)
+    ranked, totals = ranked_prefix_sum(per_value, [F.asc("v")], ["c1", "c2"])
+    n1, n2 = totals["c1"], totals["c2"]
+    if n1 == 0 and n2 == 0:
+        return ranked.select(
+            F.lit(None).cast("long").alias("n1"),
+            F.lit(None).cast("long").alias("n2"),
+            F.lit(None).cast("double").alias("cvm_t"),
+        ).limit(0)
+    gap = F.col("cum_c1") * F.lit(n2).cast("long") - F.col("cum_c2") * F.lit(
+        n1
+    ).cast("long")
+    ratio = gap.cast("double") / (
+        F.lit(n1).cast("double") * F.lit(n2).cast("double")
+    )
+    term = F.round(
+        (F.col("c1") + F.col("c2")).cast("double") * ratio * ratio, 6
+    ).cast("decimal(28,6)")
+    big_n = float(n1) + float(n2)
+    return (
+        ranked.select(term.alias("term"))
+        .agg(F.sum("term").alias("_s"))
+        .select(
+            F.lit(n1).cast("long").alias("n1"),
+            F.lit(n2).cast("long").alias("n2"),
+            (
+                F.lit(float(n1))
+                * F.lit(float(n2))
+                / F.lit(big_n * big_n * big_n)
+                * F.col("_s").cast("double")
+            ).alias("cvm_t"),
+        )
+    )
+
+
 # Chi-square independence: exact integer cell/marginal counts; each cell's
 # term is rounded to DECIMAL(28,6) so the cross-cell sum is exact.
 _CHI2_SQL = """

@@ -95,6 +95,23 @@ def oracle_sql() -> dict[str, str]:
     return {k: (v() if callable(v) else v) for k, v in _ORACLES.items()}
 
 
+def per_module_counts() -> dict[str, tuple[int, int]]:
+    """module -> (registry queries, oracle-backed queries).  The single
+    source for every doc table that quotes per-module counts (README,
+    ARCHITECTURE gate notes) — the r7 verdict found a hand-maintained
+    copy off by one, so docs now regenerate from here and a tripwire
+    test compares them back (tests/test_round8_ops.py)."""
+    _load_all()
+    out: dict[str, list[int]] = {}
+    for name, fn in {**_QUERIES, **_DEMO_QUERIES}.items():
+        mod = fn.__module__.replace("etl_pipeline_aws_spark.", "")
+        row = out.setdefault(mod, [0, 0])
+        row[0] += 1
+        if name in _QUERIES:
+            row[1] += 1
+    return {m: (q, o) for m, (q, o) in sorted(out.items())}
+
+
 _LOADED = False
 
 

@@ -346,6 +346,7 @@ _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
     # or per-query candidate set whose size is the operator's own budget
     # knob, independent of fact scale.
     "k-bounded / query-panel frame": (
+        "layout_zorder_skipping_planner",  # ~262k-row deterministic sample (r8)
         "embedding_contrastive_pairs",
         "embedding_ivf_cell_balance",
         "embedding_kmeans_lloyd",
@@ -383,7 +384,6 @@ _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
         "dq_sequence_gaps",
         "feature_target_encoding",
         "layout_range_partition_plan",
-        "layout_zorder_skipping_planner",
         "ml_leakage_audit_target_encoding",
         "ml_linear_scoring",
         "orders_pareto_frontier",

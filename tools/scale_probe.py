@@ -302,6 +302,9 @@ PROBE_QUERIES = [
     "pipeline_source_scorecard_e2e",
     "events_page_hinkley_drift",
     "parts_single_source_risk",
+    # round-8: two-phase prefix-sum rewrites + sample-bound planner
+    "stat_ks_two_sample",
+    "parts_abc_classification",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
