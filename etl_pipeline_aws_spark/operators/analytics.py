@@ -6229,3 +6229,195 @@ def parts_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized dim join on part, and a |brands|-row rollup."""
     register_views(spark, sf_dir)
     return spark.sql(_single_source_sql("DIV"))
+
+
+# --------------------------------------------------------------------------
+# events_srm_check / events_power_analysis_mde — experimentation guardrails
+# --------------------------------------------------------------------------
+
+_SRM_SQL = """
+WITH assign AS (
+    SELECT DISTINCT user_id, CAST(user_id % 2 AS BIGINT) AS arm FROM events
+), counts AS (
+    SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_control,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_treat
+    FROM assign
+)
+SELECT n_control, n_treat,
+       CAST((n_control - n_treat) * (n_control - n_treat) AS DOUBLE)
+           / CAST(n_control + n_treat AS DOUBLE) AS srm_chi2,
+       CAST(CASE WHEN CAST((n_control - n_treat) * (n_control - n_treat)
+                           AS DOUBLE)
+                      / CAST(n_control + n_treat AS DOUBLE) > 3.841459
+                 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM counts
+"""
+
+
+@query("events_srm_check", oracle=_SRM_SQL)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio Mismatch guardrail — the FIRST check any experiment
+    readout must pass: with a 50/50 deterministic split (user_id parity,
+    the same assignment events_ab_lift_report reads), the unit counts
+    must be statistically compatible with 1:1.  chi2 with 1 dof reduces
+    algebraically to (n0−n1)²/(n0+n1); flag fires at the 0.05 critical
+    value 3.841459.  An SRM flag means the assignment or logging is
+    broken and every downstream lift number is void — which is why this
+    is its own operator, not a footnote in the lift report.
+
+    Determinism: unit counts are exact; chi2 is one double expression
+    on exact integers; the flag is a literal compare of that double.
+
+    Scale: one DISTINCT user reduction (map-side combinable) and a
+    2-cell fold.  No window, no join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SRM_SQL)
+
+
+_MDE_SQL = """
+WITH pts AS (
+    SELECT event_type, CAST(user_id % 2 AS BIGINT) AS arm,
+           CAST(value AS DECIMAL(18,4)) AS v
+    FROM events
+), per_arm AS (
+    SELECT event_type, arm, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(v) AS s, SUM(v * v) AS q
+    FROM pts GROUP BY event_type, arm
+), wide AS (
+    SELECT a.event_type,
+           a.n AS n0, b.n AS n1,
+           CAST(a.s AS DOUBLE) AS s0, CAST(b.s AS DOUBLE) AS s1,
+           CAST(a.q AS DOUBLE) AS q0, CAST(b.q AS DOUBLE) AS q1
+    FROM per_arm a JOIN per_arm b
+      ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+), vars AS (
+    SELECT event_type, n0, n1,
+           s0 / CAST(n0 AS DOUBLE) AS mean_control,
+           (q0 - s0 * s0 / CAST(n0 AS DOUBLE)) / CAST(n0 - 1 AS DOUBLE)
+               AS var0,
+           (q1 - s1 * s1 / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)
+               AS var1
+    FROM wide
+    WHERE n0 > 1 AND n1 > 1
+)
+SELECT event_type,
+       CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treat,
+       mean_control,
+       2.801585 * SQRT(var0 / CAST(n0 AS DOUBLE) + var1 / CAST(n1 AS DOUBLE))
+           AS mde_abs,
+       2.801585 * SQRT(var0 / CAST(n0 AS DOUBLE) + var1 / CAST(n1 AS DOUBLE))
+           / mean_control * 1000000e0 AS mde_rel_ppm
+FROM vars
+"""
+
+
+@query("events_power_analysis_mde", oracle=_MDE_SQL)
+def events_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum Detectable Effect at the CURRENT sample — the "is this
+    experiment even worth reading yet?" number: with the observed
+    per-arm variances and counts, the smallest true mean shift a
+    two-sided α=0.05 test would detect with 80% power is
+    (z_{0.975}+z_{0.80})·sqrt(s0²/n0 + s1²/n1) = 2.801585·SE.  Read
+    beside events_ab_lift_report: a lift smaller than the MDE is noise
+    no matter how exciting it looks, and the rel-ppm column is the
+    go/no-go line product reviews quote.
+
+    Determinism: per-arm n/Σv/Σv² are exact decimal folds; every
+    double op after them (two divisions, one sqrt — IEEE-specified,
+    cross-engine safe, unlike ln/exp) is the same literal expression
+    text on both engines; z-constants are literals.
+
+    Scale: one (event_type, arm) map-side-combinable aggregation; the
+    control⋈treat pairing is a |types|-row self-join.  No window."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MDE_SQL)
+
+
+# --------------------------------------------------------------------------
+# customer_spend_ntile_bands — NTILE at scale without a global window
+# --------------------------------------------------------------------------
+
+_NTILE_BANDS_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey AS ck,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+    FROM orders GROUP BY o_custkey
+), banded AS (
+    SELECT ck, cents,
+           CAST(NTILE(5) OVER (ORDER BY cents DESC, ck) AS BIGINT) AS band,
+           CAST(SUM(cents) OVER () AS BIGINT) AS tot
+    FROM spend
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents,
+       CAST(SUM(cents) AS DOUBLE) * 1000000e0 / CAST(MAX(tot) AS DOUBLE)
+           AS share_ppm
+FROM banded GROUP BY band
+"""
+
+
+@query("customer_spend_ntile_bands", oracle=_NTILE_BANDS_ORACLE)
+def customer_spend_ntile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend QUINTILE bands (the RFM scoring primitive) with
+    NTILE semantics reproduced EXACTLY from a distributed rank — the
+    implemented form of the "two-phase swap" the RFM docstring
+    documents: NTILE(k) assigns the first (n mod k) buckets ⌈n/k⌉ rows
+    and the rest ⌊n/k⌋, which is a pure integer function of (rank, n,
+    k) — band(r) = (r−1) div (q+1) + 1 below the remainder threshold,
+    rem + (r−1−rem·(q+1)) div q + 1 above it, q = n div k — so the
+    single-task NTILE window is replaced by the two-phase prefix-sum
+    rank plus literal arithmetic.  The oracle runs the REAL NTILE(5)
+    window, proving the formula reproduces engine NTILE semantics
+    bit-for-bit (driver value-hash).
+
+    Determinism: ranks, fences, and cents are exact integers; the only
+    double is the final share division.
+
+    Scale: one two-phase pass over |customers| (rank + running cents +
+    grand totals together); the band rollup is a 5-row groupBy.  No
+    unpartitioned window anywhere in the Spark plan."""
+    register_views(spark, sf_dir)
+    spend = spark.sql(_PARETO_SPEND_SPARK).withColumn("one", F.lit(1).cast("long"))
+    ranked, totals = ranked_prefix_sum(
+        spend, [F.desc("cents"), F.asc("ck")], ["cents", "one"]
+    )
+    n, tot = totals["one"], totals["cents"]
+    if n == 0:
+        return ranked.select(
+            F.lit(None).cast("long").alias("band"),
+            F.lit(None).cast("long").alias("n_customers"),
+            F.lit(None).cast("long").alias("min_cents"),
+            F.lit(None).cast("long").alias("max_cents"),
+            F.lit(None).cast("double").alias("share_ppm"),
+        ).limit(0)
+    k = 5
+    q, rem = divmod(n, k)
+    if q == 0:
+        band = "CAST(cum_one AS BIGINT)"  # n < k: one row per leading band
+    else:
+        band = (
+            f"CAST(CASE WHEN cum_one - 1 < {rem * (q + 1)} "
+            f"THEN (cum_one - 1) DIV {q + 1} + 1 "
+            f"ELSE {rem} + (cum_one - 1 - {rem * (q + 1)}) DIV {q} + 1 "
+            f"END AS BIGINT)"
+        )
+    return (
+        ranked.withColumn("band", F.expr(band))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+            (
+                F.sum("cents").cast("double")
+                * F.lit(1000000.0)
+                / F.lit(float(tot))
+            ).alias("share_ppm"),
+        )
+    )

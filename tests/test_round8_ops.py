@@ -380,3 +380,67 @@ def test_boilerplate_ngrams_matches_python(spark):
             gg, cc, share = got[src][rnk]
             assert (gg, cc) == (g, c), (src, rnk)
             assert abs(share - c * 1e6 / n_docs[src]) < 1e-6
+
+
+def test_srm_and_mde_match_numpy(spark):
+    import math
+
+    engine.clear_caches(spark)
+    srm = engine.all_queries()["events_srm_check"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    ev = _pq("events")
+    users = ev.user_id.drop_duplicates()
+    n0 = int((users % 2 == 0).sum())
+    n1 = int((users % 2 == 1).sum())
+    assert (srm.n_control, srm.n_treat) == (n0, n1)
+    assert abs(srm.srm_chi2 - (n0 - n1) ** 2 / (n0 + n1)) < 1e-12
+    assert srm.srm_flag == (1 if (n0 - n1) ** 2 / (n0 + n1) > 3.841459 else 0)
+
+    mde = engine.all_queries()["events_power_analysis_mde"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert mde
+    import decimal
+
+    for r in mde:
+        sub = ev[ev.event_type == r.event_type]
+        for arm, n_col in ((0, r.n_control), (1, r.n_treat)):
+            vals = sub[sub.user_id % 2 == arm].value
+            assert len(vals) == n_col
+        arm0 = sub[sub.user_id % 2 == 0].value.map(
+            lambda x: decimal.Decimal(str(x)).quantize(decimal.Decimal("0.0001"))
+        )
+        arm1 = sub[sub.user_id % 2 == 1].value.map(
+            lambda x: decimal.Decimal(str(x)).quantize(decimal.Decimal("0.0001"))
+        )
+
+        def var(a):
+            n = len(a)
+            s = float(sum(a))
+            q = float(sum(x * x for x in a))
+            return (q - s * s / n) / (n - 1)
+
+        se = math.sqrt(var(arm0) / len(arm0) + var(arm1) / len(arm1))
+        assert abs(r.mde_abs - 2.801585 * se) < 1e-9 * max(1.0, abs(r.mde_abs))
+        assert r.mde_abs > 0
+
+
+def test_ntile_bands_structure(spark):
+    """NTILE(5) structural invariants from the two-phase formula: band
+    sizes differ by at most one, remainder buckets come first, and spend
+    ranges are non-overlapping in band order."""
+    engine.clear_caches(spark)
+    rows = sorted(
+        engine.all_queries()["customer_spend_ntile_bands"](
+            spark, "/root/testdata/sf0.01"
+        ).collect(),
+        key=lambda r: r.band,
+    )
+    assert [r.band for r in rows] == [1, 2, 3, 4, 5]
+    sizes = [r.n_customers for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)  # remainder buckets lead
+    for a, b in zip(rows, rows[1:]):
+        assert a.min_cents >= b.max_cents  # descending, non-overlapping
+    assert abs(sum(r.share_ppm for r in rows) - 1_000_000.0) < 1.0
