@@ -66,6 +66,13 @@ HEADLINE = [
     # fold) and the four-metric series health panel in one job
     "events_attribution_shapley",
     "pipeline_trend_monitoring_e2e",
+    # round-8 flagship surface: the two-phase distributed prefix-sum path
+    # (rank+cumsum over |customers| / exact global deciles over value
+    # distincts) and the posting-list winnowing pair census
+    "customer_pareto_deciles",
+    "events_value_ecdf_deciles",
+    "dedup_winnowing_pairs",
+    "corpus_domain_reweight_entropy",
 ]
 
 

@@ -1629,3 +1629,141 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic min-id keeper."""
     register_views(spark, sf_dir)
     return spark.sql(_url_canonical_sql("DIV"))
+
+
+# --------------------------------------------------------------------------
+# dedup_winnowing_pairs — MOSS-style shared-fingerprint pair census
+# --------------------------------------------------------------------------
+
+WINNOW_PAIR_MIN_SHARED = 2  # fingerprints a pair must share to be reported
+
+_WINNOW_PAIRS_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), grams AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 3
+                THEN list_transform(
+                    range(1, len(ws) - 1),
+                    i -> CAST(('0x' || substring(md5(
+                             array_to_string(ws[i:i+2], ' ')),
+                             1, 8)) AS BIGINT))
+                ELSE CAST([] AS BIGINT[]) END AS hs
+    FROM toks
+), picked AS (
+    SELECT doc_id,
+           CASE WHEN len(hs) >= 4
+                THEN list_distinct(list_transform(
+                    range(1, len(hs) - 2),
+                    i -> list_min(hs[i:i+3])))
+                ELSE list_distinct(
+                    CASE WHEN len(hs) > 0 THEN [list_min(hs)]
+                         ELSE CAST([] AS BIGINT[]) END) END AS fps
+    FROM grams
+), posting AS (
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, unnest(fps) AS fp
+    FROM picked
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(MAX(a.n_fps) AS BIGINT) AS n_fps_a,
+           CAST(MAX(b.n_fps) AS BIGINT) AS n_fps_b
+    FROM posting a JOIN posting b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared, n_fps_a, n_fps_b,
+       CAST(n_shared * 1000000 // LEAST(n_fps_a, n_fps_b) AS BIGINT)
+           AS containment_ppm
+FROM pairs
+WHERE n_shared >= 2
+"""
+
+
+@query("dedup_winnowing_pairs", oracle=_WINNOW_PAIRS_ORACLE)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PAIR census that makes text_winnowing_fingerprints actionable
+    — MOSS's actual output: document pairs sharing >= 2 selected
+    fingerprints, with each side's fingerprint count and the containment
+    share (shared / smaller side, in ppm).  Winnowing's guarantee makes
+    this the principled substring-overlap detector: any shared run of
+    w+k−1 = 6 tokens MUST surface at least one common fingerprint, so a
+    pair sharing several is overlapping text, not hash luck — the
+    plagiarism/boilerplate-overlap tier between exact dedup (identical
+    payloads) and MinHash (global resemblance, no locality guarantee).
+
+    Determinism: fingerprints are the same md5-derived integers as
+    text_winnowing_fingerprints (portable across engines); counts and
+    the ppm containment are exact integer arithmetic.
+
+    Scale: the pair join is a POSTING-LIST self-join on fingerprint
+    value — never all-pairs; fan-out per fingerprint is its posting
+    length (winnowing keeps ~2/(w+1) of k-grams, and a production run
+    caps hot postings exactly like the aHash tier's bucket discipline).
+    Per-doc selection is row-local array code, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    grams = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(ws, i, 3))), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    picked = docs.select("doc_id", grams.alias("hs")).select(
+        "doc_id",
+        F.when(
+            F.size("hs") >= 4,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("hs") - 3),
+                    lambda i: F.array_min(F.slice("hs", i, 4)),
+                )
+            ),
+        )
+        .otherwise(
+            F.array_distinct(
+                F.when(F.size("hs") > 0, F.array(F.array_min("hs"))).otherwise(
+                    F.array().cast("array<long>")
+                )
+            )
+        )
+        .alias("fps"),
+    )
+    posting = picked.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.explode("fps").alias("fp"),
+    )
+    a = posting.alias("a")
+    b = posting.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.max("a.n_fps").cast("long").alias("n_fps_a"),
+            F.max("b.n_fps").cast("long").alias("n_fps_b"),
+        )
+        .filter(F.col("n_shared") >= WINNOW_PAIR_MIN_SHARED)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        "n_fps_a",
+        "n_fps_b",
+        F.expr(
+            "CAST(n_shared * 1000000 DIV LEAST(n_fps_a, n_fps_b) AS BIGINT)"
+        ).alias("containment_ppm"),
+    )

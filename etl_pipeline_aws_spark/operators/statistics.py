@@ -312,6 +312,234 @@ def stat_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Anderson–Darling two-sample statistic (integral form with ties): the
+# tail-weighted member of the ECDF trio — KS = max gap, CvM = L2 gap, AD =
+# L2 gap weighted by 1/(H(1−H)) so tail deviations count more.  Per pooled
+# distinct value v (excluding the last, where H = 1):
+#   T = (n1·n2/N³) · Σ_v c_v · (F̂1−F̂2)² · N² / (cumN·(N−cumN))
+_AD_ORACLE = """
+WITH pts AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+           CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS g2
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), per_value AS (
+    SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
+    FROM pts GROUP BY v
+), cum AS (
+    SELECT c1 + c2 AS c,
+           CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS cum1,
+           CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS cum2,
+           CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+           CAST(SUM(c2) OVER () AS BIGINT) AS n2
+    FROM per_value
+), terms AS (
+    SELECT n1, n2,
+           CAST(ROUND(CAST(c AS DOUBLE)
+                * (CAST(cum1 * n2 - cum2 * n1 AS DOUBLE)
+                   * CAST(cum1 * n2 - cum2 * n1 AS DOUBLE))
+                / (CAST(cum1 + cum2 AS DOUBLE)
+                   * CAST(n1 + n2 - cum1 - cum2 AS DOUBLE)),
+                6) AS DECIMAL(28,6)) AS term
+    FROM cum
+    WHERE cum1 + cum2 < n1 + n2
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+       CAST(MAX(n2) AS BIGINT) AS n2,
+       CAST(SUM(term) AS DOUBLE)
+           / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)
+              * (CAST(MAX(n1) AS DOUBLE) + CAST(MAX(n2) AS DOUBLE)))
+           AS ad_t
+FROM terms
+"""
+
+
+@query("stat_anderson_darling_two_sample", oracle=_AD_ORACLE)
+def stat_anderson_darling_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson–Darling two-sample T between URGENT and LOW order totals
+    — the TAIL-sensitive member of the ECDF trio this engine now carries
+    in full (stat_ks_two_sample = max gap, stat_cramer_von_mises = L2
+    gap, this = L2 gap weighted by 1/(H(1−H)), which diverges toward the
+    distribution ends): risk and latency questions live in the tails,
+    where KS and CvM are least sensitive.  Integral form with ties —
+    T = Σ_v c_v·(cum1·n2 − cum2·n1)²/(cumN·(N−cumN)) / (n1·n2·N), the
+    last pooled value (H = 1) excluded per the standard convention;
+    pinned by an independent numpy recomputation.
+
+    Determinism: exact BIGINT gap numerators and pooled-cum weights; ONE
+    double expression per distinct value rounded to DECIMAL(28,6) before
+    the exact cross-value sum (the chi-square pattern); fixed IEEE
+    closing sequence.
+
+    Scale: same two-phase ECDF path as its two siblings — |distinct|-
+    sized frame, no unpartitioned window, n1/n2 exact from the offset
+    fold, ordinary parallel aggregate for the fold."""
+    register_views(spark, sf_dir)
+    per_value = spark.sql(_KS_PER_VALUE_SPARK)
+    ranked, totals = ranked_prefix_sum(per_value, [F.asc("v")], ["c1", "c2"])
+    n1, n2 = totals["c1"], totals["c2"]
+    if n1 == 0 and n2 == 0:
+        return ranked.select(
+            F.lit(None).cast("long").alias("n1"),
+            F.lit(None).cast("long").alias("n2"),
+            F.lit(None).cast("double").alias("ad_t"),
+        ).limit(0)
+    big_n = n1 + n2
+    cum_n = F.col("cum_c1") + F.col("cum_c2")
+    gap = F.col("cum_c1") * F.lit(n2).cast("long") - F.col("cum_c2") * F.lit(
+        n1
+    ).cast("long")
+    term = F.round(
+        (F.col("c1") + F.col("c2")).cast("double")
+        * (gap.cast("double") * gap.cast("double"))
+        / (
+            cum_n.cast("double")
+            * (F.lit(big_n).cast("long") - cum_n).cast("double")
+        ),
+        6,
+    ).cast("decimal(28,6)")
+    return (
+        ranked.filter(cum_n < F.lit(big_n).cast("long"))
+        .select(term.alias("term"))
+        .agg(F.sum("term").alias("_s"))
+        .select(
+            F.lit(n1).cast("long").alias("n1"),
+            F.lit(n2).cast("long").alias("n2"),
+            (
+                F.col("_s").cast("double")
+                / (
+                    F.lit(float(n1))
+                    * F.lit(float(n2))
+                    * (F.lit(float(n1)) + F.lit(float(n2)))
+                )
+            ).alias("ad_t"),
+        )
+    )
+
+
+# Mood's median test: counts at-or-below vs above the EXACT pooled median
+# per priority group -> 2xk chi-square.  The pooled median itself is the
+# two-phase ECDF's d5 boundary (lower-median convention).
+_MOOD_ORACLE = """
+WITH pv AS (
+    SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM orders GROUP BY o_totalprice
+), cumv AS (
+    SELECT v,
+           CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(SUM(c) OVER () AS BIGINT) AS n
+    FROM pv
+), med AS (
+    SELECT MIN(v) AS m FROM cumv WHERE cum * 2 >= n
+), flagged AS (
+    -- fence subquery in the PROJECTION (Spark rejects scalar subqueries
+    -- inside aggregate arguments — the corpus_length_percentile_trim
+    -- lesson applied)
+    SELECT o_orderpriority AS grp,
+           CASE WHEN o_totalprice <= (SELECT m FROM med)
+                THEN 1 ELSE 0 END AS is_below
+    FROM orders
+), cells AS (
+    SELECT grp,
+           CAST(SUM(is_below) AS BIGINT) AS below,
+           CAST(SUM(1 - is_below) AS BIGINT) AS above
+    FROM flagged GROUP BY grp
+), tot AS (
+    SELECT CAST(SUM(below) AS BIGINT) AS tb, CAST(SUM(above) AS BIGINT) AS ta
+    FROM cells
+), terms AS (
+    SELECT grp, below, above,
+           CAST(ROUND(
+               (CAST(below AS DOUBLE)
+                - CAST((below + above) AS DOUBLE)
+                  * CAST((SELECT tb FROM tot) AS DOUBLE)
+                  / (CAST((SELECT tb FROM tot) AS DOUBLE)
+                     + CAST((SELECT ta FROM tot) AS DOUBLE)))
+               * (CAST(below AS DOUBLE)
+                  - CAST((below + above) AS DOUBLE)
+                    * CAST((SELECT tb FROM tot) AS DOUBLE)
+                    / (CAST((SELECT tb FROM tot) AS DOUBLE)
+                       + CAST((SELECT ta FROM tot) AS DOUBLE)))
+               / (CAST((below + above) AS DOUBLE)
+                  * CAST((SELECT tb FROM tot) AS DOUBLE)
+                  / (CAST((SELECT tb FROM tot) AS DOUBLE)
+                     + CAST((SELECT ta FROM tot) AS DOUBLE)))
+               + (CAST(above AS DOUBLE)
+                  - CAST((below + above) AS DOUBLE)
+                    * CAST((SELECT ta FROM tot) AS DOUBLE)
+                    / (CAST((SELECT tb FROM tot) AS DOUBLE)
+                       + CAST((SELECT ta FROM tot) AS DOUBLE)))
+                 * (CAST(above AS DOUBLE)
+                    - CAST((below + above) AS DOUBLE)
+                      * CAST((SELECT ta FROM tot) AS DOUBLE)
+                      / (CAST((SELECT tb FROM tot) AS DOUBLE)
+                         + CAST((SELECT ta FROM tot) AS DOUBLE)))
+                 / (CAST((below + above) AS DOUBLE)
+                    * CAST((SELECT ta FROM tot) AS DOUBLE)
+                    / (CAST((SELECT tb FROM tot) AS DOUBLE)
+                       + CAST((SELECT ta FROM tot) AS DOUBLE))),
+               6) AS DECIMAL(28,6)) AS term
+    FROM cells
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+       CAST(SUM(term) AS DOUBLE) AS mood_chi2
+FROM terms
+"""
+
+
+@query("stat_mood_median", oracle=_MOOD_ORACLE)
+def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across ALL five order priorities — the k-group
+    "do these groups share a median?" screen that needs no rank sums
+    (Kruskal-Wallis's power with a fraction of its machinery): count
+    each group's mass at-or-below vs above the EXACT pooled median and
+    chi-square the 2×k table.  The pooled median is the attained
+    lower-median (min v with 2·cum ≥ n) — the same fence convention as
+    events_value_ecdf_deciles' d5.
+
+    Determinism: the median fence and all cell counts are exact
+    integers; each group's (below + above) chi-square contribution is
+    ONE double expression on exact operands rounded to DECIMAL(28,6)
+    before the exact cross-group sum.
+
+    Scale: |distinct(o_totalprice)| scales with the fact table, so the
+    median fence rides the two-phase ranked_prefix_sum; the cell table
+    is one conditional groupBy to |priorities| rows with the fence as a
+    scalar subquery (guard-clean)."""
+    register_views(spark, sf_dir)
+    pv = spark.sql(
+        "SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM orders GROUP BY o_totalprice"
+    )
+    ranked, totals = ranked_prefix_sum(pv, [F.asc("v")], ["c"])
+    n = totals["c"]
+    ranked.withColumn(
+        "n", F.lit(n).cast("long")
+    ).createOrReplaceTempView("r8_mood_cum")
+    return spark.sql(
+        _MOOD_ORACLE.replace(
+            """WITH pv AS (
+    SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM orders GROUP BY o_totalprice
+), cumv AS (
+    SELECT v,
+           CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(SUM(c) OVER () AS BIGINT) AS n
+    FROM pv
+), med AS (""",
+            """WITH cumv AS (
+    SELECT v, cum_c AS cum, n FROM r8_mood_cum
+), med AS (""",
+        )
+    )
+
+
 # Chi-square independence: exact integer cell/marginal counts; each cell's
 # term is rounded to DECIMAL(28,6) so the cross-cell sum is exact.
 _CHI2_SQL = """

@@ -73,19 +73,34 @@ def unpartitioned_window_nodes(plan: str) -> list[str]:
     frame (the r7-verdict single-task class: orders_abc_xyz_classification
     measured 4.2 → 20.1 s at the 10x probe on exactly this shape).
 
-    A partitioned node prints ``Window [exprs], [partSpec], [orderSpec]``
-    (three top-level bracket groups); an unpartitioned one prints
-    ``Window [exprs], [orderSpec]`` — two groups — or an empty middle
-    group for the ``OVER ()`` spelling.
+    toString formats (probed on Spark 4.1, pinned in tests):
+    - ``Window [exprs], [part], [order]``       -> partitioned (3 groups)
+    - ``Window [exprs], [part]``                -> partitioned, no order
+      (the ``OVER (PARTITION BY ..)`` totals idiom; the 2nd group carries
+      no ASC/DESC direction tokens)
+    - ``Window [exprs], [order]``               -> UNPARTITIONED ordered
+      (the 2nd group carries ASC/DESC)
+    - ``Window [exprs]``                        -> UNPARTITIONED ``OVER ()``
+    - ``WindowGroupLimit [part], [order], fn, k, mode`` -> partitioned;
+      an empty first group would mean unpartitioned.
     """
     out = []
     for raw in plan.splitlines():
         line = _TREE_PREFIX.sub("", raw)
-        if not (line.startswith("Window ") or line.startswith("WindowGroupLimit ")):
-            continue
-        groups = _BRACKET_GROUPS.findall(line)
-        if len(groups) < 3 or groups[-2] == "[]":
-            out.append(line[:160])
+        if line.startswith("WindowGroupLimit "):
+            groups = _BRACKET_GROUPS.findall(line)
+            if not groups or groups[0] == "[]":
+                out.append(line[:160])
+        elif line.startswith("Window "):
+            groups = _BRACKET_GROUPS.findall(line)
+            if len(groups) >= 3:
+                if groups[-2] == "[]":
+                    out.append(line[:160])
+            elif len(groups) == 2:
+                if " ASC" in groups[-1] or " DESC" in groups[-1]:
+                    out.append(line[:160])
+            else:
+                out.append(line[:160])
     return out
 
 

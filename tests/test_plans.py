@@ -223,23 +223,11 @@ SWEEP_SKIP_MODULES = ("stream_queries", "source_queries", "multimodal", "observa
 # it is either rewritten (functions/prefix.py ranked_prefix_sum is the
 # drop-in two-phase replacement) or allowlisted here with a reason.
 _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
-    # ECDF / rank-statistic family: window input is the |distinct(value)|
-    # reduction — bounded for discrete keys, fact-scaling for continuous
-    # ones; the docstrings document the pre-binning / ranked_prefix_sum
-    # swap and stat_ks_two_sample is the implemented two-phase exemplar.
-    "ECDF family: |distinct(value)| frame; two-phase swap documented "
-    "(implemented exemplar: stat_ks_two_sample)": (
-        "agg_mad_outliers",
-        "agg_quantiles_exact",
-        "agg_weighted_median",
+    "ECDF family: |distinct(value)| frame; two-phase swap documented (implemented exemplar: stat_ks_two_sample)": (
         "customer_lorenz_deciles",
-        "dq_iqr_fences",
-        "embedding_outlier_detection",
         "embedding_quantization_error_histogram",
         "events_churn_hazard",
         "events_uplift_by_decile",
-        "feature_robust_scaler",
-        "feature_winsorize",
         "ml_brier_decomposition",
         "orders_order_size_histogram",
         "stat_auc_roc",
@@ -248,16 +236,12 @@ _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
         "stat_kendall_tau",
         "stat_kruskal_wallis",
         "stat_mann_whitney_u",
-        "stat_median_ci_orderstat",
         "stat_nelson_aalen",
         "stat_permutation_shift",
         "stat_process_capability",
         "stat_spearman_rho",
         "stat_wilcoxon_signed_rank",
-        "supplier_ship_delay_quantiles",
     ),
-    # Calendar-bounded series: the window runs on a day/week/month spine
-    # (<= ~1.2k rows for the 7-year TPC-H horizon at ANY fact scale).
     "calendar-bounded day/month spine": (
         "events_anomaly_ensemble",
         "events_bollinger_bands",
@@ -284,7 +268,6 @@ _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
         "pipeline_experiment_e2e",
         "pipeline_trend_monitoring_e2e",
         "stat_durbin_watson",
-        "stat_friedman_dow",
         "stat_mann_kendall_trend",
         "stat_poisson_rate_ci",
         "stat_residual_diagnostics",
@@ -293,93 +276,31 @@ _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
         "window_rolling_corr",
         "window_rolling_slope_14d",
     ),
-    # Catalog- / vocabulary- / cell-bounded reductions: |event types|,
-    # |sources|, |languages|, contingency cells, vocab tails, fold counts —
-    # sublinear in the fact table by construction.  (pipeline_dedup_e2e's
-    # iterative closure repeats one bounded-frame subplan many times in the
-    # treeString; node count is lineage depth, not frame size.)
     "catalog/vocab/cell-bounded reduction": (
         "agg_count_min_sketch",
-        "agg_first_events_per_user",
-        "agg_mode",
-        "corpus_curation_gate",
         "corpus_dsir_importance_weights",
         "corpus_filter_bias_audit",
-        "corpus_kfold_leakage_safe",
-        "dedup_rate_by_source",
-        "dq_impute_mode_fk",
-        "events_active_streaks",
-        "events_attribution_linear",
-        "events_attribution_shapley",
-        "events_attribution_time_decay",
         "events_bitmap_retention",
-        "events_bot_score_gate",
-        "events_copresence_topk",
         "events_entropy_rate",
         "events_time_to_nth_event",
         "graph_community_inequality",
-        "parts_supplier_hhi",
-        "pipeline_corpus_e2e",
-        "pipeline_curation_screens_e2e",
-        "pipeline_dedup_e2e",
-        "pipeline_events_e2e",
         "pipeline_hybrid_search_e2e",
-        "pipeline_pretraining_shards_e2e",
-        "pipeline_source_scorecard_e2e",
-        "pipeline_training_build_e2e",
         "stat_chi_square_independence",
         "stat_cramers_v",
         "stat_fdr_bh_control",
         "stat_g_test_independence",
-        "stat_mcnemar_classifiers",
-        "text_bigram_lm",
         "text_heaps_law_fit",
-        "text_jaccard_knn_graph",
-        "text_lang_id_char_ngram",
         "text_rake_keyphrases",
-        "text_source_token_entropy",
         "text_vocab_coverage_curve",
         "text_vocab_growth_checkpoints",
-        "window_ratio_to_report",
     ),
-    # k-bounded / broadcast-query-panel frames: the window ranks a top-k
-    # or per-query candidate set whose size is the operator's own budget
-    # knob, independent of fact scale.
     "k-bounded / query-panel frame": (
-        "layout_zorder_skipping_planner",  # ~262k-row deterministic sample (r8)
-        "embedding_contrastive_pairs",
+        "layout_zorder_skipping_planner",
         "embedding_ivf_cell_balance",
-        "embedding_kmeans_lloyd",
-        "embedding_knn_label_eval",
-        "embedding_matryoshka_recall",
-        "graph_node_jaccard_topk",
-        "q2_min_cost_supplier",
-        "q20_dominant_supplier",
-        "q21_suppliers_kept_waiting",
         "search_hybrid_rrf",
         "similarity_metric_agreement",
-        "similarity_mmr_rerank",
-        "similarity_topk_bruteforce",
-        "similarity_topk_dot",
-        "similarity_topk_ivf",
-        "similarity_topk_lsh",
-        "similarity_topk_pq",
-        "similarity_two_stage_rerank",
-        "subquery_lateral_topn",
-        "window_topk_per_group",
-        "window_topk_with_ties",
     ),
-    # |dim|- or changeset-sized frames (parts/customers/updates, the asof
-    # merge family's pooled timeline): bounded relative to the fact table;
-    # each docstring documents the partitioned or two-phase swap if the
-    # dim itself outgrows one task.
     "|dim|/changeset-sized frame; two-phase swap documented": (
-        "asof_join_forward",
-        "asof_join_tolerance",
-        "asof_join_window",
-        "bitemporal_restatement",
-        "cdc_apply_changelog",
-        "cdc_time_travel",
         "customer_rfm_segments",
         "dq_sequence_gaps",
         "feature_target_encoding",
@@ -387,11 +308,9 @@ _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
         "ml_leakage_audit_target_encoding",
         "ml_linear_scoring",
         "orders_pareto_frontier",
-        "sample_stratified",
-        "scd1_upsert_orders",
-        "scd6_hybrid_dim",
         "surrogate_keys_dim",
     ),
+
 }
 ALLOWED_UNPARTITIONED_WINDOW: dict[str, str] = {
     name: reason for reason, names in _UNPART_FAMILIES.items() for name in names

@@ -444,3 +444,112 @@ def test_ntile_bands_structure(spark):
     for a, b in zip(rows, rows[1:]):
         assert a.min_cents >= b.max_cents  # descending, non-overlapping
     assert abs(sum(r.share_ppm for r in rows) - 1_000_000.0) < 1.0
+
+
+def test_anderson_darling_matches_numpy(spark):
+    """Independent recomputation of the tie-aware integral AD form."""
+    from collections import defaultdict
+
+    engine.clear_caches(spark)
+    row = engine.all_queries()["stat_anderson_darling_two_sample"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    orders = _pq("orders")
+    sub = orders[orders.o_orderpriority.isin(["1-URGENT", "5-LOW"])]
+    cells = defaultdict(lambda: [0, 0])
+    for v, p in zip(sub.o_totalprice, sub.o_orderpriority):
+        cells[v][0 if p == "1-URGENT" else 1] += 1
+    n1 = sum(c1 for c1, _ in cells.values())
+    n2 = sum(c2 for _, c2 in cells.values())
+    assert (row.n1, row.n2) == (n1, n2)
+    cum1 = cum2 = 0
+    s = 0
+    big_n = n1 + n2
+    for v in sorted(cells):
+        c1, c2 = cells[v]
+        cum1 += c1
+        cum2 += c2
+        if cum1 + cum2 >= big_n:
+            continue
+        gap = cum1 * n2 - cum2 * n1
+        s += round(
+            (c1 + c2) * (gap * gap) / ((cum1 + cum2) * (big_n - cum1 - cum2)) * 1e6
+        )
+    expect = (s / 1e6) / (n1 * n2 * (n1 + n2))
+    assert abs(row.ad_t - expect) < 1e-9 * max(1.0, abs(row.ad_t))
+    assert row.ad_t >= 0
+
+
+def test_mood_median_matches_python(spark):
+    engine.clear_caches(spark)
+    row = engine.all_queries()["stat_mood_median"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    orders = _pq("orders")
+    vals = sorted(orders.o_totalprice)
+    n = len(vals)
+    med = vals[-(-n // 2) - 1]  # min v with 2*cum >= n
+    cells = {}
+    for g, sub in orders.groupby("o_orderpriority"):
+        below = int((sub.o_totalprice <= med).sum())
+        cells[g] = (below, len(sub) - below)
+    tb = sum(b for b, _ in cells.values())
+    ta = sum(a for _, a in cells.values())
+    chi2 = 0
+    for b, a in cells.values():
+        rn = b + a
+        eb = rn * tb / (tb + ta)
+        ea = rn * ta / (tb + ta)
+        chi2 += round(((b - eb) ** 2 / eb + (a - ea) ** 2 / ea) * 1e6)
+    assert row.n_groups == len(cells)
+    assert row.dof == len(cells) - 1
+    assert abs(row.mood_chi2 - chi2 / 1e6) < 1e-9 * max(1.0, row.mood_chi2)
+
+
+def test_winnowing_pairs_guarantee_and_recompute(spark):
+    """Pairs must agree with a python winnowing recompute, and every
+    reported pair's containment must be consistent with its counts."""
+    import hashlib
+
+    engine.clear_caches(spark)
+    rows = engine.all_queries()["dedup_winnowing_pairs"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    docs = _pq("documents")
+
+    def fps(text):
+        ws = text.split(" ")
+        hs = [
+            int(hashlib.md5(" ".join(ws[i : i + 3]).encode()).hexdigest()[:8], 16)
+            for i in range(len(ws) - 2)
+        ]
+        if not hs:
+            return set()
+        if len(hs) < 4:
+            return {min(hs)}
+        return {min(hs[i : i + 4]) for i in range(len(hs) - 3)}
+
+    sets = {d: fps(t) for d, t in zip(docs.doc_id, docs.text)}
+    expect = {}
+    ids = sorted(sets)
+    # posting-list recompute (python): invert, pair, count
+    from collections import defaultdict
+
+    posting = defaultdict(list)
+    for d in ids:
+        for fp in sets[d]:
+            posting[fp].append(d)
+    shared = defaultdict(int)
+    for fp, ds in posting.items():
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                shared[(min(ds[i], ds[j]), max(ds[i], ds[j]))] += 1
+    expect = {k: v for k, v in shared.items() if v >= 2}
+    got = {(r.doc_a, r.doc_b): r for r in rows}
+    assert set(got) == set(expect)
+    for (a, b), r in got.items():
+        assert r.n_shared == expect[(a, b)]
+        assert r.n_fps_a == len(sets[a]) and r.n_fps_b == len(sets[b])
+        assert r.containment_ppm == r.n_shared * 1000000 // min(
+            r.n_fps_a, r.n_fps_b
+        )

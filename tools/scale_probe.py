@@ -305,6 +305,17 @@ PROBE_QUERIES = [
     # round-8: two-phase prefix-sum rewrites + sample-bound planner
     "stat_ks_two_sample",
     "parts_abc_classification",
+    # round-8 new operators
+    "customer_pareto_deciles",
+    "events_value_ecdf_deciles",
+    "stat_cramer_von_mises",
+    "customer_spend_ntile_bands",
+    "corpus_length_percentile_trim",
+    "corpus_domain_reweight_entropy",
+    "text_boilerplate_ngrams",
+    "events_srm_check",
+    "events_power_analysis_mde",
+    "sql_pipe_multi_stage",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
