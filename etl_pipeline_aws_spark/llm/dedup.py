@@ -1636,6 +1636,13 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 WINNOW_PAIR_MIN_SHARED = 2  # fingerprints a pair must share to be reported
+# Hot-posting cap: winnowing's minimum-selection concentrates globally small
+# hash values, so a fingerprint carried by a common span can be shared by
+# hundreds of docs — and pairs per posting grow QUADRATICALLY in its length
+# (measured 116 s at sf0.1 uncapped).  A fingerprint on more than this many
+# docs is boilerplate, not plagiarism (text_boilerplate_ngrams is the
+# detector for THAT); keep the deterministic lowest doc_ids.
+WINNOW_POSTING_CAP = 16
 
 _WINNOW_PAIRS_ORACLE = """
 WITH toks AS (
@@ -1660,9 +1667,16 @@ WITH toks AS (
                     CASE WHEN len(hs) > 0 THEN [list_min(hs)]
                          ELSE CAST([] AS BIGINT[]) END) END AS fps
     FROM grams
-), posting AS (
+), posting_all AS (
     SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, unnest(fps) AS fp
     FROM picked
+), posting AS (
+    SELECT doc_id, n_fps, fp
+    FROM (
+        SELECT doc_id, n_fps, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS pr
+        FROM posting_all
+    ) t WHERE pr <= 16
 ), pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared,
@@ -1697,10 +1711,14 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ppm containment are exact integer arithmetic.
 
     Scale: the pair join is a POSTING-LIST self-join on fingerprint
-    value — never all-pairs; fan-out per fingerprint is its posting
-    length (winnowing keeps ~2/(w+1) of k-grams, and a production run
-    caps hot postings exactly like the aHash tier's bucket discipline).
-    Per-doc selection is row-local array code, no shuffle."""
+    value — never all-pairs — and hot postings are CAPPED at the
+    {WINNOW_POSTING_CAP} lowest doc_ids per fingerprint (deterministic;
+    partitioned window, guard-clean).  The cap matters because
+    winnowing's minimum-selection concentrates globally small hash
+    values: a fingerprint shared by hundreds of docs is boilerplate
+    (text_boilerplate_ngrams' job), and without the cap its pairs grow
+    quadratically (measured 116 s at sf0.1; capped: see the r8 probe
+    table).  Per-doc selection is row-local array code, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.split("text", " ")
     grams = F.when(
@@ -1734,10 +1752,25 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("fps"),
     )
-    posting = picked.select(
+    from pyspark.sql import Window
+
+    # Materialization boundary: without it CollapseProject inlines the
+    # O(tokens) md5-gram array into EVERY slice() inside the winnowing
+    # lambda once the explode collapses the projections — O(tokens²) per
+    # doc, measured 102 s at sf0.1 for work that costs 7 s evaluated once.
+    # Persisting the 1-row-per-doc fingerprint arrays pins single
+    # evaluation; the engine's query-boundary clear_caches reclaims it.
+    picked = picked.persist()
+    posting_all = picked.select(
         "doc_id",
         F.size("fps").cast("long").alias("n_fps"),
         F.explode("fps").alias("fp"),
+    )
+    w_cap = Window.partitionBy("fp").orderBy("doc_id")
+    posting = (
+        posting_all.withColumn("pr", F.row_number().over(w_cap))
+        .filter(F.col("pr") <= WINNOW_POSTING_CAP)
+        .drop("pr")
     )
     a = posting.alias("a")
     b = posting.alias("b")

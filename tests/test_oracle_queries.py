@@ -47,6 +47,10 @@ HEAVY_ALLOWLIST = {
     "lakehouse_partition_evolution",  # multi-generation lakehouse rewrite
     "stream_dsir_scoring",  # LM train + 3-epoch availableNow stream +
     # sink re-rank: ~13 s warm, tips past 15 s on a cold first run
+    "dedup_winnowing_pairs",  # ~10-12 s: BOTH engines md5-hash every
+    # token 3-gram (the portable-hash tax text_winnowing_fingerprints
+    # already pays — DuckDB's list-comprehension md5 dominates); the pair
+    # join itself is capped-posting cheap
 }
 
 

@@ -529,10 +529,13 @@ def test_winnowing_pairs_guarantee_and_recompute(spark):
             return {min(hs)}
         return {min(hs[i : i + 4]) for i in range(len(hs) - 3)}
 
+    from etl_pipeline_aws_spark.llm.dedup import WINNOW_POSTING_CAP
+
     sets = {d: fps(t) for d, t in zip(docs.doc_id, docs.text)}
     expect = {}
     ids = sorted(sets)
-    # posting-list recompute (python): invert, pair, count
+    # posting-list recompute (python): invert, cap hot postings at the
+    # lowest doc_ids (mirrors the operator's deterministic cap), pair, count
     from collections import defaultdict
 
     posting = defaultdict(list)
@@ -541,9 +544,10 @@ def test_winnowing_pairs_guarantee_and_recompute(spark):
             posting[fp].append(d)
     shared = defaultdict(int)
     for fp, ds in posting.items():
+        ds = sorted(ds)[:WINNOW_POSTING_CAP]
         for i in range(len(ds)):
             for j in range(i + 1, len(ds)):
-                shared[(min(ds[i], ds[j]), max(ds[i], ds[j]))] += 1
+                shared[(ds[i], ds[j])] += 1
     expect = {k: v for k, v in shared.items() if v >= 2}
     got = {(r.doc_a, r.doc_b): r for r in rows}
     assert set(got) == set(expect)

@@ -316,6 +316,9 @@ PROBE_QUERIES = [
     "events_srm_check",
     "events_power_analysis_mde",
     "sql_pipe_multi_stage",
+    "stat_anderson_darling_two_sample",
+    "stat_mood_median",
+    "dedup_winnowing_pairs",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
