@@ -6421,3 +6421,100 @@ def customer_spend_ntile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# parts_kraljic_matrix — procurement portfolio quadrants
+# --------------------------------------------------------------------------
+
+KRALJIC_RISK_MAX_SUPPLIERS = 2  # <= this many observed suppliers = high risk
+
+
+def _kraljic_report_sql(cum_src: str) -> str:
+    """Shared quadrant report over a cumulative revenue-distribution
+    relation ``{cum_src}`` (v, cum_c, n_total) and the per-part facts
+    view ``kraljic_parts``; the median fence rides a scalar subquery."""
+    med = f"(SELECT MIN(v) FROM {cum_src} WHERE cum_c * 2 >= n_total)"
+    # fence subquery in a pre-aggregation projection: Spark rejects
+    # scalar subqueries inside GROUP BY expressions (and inside
+    # aggregate args — the corpus_length_percentile_trim lesson)
+    return f"""
+SELECT quadrant,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS DOUBLE) * 1000000e0
+           / (SELECT CAST(SUM(rev) AS DOUBLE) FROM kraljic_parts)
+           AS rev_share_ppm
+FROM (
+    SELECT rev,
+           CASE WHEN rev >= {med}
+                     AND n_suppliers <= {KRALJIC_RISK_MAX_SUPPLIERS}
+                     THEN 'strategic'
+                WHEN rev >= {med} THEN 'leverage'
+                WHEN n_suppliers <= {KRALJIC_RISK_MAX_SUPPLIERS}
+                     THEN 'bottleneck'
+                ELSE 'non_critical' END AS quadrant
+    FROM kraljic_parts
+) classified
+GROUP BY quadrant
+"""
+
+
+_KRALJIC_PARTS_SQL = """
+SELECT l_partkey AS pk,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT)
+           AS rev
+FROM lineitem GROUP BY l_partkey
+"""
+
+_KRALJIC_ORACLE = f"""
+WITH kraljic_parts AS (
+    {_KRALJIC_PARTS_SQL}
+), pv AS (
+    SELECT rev AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM kraljic_parts GROUP BY rev
+), cumv AS (
+    SELECT v,
+           CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS cum_c,
+           CAST(SUM(c) OVER () AS BIGINT) AS n_total
+    FROM pv
+)
+{_kraljic_report_sql("cumv")}
+"""
+
+
+@query("parts_kraljic_matrix", oracle=_KRALJIC_ORACLE)
+def parts_kraljic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kraljic procurement portfolio matrix — every part classified by
+    PROFIT IMPACT (discounted revenue vs the exact median part) ×
+    SUPPLY RISK (observed supplier count ≤ {KRALJIC_RISK_MAX_SUPPLIERS})
+    into the four textbook quadrants: strategic (partner deeply),
+    leverage (tender aggressively), bottleneck (secure supply),
+    non-critical (automate).  The summary procurement runs after
+    parts_supplier_hhi's concentration index and
+    parts_single_source_risk's worklist: those find the exposure, this
+    sizes the whole portfolio's strategy mix.
+
+    Determinism: revenue is exact scaled BIGINT; the impact fence is
+    the attained lower-median revenue (min v with 2·cum ≥ n); supplier
+    counts are exact; the share division is the single double op.
+
+    Scale: one lineitem reduction to |parts| rows (COUNT(DISTINCT
+    l_suppkey) is a two-level exact aggregation); the median fence
+    rides the two-phase ranked_prefix_sum over the revenue-distinct
+    table (no unpartitioned window); the quadrant rollup is a 4-row
+    groupBy with scalar-subquery fences (guard-clean)."""
+    register_views(spark, sf_dir)
+    parts = spark.sql(_KRALJIC_PARTS_SQL).persist()
+    parts.createOrReplaceTempView("kraljic_parts")
+    pv = spark.sql(
+        "SELECT rev AS v, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM kraljic_parts GROUP BY rev"
+    )
+    ranked, totals = ranked_prefix_sum(pv, [F.asc("v")], ["c"])
+    ranked.withColumn(
+        "n_total", F.lit(totals["c"]).cast("long")
+    ).createOrReplaceTempView("r8_kraljic_cum")
+    return spark.sql(_kraljic_report_sql("r8_kraljic_cum"))

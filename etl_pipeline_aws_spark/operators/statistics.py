@@ -540,6 +540,97 @@ def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Brown–Forsythe (median-based Levene) variance-homogeneity test: one-way
+# ANOVA F on absolute deviations from each group's EXACT median.  The
+# medians are attained per-group values (partitioned cumulative counts —
+# bounded by |groups| partitions, guard-clean); the F statistic is built
+# from exact decimal sums of the deviations.
+_BF_SQL = """
+WITH pv AS (
+    SELECT o_orderpriority AS grp, o_totalprice AS v,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM orders GROUP BY o_orderpriority, o_totalprice
+), cum AS (
+    SELECT grp, v,
+           CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumc,
+           CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+    FROM pv
+), med AS (
+    SELECT grp, MIN(v) AS m FROM cum WHERE cumc * 2 >= n GROUP BY grp
+), dev AS (
+    SELECT o.o_orderpriority AS grp,
+           CAST(ABS(CAST(o.o_totalprice AS DECIMAL(18,2))
+                    - CAST(m.m AS DECIMAL(18,2))) * 100 AS BIGINT) AS zc
+    FROM orders o JOIN med m ON o.o_orderpriority = m.grp
+), per_grp AS (
+    -- integer-cent deviations: s is an exact BIGINT, q an exact
+    -- SCALE-0 decimal — scaled decimals (the ROUND->DECIMAL(38,6)
+    -- idiom) are conversion-unsafe past 2^53 unscaled (the r7
+    -- Durbin-Watson lesson: DuckDB's scaled decimal->double
+    -- double-rounds), while scale-0 values below 2^64 convert in one
+    -- correctly-rounded step on both engines
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(zc) AS BIGINT) AS s_e2,
+           CAST(SUM(CAST(zc AS DECIMAL(19,0)) * zc) AS DECIMAL(38,0)) AS q_e4
+    FROM dev GROUP BY grp
+), tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(s_e2) AS BIGINT) AS ts_e2
+    FROM per_grp
+), terms AS (
+    -- per-group double terms FLOOR-scaled to BIGINT centi-units before
+    -- the cross-group sum (a raw double sum is order-sensitive and
+    -- cannot cross-engine match)
+    SELECT CAST(FLOOR((CAST(s_e2 AS DOUBLE) / 100e0)
+                      * (CAST(s_e2 AS DOUBLE) / 100e0)
+                      / CAST(n AS DOUBLE) * 100e0) AS BIGINT) AS sb_e2,
+           CAST(FLOOR((CAST(q_e4 AS DOUBLE) / 10000e0
+                       - (CAST(s_e2 AS DOUBLE) / 100e0)
+                         * (CAST(s_e2 AS DOUBLE) / 100e0)
+                         / CAST(n AS DOUBLE)) * 100e0) AS BIGINT) AS sw_e2
+    FROM per_grp
+)
+SELECT (SELECT big_n FROM tot) AS n_total,
+       (SELECT k FROM tot) AS n_groups,
+       ((CAST(CAST(SUM(sb_e2) AS BIGINT) AS DOUBLE) / 100e0
+         - (CAST((SELECT ts_e2 FROM tot) AS DOUBLE) / 100e0)
+           * (CAST((SELECT ts_e2 FROM tot) AS DOUBLE) / 100e0)
+           / CAST((SELECT big_n FROM tot) AS DOUBLE))
+        / CAST((SELECT k FROM tot) - 1 AS DOUBLE))
+       / (CAST(CAST(SUM(sw_e2) AS BIGINT) AS DOUBLE) / 100e0
+          / CAST((SELECT big_n FROM tot) - (SELECT k FROM tot) AS DOUBLE))
+           AS bf_f
+FROM terms
+"""
+
+
+@query("stat_brown_forsythe", oracle=_BF_SQL)
+def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test across the five order
+    priorities — the robust (median-centered) Levene: one-way ANOVA F on
+    |x − median_g|.  This is the PREREQUISITE check for every
+    equal-variance assumption downstream (classic ANOVA, pooled t);
+    Welch machinery (stat_welch_t) is the escape hatch when it fires.
+    Median centering (vs Levene's mean) keeps the test honest under the
+    heavy tails order values actually have.
+
+    Determinism: group medians are attained values from exact
+    partitioned cumulative counts; deviations are exact DECIMAL(18,2);
+    per-group F components are single double expressions rounded to
+    DECIMAL(28,6) before the exact cross-group sum; the closing F is a
+    fixed IEEE sequence with scalar-subquery totals (guard-clean).
+
+    Scale: the per-(group, value) reduction is |groups|×|distinct|
+    rows; the median windows are PARTITIONED by group (never a single
+    task); the deviation pass re-scans orders once with a |groups|-row
+    broadcast join; everything after is |groups|-sized."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BF_SQL)
+
+
 # Chi-square independence: exact integer cell/marginal counts; each cell's
 # term is rounded to DECIMAL(28,6) so the cross-cell sum is exact.
 _CHI2_SQL = """

@@ -557,3 +557,92 @@ def test_winnowing_pairs_guarantee_and_recompute(spark):
         assert r.containment_ppm == r.n_shared * 1000000 // min(
             r.n_fps_a, r.n_fps_b
         )
+
+
+def test_brown_forsythe_matches_numpy(spark):
+    engine.clear_caches(spark)
+    row = engine.all_queries()["stat_brown_forsythe"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    orders = _pq("orders")
+    import decimal
+
+    groups = {}
+    for g, sub in orders.groupby("o_orderpriority"):
+        vals = sorted(sub.o_totalprice)
+        med = vals[-(-len(vals) // 2) - 1]
+        q = decimal.Decimal("0.01")
+        z = [
+            abs(
+                decimal.Decimal(str(x)).quantize(q)
+                - decimal.Decimal(str(med)).quantize(q)
+            )
+            for x in vals
+        ]
+        groups[g] = z
+    import math
+
+    big_n = sum(len(z) for z in groups.values())
+    k = len(groups)
+    ts = sum(int(sum(z) * 100) for z in groups.values())
+    sb = sw = 0
+    for z in groups.values():
+        n = len(z)
+        zc = [int(x * 100) for x in z]
+        s = float(sum(zc)) / 100.0
+        qq = float(sum(x * x for x in zc)) / 10000.0
+        sb += math.floor(s * s / n * 100.0)
+        sw += math.floor((qq - s * s / n) * 100.0)
+    f = ((sb / 100.0 - (ts / 100.0) * (ts / 100.0) / big_n) / (k - 1)) / (
+        (sw / 100.0) / (big_n - k)
+    )
+    assert (row.n_total, row.n_groups) == (big_n, k)
+    assert abs(row.bf_f - f) < 1e-6 * max(1.0, abs(f))
+    assert row.bf_f >= 0
+
+
+def test_kraljic_matrix_matches_python(spark):
+    import decimal
+
+    engine.clear_caches(spark)
+    rows = {
+        r.quadrant: r
+        for r in engine.all_queries()["parts_kraljic_matrix"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    li = _pq("lineitem")
+    q2, q4 = decimal.Decimal("0.01"), decimal.Decimal("0.0001")
+    li = li.assign(
+        rev=[
+            int(
+                decimal.Decimal(str(p)).quantize(q2)
+                * (1 - decimal.Decimal(str(d)).quantize(q4))
+                * 10000
+            )
+            for p, d in zip(li.l_extendedprice, li.l_discount)
+        ]
+    )
+    agg = li.groupby("l_partkey").agg(
+        n_suppliers=("l_suppkey", "nunique"), rev=("rev", "sum")
+    )
+    revs = sorted(agg.rev)
+    med = revs[-(-len(revs) // 2) - 1]
+    tot = sum(revs)
+    expect = {}
+    for _, r in agg.iterrows():
+        if r.rev >= med and r.n_suppliers <= 2:
+            quad = "strategic"
+        elif r.rev >= med:
+            quad = "leverage"
+        elif r.n_suppliers <= 2:
+            quad = "bottleneck"
+        else:
+            quad = "non_critical"
+        e = expect.setdefault(quad, [0, 0])
+        e[0] += 1
+        e[1] += r.rev
+    assert set(rows) == set(expect)
+    for quad, (n, rv) in expect.items():
+        assert rows[quad].n_parts == n
+        assert abs(rows[quad].rev_share_ppm - rv * 1e6 / tot) < 1e-6

@@ -319,6 +319,8 @@ PROBE_QUERIES = [
     "stat_anderson_darling_two_sample",
     "stat_mood_median",
     "dedup_winnowing_pairs",
+    "stat_brown_forsythe",
+    "parts_kraljic_matrix",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
