@@ -1154,3 +1154,88 @@ def corpus_length_percentile_trim(spark: SparkSession, sf_dir: str) -> DataFrame
         "r8_length_trim_cum"
     )
     return spark.sql(_length_trim_report_sql("r8_length_trim_cum"))
+
+
+# --------------------------------------------------------------------------
+# text_code_detection_screen — code-vs-prose curation gate
+# --------------------------------------------------------------------------
+
+CODE_SYMBOLS = ";={}()[]"  # the punctuation prose essentially never stacks
+CODE_SYM_PPM_MIN = 30_000  # >=3% symbol chars => code-like
+CODE_IDENT_PPM_MIN = 50_000  # >=5% snake_case tokens => code-like
+
+
+def _code_screen_sql(tok_filter: str, idiv: str) -> str:
+    """Shared code-screen text; the snake_case token counter differs per
+    dialect (Spark filter() vs DuckDB list_filter), the per-char symbol
+    counters are portable replace() arithmetic."""
+    sym_count = " + ".join(
+        f"(LENGTH(text) - LENGTH(REPLACE(text, '{c}', '')))"
+        for c in CODE_SYMBOLS
+    )
+    return f"""
+WITH feats AS (
+    SELECT source,
+           CAST(({sym_count}) * 1000000
+                / GREATEST(CAST(1 AS BIGINT), LENGTH(text)) AS BIGINT)
+               AS sym_ppm,
+           CAST({tok_filter} * 1000000
+                / GREATEST(CAST(1 AS BIGINT), n_tokens) AS BIGINT)
+               AS ident_ppm
+    FROM (
+        SELECT source, text,
+               CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ) base
+), flagged AS (
+    SELECT source, sym_ppm, ident_ppm,
+           CASE WHEN sym_ppm >= {CODE_SYM_PPM_MIN}
+                     OR ident_ppm >= {CODE_IDENT_PPM_MIN}
+                THEN 1 ELSE 0 END AS is_code
+    FROM feats
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_code) AS BIGINT) AS n_code_like,
+       CAST(SUM(is_code) * 1000000 {idiv} COUNT(*) AS BIGINT) AS code_ppm,
+       CAST(SUM(sym_ppm) {idiv} COUNT(*) AS BIGINT) AS avg_sym_ppm,
+       CAST(SUM(ident_ppm) {idiv} COUNT(*) AS BIGINT) AS avg_ident_ppm
+FROM flagged
+GROUP BY source
+"""
+
+
+_CODE_SCREEN_ORACLE = _code_screen_sql(
+    "CAST(len(list_filter(string_split(text, ' '), w -> contains(w, '_')))"
+    " AS BIGINT)",
+    "//",
+)
+_CODE_SCREEN_SPARK = _code_screen_sql(
+    "CAST(size(filter(split(text, ' '), w -> contains(w, '_'))) AS BIGINT)",
+    "DIV",
+)
+
+
+@query("text_code_detection_screen", oracle=_CODE_SCREEN_ORACLE)
+def text_code_detection_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose SCREEN — the routing gate every mixed crawl needs
+    before a text-only training mix (code wants its own tokenizer
+    budget, dedup keys, and quality rules; The Stack-style pipelines
+    split here first).  Two cheap, deterministic signals per doc:
+    stacked-punctuation density ({CODE_SYMBOLS!r} chars per char, ppm)
+    and snake_case identifier share of tokens — prose essentially never
+    clears {CODE_SYM_PPM_MIN} ppm symbols or {CODE_IDENT_PPM_MIN} ppm
+    underscore tokens.  Per-source rollup: doc counts, flagged share,
+    and both average signals (the audit row a mix owner reads before
+    trusting the gate).
+
+    Determinism: symbol counts are portable LENGTH/REPLACE arithmetic
+    (no regex — flag spellings differ between dialects); token counts
+    and shares are exact integer ppm; no doubles anywhere.
+
+    Scale: one documents scan, all features row-local string
+    expressions, one map-side-combinable per-source groupBy.  No join,
+    no window."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CODE_SCREEN_SPARK)

@@ -2803,3 +2803,96 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-sum fan is literal columns, not a join."""
     register_views(spark, sf_dir)
     return spark.sql(_kruskal_sql())
+
+
+# --------------------------------------------------------------------------
+# stat_welch_anova — heteroscedastic one-way ANOVA (Welch 1951)
+# --------------------------------------------------------------------------
+
+_WELCH_ANOVA_SQL = """
+WITH g AS (
+    SELECT o_orderpriority AS grp,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+    FROM orders
+), per_grp AS (
+    -- integer-cent sums; scale-0 power sum (conversion-safe, see
+    -- stat_brown_forsythe)
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(xc) AS BIGINT) AS s_e2,
+           CAST(SUM(CAST(xc AS DECIMAL(19,0)) * xc) AS DECIMAL(38,0)) AS q_e4
+    FROM g GROUP BY grp
+), gd AS (
+    SELECT grp, n,
+           (CAST(s_e2 AS DOUBLE) / 100e0) / CAST(n AS DOUBLE) AS m,
+           (CAST(q_e4 AS DOUBLE) / 10000e0
+            - (CAST(s_e2 AS DOUBLE) / 100e0) * (CAST(s_e2 AS DOUBLE) / 100e0)
+              / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS v
+    FROM per_grp WHERE n > 1
+), wts AS (
+    -- per-group doubles floor-scaled to integers BEFORE any cross-group
+    -- sum (double sums are order-sensitive); w ~ n/var and w*m magnitudes
+    -- bound the scales chosen here
+    SELECT grp, n,
+           CAST(FLOOR(CAST(n AS DOUBLE) / v * 1000000000e0) AS BIGINT) AS w_e9,
+           CAST(FLOOR(CAST(n AS DOUBLE) / v * m * 1000000e0) AS BIGINT) AS wm_e6,
+           m, v
+    FROM gd
+), fold1 AS (
+    SELECT CAST(SUM(w_e9) AS BIGINT) AS sw_e9,
+           CAST(SUM(wm_e6) AS BIGINT) AS swm_e6,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM wts
+), terms AS (
+    SELECT CAST(FLOOR((CAST(w_e9 AS DOUBLE) / 1000000000e0)
+                * (m - (CAST((SELECT swm_e6 FROM fold1) AS DOUBLE) / 1000000e0)
+                       / (CAST((SELECT sw_e9 FROM fold1) AS DOUBLE)
+                          / 1000000000e0))
+                * (m - (CAST((SELECT swm_e6 FROM fold1) AS DOUBLE) / 1000000e0)
+                       / (CAST((SELECT sw_e9 FROM fold1) AS DOUBLE)
+                          / 1000000000e0))
+                * 1000000e0) AS BIGINT) AS a_e6,
+           CAST(FLOOR((1e0 - (CAST(w_e9 AS DOUBLE) / 1000000000e0)
+                             / (CAST((SELECT sw_e9 FROM fold1) AS DOUBLE)
+                                / 1000000000e0))
+                * (1e0 - (CAST(w_e9 AS DOUBLE) / 1000000000e0)
+                         / (CAST((SELECT sw_e9 FROM fold1) AS DOUBLE)
+                            / 1000000000e0))
+                / CAST(n - 1 AS DOUBLE) * 1000000000000e0) AS BIGINT) AS h_e12
+    FROM wts
+)
+SELECT (SELECT k FROM fold1) AS k,
+       (SELECT k FROM fold1) - 1 AS df1,
+       (CAST((SELECT k FROM fold1) AS DOUBLE) * CAST((SELECT k FROM fold1)
+            AS DOUBLE) - 1e0)
+           / (3e0 * (CAST(CAST(SUM(h_e12) AS BIGINT) AS DOUBLE)
+                     / 1000000000000e0)) AS df2,
+       (CAST(CAST(SUM(a_e6) AS BIGINT) AS DOUBLE) / 1000000e0
+        / CAST((SELECT k FROM fold1) - 1 AS DOUBLE))
+       / (1e0 + (2e0 * (CAST((SELECT k FROM fold1) AS DOUBLE) - 2e0)
+                 / (CAST((SELECT k FROM fold1) AS DOUBLE)
+                    * CAST((SELECT k FROM fold1) AS DOUBLE) - 1e0))
+                * (CAST(CAST(SUM(h_e12) AS BIGINT) AS DOUBLE)
+                   / 1000000000000e0)) AS welch_f
+FROM terms
+"""
+
+
+@query("stat_welch_anova", oracle=_WELCH_ANOVA_SQL)
+def stat_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA across the five order
+    priorities — the omnibus test that stays VALID when
+    stat_brown_forsythe fires (classic ANOVA's pooled variance is wrong
+    under unequal variances; Welch weights each group by n/s² exactly
+    as stat_welch_ttest does for two groups).  Reports F*, df1 = k−1
+    and the Welch–Satterthwaite df2.
+
+    Determinism: per-group sums are exact integer cents + a scale-0
+    power sum (conversion-safe); every cross-group sum is of
+    FLOOR-scaled integers (double sums are order-sensitive); the
+    weighted grand mean and the closing F/df2 are one shared IEEE
+    expression chain with scalar-subquery folds (guard-clean).
+
+    Scale: ONE map-side-combinable groupBy to |priorities| rows;
+    everything after is 5-row arithmetic.  No window, no join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_WELCH_ANOVA_SQL)

@@ -646,3 +646,75 @@ def test_kraljic_matrix_matches_python(spark):
     for quad, (n, rv) in expect.items():
         assert rows[quad].n_parts == n
         assert abs(rows[quad].rev_share_ppm - rv * 1e6 / tot) < 1e-6
+
+
+def test_welch_anova_matches_numpy(spark):
+    import math
+
+    engine.clear_caches(spark)
+    row = engine.all_queries()["stat_welch_anova"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    orders = _pq("orders")
+    stats = []
+    for _, sub in orders.groupby("o_orderpriority"):
+        xc = [int(round(x * 100)) for x in sub.o_totalprice]
+        n = len(xc)
+        s = float(sum(xc)) / 100.0
+        q = float(sum(x * x for x in xc)) / 10000.0
+        m = s / n
+        v = (q - s * s / n) / (n - 1)
+        stats.append((n, m, v))
+    k = len(stats)
+    w_e9 = [math.floor(n / v * 1e9) for n, _, v in stats]
+    wm_e6 = [math.floor(n / v * m * 1e6) for n, m, v in stats]
+    big_w = sum(w_e9) / 1e9
+    xbar = (sum(wm_e6) / 1e6) / big_w
+    a = sum(
+        math.floor((we / 1e9) * (m - xbar) * (m - xbar) * 1e6)
+        for we, (_, m, _) in zip(w_e9, stats)
+    )
+    h = sum(
+        math.floor(
+            (1.0 - (we / 1e9) / big_w) * (1.0 - (we / 1e9) / big_w) / (n - 1) * 1e12
+        )
+        for we, (n, _, _) in zip(w_e9, stats)
+    )
+    f = (a / 1e6 / (k - 1)) / (1.0 + (2.0 * (k - 2.0) / (k * float(k) - 1.0)) * (h / 1e12))
+    df2 = (k * float(k) - 1.0) / (3.0 * (h / 1e12))
+    assert row.k == k and row.df1 == k - 1
+    assert abs(row.welch_f - f) < 1e-9 * max(1.0, abs(f))
+    assert abs(row.df2 - df2) < 1e-6 * max(1.0, abs(df2))
+
+
+def test_code_screen_matches_python(spark):
+    engine.clear_caches(spark)
+    rows = {
+        r.source: r
+        for r in engine.all_queries()["text_code_detection_screen"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    docs = _pq("documents")
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, code, sym_sum, ident_sum
+    for src, text in zip(docs.source, docs.text):
+        n_chars = max(1, len(text))
+        syms = sum(text.count(c) for c in ";={}()[]")
+        toks = text.split(" ")
+        idents = sum(1 for w in toks if "_" in w)
+        sym_ppm = syms * 1000000 // n_chars
+        ident_ppm = idents * 1000000 // max(1, len(toks))
+        e = agg[src]
+        e[0] += 1
+        e[1] += 1 if (sym_ppm >= 30000 or ident_ppm >= 50000) else 0
+        e[2] += sym_ppm
+        e[3] += ident_ppm
+    for src, (n, code, sym_s, id_s) in agg.items():
+        r = rows[src]
+        assert r.n_docs == n
+        assert r.n_code_like == code
+        assert r.code_ppm == code * 1000000 // n
+        assert r.avg_sym_ppm == sym_s // n
+        assert r.avg_ident_ppm == id_s // n

@@ -321,6 +321,8 @@ PROBE_QUERIES = [
     "dedup_winnowing_pairs",
     "stat_brown_forsythe",
     "parts_kraljic_matrix",
+    "stat_welch_anova",
+    "text_code_detection_screen",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
