@@ -2896,3 +2896,286 @@ def stat_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after is 5-row arithmetic.  No window, no join."""
     register_views(spark, sf_dir)
     return spark.sql(_WELCH_ANOVA_SQL)
+
+
+# Bartlett's test: per-priority exact decimal power sums of price cents ->
+# one LN per GROUP of an exact rational, each cross-group term rounded to a
+# fixed-scale DECIMAL before summing (the G-test discipline, k=5 groups).
+_BARTLETT_SQL = """
+WITH pts AS (
+    SELECT o_orderpriority AS grp,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+    FROM orders
+), g AS (
+    -- BIGINT-only folds (int64 -> double is correctly rounded on BOTH
+    -- engines; DECIMAL(38,0)/int128 past 2^64 is NOT — the r7
+    -- Durbin-Watson lesson): the one oversized power sum rides per-row
+    -- FLOOR-scaled to e4 units, every other sum fits int64 exactly
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS sx,
+           CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                                / 10000e0) AS BIGINT)) AS BIGINT) AS sxx_e4
+    FROM pts GROUP BY grp
+), v AS (
+    -- centered numerator n*Sxx - Sx^2 in doubles OVER exact int64 inputs
+    -- (one shared IEEE expression; the cancellation is benign — ulp-level
+    -- absolute error on both engines' identical operands)
+    SELECT grp, n,
+           CAST(n AS DOUBLE) * CAST(sxx_e4 AS DOUBLE) * 10000e0
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS num
+    FROM g
+), terms AS (
+    SELECT n,
+           CAST(ROUND((CAST(n AS DOUBLE) - 1e0)
+                      * LN(num
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))),
+                      6) AS DECIMAL(28,6)) AS ln_term,
+           CAST(ROUND(1e0 / (CAST(n AS DOUBLE) - 1e0), 12)
+                AS DECIMAL(28,12)) AS inv_term,
+           CAST(FLOOR(num / CAST(n AS DOUBLE) / 1000000e0) AS BIGINT)
+               AS ssw_e6
+    FROM v
+), fold AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(SUM(ln_term) AS DOUBLE) AS sum_ln,
+           CAST(SUM(inv_term) AS DOUBLE) AS sum_inv,
+           CAST(CAST(SUM(ssw_e6) AS BIGINT) AS DOUBLE) * 1000000e0
+               AS ssw_total
+    FROM terms
+)
+SELECT k AS n_groups,
+       n_total,
+       CAST(k - 1 AS BIGINT) AS dof,
+       ((CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))
+            * LN(ssw_total / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))
+        - sum_ln)
+       / (1e0 + (sum_inv
+                 - 1e0 / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))
+                / (3e0 * (CAST(k AS DOUBLE) - 1e0))) AS bartlett_stat
+FROM fold
+"""
+
+
+@query("stat_bartlett_test", oracle=_BARTLETT_SQL)
+def stat_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's variance-homogeneity test of order-price cents across
+    the 5 priorities — completing the engine's homogeneity trio:
+    Bartlett is the most powerful of the three UNDER normality,
+    Brown–Forsythe (stat_brown_forsythe) is the robust screen, and
+    Welch ANOVA (stat_welch_anova) is the mean test to use when either
+    fires.  T = [(N−k)·ln(s_p²) − Σ(n_i−1)·ln(s_i²)] / C with the
+    standard correction C = 1 + (Σ1/(n_i−1) − 1/(N−k)) / (3(k−1)).
+
+    Determinism: ALL folds are exact BIGINTs (int64 -> double converts
+    correctly rounded on both engines; int128 decimals past 2^64 do
+    not — the r7 Durbin-Watson lesson), with the one oversized power
+    sum FLOOR-scaled to e4 units per ROW before summing; one LN per
+    GROUP; each cross-group term is rounded to fixed-scale DECIMAL (or
+    floor-scaled BIGINT) before the k-row sum (the G-test discipline),
+    so the fold is exact and order-insensitive; the closing statistic
+    is one shared IEEE formula.  The test is
+    scale-invariant (Σ(n_i−1) = N−k makes the cent-vs-dollar ln offsets
+    cancel), so working in cents changes nothing.
+
+    Scale: ONE map-side-combinable groupBy to |priorities| rows; all
+    later stages are 5-row arithmetic.  No window, no join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BARTLETT_SQL)
+
+
+def _chow_sql(x_expr: str) -> str:
+    """Chow structural-break F on the daily-revenue-vs-day-index OLS;
+    per-dialect day-index expression."""
+    return f"""
+WITH daily AS (
+    SELECT CAST({x_expr} AS BIGINT) AS x,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+           CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-05-01'
+                THEN 0 ELSE 1 END AS seg
+    FROM orders
+    GROUP BY CAST({x_expr} AS BIGINT),
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-05-01'
+                  THEN 0 ELSE 1 END
+), sums AS (
+    -- BIGINT-only folds (int64 -> double is correctly rounded on both
+    -- engines; int128 decimals past 2^64 are not): x is calendar-bounded
+    -- so sx/sxx/sxy fit int64 exactly at any revenue scale the e6-scaled
+    -- y^2 term tolerates (documented bound: daily cents below ~3e10)
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(CAST(FLOOR(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                                / 1000000e0) AS BIGINT)) AS BIGINT) AS syy_e6
+    FROM daily GROUP BY seg
+), both_segs AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(sx) AS BIGINT) AS sx,
+           CAST(SUM(sy) AS BIGINT) AS sy,
+           CAST(SUM(sxx) AS BIGINT) AS sxx,
+           CAST(SUM(sxy) AS BIGINT) AS sxy,
+           CAST(SUM(syy_e6) AS BIGINT) AS syy_e6
+    FROM sums
+), ssr AS (
+    SELECT CAST(seg AS BIGINT) AS seg, n,
+           (  (CAST(n AS DOUBLE) * CAST(syy_e6 AS DOUBLE) * 1000000e0
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+            - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           / CAST(n AS DOUBLE) AS ssr
+    FROM sums
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS seg, n,
+           (  (CAST(n AS DOUBLE) * CAST(syy_e6 AS DOUBLE) * 1000000e0
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+            - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           / CAST(n AS DOUBLE) AS ssr
+    FROM both_segs
+), wide AS (
+    SELECT CAST(MAX(CASE WHEN seg = 0 THEN n END) AS BIGINT) AS n1,
+           CAST(MAX(CASE WHEN seg = 1 THEN n END) AS BIGINT) AS n2,
+           MAX(CASE WHEN seg = -1 THEN ssr END) AS ssr_pooled,
+           MAX(CASE WHEN seg = 0 THEN ssr END) AS ssr_pre,
+           MAX(CASE WHEN seg = 1 THEN ssr END) AS ssr_post
+    FROM ssr
+)
+SELECT n1 AS n_days_pre, n2 AS n_days_post,
+       ssr_pooled, ssr_pre, ssr_post,
+       ((ssr_pooled - ssr_pre - ssr_post) / 2e0)
+           / ((ssr_pre + ssr_post)
+              / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 4e0)) AS f_chow
+FROM wide
+"""
+
+
+_CHOW_ORACLE = _chow_sql(
+    "DATEDIFF('DAY', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
+)
+_CHOW_SPARK = _chow_sql("DATEDIFF(CAST(o_orderdate AS DATE), DATE '1995-01-01')")
+
+
+@query("stat_chow_test", oracle=_CHOW_ORACLE)
+def stat_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test on the daily-revenue trend: did the OLS
+    line (revenue cents vs day index) CHANGE at the 1998-05-01 midpoint?
+    F = [(SSR_pooled − SSR₁ − SSR₂)/2] / [(SSR₁+SSR₂)/(n₁+n₂−4)] — the
+    econometric "did the regime shift" companion to the changepoint
+    family (CUSUM locates a shift in LEVEL; Chow tests a shift in the
+    MODEL, slope and intercept jointly, at a hypothesized date).
+
+    Determinism: daily revenues fold to exact cents; the five power
+    sums per segment are exact BIGINTs (the y² term floor-scaled to e6
+    units per row — int64 folds convert to double correctly rounded on
+    both engines, int128 decimals past 2^64 do not); each SSR is ONE
+    shared IEEE closed form over those exact sums (n·Syy−Sy², centered
+    via n-scaling so no mean is ever materialized); pooled sums are
+    exact int64 adds of the per-segment sums.
+
+    Scale: one map-side-combinable groupBy to |days|x2 rows, a second
+    to 2 rows; everything after is constant-size arithmetic.  No
+    window — the day index is exact calendar arithmetic, not a
+    ROW_NUMBER."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CHOW_SPARK)
+
+
+def _ljung_box_sql(unnest7: str, x_expr: str) -> str:
+    """Shared Ljung-Box text; per-dialect lag generator + day index."""
+    return f"""
+WITH daily AS (
+    SELECT CAST({x_expr} AS BIGINT) AS di,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY CAST({x_expr} AS BIGINT)
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS t
+    FROM daily
+), centered AS (
+    SELECT di,
+           CAST((SELECT n FROM tot) * x - (SELECT t FROM tot)
+                AS DECIMAL(19,0)) AS cx
+    FROM daily
+), lagged AS (
+    SELECT di, cx, {unnest7} AS lag
+    FROM centered
+), prods AS (
+    SELECT l.lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(l.cx * r.cx) AS DECIMAL(38,0)) AS s_k
+    FROM lagged l JOIN centered r ON r.di = l.di + l.lag
+    GROUP BY l.lag
+), s0 AS (
+    SELECT CAST(SUM(cx * cx) AS DECIMAL(38,0)) AS s_0 FROM centered
+), terms AS (
+    SELECT lag, n_pairs,
+           CAST(s_k AS DOUBLE) / CAST((SELECT s_0 FROM s0) AS DOUBLE) AS r_k,
+           CAST(ROUND((CAST(s_k AS DOUBLE)
+                       / CAST((SELECT s_0 FROM s0) AS DOUBLE))
+                      * (CAST(s_k AS DOUBLE)
+                         / CAST((SELECT s_0 FROM s0) AS DOUBLE))
+                      / CAST(n_pairs AS DOUBLE), 12) AS DECIMAL(28,12))
+               AS q_term
+    FROM prods
+)
+SELECT (SELECT n FROM tot) AS n_days,
+       MAX(CASE WHEN lag = 1 THEN r_k END) AS r1,
+       MAX(CASE WHEN lag = 2 THEN r_k END) AS r2,
+       MAX(CASE WHEN lag = 3 THEN r_k END) AS r3,
+       MAX(CASE WHEN lag = 4 THEN r_k END) AS r4,
+       MAX(CASE WHEN lag = 5 THEN r_k END) AS r5,
+       MAX(CASE WHEN lag = 6 THEN r_k END) AS r6,
+       MAX(CASE WHEN lag = 7 THEN r_k END) AS r7,
+       CAST((SELECT n FROM tot) AS DOUBLE)
+           * (CAST((SELECT n FROM tot) AS DOUBLE) + 2e0)
+           * CAST(SUM(q_term) AS DOUBLE) AS q_lb,
+       CAST(7 AS BIGINT) AS dof
+FROM terms
+"""
+
+
+_LJUNG_ORACLE = _ljung_box_sql(
+    "unnest(range(1, 8))",
+    "DATEDIFF('DAY', DATE '2024-01-01', CAST(ts AS DATE))",
+)
+_LJUNG_SPARK = _ljung_box_sql(
+    "explode(sequence(CAST(1 AS BIGINT), CAST(7 AS BIGINT)))",
+    "DATEDIFF(CAST(ts AS DATE), DATE '2024-01-01')",
+)
+
+
+@query("stat_ljung_box", oracle=_LJUNG_ORACLE)
+def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily event-count series —
+    Q = n(n+2)·Σ_{{k=1..7}} r_k²/(n−k) — the "is there ANY
+    autocorrelation structure left" gate that decides whether the
+    forecast-model family's residuals (events_residual_anomaly_gate,
+    events_forecast_model_selection) can be treated as noise; r_1..r_7
+    are reported alongside so a failing Q is immediately attributable
+    to its lag.
+
+    Determinism: counts are exact integers; centered values ride
+    n-SCALED (n·x_t − T — the mean is never materialized, and the n²
+    scaling cancels in r_k = S_k/S_0); lag products are exact
+    DECIMAL(38,0); each Q term is one IEEE expression over exact
+    inputs rounded to DECIMAL(28,12) before the 7-term sum (12, not
+    finer: rounding at a scale below the double's own ulp is where the
+    two engines' ROUND implementations can disagree).
+
+    Scale: the fact-sized stage is one map-side-combinable daily
+    groupBy; lag alignment is the Theil-Sen explode+EQUI-join rewrite
+    (calendar day-index join, never a window), over a |days|-bounded
+    frame; the fold is 7 rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LJUNG_SPARK)

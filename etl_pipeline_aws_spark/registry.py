@@ -129,6 +129,7 @@ def _load_all() -> None:
         events,
         features,
         flagships,
+        geo,
         graph,
         ivm,
         joins,

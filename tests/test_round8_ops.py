@@ -718,3 +718,195 @@ def test_code_screen_matches_python(spark):
         assert r.code_ppm == code * 1000000 // n
         assert r.avg_sym_ppm == sym_s // n
         assert r.avg_ident_ppm == id_s // n
+
+
+# ---------------------------------------------------------------------------
+# Geo family: brute-force recomputes (the grid join must agree with an
+# all-pairs scan — this independently validates the 3x3-neighborhood-covers-
+# the-radius invariant, not just the arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def _geo_cust_pts():
+    cust = _pq("customer")
+    lat = (cust.c_custkey % 1000003) * 2654435761 % 180000000 - 90000000
+    lon = (cust.c_custkey % 999983) * 1540483477 % 360000000 - 180000000
+    return cust.c_custkey.to_numpy(), cust.c_nationkey.to_numpy(), lat.to_numpy(), lon.to_numpy()
+
+
+def test_geo_grid_radius_join_matches_bruteforce(spark):
+    import numpy as np
+
+    engine.clear_caches(spark)
+    got = {
+        r.s_suppkey: r
+        for r in engine.all_queries()["geo_grid_radius_join"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    ck, _, clat, clon = _geo_cust_pts()
+    sup = _pq("supplier")
+    slat = ((sup.s_suppkey % 999979) * 2246822519 % 180000000 - 90000000).to_numpy()
+    slon = ((sup.s_suppkey % 1000033) * 2654435769 % 360000000 - 180000000).to_numpy()
+    r2 = 2_000_000**2
+    assert set(got) == set(sup.s_suppkey)
+    for i, sk in enumerate(sup.s_suppkey):
+        d2 = (slat[i] - clat) ** 2 + (slon[i] - clon) ** 2
+        within = d2 <= r2
+        r = got[sk]
+        assert r.n_within == int(within.sum()), sk
+        if within.any():
+            md = int(d2[within].min())
+            assert r.nearest_d2 == md
+            assert r.nearest_custkey == int(ck[within & (d2 == md)].min())
+        else:
+            assert r.nearest_d2 is None and r.nearest_custkey is None
+    # the fixture must exercise BOTH branches or the test proves too little
+    assert any(r.n_within > 0 for r in got.values())
+    assert any(r.n_within == 0 for r in got.values())
+
+
+def test_geo_cell_rollup_multires_matches_pandas(spark):
+    from collections import Counter
+
+    engine.clear_caches(spark)
+    got = {
+        r.level: r
+        for r in engine.all_queries()["geo_cell_rollup_multires"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    _, _, lat, lon = _geo_cust_pts()
+    for lvl, sz in [(0, 45_000_000), (1, 15_000_000), (2, 5_000_000)]:
+        cells = Counter(
+            (la + 90_000_000) // sz * 1000 + (lo + 180_000_000) // sz
+            for la, lo in zip(lat, lon)
+        )
+        r = got[lvl]
+        assert r.cell_microdeg == sz
+        assert r.n_cells == len(cells)
+        assert r.n_points == len(lat)
+        mx = max(cells.values())
+        assert r.max_cell_pts == mx
+        assert r.avg_pts_e4 == len(lat) * 10000 // len(cells)
+        assert r.top_cell_id == min(c for c, n in cells.items() if n == mx)
+
+
+def test_geo_dbscan_core_points_matches_bruteforce(spark):
+    import numpy as np
+
+    engine.clear_caches(spark)
+    got = {
+        r.c_nationkey: r
+        for r in engine.all_queries()["geo_dbscan_core_points"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    _, nat, lat, lon = _geo_cust_pts()
+    eps2 = 8_000_000**2
+    d2 = (lat[:, None] - lat[None, :]) ** 2 + (lon[:, None] - lon[None, :]) ** 2
+    np.fill_diagonal(d2, eps2 + 1)
+    core = (d2 <= eps2).sum(axis=1) >= 4
+    assert core.any() and not core.all()  # fixture exercises both classes
+    for nk in set(nat.tolist()):
+        m = nat == nk
+        r = got[nk]
+        assert r.n_points == int(m.sum())
+        assert r.n_core == int(core[m].sum())
+        assert r.core_bp == int(core[m].sum()) * 10000 // int(m.sum())
+
+
+# ---------------------------------------------------------------------------
+# Homogeneity/regime/autocorrelation trio: textbook numpy recomputes (raw
+# float64 math, no shared floor-scaling — asserts the scaled engine path
+# stays within formula tolerance of the unscaled textbook statistic)
+# ---------------------------------------------------------------------------
+
+
+def test_stat_bartlett_matches_numpy(spark):
+    import numpy as np
+
+    engine.clear_caches(spark)
+    row = (
+        engine.all_queries()["stat_bartlett_test"](spark, "/root/testdata/sf0.01")
+        .collect()[0]
+    )
+    orders = _pq("orders")
+    groups = [
+        np.round(g.o_totalprice.to_numpy() * 100)
+        for _, g in orders.groupby("o_orderpriority")
+    ]
+    k = len(groups)
+    ns = np.array([len(g) for g in groups], dtype=float)
+    vs = np.array([g.var(ddof=1) for g in groups])
+    big_n = ns.sum()
+    sp2 = ((ns - 1) * vs).sum() / (big_n - k)
+    t = (big_n - k) * np.log(sp2) - ((ns - 1) * np.log(vs)).sum()
+    c = 1 + ((1 / (ns - 1)).sum() - 1 / (big_n - k)) / (3 * (k - 1))
+    assert row.n_groups == k and row.n_total == int(big_n) and row.dof == k - 1
+    assert abs(row.bartlett_stat - t / c) < 1e-6 * max(1.0, abs(t / c))
+
+
+def test_stat_chow_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    engine.clear_caches(spark)
+    row = (
+        engine.all_queries()["stat_chow_test"](spark, "/root/testdata/sf0.01")
+        .collect()[0]
+    )
+    orders = _pq("orders")
+    d = orders.o_orderdate.dt.normalize()
+    daily = (
+        pd.DataFrame(
+            {
+                "x": (d - pd.Timestamp("1995-01-01")).dt.days,
+                "y": np.round(orders.o_totalprice * 100),
+            }
+        )
+        .groupby("x")["y"]
+        .sum()
+    )
+
+    def ssr(x, y):
+        n = len(x)
+        sxx = n * (x * x).sum() - x.sum() ** 2
+        sxy = n * (x * y).sum() - x.sum() * y.sum()
+        syy = n * (y * y).sum() - y.sum() ** 2
+        return (syy - sxy * sxy / sxx) / n
+
+    x = daily.index.to_numpy(dtype=float)
+    y = daily.to_numpy(dtype=float)
+    cut = (pd.Timestamp("1998-05-01") - pd.Timestamp("1995-01-01")).days
+    pre, post = x < cut, x >= cut
+    s_p = ssr(x, y)
+    s1, s2 = ssr(x[pre], y[pre]), ssr(x[post], y[post])
+    n1, n2 = int(pre.sum()), int(post.sum())
+    f = ((s_p - s1 - s2) / 2) / ((s1 + s2) / (n1 + n2 - 4))
+    assert row.n_days_pre == n1 and row.n_days_post == n2
+    assert abs(row.f_chow - f) < 1e-6 * max(1.0, abs(f))
+
+
+def test_stat_ljung_box_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    engine.clear_caches(spark)
+    row = (
+        engine.all_queries()["stat_ljung_box"](spark, "/root/testdata/sf0.01")
+        .collect()[0]
+    )
+    ev = _pq("events")
+    daily = ev.groupby(ev.ts.dt.normalize()).size().sort_index()
+    # the engine joins on CALENDAR lag; the fixture must be a dense spine
+    assert (pd.Series(daily.index).diff().dropna() == pd.Timedelta("1D")).all()
+    x = daily.to_numpy(dtype=float)
+    n = len(x)
+    c = x - x.mean()
+    r = np.array([(c[:-k] * c[k:]).sum() / (c * c).sum() for k in range(1, 8)])
+    q = n * (n + 2) * sum(r[k - 1] ** 2 / (n - k) for k in range(1, 8))
+    assert row.n_days == n
+    for k in range(1, 8):
+        assert abs(getattr(row, f"r{k}") - r[k - 1]) < 1e-9
+    assert abs(row.q_lb - q) < 1e-6 * max(1.0, q)

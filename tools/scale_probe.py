@@ -323,6 +323,12 @@ PROBE_QUERIES = [
     "parts_kraljic_matrix",
     "stat_welch_anova",
     "text_code_detection_screen",
+    "geo_grid_radius_join",
+    "geo_cell_rollup_multires",
+    "geo_dbscan_core_points",
+    "stat_bartlett_test",
+    "stat_chow_test",
+    "stat_ljung_box",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
