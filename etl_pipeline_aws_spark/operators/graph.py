@@ -1594,3 +1594,212 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_rich_club_sql())
+
+
+# --------------------------------------------------------------------------
+# graph_connected_components — standalone CC with size histogram
+# --------------------------------------------------------------------------
+
+CC_MIN_SUPPORT = 2  # edge = parts co-ordered at least twice (triangle op's fence)
+
+_CC_SQL = """
+WITH RECURSIVE items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
+), edges AS (
+    SELECT pa AS src, pb AS dst FROM pairs
+    UNION
+    SELECT pb AS src, pa AS dst FROM pairs
+), reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), labels AS (
+    SELECT src AS node, LEAST(src, MIN(dst)) AS label FROM reach GROUP BY src
+), comps AS (
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS csize FROM labels GROUP BY label
+), isolated AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_iso
+    FROM part WHERE p_partkey NOT IN (SELECT src FROM edges)
+), hist AS (
+    SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components FROM comps
+    GROUP BY csize
+)
+SELECT csize AS component_size,
+       CAST(n_components
+            + CASE WHEN csize = 1 THEN (SELECT n_iso FROM isolated)
+                   ELSE 0 END AS BIGINT) AS n_components
+FROM hist
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS component_size,
+       (SELECT n_iso FROM isolated) AS n_components
+WHERE NOT EXISTS (SELECT 1 FROM hist WHERE csize = 1)
+      AND (SELECT n_iso FROM isolated) > 0
+"""
+
+
+@query("graph_connected_components", oracle=_CC_SQL)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone connected components over the support-pruned part
+    co-occurrence graph (edge = co-ordered >= 2 times, the triangle
+    op's fence), reported as a component-SIZE histogram with isolated
+    parts counted as size-1 components — the graph-shape question every
+    clustering/dedup/community job asks first ("is there one giant
+    component or many islands?"), promoted from the dedup module's
+    keeper kernel to a first-class graph operator.
+
+    Iteration: min-label propagation PLUS pointer jumping
+    (label(v) <- min over neighbors' labels, then label(v) <-
+    label(label(v))) — the jump halves the remaining distance to each
+    component's minimum every round, so convergence is O(log diameter)
+    rounds, not O(diameter) like the dedup module's shallow-cluster
+    kernel (this graph is small-world but NOT shallow; the plain kernel
+    measured 15+ rounds here and its persist()-only rounds grow an
+    exponentially-nested logical plan — each round is therefore
+    localCheckpoint()ed, the module-header iterative posture).  The
+    oracle certifies the loop against DuckDB's recursive-CTE transitive
+    closure computed from scratch.
+
+    Scale: edge build is the bounded per-order self-join (<= 21 pairs
+    per order); each round is two node-key equi-joins + one
+    map-side-combinable min; isolated-node accounting is one broadcast
+    anti-join against the part dim.  Output is |distinct sizes| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = co_occurrence_pairs(li, CC_MIN_SUPPORT, distinct_items=True)
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(25):  # log2(diameter) + slack; each round checkpointed
+        nmin = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        cand = labels.join(nmin, "node", "left").select(
+            "node", F.least("label", F.coalesce("nmin", "label")).alias("label")
+        )
+        # pointer jump: take my label's OWN current label (labels is the
+        # previous round's fixed table, so this is one more equi-join)
+        jumped = (
+            cand.join(
+                labels.select(
+                    F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+                ),
+                cand.label == F.col("jnode"),
+                "left",
+            )
+            .select(
+                "node",
+                F.least("label", F.coalesce("jlabel", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    hist = (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("csize"))
+        .groupBy("csize")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    n_iso = (
+        part.join(
+            labels.select(F.col("node").alias("p_partkey")).distinct(),
+            "p_partkey",
+            "left_anti",
+        ).count()
+    )
+    out = hist.select(
+        F.col("csize").cast("long").alias("component_size"),
+        (
+            F.col("n_components")
+            + F.when(F.col("csize") == 1, F.lit(n_iso)).otherwise(F.lit(0))
+        ).cast("long").alias("n_components"),
+    )
+    if n_iso > 0 and hist.filter(F.col("csize") == 1).limit(1).count() == 0:
+        one = spark.createDataFrame(
+            [(1, n_iso)], "component_size: bigint, n_components: bigint"
+        )
+        out = out.unionByName(one)
+    return out
+
+
+# --------------------------------------------------------------------------
+# graph_hits_bipartite — hubs & authorities on the customer->part graph
+# --------------------------------------------------------------------------
+
+HITS_RESCALE = 1000  # integer down-scale between rounds (overflow headroom)
+
+_HITS_SQL = f"""
+WITH e AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), a1 AS (
+    SELECT p, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY p
+), h1 AS (
+    SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS h
+    FROM e JOIN a1 ON a1.p = e.p GROUP BY e.c
+), a2 AS (
+    SELECT e.p, CAST(SUM(h1.h / {HITS_RESCALE}) AS BIGINT) AS a
+    FROM e JOIN h1 ON h1.c = e.c GROUP BY e.p
+)
+SELECT a1.p AS p_partkey,
+       a1.a AS authority_r1,
+       a2.a AS authority_r2_scaled
+FROM a1 JOIN a2 ON a2.p = a1.p
+"""
+
+
+@query(
+    "graph_hits_bipartite",
+    oracle=_HITS_SQL.replace(f"h1.h / {HITS_RESCALE}", f"h1.h // {HITS_RESCALE}"),
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) on the bipartite customer->part purchase
+    graph — two full mutual-reinforcement rounds: round-1 authority =
+    distinct buying customers (indegree), round-1 hub = each customer's
+    summed authority over their basket, round-2 authority = summed hub
+    mass of the part's buyers.  The bipartite framing is HITS's
+    classic recommendation use: round 2 separates "bought by many
+    casual customers" from "bought by broad, heavy customers" — the
+    signal indegree alone cannot see (PageRank on the co-occurrence
+    projection loses the buyer identity this keeps).
+
+    Determinism: pure integer arithmetic; the inter-round DIV
+    {HITS_RESCALE} down-scale (floor division — the dialect-stable
+    spelling is injected per engine) bounds growth: values multiply by
+    ~(basket size x indegree) per round, so the explicit rescale is
+    what keeps a 100 TB run inside int64 — normalization exists in
+    integer form, not as a float L2 norm.
+
+    Scale: each half-round is one equi-join of the edge list against a
+    node-sized score table plus a map-side-combinable groupBy — the
+    PageRank message-passing shape on a bipartite key; at 100 TB the
+    edge list pre-buckets on (c) and (p) so alternate rounds are
+    exchange-free on the build side.  No window, no iteration beyond
+    the two unrolled rounds."""
+    from etl_pipeline_aws_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_HITS_SQL.replace(f"h1.h / {HITS_RESCALE}", f"h1.h DIV {HITS_RESCALE}"))

@@ -910,3 +910,73 @@ def test_stat_ljung_box_matches_numpy(spark):
     for k in range(1, 8):
         assert abs(getattr(row, f"r{k}") - r[k - 1]) < 1e-9
     assert abs(row.q_lb - q) < 1e-6 * max(1.0, q)
+
+
+# ---------------------------------------------------------------------------
+# Graph additions: union-find / pandas recomputes
+# ---------------------------------------------------------------------------
+
+
+def test_graph_connected_components_matches_union_find(spark):
+    from collections import Counter, defaultdict
+
+    engine.clear_caches(spark)
+    got = {
+        r.component_size: r.n_components
+        for r in engine.all_queries()["graph_connected_components"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    li = _pq("lineitem")[["l_orderkey", "l_partkey"]].drop_duplicates()
+    pair_n = defaultdict(int)
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(grp.l_partkey)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] += 1
+    edges = [p for p, n in pair_n.items() if n >= 2]
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = Counter(find(x) for x in parent)
+    hist = Counter(comp.values())
+    n_iso = len(set(_pq("part").p_partkey)) - len(parent)
+    hist[1] += n_iso
+    assert got == {s: n for s, n in hist.items() if n > 0}
+
+
+def test_graph_hits_bipartite_matches_pandas(spark):
+    engine.clear_caches(spark)
+    got = {
+        r.p_partkey: (r.authority_r1, r.authority_r2_scaled)
+        for r in engine.all_queries()["graph_hits_bipartite"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    li = _pq("lineitem")[["l_orderkey", "l_partkey"]]
+    orders = _pq("orders")[["o_orderkey", "o_custkey"]]
+    e = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")[
+            ["o_custkey", "l_partkey"]
+        ]
+        .drop_duplicates()
+    )
+    a1 = e.groupby("l_partkey").size()
+    h1 = e.assign(a=e.l_partkey.map(a1)).groupby("o_custkey")["a"].sum()
+    a2 = (
+        e.assign(hs=(e.o_custkey.map(h1) // 1000))
+        .groupby("l_partkey")["hs"]
+        .sum()
+    )
+    assert set(got) == set(a1.index)
+    for p in a1.index:
+        assert got[p] == (a1[p], a2[p]), p

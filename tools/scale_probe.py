@@ -329,6 +329,8 @@ PROBE_QUERIES = [
     "stat_bartlett_test",
     "stat_chow_test",
     "stat_ljung_box",
+    "graph_connected_components",
+    "graph_hits_bipartite",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
