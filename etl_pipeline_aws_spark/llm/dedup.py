@@ -1800,3 +1800,157 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_shared * 1000000 DIV LEAST(n_fps_a, n_fps_b) AS BIGINT)"
         ).alias("containment_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_semdedup — SemDeDup (Abbas et al. 2023): cluster, then dedup
+# WITHIN clusters by cosine
+# --------------------------------------------------------------------------
+
+SEMDEDUP_K = 4  # coarse clusters (fixture-scale; production: n/avg_cluster)
+SEMDEDUP_TAU = 0.4  # within-cluster cosine dedup threshold
+
+_SEMDEDUP_ORACLE = f"""
+WITH x AS (
+    SELECT vec_id,
+           unnest(CAST(embedding AS DOUBLE[])) AS val,
+           unnest(range(1, len(embedding) + 1)) AS pos
+    FROM embeddings
+), nrm AS (
+    SELECT vec_id, SQRT(list_sum(list(val * val ORDER BY pos))) AS nrm
+    FROM x GROUP BY vec_id
+), c1 AS (
+    SELECT vec_id AS cl, pos, val AS cv FROM x WHERE vec_id < {SEMDEDUP_K}
+), a1 AS (
+    SELECT x.vec_id, c.cl,
+           list_sum(list((x.val - c.cv) * (x.val - c.cv)
+                         ORDER BY x.pos)) AS dist
+    FROM x JOIN c1 c ON c.pos = x.pos
+    GROUP BY x.vec_id, c.cl
+), asg AS (
+    SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cl) AS rn
+        FROM a1) t
+    WHERE rn = 1
+), pair_dot AS (
+    SELECT ia.cl, ia.vec_id AS u, ib.vec_id AS v,
+           list_sum(list(xa.val * xb.val ORDER BY xa.pos)) AS dot
+    FROM asg ia
+    JOIN asg ib ON ia.cl = ib.cl AND ia.vec_id < ib.vec_id
+    JOIN x xa ON xa.vec_id = ia.vec_id
+    JOIN x xb ON xb.vec_id = ib.vec_id AND xb.pos = xa.pos
+    GROUP BY ia.cl, ia.vec_id, ib.vec_id
+), dropped AS (
+    SELECT DISTINCT p.cl, p.v AS vec_id
+    FROM pair_dot p
+    JOIN nrm na ON na.vec_id = p.u
+    JOIN nrm nb ON nb.vec_id = p.v
+    WHERE p.dot / (na.nrm * nb.nrm) >= {SEMDEDUP_TAU}
+)
+SELECT CAST(a.cl AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+       CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept
+FROM asg a
+LEFT JOIN dropped d ON d.cl = a.cl AND d.vec_id = a.vec_id
+GROUP BY a.cl
+"""
+
+
+@query("embedding_semdedup", oracle=_SEMDEDUP_ORACLE)
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    deduplication — k-means-cluster the embedding space coarsely, then
+    run the expensive pairwise-cosine dedup only WITHIN clusters,
+    dropping every vector that has a lower-id cluster-mate at cosine >=
+    {SEMDEDUP_TAU} (the paper keeps one representative per semantic
+    duplicate group; lowest-id-wins makes that deterministic).  Reported
+    per cluster: members, dropped, kept — the shrink table a curation
+    run records.  This is the missing middle tier between exact
+    embedding dedup (dedup_embedding_cosine, all-pairs) and LSH
+    (dedup_embedding_lsh, probabilistic): clustering bounds the
+    quadratic stage EXACTLY like LSH bucketing but with a trained,
+    data-adaptive partition.
+
+    Determinism: assignment is one Lloyd E-step from the deterministic
+    init (the {SEMDEDUP_K} lowest vec_ids' vectors — embedding_kmeans_
+    lloyd's convention); every double fold (distance, norm, dot) gathers
+    terms in pos order and folds left-to-right, bit-identical on both
+    engines; the drop rule compares those bit-identical cosines with an
+    integer id tiebreak.
+
+    Scale: the E-step is the k-row centroid-array broadcast (allowlisted
+    kmeans design — no n×k×dim explode); the within-cluster pair join is
+    an EQUI-join on cluster id, so pair volume is Σ|cluster|² — bounded
+    by choosing k ~ n/target_cluster_size exactly as the paper does
+    (k={SEMDEDUP_K} here is fixture-scale; the knob, not the shape,
+    changes at 100 TB).  Norms ride the vector rows; no window beyond
+    the per-vec argmin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("v")
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda t: t * t), F.lit(0.0), lambda acc, t: acc + t
+            )
+        ),
+    ).persist()
+    cents = vecs.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cl"), F.col("v").alias("cv")
+    )
+    dist_expr = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist", "cl")
+    asg = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "nrm", "cl", dist_expr.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cl")
+        .persist()
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda s, t: s * t),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cl") == F.col("b.cl"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(dot / (F.col("a.nrm") * F.col("b.nrm")) >= F.lit(SEMDEDUP_TAU))
+        .select(F.col("b.cl").alias("dcl"), F.col("b.vec_id").alias("dvec"))
+        .distinct()
+    )
+    out = (
+        asg.join(
+            dropped,
+            (asg.cl == dropped.dcl) & (asg.vec_id == dropped.dvec),
+            "left",
+        )
+        .groupBy(F.col("cl").cast("long").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.when(F.col("dvec").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("dvec").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+    return out

@@ -2821,3 +2821,147 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs").cast("double")
         ).alias("doc_share_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_ccnet_perplexity_buckets — CCNet head/middle/tail LM tiers per lang
+# --------------------------------------------------------------------------
+
+_CCNET_ORACLE = """
+WITH toks AS (
+    SELECT d.doc_id, d.lang, t.tok
+    FROM documents d,
+         unnest(string_split(d.text, ' ')) AS t(tok)
+    WHERE t.tok <> ''
+), lm AS (
+    -- corpus unigram LM; per-token surprisal floor-scaled to exact
+    -- milli-nat integers (FLOOR, never ROUND: the engines' double
+    -- ROUND tie rules differ)
+    SELECT tok,
+           CAST(FLOOR(LN(CAST((SELECT COUNT(*) FROM toks) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE)) * 1000e0) AS BIGINT)
+               AS s_milli
+    FROM toks GROUP BY tok
+), per_doc AS (
+    SELECT t.doc_id, t.lang,
+           CAST(SUM(lm.s_milli) AS BIGINT) / CAST(COUNT(*) AS BIGINT)
+               AS avg_s
+    FROM toks t JOIN lm ON lm.tok = t.tok
+    GROUP BY t.doc_id, t.lang
+), per_val AS (
+    SELECT lang, avg_s, CAST(COUNT(*) AS BIGINT) AS c
+    FROM per_doc GROUP BY lang, avg_s
+), cum AS (
+    SELECT lang, avg_s, c,
+           SUM(c) OVER (PARTITION BY lang ORDER BY avg_s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumc,
+           SUM(c) OVER (PARTITION BY lang) AS n
+    FROM per_val
+), fences AS (
+    SELECT lang,
+           MIN(CASE WHEN cumc * 3 >= n THEN avg_s END) AS t1,
+           MIN(CASE WHEN cumc * 3 >= 2 * n THEN avg_s END) AS t2
+    FROM cum GROUP BY lang
+)
+SELECT p.lang,
+       CASE WHEN p.avg_s <= f.t1 THEN 'head'
+            WHEN p.avg_s <= f.t2 THEN 'middle'
+            ELSE 'tail' END AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(p.avg_s) AS BIGINT) AS min_avg_s_milli,
+       CAST(MAX(p.avg_s) AS BIGINT) AS max_avg_s_milli
+FROM per_doc p JOIN fences f ON f.lang = p.lang
+GROUP BY p.lang,
+         CASE WHEN p.avg_s <= f.t1 THEN 'head'
+              WHEN p.avg_s <= f.t2 THEN 'middle'
+              ELSE 'tail' END
+"""
+
+# DuckDB integer division `/` on BIGINTs returns DOUBLE; spell the exact
+# per-doc mean with explicit integer semantics on the Spark side (DIV) and
+# `//` in the oracle.
+_CCNET_ORACLE = _CCNET_ORACLE.replace(
+    "/ CAST(COUNT(*) AS BIGINT)\n               AS avg_s",
+    "// CAST(COUNT(*) AS BIGINT)\n               AS avg_s",
+)
+
+
+@query("text_ccnet_perplexity_buckets", oracle=_CCNET_ORACLE)
+def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document by average LM surprisal, then cut each LANGUAGE into
+    head / middle / tail TERCILES — the curation convention (keep head +
+    middle, drop or downsample tail) that followed CCNet into most
+    web-corpus recipes.  Per-language fences matter: a shared global
+    fence would route whole low-resource languages into "tail".
+    Reported per (lang, tier): doc count and the tier's surprisal span —
+    the mix table a curation run records before applying its keep rule.
+
+    Determinism: the unigram LM's per-token surprisal is FLOOR-scaled to
+    exact milli-nat integers (FLOOR, never ROUND — the engines' double
+    ROUND tie rules differ; one LN per vocabulary TYPE of an exact
+    rational); per-doc scores are integer sums with integer division;
+    tercile fences are exact order statistics (smallest value whose
+    cumulative count covers n/3, 2n/3), so ties bucket identically on
+    both engines.
+
+    Scale: one token explode shuffling on the token (|V|-row LM,
+    broadcast back); per-doc reduction map-side combines; the fence pass
+    runs on the (lang, distinct score) table — the ECDF-family posture
+    (partitioned by lang; pre-bin scores at extreme cardinality, the
+    documented swap).  The fence table is |langs| rows, broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    toks = toks.persist()
+    total = toks.count()  # driver-side scalar: one exact integer
+    lm = toks.groupBy("tok").agg(
+        F.floor(
+            F.log(F.lit(float(total)) / F.count(F.lit(1)).cast("double"))
+            * F.lit(1000.0)
+        )
+        .cast("long")
+        .alias("s_milli")
+    )
+    per_doc = (
+        toks.join(lm, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr("CAST(SUM(s_milli) AS BIGINT) DIV CAST(COUNT(*) AS BIGINT)")
+            .alias("avg_s")
+        )
+    ).persist()
+    per_val = per_doc.groupBy("lang", "avg_s").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("avg_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_val.select(
+        "lang",
+        "avg_s",
+        F.sum("c").over(w).alias("cumc"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
+    )
+    fences = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cumc") * 3 >= F.col("n"), F.col("avg_s"))).alias("t1"),
+        F.min(F.when(F.col("cumc") * 3 >= 2 * F.col("n"), F.col("avg_s"))).alias(
+            "t2"
+        ),
+    )
+    tier = (
+        F.when(F.col("avg_s") <= F.col("t1"), F.lit("head"))
+        .when(F.col("avg_s") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    out = (
+        per_doc.join(F.broadcast(fences), "lang")
+        .groupBy("lang", tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("avg_s").cast("long").alias("min_avg_s_milli"),
+            F.max("avg_s").cast("long").alias("max_avg_s_milli"),
+        )
+    )
+    toks.unpersist()
+    return out

@@ -980,3 +980,75 @@ def test_graph_hits_bipartite_matches_pandas(spark):
     assert set(got) == set(a1.index)
     for p in a1.index:
         assert got[p] == (a1[p], a2[p]), p
+
+
+# ---------------------------------------------------------------------------
+# LLM additions: SemDeDup + CCNet tiers numpy/python recomputes
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_semdedup_matches_numpy(spark):
+    import numpy as np
+
+    engine.clear_caches(spark)
+    got = {
+        r.cluster: (r.n_members, r.n_dropped, r.n_kept)
+        for r in engine.all_queries()["embedding_semdedup"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    emb = _pq("embeddings").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    v = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    cents = v[np.argsort(ids)[:4]]  # vec_id 0..3 init
+    d = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    asg = d.argmin(axis=1)  # argmin ties -> lowest cluster id (numpy default)
+    nrm = np.sqrt((v * v).sum(axis=1))
+    cos = (v @ v.T) / np.outer(nrm, nrm)
+    dropped = np.zeros(len(ids), dtype=bool)
+    for j in range(len(ids)):
+        same = (asg == asg[j]) & (ids < ids[j])
+        dropped[j] = bool((cos[j, same] >= 0.4).any())
+    for cl in range(4):
+        m = asg == cl
+        assert got[cl] == (
+            int(m.sum()),
+            int(dropped[m].sum()),
+            int(m.sum() - dropped[m].sum()),
+        ), cl
+    assert dropped.any() and not dropped.all()
+
+
+def test_text_ccnet_perplexity_buckets_matches_python(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    engine.clear_caches(spark)
+    got = {
+        (r.lang, r.tier): (r.n_docs, r.min_avg_s_milli, r.max_avg_s_milli)
+        for r in engine.all_queries()["text_ccnet_perplexity_buckets"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    docs = _pq("documents")
+    tok_lists = [
+        [t for t in text.split(" ") if t] for text in docs.text
+    ]
+    lm = Counter(t for ts in tok_lists for t in ts)
+    total = sum(lm.values())
+    s = {t: math.floor(math.log(total / c) * 1000) for t, c in lm.items()}
+    per_doc = defaultdict(list)
+    for lang, ts in zip(docs.lang, tok_lists):
+        per_doc[lang].append(sum(s[t] for t in ts) // len(ts))
+    want = {}
+    for lang, vals in per_doc.items():
+        vals.sort()
+        n = len(vals)
+        t1 = vals[(n + 2) // 3 - 1]  # smallest v with cum*3 >= n
+        t2 = vals[(2 * n + 2) // 3 - 1]
+        tiers = defaultdict(list)
+        for v in vals:
+            tiers["head" if v <= t1 else "middle" if v <= t2 else "tail"].append(v)
+        for tier, tv in tiers.items():
+            want[(lang, tier)] = (len(tv), min(tv), max(tv))
+    assert got == want

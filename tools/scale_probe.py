@@ -331,6 +331,8 @@ PROBE_QUERIES = [
     "stat_ljung_box",
     "graph_connected_components",
     "graph_hits_bipartite",
+    "embedding_semdedup",
+    "text_ccnet_perplexity_buckets",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
