@@ -1239,3 +1239,75 @@ def text_code_detection_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     no window."""
     register_views(spark, sf_dir)
     return spark.sql(_CODE_SCREEN_SPARK)
+
+
+# --------------------------------------------------------------------------
+# corpus_dataset_card — the one-job datasheet per source
+# --------------------------------------------------------------------------
+
+
+def _dataset_card_sql(idiv: str, toklen: str) -> str:
+    return f"""
+WITH base AS (
+    SELECT source, lang, n_chars,
+           CAST({toklen} AS BIGINT) AS n_toks,
+           MD5(text) AS h
+    FROM documents
+), per_source AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_uniq
+    FROM base GROUP BY source
+), langs AS (
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+    FROM base GROUP BY source, lang
+), top_lang AS (
+    SELECT source,
+           MIN(CASE WHEN c = mx THEN lang END) AS top_lang,
+           CAST(MAX(mx) AS BIGINT) AS top_c
+    FROM (
+        SELECT source, lang, c, MAX(c) OVER (PARTITION BY source) AS mx
+        FROM langs
+    ) t GROUP BY source
+)
+SELECT p.source,
+       p.n_docs,
+       p.n_tokens,
+       p.n_chars,
+       CAST((p.n_docs - p.n_uniq) * 1000000 {idiv} p.n_docs AS BIGINT)
+           AS dup_ppm,
+       t.top_lang,
+       CAST(t.top_c * 1000000 {idiv} p.n_docs AS BIGINT) AS top_lang_ppm,
+       CAST(p.n_tokens {idiv} p.n_docs AS BIGINT) AS avg_tokens
+FROM per_source p JOIN top_lang t ON t.source = p.source
+"""
+
+
+@query(
+    "corpus_dataset_card",
+    oracle=_dataset_card_sql("//", "len(string_split(text, ' '))"),
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card ("Datasheets for Datasets", Gebru et al. 2021)
+    in one job: per source — document/token/character volume, exact-dup
+    rate (content-hash distinct), dominant language with its share, and
+    mean document length.  This is the summary table a corpus release
+    publishes and the first thing a training-mix design reads; keeping
+    it ONE scan means the numbers can never disagree about which
+    snapshot they describe (the drift that happens when volume, dup and
+    language stats come from three different runs).
+
+    Determinism: counts/sums are exact integers; dedup is MD5 content
+    identity (both engines' MD5 agree byte-for-byte); dominant-language
+    ties break to the lexicographically smallest language; shares are
+    exact integer-division ppm.
+
+    Scale: one documents scan into three map-side-combinable groupBys
+    (source; source×lang; the distinct-hash count shuffles on the hash
+    within source); the per-source window runs over the |sources×langs|
+    bounded table.  No text leaves the scan stage — only hashes and
+    counts shuffle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_dataset_card_sql("DIV", "size(split(text, ' '))"))

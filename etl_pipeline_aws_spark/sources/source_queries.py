@@ -1868,3 +1868,78 @@ def lakehouse_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
     return audited
+
+
+# --------------------------------------------------------------------------
+# layout_footer_stats_audit — trust-but-verify the parquet footer statistics
+# --------------------------------------------------------------------------
+
+_FOOTER_AUDIT_ORACLE = """
+SELECT l_returnflag AS part_value,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("layout_footer_stats_audit", oracle=_FOOTER_AUDIT_ORACLE)
+def layout_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-statistics audit: write lineitem Hive-partitioned by
+    l_returnflag (one file per directory via write_partitioned), then
+    answer the per-partition (count, min, max) question FROM THE PARQUET
+    FOOTERS ALONE — no data pages are read.  Passing the oracle (a full
+    recompute over the source rows) certifies that the written files'
+    row-group statistics are complete and exact, i.e. that min/max
+    predicate pushdown and row-group skipping can be TRUSTED on this
+    layout — the audit a lakehouse runs after changing writers or
+    compression settings, because a writer that drops or truncates
+    stats silently turns every pruned scan into a full scan.
+
+    Determinism: footer stats for DOUBLE columns are the exact data
+    min/max doubles; counts are exact; aggregation across row groups /
+    files is min/max/sum of exact values.
+
+    Scale: the audited file LIST is metadata-sized (#partitions x
+    files_per_partition — this is the audit's unit of work at any data
+    scale, the same O(#files) cost any footer-reading planner pays);
+    each footer read is O(KB).  The driver-side pyarrow loop is
+    deliberate: it exercises the REAL footer bytes the files carry, not
+    Spark's own scan statistics (at production file counts, distribute
+    the same loop with binaryFile + mapInPandas over the footer tail
+    bytes — source_binaryfile_scan is the plumbing twin)."""
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    zone = tempfile.mkdtemp(prefix="footer_audit_")
+    out = os.path.join(zone, "li_by_flag")
+    write_partitioned(li, out, "l_returnflag")
+    rows = []
+    for dirent in sorted(os.listdir(out)):
+        if not dirent.startswith("l_returnflag="):
+            continue
+        part_value = dirent.split("=", 1)[1]
+        n_rows, mn, mx = 0, None, None
+        pdir = os.path.join(out, dirent)
+        for fname in sorted(os.listdir(pdir)):
+            if not fname.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(pdir, fname)).metadata
+            n_rows += meta.num_rows
+            ci = None
+            for c in range(meta.num_columns):
+                if meta.row_group(0).column(c).path_in_schema == "l_extendedprice":
+                    ci = c
+                    break
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                assert st is not None and st.has_min_max, "writer dropped stats"
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        rows.append((part_value, n_rows, float(mn), float(mx)))
+    return spark.createDataFrame(
+        rows, "part_value string, n_rows bigint, min_price double, max_price double"
+    )

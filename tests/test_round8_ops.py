@@ -1052,3 +1052,60 @@ def test_text_ccnet_perplexity_buckets_matches_python(spark):
         for tier, tv in tiers.items():
             want[(lang, tier)] = (len(tv), min(tv), max(tv))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Dataset card + footer audit recomputes
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_dataset_card_matches_python(spark):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    engine.clear_caches(spark)
+    got = {
+        r.source: r
+        for r in engine.all_queries()["corpus_dataset_card"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    docs = _pq("documents")
+    agg = defaultdict(lambda: {"n": 0, "tok": 0, "ch": 0, "h": set(), "lang": Counter()})
+    for src, lang, text, n_chars in zip(
+        docs.source, docs.lang, docs.text, docs.n_chars
+    ):
+        e = agg[src]
+        e["n"] += 1
+        e["tok"] += len(text.split(" "))
+        e["ch"] += int(n_chars)
+        e["h"].add(hashlib.md5(text.encode()).hexdigest())
+        e["lang"][lang] += 1
+    assert set(got) == set(agg)
+    for src, e in agg.items():
+        r = got[src]
+        assert r.n_docs == e["n"]
+        assert r.n_tokens == e["tok"]
+        assert r.n_chars == e["ch"]
+        assert r.dup_ppm == (e["n"] - len(e["h"])) * 1000000 // e["n"]
+        mx = max(e["lang"].values())
+        assert r.top_lang == min(l for l, c in e["lang"].items() if c == mx)
+        assert r.top_lang_ppm == mx * 1000000 // e["n"]
+        assert r.avg_tokens == e["tok"] // e["n"]
+
+
+def test_layout_footer_stats_audit_matches_pandas(spark):
+    engine.clear_caches(spark)
+    got = {
+        r.part_value: (r.n_rows, r.min_price, r.max_price)
+        for r in engine.all_queries()["layout_footer_stats_audit"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    li = _pq("lineitem")
+    for flag, grp in li.groupby("l_returnflag"):
+        assert got[flag] == (
+            len(grp),
+            float(grp.l_extendedprice.min()),
+            float(grp.l_extendedprice.max()),
+        ), flag

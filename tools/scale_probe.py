@@ -333,6 +333,8 @@ PROBE_QUERIES = [
     "graph_hits_bipartite",
     "embedding_semdedup",
     "text_ccnet_perplexity_buckets",
+    "corpus_dataset_card",
+    "layout_footer_stats_audit",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
