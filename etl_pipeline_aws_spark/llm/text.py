@@ -2965,3 +2965,110 @@ def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     toks.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# text_lang_id_naive_bayes — trained multinomial NB, leakage-safe eval
+# --------------------------------------------------------------------------
+
+
+def _nb_sql(unnest_toks: str) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, lang, tok FROM (
+        SELECT doc_id, lang, {unnest_toks} AS tok FROM documents
+    ) t WHERE tok <> ''
+), train_toks AS (
+    SELECT * FROM toks WHERE doc_id % 2 = 0
+), vocab AS (
+    SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM train_toks
+), langs AS (
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d_l,
+           CAST(COUNT(*) AS BIGINT) AS t_l
+    FROM train_toks GROUP BY lang
+), totals AS (
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d FROM train_toks
+), lang_consts AS (
+    -- one LN per LANGUAGE of an exact rational, floor-scaled to
+    -- milli-nat integers (FLOOR, never ROUND)
+    SELECT lang, t_l,
+           CAST(FLOOR(LN(CAST(d_l AS DOUBLE)
+                         / CAST((SELECT d FROM totals) AS DOUBLE))
+                      * 1000e0) AS BIGINT) AS prior_m,
+           CAST(FLOOR(LN(1e0 / CAST(t_l + (SELECT v FROM vocab) AS DOUBLE))
+                      * 1000e0) AS BIGINT) AS default_m
+    FROM langs
+), lik AS (
+    SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM train_toks GROUP BY lang, tok
+), lik_m AS (
+    -- one LN per (lang, token) TYPE; Laplace (c+1)/(T_l+V)
+    SELECT k.lang, k.tok,
+           CAST(FLOOR(LN(CAST(k.c + 1 AS DOUBLE)
+                         / CAST(lc.t_l + (SELECT v FROM vocab) AS DOUBLE))
+                      * 1000e0) AS BIGINT) AS m,
+           lc.default_m
+    FROM lik k JOIN lang_consts lc ON lc.lang = k.lang
+), test_docs AS (
+    SELECT doc_id, lang AS true_lang, CAST(COUNT(*) AS BIGINT) AS n_toks
+    FROM toks WHERE doc_id % 2 = 1 GROUP BY doc_id, lang
+), corr AS (
+    -- unseen-token mass rides the n_toks * default term; only SEEN
+    -- (lang, token) pairs contribute a correction, so this join is
+    -- INNER and never fans out to doc x vocab
+    SELECT tt.doc_id, l.lang, CAST(SUM(l.m - l.default_m) AS BIGINT) AS dlt
+    FROM (SELECT doc_id, tok FROM toks WHERE doc_id % 2 = 1) tt
+    JOIN lik_m l ON l.tok = tt.tok
+    GROUP BY tt.doc_id, l.lang
+), scored AS (
+    SELECT td.doc_id, td.true_lang, lc.lang,
+           lc.prior_m + td.n_toks * lc.default_m + COALESCE(c.dlt, 0)
+               AS score
+    FROM test_docs td
+    CROSS JOIN lang_consts lc
+    LEFT JOIN corr c ON c.doc_id = td.doc_id AND c.lang = lc.lang
+), pred AS (
+    SELECT doc_id, true_lang, lang AS pred_lang FROM (
+        SELECT doc_id, true_lang, lang, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang) AS rn
+        FROM scored
+    ) t WHERE rn = 1
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY true_lang, pred_lang
+"""
+
+
+@query(
+    "text_lang_id_naive_bayes",
+    oracle=_nb_sql("unnest(string_split(text, ' '))"),
+)
+def text_lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language identification — multinomial Naive Bayes with
+    Laplace smoothing, fit on the even-doc_id half and evaluated on the
+    odd half (the leakage-safe split convention from
+    corpus_kfold_leakage_safe), reported as the test confusion matrix.
+    This completes the lang-ID family's third architecture: heuristic
+    marker words (text_lang_id), char-n-gram profiles
+    (text_lang_id_char_ngram), and now a learned token model — the
+    comparison the confusion-matrix + McNemar ops were built to consume.
+
+    Determinism: all LNs are per-TYPE (language priors, (lang, token)
+    likelihoods, per-language unseen default), floor-scaled to exact
+    milli-nat integers; per-doc scores are integer sums; argmax breaks
+    ties to the lexicographically smallest language.  The unseen-token
+    algebra (score = prior + n_toks x default + Σ seen corrections)
+    keeps the scoring join INNER — no doc x vocab fan-out, and docs
+    whose tokens are all unseen still score every language via the
+    5-row skeleton.
+
+    Scale: training is two map-side-combinable groupBys (lang; lang x
+    token); scoring shuffles test tokens once on the token against the
+    |V x langs| model table (broadcastable until V outgrows memory,
+    then a plain hash join); the skeleton cross join is test-docs x
+    |languages| (bounded catalog side, allowlisted q11 pattern); the
+    argmax window is partitioned per doc."""
+    register_views(spark, sf_dir)
+    return spark.sql(_nb_sql("explode(split(text, ' '))"))

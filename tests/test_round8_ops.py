@@ -1109,3 +1109,51 @@ def test_layout_footer_stats_audit_matches_pandas(spark):
             float(grp.l_extendedprice.min()),
             float(grp.l_extendedprice.max()),
         ), flag
+
+
+def test_text_lang_id_naive_bayes_matches_python(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    engine.clear_caches(spark)
+    got = {
+        (r.true_lang, r.pred_lang): r.n_docs
+        for r in engine.all_queries()["text_lang_id_naive_bayes"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    docs = _pq("documents")
+    toks = {
+        did: [t for t in text.split(" ") if t]
+        for did, text in zip(docs.doc_id, docs.text)
+    }
+    lang_of = dict(zip(docs.doc_id, docs.lang))
+    train = [d for d in toks if d % 2 == 0 and toks[d]]
+    test = [d for d in toks if d % 2 == 1 and toks[d]]
+    vocab = {t for d in train for t in toks[d]}
+    v = len(vocab)
+    d_tot = len(train)
+    by_lang = defaultdict(list)
+    for d in train:
+        by_lang[lang_of[d]].append(d)
+    prior = {}
+    default = {}
+    lik = {}
+    for lang, ds in by_lang.items():
+        cnt = Counter(t for d in ds for t in toks[d])
+        t_l = sum(cnt.values())
+        prior[lang] = math.floor(math.log(len(ds) / d_tot) * 1000)
+        default[lang] = math.floor(math.log(1 / (t_l + v)) * 1000)
+        for t, c in cnt.items():
+            lik[(lang, t)] = math.floor(math.log((c + 1) / (t_l + v)) * 1000)
+    want = Counter()
+    for d in test:
+        best = None
+        for lang in sorted(by_lang):
+            s = prior[lang] + sum(
+                lik.get((lang, t), default[lang]) for t in toks[d]
+            )
+            if best is None or s > best[0] or (s == best[0] and lang < best[1]):
+                best = (s, lang)
+        want[(lang_of[d], best[1])] += 1
+    assert got == dict(want)

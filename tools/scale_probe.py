@@ -335,6 +335,7 @@ PROBE_QUERIES = [
     "text_ccnet_perplexity_buckets",
     "corpus_dataset_card",
     "layout_footer_stats_audit",
+    "text_lang_id_naive_bayes",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
