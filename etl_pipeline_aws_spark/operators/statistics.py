@@ -3179,3 +3179,70 @@ def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame; the fold is 7 rows."""
     register_views(spark, sf_dir)
     return spark.sql(_LJUNG_SPARK)
+
+
+# Tukey HSD pairwise statistics: per-group exact folds (Bartlett spelling),
+# 5-row group panel self-joined into the 10 priority pairs.
+_TUKEY_SQL = """
+WITH pts AS (
+    SELECT o_orderpriority AS grp,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+    FROM orders
+), g AS (
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS sx,
+           CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                                / 10000e0) AS BIGINT)) AS BIGINT) AS sxx_e4
+    FROM pts GROUP BY grp
+), terms AS (
+    SELECT grp, n, sx,
+           CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxx_e4 AS DOUBLE) * 10000e0
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) / 1000000e0) AS BIGINT) AS ssw_e6
+    FROM g
+), mse AS (
+    SELECT CAST(CAST(SUM(ssw_e6) AS BIGINT) AS DOUBLE) * 1000000e0
+               / (CAST(SUM(n) AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)) AS mse,
+           CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM terms
+)
+SELECT a.grp AS grp_a, b.grp AS grp_b,
+       a.n AS n_a, b.n AS n_b,
+       CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+           - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean_diff_cents,
+       SQRT((SELECT mse FROM mse) / 2e0
+            * (1e0 / CAST(a.n AS DOUBLE) + 1e0 / CAST(b.n AS DOUBLE)))
+           AS se_tukey,
+       ABS(CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+           - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+           / SQRT((SELECT mse FROM mse) / 2e0
+                  * (1e0 / CAST(a.n AS DOUBLE) + 1e0 / CAST(b.n AS DOUBLE)))
+           AS q_stat
+FROM g a JOIN g b ON a.grp < b.grp
+"""
+
+
+@query("stat_tukey_hsd_pairs", oracle=_TUKEY_SQL)
+def stat_tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD pairwise table — the post-hoc that answers WHICH groups
+    differ after a significant omnibus (ANOVA / Welch): for all 10
+    priority pairs, the mean difference, the Tukey standard error
+    sqrt(MSE/2·(1/n_i+1/n_j)) (Tukey–Kramer form for unequal n), and
+    the studentized-range statistic q.  Critical q values are a
+    consumer-side table lookup (they depend only on k and df, not the
+    data), so the engine ships the exact statistics, not verdicts —
+    the convention of stat_power_mde.
+
+    Determinism: per-group folds are the Bartlett spelling (exact
+    BIGINT sums; the oversized power sum floor-scaled e4 per row); each
+    group's SSW is floor-scaled to e6 BIGINT before the cross-group
+    pooled-MSE sum (order-insensitive); means/SE/q are one shared IEEE
+    chain over those exact inputs.
+
+    Scale: ONE map-side-combinable groupBy to |priorities| rows; the
+    pair fan is a 5-row panel self-join (bounded catalog side,
+    allowlisted); the MSE is a scalar subquery over the same 5 rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_TUKEY_SQL)

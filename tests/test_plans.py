@@ -166,6 +166,7 @@ ALLOWED_NESTED_LOOP = {
     "embedding_kmeans_lloyd",  # k-row centroid broadcast E-step (k=4; IVF-style blocked join is the large-k path)
     "embedding_semdedup",  # same k-row centroid broadcast E-step (kmeans design)
     "text_lang_id_naive_bayes",  # |languages|-row model-constants broadcast skeleton (q11 pattern)
+    "stat_tukey_hsd_pairs",  # 5-row group-panel self-join into the 10 pairs (bounded catalog side)
     "similarity_metric_agreement",  # single-row query-vector broadcast (q11 pattern)
     "embedding_ivf_cell_balance",  # k-row centroid broadcast E-step (kmeans design)
     "graph_community_inequality",  # 1×1 join of the gini and extremes folds (scale-free)

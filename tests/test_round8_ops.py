@@ -1157,3 +1157,55 @@ def test_text_lang_id_naive_bayes_matches_python(spark):
                 best = (s, lang)
         want[(lang_of[d], best[1])] += 1
     assert got == dict(want)
+
+
+def test_stat_tukey_hsd_pairs_matches_numpy(spark):
+    import numpy as np
+
+    engine.clear_caches(spark)
+    got = {
+        (r.grp_a, r.grp_b): r
+        for r in engine.all_queries()["stat_tukey_hsd_pairs"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    orders = _pq("orders")
+    groups = {
+        g: np.round(v.o_totalprice.to_numpy() * 100)
+        for g, v in orders.groupby("o_orderpriority")
+    }
+    ns = {g: len(v) for g, v in groups.items()}
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in groups.values())
+    mse = ssw / (sum(ns.values()) - len(groups))
+    keys = sorted(groups)
+    assert set(got) == {(a, b) for i, a in enumerate(keys) for b in keys[i + 1:]}
+    for (a, b), r in got.items():
+        md = groups[a].mean() - groups[b].mean()
+        se = (mse / 2 * (1 / ns[a] + 1 / ns[b])) ** 0.5
+        assert r.n_a == ns[a] and r.n_b == ns[b]
+        assert abs(r.mean_diff_cents - md) < 1e-6 * max(1.0, abs(md))
+        assert abs(r.se_tukey - se) < 1e-6 * se
+        assert abs(r.q_stat - abs(md) / se) < 1e-6 * max(1.0, abs(md) / se)
+
+
+def test_pipeline_geo_e2e_matches_member_ops(spark):
+    """The composition must agree with its REGISTRY-PROVEN member ops
+    (which have their own brute-force recomputes above)."""
+    engine.clear_caches(spark)
+    sf = "/root/testdata/sf0.01"
+    qs = engine.all_queries()
+    got = {
+        (r.stage, r.metric): r.value
+        for r in qs["pipeline_geo_e2e"](spark, sf).collect()
+    }
+    rj = qs["geo_grid_radius_join"](spark, sf).collect()
+    assert got[("radius_join", "suppliers_with_neighbor")] == sum(
+        1 for r in rj if r.n_within > 0
+    )
+    assert got[("radius_join", "candidate_pairs")] == sum(r.n_within for r in rj)
+    mr = {r.level: r.max_cell_pts for r in qs["geo_cell_rollup_multires"](spark, sf).collect()}
+    assert got[("grid_advisor", "max_cell_pts_45deg")] == mr[0]
+    assert got[("grid_advisor", "max_cell_pts_15deg")] == mr[1]
+    assert got[("grid_advisor", "max_cell_pts_5deg")] == mr[2]
+    db = qs["geo_dbscan_core_points"](spark, sf).collect()
+    assert got[("dbscan", "n_core_points")] == sum(r.n_core for r in db)

@@ -336,6 +336,8 @@ PROBE_QUERIES = [
     "corpus_dataset_card",
     "layout_footer_stats_audit",
     "text_lang_id_naive_bayes",
+    "stat_tukey_hsd_pairs",
+    "pipeline_geo_e2e",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
