@@ -3022,7 +3022,8 @@ WITH toks AS (
     JOIN lik_m l ON l.tok = tt.tok
     GROUP BY tt.doc_id, l.lang
 ), scored AS (
-    SELECT td.doc_id, td.true_lang, lc.lang,
+    SELECT /*+ BROADCAST(lc) */
+           td.doc_id, td.true_lang, lc.lang,
            lc.prior_m + td.n_toks * lc.default_m + COALESCE(c.dlt, 0)
                AS score
     FROM test_docs td

@@ -6518,3 +6518,53 @@ def parts_kraljic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total", F.lit(totals["c"]).cast("long")
     ).createOrReplaceTempView("r8_kraljic_cum")
     return spark.sql(_kraljic_report_sql("r8_kraljic_cum"))
+
+
+# --------------------------------------------------------------------------
+# parts_eoq_policy — economic order quantity per part
+# --------------------------------------------------------------------------
+
+EOQ_ORDER_COST = 100.0  # fixed cost per replenishment order (policy constant)
+EOQ_HOLD_RATE = 0.2  # annual holding cost as a fraction of unit price
+
+_EOQ_SQL = f"""
+WITH demand AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS demand_e2
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_partkey,
+       d.demand_e2,
+       SQRT(2e0 * (CAST(d.demand_e2 AS DOUBLE) / 100e0) * {EOQ_ORDER_COST}
+            / ({EOQ_HOLD_RATE} * p.p_retailprice)) AS eoq_units,
+       (CAST(d.demand_e2 AS DOUBLE) / 100e0)
+           / SQRT(2e0 * (CAST(d.demand_e2 AS DOUBLE) / 100e0)
+                   * {EOQ_ORDER_COST}
+                   / ({EOQ_HOLD_RATE} * p.p_retailprice)) AS orders_per_horizon
+FROM demand d JOIN part p ON p.p_partkey = d.l_partkey
+"""
+
+
+@query("parts_eoq_policy", oracle=_EOQ_SQL)
+def parts_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity (Harris 1913 / Wilson) per part:
+    EOQ = sqrt(2DS/H) with observed-horizon demand D from lineitem,
+    fixed ordering cost S={EOQ_ORDER_COST}, and holding cost H =
+    {EOQ_HOLD_RATE} x unit retail price — plus the implied order count
+    over the horizon (D/EOQ).  The replenishment-policy table that sits
+    beside the Kraljic quadrants (WHAT to buy strategically) and the
+    ABC classes (WHERE the value concentrates): EOQ says HOW MUCH to
+    order each time.  Policy constants are declared, not estimated —
+    consumers swap their own S and holding rate; the engine ships the
+    demand fold and the closed form.
+
+    Determinism: demand folds to exact decimal-cents BIGINTs; EOQ and
+    the order count are ONE shared IEEE chain (sqrt is exactly
+    specified) over the exact demand and the part's unit price — no
+    double is ever summed across rows.
+
+    Scale: one map-side-combinable lineitem groupBy to |parts| rows,
+    then a broadcast-sized dim join.  No window, no skew surface."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EOQ_SQL)

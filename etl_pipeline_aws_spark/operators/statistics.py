@@ -3208,7 +3208,8 @@ WITH pts AS (
            CAST(COUNT(*) AS BIGINT) AS k
     FROM terms
 )
-SELECT a.grp AS grp_a, b.grp AS grp_b,
+SELECT /*+ BROADCAST(b) */
+       a.grp AS grp_a, b.grp AS grp_b,
        a.n AS n_a, b.n AS n_b,
        CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
            - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean_diff_cents,

@@ -1930,3 +1930,117 @@ def stream_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_e9",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# stream_geo_fence_counts — streaming geofence via the grid equi-join
+# --------------------------------------------------------------------------
+
+_GEOFENCE_ORACLE = """
+WITH sup AS (
+    SELECT s_suppkey,
+           ((s_suppkey % 999979) * 2246822519) % 180000000 - 90000000 AS latm,
+           ((s_suppkey % 1000033) * 2654435769) % 360000000 - 180000000 AS lonm
+    FROM supplier
+), probes AS (
+    SELECT latm, lonm,
+           (lonm + 180000000) // 5000000 + (k % 3) - 1 AS cx,
+           (latm + 90000000) // 5000000 + (k // 3) - 1 AS cy
+    FROM (SELECT latm, lonm, unnest(range(0, 9)) AS k FROM sup) t
+), ev AS (
+    SELECT event_id, event_type,
+           ((user_id % 1000003) * 2654435761) % 180000000 - 90000000 AS latm,
+           ((user_id % 999983) * 1540483477) % 360000000 - 180000000 AS lonm
+    FROM events
+), hits AS (
+    SELECT DISTINCT e.event_id, e.event_type
+    FROM ev e
+    JOIN probes p
+      ON (e.lonm + 180000000) // 5000000 = p.cx
+     AND (e.latm + 90000000) // 5000000 = p.cy
+    WHERE (p.latm - e.latm) * (p.latm - e.latm)
+              + (p.lonm - e.lonm) * (p.lonm - e.lonm) <= 4000000000000
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events_in_fence
+FROM hits GROUP BY event_type
+"""
+
+
+@query("stream_geo_fence_counts", oracle=_GEOFENCE_ORACLE)
+def stream_geo_fence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming GEOFENCE: count events whose (synthetic, user-derived)
+    position falls within 2 planar degrees of ANY supplier facility —
+    per event type.  The geo family's grid discipline carried into
+    Structured Streaming: the static side is the supplier probe-cell
+    table (|suppliers| x 9 rows, broadcast per micro-batch — the
+    stream-static enrichment pattern), the stream side computes its
+    cell ROW-LOCALLY, and the join is a plain equi-join on cell
+    coordinates followed by the exact distance filter; an event inside
+    two overlapping fences is counted once (streaming dropDuplicates on
+    event_id before the aggregate).  This is the alerting workload
+    ("traffic near my facilities, live") that fixed-radius geo joins
+    exist for.
+
+    Exactness: positions/cells/distances are the geo module's pure
+    BIGINT arithmetic (operators/geo.py header); the oracle is the
+    batch computation over the same events table, which availableNow's
+    bounded replay must reproduce exactly.
+
+    Scale: per micro-batch the stream never shuffles before the final
+    |event_types|-row aggregate except the dedup's event_id exchange;
+    fence-side state is metadata-sized; dedup state is bounded by the
+    watermarkless availableNow replay here — a 24x7 deployment adds
+    a watermark + event-time column to bound it (stream_dedup_within_
+    watermark is the demonstrated pattern)."""
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        (((F.col("user_id") % 1000003) * 2654435761) % 180000000 - 90000000).alias(
+            "latm"
+        ),
+        (((F.col("user_id") % 999983) * 1540483477) % 360000000 - 180000000).alias(
+            "lonm"
+        ),
+    )
+    ev = ev.withColumn(
+        "cx", F.expr("(lonm + 180000000) DIV 5000000")
+    ).withColumn("cy", F.expr("(latm + 90000000) DIV 5000000"))
+    sup = load_table(spark, sf_dir, "supplier").select(
+        (((F.col("s_suppkey") % 999979) * 2246822519) % 180000000 - 90000000).alias(
+            "s_latm"
+        ),
+        (
+            ((F.col("s_suppkey") % 1000033) * 2654435769) % 360000000 - 180000000
+        ).alias("s_lonm"),
+    )
+    probes = F.broadcast(
+        sup.select(
+            "s_latm",
+            "s_lonm",
+            F.explode(F.sequence(F.lit(0), F.lit(8))).alias("k"),
+        ).select(
+            "s_latm",
+            "s_lonm",
+            (
+                F.expr("(s_lonm + 180000000) DIV 5000000") + (F.col("k") % 3) - 1
+            ).alias("cx"),
+            (
+                F.expr("(s_latm + 90000000) DIV 5000000")
+                + F.expr("k DIV 3")
+                - 1
+            ).alias("cy"),
+        )
+    )
+    d2 = (F.col("s_latm") - F.col("latm")) * (
+        F.col("s_latm") - F.col("latm")
+    ) + (F.col("s_lonm") - F.col("lonm")) * (F.col("s_lonm") - F.col("lonm"))
+    hits = (
+        ev.join(probes, ["cx", "cy"])
+        .filter(d2 <= F.lit(4_000_000_000_000))
+        .select("event_id", "event_type")
+        .dropDuplicates(["event_id"])
+    )
+    agg = hits.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events_in_fence")
+    )
+    return _run_to_memory(agg, "complete")

@@ -1209,3 +1209,53 @@ def test_pipeline_geo_e2e_matches_member_ops(spark):
     assert got[("grid_advisor", "max_cell_pts_5deg")] == mr[2]
     db = qs["geo_dbscan_core_points"](spark, sf).collect()
     assert got[("dbscan", "n_core_points")] == sum(r.n_core for r in db)
+
+
+def test_parts_eoq_policy_matches_pandas(spark):
+    import math
+
+    engine.clear_caches(spark)
+    got = {
+        r.p_partkey: r
+        for r in engine.all_queries()["parts_eoq_policy"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    li = _pq("lineitem")
+    part = _pq("part").set_index("p_partkey")
+    demand = li.groupby("l_partkey")["l_quantity"].sum()
+    assert set(got) == set(demand.index)
+    for pk, d in demand.items():
+        price = part.loc[pk].p_retailprice
+        eoq = math.sqrt(2 * d * 100.0 / (0.2 * price))
+        r = got[pk]
+        assert r.demand_e2 == round(d * 100)
+        assert abs(r.eoq_units - eoq) < 1e-9 * eoq
+        assert abs(r.orders_per_horizon - d / eoq) < 1e-9 * max(1.0, d / eoq)
+
+
+def test_stream_geo_fence_counts_matches_bruteforce(spark):
+    import numpy as np
+    from collections import Counter
+
+    engine.clear_caches(spark)
+    got = {
+        r.event_type: r.n_events_in_fence
+        for r in engine.all_queries()["stream_geo_fence_counts"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    ev = _pq("events")
+    elat = (ev.user_id % 1000003) * 2654435761 % 180000000 - 90000000
+    elon = (ev.user_id % 999983) * 1540483477 % 360000000 - 180000000
+    sup = _pq("supplier")
+    slat = ((sup.s_suppkey % 999979) * 2246822519 % 180000000 - 90000000).to_numpy()
+    slon = ((sup.s_suppkey % 1000033) * 2654435769 % 360000000 - 180000000).to_numpy()
+    r2 = 2_000_000**2
+    d2 = (elat.to_numpy()[:, None] - slat[None, :]) ** 2 + (
+        elon.to_numpy()[:, None] - slon[None, :]
+    ) ** 2
+    in_fence = (d2 <= r2).any(axis=1)
+    want = Counter(ev.event_type[in_fence])
+    assert got == dict(want)
+    assert in_fence.any() and not in_fence.all()

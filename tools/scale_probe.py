@@ -338,6 +338,8 @@ PROBE_QUERIES = [
     "text_lang_id_naive_bayes",
     "stat_tukey_hsd_pairs",
     "pipeline_geo_e2e",
+    "parts_eoq_policy",
+    "stream_geo_fence_counts",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
