@@ -73,6 +73,12 @@ HEADLINE = [
     "events_value_ecdf_deciles",
     "dedup_winnowing_pairs",
     "corpus_domain_reweight_entropy",
+    # round-8 session-2 flagship surface: the new geo family's grid
+    # equi-join, the pointer-jumping connected components, and semantic
+    # dedup (Lloyd E-step + within-cluster cosine)
+    "geo_grid_radius_join",
+    "graph_connected_components",
+    "embedding_semdedup",
 ]
 
 

@@ -1311,3 +1311,211 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts shuffle."""
     register_views(spark, sf_dir)
     return spark.sql(_dataset_card_sql("DIV", "size(split(text, ' '))"))
+
+
+# --------------------------------------------------------------------------
+# text_instruction_format_screen — route chat/QA-formatted docs
+# --------------------------------------------------------------------------
+
+# Role markers counted as LINE PREFIXES (newline-anchored occurrences), in
+# portable LENGTH/REPLACE arithmetic — no regex-flag dialect traps.
+_INSTR_MARKERS = ("Q:", "A:", "Question:", "Answer:", "User:", "Assistant:")
+
+
+def _marker_count_expr(marker: str) -> str:
+    """Occurrences of '\\n<marker>' in text, by length differencing."""
+    probe = "chr(10) || '" + marker + "'"
+    return (
+        f"(LENGTH(body) - LENGTH(REPLACE(body, {probe}, '')))"
+        f" / (1 + LENGTH('{marker}'))"
+    )
+
+
+def _instruction_screen_sql(idiv: str) -> str:
+    terms = " + ".join(_marker_count_expr(m) for m in _INSTR_MARKERS)
+    return f"""
+WITH qa AS (
+    -- fixture shaping (the multimodal convention: the synthetic corpus
+    -- carries no dialogue formatting, so the modality is synthesized
+    -- DETERMINISTICALLY in-query): every third document is recast as a
+    -- two-turn Q/A transcript; the rest stay prose.  Both engines
+    -- derive the identical corpus, so the screen is exercised on a
+    -- mixed population, not a zero vector.
+    SELECT source,
+           CASE WHEN doc_id % 3 = 0 THEN
+               'Q: ' || SUBSTR(text, 1, 40) || chr(10)
+                   || 'A: ' || SUBSTR(text, 41, 80) || chr(10)
+                   || 'Q: ' || SUBSTR(text, 121, 40) || chr(10)
+                   || 'A: ' || SUBSTR(text, 161)
+           ELSE text END AS doc
+    FROM documents
+), base AS (
+    SELECT source, chr(10) || doc AS body FROM qa
+), scored AS (
+    SELECT source,
+           CAST({terms} AS BIGINT) AS n_markers,
+           CAST(LENGTH(body) - LENGTH(REPLACE(body, chr(10), ''))
+                AS BIGINT) AS n_lines
+    FROM base
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_markers >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_instruction_like,
+       CAST(SUM(CASE WHEN n_markers >= 2 THEN 1 ELSE 0 END) * 1000000
+            {idiv} COUNT(*) AS BIGINT) AS instruction_ppm,
+       CAST(SUM(n_markers) AS BIGINT) AS total_markers,
+       CAST(SUM(n_lines) AS BIGINT) AS total_lines
+FROM scored GROUP BY source
+"""
+
+
+@query("text_instruction_format_screen", oracle=_instruction_screen_sql("//"))
+def text_instruction_format_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction/chat-format routing screen: count newline-anchored role
+    markers (Q:/A:/Question:/Answer:/User:/Assistant:) per document and
+    flag docs with >= 2 as instruction-formatted — the router that
+    separates dialogue/QA material from plain prose BEFORE mix assembly
+    (instruction data is upsampled in SFT recipes and either excluded or
+    tagged in pretraining mixes; mixing it in silently skews both).
+    The fixture carries no dialogue formatting, so every third document
+    is deterministically recast as a two-turn Q/A transcript in-query
+    (the multimodal family's fixture-shaping convention) — the screen
+    is certified on a mixed population.
+    Reported per source: docs, instruction-like count/ppm, total markers
+    and lines — the audit row a mix design reads.
+
+    Determinism: marker counting is LENGTH/REPLACE differencing on a
+    newline-prefixed body (the text_code_detection_screen discipline —
+    portable, no regex dialect traps); prefix anchoring comes from
+    probing for chr(10)||marker, so mid-line mentions don't count; all
+    outputs are exact integers with integer-division ppm.  Spark and
+    DuckDB run the IDENTICAL SQL text.
+
+    Scale: one documents scan, row-local string arithmetic, one
+    map-side-combinable per-source groupBy.  No join, no window."""
+    register_views(spark, sf_dir)
+    return spark.sql(_instruction_screen_sql("DIV"))
+
+
+# --------------------------------------------------------------------------
+# text_memorization_span_mass — cross-doc repeated-span exposure per doc
+# --------------------------------------------------------------------------
+
+SPAN_K = 8  # tokens per span (shingle length)
+
+_SPAN_MASS_SQL_DUCK = f"""
+WITH toks AS (
+    SELECT doc_id, source, tok,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+    FROM (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents
+    ) t WHERE tok <> ''
+), spans AS (
+    SELECT a.doc_id, a.source, a.i,
+           MD5(string_agg(b.tok, ' ' ORDER BY b.i)) AS h
+    FROM toks a JOIN toks b
+      ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i < a.i + {SPAN_K}
+    GROUP BY a.doc_id, a.source, a.i
+    HAVING COUNT(*) = {SPAN_K}
+), span_docs AS (
+    SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM spans GROUP BY h
+), per_doc AS (
+    SELECT s.doc_id, s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+    FROM spans s JOIN span_docs d ON d.h = s.h
+    GROUP BY s.doc_id, s.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+       CAST(SUM(n_shared) AS BIGINT) AS n_shared_spans,
+       CAST(SUM(n_shared) * 1000000 // (1 + SUM(n_spans)) AS BIGINT)
+           AS shared_ppm,
+       CAST(SUM(CASE WHEN n_shared * 2 > n_spans THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high_risk_docs
+FROM per_doc GROUP BY source
+"""
+
+
+@query("text_memorization_span_mass", oracle=_SPAN_MASS_SQL_DUCK)
+def text_memorization_span_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk census (the exact-substring concern of Lee et
+    al. 2022 as a per-source AUDIT): every {SPAN_K}-token rolling span
+    is fingerprinted; a span appearing in more than one document is
+    SHARED, and a document where shared spans are the majority is
+    high-risk (its content is mostly cross-document boilerplate the
+    model will memorize).  Reported per source: span volume, shared
+    mass ppm, high-risk doc count — the table that decides whether a
+    source needs exact-substring dedup before training.  Granularity
+    sits between exact-dup (whole doc) and winnowing (selected
+    fingerprints): EVERY span counts, none are sampled.
+
+    Determinism: spans are MD5 of the space-joined token window
+    (identical on both engines); all outputs exact integers.
+
+    Scale: span building is ROW-LOCAL — split once, fingerprint every
+    window by array slicing in one projection (the windowed self-join
+    form measured 12x at the 10x probe; this form is flat), so nothing
+    shuffles before the span-hash groupBy; span-document frequency is
+    one hash-key shuffle; the per-doc and per-source rollups are
+    map-side combinable.  Hot spans
+    (a boilerplate sentence in every doc) concentrate one hash key —
+    at 100 TB, salt the df count (it is an additive count, the
+    standard two-level fold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Row-local span build: split once, fingerprint every K-window by
+    # array slicing inside ONE projection — zero shuffle until the hash
+    # groupBy (the windowed self-join form measured 12x at the 10x
+    # probe: it shuffled every token x K).  The persist() boundary pins
+    # single evaluation of the token array (the dedup_winnowing_pairs
+    # CollapseProject lesson: without it Catalyst inlines the O(tokens)
+    # split into every slice() call).
+    arrs = docs.select(
+        "doc_id",
+        "source",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("arr"),
+    ).persist()
+    spans = arrs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size("arr") >= SPAN_K,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("arr") - (SPAN_K - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("arr", i, SPAN_K))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("h"),
+    )
+    span_docs = spans.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    per_doc = (
+        spans.join(span_docs, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_spans").cast("long").alias("n_spans"),
+        F.sum("n_shared").cast("long").alias("n_shared_spans"),
+        F.expr(
+            "CAST(SUM(n_shared) * 1000000 DIV (1 + SUM(n_spans)) AS BIGINT)"
+        ).alias("shared_ppm"),
+        F.sum(F.when(F.col("n_shared") * 2 > F.col("n_spans"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_high_risk_docs"),
+    )

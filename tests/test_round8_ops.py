@@ -1259,3 +1259,82 @@ def test_stream_geo_fence_counts_matches_bruteforce(spark):
     want = Counter(ev.event_type[in_fence])
     assert got == dict(want)
     assert in_fence.any() and not in_fence.all()
+
+
+def test_text_instruction_format_screen_matches_python(spark):
+    from collections import defaultdict
+
+    engine.clear_caches(spark)
+    got = {
+        r.source: r
+        for r in engine.all_queries()["text_instruction_format_screen"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    docs = _pq("documents")
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, instr, markers, lines
+    for did, src, text in zip(docs.doc_id, docs.source, docs.text):
+        if did % 3 == 0:
+            doc = (
+                "Q: " + text[:40] + "\nA: " + text[40:120]
+                + "\nQ: " + text[120:160] + "\nA: " + text[160:]
+            )
+        else:
+            doc = text
+        body = "\n" + doc
+        markers = sum(
+            body.count("\n" + m)
+            for m in ("Q:", "A:", "Question:", "Answer:", "User:", "Assistant:")
+        )
+        e = agg[src]
+        e[0] += 1
+        e[1] += 1 if markers >= 2 else 0
+        e[2] += markers
+        e[3] += body.count("\n")
+    for src, (n, instr, mk, ln) in agg.items():
+        r = got[src]
+        assert (r.n_docs, r.n_instruction_like, r.total_markers, r.total_lines) == (
+            n, instr, mk, ln
+        ), src
+        assert r.instruction_ppm == instr * 1000000 // n
+    assert any(v[1] > 0 for v in agg.values())
+    assert any(v[1] < v[0] for v in agg.values())
+
+
+def test_text_memorization_span_mass_matches_python(spark):
+    from collections import defaultdict
+
+    engine.clear_caches(spark)
+    got = {
+        r.source: r
+        for r in engine.all_queries()["text_memorization_span_mass"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    docs = _pq("documents")
+    span_docs = defaultdict(set)
+    doc_spans = {}
+    for did, text in zip(docs.doc_id, docs.text):
+        toks = [t for t in text.split(" ") if t]
+        spans = [tuple(toks[i : i + 8]) for i in range(len(toks) - 7)]
+        doc_spans[did] = spans
+        for sp in spans:
+            span_docs[sp].add(did)
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, spans, shared, high
+    for did, src in zip(docs.doc_id, docs.source):
+        spans = doc_spans[did]
+        if not spans:
+            continue
+        shared = sum(1 for sp in spans if len(span_docs[sp]) > 1)
+        e = agg[src]
+        e[0] += 1
+        e[1] += len(spans)
+        e[2] += shared
+        e[3] += 1 if shared * 2 > len(spans) else 0
+    for src, (n, ns, sh, hi) in agg.items():
+        r = got[src]
+        assert (r.n_docs, r.n_spans, r.n_shared_spans, r.n_high_risk_docs) == (
+            n, ns, sh, hi
+        ), src
+        assert r.shared_ppm == sh * 1000000 // (1 + ns)
+    assert sum(v[2] for v in agg.values()) > 0  # fixture has shared spans

@@ -340,6 +340,8 @@ PROBE_QUERIES = [
     "pipeline_geo_e2e",
     "parts_eoq_policy",
     "stream_geo_fence_counts",
+    "text_instruction_format_screen",
+    "text_memorization_span_mass",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
