@@ -247,3 +247,67 @@ def ivm_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("distinct_customers"),
         F.sum("mult").cast("long").alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# ivm_delta_join — JOIN-view maintenance via the delta algebra
+# --------------------------------------------------------------------------
+
+_IVM_DELTA_JOIN_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("ivm_delta_join", oracle=_IVM_DELTA_JOIN_ORACLE)
+def ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-view maintenance by the delta algebra:
+    Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB — the identity
+    every incremental materialization engine implements when BOTH join
+    sides receive new rows (the agg variant, ivm_incremental_agg_join,
+    only deltas one side).  Base = 90% of orders x 6/7 of customers;
+    deltas = the arriving complements; the maintained view is the union
+    of the stored base join and the THREE delta terms, and the oracle's
+    direct full join certifies the algebra produces bit-identical rows
+    (surfaced as the per-segment count/revenue fold so the compared
+    result stays bounded).
+
+    Scale: the three delta terms each join a DELTA (small) side — at
+    100 TB, ΔA ⋈ B_old is the only term touching stored data and it is
+    key-bucketed (no base rescan, no fact shuffle: the stored side's
+    bucketing is the access path); ΔA ⋈ ΔB is delta x delta.  The
+    stored base ⋈ base term is the already-paid state — computed live
+    here only because the harness is stateless across queries (the
+    ivm_incremental_agg_join caveat).
+
+    Exactness: revenue partials fold as exact decimals per term; only
+    the merged total surfaces as double."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base_o = orders.filter(F.col("o_orderkey") % 10 != 0)
+    delta_o = orders.filter(F.col("o_orderkey") % 10 == 0)
+    base_c = customer.filter(F.col("c_custkey") % 7 != 0)
+    delta_c = customer.filter(F.col("c_custkey") % 7 == 0)
+
+    def term(o: DataFrame, c: DataFrame) -> DataFrame:
+        return o.join(c, o.o_custkey == c.c_custkey).select(
+            "c_mktsegment", "o_totalprice"
+        )
+
+    maintained = (
+        term(base_o, base_c)
+        .unionByName(term(delta_o, base_c))
+        .unionByName(term(base_o, delta_c))
+        .unionByName(term(delta_o, delta_c))
+    )
+    return maintained.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        dsum("o_totalprice").alias("revenue"),
+    )

@@ -719,3 +719,60 @@ def scd4_history_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.price").alias("price"),
         F.col("r.archived_at").alias("archived_at"),
     )
+
+
+# --------------------------------------------------------------------------
+# scd3_previous_value — Type 3: previous-value column, bounded history
+# --------------------------------------------------------------------------
+
+_SCD3_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+           AS status_current,
+       CASE WHEN o_orderkey % 10 = 0 THEN o_orderstatus END
+           AS status_previous,
+       o_orderkey % 10 = 0 AS was_changed,
+       o_totalprice AS price
+FROM orders
+"""
+
+
+@query("scd3_previous_value", oracle=_SCD3_ORACLE)
+def scd3_previous_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 3 — previous-value columns: apply the deterministic
+    change batch (every 10th key's status becomes 'X' — the scd2 ops'
+    fixture convention) by WIDENING the row instead of versioning it:
+    current value overwritten in place, the displaced value retained in
+    a ``status_previous`` column, unchanged rows keep NULL there.  This
+    completes the engine's SCD family — Type 1 (overwrite,
+    scd1_upsert_orders), Type 2 (row versioning, scd2_merge_orders),
+    Type 3 (bounded one-step history, here), Type 4 (history table,
+    scd4_history_split), Type 6 (hybrid, scd6_hybrid_dim).  Type 3 is
+    the right tool when consumers need exactly "value before the last
+    reorg" without the row explosion of Type 2.
+
+    Mechanics: the dimension LEFT-joins the change batch on the natural
+    key; current = COALESCE(new, old), previous = old WHERE a new value
+    arrived.  One hash join on the key, no window, no history fan-out —
+    per-refresh cost is O(|dim| + |batch|), and at 100 TB the join is
+    bucketed on the key like every other merge in this module.
+
+    Determinism: the change batch is key-arithmetic-defined; values are
+    carried, never computed."""
+    orders = load_table(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", F.lit("X").alias("new_status"))
+    )
+    return (
+        orders.join(updates, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("new_status", "o_orderstatus").alias("status_current"),
+            F.when(F.col("new_status").isNotNull(), F.col("o_orderstatus")).alias(
+                "status_previous"
+            ),
+            F.col("new_status").isNotNull().alias("was_changed"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )

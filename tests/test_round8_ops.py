@@ -1338,3 +1338,54 @@ def test_text_memorization_span_mass_matches_python(spark):
         ), src
         assert r.shared_ppm == sh * 1000000 // (1 + ns)
     assert sum(v[2] for v in agg.values()) > 0  # fixture has shared spans
+
+
+def test_scd3_previous_value_matches_pandas(spark):
+    engine.clear_caches(spark)
+    got = {
+        r.o_orderkey: r
+        for r in engine.all_queries()["scd3_previous_value"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    orders = _pq("orders")
+    assert len(got) == len(orders)
+    changed = unchanged = 0
+    for ok, st, price in zip(
+        orders.o_orderkey, orders.o_orderstatus, orders.o_totalprice
+    ):
+        r = got[ok]
+        if ok % 10 == 0:
+            assert (r.status_current, r.status_previous, r.was_changed) == (
+                "X", st, True
+            )
+            changed += 1
+        else:
+            assert (r.status_current, r.status_previous, r.was_changed) == (
+                st, None, False
+            )
+            unchanged += 1
+        assert r.price == price
+    assert changed > 0 and unchanged > 0
+
+
+def test_ivm_delta_join_matches_pandas(spark):
+    import decimal
+
+    engine.clear_caches(spark)
+    got = {
+        r.segment: r
+        for r in engine.all_queries()["ivm_delta_join"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    orders = _pq("orders")
+    cust = _pq("customer")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    for seg, grp in j.groupby("c_mktsegment"):
+        rev = sum(
+            decimal.Decimal(str(p)).quantize(decimal.Decimal("0.01"))
+            for p in grp.o_totalprice
+        )
+        assert got[seg].n_rows == len(grp)
+        assert got[seg].revenue == float(rev)

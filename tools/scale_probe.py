@@ -342,6 +342,8 @@ PROBE_QUERIES = [
     "stream_geo_fence_counts",
     "text_instruction_format_screen",
     "text_memorization_span_mass",
+    "scd3_previous_value",
+    "ivm_delta_join",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
