@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.catalog import load_table, register_views
 from etl_pipeline_aws_spark.operators.graph import co_occurrence_pairs
 from etl_pipeline_aws_spark.registry import query
 
@@ -190,3 +190,62 @@ def similarity_customers_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_common").cast("double") / union_sz).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# basket_brand_transitions — next-order brand migration matrix
+# --------------------------------------------------------------------------
+
+_BRAND_TRANS_SQL = """
+WITH ordered AS (
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+), items AS (
+    SELECT DISTINCT o.o_custkey, o.rn, p.p_brand
+    FROM ordered o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+), trans AS (
+    SELECT DISTINCT a.o_custkey, a.p_brand AS brand_from,
+           b.p_brand AS brand_to, a.rn
+    FROM items a
+    JOIN items b ON b.o_custkey = a.o_custkey AND b.rn = a.rn + 1
+), counts AS (
+    SELECT brand_from, brand_to, CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM trans GROUP BY brand_from, brand_to
+), margins AS (
+    SELECT brand_from, brand_to, n_transitions,
+           SUM(n_transitions) OVER (PARTITION BY brand_from) AS from_total
+    FROM counts
+)
+SELECT brand_from, brand_to, n_transitions,
+       CAST(n_transitions * 1000000 {idiv} from_total AS BIGINT) AS share_ppm
+FROM margins
+"""
+
+
+@query("basket_brand_transitions", oracle=_BRAND_TRANS_SQL.replace("{idiv}", "//"))
+def basket_brand_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-basket brand migration: for every customer's CONSECUTIVE
+    order pair (ranked by date), which brands follow which — the
+    (brand_from, brand_to) transition matrix with per-origin share.
+    This is sequence mining at the catalog grain ("what do they buy
+    NEXT"), the input to cross-sell timing and brand-loyalty reads;
+    item-grain sequences are support-starved at any realistic
+    catalog size, so the engine aggregates to the |brands|² matrix the
+    way events_transition_matrix does for event types.
+
+    Determinism: order ranking ties break on o_orderkey; transitions
+    dedup to (customer, from, to, position) before counting so one
+    basket pair cannot double-count a brand pair; shares are exact
+    integer-division ppm over window margins.
+
+    Scale: per-customer ranking is a partitioned window; the
+    consecutive-pair join is an equi-join on (custkey, rn+1) — per
+    transition cost is |basket|² at the BRAND grain (bounded by the
+    25-brand catalog, not by basket size); the matrix is |brands)|²
+    rows and its margin window runs on that bounded table."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BRAND_TRANS_SQL.replace("{idiv}", "DIV"))

@@ -156,3 +156,59 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     second statement's plan."""
     register_views(spark, sf_dir)
     return spark.sql(_SCRIPT_SQL)
+
+
+# --------------------------------------------------------------------------
+# recursive_bom_explosion — multi-level bill-of-materials walk
+# --------------------------------------------------------------------------
+
+BOM_ROOT = 1  # the exploded assembly
+BOM_MAX_DEPTH = 6
+
+
+def _bom_sql(idiv: str) -> str:
+    return f"""
+WITH RECURSIVE bom AS (
+    SELECT CAST({BOM_ROOT} AS BIGINT) AS component,
+           CAST(0 AS BIGINT) AS lvl,
+           CAST(1 AS BIGINT) AS qty
+    UNION ALL
+    SELECT p.p_partkey,
+           b.lvl + 1,
+           b.qty * (p.p_partkey % 3 + 1)
+    FROM bom b JOIN part p ON p.p_partkey {idiv} 4 = b.component
+    WHERE b.lvl < {BOM_MAX_DEPTH}
+)
+SELECT b.component,
+       b.lvl AS level,
+       b.qty AS effective_qty,
+       CAST(b.qty AS DOUBLE) * p.p_retailprice AS extended_cost
+FROM bom b JOIN part p ON p.p_partkey = b.component
+"""
+
+
+@query("recursive_bom_explosion", oracle=_bom_sql("//"))
+def recursive_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level bill-of-materials EXPLOSION as a declarative
+    ``WITH RECURSIVE`` — the second classic recursion workload beside
+    reachability (subquery_recursive_cte): walk the part hierarchy
+    downward from assembly {BOM_ROOT}, multiplying per-edge quantities
+    along the path (effective_qty — the number every MRP run needs),
+    and extend by unit cost.  The hierarchy is synthesized by key
+    arithmetic (parent(k) = k DIV 4, per-edge qty = k%3+1 — the
+    engine's deterministic-fixture convention), giving a genuine
+    multi-level tree (~log4 |parts| levels) with a unique parent per
+    node, so each component is reached exactly once — no walk
+    explosion, no MIN-dedup needed.
+
+    Scale: each recursion level is one equi-join of the frontier
+    against the part table + union — the same per-level shuffle the
+    manual loop family (graph.py) pays, but the FIXPOINT is driven by
+    the engine; depth is capped at {BOM_MAX_DEPTH} and the frontier is
+    the subtree (4x per level), never the whole table.  qty products
+    are bounded by 3^depth — exact BIGINTs.
+
+    Determinism: pure integer tree arithmetic; extended cost is one
+    double multiply per row."""
+    register_views(spark, sf_dir)
+    return spark.sql(_bom_sql("DIV"))

@@ -1389,3 +1389,73 @@ def test_ivm_delta_join_matches_pandas(spark):
         )
         assert got[seg].n_rows == len(grp)
         assert got[seg].revenue == float(rev)
+
+
+def test_recursive_bom_explosion_matches_python(spark):
+    engine.clear_caches(spark)
+    got = {
+        r.component: r
+        for r in engine.all_queries()["recursive_bom_explosion"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    part = _pq("part").set_index("p_partkey")
+    want = {}
+    frontier = [(1, 0, 1)]
+    keys = set(part.index)
+    while frontier:
+        nxt = []
+        for comp, lvl, qty in frontier:
+            want[comp] = (lvl, qty, qty * part.loc[comp].p_retailprice)
+            if lvl < 6:
+                for k in keys:
+                    if k // 4 == comp:
+                        nxt.append((k, lvl + 1, qty * (k % 3 + 1)))
+        frontier = nxt
+    assert set(got) == set(want)
+    for comp, (lvl, qty, cost) in want.items():
+        r = got[comp]
+        assert (r.level, r.effective_qty) == (lvl, qty), comp
+        assert abs(r.extended_cost - cost) < 1e-9 * max(1.0, cost)
+    assert max(lvl for lvl, _, _ in want.values()) >= 4  # genuinely multi-level
+
+
+def test_basket_brand_transitions_matches_pandas(spark):
+    from collections import Counter, defaultdict
+
+    engine.clear_caches(spark)
+    got = {
+        (r.brand_from, r.brand_to): (r.n_transitions, r.share_ppm)
+        for r in engine.all_queries()["basket_brand_transitions"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    orders = _pq("orders").sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    orders["rn"] = orders.groupby("o_custkey").cumcount() + 1
+    li = _pq("lineitem")[["l_orderkey", "l_partkey"]]
+    part = _pq("part")[["p_partkey", "p_brand"]]
+    items = (
+        li.merge(orders[["o_orderkey", "o_custkey", "rn"]],
+                 left_on="l_orderkey", right_on="o_orderkey")
+        .merge(part, left_on="l_partkey", right_on="p_partkey")
+        [["o_custkey", "rn", "p_brand"]]
+        .drop_duplicates()
+    )
+    by_pos = defaultdict(set)
+    for c, rn, b in items.itertuples(index=False):
+        by_pos[(c, rn)].add(b)
+    trans = set()
+    for (c, rn), brands in by_pos.items():
+        nxt = by_pos.get((c, rn + 1))
+        if not nxt:
+            continue
+        for a in brands:
+            for b in nxt:
+                trans.add((c, a, b, rn))
+    counts = Counter((a, b) for _, a, b, _ in trans)
+    from_tot = Counter()
+    for (a, b), n in counts.items():
+        from_tot[a] += n
+    assert set(got) == set(counts)
+    for (a, b), n in counts.items():
+        assert got[(a, b)] == (n, n * 1000000 // from_tot[a]), (a, b)

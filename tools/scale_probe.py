@@ -344,6 +344,8 @@ PROBE_QUERIES = [
     "text_memorization_span_mass",
     "scd3_previous_value",
     "ivm_delta_join",
+    "recursive_bom_explosion",
+    "basket_brand_transitions",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
