@@ -3247,3 +3247,116 @@ def stat_tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowlisted); the MSE is a scalar subquery over the same 5 rows."""
     register_views(spark, sf_dir)
     return spark.sql(_TUKEY_SQL)
+
+
+def _breusch_pagan_sql(x_expr: str) -> str:
+    """Shared Breusch-Pagan (Koenker studentized form) text; per-dialect
+    day-index expression (the Chow pattern)."""
+    return f"""
+WITH daily AS (
+    SELECT CAST({x_expr} AS BIGINT) AS x,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+    FROM orders
+    GROUP BY CAST({x_expr} AS BIGINT)
+), sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(x * y) AS BIGINT) AS sxy
+    FROM daily
+), fit AS (
+    SELECT n, sx, sxx,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+    FROM sums
+), resid AS (
+    -- residual power terms FLOOR-scaled per ROW to exact BIGINT units
+    -- (e^2 >= 0 and x >= 0, so FLOOR is a pure truncation; int64 folds
+    -- convert correctly rounded on both engines); the 1-row fit rides
+    -- scalar subqueries, never a 1-row cross join (guard discipline)
+    SELECT CAST(FLOOR((CAST(y AS DOUBLE) - (SELECT a FROM fit) - (SELECT b FROM fit) * CAST(x AS DOUBLE))
+                      * (CAST(y AS DOUBLE) - (SELECT a FROM fit) - (SELECT b FROM fit) * CAST(x AS DOUBLE))
+                      / 1000000e0) AS BIGINT) AS q2_e6,
+           CAST(FLOOR((CAST(y AS DOUBLE) - (SELECT a FROM fit) - (SELECT b FROM fit) * CAST(x AS DOUBLE))
+                      * (CAST(y AS DOUBLE) - (SELECT a FROM fit) - (SELECT b FROM fit) * CAST(x AS DOUBLE))
+                      * CAST(x AS DOUBLE) / 1000000000000e0) AS BIGINT)
+               AS q2x_e12,
+           CAST(FLOOR((CAST(y AS DOUBLE) - (SELECT a FROM fit) - (SELECT b FROM fit) * CAST(x AS DOUBLE))
+                      * (CAST(y AS DOUBLE) - (SELECT a FROM fit) - (SELECT b FROM fit) * CAST(x AS DOUBLE))
+                      * (CAST(y AS DOUBLE) - (SELECT a FROM fit) - (SELECT b FROM fit) * CAST(x AS DOUBLE))
+                      * (CAST(y AS DOUBLE) - (SELECT a FROM fit) - (SELECT b FROM fit) * CAST(x AS DOUBLE))
+                      / 1e24) AS BIGINT) AS q4_e24
+    FROM daily
+), folds AS (
+    SELECT CAST(SUM(q2_e6) AS BIGINT) AS s2,
+           CAST(SUM(q2x_e12) AS BIGINT) AS s2x,
+           CAST(SUM(q4_e24) AS BIGINT) AS s4
+    FROM resid
+)
+SELECT (SELECT n FROM sums) AS n_days,
+       (SELECT b FROM fit) AS ols_slope,
+       CAST((SELECT n FROM sums) AS DOUBLE)
+           * ((CAST((SELECT n FROM sums) AS DOUBLE)
+                   * CAST(fo.s2x AS DOUBLE) * 1e12
+               - CAST(fo.s2 AS DOUBLE) * 1e6
+                   * CAST((SELECT sx FROM sums) AS DOUBLE))
+              * (CAST((SELECT n FROM sums) AS DOUBLE)
+                     * CAST(fo.s2x AS DOUBLE) * 1e12
+                 - CAST(fo.s2 AS DOUBLE) * 1e6
+                     * CAST((SELECT sx FROM sums) AS DOUBLE)))
+           / ((CAST((SELECT n FROM sums) AS DOUBLE)
+                   * CAST((SELECT sxx FROM sums) AS DOUBLE)
+               - CAST((SELECT sx FROM sums) AS DOUBLE)
+                   * CAST((SELECT sx FROM sums) AS DOUBLE))
+              * (CAST((SELECT n FROM sums) AS DOUBLE)
+                     * CAST(fo.s4 AS DOUBLE) * 1e24
+                 - CAST(fo.s2 AS DOUBLE) * 1e6
+                     * CAST(fo.s2 AS DOUBLE) * 1e6)) AS bp_koenker,
+       CAST(1 AS BIGINT) AS dof
+FROM folds fo
+"""
+
+
+_BP_ORACLE = _breusch_pagan_sql(
+    "DATEDIFF('DAY', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
+)
+_BP_SPARK = _breusch_pagan_sql(
+    "DATEDIFF(CAST(o_orderdate AS DATE), DATE '1995-01-01')"
+)
+
+
+@query("stat_breusch_pagan", oracle=_BP_ORACLE)
+def stat_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test (Koenker's studentized
+    form) on the daily-revenue-vs-day OLS — does residual VARIANCE
+    drift with the regressor?  LM = n·R² of the auxiliary regression of
+    e² on x, computed closed-form from residual power sums; dof = 1.
+    This is the missing member of the residual-diagnostics family
+    (Durbin-Watson tests CORRELATION of residuals,
+    stat_residual_diagnostics their shape; BP tests their SCALE —
+    heteroscedastic residuals invalidate the OLS standard errors every
+    trend readout quotes).  Koenker's form is used because it needs no
+    normality assumption — the same reason Brown-Forsythe sits beside
+    Bartlett.
+
+    Determinism: the fit (a, b) is one shared IEEE chain over exact
+    int64 sums; per-day residual powers are FLOOR-scaled to exact
+    BIGINT units before folding (e²/1e6, e²x/1e12, e⁴/1e24 — all
+    non-negative, pure truncation; the int64-only fold discipline);
+    the closing statistic is one shared formula.
+
+    Scale: one map-side-combinable daily groupBy; the residual pass
+    re-reads the |days|-bounded daily CTE with the 1-row fit broadcast
+    as a scalar-style cross join (calendar-bounded frame).  No
+    window."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BP_SPARK)

@@ -1459,3 +1459,39 @@ def test_basket_brand_transitions_matches_pandas(spark):
     assert set(got) == set(counts)
     for (a, b), n in counts.items():
         assert got[(a, b)] == (n, n * 1000000 // from_tot[a]), (a, b)
+
+
+def test_stat_breusch_pagan_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    engine.clear_caches(spark)
+    row = (
+        engine.all_queries()["stat_breusch_pagan"](spark, "/root/testdata/sf0.01")
+        .collect()[0]
+    )
+    orders = _pq("orders")
+    d = orders.o_orderdate.dt.normalize()
+    daily = (
+        pd.DataFrame(
+            {
+                "x": (d - pd.Timestamp("1995-01-01")).dt.days,
+                "y": np.round(orders.o_totalprice * 100),
+            }
+        )
+        .groupby("x")["y"]
+        .sum()
+    )
+    x = daily.index.to_numpy(dtype=float)
+    y = daily.to_numpy(dtype=float)
+    n = len(x)
+    b = ((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum()
+    a = y.mean() - b * x.mean()
+    e2 = (y - a - b * x) ** 2
+    # Koenker LM = n * R^2 of e^2 on x
+    num = (n * (e2 * x).sum() - e2.sum() * x.sum()) ** 2
+    den = (n * (x * x).sum() - x.sum() ** 2) * (n * (e2 * e2).sum() - e2.sum() ** 2)
+    lm = n * num / den
+    assert row.n_days == n and row.dof == 1
+    assert abs(row.ols_slope - b) < 1e-9 * max(1.0, abs(b))
+    assert abs(row.bp_koenker - lm) < 1e-5 * max(1.0, lm)

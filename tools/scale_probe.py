@@ -346,6 +346,7 @@ PROBE_QUERIES = [
     "ivm_delta_join",
     "recursive_bom_explosion",
     "basket_brand_transitions",
+    "stat_breusch_pagan",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
