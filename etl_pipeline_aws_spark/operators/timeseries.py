@@ -2280,3 +2280,77 @@ def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the calendar-bounded day table, a 1-row fold.  No join."""
     register_views(spark, sf_dir)
     return spark.sql(_page_hinkley_sql())
+
+
+# --------------------------------------------------------------------------
+# events_adstock_transform — truncated geometric adstock (MMM carryover)
+# --------------------------------------------------------------------------
+
+ADSTOCK_LAGS = 14  # truncation horizon (lambda = 1/2 per day)
+
+_ADSTOCK_WEIGHTS = "\n    UNION ALL\n".join(
+    f"    SELECT {k} AS k, {1 << k} AS pw" for k in range(14)
+)
+
+
+def _adstock_sql(x_expr: str, unnest14: str) -> str:
+    return f"""
+WITH daily AS (
+    SELECT CAST({x_expr} AS BIGINT) AS di,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+    FROM events GROUP BY CAST({x_expr} AS BIGINT)
+), weights AS (
+{_ADSTOCK_WEIGHTS}
+), fanned AS (
+    SELECT di, x, {unnest14} AS k FROM daily
+), contrib AS (
+    SELECT f.di + f.k AS t,
+           CAST(x * 1000 / w.pw AS BIGINT) AS c_e3
+    FROM fanned f JOIN weights w ON w.k = f.k
+)
+SELECT d.di AS day_idx,
+       d.x AS spend_cents,
+       CAST(SUM(c.c_e3) AS BIGINT) AS adstock_e3
+FROM daily d JOIN contrib c ON c.t = d.di
+GROUP BY d.di, d.x
+"""
+
+
+_ADSTOCK_ORACLE = _adstock_sql(
+    "DATEDIFF('DAY', DATE '2024-01-01', CAST(ts AS DATE))",
+    "unnest(range(0, 14))",
+)
+_ADSTOCK_SPARK = _adstock_sql(
+    "DATEDIFF(CAST(ts AS DATE), DATE '2024-01-01')",
+    "explode(sequence(CAST(0 AS BIGINT), CAST(13 AS BIGINT)))",
+)
+# exact integer division per dialect: Spark DIV, DuckDB //
+_ADSTOCK_ORACLE = _ADSTOCK_ORACLE.replace("x * 1000 / w.pw", "x * 1000 // w.pw")
+_ADSTOCK_SPARK = _ADSTOCK_SPARK.replace("x * 1000 / w.pw", "x * 1000 DIV w.pw")
+
+
+@query("events_adstock_transform", oracle=_ADSTOCK_ORACLE)
+def events_adstock_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric ADSTOCK (advertising carryover, lambda = 1/2, truncated
+    at {ADSTOCK_LAGS} lags): adstock_t = sum over k of spend_(t-k)/2^k —
+    the standard marketing-mix-model transform that turns point-in-time
+    spend into its decaying effective pressure; every MMM regression
+    (and the engine's lead/lag xcorr and trend family) consumes the
+    transformed series, not raw spend.
+
+    Determinism: the transform is spelled EXACTLY as integer
+    arithmetic — each lag's contribution is (spend_cents x 1000)
+    integer-divided by the literal power-of-two weight from a 14-row
+    VALUES-style CTE (no POWER(), whose libm exactness is not
+    guaranteed), and the sum of those exact integers IS the definition
+    of the reported adstock_e3.  No double appears anywhere.
+
+    Scale: the recursion-free spelling matters — the textbook recurrence
+    (adstock_t = x_t + lambda*adstock_(t-1)) is sequential, but the
+    truncated form is a windowed dot product: one fan-out of the
+    day-bounded daily table x {ADSTOCK_LAGS}, an equi-join back to the
+    day spine (never a window, never per-row recursion), map-side
+    combinable.  Horizon-edge days simply receive fewer contributions —
+    the truncated-adstock convention."""
+    register_views(spark, sf_dir)
+    return spark.sql(_ADSTOCK_SPARK)

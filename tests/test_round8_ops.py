@@ -1495,3 +1495,43 @@ def test_stat_breusch_pagan_matches_numpy(spark):
     assert row.n_days == n and row.dof == 1
     assert abs(row.ols_slope - b) < 1e-9 * max(1.0, abs(b))
     assert abs(row.bp_koenker - lm) < 1e-5 * max(1.0, lm)
+
+
+def test_geo_grid_invariants():
+    """The 3x3-neighborhood guarantee holds only while cell edge >=
+    radius; a future constant edit that breaks it would silently drop
+    matches (the brute-force tests would also catch it, but this names
+    the invariant)."""
+    from etl_pipeline_aws_spark.operators import geo
+
+    assert geo._GEO_CELL ** 2 >= geo._GEO_R2
+    assert geo._DBSCAN_CELL ** 2 >= geo._DBSCAN_EPS2
+
+
+def test_events_adstock_transform_matches_python(spark):
+    import decimal
+    from collections import defaultdict
+
+    engine.clear_caches(spark)
+    got = {
+        r.day_idx: r
+        for r in engine.all_queries()["events_adstock_transform"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    ev = _pq("events")
+    daily = defaultdict(decimal.Decimal)
+    for ts, v in zip(ev.ts, ev.value):
+        di = (ts.normalize() - __import__("pandas").Timestamp("2024-01-01")).days
+        daily[di] += decimal.Decimal(str(v)).quantize(decimal.Decimal("0.01"))
+    cents = {di: int(v * 100) for di, v in daily.items()}
+    assert set(got) == set(cents)
+    for di in cents:
+        ads = sum(
+            cents[di - k] * 1000 // (1 << k)
+            for k in range(14)
+            if (di - k) in cents
+        )
+        r = got[di]
+        assert r.spend_cents == cents[di]
+        assert r.adstock_e3 == ads, di

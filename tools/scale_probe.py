@@ -347,6 +347,7 @@ PROBE_QUERIES = [
     "recursive_bom_explosion",
     "basket_brand_transitions",
     "stat_breusch_pagan",
+    "events_adstock_transform",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
