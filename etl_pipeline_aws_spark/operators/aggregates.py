@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import load_table
+from etl_pipeline_aws_spark.catalog import load_table, register_views
 from etl_pipeline_aws_spark.functions.numeric import davg, dec, dsum
 from etl_pipeline_aws_spark.registry import query, rows_only_query
 
@@ -1301,3 +1301,62 @@ def agg_regression_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_topk_plus_others — the reporting rollup: top-K rows + an OTHERS bucket
+# --------------------------------------------------------------------------
+
+TOPK_OTHERS_K = 3
+
+_TOPK_OTHERS_SQL = f"""
+WITH rev AS (
+    SELECT n.n_name, c.c_custkey,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, c.c_custkey
+), ranked AS (
+    SELECT n_name, c_custkey, rev_cents,
+           ROW_NUMBER() OVER (PARTITION BY n_name
+                              ORDER BY rev_cents DESC, c_custkey) AS rk
+    FROM rev
+)
+SELECT n_name, CAST(rk AS BIGINT) AS rk,
+       CAST(c_custkey AS BIGINT) AS c_custkey,
+       rev_cents,
+       CAST(1 AS BIGINT) AS n_customers
+FROM ranked WHERE rk <= {TOPK_OTHERS_K}
+UNION ALL
+SELECT n_name, CAST(0 AS BIGINT) AS rk,
+       CAST(NULL AS BIGINT) AS c_custkey,
+       CAST(SUM(rev_cents) AS BIGINT) AS rev_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM ranked WHERE rk > {TOPK_OTHERS_K}
+GROUP BY n_name
+"""
+
+
+@query("agg_topk_plus_others", oracle=_TOPK_OTHERS_SQL)
+def agg_topk_plus_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reporting rollup every dashboard ships: per nation, the top
+    {TOPK_OTHERS_K} customers by revenue AS ROWS plus one aggregated
+    OTHERS bucket (rk = 0) carrying the remaining revenue and customer
+    count — so the page totals reconcile to the full fold without
+    rendering thousands of rows.  window_topk_per_group keeps only the
+    head; this keeps the head AND conserves the total (the
+    reconciliation property dq_reconcile_order_totals audits
+    elsewhere).
+
+    Determinism: revenue folds to exact cents; rank ties break on
+    custkey; the OTHERS bucket is an exact integer fold of the tail.
+
+    Scale: one fact groupBy to |nation x customer| rows, one
+    partitioned window over it (bounded per nation), and the tail
+    re-aggregates map-side — the head/tail split reads the ranked
+    table twice but both reads are |customers|-sized, never
+    fact-sized."""
+    register_views(spark, sf_dir)
+    return spark.sql(_TOPK_OTHERS_SQL)

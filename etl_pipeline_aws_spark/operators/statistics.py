@@ -3360,3 +3360,95 @@ def stat_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     window."""
     register_views(spark, sf_dir)
     return spark.sql(_BP_SPARK)
+
+
+def _cooks_sql(x_expr: str) -> str:
+    """Cook's distance for the daily-revenue OLS; per-dialect day index.
+    Shares the Chow/BP parents; p = 2 (slope + intercept)."""
+    return f"""
+WITH daily AS (
+    SELECT CAST({x_expr} AS BIGINT) AS x,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+    FROM orders
+    GROUP BY CAST({x_expr} AS BIGINT)
+), sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(x * y) AS BIGINT) AS sxy
+    FROM daily
+), fit AS (
+    SELECT n, sx, sxx,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+           CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS n_cxx
+    FROM sums
+), resid AS (
+    SELECT x, y,
+           CAST(y AS DOUBLE) - (SELECT a FROM fit)
+               - (SELECT b FROM fit) * CAST(x AS DOUBLE) AS e,
+           1e0 / CAST((SELECT n FROM fit) AS DOUBLE)
+               + (CAST(x AS DOUBLE) - (SELECT xbar FROM fit))
+                 * (CAST(x AS DOUBLE) - (SELECT xbar FROM fit))
+                 * CAST((SELECT n FROM fit) AS DOUBLE)
+                 / (SELECT n_cxx FROM fit) AS h
+    FROM daily
+), mse AS (
+    -- SSE via the BP discipline: per-row e^2 floor-scaled to exact e6
+    -- BIGINTs, folded exactly, one closing double
+    SELECT CAST(CAST(SUM(CAST(FLOOR(e * e / 1000000e0) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) * 1000000e0
+               / (CAST((SELECT n FROM fit) AS DOUBLE) - 2e0) AS mse
+    FROM resid
+)
+SELECT x AS day_idx,
+       e AS resid_cents,
+       h AS leverage,
+       e * e * h
+           / (2e0 * (SELECT mse FROM mse) * (1e0 - h) * (1e0 - h))
+           AS cooks_d
+FROM resid
+ORDER BY e * e * h
+             / (2e0 * (SELECT mse FROM mse) * (1e0 - h) * (1e0 - h)) DESC,
+         x
+LIMIT 10
+"""
+
+
+_COOKS_ORACLE = _cooks_sql(
+    "DATEDIFF('DAY', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
+)
+_COOKS_SPARK = _cooks_sql("DATEDIFF(CAST(o_orderdate AS DATE), DATE '1995-01-01')")
+
+
+@query("stat_cooks_distance_days", oracle=_COOKS_ORACLE)
+def stat_cooks_distance_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance — the INFLUENCE diagnostic closing the OLS
+    residual suite (Durbin-Watson: correlation; Breusch-Pagan: scale;
+    Cook's D: which individual days MOVE the fit): D_t = e_t²·h_t /
+    (p·MSE·(1−h_t)²) with leverage h_t = 1/n + (x_t−x̄)²/Σ(x−x̄)², p=2.
+    Reports the 10 most influential days — the worklist an analyst
+    checks before trusting a trend slope (one promo day with high
+    leverage can own the regression).
+
+    Determinism: the fit and leverage are shared IEEE chains over
+    exact int64 sums (scalar subqueries, no 1-row joins); SSE folds
+    per-row floor-scaled e² exactly (the BP discipline); the top-10
+    ordering breaks ties on the day index.
+
+    Scale: one daily groupBy + two passes over the day-bounded table;
+    the top-10 is an ORDER BY ... LIMIT over |days| rows (TakeOrdered,
+    never a global sort materialization)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_COOKS_SPARK)

@@ -1535,3 +1535,80 @@ def test_events_adstock_transform_matches_python(spark):
         r = got[di]
         assert r.spend_cents == cents[di]
         assert r.adstock_e3 == ads, di
+
+
+def test_agg_topk_plus_others_matches_pandas(spark):
+    import decimal
+    from collections import defaultdict
+
+    engine.clear_caches(spark)
+    rows = engine.all_queries()["agg_topk_plus_others"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    orders = _pq("orders")
+    cust = _pq("customer")
+    nat = _pq("nation")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    per = defaultdict(lambda: defaultdict(int))
+    for nm, ck, price in zip(j.n_name, j.c_custkey, j.o_totalprice):
+        per[nm][ck] += int(
+            decimal.Decimal(str(price)).quantize(decimal.Decimal("0.01")) * 100
+        )
+    got_head = {(r.n_name, r.rk): r for r in rows if r.rk > 0}
+    got_oth = {r.n_name: r for r in rows if r.rk == 0}
+    for nm, d in per.items():
+        ranked = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))
+        for i, (ck, rc) in enumerate(ranked[:3], start=1):
+            r = got_head[(nm, i)]
+            assert (r.c_custkey, r.rev_cents) == (ck, rc), (nm, i)
+        tail = ranked[3:]
+        if tail:
+            r = got_oth[nm]
+            assert r.n_customers == len(tail)
+            assert r.rev_cents == sum(rc for _, rc in tail)
+            assert r.c_custkey is None
+        # totals reconcile: head + others == full fold
+        total = sum(rc for _, rc in ranked)
+        head = sum(rc for _, rc in ranked[:3])
+        oth = got_oth[nm].rev_cents if tail else 0
+        assert head + oth == total
+
+
+def test_stat_cooks_distance_days_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    engine.clear_caches(spark)
+    rows = engine.all_queries()["stat_cooks_distance_days"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    orders = _pq("orders")
+    d = orders.o_orderdate.dt.normalize()
+    daily = (
+        pd.DataFrame(
+            {
+                "x": (d - pd.Timestamp("1995-01-01")).dt.days,
+                "y": np.round(orders.o_totalprice * 100),
+            }
+        )
+        .groupby("x")["y"]
+        .sum()
+    )
+    x = daily.index.to_numpy(dtype=float)
+    y = daily.to_numpy(dtype=float)
+    n = len(x)
+    cxx = ((x - x.mean()) ** 2).sum()
+    b = ((x - x.mean()) * (y - y.mean())).sum() / cxx
+    a = y.mean() - b * x.mean()
+    e = y - a - b * x
+    h = 1 / n + (x - x.mean()) ** 2 / cxx
+    mse = (e**2).sum() / (n - 2)
+    dcook = e**2 * h / (2 * mse * (1 - h) ** 2)
+    order = sorted(range(n), key=lambda i: (-dcook[i], x[i]))[:10]
+    assert len(rows) == 10
+    for r, i in zip(rows, order):
+        assert r.day_idx == int(x[i])
+        assert abs(r.cooks_d - dcook[i]) < 1e-6 * max(1e-12, dcook[i])
+        assert abs(r.leverage - h[i]) < 1e-12

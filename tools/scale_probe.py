@@ -348,6 +348,8 @@ PROBE_QUERIES = [
     "basket_brand_transitions",
     "stat_breusch_pagan",
     "events_adstock_transform",
+    "agg_topk_plus_others",
+    "stat_cooks_distance_days",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
