@@ -6568,3 +6568,62 @@ def parts_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a broadcast-sized dim join.  No window, no skew surface."""
     register_views(spark, sf_dir)
     return spark.sql(_EOQ_SQL)
+
+
+# --------------------------------------------------------------------------
+# customer_bgnbd_inputs — the CLV model's canonical summary table
+# --------------------------------------------------------------------------
+
+
+def _bgnbd_sql(dd: str) -> str:
+    return f"""
+WITH horizon AS (
+    SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders
+), per_cust AS (
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(CAST(o_orderdate AS DATE)) AS first_d,
+           MAX(CAST(o_orderdate AS DATE)) AS last_d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS monetary_cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey AS c_custkey,
+       n_orders - 1 AS frequency,
+       CAST({dd.format(a="first_d", b="last_d")} AS BIGINT) AS recency_days,
+       CAST({dd.format(a="first_d", b="(SELECT h FROM horizon)")} AS BIGINT)
+           AS age_days,
+       monetary_cents {{idiv}} n_orders AS avg_order_cents
+FROM per_cust
+"""
+
+
+_BGNBD_ORACLE = (
+    _bgnbd_sql("DATEDIFF('DAY', {a}, {b})").replace("{idiv}", "//")
+)
+_BGNBD_SPARK = (
+    _bgnbd_sql("DATEDIFF({b}, {a})").replace("{idiv}", "DIV")
+)
+
+
+@query("customer_bgnbd_inputs", oracle=_BGNBD_ORACLE)
+def customer_bgnbd_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BG/NBD / Pareto-NBD input contract — the canonical
+    per-customer summary every probabilistic-CLV fit consumes
+    (Fader-Hardie; the `lifetimes` library's summary table): frequency
+    = repeat purchases (n−1), recency = days from first to LAST
+    purchase, age T = days from first purchase to the observation
+    horizon, plus mean order value for the Gamma-Gamma monetary stage.
+    RFM (customer_rfm_segments) buckets for HUMANS; this emits the
+    exact covariates the MODEL needs — the two consume the same fold
+    differently, which is why both exist.
+
+    Determinism: counts and calendar day arithmetic are exact; the
+    horizon is the data's own max date (scalar subquery); mean order
+    value is exact integer division of decimal-cents.
+
+    Scale: ONE map-side-combinable orders groupBy to |customers| rows;
+    the horizon is a 1-row fold consumed as a scalar subquery.  No
+    window, no join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BGNBD_SPARK)

@@ -1612,3 +1612,30 @@ def test_stat_cooks_distance_days_matches_numpy(spark):
         assert r.day_idx == int(x[i])
         assert abs(r.cooks_d - dcook[i]) < 1e-6 * max(1e-12, dcook[i])
         assert abs(r.leverage - h[i]) < 1e-12
+
+
+def test_customer_bgnbd_inputs_matches_pandas(spark):
+    import decimal
+
+    engine.clear_caches(spark)
+    got = {
+        r.c_custkey: r
+        for r in engine.all_queries()["customer_bgnbd_inputs"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    orders = _pq("orders")
+    d = orders.o_orderdate.dt.normalize()
+    horizon = d.max()
+    orders = orders.assign(d=d)
+    for ck, grp in orders.groupby("o_custkey"):
+        r = got[ck]
+        assert r.frequency == len(grp) - 1
+        assert r.recency_days == (grp.d.max() - grp.d.min()).days
+        assert r.age_days == (horizon - grp.d.min()).days
+        cents = sum(
+            int(decimal.Decimal(str(p)).quantize(decimal.Decimal("0.01")) * 100)
+            for p in grp.o_totalprice
+        )
+        assert r.avg_order_cents == cents // len(grp)
+    assert len(got) == orders.o_custkey.nunique()

@@ -350,6 +350,7 @@ PROBE_QUERIES = [
     "events_adstock_transform",
     "agg_topk_plus_others",
     "stat_cooks_distance_days",
+    "customer_bgnbd_inputs",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
