@@ -3452,3 +3452,96 @@ def stat_cooks_distance_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global sort materialization)."""
     register_views(spark, sf_dir)
     return spark.sql(_COOKS_SPARK)
+
+
+def _granger_sql(x_expr: str) -> str:
+    """Lag-1 Granger causality, clicks -> purchases, on daily counts;
+    per-dialect day index."""
+    return f"""
+WITH daily AS (
+    SELECT CAST({x_expr} AS BIGINT) AS di,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchases
+    FROM events GROUP BY CAST({x_expr} AS BIGINT)
+), lagged AS (
+    SELECT cur.purchases AS y,
+           prev.purchases AS a,
+           prev.clicks AS b
+    FROM daily cur JOIN daily prev ON prev.di = cur.di - 1
+), sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(a * a) AS BIGINT) AS saa,
+           CAST(SUM(b * b) AS BIGINT) AS sbb,
+           CAST(SUM(y * y) AS BIGINT) AS syy,
+           CAST(SUM(a * b) AS BIGINT) AS sab,
+           CAST(SUM(a * y) AS BIGINT) AS say,
+           CAST(SUM(b * y) AS BIGINT) AS sby
+    FROM lagged
+), cent AS (
+    -- n-scaled centered second moments, one shared IEEE chain over
+    -- exact int64 sums
+    SELECT n,
+           CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS caa,
+           CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+               - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS cbb,
+           CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy,
+           CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS cab,
+           CAST(n AS DOUBLE) * CAST(say AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sy AS DOUBLE) AS cay,
+           CAST(n AS DOUBLE) * CAST(sby AS DOUBLE)
+               - CAST(sb AS DOUBLE) * CAST(sy AS DOUBLE) AS cby
+    FROM sums
+), fits AS (
+    SELECT n,
+           (cyy - cay * cay / caa) / CAST(n AS DOUBLE) AS ssr_restricted,
+           (cyy
+            - ((cay * cbb - cby * cab) / (caa * cbb - cab * cab)) * cay
+            - ((cby * caa - cay * cab) / (caa * cbb - cab * cab)) * cby)
+               / CAST(n AS DOUBLE) AS ssr_full
+    FROM cent
+)
+SELECT n AS n_days,
+       ssr_restricted, ssr_full,
+       (ssr_restricted - ssr_full)
+           / (ssr_full / (CAST(n AS DOUBLE) - 3e0)) AS f_granger,
+       CAST(1 AS BIGINT) AS dof1,
+       n - 3 AS dof2
+FROM fits
+"""
+
+
+_GRANGER_ORACLE = _granger_sql(
+    "DATEDIFF('DAY', DATE '2024-01-01', CAST(ts AS DATE))"
+)
+_GRANGER_SPARK = _granger_sql("DATEDIFF(CAST(ts AS DATE), DATE '2024-01-01')")
+
+
+@query("stat_granger_causality_lag1", oracle=_GRANGER_ORACLE)
+def stat_granger_causality_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality (lag 1): do yesterday's CLICKS improve the
+    prediction of today's PURCHASES beyond yesterday's purchases alone?
+    F = [(SSR_restricted − SSR_full)/1] / [SSR_full/(n−3)] comparing the
+    AR(1) model against AR(1)+exogenous-lag, both solved CLOSED-FORM
+    from centered second moments (the 2-regressor normal equations as
+    one shared IEEE chain — no iterative fit).  This is the lead/lag
+    family's inferential capstone: events_lead_lag_xcorr LOCATES the
+    best lag, Granger says whether the cross-series signal is real —
+    the pair every funnel-forecasting readout needs.
+
+    Determinism: daily counts and all nine power sums are exact int64
+    (counts² x days stays far below 2^63 at any SF); centering,
+    the 2x2 solve, SSRs, and F are one shared double chain over those
+    exact inputs.  The lag alignment is a calendar equi-join (di−1),
+    never a window.
+
+    Scale: one map-side-combinable daily groupBy; everything after is
+    a |days|-bounded join and a 1-row fold."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GRANGER_SPARK)

@@ -1639,3 +1639,42 @@ def test_customer_bgnbd_inputs_matches_pandas(spark):
         )
         assert r.avg_order_cents == cents // len(grp)
     assert len(got) == orders.o_custkey.nunique()
+
+
+def test_stat_granger_causality_lag1_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    engine.clear_caches(spark)
+    row = (
+        engine.all_queries()["stat_granger_causality_lag1"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()[0]
+    )
+    ev = _pq("events")
+    day = ev.ts.dt.normalize()
+    daily = (
+        pd.DataFrame({"d": day, "t": ev.event_type})
+        .groupby("d")["t"]
+        .agg([lambda s: (s == "click").sum(), lambda s: (s == "purchase").sum()])
+    )
+    daily.columns = ["clicks", "purchases"]
+    daily = daily.sort_index()
+    y = daily.purchases.to_numpy(dtype=float)[1:]
+    a = daily.purchases.to_numpy(dtype=float)[:-1]
+    b = daily.clicks.to_numpy(dtype=float)[:-1]
+    n = len(y)
+
+    def ssr(X, y):
+        X1 = np.column_stack([np.ones(n)] + X)
+        beta, *_ = np.linalg.lstsq(X1, y, rcond=None)
+        e = y - X1 @ beta
+        return (e**2).sum()
+
+    s_r = ssr([a], y)
+    s_f = ssr([a, b], y)
+    f = (s_r - s_f) / (s_f / (n - 3))
+    assert row.n_days == n and row.dof2 == n - 3
+    assert abs(row.ssr_restricted - s_r) < 1e-6 * s_r
+    assert abs(row.ssr_full - s_f) < 1e-6 * s_f
+    assert abs(row.f_granger - f) < 1e-6 * max(1.0, f)

@@ -351,6 +351,7 @@ PROBE_QUERIES = [
     "agg_topk_plus_others",
     "stat_cooks_distance_days",
     "customer_bgnbd_inputs",
+    "stat_granger_causality_lag1",
 ]
 
 # physical operators whose presence/count defines the plan's scale shape
