@@ -429,7 +429,7 @@ WITH log AS (
 SELECT CAST(kdate AS DATE) AS knowledge_date,
        date_trunc('month', valid_date) AS order_month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(price) AS DECIMAL(28,2)) AS revenue
+       CAST(CAST(SUM(price) AS DECIMAL(28,2)) AS DOUBLE) AS revenue
 FROM winners
 WHERE rn = 1
 GROUP BY kdate, date_trunc('month', valid_date)

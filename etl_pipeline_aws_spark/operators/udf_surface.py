@@ -309,7 +309,8 @@ def udf_arrow_optimized_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_pandas_iter_series",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) * 100 - 1 AS adjusted_cents
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 - 1 AS BIGINT)
+               AS adjusted_cents
     FROM orders WHERE o_orderkey < 3000
     """,
 )
@@ -326,7 +327,13 @@ def udf_pandas_iter_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins.
 
     Exactness: decimal cents in, integer subtraction, decimal out —
-    no float arithmetic in the UDF at all.
+    no float arithmetic in the UDF at all.  The OUTPUT is cast to
+    BIGINT on both engines: the values are integral cents that fit
+    int64 comfortably, and a raw DECIMAL output would reach the driver
+    as ``Decimal`` objects while DuckDB's pandas bridge renders its
+    side float64 — the canonicalization split behind the r8
+    ``window_range_interval_frame`` driver red (see tests/oracle.py
+    dtype-parity guard).
 
     Scale: identical Arrow transfer cost to the scalar pandas UDF;
     the iterator form wins exactly when init cost x partitions <<
@@ -342,7 +349,7 @@ def udf_pandas_iter_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(20,0)")
     return o.select(
-        "o_orderkey", adjust(cents).cast("decimal(21,0)").alias("adjusted_cents")
+        "o_orderkey", adjust(cents).cast("long").alias("adjusted_cents")
     )
 
 

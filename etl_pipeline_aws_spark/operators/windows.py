@@ -494,7 +494,7 @@ WITH daily AS (
 )
 SELECT event_type, day,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_days_in_window,
-       CAST(SUM(v) OVER w AS DECIMAL(28,2)) AS trailing_7d_value
+       CAST(CAST(SUM(v) OVER w AS DECIMAL(28,2)) AS DOUBLE) AS trailing_7d_value
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY day
              RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
@@ -517,7 +517,12 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     IDENTICAL SQL text on both engines — Spark 4 and DuckDB both accept
     the interval-bounded RANGE clause over a DATE ordering.  Exact
-    decimal window sums (order-defined), exact counts — hash-stable.
+    decimal window sums (order-defined), exact counts; the decimal sum
+    is SURFACED AS DOUBLE (module convention, see band_total above) so
+    both engines hand the driver the same float64 dtype — a raw
+    DECIMAL output canonicalizes as ``Decimal('25018.60')`` on the
+    Spark side but ``25018.6`` through DuckDB's pandas bridge, a
+    string-hash mismatch on identical values (r8 driver red).
 
     Scale: the frame runs on the (type, day) daily reduction —
     calendar-sized input partitioned on the series key; Spark's range

@@ -21,6 +21,25 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class for the driver-hash parity guard: 'float',
+    'int', 'decimal' (object dtype holding decimal.Decimal), or 'other'
+    (strings, dates, bools — classes with a stable canonical string on
+    both bridges)."""
+    import decimal
+
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if s.dtype == object:
+        for v in s:
+            if v is None:
+                continue
+            return "decimal" if isinstance(v, decimal.Decimal) else "other"
+    return "other"
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     # Deliberately NO stringification of unhashable cells: the driver's
     # canonicalizer sorts the raw frame, so a list/array/dict cell raises
@@ -37,7 +56,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, float_exact: boo
     # hash Array/Map/Struct cells, so no oracle-checked query may emit one.
     # List-valued results follow the array_join convention; vector-valued
     # results go long-form (see embedding_centroids).
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
     complex_cols = [
         f.name
@@ -48,6 +67,22 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, float_exact: boo
         f"oracle-checked query emits complex-typed columns {complex_cols}; "
         "the driver canonicalizer cannot sort these — array_join or go long-form"
     )
+    # r8 lesson (window_range_interval_frame driver red): a DecimalType
+    # output reaches the driver as Decimal objects while DuckDB's pandas
+    # bridge renders its side float64 — same values, different canonical
+    # strings, hash mismatch.  Repo convention: do arithmetic in decimal
+    # for exactness, but SURFACE the final column as DOUBLE (or BIGINT for
+    # integral cents).  Schema-level, so it fires before any value check.
+    decimal_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, DecimalType)
+    ]
+    assert not decimal_cols, (
+        f"oracle-checked query emits DecimalType columns {decimal_cols}; "
+        "cast the final projection to DOUBLE (or BIGINT for integral "
+        "cents) on both engines — Decimal-vs-float64 splits the driver hash"
+    )
     got = spark_df.toPandas()
     want = con.sql(sql).df()
     assert len(got) == len(want), f"row count: spark={len(got)} duckdb={len(want)}"
@@ -57,6 +92,24 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, float_exact: boo
     g, w = _canon(got), _canon(want)
     for c in g.columns:
         gc, wc = g[c], w[c]
+        # Driver-canonicalizer dtype-parity guard (r8 lesson): the driver
+        # string-hashes both frames, so a NUMERIC column whose dtype CLASS
+        # differs across the bridge mismatches even when every value is
+        # equal — Decimal('25018.60') vs float 25018.6, int 5 vs float 5.0.
+        # The tolerant float branch below would mask exactly this class
+        # (any float side routes the pair through to_numeric), so the
+        # parity check must run FIRST.  Fix in the query, not here: cast
+        # final decimals to DOUBLE (or integral cents to BIGINT) on BOTH
+        # engines — see windows.py window_range_interval_frame.
+        gcls, wcls = _dtype_class(gc), _dtype_class(wc)
+        if "decimal" in (gcls, wcls) or {"float", "int"} == {gcls, wcls}:
+            assert gcls == wcls, (
+                f"column {c!r}: dtype-class split spark={gcls} duckdb={wcls} "
+                f"(spark dtype {gc.dtype}, duckdb dtype {wc.dtype}) — the "
+                "driver's string-hash canonicalizer rejects this even when "
+                "values match; cast the final column to DOUBLE/BIGINT on "
+                "both engines"
+            )
         if pd.api.types.is_float_dtype(gc) or pd.api.types.is_float_dtype(wc):
             ga = pd.to_numeric(gc).to_numpy(dtype=float)
             wa = pd.to_numeric(wc).to_numpy(dtype=float)

@@ -97,10 +97,15 @@ def test_driver_registry_is_fully_oracle_backed():
 def test_all_queries_run_rows_only(spark):
     """Demo (rows-only) queries must still run, return a DataFrame, and meet
     the same wall-time budget as the oracle-checked set."""
+    from pyspark.sql.types import DecimalType
+
     over_budget = []
     for name, fn in engine.demo_queries().items():
         t0 = time.monotonic()
         df = fn(spark, SF_DIR)
+        assert not [
+            f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)
+        ], f"{name}: DecimalType output (driver-hash split class, see oracle.py)"
         assert df.count() >= 0, name
         elapsed = time.monotonic() - t0
         if elapsed >= QUERY_BUDGET_S:
