@@ -1663,7 +1663,10 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     exponentially-nested logical plan — each round is therefore
     localCheckpoint()ed, the module-header iterative posture).  The
     oracle certifies the loop against DuckDB's recursive-CTE transitive
-    closure computed from scratch.
+    closure computed from scratch.  The 25-round budget is a hard gate:
+    exhausting it RAISES rather than returning possibly-unconverged
+    labels (r9 ADVICE — a silent budget exit would disagree with the
+    oracle with no diagnostic).
 
     Scale: edge build is the bounded per-order self-join (<= 21 pairs
     per order); each round is two node-key equi-joins + one
@@ -1715,6 +1718,17 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = jumped
         if changed == 0:
             break
+    else:
+        # r9 ADVICE: never silently return unconverged labels — the
+        # histogram would disagree with the oracle with no diagnostic.
+        # 25 pointer-jumped rounds cover diameter ~2^25; hitting this
+        # means the graph (or a regression) broke the O(log d) bound.
+        edges.unpersist()
+        raise RuntimeError(
+            "graph_connected_components: label propagation exhausted its "
+            "25-round budget without converging (changed > 0 on the last "
+            "round); refusing to return possibly-wrong component labels"
+        )
     edges.unpersist()
     hist = (
         labels.groupBy("label")

@@ -2910,19 +2910,24 @@ WITH pts AS (
     -- BIGINT-only folds (int64 -> double is correctly rounded on BOTH
     -- engines; DECIMAL(38,0)/int128 past 2^64 is NOT — the r7
     -- Durbin-Watson lesson): the one oversized power sum rides per-row
-    -- FLOOR-scaled to e4 units, every other sum fits int64 exactly
+    -- FLOOR-scaled to e6 units, every other sum fits int64 exactly.
+    -- Bound (the Chow discipline, r9 ADVICE): max price = 5e7 cents ->
+    -- c^2/1e6 <= 2.5e9 per row, so the fold stays inside int64 to
+    -- ~3.7e9 rows PER PRIORITY GROUP (~SF12000 at 1.5M orders/SF) —
+    -- far past the 100-TB posture; per-row truncation loses < 1e6
+    -- cents^2 against >= 8e9, noise at double's own ulp downstream
     SELECT grp,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(c) AS BIGINT) AS sx,
            CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
-                                / 10000e0) AS BIGINT)) AS BIGINT) AS sxx_e4
+                                / 1000000e0) AS BIGINT)) AS BIGINT) AS sxx_e6
     FROM pts GROUP BY grp
 ), v AS (
     -- centered numerator n*Sxx - Sx^2 in doubles OVER exact int64 inputs
     -- (one shared IEEE expression; the cancellation is benign — ulp-level
     -- absolute error on both engines' identical operands)
     SELECT grp, n,
-           CAST(n AS DOUBLE) * CAST(sxx_e4 AS DOUBLE) * 10000e0
+           CAST(n AS DOUBLE) * CAST(sxx_e6 AS DOUBLE) * 1000000e0
                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS num
     FROM g
 ), terms AS (
@@ -3092,13 +3097,22 @@ def stat_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CHOW_SPARK)
 
 
-def _ljung_box_sql(unnest7: str, x_expr: str) -> str:
-    """Shared Ljung-Box text; per-dialect lag generator + day index."""
+def _ljung_box_sql(unnest7: str, x_expr: str, spine_expr: str) -> str:
+    """Shared Ljung-Box text; per-dialect lag generator + day index +
+    day-spine generator."""
     return f"""
-WITH daily AS (
+WITH raw AS (
     SELECT CAST({x_expr} AS BIGINT) AS di,
            CAST(COUNT(*) AS BIGINT) AS x
     FROM events GROUP BY CAST({x_expr} AS BIGINT)
+), bounds AS (
+    SELECT CAST(MIN(di) AS BIGINT) AS mn, CAST(MAX(di) AS BIGINT) AS mx
+    FROM raw
+), spine AS (
+    SELECT {spine_expr} AS di
+), daily AS (
+    SELECT s.di, CAST(COALESCE(r.x, 0) AS BIGINT) AS x
+    FROM spine s LEFT JOIN raw r ON r.di = s.di
 ), tot AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS t
     FROM daily
@@ -3148,10 +3162,12 @@ FROM terms
 _LJUNG_ORACLE = _ljung_box_sql(
     "unnest(range(1, 8))",
     "DATEDIFF('DAY', DATE '2024-01-01', CAST(ts AS DATE))",
+    "unnest(range((SELECT mn FROM bounds), (SELECT mx FROM bounds) + 1))",
 )
 _LJUNG_SPARK = _ljung_box_sql(
     "explode(sequence(CAST(1 AS BIGINT), CAST(7 AS BIGINT)))",
     "DATEDIFF(CAST(ts AS DATE), DATE '2024-01-01')",
+    "explode(sequence((SELECT mn FROM bounds), (SELECT mx FROM bounds)))",
 )
 
 
@@ -3173,10 +3189,19 @@ def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     finer: rounding at a scale below the double's own ulp is where the
     two engines' ROUND implementations can disagree).
 
+    The day spine is DENSIFIED in-query (sequence over min..max day,
+    missing days coalesced to true zero-count observations), so the
+    lag equi-join cardinality n_pairs equals the textbook n-k on
+    sparse data too — without the spine, r_k's denominator and the Q
+    terms silently deviate whenever the calendar has gap days (r9
+    ADVICE fix; the density precondition is now enforced by
+    construction, not assumed from the fixture).
+
     Scale: the fact-sized stage is one map-side-combinable daily
-    groupBy; lag alignment is the Theil-Sen explode+EQUI-join rewrite
-    (calendar day-index join, never a window), over a |days|-bounded
-    frame; the fold is 7 rows."""
+    groupBy; the spine is |days|-sized (calendar-bounded) so the
+    left join and lag alignment stay metadata-cheap; lag alignment is
+    the Theil-Sen explode+EQUI-join rewrite (calendar day-index join,
+    never a window); the fold is 7 rows."""
     register_views(spark, sf_dir)
     return spark.sql(_LJUNG_SPARK)
 
@@ -3189,15 +3214,17 @@ WITH pts AS (
            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
     FROM orders
 ), g AS (
+    -- e6-scaled power sum: int64-safe to ~3.7e9 rows per group (~SF12000)
+    -- — see the Bartlett fold comment for the full bound derivation
     SELECT grp,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(c) AS BIGINT) AS sx,
            CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
-                                / 10000e0) AS BIGINT)) AS BIGINT) AS sxx_e4
+                                / 1000000e0) AS BIGINT)) AS BIGINT) AS sxx_e6
     FROM pts GROUP BY grp
 ), terms AS (
     SELECT grp, n, sx,
-           CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxx_e4 AS DOUBLE) * 10000e0
+           CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxx_e6 AS DOUBLE) * 1000000e0
                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                       / CAST(n AS DOUBLE) / 1000000e0) AS BIGINT) AS ssw_e6
     FROM g
@@ -3253,11 +3280,19 @@ def _breusch_pagan_sql(x_expr: str) -> str:
     """Shared Breusch-Pagan (Koenker studentized form) text; per-dialect
     day-index expression (the Chow pattern)."""
     return f"""
-WITH daily AS (
-    SELECT CAST({x_expr} AS BIGINT) AS x,
+WITH raw AS (
+    SELECT CAST({x_expr} AS BIGINT) AS xr,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
     FROM orders
     GROUP BY CAST({x_expr} AS BIGINT)
+), daily AS (
+    -- min-anchor the day index so x >= 0 BY CONSTRUCTION, whatever the
+    -- base-date literal: the FLOOR scalings below are pure truncations
+    -- only for non-negative terms, and data predating the base would
+    -- otherwise make FLOOR round away from zero on negative e2*x terms
+    -- (r9 ADVICE fix; the Koenker LM statistic is affine-invariant in
+    -- x, so the anchor changes no test conclusion)
+    SELECT xr - (SELECT MIN(xr) FROM raw) AS x, y FROM raw
 ), sums AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(x) AS BIGINT) AS sx,

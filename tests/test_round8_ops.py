@@ -899,8 +899,12 @@ def test_stat_ljung_box_matches_numpy(spark):
     )
     ev = _pq("events")
     daily = ev.groupby(ev.ts.dt.normalize()).size().sort_index()
-    # the engine joins on CALENDAR lag; the fixture must be a dense spine
-    assert (pd.Series(daily.index).diff().dropna() == pd.Timedelta("1D")).all()
+    # mirror the operator's in-query spine densification (r9): missing
+    # calendar days are true zero-count observations, so the recompute
+    # reindexes to the full day range instead of assuming fixture density
+    daily = daily.reindex(
+        pd.date_range(daily.index.min(), daily.index.max(), freq="D"), fill_value=0
+    )
     x = daily.to_numpy(dtype=float)
     n = len(x)
     c = x - x.mean()
@@ -1482,7 +1486,10 @@ def test_stat_breusch_pagan_matches_numpy(spark):
         .groupby("x")["y"]
         .sum()
     )
+    # mirror the operator's min-anchored day index (r9: x >= 0 by
+    # construction, so the FLOOR scalings stay pure truncations)
     x = daily.index.to_numpy(dtype=float)
+    x = x - x.min()
     y = daily.to_numpy(dtype=float)
     n = len(x)
     b = ((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum()
