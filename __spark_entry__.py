@@ -9,6 +9,7 @@ flagship pricing-summary query on sf0.001.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import re
 from collections.abc import Callable
@@ -31,19 +32,47 @@ def _round_number() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+# Queries fixed after a driver-red artifact: pulled to the rotation front
+# until a later CORRECTNESS artifact shows them green (the r3
+# range_join_binned protocol; range_join_binned itself re-drew green in
+# r08 and retired from this list).  window_range_interval_frame was r08's
+# one hash-red (decimal canonicalization, fixed in r9).
+_REPAIR_FRONT_PULL = ("window_range_interval_frame",)
+
+
+def _ever_sampled() -> set[str]:
+    """Names appearing in ANY prior CORRECTNESS_r{N}.json beside this
+    file — the driver evidence ledger the rotation de-prioritizes."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for f in os.listdir(here):
+        if re.match(r"CORRECTNESS_r\d+\.json$", f):
+            try:
+                with open(os.path.join(here, f)) as fh:
+                    seen |= set(json.load(fh))
+            except (OSError, ValueError):
+                continue
+    return seen
+
+
 def _rotated(names: list[str]) -> list[str]:
-    """Round-keyed rotation (r7 verdict ask #3): the driver samples the
-    HEAD of this dict, and a stable alphabetical order kept re-drawing the
-    same ~50 `agg_*`/`events_*` names every round (90/616 ever sampled
-    through r7).  Ordering by sha256(f"{name}:r{N}") re-shuffles the head
-    every round so driver evidence rotates across the whole registry;
-    `range_join_binned` (fixed in r3, never re-drawn since its r2 err) is
-    pulled to the front until an artifact shows it driver-green."""
+    """Round-keyed rotation (r7 verdict ask #3) + never-sampled-first
+    (r8 verdict ask #8): the driver samples the HEAD of this dict.  A
+    stable alphabetical order kept re-drawing the same ~50 names every
+    round, so names are ordered by sha256(f"{name}:r{N}") — re-shuffled
+    every round — and, on top of that, names that have NEVER appeared in
+    a CORRECTNESS artifact sort before ever-sampled ones, so each
+    round's 50-name sample drains the unseen pool (~530 after r8, ~11
+    rounds to full coverage) instead of re-proving known-green entries.
+    Repair candidates (driver-red since fixed) still jump the whole
+    queue until an artifact shows them green."""
     n = _round_number()
+    seen = _ever_sampled()
     ordered = sorted(
         names, key=lambda q: hashlib.sha256(f"{q}:r{n}".encode()).hexdigest()
     )
-    ordered.sort(key=lambda q: q != "range_join_binned")  # stable front-pull
+    ordered.sort(key=lambda q: q in seen)  # never-sampled first (stable)
+    ordered.sort(key=lambda q: q not in _REPAIR_FRONT_PULL)  # repairs first
     return ordered
 
 

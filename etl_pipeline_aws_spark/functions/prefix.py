@@ -110,3 +110,59 @@ def ranked_prefix_sum(
         *[f"_local_cum_{c}" for c in sum_cols],
         *[f"_off_{c}" for c in sum_cols],
     ), running
+
+
+def ranked_row_index(
+    df: DataFrame,
+    order_cols: list[Column],
+    n_ranges: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Add ``_idx`` — the 1-based GLOBAL row index over the total order
+    ``order_cols`` — as a two-phase replacement for
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` (the same single-task pinch as
+    the global prefix sum: every row funnels through one window task).
+
+    Implemented as a prefix sum of ones, so it inherits
+    ``ranked_prefix_sum``'s guarantees: value-identical to the global
+    window for any total order, all fact-scale stages parallel, only an
+    ``n_ranges``-row fold on the driver.  Returns ``(df_with_idx,
+    n_rows)`` — the row count comes free from the offset fold.
+    """
+    out, totals = ranked_prefix_sum(
+        df.withColumn("_one", F.lit(1).cast("long")), order_cols, ["_one"], n_ranges
+    )
+    return (
+        out.withColumnRenamed("cum__one", "_idx").drop("_one"),
+        int(totals["_one"]),
+    )
+
+
+def ranked_ntile(
+    df: DataFrame,
+    order_cols: list[Column],
+    k: int,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Add ``_tile`` — ``NTILE(k)`` over the total order ``order_cols`` —
+    without the global window: the two-phase row index plus NTILE's
+    closed form.  With n rows and n = q*k + r, the first r tiles hold
+    q+1 rows (SQL-standard larger-tiles-first), so row i (1-based) maps
+    to ``(i-1) DIV (q+1) + 1`` inside the first r*(q+1) rows and
+    ``r + (i - r*(q+1) - 1) DIV q + 1`` after — pure integer arithmetic
+    on the parallel index, no single-task stage anywhere.
+    """
+    idx_df, n = ranked_row_index(df, order_cols, n_ranges)
+    q, r = divmod(n, k)
+    big = r * (q + 1)
+    if q == 0:
+        # n < k: every tile holds one row; _idx IS the tile
+        return idx_df.withColumn("_tile", F.col("_idx").cast("int")).drop("_idx")
+    # integer DIV (not /, which is double division and rounds past 2^53)
+    tile = (
+        F.when(
+            F.col("_idx") <= F.lit(big),
+            F.expr(f"(_idx - 1) DIV {q + 1}"),
+        ).otherwise(F.lit(r) + F.expr(f"(_idx - {big} - 1) DIV {q}"))
+        + 1
+    )
+    return idx_df.withColumn("_tile", tile.cast("int")).drop("_idx")

@@ -709,28 +709,31 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
+    label_cache = None  # the persisted frame behind `labels`, once flagged
     for _ in range(20):  # diameter bound; real clusters converge in 2-3
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # the change flag is computed IN the label join (r9 trim: the old
+        # spelling re-joined new labels against old ones purely to detect
+        # convergence — one whole extra join+shuffle per round)
+        flagged = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                (F.coalesce("nmin", "label") < F.col("label")).alias("_chg"),
             )
             .persist()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(F.col("label") < F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = flagged.filter(F.col("_chg")).limit(1).count()
+        # unpersist the PERSISTED frame from the previous round (a derived
+        # .drop() projection would not release the underlying cache)
+        (label_cache if label_cache is not None else labels).unpersist()
+        label_cache = flagged
+        labels = flagged.drop("_chg")
         if changed == 0:
             break
     edges.unpersist()

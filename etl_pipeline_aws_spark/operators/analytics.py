@@ -14,7 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_aws_spark.catalog import load_table, register_views
-from etl_pipeline_aws_spark.functions.prefix import ranked_prefix_sum
+from etl_pipeline_aws_spark.functions.prefix import (
+    ranked_ntile,
+    ranked_prefix_sum,
+)
 from etl_pipeline_aws_spark.registry import query
 
 
@@ -3605,7 +3608,6 @@ FROM per_dec
 
 
 _LORENZ_ORACLE = _lorenz_sql("//")
-_LORENZ_SPARK = _lorenz_sql("DIV")
 
 
 @query("customer_lorenz_deciles", oracle=_LORENZ_ORACLE)
@@ -3622,14 +3624,54 @@ def customer_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cents, custkey) order; cumulative shares are BIGINT floor basis
     points — monotone by construction, decile 10 pinned at 10000.
 
-    Scale: the per-customer reduction is the only fact-sized stage; the
-    global NTILE over |customers| rows is the documented single-
-    partition pinch (pre-bin through the range-partition fences of
-    layout_range_partition_plan at 100 TB); the decile fold is 10 rows."""
+    Scale (r8 verdict ask #2, migrated off the unpartitioned-window
+    allowlist): the per-customer reduction is the only fact-sized
+    stage; ONE two-phase ranked_prefix_sum over (cents, custkey) with
+    a ones column carries BOTH the global row index (→ NTILE's closed
+    form, so no global NTILE window) and the running revenue (→ the
+    decile cumulative = MAX of the per-customer cumulative inside each
+    decile, since deciles are contiguous index ranges) — no window, no
+    self-join, and the grand total comes exact from the offset fold."""
     from etl_pipeline_aws_spark.catalog import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(_LORENZ_SPARK)
+    rev = spark.sql(
+        """
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+        """
+    ).withColumn("_one", F.lit(1).cast("long"))
+    rk, totals = ranked_prefix_sum(
+        rev, [F.asc("cents"), F.asc("o_custkey")], ["_one", "cents"]
+    )
+    n, total = int(totals["_one"]), int(totals["cents"])
+    q, r = divmod(n, 10)
+    big = r * (q + 1)
+    if q == 0:
+        tile = F.col("cum__one")
+    else:
+        tile = (
+            F.when(
+                F.col("cum__one") <= F.lit(big),
+                F.expr(f"(cum__one - 1) DIV {q + 1}"),
+            ).otherwise(F.lit(r) + F.expr(f"(cum__one - {big} - 1) DIV {q}"))
+            + 1
+        )
+    per_dec = rk.groupBy(tile.cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("decile_cents"),
+        F.max("cum_cents").cast("long").alias("_cum_cents"),
+    )
+    return per_dec.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        F.expr(f"CAST((_cum_cents * 10000) DIV {total} AS BIGINT)").alias(
+            "cum_share_bp"
+        ),
+    )
 
 
 def _cuped_sql(day_idx: str, idiv: str) -> str:
@@ -4167,10 +4209,15 @@ def events_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered-frame window, so both engines add identical doubles in an
     identical sequence.
 
-    Scale: one user_id reduction (fact-sized, map-side combined), then
-    a users-sized NTILE window and a 10-row rollup.  At extreme user
-    counts the NTILE swaps for broadcast decile fences (the
-    ml_calibration_bins pattern) with the rest of the plan unchanged."""
+    Scale (r8 verdict ask #2): one user_id reduction (fact-sized,
+    map-side combined); the decile assignment — formerly a users-sized
+    global NTILE window — rides the two-phase ranked_ntile
+    (range-partitioned row index + NTILE's closed form, every
+    users-scale stage parallel).  The ONLY remaining unpartitioned
+    window is the qini cumulative over the 10-row decile table — kept
+    as a window deliberately because qini_cum sums DOUBLES in decile
+    order (a join-shaped rewrite would lose the cross-engine addition
+    order); its frame is 10 rows by construction, allowlisted as such."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -4193,14 +4240,9 @@ def events_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "converted",
         "user_id",
     )
-    deciled = per_user.select(
-        "treated",
-        "converted",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("score").desc(), "user_id"))
-        .cast("int")
-        .alias("decile"),
-    )
+    deciled = ranked_ntile(
+        per_user, [F.desc("score"), F.asc("user_id")], 10
+    ).select("treated", "converted", F.col("_tile").cast("int").alias("decile"))
     cells = deciled.groupBy("decile").agg(
         F.sum("treated").cast("long").alias("n_treat"),
         F.sum(1 - F.col("treated")).cast("long").alias("n_control"),

@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_aws_spark.catalog import load_table, register_views
-from etl_pipeline_aws_spark.functions.prefix import ranked_prefix_sum
+from etl_pipeline_aws_spark.functions.prefix import (
+    ranked_prefix_sum,
+    ranked_row_index,
+)
 from etl_pipeline_aws_spark.registry import query
 
 # KS two-sample: per-distinct-value counts -> cumulative counts -> the D
@@ -765,6 +768,18 @@ SELECT n1, n2,
 FROM folded
 """
 
+# Spark side stops at the per-value table (the KS exemplar pattern); the
+# cumulative pooled count rides the two-phase distributed prefix sum.
+_MWU_PER_VALUE_SPARK = """
+SELECT o_totalprice AS v,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS a,
+       CAST(COUNT(*) AS BIGINT) AS t
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+GROUP BY o_totalprice
+"""
+
 
 @query("stat_mann_whitney_u", oracle=_MWU_SQL)
 def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,11 +794,36 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     or .5 — representable, hash-stable).  U's identity U1+U2 = n1·n2 is
     pinned in tests.
 
-    Scale: same shape as stat_ks_two_sample — per-distinct-value
-    reduction then an ordered prefix sum over |distinct| rows; pre-bin
-    values at fact scale."""
+    Scale (r8 verdict ask #2, migrated off the unpartitioned-window
+    allowlist): same shape as stat_ks_two_sample — per-distinct-value
+    reduction, then the pooled cumulative count c_prev = cum_t - t rides
+    the two-phase ranked_prefix_sum (|distinct(o_totalprice)| grows with
+    the fact table, so the former global ordered window was a
+    single-task pinch); n1/n2 come exact from the offset fold so no
+    SUM() OVER () remains either.  The 2R1 fold and the closing
+    divisions are value-identical to the SQL text: both engines divide
+    the same exact BIGINTs."""
     register_views(spark, sf_dir)
-    return spark.sql(_MWU_SQL)
+    per_value = spark.sql(_MWU_PER_VALUE_SPARK)
+    ranked, totals = ranked_prefix_sum(per_value, [F.asc("v")], ["t", "a"])
+    n1 = int(totals["a"])
+    n2 = int(totals["t"]) - n1
+    folded = ranked.agg(
+        F.sum(
+            F.col("a")
+            * (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1)
+        )
+        .cast("long")
+        .alias("two_r1")
+    )
+    return folded.select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        (
+            (F.col("two_r1") - F.lit(n1 * (n1 + 1)).cast("long")).cast("double") / 2
+        ).alias("u1"),
+        F.lit(float(n1) * float(n2) / 2).alias("u_mean"),
+    )
 
 
 # ROC AUC: the Mann-Whitney rank machinery re-read as a classifier metric.
@@ -829,11 +869,43 @@ def stat_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     two divisions is BIGINT-exact and the divisions are shared IEEE
     formula text.
 
-    Scale: per-distinct-score reduction then an ordered prefix sum over
-    |distinct| rows — same shape as the KS/MWU family; pre-bin scores at
-    fact scale (the feature_quantile_binning pattern)."""
+    Scale (r8 verdict ask #2): per-distinct-score reduction, then the
+    pooled cumulative rides the two-phase ranked_prefix_sum — same
+    migrated shape as stat_mann_whitney_u (|distinct| grows with the
+    fact table); pre-bin scores at fact scale (the
+    feature_quantile_binning pattern)."""
     register_views(spark, sf_dir)
-    return spark.sql(_AUC_SQL)
+    per_value = spark.sql(
+        """
+        SELECT o_totalprice AS v,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+                        END) AS BIGINT) AS a,
+               CAST(COUNT(*) AS BIGINT) AS t
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        GROUP BY o_totalprice
+        """
+    )
+    ranked, totals = ranked_prefix_sum(per_value, [F.asc("v")], ["t", "a"])
+    n_pos = int(totals["a"])
+    n_neg = int(totals["t"]) - n_pos
+    folded = ranked.agg(
+        F.sum(
+            F.col("a")
+            * (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1)
+        )
+        .cast("long")
+        .alias("two_r_pos")
+    )
+    num = (F.col("two_r_pos") - F.lit(n_pos * (n_pos + 1)).cast("long")).cast(
+        "double"
+    )
+    return folded.select(
+        F.lit(n_pos).cast("long").alias("n_pos"),
+        F.lit(n_neg).cast("long").alias("n_neg"),
+        (num / F.lit((2 * float(n_pos)) * float(n_neg))).alias("auc"),
+        (num / F.lit(float(n_pos) * float(n_neg)) - 1).alias("gini"),
+    )
 
 
 # One-way ANOVA: exact decimal power sums per group; the cross-group sum
@@ -1048,30 +1120,34 @@ def stat_permutation_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PERM_SPARK)
 
 
-def _kendall_sql(unnest_expr: str) -> str:
-    """Shared Kendall tau-b text; per-dialect index generator (Spark
-    ``explode(sequence(...))``, DuckDB ``unnest(range(...))``) — the
-    Theil-Sen pair-generation rewrite that keeps i<j pair enumeration an
-    EQUI-join (no nested loop)."""
-    return f"""
-WITH monthly AS (
-    SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
-           CAST(COUNT(*) AS BIGINT) AS x,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
-    FROM orders
-    GROUP BY CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE)
-), idx AS (
-    SELECT CAST(ROW_NUMBER() OVER (ORDER BY m) - 1 AS BIGINT) AS i, x, y
-    FROM monthly
-), lefts AS (
+# Monthly (volume, revenue-cents) series shared by the Kendall/Spearman
+# rank-correlation pair — exact BIGINT x/y per month.
+_MONTHLY_XY = """
+SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+       CAST(COUNT(*) AS BIGINT) AS x,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+FROM orders
+GROUP BY CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE)
+"""
+
+
+def _kendall_tail(src: str, unnest_expr: str) -> str:
+    """Pair-census fragment over an indexed relation ``src`` with
+    columns (i, x, y), i = dense 0-based month index; per-dialect pair
+    generator (Spark ``explode(sequence(...))``, DuckDB
+    ``unnest(range(...))``) — the Theil-Sen pair-generation rewrite
+    that keeps i<j pair enumeration an EQUI-join (no nested loop).
+    Shared literal text between the oracle (src='idx' CTE) and the
+    Spark path (src=temp view over the two-phase row index)."""
+    return f"""lefts AS (
     SELECT i AS j, x AS xj, y AS yj, {unnest_expr} AS i_left
-    FROM idx WHERE i > 0
+    FROM {src} WHERE i > 0
 ), pairs AS (
     SELECT CASE WHEN (l.xj - r.x) * (l.yj - r.y) > 0 THEN 1 ELSE 0 END AS conc,
            CASE WHEN (l.xj - r.x) * (l.yj - r.y) < 0 THEN 1 ELSE 0 END AS disc,
            CASE WHEN l.xj = r.x THEN 1 ELSE 0 END AS tie_x,
            CASE WHEN l.yj = r.y THEN 1 ELSE 0 END AS tie_y
-    FROM lefts l JOIN idx r ON l.i_left = r.i
+    FROM lefts l JOIN {src} r ON l.i_left = r.i
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(SUM(conc) AS BIGINT) AS concordant,
@@ -1083,8 +1159,12 @@ FROM pairs
 """
 
 
-_KENDALL_ORACLE = _kendall_sql("unnest(range(0, i))")
-_KENDALL_SPARK = _kendall_sql("explode(sequence(CAST(0 AS BIGINT), i - 1))")
+_KENDALL_ORACLE = f"""
+WITH monthly AS ({_MONTHLY_XY}
+), idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY m) - 1 AS BIGINT) AS i, x, y
+    FROM monthly
+), {_kendall_tail("idx", "unnest(range(0, i))")}"""
 
 
 @query("stat_kendall_tau", oracle=_KENDALL_ORACLE)
@@ -1104,26 +1184,52 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum over tied groups of t(t-1)/2 — the textbook term, no group
     scan needed.
 
-    Scale: pair enumeration is the Theil-Sen explode+equi-join rewrite
-    — each month row j explodes to its j predecessors and hash-joins on
-    the index, so the plan carries a bounded O(months^2) pair stream
-    (~3k rows for 7 years) through a map-side-combined fold to 1 row.
-    The monthly reduction before it is the only fact-sized stage."""
+    Scale (r8 verdict ask #2): pair enumeration is the Theil-Sen
+    explode+equi-join rewrite — each month row j explodes to its j
+    predecessors and hash-joins on the index, so the plan carries a
+    bounded O(months^2) pair stream (~3k rows for 7 years) through a
+    map-side-combined fold to 1 row.  The dense 0-based index now comes
+    from the two-phase ranked_row_index (a prefix sum of ones) instead
+    of a global ROW_NUMBER window — the same code indexes an
+    arbitrary-cardinality series with no single-task stage; the
+    monthly reduction before it is the only fact-sized stage.  The
+    pair-census fragment is ONE shared SQL text (_kendall_tail) on
+    both engines."""
     register_views(spark, sf_dir)
-    return spark.sql(_KENDALL_SPARK)
+    monthly = spark.sql(_MONTHLY_XY)
+    idx_df, _n = ranked_row_index(monthly, [F.asc("m")])
+    idx_df.select(
+        (F.col("_idx") - 1).cast("long").alias("i"), "x", "y"
+    ).createOrReplaceTempView("_kendall_idx")
+    return spark.sql(
+        "WITH "
+        + _kendall_tail(
+            "_kendall_idx", "explode(sequence(CAST(0 AS BIGINT), i - 1))"
+        )
+    )
 
 
-# Spearman rho on the same two monthly series; identical text both engines.
-# Average ranks are carried DOUBLED (a = 2*rank_min + ties - 1 = an exact
-# BIGINT), and Pearson on ranks is scale-invariant, so every power sum is
-# integer-exact and rho is one closing IEEE formula.
-_SPEARMAN_SQL = """
-WITH monthly AS (
-    SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
-           CAST(COUNT(*) AS BIGINT) AS x,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
-    FROM orders
-    GROUP BY CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE)
+# Spearman rho on the same two monthly series.  Average ranks are carried
+# DOUBLED (a = 2*rank_min + ties - 1 = an exact BIGINT), and Pearson on
+# ranks is scale-invariant, so every power sum is integer-exact and rho is
+# one closing IEEE formula shared as literal text between both engines.
+
+
+def _spearman_closing(src: str) -> str:
+    """Closing rho formula over a 1-row sums relation (n, sx, sy, sxx,
+    syy, sxy) — one shared text for the oracle CTE and the Spark temp
+    view, so both engines run identical IEEE ops on identical BIGINTs."""
+    return f"""
+SELECT n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+              * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+FROM {src}
+"""
+
+
+_SPEARMAN_SQL = f"""
+WITH monthly AS ({_MONTHLY_XY}
 ), ranked AS (
     SELECT CAST(2 * RANK() OVER (ORDER BY x)
                 + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS ax,
@@ -1139,12 +1245,7 @@ WITH monthly AS (
            CAST(SUM(ax * ay) AS BIGINT) AS sxy
     FROM ranked
 )
-SELECT n,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-           / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
-              * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
-FROM sums
-"""
+{_spearman_closing("sums")}"""
 
 
 @query("stat_spearman_rho", oracle=_SPEARMAN_SQL)
@@ -1159,13 +1260,38 @@ def stat_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = 2*rank_min + ties - 1, an exact BIGINT (the same 2R trick as
     stat_mann_whitney_u), and Pearson is invariant to the affine map
     r -> 2r, so all five power sums are integer-exact and rho is one
-    shared IEEE closing formula.  No pair join at all — ranks come from
-    one window over the monthly table.
+    shared IEEE closing formula (_spearman_closing, literally the same
+    text on both engines).  No pair join at all.
 
-    Scale: monthly reduction (the only fact-sized stage) then two
-    windows over ~n_months rows and a 6-cell fold."""
+    Scale (r8 verdict ask #2): monthly reduction (the only fact-sized
+    stage); the tie-averaged ranks come from per-distinct-value counts
+    + the two-phase ranked_prefix_sum (a = 2·cum − t + 1, the MWU 2R
+    identity) joined back — the same SQL would rank VALUES at any
+    cardinality with no single-task window, which is the point of the
+    migration even though this instance's frame is month-bounded; then
+    a 6-cell fold."""
     register_views(spark, sf_dir)
-    return spark.sql(_SPEARMAN_SQL)
+    monthly = spark.sql(_MONTHLY_XY)
+
+    def midranks(col: str, alias: str) -> DataFrame:
+        pv = monthly.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("t"))
+        rk, _ = ranked_prefix_sum(pv, [F.asc(col)], ["t"])
+        return rk.select(
+            F.col(col),
+            (2 * F.col("cum_t") - F.col("t") + 1).cast("long").alias(alias),
+        )
+
+    joined = monthly.join(midranks("x", "ax"), "x").join(midranks("y", "ay"), "y")
+    sums = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ax").cast("long").alias("sx"),
+        F.sum("ay").cast("long").alias("sy"),
+        F.sum(F.col("ax") * F.col("ax")).cast("long").alias("sxx"),
+        F.sum(F.col("ay") * F.col("ay")).cast("long").alias("syy"),
+        F.sum(F.col("ax") * F.col("ay")).cast("long").alias("sxy"),
+    )
+    sums.createOrReplaceTempView("_spearman_sums")
+    return spark.sql(_spearman_closing("_spearman_sums"))
 
 
 def _km_sql(day_idx: str, idiv: str) -> str:
@@ -2715,12 +2841,47 @@ def stat_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     float until the single closing division); ties fall out by
     subtraction, cross-checkable against U = wins + ties/2.
 
-    Scale: one per-value reduction (|distinct| rows), one ordered
-    window over it, one 1-row fold — identical plan posture to
+    Scale (r8 verdict ask #2): one per-value reduction (|distinct|
+    rows, fact-growing), then the group-2 cumulative rides the
+    two-phase ranked_prefix_sum — identical migrated posture to
     stat_ks_two_sample, same pre-binning note at 100 TB
     cardinalities."""
     register_views(spark, sf_dir)
-    return spark.sql(_CLIFFS_SQL)
+    per_value = spark.sql(
+        """
+        SELECT o_totalprice AS v,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+                        END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0
+                        END) AS BIGINT) AS c2
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        GROUP BY o_totalprice
+        """
+    )
+    ranked, totals = ranked_prefix_sum(per_value, [F.asc("v")], ["c1", "c2"])
+    n1, n2 = int(totals["c1"]), int(totals["c2"])
+    folded = ranked.agg(
+        F.sum(F.col("c1") * (F.col("cum_c2") - F.col("c2")))
+        .cast("long")
+        .alias("wins"),
+        F.sum(F.col("c1") * (F.lit(n2).cast("long") - F.col("cum_c2")))
+        .cast("long")
+        .alias("losses"),
+    )
+    return folded.select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        "wins",
+        "losses",
+        (F.lit(n1 * n2).cast("long") - F.col("wins") - F.col("losses")).alias(
+            "ties"
+        ),
+        (
+            (F.col("wins") - F.col("losses")).cast("double")
+            / F.lit(float(n1) * float(n2))
+        ).alias("cliffs_delta"),
+    )
 
 
 # Kruskal-Wallis: doubled mid-ranks per pooled distinct value (exact
@@ -2731,29 +2892,56 @@ _KW_GROUPS = (
 )
 
 
-def _kruskal_sql() -> str:
-    cs = ", ".join(
+def _kw_per_value_cols() -> str:
+    return ", ".join(
         f"CAST(SUM(CASE WHEN g = {j} THEN 1 ELSE 0 END) AS BIGINT) AS c{j}"
         for j in range(len(_KW_GROUPS))
     )
+
+
+def _kw_g_case() -> str:
+    return " ".join(
+        f"WHEN o_orderpriority = '{p}' THEN {j}"
+        for j, p in enumerate(_KW_GROUPS)
+    )
+
+
+def _kruskal_closing(src: str) -> str:
+    """Closing H/H_tie formula over a 1-row folds relation with columns
+    (n, tie_sum, a0..a4, n0..n4) — ONE shared text for the DuckDB
+    oracle (src='folds' CTE) and the Spark path (src=temp view over the
+    two-phase fold), so both engines run the identical IEEE chain on
+    identical exact integers."""
+    sum_term = " + ".join(
+        f"CAST(a{j} AS DOUBLE) * CAST(a{j} AS DOUBLE) / CAST(n{j} AS DOUBLE)"
+        for j in range(len(_KW_GROUPS))
+    )
+    return f"""
+SELECT CAST({len(_KW_GROUPS)} AS BIGINT) AS k_groups,
+       n,
+       CAST({len(_KW_GROUPS) - 1} AS BIGINT) AS dof,
+       3e0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * ({sum_term})
+           - 3e0 * CAST(n + 1 AS DOUBLE) AS h_stat,
+       (3e0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * ({sum_term})
+           - 3e0 * CAST(n + 1 AS DOUBLE))
+       / (1e0 - CAST(tie_sum AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 - CAST(n AS DOUBLE))) AS h_tie_corrected
+FROM {src}
+"""
+
+
+def _kruskal_sql() -> str:
     rs = ", ".join(
         f"CAST(SUM(c{j} * a) AS BIGINT) AS a{j},"
         f" CAST(SUM(c{j}) AS BIGINT) AS n{j}"
         for j in range(len(_KW_GROUPS))
     )
-    sum_term = " + ".join(
-        f"CAST(a{j} AS DOUBLE) * CAST(a{j} AS DOUBLE) / CAST(n{j} AS DOUBLE)"
-        for j in range(len(_KW_GROUPS))
-    )
-    g_case = " ".join(
-        f"WHEN o_orderpriority = '{p}' THEN {j}"
-        for j, p in enumerate(_KW_GROUPS)
-    )
     return f"""
 WITH pts AS (
-    SELECT o_totalprice AS v, CASE {g_case} END AS g FROM orders
+    SELECT o_totalprice AS v, CASE {_kw_g_case()} END AS g FROM orders
 ), per_value AS (
-    SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt, {cs}
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt, {_kw_per_value_cols()}
     FROM pts GROUP BY v
 ), ranked AS (
     SELECT *,
@@ -2766,18 +2954,7 @@ WITH pts AS (
     SELECT MAX(n) AS n, CAST(SUM(tie3) AS BIGINT) AS tie_sum, {rs}
     FROM ranked
 )
-SELECT CAST({len(_KW_GROUPS)} AS BIGINT) AS k_groups,
-       n,
-       CAST({len(_KW_GROUPS) - 1} AS BIGINT) AS dof,
-       3e0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * ({sum_term})
-           - 3e0 * CAST(n + 1 AS DOUBLE) AS h_stat,
-       (3e0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * ({sum_term})
-           - 3e0 * CAST(n + 1 AS DOUBLE))
-       / (1e0 - CAST(tie_sum AS DOUBLE)
-              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                 - CAST(n AS DOUBLE))) AS h_tie_corrected
-FROM folds
-"""
+{_kruskal_closing("folds")}"""
 
 
 @query("stat_kruskal_wallis", oracle=_kruskal_sql())
@@ -2797,12 +2974,41 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain); ties correct by Σ(t³−t) — all integers until ONE shared
     closing expression.
 
-    Scale: one per-distinct-value reduction + one ordered window over
-    it (the stat_ks_two_sample posture, same 100 TB pre-binning note),
-    then a 1-row fold; group count is catalog-bounded so the
-    conditional-sum fan is literal columns, not a join."""
+    Scale (r8 verdict ask #2): one per-distinct-value reduction, then
+    the pooled cumulative rides the two-phase ranked_prefix_sum
+    (|distinct(o_totalprice)| grows with the fact table — the migrated
+    stat_ks_two_sample posture, same 100 TB pre-binning note), then a
+    1-row fold; group count is catalog-bounded so the conditional-sum
+    fan is literal columns, not a join.  The closing H chain is ONE
+    shared SQL text (_kruskal_closing) run over the fold on both
+    engines."""
     register_views(spark, sf_dir)
-    return spark.sql(_kruskal_sql())
+    per_value = spark.sql(
+        f"""
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt, {_kw_per_value_cols()}
+        FROM (SELECT o_totalprice AS v, CASE {_kw_g_case()} END AS g
+              FROM orders)
+        GROUP BY v
+        """
+    )
+    ranked, totals = ranked_prefix_sum(per_value, [F.asc("v")], ["cnt"])
+    n = int(totals["cnt"])
+    a = (2 * F.col("cum_cnt") - F.col("cnt") + 1).cast("long")
+    folds = ranked.withColumn("a", a).agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie_sum"),
+        *[
+            x
+            for j in range(len(_KW_GROUPS))
+            for x in (
+                F.sum(F.col(f"c{j}") * F.col("a")).cast("long").alias(f"a{j}"),
+                F.sum(F.col(f"c{j}")).cast("long").alias(f"n{j}"),
+            )
+        ],
+    ).withColumn("n", F.lit(n).cast("long"))
+    folds.createOrReplaceTempView("_kw_folds")
+    return spark.sql(_kruskal_closing("_kw_folds"))
 
 
 # --------------------------------------------------------------------------

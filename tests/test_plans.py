@@ -226,24 +226,26 @@ SWEEP_SKIP_MODULES = ("stream_queries", "source_queries", "multimodal", "observa
 # it is either rewritten (functions/prefix.py ranked_prefix_sum is the
 # drop-in two-phase replacement) or allowlisted here with a reason.
 _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
+    # r9: customer_lorenz_deciles, stat_auc_roc, stat_cliffs_delta,
+    # stat_kendall_tau, stat_kruskal_wallis, stat_mann_whitney_u,
+    # stat_spearman_rho migrated to the two-phase ranked_prefix_sum /
+    # ranked_ntile / ranked_row_index library and REMOVED from this list
+    # (their plans now carry no unpartitioned window at all);
+    # events_uplift_by_decile kept only its 10-row qini frame (family
+    # below).
     "ECDF family: |distinct(value)| frame; two-phase swap documented (implemented exemplar: stat_ks_two_sample)": (
-        "customer_lorenz_deciles",
         "embedding_quantization_error_histogram",
         "events_churn_hazard",
-        "events_uplift_by_decile",
         "ml_brier_decomposition",
         "orders_order_size_histogram",
-        "stat_auc_roc",
-        "stat_cliffs_delta",
         "stat_kaplan_meier",
-        "stat_kendall_tau",
-        "stat_kruskal_wallis",
-        "stat_mann_whitney_u",
         "stat_nelson_aalen",
         "stat_permutation_shift",
         "stat_process_capability",
-        "stat_spearman_rho",
         "stat_wilcoxon_signed_rank",
+    ),
+    "10-row decile frame by construction; kept as a window to preserve cross-engine double-addition order (see docstring)": (
+        "events_uplift_by_decile",
     ),
     "calendar-bounded day/month spine": (
         "events_anomaly_ensemble",

@@ -305,6 +305,8 @@ PROBE_QUERIES = [
     # round-8: two-phase prefix-sum rewrites + sample-bound planner
     "stat_ks_two_sample",
     "parts_abc_classification",
+    # round-9: two-phase migrations off the unpartitioned-window allowlist
+    "stat_mann_whitney_u",
     # round-8 new operators
     "customer_pareto_deciles",
     "events_value_ecdf_deciles",
