@@ -1957,3 +1957,161 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# dedup_exact_substring_spans — ExactSubstr removal candidates (Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better")
+# --------------------------------------------------------------------------
+
+ES_SPAN_K = 8  # tokens per exact-substring span (matches curation.SPAN_K)
+
+_ES_SPANS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source, tok,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+    FROM (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents
+    ) t WHERE tok <> ''
+), ntok AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM toks GROUP BY doc_id
+), spans AS (
+    SELECT a.doc_id, a.source, a.i,
+           MD5(string_agg(b.tok, ' ' ORDER BY b.i)) AS h
+    FROM toks a JOIN toks b
+      ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i < a.i + {ES_SPAN_K}
+    GROUP BY a.doc_id, a.source, a.i
+    HAVING COUNT(*) = {ES_SPAN_K}
+), span_docs AS (
+    SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM spans GROUP BY h
+), joined AS (
+    SELECT s.doc_id, s.source, s.i, d.df
+    FROM spans s JOIN span_docs d ON d.h = s.h
+), per_doc AS (
+    SELECT doc_id, source,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+    FROM joined GROUP BY doc_id, source
+), cov AS (
+    SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS covered_tokens
+    FROM (
+        SELECT doc_id, unnest(range(i, i + {ES_SPAN_K})) AS p
+        FROM joined WHERE df > 1
+    ) t GROUP BY doc_id
+)
+SELECT p.doc_id, p.source, n.n_tokens, p.n_spans, p.n_dup_spans,
+       c.covered_tokens,
+       CAST(c.covered_tokens * 1000000 // n.n_tokens AS BIGINT)
+           AS covered_ppm,
+       c.covered_tokens * 2 > n.n_tokens AS remove_candidate
+FROM per_doc p
+JOIN cov c ON c.doc_id = p.doc_id
+JOIN ntok n ON n.doc_id = p.doc_id
+WHERE p.n_dup_spans > 0
+"""
+
+
+@query("dedup_exact_substring_spans", oracle=_ES_SPANS_SQL)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup candidates (the public ExactSubstr shape of
+    Lee et al. 2022): every {ES_SPAN_K}-token rolling span is
+    fingerprinted; spans appearing in >= 2 DISTINCT documents are
+    duplicated text, and each affected document reports its duplicated
+    SPAN MASS — the count of token POSITIONS covered by at least one
+    shared span (the interval-union length the paper's suffix-array
+    pass computes), as exact ppm of the document, plus the
+    majority-coverage removal flag.  This PROMOTES the audit-level
+    text_memorization_span_mass (per-source census) to the actionable
+    per-document candidate list an ExactSubstr cleaning job consumes:
+    which docs, how much of each, cut-or-keep.
+
+    Determinism: span fingerprints are MD5 of the space-joined token
+    window (identical both engines); coverage is COUNT(DISTINCT
+    position) over the exploded [i, i+K) spans — exact integers end to
+    end; the ppm is integer floor division; the flag is exact integer
+    comparison.
+
+    Scale: span building is ROW-LOCAL (split once, fingerprint every
+    window by array slicing in one projection — the span-mass probe
+    lesson: the windowed self-join form measured 12x at 10x); df is one
+    span-hash groupBy (additive — salt at 100 TB, the standard
+    two-level fold); the df enrichment join is 1:1 per span occurrence
+    (NO pairwise posting join anywhere, so the winnowing hot-posting
+    cap is structurally unnecessary here — per-doc costs are linear in
+    doc length x {ES_SPAN_K}); coverage explodes each DUP span to its
+    {ES_SPAN_K} positions (bounded K-fanout of the dup subset only)
+    into a per-doc distinct count.  Output is |docs with any shared
+    span| rows.
+
+    Reference semantics: the C++/Rust suffix-array pipeline of
+    github.com/google-research/deduplicate-text-datasets re-expressed
+    as rolling-hash postings (no suffix array needed at fixed K)."""
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.select(
+        "doc_id",
+        "source",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("arr"),
+    ).persist()
+    k = ES_SPAN_K
+    spans = arrs.select(
+        "doc_id",
+        "source",
+        F.size("arr").cast("long").alias("n_tokens"),
+        F.explode(
+            F.when(
+                F.size("arr") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("arr") - (k - 1)),
+                    lambda i: F.struct(
+                        i.cast("long").alias("i"),
+                        F.md5(F.concat_ws(" ", F.slice("arr", i, k))).alias(
+                            "h"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<i:bigint,h:string>>"))
+        ).alias("s"),
+    ).select("doc_id", "source", "n_tokens", F.col("s.i").alias("i"), F.col("s.h").alias("h"))
+    span_docs = spans.groupBy("h").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    joined = spans.join(span_docs, "h").persist()
+    per_doc = joined.groupBy("doc_id", "source", "n_tokens").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_spans"),
+    )
+    cov = (
+        joined.filter(F.col("df") > 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (k - 1))).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").cast("long").alias("covered_tokens"))
+    )
+    return (
+        per_doc.filter(F.col("n_dup_spans") > 0)
+        .join(cov, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "n_spans",
+            "n_dup_spans",
+            "covered_tokens",
+            F.expr(
+                "CAST(covered_tokens * 1000000 DIV n_tokens AS BIGINT)"
+            ).alias("covered_ppm"),
+            (F.col("covered_tokens") * 2 > F.col("n_tokens")).alias(
+                "remove_candidate"
+            ),
+        )
+    )

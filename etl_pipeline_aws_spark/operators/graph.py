@@ -1730,6 +1730,14 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round); refusing to return possibly-wrong component labels"
         )
     edges.unpersist()
+    return _cc_size_histogram(spark, sf_dir, labels)
+
+
+def _cc_size_histogram(spark: SparkSession, sf_dir: str, labels: DataFrame) -> DataFrame:
+    """Component-size histogram + isolated-part accounting shared by the
+    localCheckpoint and bucketed-rounds CC variants (size-1 components =
+    parts never touching a supported edge, counted by broadcast
+    anti-join against the part dim)."""
     hist = (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("csize"))
@@ -1757,6 +1765,110 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(one)
     return out
+
+
+@query("graph_connected_components_bucketed", oracle=_CC_SQL)
+def graph_connected_components_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLUSTER-MODE connected components (r8 verdict ask #6): the
+    graph_pagerank_bucketed_rounds pattern applied to the CC loop.  The
+    edge table and every round's label state MATERIALIZE into bucketed,
+    sorted warehouse tables sharing one bucket count, so (a) the
+    round's dominant edge⋈label join — edges bucketed on dst, labels
+    bucketed on node — is EXCHANGE-FREE (SortMergeJoin over two
+    bucketed scans, plan-pinned in tests/test_round9_ops.py), and (b)
+    per-round state survives ANY executor loss, the preemptible-fleet
+    posture ARCHITECTURE.md prescribes where localCheckpoint state is
+    executor-pinned.  Same min-label + pointer-jumping arithmetic as
+    graph_connected_components (graph.py:1646), so both variants share
+    _CC_SQL and the cross-variant parity is itself a test; the same
+    hard 25-round convergence gate applies.  Cost model: +1 bucketed
+    table write per round (durability) against -1 exchange on the
+    edge-sized join; the nmin aggregation's shuffle and the pointer
+    jump's probe-side exchange remain — they are keyed on the AGGREGATED
+    label frame, node-sized, not edge-sized."""
+    from etl_pipeline_aws_spark.operators.scale import (
+        N_BUCKETS,
+        _sf_tag,
+        _write_bucketed,
+    )
+
+    tag = _sf_tag(sf_dir)
+    t_edges = f"b_cc_edges_{tag}"
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = co_occurrence_pairs(li, CC_MIN_SUPPORT, distinct_items=True)
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    )
+    _write_bucketed(spark, edges.repartition(N_BUCKETS, "dst"), t_edges, "dst")
+
+    def write_labels(df: DataFrame, table: str) -> None:
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
+        (
+            df.repartition(N_BUCKETS, "node")
+            .write.bucketBy(N_BUCKETS, "node")
+            .sortBy("node")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+
+    e_tbl = spark.table(t_edges)
+    write_labels(
+        e_tbl.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node")),
+        f"b_cc_labels_{tag}_0",
+    )
+    for i in range(25):
+        labels = spark.table(f"b_cc_labels_{tag}_{i % 2}")
+        e = spark.table(t_edges).hint("merge")
+        nmin = (
+            e.join(labels, e.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        cand = labels.join(nmin, "node", "left").select(
+            "node", F.least("label", F.coalesce("nmin", "label")).alias("label")
+        )
+        jumped = (
+            cand.join(
+                labels.select(
+                    F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+                ),
+                cand.label == F.col("jnode"),
+                "left",
+            )
+            .select(
+                "node",
+                F.least("label", F.coalesce("jlabel", "label")).alias("label"),
+            )
+        )
+        nxt_name = f"b_cc_labels_{tag}_{(i + 1) % 2}"
+        write_labels(jumped, nxt_name)
+        nxt = spark.table(nxt_name)
+        changed = (
+            nxt.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
+            final = nxt
+            break
+    else:
+        raise RuntimeError(
+            "graph_connected_components_bucketed: label propagation exhausted "
+            "its 25-round budget without converging; refusing to return "
+            "possibly-wrong component labels"
+        )
+    return _cc_size_histogram(spark, sf_dir, final)
 
 
 # --------------------------------------------------------------------------

@@ -37,6 +37,10 @@ HEAVY_ALLOWLIST = {
     "graph_pagerank_parts",  # 10 iterative rounds, 7-12 s cold
     "graph_pagerank_bucketed_rounds",  # +6 bucketed table writes: the
     # durability cost the cluster-mode demo deliberately pays per round
+    "graph_connected_components_bucketed",  # same cluster-mode trade as
+    # the bucketed pagerank: ~4 converge rounds x (bucketed state write +
+    # exchange-free edge join); ~20 s with the recursive-CTE oracle, the
+    # priced durability cost, not a plan defect (see its docstring)
     "graph_community_inequality",  # LP parent + Lorenz, volume-bound
     "embedding_kmeans_lloyd",  # unrolled Lloyd rounds oracle
     "embedding_cka_quantization",  # d² Gram trio via ordered folds on BOTH

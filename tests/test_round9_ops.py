@@ -90,3 +90,105 @@ def test_guard_rejects_decimal_output_schema(spark):
     )
     with pytest.raises(AssertionError, match="DecimalType"):
         compare(sdf, con, "SELECT 1 AS k, 2.5 AS v")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 operators: independent python recomputations
+# ---------------------------------------------------------------------------
+
+
+def _pq(table):
+    import pandas as pd
+
+    return pd.read_parquet(f"{SF_DIR}/{table}.parquet")
+
+
+def test_dedup_exact_substring_spans_matches_python(spark):
+    """Recompute the ExactSubstr candidate table from raw parquet with
+    plain python (no SQL on either engine): rolling K-token spans,
+    cross-doc duplicated spans, interval-union coverage per doc."""
+    import hashlib
+    from collections import defaultdict
+
+    from etl_pipeline_aws_spark.llm.dedup import ES_SPAN_K as K
+
+    engine.clear_caches(spark)
+    got = {
+        r.doc_id: r
+        for r in engine.all_queries()["dedup_exact_substring_spans"](
+            spark, SF_DIR
+        ).collect()
+    }
+    docs = _pq("documents")
+    spans = {}  # doc_id -> list of (start_i, hash)
+    ntok = {}
+    span_docs = defaultdict(set)
+    for _, row in docs.iterrows():
+        toks = [t for t in row.text.split(" ") if t != ""]
+        ntok[row.doc_id] = len(toks)
+        ss = []
+        for i in range(len(toks) - K + 1):
+            h = hashlib.md5(" ".join(toks[i : i + K]).encode()).hexdigest()
+            ss.append((i + 1, h))
+            span_docs[h].add(row.doc_id)
+        spans[row.doc_id] = ss
+    expected = {}
+    for _, row in docs.iterrows():
+        ss = spans[row.doc_id]
+        dup = [(i, h) for i, h in ss if len(span_docs[h]) > 1]
+        if not dup:
+            continue
+        covered = set()
+        for i, _h in dup:
+            covered.update(range(i, i + K))
+        expected[row.doc_id] = dict(
+            source=row.source,
+            n_tokens=ntok[row.doc_id],
+            n_spans=len(ss),
+            n_dup_spans=len(dup),
+            covered_tokens=len(covered),
+            covered_ppm=len(covered) * 1000000 // ntok[row.doc_id],
+            remove_candidate=len(covered) * 2 > ntok[row.doc_id],
+        )
+    assert set(got) == set(expected)
+    assert expected, "fixture has no duplicated spans — test is vacuous"
+    for doc_id, e in expected.items():
+        g = got[doc_id]
+        for field, v in e.items():
+            assert getattr(g, field) == v, (doc_id, field, getattr(g, field), v)
+
+
+def test_bucketed_cc_parity_and_exchange_free_round_join(spark):
+    """The bucketed-rounds CC variant must be value-identical to the
+    localCheckpoint twin, and the round's edge-label join must be
+    EXCHANGE-FREE over the bucketed tables (the cluster-mode claim,
+    pinned in a plan — the graph_pagerank_bucketed_rounds discipline)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_aws_spark.operators.scale import _sf_tag
+
+    engine.clear_caches(spark)
+    qs = engine.all_queries()
+    a = {
+        r.component_size: r.n_components
+        for r in qs["graph_connected_components_bucketed"](spark, SF_DIR).collect()
+    }
+    engine.clear_caches(spark)
+    b = {
+        r.component_size: r.n_components
+        for r in qs["graph_connected_components"](spark, SF_DIR).collect()
+    }
+    assert a == b and a
+    tag = _sf_tag(SF_DIR)
+    labels = spark.table(f"b_cc_labels_{tag}_0")
+    e = spark.table(f"b_cc_edges_{tag}").hint("merge")
+    plan = (
+        e.join(labels, e.dst == labels.node)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert not re.findall(r"Exchange", plan), plan

@@ -307,6 +307,8 @@ PROBE_QUERIES = [
     "parts_abc_classification",
     # round-9: two-phase migrations off the unpartitioned-window allowlist
     "stat_mann_whitney_u",
+    # round-9 new operators
+    "dedup_exact_substring_spans",
     # round-8 new operators
     "customer_pareto_deciles",
     "events_value_ecdf_deciles",
