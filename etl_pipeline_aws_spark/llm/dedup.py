@@ -1999,9 +1999,14 @@ WITH toks AS (
                AS n_dup_spans
     FROM joined GROUP BY doc_id, source
 ), cov AS (
-    SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS covered_tokens
+    -- interval-union length of the K-length dup spans per doc: sorted
+    -- starts telescope as min(start - prev_start, K), first span = K
+    SELECT doc_id, CAST(SUM(add_tok) AS BIGINT) AS covered_tokens
     FROM (
-        SELECT doc_id, unnest(range(i, i + {ES_SPAN_K})) AS p
+        SELECT doc_id,
+               COALESCE(LEAST(i - LAG(i) OVER (PARTITION BY doc_id
+                                               ORDER BY i),
+                              {ES_SPAN_K}), {ES_SPAN_K}) AS add_tok
         FROM joined WHERE df > 1
     ) t GROUP BY doc_id
 )
@@ -2044,10 +2049,13 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level fold); the df enrichment join is 1:1 per span occurrence
     (NO pairwise posting join anywhere, so the winnowing hot-posting
     cap is structurally unnecessary here — per-doc costs are linear in
-    doc length x {ES_SPAN_K}); coverage explodes each DUP span to its
-    {ES_SPAN_K} positions (bounded K-fanout of the dup subset only)
-    into a per-doc distinct count.  Output is |docs with any shared
-    span| rows.
+    doc length); coverage is the interval-union length of the K-length
+    dup spans, computed by the sorted-lag telescope min(i - prev, K)
+    under a PARTITION BY doc_id window (per-doc frame, no K-fanout —
+    the first cut exploded every dup span to its {ES_SPAN_K} positions
+    into a distinct count and probed 8.3x at 10x on a fully-duplicated
+    replica; the lag form re-probed flat).  Output is |docs with any
+    shared span| rows.
 
     Reference semantics: the C++/Rust suffix-array pipeline of
     github.com/google-research/deduplicate-text-datasets re-expressed
@@ -2088,14 +2096,20 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dup_spans"),
     )
+    from pyspark.sql.window import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
     cov = (
         joined.filter(F.col("df") > 1)
         .select(
             "doc_id",
-            F.explode(F.sequence(F.col("i"), F.col("i") + (k - 1))).alias("p"),
+            F.coalesce(
+                F.least(F.col("i") - F.lag("i").over(wdoc), F.lit(k)),
+                F.lit(k),
+            ).alias("add_tok"),
         )
         .groupBy("doc_id")
-        .agg(F.countDistinct("p").cast("long").alias("covered_tokens"))
+        .agg(F.sum("add_tok").cast("long").alias("covered_tokens"))
     )
     return (
         per_doc.filter(F.col("n_dup_spans") > 0)
