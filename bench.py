@@ -79,6 +79,11 @@ HEADLINE = [
     "geo_grid_radius_join",
     "graph_connected_components",
     "embedding_semdedup",
+    # round-9 flagship surface: ExactSubstr span dedup (row-local span
+    # build + sorted-lag interval union) and the rank family's two-phase
+    # migration exemplar (MWU now windowless end to end)
+    "dedup_exact_substring_spans",
+    "stat_mann_whitney_u",
 ]
 
 

@@ -2129,3 +2129,159 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_ES_E2E_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source, tok,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+    FROM (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents
+    ) t WHERE tok <> ''
+), ntok AS (
+    SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM toks GROUP BY doc_id, source
+), spans AS (
+    SELECT a.doc_id, a.i,
+           MD5(string_agg(b.tok, ' ' ORDER BY b.i)) AS h
+    FROM toks a JOIN toks b
+      ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i < a.i + {ES_SPAN_K}
+    GROUP BY a.doc_id, a.i
+    HAVING COUNT(*) = {ES_SPAN_K}
+), span_docs AS (
+    SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM spans GROUP BY h
+), dup AS (
+    SELECT s.doc_id, s.i
+    FROM spans s JOIN span_docs d ON d.h = s.h
+    WHERE d.df > 1
+), cov AS (
+    SELECT doc_id, CAST(SUM(add_tok) AS BIGINT) AS covered_tokens
+    FROM (
+        SELECT doc_id,
+               COALESCE(LEAST(i - LAG(i) OVER (PARTITION BY doc_id
+                                               ORDER BY i),
+                              {ES_SPAN_K}), {ES_SPAN_K}) AS add_tok
+        FROM dup
+    ) t GROUP BY doc_id
+), verdicts AS (
+    SELECT n.doc_id, n.source, n.n_tokens,
+           COALESCE(c.covered_tokens, 0) AS covered,
+           COALESCE(c.covered_tokens, 0) * 2 > n.n_tokens AS removed
+    FROM ntok n LEFT JOIN cov c ON c.doc_id = n.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN covered > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN removed THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_removed,
+       CAST(SUM(CASE WHEN NOT removed THEN covered ELSE 0 END) AS BIGINT)
+           AS tokens_trimmed,
+       CAST(SUM(n_tokens)
+            - SUM(CASE WHEN removed THEN n_tokens ELSE 0 END)
+            - SUM(CASE WHEN NOT removed THEN covered ELSE 0 END)
+            AS BIGINT) AS tokens_after
+FROM verdicts GROUP BY source
+"""
+
+
+@query("pipeline_exact_substring_e2e", oracle=_ES_E2E_SQL)
+def pipeline_exact_substring_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr CLEANING pipeline end-to-end, rolled up per
+    source: dedup_exact_substring_spans' candidate verdicts applied as
+    the Lee-et-al. policy a cleaning job runs — majority-duplicated
+    docs are REMOVED whole, partially-duplicated docs keep their unique
+    text and have the shared span mass TRIMMED — and the per-source
+    token ledger (total → removed → trimmed → surviving) that tells a
+    corpus owner what the dedup pass will actually cost per source
+    BEFORE committing it.  Composes the round's candidate operator the
+    way pipeline_dedup_e2e composes the MinHash tier.
+
+    Determinism/scale: identical span/coverage machinery to
+    dedup_exact_substring_spans (row-local span build, 1:1 df
+    enrichment, sorted-lag interval union under a per-doc window); the
+    verdict join is a doc-keyed left join of two doc-sized frames and
+    the rollup is map-side combinable.  All-token accounting includes
+    span-less short docs via the token-count reduction, not the span
+    table."""
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.select(
+        "doc_id",
+        "source",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("arr"),
+    ).persist()
+    k = ES_SPAN_K
+    ntok = arrs.select(
+        "doc_id", "source", F.size("arr").cast("long").alias("n_tokens")
+    )
+    spans = arrs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("arr") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("arr") - (k - 1)),
+                    lambda i: F.struct(
+                        i.cast("long").alias("i"),
+                        F.md5(F.concat_ws(" ", F.slice("arr", i, k))).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<i:bigint,h:string>>"))
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.h").alias("h"))
+    span_docs = spans.groupBy("h").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    dup = spans.join(span_docs, "h").filter(F.col("df") > 1).select("doc_id", "i")
+    from pyspark.sql.window import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    cov = (
+        dup.select(
+            "doc_id",
+            F.coalesce(
+                F.least(F.col("i") - F.lag("i").over(wdoc), F.lit(k)),
+                F.lit(k),
+            ).alias("add_tok"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("add_tok").cast("long").alias("covered_tokens"))
+    )
+    verdicts = ntok.join(cov, "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered"),
+        (
+            F.coalesce("covered_tokens", F.lit(0)) * 2 > F.col("n_tokens")
+        ).alias("removed"),
+    )
+    return verdicts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("covered") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("removed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum(F.when(F.col("removed"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_removed"),
+        F.sum(F.when(~F.col("removed"), F.col("covered")).otherwise(0))
+        .cast("long")
+        .alias("tokens_trimmed"),
+        (
+            F.sum("n_tokens")
+            - F.sum(F.when(F.col("removed"), F.col("n_tokens")).otherwise(0))
+            - F.sum(F.when(~F.col("removed"), F.col("covered")).otherwise(0))
+        )
+        .cast("long")
+        .alias("tokens_after"),
+    )

@@ -3786,3 +3786,504 @@ def stat_granger_causality_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     a |days|-bounded join and a 1-row fold."""
     register_views(spark, sf_dir)
     return spark.sql(_GRANGER_SPARK)
+
+
+# ===========================================================================
+# Round-9 additions — the rank/ECDF family completed on the two-phase
+# prefix-sum library (every fact-cardinality cumulative rides
+# ranked_prefix_sum; no unpartitioned window anywhere in this block).
+# ===========================================================================
+
+# Kuiper two-sample V: the rotation-invariant sibling of KS — V = D+ + D-,
+# equally sensitive to shifts in the tails and the middle (KS's single max
+# under-weights tail deviations that cancel at the center).
+_KUIPER_SQL = """
+WITH pts AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+           CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS g2
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), per_value AS (
+    SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
+    FROM pts GROUP BY v
+), cum AS (
+    SELECT
+        CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum1,
+        CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum2,
+        CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+        CAST(SUM(c2) OVER () AS BIGINT) AS n2
+    FROM per_value
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+       CAST(MAX(n2) AS BIGINT) AS n2,
+       CAST(MAX(cum1 * n2 - cum2 * n1) AS BIGINT) AS d_plus_num,
+       CAST(MAX(cum2 * n1 - cum1 * n2) AS BIGINT) AS d_minus_num,
+       (CAST(MAX(cum1 * n2 - cum2 * n1) AS DOUBLE)
+        + CAST(MAX(cum2 * n1 - cum1 * n2) AS DOUBLE))
+           / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)) AS kuiper_v
+FROM cum
+"""
+
+
+@query("stat_kuiper_two_sample", oracle=_KUIPER_SQL)
+def stat_kuiper_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper two-sample V between URGENT and LOW order totals — the
+    cyclic/tail-balanced member of the ECDF trio beside KS (max gap),
+    CvM (L2), AD (tail-weighted L2): V = D⁺ + D⁻ sums the largest
+    positive AND negative ECDF excursions, so a distribution that
+    crosses back (heavier in BOTH tails, lighter in the middle — the
+    classic variance shift KS half-misses) scores fully.
+
+    Exactness: both excursion maxima are maxima of the exact BIGINT
+    gap cum1·n2 − cum2·n1 (the stat_ks_two_sample numerator and its
+    negation); the single closing division is the only double op.  At
+    the last pooled value the gap is exactly 0, so both maxima are
+    >= 0 by construction.
+
+    Scale (the migrated-family posture): per-distinct-value reduction,
+    ECDF accumulation on the two-phase ranked_prefix_sum, two ordinary
+    parallel MAX folds; pre-bin values at fact scale."""
+    register_views(spark, sf_dir)
+    per_value = spark.sql(_KS_PER_VALUE_SPARK)
+    ranked, totals = ranked_prefix_sum(per_value, [F.asc("v")], ["c1", "c2"])
+    n1, n2 = int(totals["c1"]), int(totals["c2"])
+    gap = F.col("cum_c1") * F.lit(n2).cast("long") - F.col("cum_c2") * F.lit(
+        n1
+    ).cast("long")
+    folded = ranked.agg(
+        F.max(gap).cast("long").alias("d_plus_num"),
+        F.max(-gap).cast("long").alias("d_minus_num"),
+    )
+    return folded.select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        "d_plus_num",
+        "d_minus_num",
+        (
+            (F.col("d_plus_num").cast("double") + F.col("d_minus_num").cast("double"))
+            / F.lit(float(n1) * float(n2))
+        ).alias("kuiper_v"),
+    )
+
+
+# Wasserstein-1 (earth mover's) distance between the two spend
+# distributions, in cents: W1 = Σ_v |F1−F2|·Δv over consecutive pooled
+# distinct values — the integral form, exact integers until one closing
+# division.
+_W1_SQL = """
+WITH pts AS (
+    SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+           CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS g2
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), per_value AS (
+    SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
+    FROM pts GROUP BY v
+), cum AS (
+    SELECT v,
+        CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum1,
+        CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum2,
+        CAST(LEAD(v) OVER (ORDER BY v) AS BIGINT) AS v_next,
+        CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+        CAST(SUM(c2) OVER () AS BIGINT) AS n2
+    FROM per_value
+), terms AS (
+    SELECT n1, n2,
+           CAST(FLOOR(ABS(CAST(cum1 * n2 - cum2 * n1 AS DOUBLE))
+                      * CAST(v_next - v AS DOUBLE) / 1000000e0) AS BIGINT)
+               AS t_e6
+    FROM cum WHERE v_next IS NOT NULL
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+       CAST(MAX(n2) AS BIGINT) AS n2,
+       CAST(SUM(t_e6) AS DOUBLE) * 1000000e0
+           / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE))
+           AS w1_cents
+FROM terms
+"""
+
+
+@query("stat_wasserstein_1d", oracle=_W1_SQL)
+def stat_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance between URGENT and LOW
+    spend distributions, in CENTS — the effect-size companion the ECDF
+    test trio lacks: KS/CvM/AD say whether the distributions differ,
+    W1 says by HOW MUCH in the variable's own units (the average
+    dollars one distribution must move to become the other) — the
+    distribution-shift magnitude drift monitors alert on.
+
+    Form: W1 = Σ_v |F1(v)−F2(v)|·(v_next−v) over consecutive pooled
+    distinct cents values.  The gap numerator cum1·n2 − cum2·n1 is an
+    exact BIGINT; each |gap|·Δv product is ONE IEEE multiply of exact
+    integer operands FLOOR-scaled to e6 units (int64-safe: the
+    telescoped total is bounded by n1·n2·range/1e6 ≈ 4.5e18 even at
+    SF1000 — the Bartlett bound discipline), and the closing rescale/
+    divide is shared formula text.
+
+    Scale: per-distinct-value reduction; the ECDF accumulation AND the
+    consecutive-value pairing both ride the two-phase library — the
+    successor value comes from an equi-join on the two-phase row index
+    (idx+1), not a LEAD window; pre-bin at fact scale."""
+    register_views(spark, sf_dir)
+    per_value = spark.sql(
+        """
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+                        END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0
+                        END) AS BIGINT) AS c2
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        GROUP BY CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        """
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked, totals = ranked_prefix_sum(
+        per_value, [F.asc("v")], ["c1", "c2", "_one"]
+    )
+    n1, n2 = int(totals["c1"]), int(totals["c2"])
+    lhs = ranked.select(
+        F.col("cum__one").alias("i"),
+        "v",
+        (
+            F.col("cum_c1") * F.lit(n2).cast("long")
+            - F.col("cum_c2") * F.lit(n1).cast("long")
+        ).alias("gap"),
+    )
+    rhs = ranked.select(
+        (F.col("cum__one") - 1).alias("i"), F.col("v").alias("v_next")
+    )
+    terms = lhs.join(rhs, "i").select(
+        F.floor(
+            F.abs(F.col("gap").cast("double"))
+            * (F.col("v_next") - F.col("v")).cast("double")
+            / F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("t_e6")
+    )
+    return terms.agg(F.sum("t_e6").alias("_s")).select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        (
+            F.col("_s").cast("double")
+            * F.lit(1000000.0)
+            / F.lit(float(n1) * float(n2))
+        ).alias("w1_cents"),
+    )
+
+
+# Jonckheere–Terpstra ordered-alternative trend across the FIVE priority
+# groups (natural order 1-URGENT .. 5-LOW): JT = Σ_{g<h} U_gh, doubled for
+# tie half-credit so the whole fold is BIGINT.
+def _jt_closing(src: str) -> str:
+    """Closing JT/E/z formula over a 1-row relation (u2, n, n0..n4) —
+    one shared text for the oracle CTE and the Spark temp view.  z uses
+    the no-tie variance; the near-continuous price column makes the tie
+    correction negligible (documented in the operator docstring)."""
+    sq = " + ".join(
+        f"CAST(n{j} AS DOUBLE) * CAST(n{j} AS DOUBLE)" for j in range(5)
+    )
+    var_sub = " + ".join(
+        f"CAST(n{j} AS DOUBLE) * CAST(n{j} AS DOUBLE)"
+        f" * (2e0 * CAST(n{j} AS DOUBLE) + 3e0)"
+        for j in range(5)
+    )
+    return f"""
+SELECT n,
+       CAST(u2 AS DOUBLE) / 2e0 AS jt_stat,
+       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - ({sq})) / 4e0 AS jt_mean,
+       (CAST(u2 AS DOUBLE) / 2e0
+        - (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - ({sq})) / 4e0)
+       / SQRT((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * (2e0 * CAST(n AS DOUBLE) + 3e0)
+               - ({var_sub})) / 72e0) AS jt_z
+FROM {src}
+"""
+
+
+def _jt_u2_terms() -> str:
+    """Σ_{g<h} c_h·(2·(cum_g − c_g) + c_g) — the doubled pairwise
+    dominance contribution of one pooled distinct value."""
+    return " + ".join(
+        f"c{h} * (2 * (cum{g} - c{g}) + c{g})"
+        for g in range(5)
+        for h in range(g + 1, 5)
+    )
+
+
+_JT_ORACLE = f"""
+WITH pts AS (
+    SELECT o_totalprice AS v, CASE {{g_case}} END AS g FROM orders
+), per_value AS (
+    SELECT v, {{cs}}
+    FROM pts GROUP BY v
+), cum AS (
+    SELECT {{cum_cols}}
+    FROM per_value
+), folds AS (
+    SELECT CAST(SUM({_jt_u2_terms()}) AS BIGINT) AS u2,
+           {{fold_tot}}
+    FROM cum
+)
+{_jt_closing("folds")}"""
+
+
+def _jt_oracle() -> str:
+    cum_cols = ", ".join(
+        [f"c{j}" for j in range(5)]
+        + [
+            f"CAST(SUM(c{j}) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND CURRENT ROW) AS BIGINT) AS cum{j}"
+            for j in range(5)
+        ]
+    )
+    fold_tot = ", ".join(
+        [f"CAST(SUM(c{j}) AS BIGINT) AS n{j}" for j in range(5)]
+        + ["CAST(SUM(c0 + c1 + c2 + c3 + c4) AS BIGINT) AS n"]
+    )
+    return _JT_ORACLE.format(
+        g_case=_kw_g_case(), cs=_kw_per_value_cols(), cum_cols=cum_cols,
+        fold_tot=fold_tot,
+    )
+
+
+@query("stat_jonckheere_terpstra", oracle=_jt_oracle())
+def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra ordered-alternative test across all five
+    order priorities — the k-group trend sibling of Kruskal–Wallis: KW
+    asks "do ANY groups differ?"; JT asks the sharper monotone question
+    "does spend INCREASE along the priority order?" by summing the 10
+    pairwise Mann-Whitney U's in catalog order, which concentrates
+    power exactly where an ordered hypothesis lives (dose-response,
+    priority tiers, plan tiers).
+
+    Exactness: the doubled statistic 2·JT = Σ_v Σ_{g<h}
+    c_h·(2·(cum_g − c_g) + c_g) (ties at half credit — the MWU 2R
+    identity per group pair) folds as pure BIGINTs; mean and z close in
+    one shared formula text (_jt_closing) over exact integers.  z uses
+    the NO-TIE variance — on the near-continuous price column the tie
+    correction is below double ulp; for heavily tied data read jt_stat
+    against a permutation reference instead (stat_permutation_shift is
+    the template).
+
+    Scale: one per-distinct-value reduction carrying 5 group counts;
+    all five pooled cumulatives ride ONE two-phase ranked_prefix_sum
+    pass; the pairwise fan is 10 literal column products, not a join;
+    1-row fold + shared closing."""
+    register_views(spark, sf_dir)
+    per_value = spark.sql(
+        f"""
+        SELECT v, {_kw_per_value_cols()}
+        FROM (SELECT o_totalprice AS v, CASE {_kw_g_case()} END AS g
+              FROM orders)
+        GROUP BY v
+        """
+    )
+    ranked, totals = ranked_prefix_sum(
+        per_value, [F.asc("v")], [f"c{j}" for j in range(5)]
+    )
+    ns = [int(totals[f"c{j}"]) for j in range(5)]
+    u2_expr = None
+    for g in range(5):
+        for h in range(g + 1, 5):
+            term = F.col(f"c{h}") * (
+                2 * (F.col(f"cum_c{g}") - F.col(f"c{g}")) + F.col(f"c{g}")
+            )
+            u2_expr = term if u2_expr is None else u2_expr + term
+    folds = ranked.agg(F.sum(u2_expr).cast("long").alias("u2"))
+    for j, ng in enumerate(ns):
+        folds = folds.withColumn(f"n{j}", F.lit(ng).cast("long"))
+    folds = folds.withColumn("n", F.lit(sum(ns)).cast("long"))
+    folds.createOrReplaceTempView("_jt_folds")
+    return spark.sql(_jt_closing("_jt_folds"))
+
+
+# Brunner–Munzel: the heteroscedasticity-robust replacement for
+# Mann-Whitney (no equal-variance-of-rank assumption), all-integer rank
+# machinery until one shared closing chain.
+def _bm_closing(src: str) -> str:
+    """Closing Brunner–Munzel chain over a 1-row relation
+    (n1, n2, s1, q1, s2, q2): p̂, the W statistic, and the
+    Welch-Satterthwaite-style df.  S_g² = (q_g − s_g²/n_g)/(4(n_g−1))
+    in doubled-rank units; shared literal text on both engines."""
+    s1sq = (
+        "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n1 AS DOUBLE)) / (4e0 * (CAST(n1 AS DOUBLE) - 1e0))"
+    )
+    s2sq = (
+        "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " / CAST(n2 AS DOUBLE)) / (4e0 * (CAST(n2 AS DOUBLE) - 1e0))"
+    )
+    rbar_diff = (
+        "(CAST(s2 AS DOUBLE) + CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) + 1e0))"
+        " / (2e0 * CAST(n2 AS DOUBLE))"
+        " - (CAST(s1 AS DOUBLE) + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1e0))"
+        " / (2e0 * CAST(n1 AS DOUBLE))"
+    )
+    return f"""
+SELECT n1, n2,
+       (((CAST(s2 AS DOUBLE)
+          + CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) + 1e0))
+         / (2e0 * CAST(n2 AS DOUBLE)))
+        - (CAST(n2 AS DOUBLE) + 1e0) / 2e0) / CAST(n1 AS DOUBLE) AS p_hat,
+       CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * ({rbar_diff})
+           / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+           / SQRT(CAST(n1 AS DOUBLE) * ({s1sq})
+                  + CAST(n2 AS DOUBLE) * ({s2sq})) AS w_bm,
+       (CAST(n1 AS DOUBLE) * ({s1sq}) + CAST(n2 AS DOUBLE) * ({s2sq}))
+           * (CAST(n1 AS DOUBLE) * ({s1sq}) + CAST(n2 AS DOUBLE) * ({s2sq}))
+           / ((CAST(n1 AS DOUBLE) * ({s1sq}))
+                  * (CAST(n1 AS DOUBLE) * ({s1sq}))
+                  / (CAST(n1 AS DOUBLE) - 1e0)
+              + (CAST(n2 AS DOUBLE) * ({s2sq}))
+                  * (CAST(n2 AS DOUBLE) * ({s2sq}))
+                  / (CAST(n2 AS DOUBLE) - 1e0)) AS df_bm
+FROM {src}
+"""
+
+
+_BM_ORACLE = f"""
+WITH pts AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+           CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS g2
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), per_value AS (
+    SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
+    FROM pts GROUP BY v
+), cum AS (
+    SELECT c1, c2,
+        CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum1,
+        CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum2
+    FROM per_value
+), d AS (
+    SELECT c1, c2,
+           2 * (cum1 + cum2) - (c1 + c2) + 1
+               - (2 * cum1 - c1 + 1) AS d1,
+           2 * (cum1 + cum2) - (c1 + c2) + 1
+               - (2 * cum2 - c2 + 1) AS d2
+    FROM cum
+), folds AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+           CAST(SUM(c2) AS BIGINT) AS n2,
+           CAST(SUM(c1 * d1) AS BIGINT) AS s1,
+           CAST(SUM(c1 * d1 * d1) AS BIGINT) AS q1,
+           CAST(SUM(c2 * d2) AS BIGINT) AS s2,
+           CAST(SUM(c2 * d2 * d2) AS BIGINT) AS q2
+    FROM d
+)
+{_bm_closing("folds")}"""
+
+
+@query("stat_brunner_munzel", oracle=_BM_ORACLE)
+def stat_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner–Munzel test for URGENT-vs-LOW stochastic dominance — the
+    modern replacement for Mann-Whitney when the two spend
+    distributions may differ in SHAPE/VARIANCE, not just location (the
+    Behrens-Fisher situation in ranks, where MWU's variance formula is
+    wrong): p̂ = P(X₁<X₂) + ½P(X₁=X₂) with a studentized W whose
+    variance is estimated SEPARATELY per group from pooled-minus-
+    within rank deviations, plus the Welch-style df.
+
+    Exactness: with doubled midranks a (pooled) and b_g (within-group)
+    — both exact BIGINTs from the per-value cumulative — the deviation
+    d_g = a − b_g is an exact integer CONSTANT across a tied block, so
+    the per-group folds Σc_g·d_g and Σc_g·d_g² are pure BIGINT; p̂, W,
+    and df close in one shared formula text (_bm_closing).  Σb_g over
+    a group telescopes to n_g(n_g+1), which the closing uses to avoid
+    a second fold.  Int64 bound: Σc·d² <= 8N³ — exact to N ≈ 1e6
+    pooled rows; beyond that pre-bin values (the ECDF-family fence),
+    which caps d by bin count.
+
+    Scale: per-distinct-value reduction; BOTH cumulative passes (c1,
+    c2 — the pooled midrank is their sum) ride one two-phase
+    ranked_prefix_sum; 1-row fold + shared closing."""
+    register_views(spark, sf_dir)
+    per_value = spark.sql(_KS_PER_VALUE_SPARK)
+    ranked, totals = ranked_prefix_sum(per_value, [F.asc("v")], ["c1", "c2"])
+    n1, n2 = int(totals["c1"]), int(totals["c2"])
+    a = 2 * (F.col("cum_c1") + F.col("cum_c2")) - (
+        F.col("c1") + F.col("c2")
+    ) + 1
+    d1 = a - (2 * F.col("cum_c1") - F.col("c1") + 1)
+    d2 = a - (2 * F.col("cum_c2") - F.col("c2") + 1)
+    folds = (
+        ranked.agg(
+            F.sum(F.col("c1") * d1).cast("long").alias("s1"),
+            F.sum(F.col("c1") * d1 * d1).cast("long").alias("q1"),
+            F.sum(F.col("c2") * d2).cast("long").alias("s2"),
+            F.sum(F.col("c2") * d2 * d2).cast("long").alias("q2"),
+        )
+        .withColumn("n1", F.lit(n1).cast("long"))
+        .withColumn("n2", F.lit(n2).cast("long"))
+    )
+    folds.createOrReplaceTempView("_bm_folds")
+    return spark.sql(_bm_closing("_bm_folds"))
+
+
+# Grubbs' max-outlier statistic: G = max|x − x̄| / s — scalar-subquery
+# spelling (the Breusch-Pagan guard discipline), identical text on both
+# engines.
+_GRUBBS_SQL = """
+WITH pts AS (
+    SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+), sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS s,
+           CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                                / 1000000e0) AS BIGINT)) AS BIGINT) AS sxx_e6
+    FROM pts
+), dev AS (
+    SELECT c,
+           ABS(c * (SELECT n FROM sums) - (SELECT s FROM sums)) AS adev
+    FROM pts
+), mx AS (
+    SELECT CAST(MAX(adev) AS BIGINT) AS maxdev FROM dev
+)
+SELECT (SELECT n FROM sums) AS n,
+       (SELECT CAST(MIN(c) AS BIGINT) FROM dev
+        WHERE adev = (SELECT maxdev FROM mx)) AS suspect_cents,
+       CAST((SELECT maxdev FROM mx) AS DOUBLE)
+           / CAST((SELECT n FROM sums) AS DOUBLE)
+           / SQRT(((SELECT CAST(n AS DOUBLE) FROM sums)
+                       * (SELECT CAST(sxx_e6 AS DOUBLE) FROM sums) * 1000000e0
+                   - (SELECT CAST(s AS DOUBLE) FROM sums)
+                       * (SELECT CAST(s AS DOUBLE) FROM sums))
+                  / (SELECT CAST(n AS DOUBLE) FROM sums)
+                  / ((SELECT CAST(n AS DOUBLE) FROM sums) - 1e0)) AS g_stat
+FROM sums
+"""
+
+
+@query("stat_grubbs_max_outlier", oracle=_GRUBBS_SQL)
+def stat_grubbs_max_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test statistic for the single most extreme order total —
+    G = max|x−x̄|/s plus the suspect value itself — the "is my worst
+    point an outlier or just the tail?" gate that decides whether a
+    data-quality quarantine (agg_mad_outliers is the robust batch
+    sibling) or a legitimate heavy tail explains the extreme; classic
+    single-outlier QC for roughly-normal metrics.
+
+    Determinism: the deviation max rides n-SCALED integers
+    (|c·n − S| — the mean is never materialized, the Ljung-Box trick),
+    so the argmax and max are exact; tie on |deviation| breaks to the
+    SMALLEST cents value (MIN — both tails can tie only at equal
+    distance); the e6-scaled power sum is the Bartlett bound
+    discipline (int64 to ~3.7e9 rows); G closes in one shared IEEE
+    chain.
+
+    Scale: two fact-sized folds (the moment pass and the deviation
+    max) + one filtered argmax pass, all map-side-combinable partial
+    aggregates with the 1-row moments riding scalar subqueries — no
+    window, no join node, no sort."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GRUBBS_SQL)

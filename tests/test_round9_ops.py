@@ -192,3 +192,172 @@ def test_bucketed_cc_parity_and_exchange_free_round_join(spark):
     )
     assert "SortMergeJoin" in plan
     assert not re.findall(r"Exchange", plan), plan
+
+
+def _two_sample_prices():
+    orders = _pq("orders")
+    urg = orders[orders.o_orderpriority == "1-URGENT"].o_totalprice.to_numpy()
+    low = orders[orders.o_orderpriority == "5-LOW"].o_totalprice.to_numpy()
+    return urg, low
+
+
+def test_stat_kuiper_matches_numpy(spark):
+    import numpy as np
+
+    engine.clear_caches(spark)
+    row = (
+        engine.all_queries()["stat_kuiper_two_sample"](spark, SF_DIR)
+        .collect()[0]
+    )
+    urg, low = _two_sample_prices()
+    pooled = np.unique(np.concatenate([urg, low]))
+    f1 = np.searchsorted(np.sort(urg), pooled, side="right") / len(urg)
+    f2 = np.searchsorted(np.sort(low), pooled, side="right") / len(low)
+    d_plus = (f1 - f2).max()
+    d_minus = (f2 - f1).max()
+    assert row.n1 == len(urg) and row.n2 == len(low)
+    assert abs(row.kuiper_v - (d_plus + d_minus)) < 1e-9
+    assert row.d_plus_num >= 0 and row.d_minus_num >= 0
+
+
+def test_stat_wasserstein_matches_python(spark):
+    import math
+
+    import numpy as np
+
+    engine.clear_caches(spark)
+    row = engine.all_queries()["stat_wasserstein_1d"](spark, SF_DIR).collect()[0]
+    urg, low = _two_sample_prices()
+    c_urg = np.round(urg * 100).astype(np.int64)
+    c_low = np.round(low * 100).astype(np.int64)
+    pooled = np.unique(np.concatenate([c_urg, c_low]))
+    n1, n2 = len(c_urg), len(c_low)
+    cum1 = np.searchsorted(np.sort(c_urg), pooled, side="right")
+    cum2 = np.searchsorted(np.sort(c_low), pooled, side="right")
+    # mirror the operator's e6 per-term floor EXACTLY (same IEEE ops on the
+    # same integer operands) so the comparison is equality, not tolerance
+    total = 0
+    for i in range(len(pooled) - 1):
+        gap = int(cum1[i]) * n2 - int(cum2[i]) * n1
+        dv = int(pooled[i + 1]) - int(pooled[i])
+        total += math.floor(abs(float(gap)) * float(dv) / 1000000.0)
+    w1 = float(total) * 1000000.0 / (float(n1) * float(n2))
+    assert row.n1 == n1 and row.n2 == n2
+    assert row.w1_cents == w1
+    # sanity: W1 in cents is within the pooled value range
+    assert 0 <= row.w1_cents <= float(pooled[-1] - pooled[0])
+
+
+def test_stat_jonckheere_matches_numpy(spark):
+    import numpy as np
+
+    engine.clear_caches(spark)
+    row = (
+        engine.all_queries()["stat_jonckheere_terpstra"](spark, SF_DIR)
+        .collect()[0]
+    )
+    orders = _pq("orders")
+    prios = sorted(orders.o_orderpriority.unique())
+    groups = [
+        np.sort(orders[orders.o_orderpriority == p].o_totalprice.to_numpy())
+        for p in prios
+    ]
+    jt = 0.0
+    for g in range(5):
+        for h in range(g + 1, 5):
+            lo = np.searchsorted(groups[g], groups[h], side="left")
+            hi = np.searchsorted(groups[g], groups[h], side="right")
+            jt += lo.sum() + 0.5 * (hi - lo).sum()
+    ns = [len(g) for g in groups]
+    n = sum(ns)
+    mean = (n * n - sum(x * x for x in ns)) / 4.0
+    var = (
+        n * n * (2 * n + 3) - sum(x * x * (2 * x + 3) for x in ns)
+    ) / 72.0
+    z = (jt - mean) / var ** 0.5
+    assert row.n == n
+    assert abs(row.jt_stat - jt) < 1e-6 * max(1.0, jt)
+    assert abs(row.jt_mean - mean) < 1e-6 * max(1.0, mean)
+    assert abs(row.jt_z - z) < 1e-6 * max(1.0, abs(z))
+
+
+def test_stat_brunner_munzel_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    engine.clear_caches(spark)
+    row = engine.all_queries()["stat_brunner_munzel"](spark, SF_DIR).collect()[0]
+    urg, low = _two_sample_prices()
+    n1, n2 = len(urg), len(low)
+    pooled = pd.Series(np.concatenate([urg, low]))
+    r = pooled.rank(method="average").to_numpy()
+    r1, r2 = r[:n1], r[n1:]
+    w1 = pd.Series(urg).rank(method="average").to_numpy()
+    w2 = pd.Series(low).rank(method="average").to_numpy()
+    rb1, rb2 = r1.mean(), r2.mean()
+    s1 = ((r1 - w1 - rb1 + (n1 + 1) / 2) ** 2).sum() / (n1 - 1)
+    s2 = ((r2 - w2 - rb2 + (n2 + 1) / 2) ** 2).sum() / (n2 - 1)
+    w = n1 * n2 * (rb2 - rb1) / (n1 + n2) / np.sqrt(n1 * s1 + n2 * s2)
+    df = (n1 * s1 + n2 * s2) ** 2 / (
+        (n1 * s1) ** 2 / (n1 - 1) + (n2 * s2) ** 2 / (n2 - 1)
+    )
+    p_hat = (rb2 - (n2 + 1) / 2) / n1
+    assert row.n1 == n1 and row.n2 == n2
+    assert abs(row.p_hat - p_hat) < 1e-9
+    assert abs(row.w_bm - w) < 1e-6 * max(1.0, abs(w))
+    assert abs(row.df_bm - df) < 1e-6 * df
+    assert 0.0 <= row.p_hat <= 1.0
+
+
+def test_stat_grubbs_matches_numpy(spark):
+    import numpy as np
+
+    engine.clear_caches(spark)
+    row = (
+        engine.all_queries()["stat_grubbs_max_outlier"](spark, SF_DIR)
+        .collect()[0]
+    )
+    c = np.round(_pq("orders").o_totalprice.to_numpy() * 100).astype(np.int64)
+    n = len(c)
+    dev = np.abs(c * n - c.sum())
+    g = dev.max() / n / c.std(ddof=1)
+    suspects = c[dev == dev.max()]
+    assert row.n == n
+    assert row.suspect_cents == suspects.min()
+    assert abs(row.g_stat - g) < 1e-6 * g
+
+
+def test_pipeline_exact_substring_e2e_ledger_consistency(spark):
+    """Cross-operator consistency: the e2e per-source ledger must agree
+    with the candidate operator's per-doc rows, and the token ledger
+    must balance exactly."""
+    engine.clear_caches(spark)
+    qs = engine.all_queries()
+    cand = qs["dedup_exact_substring_spans"](spark, SF_DIR).collect()
+    engine.clear_caches(spark)
+    ledger = {r.source: r for r in
+              qs["pipeline_exact_substring_e2e"](spark, SF_DIR).collect()}
+    by_src = {}
+    for r in cand:
+        d = by_src.setdefault(r.source, dict(flagged=0, removed=0,
+                                             t_removed=0, t_trimmed=0))
+        d["flagged"] += 1
+        if r.remove_candidate:
+            d["removed"] += 1
+            d["t_removed"] += r.n_tokens
+        else:
+            d["t_trimmed"] += r.covered_tokens
+    for src, d in by_src.items():
+        e = ledger[src]
+        assert e.n_flagged == d["flagged"], src
+        assert e.n_removed == d["removed"], src
+        assert e.tokens_removed == d["t_removed"], src
+        assert e.tokens_trimmed == d["t_trimmed"], src
+        assert e.tokens_after == e.tokens_total - e.tokens_removed - e.tokens_trimmed
+    docs = _pq("documents")
+    for src, grp in docs.groupby("source"):
+        e = ledger[src]
+        assert e.n_docs == len(grp)
+        assert e.tokens_total == sum(
+            len([t for t in x.split(" ") if t != ""]) for x in grp.text
+        )
