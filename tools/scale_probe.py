@@ -309,6 +309,12 @@ PROBE_QUERIES = [
     "stat_mann_whitney_u",
     # round-9 new operators
     "dedup_exact_substring_spans",
+    "pipeline_exact_substring_e2e",
+    "stat_kuiper_two_sample",
+    "stat_wasserstein_1d",
+    "stat_jonckheere_terpstra",
+    "stat_brunner_munzel",
+    "stat_grubbs_max_outlier",
     # round-8 new operators
     "customer_pareto_deciles",
     "events_value_ecdf_deciles",
