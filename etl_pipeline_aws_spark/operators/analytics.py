@@ -6669,3 +6669,103 @@ def customer_bgnbd_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, no join."""
     register_views(spark, sf_dir)
     return spark.sql(_BGNBD_SPARK)
+
+
+# Split-conformal prediction interval for the daily-revenue trend model —
+# distribution-free coverage from an exact calibration-residual order
+# statistic; even/odd day-index split (the platform's leakage-safe parity
+# convention).
+def _conformal_sql(day_idx: str, idiv: str) -> str:
+    """Shared split-conformal text; per-dialect day-index and integer
+    division.  Fit = exact-integer normal equations on the calibration
+    half (the Chow/BP machinery); q_hat = the ceil((n+1)·0.9)-th
+    smallest calibration |residual| (exact order statistic — ties share
+    a value, so row_number tie order cannot change the selected
+    quantile); coverage = test-half share within ±q_hat, floor ppm."""
+    return f"""
+WITH daily AS (
+    SELECT CAST({day_idx} AS BIGINT) AS x,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+    FROM events WHERE value IS NOT NULL
+    GROUP BY CAST({day_idx} AS BIGINT)
+), cal AS (
+    SELECT x, y FROM daily WHERE x % 2 = 0
+), sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(x * y) AS BIGINT) AS sxy
+    FROM cal
+), fit AS (
+    SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+    FROM sums
+), calres AS (
+    SELECT ABS(CAST(y AS DOUBLE) - (SELECT a FROM fit)
+               - (SELECT b FROM fit) * CAST(x AS DOUBLE)) AS ar
+    FROM cal
+), kk AS (
+    SELECT LEAST(CAST(CEIL((CAST((SELECT n FROM sums) AS DOUBLE) + 1e0)
+                           * 0.9e0) AS BIGINT),
+                 (SELECT n FROM sums)) AS k
+), qhat AS (
+    SELECT ar AS q FROM (
+        SELECT ar, ROW_NUMBER() OVER (ORDER BY ar) AS rn FROM calres
+    ) t WHERE rn = (SELECT k FROM kk)
+), test AS (
+    SELECT ABS(CAST(y AS DOUBLE) - (SELECT a FROM fit)
+               - (SELECT b FROM fit) * CAST(x AS DOUBLE)) AS ar
+    FROM daily WHERE x % 2 <> 0
+)
+SELECT (SELECT n FROM sums) AS n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       (SELECT q FROM qhat) AS q_hat_cents,
+       CAST(900000 AS BIGINT) AS target_ppm,
+       CAST(SUM(CASE WHEN ar <= (SELECT q FROM qhat) THEN 1 ELSE 0 END)
+            * 1000000 {idiv} COUNT(*) AS BIGINT) AS coverage_ppm
+FROM test
+"""
+
+
+_CONF_ORACLE = _conformal_sql(
+    "DATEDIFF('DAY', DATE '2024-01-01', CAST(ts AS DATE))", "//"
+)
+_CONF_SPARK = _conformal_sql(
+    "DATEDIFF(CAST(ts AS DATE), DATE '2024-01-01')", "DIV"
+)
+
+
+@query("ml_conformal_daily_interval", oracle=_CONF_ORACLE)
+def ml_conformal_daily_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction interval for the daily-revenue trend
+    model — the distribution-free uncertainty wrapper the ML family
+    lacked: fit the OLS trend on the even-day calibration half, take
+    q̂ = the ceil((n+1)·0.9)-th smallest calibration |residual| (the
+    finite-sample-valid conformal quantile — NOT the asymptotic
+    normal band stat_residual_diagnostics would justify only under
+    normality), and report the held-out odd-day coverage of ±q̂.
+    Guarantees ≥90% marginal coverage under exchangeability alone —
+    the modern answer to "how wide should my forecast band be" that
+    ml_calibration_bins (probability calibration) and
+    stat_median_ci_orderstat (location CI) bracket but don't answer.
+
+    Determinism: the fit is the Chow/BP exact-integer normal-equation
+    machinery; every residual is one shared double chain; the order
+    statistic selects a VALUE (ties share it, so rank tie-order is
+    irrelevant); coverage is integer floor ppm.
+
+    Scale: daily rollup is the only fact-sized stage; the quantile
+    window orders |days| rows — calendar-bounded (the day-spine
+    allowlist family); everything else is scalar subqueries over
+    1-row folds."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CONF_SPARK)

@@ -1333,3 +1333,107 @@ def profile_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs.  The plan is still one shuffle round, no joins."""
     register_views(spark, sf_dir)
     return spark.sql(_DISTINCT_PROFILE_SQL)
+
+
+def _psi_closing(src: str) -> str:
+    """PSI + Jensen-Shannon closing over a bin-count relation
+    (bin, c1, c2): Laplace-smoothed proportions p=(c1+1)/(N1+B),
+    q=(c2+1)/(N2+B); each per-bin ln-term is ONE double chain over
+    exact integers rounded to DECIMAL(28,9) BEFORE the cross-bin sum
+    (the G-test/Bartlett LN discipline — raw double sums are
+    order-sensitive and banned), so the fold is exact decimal and the
+    rescale is shared text.  JSD uses ln, reported in NATS."""
+    p = (
+        f"((CAST(c1 AS DOUBLE) + 1e0)"
+        f" / (CAST((SELECT SUM(c1) FROM {src}) AS DOUBLE)"
+        f"    + CAST((SELECT COUNT(*) FROM {src}) AS DOUBLE)))"
+    )
+    q = (
+        f"((CAST(c2 AS DOUBLE) + 1e0)"
+        f" / (CAST((SELECT SUM(c2) FROM {src}) AS DOUBLE)"
+        f"    + CAST((SELECT COUNT(*) FROM {src}) AS DOUBLE)))"
+    )
+    return f"""
+SELECT CAST((SELECT SUM(c1) FROM {src}) AS BIGINT) AS n_baseline,
+       CAST((SELECT SUM(c2) FROM {src}) AS BIGINT) AS n_current,
+       CAST((SELECT COUNT(*) FROM {src}) AS BIGINT) AS n_bins,
+       CAST(SUM(CAST(ROUND(({p} - {q}) * LN({p} / {q}), 9)
+                     AS DECIMAL(28,9))) AS DOUBLE) AS psi,
+       CAST(SUM(CAST(ROUND(0.5e0 * {p} * LN(2e0 * {p} / ({p} + {q}))
+                           + 0.5e0 * {q} * LN(2e0 * {q} / ({p} + {q})),
+                           9) AS DECIMAL(28,9))) AS DOUBLE) AS jsd_nats
+FROM {src}
+"""
+
+
+_PSI_ORACLE = f"""
+WITH halves AS (
+    SELECT CASE WHEN o_orderdate < (SELECT MIN(o_orderdate)
+                                    + (MAX(o_orderdate) - MIN(o_orderdate)) / 2
+                                    FROM orders)
+                THEN 0 ELSE 1 END AS half,
+           CAST(FLOOR(o_totalprice / {_DRIFT_BIN}) AS BIGINT) AS bin
+    FROM orders
+), counts AS (
+    SELECT bin,
+           CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS c1,
+           CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS c2
+    FROM halves GROUP BY bin
+)
+{_psi_closing("counts")}"""
+
+
+@query("dq_psi_jsd_value_drift", oracle=_PSI_ORACLE)
+def dq_psi_jsd_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI and Jensen-Shannon divergence between the two data epochs —
+    the two drift metrics ML-monitoring dashboards actually alert on
+    (PSI with its 0.1/0.25 industry fences; JSD as the bounded,
+    symmetric alternative), completing the drift family beside
+    dq_distribution_drift's total variation: TV is the exact-integer
+    tier, PSI/JSD the log-scoring tier that weights tail bins TV
+    under-counts.  Same epochs, same fixed-width bins as the TV
+    operator, so the three numbers are directly comparable on one
+    dashboard.
+
+    Determinism: bins are Laplace-smoothed (+1 per bin — the standard
+    zero-bin fence, making every log argument a strictly positive
+    exact rational); each per-bin term is one shared double chain over
+    exact integers ROUNDED to DECIMAL(28,9) before the cross-bin sum —
+    the Bartlett/G-test LN discipline (engines may differ in ln's last
+    ulp; the fixed-scale rounding absorbs it except on rounding-
+    boundary knife edges, the accepted trade of that family).  The
+    closing text is literally shared between the oracle and a temp
+    view over the Spark-built bin table.
+
+    Scale: one scan building both histograms map-side (conditional
+    counts per bin), then a |bins|-sized fold — same posture as the TV
+    drift operator."""
+    o = load_table(spark, sf_dir, "orders")
+    mid = F.broadcast(
+        o.agg(
+            (
+                F.min("o_orderdate")
+                + (F.max("o_orderdate") - F.min("o_orderdate")) / 2
+            ).alias("mid")
+        )
+    )
+    counts = (
+        o.crossJoin(mid)
+        .select(
+            F.when(F.col("o_orderdate") < F.col("mid"), 0)
+            .otherwise(1)
+            .alias("half"),
+            F.floor(F.col("o_totalprice") / _DRIFT_BIN).cast("long").alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    counts.createOrReplaceTempView("_psi_counts")
+    return spark.sql(_psi_closing("_psi_counts"))

@@ -4287,3 +4287,179 @@ def stat_grubbs_max_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, no join node, no sort."""
     register_views(spark, sf_dir)
     return spark.sql(_GRUBBS_SQL)
+
+
+# Page's L trend test: the ORDERED sibling of the Friedman block design —
+# same complete-week blocks and within-week 2x-scaled average ranks, but
+# the alternative is a MONOTONE day-of-week trend, scored L = Σ_j j·R_j.
+_PAGE_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+           CAST(date_trunc('day', ts) AS DATE) AS dd,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+), complete AS (
+    SELECT wk FROM daily GROUP BY wk HAVING COUNT(*) = 7
+), ranked AS (
+    SELECT d.wk, date_diff('day', d.wk, d.dd) AS dow, d.cnt,
+           RANK() OVER (PARTITION BY d.wk ORDER BY d.cnt) AS rk,
+           COUNT(*) OVER (PARTITION BY d.wk, d.cnt) AS tie
+    FROM daily d JOIN complete c ON d.wk = c.wk
+), r2 AS (
+    SELECT dow, CAST(SUM(2 * rk + tie - 1) AS BIGINT) AS r2_sum
+    FROM ranked GROUP BY dow
+), agg AS (
+    SELECT CAST((SELECT COUNT(*) FROM complete) AS BIGINT) AS n_weeks,
+           CAST(SUM((dow + 1) * r2_sum) AS BIGINT) AS l2
+    FROM r2
+)
+SELECT n_weeks, CAST(7 AS BIGINT) AS k,
+       CAST(l2 AS DOUBLE) / 2e0 AS page_l,
+       CAST(n_weeks AS DOUBLE) * 7e0 * 8e0 * 8e0 / 4e0 AS page_mean,
+       (CAST(l2 AS DOUBLE) / 2e0
+        - CAST(n_weeks AS DOUBLE) * 7e0 * 8e0 * 8e0 / 4e0)
+       / SQRT(CAST(n_weeks AS DOUBLE) * 49e0 * 8e0 * 48e0 / 144e0)
+           AS page_z
+FROM agg
+"""
+
+
+@query("stat_page_trend_test", oracle=_PAGE_ORACLE)
+def stat_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test for a MONOTONE day-of-week drift in daily
+    event volume — the ordered-alternative sibling of stat_friedman_dow
+    exactly as stat_jonckheere_terpstra is Kruskal-Wallis's: Friedman
+    asks "does any weekday differ?", Page asks the sharper "does
+    volume trend Monday→Sunday?" by weighting each weekday's rank sum
+    with its position, L = Σ_j j·R_j — concentrated power when the
+    hypothesis IS an ordering (weekly ramp, decay after release day).
+
+    Exactness: reuses Friedman's complete-week blocks and 2x-scaled
+    integer average ranks (2·rank + ties − 1), so 2L folds as pure
+    BIGINT; mean n·k(k+1)²/4 and the no-tie z close in one shared
+    double chain (k = 7 literal: 8 = k+1, 49 = k², 48 = k²−1).
+
+    Scale: identical posture to stat_friedman_dow — fact-sized daily
+    rollup, 7-row-partition ranking windows, |dow| fold."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+        F.date_trunc("day", "ts").cast("date").alias("dd"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    complete = (
+        daily.groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") == 7)
+        .select("wk")
+    )
+    ranked = daily.join(complete, "wk").select(
+        "wk",
+        F.datediff(F.col("dd"), F.col("wk")).alias("dow"),
+        "cnt",
+        F.rank().over(Window.partitionBy("wk").orderBy("cnt")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("wk", "cnt")).alias("tie"),
+    )
+    r2 = ranked.groupBy("dow").agg(
+        F.sum(2 * F.col("rk") + F.col("tie") - 1).cast("long").alias("r2_sum")
+    )
+    agg = r2.agg(
+        F.sum((F.col("dow") + 1) * F.col("r2_sum")).cast("long").alias("l2")
+    ).withColumn(
+        "n_weeks", F.lit(complete.count()).cast("long")
+    )
+    agg.createOrReplaceTempView("_page_agg")
+    return spark.sql(
+        """
+SELECT n_weeks, CAST(7 AS BIGINT) AS k,
+       CAST(l2 AS DOUBLE) / 2e0 AS page_l,
+       CAST(n_weeks AS DOUBLE) * 7e0 * 8e0 * 8e0 / 4e0 AS page_mean,
+       (CAST(l2 AS DOUBLE) / 2e0
+        - CAST(n_weeks AS DOUBLE) * 7e0 * 8e0 * 8e0 / 4e0)
+       / SQRT(CAST(n_weeks AS DOUBLE) * 49e0 * 8e0 * 48e0 / 144e0)
+           AS page_z
+FROM _page_agg
+"""
+    )
+
+
+# Delete-1 jackknife over daily blocks for the revenue-per-event ratio —
+# the third member of the resampling family (bootstrap_se: counter-based
+# replicates; permutation_shift: label reshuffles; jackknife: exact
+# leave-one-block-out, no RNG at all).
+def _jackknife_sql(day_expr: str) -> str:
+    """Shared jackknife text; per-dialect day-truncation spelling.  The
+    leave-one-day-out ratios are exact-integer divisions; each is
+    ROUNDED to DECIMAL(28,12) before any cross-day sum (the chi-square
+    fold discipline), so both passes (mean of theta_i, then squared
+    deviations) are exact decimal folds with shared closing text."""
+    return f"""
+WITH daily AS (
+    SELECT {day_expr} AS d,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS r,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL GROUP BY {day_expr}
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(r) AS BIGINT) AS rt,
+           CAST(SUM(c) AS BIGINT) AS ct
+    FROM daily
+), theta AS (
+    SELECT CAST(ROUND(CAST((SELECT rt FROM tot) - r AS DOUBLE)
+                      / CAST((SELECT ct FROM tot) - c AS DOUBLE), 12)
+                AS DECIMAL(28,12)) AS t_i
+    FROM daily
+), tbar AS (
+    SELECT CAST(CAST(SUM(t_i) AS DOUBLE)
+                / CAST((SELECT n FROM tot) AS DOUBLE) AS DOUBLE) AS tb
+    FROM theta
+)
+SELECT (SELECT n FROM tot) AS n_days,
+       CAST((SELECT rt FROM tot) AS DOUBLE)
+           / CAST((SELECT ct FROM tot) AS DOUBLE) AS theta_hat,
+       CAST((SELECT n FROM tot) AS DOUBLE)
+           * (CAST((SELECT rt FROM tot) AS DOUBLE)
+              / CAST((SELECT ct FROM tot) AS DOUBLE))
+           - (CAST((SELECT n FROM tot) AS DOUBLE) - 1e0)
+               * (SELECT tb FROM tbar) AS theta_jack,
+       SQRT((CAST((SELECT n FROM tot) AS DOUBLE) - 1e0)
+            / CAST((SELECT n FROM tot) AS DOUBLE)
+            * CAST(SUM(CAST(ROUND((CAST(t_i AS DOUBLE) - (SELECT tb FROM tbar))
+                                  * (CAST(t_i AS DOUBLE) - (SELECT tb FROM tbar)),
+                                  12) AS DECIMAL(28,12))) AS DOUBLE))
+           AS se_jack
+FROM theta
+"""
+
+
+_JACK_ORACLE = _jackknife_sql("CAST(date_trunc('day', ts) AS DATE)")
+_JACK_SPARK = _jackknife_sql("CAST(date_trunc('DAY', ts) AS DATE)")
+
+
+@query("stat_jackknife_ratio_se", oracle=_JACK_ORACLE)
+def stat_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-1 jackknife standard error for the revenue-per-event
+    RATIO over daily blocks — the resampling family's third member
+    (stat_bootstrap_se resamples with a counter RNG,
+    stat_permutation_shift reshuffles labels; the jackknife is EXACT
+    and RNG-free: every leave-one-day-out estimate is computed, not
+    sampled), and the correct tool for a ratio estimator whose
+    plug-in variance formula (delta method) a dashboard shouldn't have
+    to derive.  Blocks are DAYS, not events, because events within a
+    day are dependent — the block jackknife is the honest unit.
+
+    Exactness: daily (revenue-cents, count) folds are exact integers;
+    each leave-one-out ratio θ_(i) is one double division of exact
+    integers ROUNDED to DECIMAL(28,12) before the cross-day folds
+    (both the mean pass and the squared-deviation pass — the
+    chi-square sum discipline), and the bias-corrected estimate and SE
+    close in shared formula text.
+
+    Scale: one map-side-combinable daily rollup (the only fact-sized
+    stage); the jackknife itself is |days|-bounded arithmetic with the
+    1-row totals riding scalar subqueries — leave-one-out WITHOUT
+    materializing n copies of the data, which is the entire point of
+    the identity θ_(i) = (R−r_i)/(C−c_i)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_JACK_SPARK)

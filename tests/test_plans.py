@@ -182,6 +182,7 @@ ALLOWED_NESTED_LOOP = {
     "embedding_pc2_deflation",  # same 1-row norm broadcast, twice (PC1 kernel reuse)
     "embedding_pc1_explained_variance",  # 1x1 join of two global folds (scale-free)
     "dq_distribution_drift",  # 1-row midpoint + totals broadcasts (q11 pattern)
+    "dq_psi_jsd_value_drift",  # r9: same 1-row midpoint broadcast (TV twin)
     "events_cusum_changepoint",  # 1-row (n_days, total) broadcast to the day spine (q11 pattern)
     "ml_linear_scoring",  # 1-row MAX(o_orderdate) anchor broadcast (q11 pattern)
     "subquery_not_in_null_aware",  # null-aware NOT IN REQUIRES BNLJ; blocklist is tiny by design
@@ -248,6 +249,7 @@ _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
         "events_uplift_by_decile",
     ),
     "calendar-bounded day/month spine": (
+        "ml_conformal_daily_interval",  # r9: |days|-row residual quantile
         "events_anomaly_ensemble",
         "events_bollinger_bands",
         "events_changepoint_binseg",

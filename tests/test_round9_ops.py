@@ -361,3 +361,124 @@ def test_pipeline_exact_substring_e2e_ledger_consistency(spark):
         assert e.tokens_total == sum(
             len([t for t in x.split(" ") if t != ""]) for x in grp.text
         )
+
+
+def test_dq_psi_jsd_matches_numpy(spark):
+    import numpy as np
+
+    engine.clear_caches(spark)
+    row = engine.all_queries()["dq_psi_jsd_value_drift"](spark, SF_DIR).collect()[0]
+    o = _pq("orders")
+    mid = o.o_orderdate.min() + (o.o_orderdate.max() - o.o_orderdate.min()) / 2
+    bins = np.floor(o.o_totalprice / 50000.0).astype(int)
+    early = o.o_orderdate < mid
+    keys = sorted(set(bins))
+    b = len(keys)
+    c1 = np.array([(early & (bins == k)).sum() for k in keys], dtype=float)
+    c2 = np.array([(~early & (bins == k)).sum() for k in keys], dtype=float)
+    p = (c1 + 1) / (c1.sum() + b)
+    q = (c2 + 1) / (c2.sum() + b)
+    psi = ((p - q) * np.log(p / q)).sum()
+    m = (p + q) / 2
+    jsd = 0.5 * (p * np.log(p / m)).sum() + 0.5 * (q * np.log(q / m)).sum()
+    assert row.n_bins == b
+    assert row.n_baseline == int(c1.sum()) and row.n_current == int(c2.sum())
+    # per-term DECIMAL(28,9) rounding bounds the absolute error by b·5e-10
+    assert abs(row.psi - psi) < b * 1e-9 + 1e-6 * abs(psi)
+    assert abs(row.jsd_nats - jsd) < b * 1e-9 + 1e-6 * abs(jsd)
+    assert 0.0 <= row.jsd_nats <= float(np.log(2)) + 1e-12
+
+
+def test_stat_page_trend_matches_python(spark):
+    from collections import defaultdict
+
+    import pandas as pd
+
+    engine.clear_caches(spark)
+    row = engine.all_queries()["stat_page_trend_test"](spark, SF_DIR).collect()[0]
+    ev = _pq("events")
+    daily = ev.groupby(ev.ts.dt.normalize()).size()
+    weeks = defaultdict(dict)
+    for day, cnt in daily.items():
+        wk = day - pd.Timedelta(days=day.weekday())
+        weeks[wk][day.weekday()] = cnt
+    complete = {wk: d for wk, d in weeks.items() if len(d) == 7}
+    n = len(complete)
+    l_sum = 0.0
+    for wk, d in complete.items():
+        ranks = pd.Series([d[j] for j in range(7)]).rank(method="average")
+        l_sum += sum((j + 1) * ranks[j] for j in range(7))
+    k = 7
+    mean = n * k * (k + 1) ** 2 / 4.0
+    var = n * k * k * (k + 1) * (k * k - 1) / 144.0
+    z = (l_sum - mean) / var ** 0.5
+    assert row.n_weeks == n and row.k == 7
+    assert abs(row.page_l - l_sum) < 1e-9
+    assert abs(row.page_mean - mean) < 1e-9
+    assert abs(row.page_z - z) < 1e-9
+
+
+def test_stat_jackknife_matches_python(spark):
+    import numpy as np
+
+    engine.clear_caches(spark)
+    row = engine.all_queries()["stat_jackknife_ratio_se"](spark, SF_DIR).collect()[0]
+    ev = _pq("events")
+    ev = ev[ev.value.notna()]
+    g = ev.groupby(ev.ts.dt.normalize())
+    r = np.round(
+        g.value.apply(lambda s: float(sum(round(v * 100) for v in np.round(s, 2))))
+    ).to_numpy()
+    c = g.size().to_numpy(dtype=float)
+    n = len(r)
+    rt, ct = r.sum(), c.sum()
+    theta = rt / ct
+    t_i = (rt - r) / (ct - c)
+    tbar = t_i.mean()
+    theta_jack = n * theta - (n - 1) * tbar
+    se = ((n - 1) / n * ((t_i - tbar) ** 2).sum()) ** 0.5
+    assert row.n_days == n
+    assert abs(row.theta_hat - theta) < 1e-9 * theta
+    assert abs(row.theta_jack - theta_jack) < 1e-6 * abs(theta_jack)
+    assert abs(row.se_jack - se) < 1e-6 * max(1e-9, se)
+
+
+def test_ml_conformal_matches_python(spark):
+    import numpy as np
+    import pandas as pd
+
+    engine.clear_caches(spark)
+    row = (
+        engine.all_queries()["ml_conformal_daily_interval"](spark, SF_DIR)
+        .collect()[0]
+    )
+    ev = _pq("events")
+    ev = ev[ev.value.notna()]
+    daily = (
+        pd.DataFrame(
+            {
+                "x": (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days,
+                "y": [float(round(v * 100)) for v in np.round(ev.value, 2)],
+            }
+        )
+        .groupby("x")["y"]
+        .sum()
+    )
+    x = daily.index.to_numpy(dtype=float)
+    y = daily.to_numpy(dtype=float)
+    cal = x % 2 == 0
+    xc, yc = x[cal], y[cal]
+    b = ((xc - xc.mean()) * (yc - yc.mean())).sum() / ((xc - xc.mean()) ** 2).sum()
+    a = yc.mean() - b * xc.mean()
+    ar_cal = np.sort(np.abs(yc - a - b * xc))
+    n_cal = len(xc)
+    k = min(int(np.ceil((n_cal + 1) * 0.9)), n_cal)
+    q = ar_cal[k - 1]
+    ar_test = np.abs(y[~cal] - a - b * x[~cal])
+    cov = int((ar_test <= q).sum()) * 1000000 // len(ar_test)
+    assert row.n_cal == n_cal and row.n_test == len(ar_test)
+    assert abs(row.q_hat_cents - q) < 1e-6 * max(1.0, q)
+    assert row.coverage_ppm == cov
+    # the conformal guarantee is >= target minus finite-sample slack;
+    # assert the band is at least NEAR nominal on held-out days
+    assert row.coverage_ppm >= 800000

@@ -315,6 +315,10 @@ PROBE_QUERIES = [
     "stat_jonckheere_terpstra",
     "stat_brunner_munzel",
     "stat_grubbs_max_outlier",
+    "dq_psi_jsd_value_drift",
+    "stat_page_trend_test",
+    "stat_jackknife_ratio_se",
+    "ml_conformal_daily_interval",
     # round-8 new operators
     "customer_pareto_deciles",
     "events_value_ecdf_deciles",
