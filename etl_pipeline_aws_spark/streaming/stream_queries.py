@@ -2044,3 +2044,86 @@ def stream_geo_fence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events_in_fence")
     )
     return _run_to_memory(agg, "complete")
+
+
+_STREAM_PSI_ORACLE_TMPL = """
+WITH bounds AS (
+    SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS dmin,
+           CAST(MAX(CAST(ts AS DATE)) AS DATE) AS dmax
+    FROM events
+), halves AS (
+    SELECT CASE WHEN CAST(ts AS DATE) <
+                     (SELECT dmin + CAST((dmax - dmin) // 2 AS INTEGER)
+                      FROM bounds)
+                THEN 0 ELSE 1 END AS half,
+           CAST(FLOOR(CAST(value AS DOUBLE) / 5e0) AS BIGINT) AS bin
+    FROM events WHERE value IS NOT NULL
+), counts AS (
+    SELECT bin,
+           CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS c1,
+           CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS c2
+    FROM halves GROUP BY bin
+)
+{closing}"""
+
+
+def _stream_psi_oracle() -> str:
+    from etl_pipeline_aws_spark.operators.quality import _psi_closing
+
+    return _STREAM_PSI_ORACLE_TMPL.format(closing=_psi_closing("counts"))
+
+
+@query("stream_psi_drift_monitor", oracle=_stream_psi_oracle())
+def stream_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9 drift pair (PSI + Jensen-Shannon, dq_psi_jsd_value_drift)
+    as a LIVE monitor: the streamed stage maintains the per-(epoch,
+    value-bin) histogram — the only fact-sized state, keyed by a
+    bounded (2 × |bins|) composite — and the log-scoring closing runs
+    on the materialized sink exactly as the batch operator runs it on
+    its bin view (literally the same _psi_closing text, so stream and
+    batch tiers cannot drift apart).  Epochs split at the integer
+    midpoint DATE of the observed range (exact day arithmetic on both
+    engines — no sub-second interval halving at the boundary), the
+    baseline-vs-current shape every production drift alarm maintains
+    incrementally.
+
+    The oracle recomputes the WHOLE thing in batch SQL, so the
+    availableNow run certifies stream/batch parity end to end
+    (the stream_geo_fence_counts discipline).
+
+    Scale: streamed state is |bins|-bounded regardless of event
+    volume; the closing is a |bins|-row fold on the sink."""
+    from etl_pipeline_aws_spark.operators.quality import _psi_closing
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    b = ev_batch.agg(
+        F.min(F.col("ts").cast("date")).alias("dmin"),
+        F.max(F.col("ts").cast("date")).alias("dmax"),
+    ).collect()[0]  # bounded driver action: 1 row of calendar metadata
+    n_days = (b.dmax - b.dmin).days
+    import datetime
+
+    mid = b.dmin + datetime.timedelta(days=n_days // 2)
+    ev = read_events_stream(spark, sf_dir)
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            F.when(F.col("ts").cast("date") < F.lit(mid), 0)
+            .otherwise(1)
+            .alias("half"),
+            F.floor(F.col("value").cast("double") / 5.0).cast("long").alias("bin"),
+        )
+        .groupBy("half", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    sink = _run_to_memory(counts, "complete")
+    pivoted = sink.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    pivoted.createOrReplaceTempView("_stream_psi_counts")
+    return spark.sql(_psi_closing("_stream_psi_counts"))
