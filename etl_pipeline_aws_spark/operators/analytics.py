@@ -6054,35 +6054,22 @@ def orders_receivable_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _brier_sql(idiv: str) -> str:
-    """Shared Brier-decomposition text; integer division per dialect."""
-    return f"""
-WITH pts AS (
-    SELECT o_totalprice AS v,
-           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
-    FROM orders
-), per_value AS (
-    SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(SUM(label) AS BIGINT) AS pos
-    FROM pts GROUP BY v
-), cum AS (
-    SELECT cnt, pos,
-           CAST(2 * SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
-                PRECEDING AND CURRENT ROW) - cnt AS BIGINT) AS fnum,
-           CAST(SUM(cnt) OVER () AS BIGINT) AS n
-    FROM per_value
-), binned AS (
-    SELECT CAST((fnum * 10) {idiv} (2 * n) + 1 AS BIGINT) AS bin,
-           CAST(SUM(cnt) AS BIGINT) AS n_k,
-           CAST(SUM(pos) AS BIGINT) AS pos_k,
-           CAST(SUM(cnt * fnum) AS BIGINT) AS fn_k,
-           MAX(n) AS n
-    FROM cum GROUP BY CAST((fnum * 10) {idiv} (2 * n) + 1 AS BIGINT)
-), grand AS (
-    SELECT bin, n_k, pos_k, fn_k, n,
-           CAST(SUM(pos_k) OVER () AS BIGINT) AS p
-    FROM binned
-), terms AS (
+def _brier_per_value_sql() -> str:
+    return """
+SELECT o_totalprice AS v,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS pos
+FROM orders GROUP BY o_totalprice
+"""
+
+
+def _brier_closing(src: str) -> str:
+    """Murphy-decomposition terms + fold over a binned relation
+    (bin, n_k, pos_k, fn_k, n, p) — one shared text for the oracle CTE
+    and the Spark temp view over the two-phase fold (CTE-continuation
+    form — prepend WITH or a preceding CTE list)."""
+    return f"""terms AS (
     SELECT n, p,
            CAST(FLOOR(CAST(n_k AS DOUBLE)
                 * (CAST(pos_k AS DOUBLE) / CAST(n_k AS DOUBLE)
@@ -6109,7 +6096,7 @@ WITH pts AS (
                   * (CAST(fn_k AS DOUBLE)
                      / (2e0 * CAST(n AS DOUBLE) * CAST(n_k AS DOUBLE))))
                 / CAST(n AS DOUBLE) * 1000000000000e0) AS BIGINT) AS brier_e12
-    FROM grand
+    FROM {src}
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
        MAX(n) AS n,
@@ -6123,8 +6110,30 @@ FROM terms
 """
 
 
-_BRIER_ORACLE = _brier_sql("//")
-_BRIER_SPARK = _brier_sql("DIV")
+def _brier_oracle() -> str:
+    return f"""
+WITH per_value AS ({_brier_per_value_sql()}
+), cum AS (
+    SELECT cnt, pos,
+           CAST(2 * SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) - cnt AS BIGINT) AS fnum,
+           CAST(SUM(cnt) OVER () AS BIGINT) AS n
+    FROM per_value
+), binned AS (
+    SELECT CAST((fnum * 10) // (2 * n) + 1 AS BIGINT) AS bin,
+           CAST(SUM(cnt) AS BIGINT) AS n_k,
+           CAST(SUM(pos) AS BIGINT) AS pos_k,
+           CAST(SUM(cnt * fnum) AS BIGINT) AS fn_k,
+           MAX(n) AS n
+    FROM cum GROUP BY CAST((fnum * 10) // (2 * n) + 1 AS BIGINT)
+), grand AS (
+    SELECT bin, n_k, pos_k, fn_k, n,
+           CAST(SUM(pos_k) OVER () AS BIGINT) AS p
+    FROM binned
+), {_brier_closing("grand")}"""
+
+
+_BRIER_ORACLE = _brier_oracle()
 
 
 @query("ml_brier_decomposition", oracle=_BRIER_ORACLE)
@@ -6148,12 +6157,33 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decomposition identity holds to ≤ n_bins ulp-floors and the
     driver hash is stable.
 
-    Scale: one fact-sized per-value reduction; the ordered window runs
-    over |distinct scores| (bin first at 100 TB cardinalities — the
-    stat_ks_two_sample note applies verbatim); ten-row tail.  No
-    join."""
+    Scale (r9, migrated off the unpartitioned-window allowlist): one
+    fact-sized per-value reduction; the mid-rank cumulative — the
+    fact-growing |distinct scores| frame — rides the two-phase
+    ranked_prefix_sum, with n and the positive total p coming exact
+    from the offset fold (so the former SUM() OVER () stages are gone
+    entirely); the decile fold and the shared closing text
+    (_brier_closing) run on ten rows.  No join."""
     register_views(spark, sf_dir)
-    return spark.sql(_BRIER_SPARK)
+    per_value = spark.sql(_brier_per_value_sql())
+    ranked, totals = ranked_prefix_sum(per_value, [F.asc("v")], ["cnt", "pos"])
+    n, p = int(totals["cnt"]), int(totals["pos"])
+    fnum = (2 * F.col("cum_cnt") - F.col("cnt")).cast("long")
+    binned = (
+        ranked.select(fnum.alias("fnum"), "cnt", "pos")
+        .groupBy(
+            F.expr(f"CAST((fnum * 10) DIV (2 * {n}) + 1 AS BIGINT)").alias("bin")
+        )
+        .agg(
+            F.sum("cnt").cast("long").alias("n_k"),
+            F.sum("pos").cast("long").alias("pos_k"),
+            F.sum(F.col("cnt") * F.col("fnum")).cast("long").alias("fn_k"),
+        )
+        .withColumn("n", F.lit(n).cast("long"))
+        .withColumn("p", F.lit(p).cast("long"))
+    )
+    binned.createOrReplaceTempView("_brier_binned")
+    return spark.sql("WITH " + _brier_closing("_brier_binned"))
 
 
 # --------------------------------------------------------------------------

@@ -1687,30 +1687,48 @@ def stat_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_BOOT_SPARK)
 
 
-def _wilcoxon_sql(day_idx: str, idiv: str) -> str:
-    """Shared Wilcoxon signed-rank text; epoch-day and integer-division
-    spellings per dialect."""
+def _wilcoxon_by_abs_sql(day_idx: str, idiv: str) -> str:
+    """Shared Wilcoxon per-|diff| reduction; epoch-day and integer-
+    division spellings per dialect.  The epoch midpoint rides a scalar
+    subquery (the Breusch-Pagan guard discipline) instead of the former
+    fact-sized MIN/MAX OVER () windows."""
     return f"""
 WITH e AS (
     SELECT user_id, {day_idx} AS d,
            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
     FROM events
-), b AS (
-    SELECT user_id, d, cents,
-           (MIN(d) OVER () + MAX(d) OVER ()) {idiv} 2 AS mid
-    FROM e
 ), per_user AS (
     SELECT user_id,
-           CAST(SUM(CASE WHEN d > mid THEN cents ELSE 0 END)
-                - SUM(CASE WHEN d <= mid THEN cents ELSE 0 END) AS BIGINT) AS diff
-    FROM b GROUP BY user_id
-), diffs AS (
-    SELECT diff FROM per_user WHERE diff <> 0
-), by_abs AS (
-    SELECT ABS(diff) AS ad,
-           CAST(COUNT(*) AS BIGINT) AS t,
-           CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
-    FROM diffs GROUP BY ABS(diff)
+           CAST(SUM(CASE WHEN d > (SELECT (MIN(d) + MAX(d)) {idiv} 2 FROM e)
+                         THEN cents ELSE 0 END)
+                - SUM(CASE WHEN d <= (SELECT (MIN(d) + MAX(d)) {idiv} 2
+                                      FROM e)
+                           THEN cents ELSE 0 END) AS BIGINT) AS diff
+    FROM e GROUP BY user_id
+)
+SELECT ABS(diff) AS ad,
+       CAST(COUNT(*) AS BIGINT) AS t,
+       CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+FROM per_user WHERE diff <> 0 GROUP BY ABS(diff)
+"""
+
+
+def _wilcoxon_closing(src: str) -> str:
+    """Closing z over a 1-row folds relation (n, n_pos, two_w_plus,
+    tie_cubes) — shared text between the oracle CTE and the Spark temp
+    view over the two-phase fold."""
+    return f"""
+SELECT n, n_pos, two_w_plus, tie_cubes,
+       CAST(2 * two_w_plus - n * (n + 1) AS DOUBLE)
+           / (4 * SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+                       - CAST(tie_cubes AS DOUBLE) / 48.0)) AS z_stat
+FROM {src}
+"""
+
+
+_WILCOXON_ORACLE = f"""
+WITH by_abs AS ({_wilcoxon_by_abs_sql(
+    "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))", "//")}
 ), ranked AS (
     SELECT ad, t, pos,
            COALESCE(SUM(t) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING
@@ -1723,18 +1741,7 @@ WITH e AS (
            CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cubes
     FROM ranked
 )
-SELECT n, n_pos, two_w_plus, tie_cubes,
-       CAST(2 * two_w_plus - n * (n + 1) AS DOUBLE)
-           / (4 * SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
-                       - CAST(tie_cubes AS DOUBLE) / 48.0)) AS z_stat
-FROM folded
-"""
-
-
-_WILCOXON_ORACLE = _wilcoxon_sql(
-    "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))", "//"
-)
-_WILCOXON_SPARK = _wilcoxon_sql("UNIX_DATE(CAST(ts AS DATE))", "DIV")
+{_wilcoxon_closing("folded")}"""
 
 
 @query("stat_wilcoxon_signed_rank", oracle=_WILCOXON_ORACLE)
@@ -1755,11 +1762,31 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((2*two_w_plus - n(n+1)) / (4*sigma) — the doubled-numerator form
     that never materializes the .25-step mean).
 
-    Scale: per-user reduction, then |distinct |d|| rows through one
-    ordered prefix window — the stat_mann_whitney_u shape, pre-bin at
-    fact scale."""
+    Scale (r9, migrated off the unpartitioned-window allowlist): the
+    epoch midpoint rides a scalar subquery (no fact-sized MIN/MAX
+    OVER ()); the |distinct |d|| cumulative — fact-growing for cent
+    diffs — rides the two-phase ranked_prefix_sum, the migrated
+    stat_mann_whitney_u shape; pre-bin at fact scale."""
     register_views(spark, sf_dir)
-    return spark.sql(_WILCOXON_SPARK)
+    by_abs = spark.sql(
+        _wilcoxon_by_abs_sql("UNIX_DATE(CAST(ts AS DATE))", "DIV")
+    )
+    ranked, _tot = ranked_prefix_sum(by_abs, [F.asc("ad")], ["t"])
+    folded = ranked.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(
+            F.col("pos")
+            * (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1)
+        )
+        .cast("long")
+        .alias("two_w_plus"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_cubes"),
+    )
+    folded.createOrReplaceTempView("_wilcoxon_folds")
+    return spark.sql(_wilcoxon_closing("_wilcoxon_folds"))
 
 
 FDR_B = 999  # permutations per hypothesis; p granularity 1/1000

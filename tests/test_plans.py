@@ -227,29 +227,24 @@ SWEEP_SKIP_MODULES = ("stream_queries", "source_queries", "multimodal", "observa
 # it is either rewritten (functions/prefix.py ranked_prefix_sum is the
 # drop-in two-phase replacement) or allowlisted here with a reason.
 _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
-    # r9: customer_lorenz_deciles, stat_auc_roc, stat_cliffs_delta,
+    # r9: the ECDF family is DISSOLVED.  Every fact-cardinality member
+    # (customer_lorenz_deciles, events_uplift_by_decile's NTILE stage,
+    # ml_brier_decomposition, stat_auc_roc, stat_cliffs_delta,
     # stat_kendall_tau, stat_kruskal_wallis, stat_mann_whitney_u,
-    # stat_spearman_rho migrated to the two-phase ranked_prefix_sum /
-    # ranked_ntile / ranked_row_index library and REMOVED from this list
-    # (their plans now carry no unpartitioned window at all);
-    # events_uplift_by_decile kept only its 10-row qini frame (family
-    # below).
-    "ECDF family: |distinct(value)| frame; two-phase swap documented (implemented exemplar: stat_ks_two_sample)": (
-        "embedding_quantization_error_histogram",
-        "events_churn_hazard",
-        "ml_brier_decomposition",
-        "orders_order_size_histogram",
-        "stat_kaplan_meier",
-        "stat_nelson_aalen",
-        "stat_permutation_shift",
-        "stat_process_capability",
-        "stat_wilcoxon_signed_rank",
-    ),
+    # stat_spearman_rho, stat_wilcoxon_signed_rank) migrated to the
+    # two-phase ranked_prefix_sum / ranked_ntile / ranked_row_index
+    # library — their plans carry no unpartitioned window at all.  The
+    # nine former co-tenants below were audited (r9) and their frames are
+    # NOT fact-growing; each moved to the family that actually bounds it.
     "10-row decile frame by construction; kept as a window to preserve cross-engine double-addition order (see docstring)": (
         "events_uplift_by_decile",
     ),
     "calendar-bounded day/month spine": (
         "ml_conformal_daily_interval",  # r9: |days|-row residual quantile
+        "events_churn_hazard",  # r9 re-homed: tenure-days frame (<= |days|)
+        "stat_kaplan_meier",  # r9 re-homed: duration frame (<= |days|)
+        "stat_nelson_aalen",  # r9 re-homed: duration frame (<= |days|)
+        "stat_process_capability",  # r9 re-homed: day-spine row_number
         "events_anomaly_ensemble",
         "events_bollinger_bands",
         "events_changepoint_binseg",
@@ -284,6 +279,8 @@ _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
         "window_rolling_slope_14d",
     ),
     "catalog/vocab/cell-bounded reduction": (
+        "embedding_quantization_error_histogram",  # r9 re-homed: ~20 err buckets
+        "orders_order_size_histogram",  # r9 re-homed: |distinct lines/order| <= 7
         "agg_count_min_sketch",
         "corpus_dsir_importance_weights",
         "corpus_filter_bias_audit",
@@ -302,6 +299,7 @@ _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
         "text_vocab_growth_checkpoints",
     ),
     "k-bounded / query-panel frame": (
+        "stat_permutation_shift",  # r9 re-homed: (K+1)-row seed panel MAX
         "layout_zorder_skipping_planner",
         "embedding_ivf_cell_balance",
         "search_hybrid_rrf",

@@ -307,6 +307,8 @@ PROBE_QUERIES = [
     "parts_abc_classification",
     # round-9: two-phase migrations off the unpartitioned-window allowlist
     "stat_mann_whitney_u",
+    "stat_wilcoxon_signed_rank",
+    "ml_brier_decomposition",
     # round-9 new operators
     "dedup_exact_substring_spans",
     "pipeline_exact_substring_e2e",
