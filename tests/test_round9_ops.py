@@ -482,3 +482,42 @@ def test_ml_conformal_matches_python(spark):
     # the conformal guarantee is >= target minus finite-sample slack;
     # assert the band is at least NEAR nominal on held-out days
     assert row.coverage_ppm >= 800000
+
+
+def test_bucketed_hits_parity_and_exchange_free_half_rounds(spark):
+    """The bucketed HITS twin must be value-identical to the unrolled-SQL
+    variant, and BOTH half-round joins (edges_p x authority on p,
+    edges_c x hub on c) must be exchange-free over the bucketed tables."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_aws_spark.operators.scale import _sf_tag
+
+    engine.clear_caches(spark)
+    qs = engine.all_queries()
+    a = {
+        r.p_partkey: (r.authority_r1, r.authority_r2_scaled)
+        for r in qs["graph_hits_bipartite_bucketed"](spark, SF_DIR).collect()
+    }
+    engine.clear_caches(spark)
+    b = {
+        r.p_partkey: (r.authority_r1, r.authority_r2_scaled)
+        for r in qs["graph_hits_bipartite"](spark, SF_DIR).collect()
+    }
+    assert a == b and a
+    tag = _sf_tag(SF_DIR)
+    for edges_t, score_t, key in (
+        (f"b_hits_edges_p_{tag}", f"b_hits_a1_{tag}", "p"),
+        (f"b_hits_edges_c_{tag}", f"b_hits_h1_{tag}", "c"),
+    ):
+        plan = (
+            spark.table(edges_t)
+            .hint("merge")
+            .join(spark.table(score_t), key)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" in plan, (key, plan)
+        assert not re.findall(r"Exchange", plan), (key, plan)
