@@ -2218,9 +2218,12 @@ def pipeline_exact_substring_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split("text", " "), lambda t: t != "").alias("arr"),
     ).persist()
     k = ES_SPAN_K
+    # match the oracle's unnest semantics exactly: a zero-token doc never
+    # appears in its toks CTE, so it must not appear in the ledger either
+    # (the fixture has none; this pins the contract, not a workaround)
     ntok = arrs.select(
         "doc_id", "source", F.size("arr").cast("long").alias("n_tokens")
-    )
+    ).filter(F.col("n_tokens") > 0)
     spans = arrs.select(
         "doc_id",
         F.explode(

@@ -1168,15 +1168,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break — identical bucketing on any engine), then mapped to the
     classic marketing segments.
 
-    Plan: one o_custkey agg over orders, then three NTILE windows over
-    the CUSTOMER-sized table.  The windows are global sorts, but of dim
-    cardinality (|customers|, not |orders|) — at 100 TB the standard move
-    is scoring within a partition key (region / business unit), which
-    changes only the partitionBy; the heavy reduction already happened in
-    the first agg."""
-    from pyspark.sql.window import Window
-
+    Plan (r9, migrated off the unpartitioned-window allowlist): one
+    o_custkey agg over orders, then three two-phase ranked_ntile passes
+    over the customer-sized table — |customers| GROWS with the fact
+    table in this schema, so the former global NTILE sorts were
+    single-task pinches; each quintile now rides a range exchange +
+    per-slice window + NTILE's closed form (every stage parallel,
+    value-identical to engine NTILE by the ranked_ntile contract), and
+    the scores join back on the customer key."""
     from etl_pipeline_aws_spark.functions.numeric import dsum
+    from etl_pipeline_aws_spark.functions.prefix import ranked_ntile
 
     orders = load_table(spark, sf_dir, "orders")
     base = orders.groupBy("o_custkey").agg(
@@ -1186,11 +1187,19 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         dsum("o_totalprice").alias("monetary"),
     )
-    r = F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
-    f = F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
-    m = F.ntile(5).over(Window.orderBy("monetary", "o_custkey"))
-    scored = base.select(
-        "*", r.alias("r_score"), f.alias("f_score"), m.alias("m_score")
+
+    def tile(order_cols: list, alias: str) -> DataFrame:
+        return ranked_ntile(base, order_cols, 5).select(
+            "o_custkey", F.col("_tile").cast("int").alias(alias)
+        )
+
+    scored = (
+        base.join(
+            tile([F.desc("recency_days"), F.asc("o_custkey")], "r_score"),
+            "o_custkey",
+        )
+        .join(tile([F.asc("frequency"), F.asc("o_custkey")], "f_score"), "o_custkey")
+        .join(tile([F.asc("monetary"), F.asc("o_custkey")], "m_score"), "o_custkey")
     )
     seg = (
         F.when(

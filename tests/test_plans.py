@@ -305,8 +305,10 @@ _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
         "search_hybrid_rrf",
         "similarity_metric_agreement",
     ),
+    # r9: customer_rfm_segments migrated to ranked_ntile (|customers|
+    # grows with the fact table here — it was the family's least
+    # dim-like member) and removed from this list.
     "|dim|/changeset-sized frame; two-phase swap documented": (
-        "customer_rfm_segments",
         "dq_sequence_gaps",
         "feature_target_encoding",
         "layout_range_partition_plan",

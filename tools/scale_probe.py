@@ -309,6 +309,7 @@ PROBE_QUERIES = [
     "stat_mann_whitney_u",
     "stat_wilcoxon_signed_rank",
     "ml_brier_decomposition",
+    "customer_rfm_segments",
     # round-9 new operators
     "dedup_exact_substring_spans",
     "pipeline_exact_substring_e2e",
