@@ -3149,14 +3149,15 @@ def ml_linear_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exp() differs in last-ulp between libm implementations; threshold
     the linear score instead, which is monotone-equivalent).
 
-    Tiers are literal CASE cuts; deciles are NTILE with a pinned
-    tie-break.  One customer rollup + one global-window pass; at 100 TB
-    the NTILE swaps to the quantile-boundary broadcast
-    (feature_quantile_binning's pattern) to avoid the single-partition
-    window."""
-    from pyspark.sql.window import Window
-
+    Tiers are literal CASE cuts; deciles are NTILE semantics from the
+    two-phase ranked_ntile (r9, migrated off the unpartitioned-window
+    allowlist — |customers| grows with the fact table, so the former
+    global NTILE window was a single-partition pinch; the
+    range-partitioned index + closed-form tile is value-identical and
+    every stage parallel).  One customer rollup + one ranked pass +
+    a key-partitioned join back."""
     from etl_pipeline_aws_spark.functions.numeric import dec
+    from etl_pipeline_aws_spark.functions.prefix import ranked_ntile
 
     o = load_table(spark, sf_dir, "orders")
     mx = F.broadcast(o.agg(F.max(F.col("o_orderdate").cast("date")).alias("md")))
@@ -3181,15 +3182,17 @@ def ml_linear_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("score"),
     )
-    w = Window.orderBy(F.col("score").desc(), "o_custkey")
-    return scored.select(
+    tiles = ranked_ntile(
+        scored, [F.desc("score"), F.asc("o_custkey")], 10
+    ).select("o_custkey", F.col("_tile").cast("long").alias("decile"))
+    return scored.join(tiles, "o_custkey").select(
         "o_custkey",
         "score",
         F.when(F.col("score") >= 40, "hot")
         .when(F.col("score") >= 0, "warm")
         .otherwise("cold")
         .alias("tier"),
-        F.ntile(10).over(w).cast("long").alias("decile"),
+        "decile",
     )
 
 

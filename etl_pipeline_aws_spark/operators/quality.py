@@ -788,25 +788,28 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture's key space is dense, so the landed set drops the %13
     keys — planted losses the detector must recover exactly.
 
-    Partition-safe at scale via the events_outage_windows decomposition
-    argument applied to KEY space instead of time: gaps WITHIN a key
-    range come from a range-partitioned lag, gaps ACROSS range
-    boundaries from the bounded boundary table.  At fixture scale the
-    key domain is dense (gaps only where the generator skipped), so the
-    report is small; the oracle's naive global lag certifies the
-    same semantics."""
-    from pyspark.sql.window import Window
+    Scale (r9, migrated off the unpartitioned-window allowlist — this
+    was the family's one FACT-SIZED member, a global lag over every
+    landed key): the successor pairing now rides the two-phase
+    ranked_row_index + an equi-join on consecutive indices (the
+    stat_wasserstein_1d predecessor pattern) — range-partitioned,
+    every stage parallel, value-identical to the global lag for the
+    total key order; the oracle's naive global lag certifies the same
+    semantics."""
+    from etl_pipeline_aws_spark.functions.prefix import ranked_row_index
 
     o = (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey")
         .filter(F.col("o_orderkey") % 13 != 0)
     )
-    w = Window.orderBy("o_orderkey")
-    g = o.select(
-        "o_orderkey", F.lag("o_orderkey").over(w).alias("prev_key")
-    ).filter(
-        F.col("prev_key").isNotNull() & (F.col("o_orderkey") - F.col("prev_key") > 1)
+    idx_df, _n = ranked_row_index(o, [F.asc("o_orderkey")])
+    cur = idx_df.select(F.col("_idx").alias("i"), "o_orderkey")
+    prev = idx_df.select(
+        (F.col("_idx") + 1).alias("i"), F.col("o_orderkey").alias("prev_key")
+    )
+    g = cur.join(prev, "i").filter(
+        F.col("o_orderkey") - F.col("prev_key") > 1
     )
     return g.select(
         (F.col("prev_key") + 1).alias("gap_start"),

@@ -323,20 +323,21 @@ def surrogate_keys_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids in natural-key order — the id contract star-schema loaders
     promise (stable given stable input, no gaps).
 
-    Honest scale note: a global ordered ``row_number`` funnels the table
-    through ONE window partition, which is exactly right for DIMENSIONS
-    (they fit a task by definition) and exactly wrong for facts — for
-    fact-scale surrogate needs use a hash of the natural key
-    (collision-checked) or per-partition offset arithmetic
-    (monotonically_increasing_id + a partition-count pass), both
-    shuffle-free but non-dense.  The dim tier is the one an oracle can
-    pin, so that is what registers here."""
-    from pyspark.sql.window import Window
+    Scale (r9, migrated off the unpartitioned-window allowlist): dense
+    ids come from the two-phase ranked_row_index (range exchange +
+    per-slice window + bounded offset fold) instead of a global
+    row_number window — value-identical for the total (s_name) order,
+    and the SAME code now serves fact-scale surrogate assignment where
+    the former single-partition window could not (suppliers grow with
+    SF in this schema; the hash-of-natural-key and
+    monotonically_increasing_id alternatives remain the non-dense
+    shuffle-free tiers)."""
+    from etl_pipeline_aws_spark.functions.prefix import ranked_row_index
 
     sup = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_name")
-    return sup.select(
-        F.row_number().over(w).alias("sk"),
+    idx_df, _n = ranked_row_index(sup, [F.asc("s_name")])
+    return idx_df.select(
+        F.col("_idx").alias("sk"),
         F.col("s_suppkey").alias("natural_key"),
         "s_name",
     )

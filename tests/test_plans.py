@@ -245,6 +245,7 @@ _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
         "stat_kaplan_meier",  # r9 re-homed: duration frame (<= |days|)
         "stat_nelson_aalen",  # r9 re-homed: duration frame (<= |days|)
         "stat_process_capability",  # r9 re-homed: day-spine row_number
+        "orders_pareto_frontier",  # r9 re-homed: day-spine running max
         "events_anomaly_ensemble",
         "events_bollinger_bands",
         "events_changepoint_binseg",
@@ -305,17 +306,16 @@ _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
         "search_hybrid_rrf",
         "similarity_metric_agreement",
     ),
-    # r9: customer_rfm_segments migrated to ranked_ntile (|customers|
-    # grows with the fact table here — it was the family's least
-    # dim-like member) and removed from this list.
+    # r9: customer_rfm_segments, ml_linear_scoring (ranked_ntile),
+    # surrogate_keys_dim (ranked_row_index), and dq_sequence_gaps
+    # (ranked_row_index + consecutive-index equi-join — it was the
+    # family's one FACT-sized member) all migrated and removed;
+    # orders_pareto_frontier re-homed to the calendar family (its frame
+    # is the |days| spine, audited r9).
     "|dim|/changeset-sized frame; two-phase swap documented": (
-        "dq_sequence_gaps",
         "feature_target_encoding",
         "layout_range_partition_plan",
         "ml_leakage_audit_target_encoding",
-        "ml_linear_scoring",
-        "orders_pareto_frontier",
-        "surrogate_keys_dim",
     ),
 
 }

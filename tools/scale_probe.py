@@ -310,6 +310,9 @@ PROBE_QUERIES = [
     "stat_wilcoxon_signed_rank",
     "ml_brier_decomposition",
     "customer_rfm_segments",
+    "ml_linear_scoring",
+    "surrogate_keys_dim",
+    "dq_sequence_gaps",
     # round-9 new operators
     "dedup_exact_substring_spans",
     "pipeline_exact_substring_e2e",
