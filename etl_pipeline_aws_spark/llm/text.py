@@ -1550,14 +1550,52 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     they'd be 2^13..2^17).
 
     Exactness: exact type counts, deterministic (count DESC, token)
-    ranking, one cumulative window over |vocabulary| rows, floor-ppm
-    coverage — each fence read as a conditional MAX over the same tiny
-    cum table (no range join, no fanout).
+    ranking, floor-ppm coverage — each fence read as a conditional MAX
+    over the cumulative table (no range join, no fanout).
 
-    Scale: the token reduction is the only corpus-sized stage
-    (map-side combined); everything after is vocabulary-sized."""
+    Scale (r9, migrated off the unpartitioned-window allowlist):
+    |vocabulary| GROWS with the corpus (Heaps' law — ~100M types at
+    100 TB of text), so the former rank+cumsum global windows were
+    single-task pinches; both the frequency rank AND the running token
+    mass now come from ONE two-phase ranked_prefix_sum pass (ones +
+    cnt), with the token total and type count exact from the offset
+    fold.  The token reduction is the only corpus-sized stage
+    (map-side combined)."""
+    from etl_pipeline_aws_spark.functions.prefix import ranked_prefix_sum
+
     register_views(spark, sf_dir)
-    return spark.sql(_COVERAGE_SPARK)
+    counts = spark.sql(
+        """
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT explode(split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY tok
+        """
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked, totals = ranked_prefix_sum(
+        counts, [F.desc("cnt"), F.asc("tok")], ["cnt", "_one"]
+    )
+    total, n_types = int(totals["cnt"]), int(totals["_one"])
+    row = ranked.agg(
+        *[
+            F.max(
+                F.when(F.col("cum__one") <= k, F.col("cum_cnt"))
+            ).alias(f"c{k}")
+            for k in VOCAB_COVERAGE_FENCES
+        ]
+    )
+    fences = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("vocab_size"),
+                F.expr(f"CAST(c{k} * 1000000 DIV {total} AS BIGINT)").alias(
+                    "coverage_ppm"
+                ),
+                F.lit(n_types).cast("long").alias("n_types"),
+            )
+            for k in VOCAB_COVERAGE_FENCES
+        ]
+    )
+    return row.select(F.explode(fences).alias("s")).select("s.*")
 
 
 _BM25_K1 = "1.2"  # saturation constant, literal text shared verbatim by both engines

@@ -1060,14 +1060,12 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("c")
     )
     freq = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("true_n"))
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.col("true_n").desc(), "user_id")
-    top = (
-        freq.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= CMS_TOP)
-        .drop("rn")
-    )
+    # top-k selection as orderBy().limit() — TakeOrderedAndProject keeps
+    # per-partition state at k rows (r9: the former row_number()-then-
+    # filter spelling sorted every user through ONE window task; the rank
+    # column was dropped anyway, so limit() is semantics-identical under
+    # the deterministic tie-break)
+    top = freq.orderBy(F.col("true_n").desc(), "user_id").limit(CMS_TOP)
     probe = top.join(cells.distinct(), "user_id").join(sketch, ["row_id", "bucket"])
     return (
         probe.groupBy("user_id", "true_n")

@@ -1144,18 +1144,36 @@ def graph_community_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared closing formula; the share is a single division of exact
     counts.
 
-    Scale: the LP rounds dominate (graph-diameter-bounded node-key
-    shuffles, documented at graph_label_propagation); the inequality
-    tail runs on |communities| rows."""
+    Scale (r9, migrated off the unpartitioned-window allowlist): the LP
+    rounds dominate (graph-diameter-bounded node-key shuffles,
+    documented at graph_label_propagation); the inequality tail ranks
+    |communities| rows — a count that GROWS with the graph — so the
+    rank comes from the two-phase ranked_row_index instead of the
+    helper's single-group window (the per-group helper remains right
+    where groups are real partitions; a constant group folds its
+    partition spec away and becomes the global-window pinch).  Same
+    rank-formula arithmetic, verbatim."""
     li = load_table(spark, sf_dir, "lineitem")
     _, labels = _lp_label_frame(li)
-    from etl_pipeline_aws_spark.operators.aggregates import gini_by_rank_formula
+    from etl_pipeline_aws_spark.functions.numeric import dec
+    from etl_pipeline_aws_spark.functions.prefix import ranked_row_index
 
     sizes = labels.groupBy(F.col("lbl")).agg(
         F.count(F.lit(1)).cast("long").alias("sz")
-    ).withColumn("grp", F.lit("all"))
-    gini = gini_by_rank_formula(sizes, "grp", "sz", "lbl").select(
-        F.col("n").alias("n_communities"), "gini"
+    )
+    idx_df, _n = ranked_row_index(sizes, [F.asc("sz"), F.asc("lbl")])
+    ranked = idx_df.select(dec("sz").alias("x"), F.col("_idx").alias("i"))
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("double").alias("six"),
+    )
+    gini = sums.select(
+        F.col("n").alias("n_communities"),
+        (
+            (F.lit(2.0) * F.col("six")) / (F.col("n") * F.col("sx"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n")
+        ).alias("gini"),
     )
     extremes = sizes.agg(
         F.max("sz").cast("long").alias("max_sz"),

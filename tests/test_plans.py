@@ -279,16 +279,18 @@ _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
         "window_rolling_corr",
         "window_rolling_slope_14d",
     ),
+    # r9: agg_count_min_sketch (top-k now orderBy().limit(), no window),
+    # graph_community_inequality (|communities| rank via ranked_row_index)
+    # and text_vocab_coverage_curve (|vocab| rank+cumsum via one
+    # ranked_prefix_sum pass) migrated and removed.
     "catalog/vocab/cell-bounded reduction": (
         "embedding_quantization_error_histogram",  # r9 re-homed: ~20 err buckets
         "orders_order_size_histogram",  # r9 re-homed: |distinct lines/order| <= 7
-        "agg_count_min_sketch",
         "corpus_dsir_importance_weights",
         "corpus_filter_bias_audit",
         "events_bitmap_retention",
         "events_entropy_rate",
         "events_time_to_nth_event",
-        "graph_community_inequality",
         "pipeline_hybrid_search_e2e",
         "stat_chi_square_independence",
         "stat_cramers_v",
@@ -296,7 +298,6 @@ _UNPART_FAMILIES: dict[str, tuple[str, ...]] = {
         "stat_g_test_independence",
         "text_heaps_law_fit",
         "text_rake_keyphrases",
-        "text_vocab_coverage_curve",
         "text_vocab_growth_checkpoints",
     ),
     "k-bounded / query-panel frame": (

@@ -313,6 +313,7 @@ PROBE_QUERIES = [
     "ml_linear_scoring",
     "surrogate_keys_dim",
     "dq_sequence_gaps",
+    "agg_count_min_sketch",
     # round-9 new operators
     "dedup_exact_substring_spans",
     "pipeline_exact_substring_e2e",
