@@ -1134,10 +1134,11 @@ def graph_community_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     real partition or one giant component plus dust (the regime where
     modularity scores flatter and per-community rollups mislead; high
     Gini or a dominant share says report percentiles, prepare for the
-    skew tier).  Composes two pinned cores verbatim: the shared
-    min-label assignment (_lp_label_frame) and the rank-formula Gini
-    (aggregates.gini_by_rank_formula, property-tested against the
-    pairwise definition).
+    skew tier).  Composes the shared min-label assignment
+    (_lp_label_frame) with the rank-formula Gini arithmetic of
+    aggregates.gini_by_rank_formula (property-tested against the
+    pairwise definition) — the formula inlined over a two-phase rank
+    rather than calling the per-group-window helper, see Scale.
 
     Exactness inherited from both parents: integer labels/sizes,
     pinned total order (size, then label), decimal power sums, one
