@@ -6811,3 +6811,139 @@ def ml_conformal_daily_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row folds."""
     register_views(spark, sf_dir)
     return spark.sql(_CONF_SPARK)
+
+
+# --------------------------------------------------------------------------
+# round-9 supply-chain closers: safety stock / reorder point + newsvendor
+# --------------------------------------------------------------------------
+
+SS_Z_E2 = 164  # z for ~95% one-sided service level, scaled e2 (1.64)
+SS_LEAD_DAYS = 7  # replenishment lead time (policy constant, declared)
+
+
+def _safety_stock_sql(day_expr: str) -> str:
+    """Shared safety-stock/reorder text per brand; per-dialect day
+    truncation.  Variance from the n·Σx²−(Σx)² identity over exact
+    integer daily-demand sums (quantities are small integers, so the
+    power sum stays far inside int64: max qty 50/line, ~e4 lines/day
+    per brand at SF100 → Σx² ≲ 1e13·days)."""
+    return f"""
+WITH daily AS (
+    SELECT p.p_brand AS brand, {day_expr} AS d,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand, {day_expr}
+), folds AS (
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(q) AS BIGINT) AS sq,
+           CAST(SUM(q * q) AS BIGINT) AS sqq
+    FROM daily GROUP BY brand
+)
+SELECT brand, n_days,
+       CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily_qty,
+       SQRT((CAST(n_days AS DOUBLE) * CAST(sqq AS DOUBLE)
+             - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+            / CAST(n_days AS DOUBLE)
+            / (CAST(n_days AS DOUBLE) - 1e0)) AS std_daily_qty,
+       ({SS_Z_E2}e0 / 100e0) * SQRT(CAST({SS_LEAD_DAYS} AS DOUBLE))
+           * SQRT((CAST(n_days AS DOUBLE) * CAST(sqq AS DOUBLE)
+                   - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                  / CAST(n_days AS DOUBLE)
+                  / (CAST(n_days AS DOUBLE) - 1e0)) AS safety_stock,
+       CAST({SS_LEAD_DAYS} AS DOUBLE) * CAST(sq AS DOUBLE)
+           / CAST(n_days AS DOUBLE)
+           + ({SS_Z_E2}e0 / 100e0) * SQRT(CAST({SS_LEAD_DAYS} AS DOUBLE))
+           * SQRT((CAST(n_days AS DOUBLE) * CAST(sqq AS DOUBLE)
+                   - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                  / CAST(n_days AS DOUBLE)
+                  / (CAST(n_days AS DOUBLE) - 1e0)) AS reorder_point
+FROM folds
+"""
+
+
+_SS_ORACLE = _safety_stock_sql("CAST(date_trunc('day', l.l_shipdate) AS DATE)")
+_SS_SPARK = _safety_stock_sql("CAST(DATE_TRUNC('DAY', l.l_shipdate) AS DATE)")
+
+
+@query("parts_safety_stock_reorder", oracle=_SS_ORACLE)
+def parts_safety_stock_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety stock and reorder point per brand — the inventory-policy
+    closer for the procurement suite: Kraljic says WHAT matters, ABC
+    WHERE value concentrates, EOQ HOW MUCH to order; this says WHEN —
+    reorder at mu_d·L + z·sigma_d·sqrt(L) (independent-daily-demand
+    model, z = {SS_Z_E2}/100 for ~95% cycle service, L =
+    {SS_LEAD_DAYS} days, both declared policy constants consumers
+    swap).  Brand grain because per-part daily demand is sparse at
+    fixture scale — the demand-aggregation grain is the caller's knob,
+    not the formula's.
+
+    Determinism: daily demand folds to exact BIGINTs; variance rides
+    the n·Σx²−(Σx)² identity over those integers (bound in the header
+    comment); mean/std/SS/ROP are ONE shared IEEE chain per brand.
+
+    Scale: one (brand, day) map-side-combinable rollup with a
+    broadcast part join, then a |brands|-row fold.  No window."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SS_SPARK)
+
+
+NEWSVENDOR_CR_PCT = 80  # critical ratio cu/(cu+co) as a percent
+
+
+def _newsvendor_sql(day_expr: str) -> str:
+    """Shared newsvendor text; per-dialect day truncation.  Q* = the
+    smallest observed daily demand whose empirical CDF reaches the
+    critical ratio — the EXACT order statistic over each brand's daily
+    history (cum·100 >= n·{NEWSVENDOR_CR_PCT} on integer counts), via a
+    brand-PARTITIONED cumulative window (per-brand frame, guard-clean)."""
+    return f"""
+WITH daily AS (
+    SELECT p.p_brand AS brand, {day_expr} AS d,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand, {day_expr}
+), per_q AS (
+    SELECT brand, q, CAST(COUNT(*) AS BIGINT) AS c
+    FROM daily GROUP BY brand, q
+), cum AS (
+    SELECT brand, q, c,
+           CAST(SUM(c) OVER (PARTITION BY brand ORDER BY q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cw,
+           CAST(SUM(c) OVER (PARTITION BY brand) AS BIGINT) AS n
+    FROM per_q
+)
+SELECT brand,
+       CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(MIN(CASE WHEN cw * 100 >= n * {NEWSVENDOR_CR_PCT} THEN q END)
+            AS BIGINT) AS q_star,
+       CAST({NEWSVENDOR_CR_PCT} AS BIGINT) AS critical_ratio_pct
+FROM cum GROUP BY brand
+"""
+
+
+_NV_ORACLE = _newsvendor_sql("CAST(date_trunc('day', l.l_shipdate) AS DATE)")
+_NV_SPARK = _newsvendor_sql("CAST(DATE_TRUNC('DAY', l.l_shipdate) AS DATE)")
+
+
+@query("parts_newsvendor_quantity", oracle=_NV_ORACLE)
+def parts_newsvendor_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor optimal stocking quantity per brand — the
+    single-period inventory decision beside the continuous-review pair
+    (EOQ/safety-stock): stock the {NEWSVENDOR_CR_PCT}th-percentile of
+    observed daily demand, the exact empirical-CDF solution to
+    Q* = F⁻¹(cu/(cu+co)) with the critical ratio declared as a policy
+    constant.  Uses the ATTAINED demand value (the distribution-free
+    answer), not a normal approximation — heavy-tailed demand is
+    exactly where the normal newsvendor under-stocks.
+
+    Determinism: per-(brand, demand) counts and the partitioned
+    cumulative are exact integers; the fence test cum·100 >= n·CR is
+    pure integer arithmetic; Q* is an attained BIGINT.
+
+    Scale: (brand, day) rollup, then a brand-PARTITIONED window over
+    each brand's |distinct demand| frame (per-group, never global) —
+    the weighted-median posture.  No unpartitioned window."""
+    register_views(spark, sf_dir)
+    return spark.sql(_NV_SPARK)

@@ -1440,3 +1440,75 @@ def dq_psi_jsd_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts.createOrReplaceTempView("_psi_counts")
     return spark.sql(_psi_closing("_psi_counts"))
+
+
+def _format_conf_sql(idiv: str) -> str:
+    """Shared format-conformance text; integer-division spelling per
+    dialect (Spark CAST(double AS BIGINT) truncates where DuckDB
+    rounds — the documented cross-engine trap)."""
+    return f"""
+WITH raw AS (
+    -- the fixture carries no phone column; synthesize the canonical
+    -- CC-NNN-NNN-NNNN value deterministically from the key (the
+    -- text_instruction_format_screen missing-modality convention) so
+    -- the FORMAT check runs against a real population on both engines
+    SELECT c_custkey, c_nationkey,
+           CONCAT(CAST(10 + c_custkey % 25 AS STRING), '-',
+                  LPAD(CAST(c_custkey % 1000 AS STRING), 3, '0'), '-',
+                  LPAD(CAST((c_custkey * 7) % 1000 AS STRING), 3, '0'), '-',
+                  LPAD(CAST((c_custkey * 13) % 10000 AS STRING), 4, '0'))
+               AS phone
+    FROM customer
+), phones AS (
+    -- planted corruption (the dq_sequence_gaps discipline): every 97th
+    -- customer's phone arrives REVERSED — same deterministic filter on
+    -- both engines, so the detector's recall is exactly checkable
+    SELECT c_nationkey,
+           CASE WHEN c_custkey % 97 = 0 THEN REVERSE(phone)
+                ELSE phone END AS ph
+    FROM raw
+), checked AS (
+    SELECT c_nationkey,
+           CASE WHEN LENGTH(ph) = 15
+                     AND SUBSTRING(ph, 3, 1) = '-'
+                     AND SUBSTRING(ph, 7, 1) = '-'
+                     AND SUBSTRING(ph, 11, 1) = '-'
+                     AND TRANSLATE(ph, '0123456789', '') = '---'
+                THEN 1 ELSE 0 END AS ok
+    FROM phones
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(1 - ok) AS BIGINT) AS n_violations,
+       CAST(SUM(ok) * 1000000 {idiv} COUNT(*) AS BIGINT) AS conformance_ppm
+FROM checked GROUP BY c_nationkey
+"""
+
+
+_FORMAT_CONF_ORACLE = _format_conf_sql("//")
+
+
+@query("dq_format_conformance", oracle=_FORMAT_CONF_ORACLE)
+def dq_format_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-conformance audit for a structured string column — the
+    per-nation share of phone numbers matching the CC-NNN-NNN-NNNN
+    contract (synthesized deterministically from the key — the fixture
+    carries no phone column; the missing-modality convention), with
+    planted reversed-phone corruption the detector must
+    catch exactly (a fixture whose violations are all zero certifies
+    nothing — the dq_sequence_gaps planted-loss discipline).  The
+    missing member of the DQ shape family beside null/unique/accepted-
+    values (dq_expectations_suite) and k-anonymity: most ingest bugs
+    corrupt FORMAT before they corrupt values.
+
+    The check is PORTABLE string arithmetic (LENGTH + positional
+    SUBSTRING + TRANSLATE strip-digits), not a regex — the
+    text_code_detection_screen lesson: regex flag/class dialects
+    differ between engines, LENGTH/TRANSLATE do not.  Integer-exact
+    counts; the ppm is explicit integer floor division (DIV / //), the
+    dialect-stable spelling.
+
+    Scale: one scan, one map-side-combinable (nation) rollup — 25-row
+    output.  No window, no join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_format_conf_sql("DIV"))

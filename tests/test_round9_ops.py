@@ -521,3 +521,102 @@ def test_bucketed_hits_parity_and_exchange_free_half_rounds(spark):
         )
         assert "SortMergeJoin" in plan, (key, plan)
         assert not re.findall(r"Exchange", plan), (key, plan)
+
+
+def test_parts_safety_stock_matches_numpy(spark):
+    import numpy as np
+
+    engine.clear_caches(spark)
+    rows = {
+        r.brand: r
+        for r in engine.all_queries()["parts_safety_stock_reorder"](
+            spark, SF_DIR
+        ).collect()
+    }
+    li = _pq("lineitem")
+    part = _pq("part")[["p_partkey", "p_brand"]]
+    m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    m["d"] = m.l_shipdate.dt.normalize()
+    daily = m.groupby(["p_brand", "d"]).l_quantity.sum()
+    import math
+
+    L, Z = 7.0, 1.64
+    for brand, grp in daily.groupby(level=0):
+        q = grp.to_numpy(dtype=float)
+        mu, sd = q.mean(), q.std(ddof=1)
+        r = rows[brand]
+        assert r.n_days == len(q)
+        assert abs(r.mean_daily_qty - mu) < 1e-9 * mu
+        assert abs(r.std_daily_qty - sd) < 1e-6 * sd
+        assert abs(r.safety_stock - Z * math.sqrt(L) * sd) < 1e-6 * sd
+        assert abs(r.reorder_point - (L * mu + Z * math.sqrt(L) * sd)) < 1e-6 * (
+            L * mu
+        )
+
+
+def test_parts_newsvendor_matches_numpy(spark):
+    import numpy as np
+
+    engine.clear_caches(spark)
+    rows = {
+        r.brand: r
+        for r in engine.all_queries()["parts_newsvendor_quantity"](
+            spark, SF_DIR
+        ).collect()
+    }
+    li = _pq("lineitem")
+    part = _pq("part")[["p_partkey", "p_brand"]]
+    m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    m["d"] = m.l_shipdate.dt.normalize()
+    daily = m.groupby(["p_brand", "d"]).l_quantity.sum()
+    for brand, grp in daily.groupby(level=0):
+        q = np.sort(grp.to_numpy(dtype=np.int64))
+        n = len(q)
+        # smallest attained value whose ECDF reaches 80%
+        k = next(i for i in range(n) if (i + 1) * 100 >= n * 80)
+        # ties: the fence is on cumulative counts over DISTINCT values
+        vals = np.unique(q)
+        cum = np.searchsorted(q, vals, side="right")
+        qstar = vals[np.argmax(cum * 100 >= n * 80)]
+        r = rows[brand]
+        assert r.n_days == n and r.critical_ratio_pct == 80
+        assert r.q_star == qstar, (brand, r.q_star, qstar)
+
+
+def test_dq_format_conformance_matches_python(spark):
+    engine.clear_caches(spark)
+    rows = {
+        r.c_nationkey: r
+        for r in engine.all_queries()["dq_format_conformance"](
+            spark, SF_DIR
+        ).collect()
+    }
+    cust = _pq("customer")
+    import collections
+
+    n = collections.Counter()
+    viol = collections.Counter()
+    for _, c in cust.iterrows():
+        k = int(c.c_custkey)
+        phone = (
+            f"{10 + k % 25}-{k % 1000:03d}-{(k * 7) % 1000:03d}-"
+            f"{(k * 13) % 10000:04d}"
+        )
+        if k % 97 == 0:
+            phone = phone[::-1]
+        ok = (
+            len(phone) == 15
+            and phone[2] == "-"
+            and phone[6] == "-"
+            and phone[10] == "-"
+            and phone.replace("-", "").isdigit()
+            and phone.count("-") == 3
+        )
+        n[c.c_nationkey] += 1
+        if not ok:
+            viol[c.c_nationkey] += 1
+    assert sum(viol.values()) > 0, "no planted violations — vacuous"
+    for nk, r in rows.items():
+        assert r.n_rows == n[nk]
+        assert r.n_violations == viol[nk], nk
+        assert r.conformance_ppm == (n[nk] - viol[nk]) * 1000000 // n[nk]

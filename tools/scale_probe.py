@@ -314,6 +314,9 @@ PROBE_QUERIES = [
     "surrogate_keys_dim",
     "dq_sequence_gaps",
     "agg_count_min_sketch",
+    "parts_safety_stock_reorder",
+    "parts_newsvendor_quantity",
+    "dq_format_conformance",
     # round-9 new operators
     "dedup_exact_substring_spans",
     "pipeline_exact_substring_e2e",
