@@ -2535,3 +2535,94 @@ def multimodal_audio_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_voiced bigint, n_noise bigint, sig_sum bigint,"
         " noise_sum bigint, snr_db_e6 bigint",
     )
+
+
+_MIX_CARD_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, LENGTH(text) AS L,
+           ((LENGTH(text) + 2) // 3 + {PPM_WIDTH - 1}) // {PPM_WIDTH} AS h
+    FROM documents
+)
+SELECT 'audio_wav' AS modality,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(L) AS BIGINT) AS total_source_bytes,
+       CAST(SUM(44 + 2 * L) AS BIGINT) AS total_encoded_bytes,
+       CAST(SUM(L) AS BIGINT) AS total_units
+FROM d
+UNION ALL
+SELECT 'image_ppm',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(L) AS BIGINT),
+       CAST(SUM(11 + LENGTH(CAST(h AS VARCHAR)) + 3 * {PPM_WIDTH} * h)
+            AS BIGINT),
+       CAST(SUM({PPM_WIDTH} * h) AS BIGINT)
+FROM d
+UNION ALL
+SELECT 'video_frames',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(L) AS BIGINT),
+       CAST(SUM({FRAME_BYTES} * ((L + {FRAME_BYTES - 1}) // {FRAME_BYTES}))
+            AS BIGINT),
+       CAST(SUM((L + {FRAME_BYTES - 1}) // {FRAME_BYTES}) AS BIGINT)
+FROM d
+"""
+
+
+@query("multimodal_modality_mix_card", oracle=_MIX_CARD_ORACLE)
+def multimodal_modality_mix_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTIMODAL datasheet — per-modality volume card (doc count,
+    source bytes, ENCODED container bytes, decoded units: pixels /
+    PCM samples / frames) for the corpus's three modality tiers, the
+    "what will this dataset cost to store, decode, and train on"
+    summary a mixed-modality release needs beside corpus_dataset_card's
+    text-only ledger.
+
+    HONEST accounting: the Spark side genuinely BUILDS every container
+    (the module's real P6 encoder shape, the shared RIFF/WAVE encoder,
+    the {FRAME_BYTES}-byte frame chunking) inside one Arrow-batched
+    mapInPandas pass and measures the real byte lengths; the oracle
+    recomputes the container arithmetic closed-form (WAV = 44-byte
+    header + 2 bytes/sample; P6 = 11+len(str(h)) header + 3·W·h raster;
+    video = frame-padded source) — so a header change or a padding
+    off-by-one in any encoder fails the hash, exactly the
+    multimodal_image_decode discipline.
+
+    Scale: one mapInPandas pass over the docs (3 rows emitted per doc,
+    columnar batches), one map-side-combinable modality rollup — 3-row
+    output.  No window, no join."""
+    framed = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def encode_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def to_ppm(payload: bytes) -> bytes:
+            # the multimodal_image_decode encoder, verbatim
+            n_pix = (len(payload) + 2) // 3
+            h = (n_pix + PPM_WIDTH - 1) // PPM_WIDTH
+            raster = payload + b"\x00" * (PPM_WIDTH * h * 3 - len(payload))
+            return f"P6\n{PPM_WIDTH} {h}\n255\n".encode("ascii") + raster
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                L = len(payload)
+                n_pix_h = ((L + 2) // 3 + PPM_WIDTH - 1) // PPM_WIDTH
+                n_frames = (L + FRAME_BYTES - 1) // FRAME_BYTES
+                video = payload + b"\x00" * (n_frames * FRAME_BYTES - L)
+                rows.append(("audio_wav", L, len(_payload_to_wav(payload)), L))
+                rows.append(
+                    ("image_ppm", L, len(to_ppm(payload)), PPM_WIDTH * n_pix_h)
+                )
+                rows.append(("video_frames", L, len(video), n_frames))
+            yield pd.DataFrame(
+                rows, columns=["modality", "src", "enc", "units"]
+            )
+
+    per_doc = framed.mapInPandas(
+        encode_all, schema="modality string, src long, enc long, units long"
+    )
+    return per_doc.groupBy("modality").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("src").cast("long").alias("total_source_bytes"),
+        F.sum("enc").cast("long").alias("total_encoded_bytes"),
+        F.sum("units").cast("long").alias("total_units"),
+    )

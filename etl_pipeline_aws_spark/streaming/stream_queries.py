@@ -2127,3 +2127,102 @@ def stream_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pivoted.createOrReplaceTempView("_stream_psi_counts")
     return spark.sql(_psi_closing("_stream_psi_counts"))
+
+
+def _stream_cms_oracle() -> str:
+    from etl_pipeline_aws_spark.operators.aggregates import _cms_oracle
+
+    return _cms_oracle()
+
+
+@query("stream_heavy_hitters_cms", oracle=_stream_cms_oracle())
+def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch as STREAMING STATE (the sketch's actual
+    production habitat — heavy-hitter dashboards over a live event
+    feed): each micro-batch explodes its events into the d=4 universal-
+    hash cells and the streamed aggregation maintains the (row, bucket)
+    count table — O(d·w) state regardless of key cardinality, the
+    bounded-state property that makes a sketch the RIGHT streaming
+    accumulator where per-key counts would grow without limit.  The
+    top-{{k}} probe then reads the materialized sketch exactly as the
+    batch twin (agg_count_min_sketch) does, and the SHARED oracle
+    certifies the streamed sketch is cell-identical to the batch one —
+    stream/batch sketch parity, the stream_psi_drift_monitor
+    discipline.
+
+    Same fixed integer hash constants, so every cell is
+    oracle-checkable; the probe's top-k selection is
+    orderBy().limit() (no window).
+
+    Scale: streamed state = d·w = {{cells}} cells; the probe side is a
+    {{k}}-row broadcast join against the sketch."""
+    from etl_pipeline_aws_spark.operators.aggregates import (
+        CMS_P,
+        CMS_ROWS,
+        CMS_TOP,
+        CMS_W,
+    )
+
+    ev = read_events_stream(spark, sf_dir).select("user_id")
+    cells_stream = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_id"),
+                        (
+                            (F.lit(a) * (F.col("user_id") % CMS_P) + F.lit(b))
+                            % CMS_P
+                            % CMS_W
+                        ).alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(CMS_ROWS)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", "cell.row_id", "cell.bucket")
+    sketch = _run_to_memory(
+        cells_stream.groupBy("row_id", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
+        "complete",
+    )
+    # probe side (batch): hash cells are a PURE FUNCTION of the key, so
+    # they are computed directly on the top-k rows (k x d rows) — no
+    # second events pass, unlike the batch twin's from-cells spelling
+    ev_b = load_table(spark, sf_dir, "events").select("user_id")
+    freq = ev_b.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    top = freq.orderBy(F.col("true_n").desc(), "user_id").limit(CMS_TOP)
+    top_cells = top.select(
+        "user_id",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_id"),
+                        (
+                            (F.lit(a) * (F.col("user_id") % CMS_P) + F.lit(b))
+                            % CMS_P
+                            % CMS_W
+                        ).alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(CMS_ROWS)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", "true_n", "cell.row_id", "cell.bucket")
+    probe = top_cells.join(sketch, ["row_id", "bucket"])
+    return (
+        probe.groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("est_n"))
+        .select(
+            "user_id",
+            "true_n",
+            F.col("est_n").cast("long").alias("est_n"),
+            (F.col("est_n") - F.col("true_n")).cast("long").alias("overestimate"),
+        )
+    )

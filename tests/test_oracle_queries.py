@@ -51,6 +51,9 @@ HEAVY_ALLOWLIST = {
     "lakehouse_partition_evolution",  # multi-generation lakehouse rewrite
     "stream_dsir_scoring",  # LM train + 3-epoch availableNow stream +
     # sink re-rank: ~13 s warm, tips past 15 s on a cold first run
+    "stream_heavy_hitters_cms",  # availableNow stream cold-start
+    # dominates (~10 s of the ~14 s warm run); the probe side is k x d
+    # rows — same cold-first-run class as stream_dsir_scoring
     "dedup_winnowing_pairs",  # ~10-12 s: BOTH engines md5-hash every
     # token 3-gram (the portable-hash tax text_winnowing_fingerprints
     # already pays — DuckDB's list-comprehension md5 dominates); the pair
