@@ -1703,3 +1703,138 @@ def embedding_quantization_error_histogram(
     share window runs over those 11 rows."""
     register_views(spark, sf_dir)
     return spark.sql(_QERR_SPARK)
+
+
+_QREC_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), m AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) AS ma,
+           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+    FROM e
+), z AS (
+    SELECT vec_id, v, nrm,
+           list_transform(v, x -> CASE WHEN ma = 0 THEN 0
+               ELSE CAST(floor(127 * x / ma + 0.5) AS BIGINT) END) AS q8
+    FROM m
+), q AS (
+    SELECT * FROM z WHERE vec_id < {N_QUERIES}
+), pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.v) + 1),
+                                   i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm)
+               AS cosine,
+           list_sum(list_transform(range(1, len(q.q8) + 1),
+                                   i -> q.q8[i] * c.q8[i])) AS score
+    FROM q JOIN z c ON c.vec_id <> q.vec_id
+), exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM pairs) t WHERE rn <= {TOP_K}
+), quant AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rn
+        FROM pairs) t WHERE rn <= {TOP_K}
+)
+SELECT e.query_id,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST(COUNT(qn.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(qn.neighbor_id) * 1000000 // {TOP_K} AS BIGINT)
+           AS recall_ppm
+FROM exact e LEFT JOIN quant qn
+  ON qn.query_id = e.query_id AND qn.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@query("similarity_quantized_recall", oracle=_QREC_ORACLE)
+def similarity_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the PURE int8 ranking against the exact float
+    ranking, per query — the eval that prices the compressed tier ON
+    ITS OWN (similarity_two_stage_rerank shows int8+rerank recovers
+    exactness; this measures what you lose if you skip the rerank and
+    serve int8 end to end, the memory-bound deployment some stacks
+    choose).  Completes the compression-eval trio:
+    embedding_quantization_error_histogram (component-level error),
+    embedding_matryoshka_recall (dimension truncation), this
+    (rank-level fidelity of scalar quantization).
+
+    Fully oracle-backed where IVF/LSH/PQ recall evals cannot be: both
+    rankings are deterministic (exact cosine with pinned tie-breaks;
+    INTEGER dot products over the half-up int8 codes), so the overlap
+    count is exact on both engines.
+
+    Scale: the pair scan is the broadcast-query-set design (the
+    bruteforce/two-stage posture — the corpus-sized side streams once);
+    both rankings are per-query windows over that query-bounded frame;
+    the overlap join is {N_QUERIES}x{TOP_K} rows."""
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    z = e.withColumn(
+        "ma",
+        F.aggregate(
+            F.transform("v", lambda x: F.abs(x)),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ),
+    ).withColumn(
+        "q8",
+        F.transform(
+            "v",
+            lambda x: F.when(F.col("ma") == 0, F.lit(0).cast("long")).otherwise(
+                F.floor(F.lit(127) * x / F.col("ma") + F.lit(0.5)).cast("long")
+            ),
+        ),
+    )
+    q = F.broadcast(
+        z.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.col("q8").alias("qq8"),
+        )
+    )
+    pairs = q.join(z, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias(
+            "cosine"
+        ),
+        F.aggregate(
+            F.zip_with("qq8", "q8", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    ).persist()
+    we = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    wq = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    exact = (
+        pairs.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    quant = (
+        pairs.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            F.col("query_id").alias("q_id"),
+            F.col("neighbor_id").alias("n_id"),
+        )
+    )
+    joined = exact.join(
+        quant,
+        (F.col("query_id") == F.col("q_id"))
+        & (F.col("neighbor_id") == F.col("n_id")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.lit(TOP_K).cast("long").alias("k"),
+        F.count(F.col("n_id")).cast("long").alias("n_overlap"),
+        F.expr(f"CAST(COUNT(n_id) * 1000000 DIV {TOP_K} AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )

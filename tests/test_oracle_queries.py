@@ -45,6 +45,9 @@ HEAVY_ALLOWLIST = {
     "embedding_kmeans_lloyd",  # unrolled Lloyd rounds oracle
     "embedding_cka_quantization",  # d² Gram trio via ordered folds on BOTH
     # engines (~12 s clean, dual-engine exact-fold cost, the PC-kernel family)
+    "similarity_quantized_recall",  # BOTH rankings (float cosine + int8
+    # integer dot) computed on BOTH engines — DuckDB's per-pair list
+    # folds dominate (~15-20 s), the cka dual-engine exact-fold class
     "embedding_pc2_deflation",  # TWO chained unrolled power iterations
     # (PC1 + deflated PC2) — exactly 2x the PC1 cost, ~23 s clean with
     # the doubled ordered-fold oracle; the iterative-family budget case

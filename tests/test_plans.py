@@ -174,6 +174,7 @@ ALLOWED_NESTED_LOOP = {
     "embedding_contrastive_pairs",  # broadcast anchor panel (bruteforce design)
     "governance_row_level_policy",  # 1-row leakage-count broadcast per principal (q11 pattern)
     "similarity_two_stage_rerank",  # broadcast query set; int8 coarse pass (same design)
+    "similarity_quantized_recall",  # r9: same broadcast-query-set design (dual ranking)
     "embedding_similarity_histogram",  # broadcast query set; bounded 21-bucket output
     "corpus_epoch_upsampling",  # 1-row global quota broadcast (q11 pattern)
     "text_adaptive_stopwords",  # 1-row corpus-count broadcast (q11 pattern)
