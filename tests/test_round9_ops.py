@@ -620,3 +620,95 @@ def test_dq_format_conformance_matches_python(spark):
         assert r.n_rows == n[nk]
         assert r.n_violations == viol[nk], nk
         assert r.conformance_ppm == (n[nk] - viol[nk]) * 1000000 // n[nk]
+
+
+def test_multimodal_mix_card_matches_python(spark):
+    """Closed-form container arithmetic recompute, plus a REAL wave-module
+    check of the WAV byte length for one sample doc."""
+    import io
+    import wave
+
+    engine.clear_caches(spark)
+    rows = {
+        r.modality: r
+        for r in engine.all_queries()["multimodal_modality_mix_card"](
+            spark, SF_DIR
+        ).collect()
+    }
+    docs = _pq("documents")
+    W, FB = 16, 32
+    L = docs.text.str.len()
+    h = ((L + 2) // 3 + W - 1) // W
+    exp = {
+        "audio_wav": (len(docs), int(L.sum()), int((44 + 2 * L).sum()), int(L.sum())),
+        "image_ppm": (
+            len(docs),
+            int(L.sum()),
+            int((11 + h.astype(str).str.len() + 3 * W * h).sum()),
+            int((W * h).sum()),
+        ),
+        "video_frames": (
+            len(docs),
+            int(L.sum()),
+            int((FB * ((L + FB - 1) // FB)).sum()),
+            int(((L + FB - 1) // FB).sum()),
+        ),
+    }
+    for mod, (nd, src, enc, units) in exp.items():
+        r = rows[mod]
+        assert (r.n_docs, r.total_source_bytes, r.total_encoded_bytes,
+                r.total_units) == (nd, src, enc, units), mod
+    # one real container: stdlib wave agrees with the 44+2L closed form
+    payload = docs.text.iloc[0].encode()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+        w.writeframes(b"\x00\x00" * len(payload))
+    assert len(buf.getvalue()) == 44 + 2 * len(payload)
+
+
+def test_stream_cms_matches_batch_twin(spark):
+    """Stream/batch sketch parity: the streamed CMS probe table must be
+    row-identical to agg_count_min_sketch's."""
+    engine.clear_caches(spark)
+    qs = engine.all_queries()
+    a = sorted(
+        tuple(r) for r in qs["stream_heavy_hitters_cms"](spark, SF_DIR).collect()
+    )
+    engine.clear_caches(spark)
+    b = sorted(
+        tuple(r) for r in qs["agg_count_min_sketch"](spark, SF_DIR).collect()
+    )
+    assert a == b and len(a) == 5
+
+
+def test_similarity_quantized_recall_matches_numpy(spark):
+    import numpy as np
+
+    engine.clear_caches(spark)
+    rows = {
+        r.query_id: r
+        for r in engine.all_queries()["similarity_quantized_recall"](
+            spark, SF_DIR
+        ).collect()
+    }
+    emb = _pq("embeddings").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    V = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ma = np.abs(V).max(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Q8 = np.where(ma[:, None] == 0, 0, np.floor(127 * V / ma[:, None] + 0.5))
+    nrm = np.sqrt((V * V).sum(axis=1))
+    K = 5
+    for qi in range(10):
+        q = np.where(ids == qi)[0][0]
+        mask = ids != qi
+        cos = (V[mask] @ V[q]) / (nrm[mask] * nrm[q])
+        score = (Q8[mask] @ Q8[q]).astype(np.int64)
+        nb = ids[mask]
+        exact = set(nb[np.lexsort((nb, -cos))][:K])
+        quant = set(nb[np.lexsort((nb, -score))][:K])
+        ov = len(exact & quant)
+        r = rows[qi]
+        assert r.k == K and r.n_overlap == ov, (qi, r.n_overlap, ov)
+        assert r.recall_ppm == ov * 1000000 // K

@@ -317,6 +317,8 @@ PROBE_QUERIES = [
     "parts_safety_stock_reorder",
     "parts_newsvendor_quantity",
     "dq_format_conformance",
+    "multimodal_modality_mix_card",
+    "similarity_quantized_recall",
     # round-9 new operators
     "dedup_exact_substring_spans",
     "pipeline_exact_substring_e2e",
