@@ -34,10 +34,11 @@ def _round_number() -> int:
 
 # Queries fixed after a driver-red artifact: pulled to the rotation front
 # until a later CORRECTNESS artifact shows them green (the r3
-# range_join_binned protocol; range_join_binned itself re-drew green in
-# r08 and retired from this list).  window_range_interval_frame was r08's
-# one hash-red (decimal canonicalization, fixed in r9).
-_REPAIR_FRONT_PULL = ("window_range_interval_frame",)
+# range_join_binned protocol; range_join_binned re-drew green in r08 and
+# retired; window_range_interval_frame — r08's one hash-red, decimal
+# canonicalization fixed in r9 — re-drew green in CORRECTNESS_r09 and
+# retired).  Empty this round: no outstanding driver-red repairs.
+_REPAIR_FRONT_PULL: tuple[str, ...] = ()
 
 
 def _ever_sampled() -> set[str]:

@@ -125,26 +125,63 @@ def main() -> None:
         assert acc >= 0
         return round(time.perf_counter() - t0, 4)
 
-    load_before = os.getloadavg()
-    calib_before = calibrate()
+    def run_suite() -> dict:
+        load_before = os.getloadavg()
+        calib_before = calibrate()
+        timings: dict[str, float] = {}
+        raw: dict[str, list[float]] = {}
+        for name in names:
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
+                n = df.count()
+                runs.append(round(time.perf_counter() - t0, 4))
+                assert n >= 0
+                engine.clear_caches(spark)  # builder persists don't leak
+            raw[name] = runs
+            timings[name] = min(runs)
+        load_after = os.getloadavg()
+        calib_after = calibrate()
+        return {
+            "timings": timings,
+            "raw": raw,
+            "load_before": list(load_before),
+            "load_after": list(load_after),
+            "calib_before": calib_before,
+            "calib_after": calib_after,
+        }
 
-    timings: dict[str, float] = {}
-    raw: dict[str, list[float]] = {}
-    for name in names:
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            n = df.count()
-            runs.append(round(time.perf_counter() - t0, 4))
-            assert n >= 0
-            engine.clear_caches(spark)  # builder persists don't leak
-        raw[name] = runs
-        timings[name] = min(runs)
+    def contaminated(s: dict) -> str | None:
+        """Self-certification verdict: non-None => this run is suspect."""
+        if s["load_before"][0] > 3.0:
+            return f"loadavg_before {s['load_before'][0]:.2f} > 3"
+        drift = s["calib_after"] / max(s["calib_before"], 1e-9) - 1.0
+        if abs(drift) > 0.15:
+            return f"calibration drift {drift:+.1%} > 15%"
+        return None
 
-    load_after = os.getloadavg()
-    calib_after = calibrate()
+    # Contamination self-healing (r9 verdict ask #2): BENCH_r09 was the
+    # second contaminated driver artifact in three rounds — the
+    # self-certification fields flagged it, but the committed number still
+    # needed a footnote.  Now the harness retries the WHOLE suite once when
+    # the certification fields say the run was dirty (loadavg_before > 3 or
+    # >15% calibration drift), and keeps whichever attempt has the lower
+    # total (a clean retry always beats a contended first pass; if both are
+    # dirty, the lower total is still the better estimate).
+    attempts = [run_suite()]
+    verdict = contaminated(attempts[0])
+    if verdict is not None:
+        print(
+            json.dumps({"detail": "bench_retry", "reason": verdict}),
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(10)  # let a transient spike drain before the retry
+        attempts.append(run_suite())
 
+    best = min(attempts, key=lambda s: sum(s["timings"].values()))
+    timings, raw = best["timings"], best["raw"]
     total = round(sum(timings.values()), 4)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     # Artifact contract (r7 verdict ask #4): BENCH_r07's single fat line
@@ -157,12 +194,17 @@ def main() -> None:
             {
                 "detail": "bench_self_certification",
                 "raw_runs": raw,
-                "loadavg_before": list(load_before),
-                "loadavg_after": list(load_after),
+                "loadavg_before": best["load_before"],
+                "loadavg_after": best["load_after"],
                 # same fixed integer loop, timed before and after the suite:
                 # on a quiet host both land ~equal; a contended run shows a
                 # visibly inflated value (calibrated slowdown, not a guess)
-                "calibration_sec": {"before": calib_before, "after": calib_after},
+                "calibration_sec": {
+                    "before": best["calib_before"],
+                    "after": best["calib_after"],
+                },
+                "attempts": len(attempts),
+                "first_attempt_verdict": verdict or "clean",
             }
         )
     )

@@ -676,3 +676,85 @@ def test_aqe_join_switch_happened(spark):
     initial = plan.split("== Initial Plan ==")[1] if "== Initial Plan ==" in plan else ""
     assert "BroadcastHashJoin" in final, final
     assert "SortMergeJoin" in initial, initial
+
+
+# --- two-phase prefix library: range-exchange pin (r9 verdict ask #7) ---
+
+def _assert_multi_range_prefix(df, min_ranges: int = 2) -> None:
+    """Pin the property the two-phase prefix library's scale posture rests
+    on: the plan actually contains a range exchange with >= min_ranges
+    partitions (so the 'parallel local prefix' phase IS parallel), and at
+    runtime the rows really land in >= min_ranges slices.  A tiny-input
+    single-partition plan, an AQE coalesce of the range exchange, or a
+    refactor that drops the explicit n_ranges would all silently
+    degenerate ranked_prefix_sum back into the single-task global window
+    it replaces — this guard turns that into a red test."""
+    import re
+
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    parts = [int(m) for m in re.findall(r"rangepartitioning\(.*?, (\d+)\)", plan)]
+    assert parts, f"no range exchange in plan:\n{plan[:2000]}"
+    assert max(parts) >= min_ranges, f"range exchange degenerate: {parts}"
+    from pyspark.sql import functions as F
+
+    n_live = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_live >= min_ranges, f"only {n_live} live range slice(s) at runtime"
+
+
+def test_ranked_prefix_sum_stays_multi_range(spark):
+    """Library-level pin at probe scale: the prefix sum runs over >= 2
+    ordered ranges, plan AND runtime."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.functions.prefix import ranked_prefix_sum
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", (F.col("l_orderkey") % 97).alias("v")
+    )
+    out, totals = ranked_prefix_sum(
+        li, [F.col("l_orderkey"), F.col("l_linenumber")], ["v"]
+    )
+    _assert_multi_range_prefix(out)
+    assert totals["v"] > 0
+    engine.clear_caches(spark)
+
+
+def test_ranked_prefix_sum_degenerate_call_is_red(spark):
+    """The guard itself must be falsifiable: a deliberately-broken call
+    (n_ranges=1 — the exact single-task degeneration the library exists
+    to avoid) must FAIL the pin."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.functions.prefix import ranked_prefix_sum
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", (F.col("l_orderkey") % 97).alias("v")
+    )
+    out, _ = ranked_prefix_sum(
+        li, [F.col("l_orderkey"), F.col("l_linenumber")], ["v"], n_ranges=1
+    )
+    with pytest.raises(AssertionError):
+        _assert_multi_range_prefix(out)
+    engine.clear_caches(spark)
+
+
+def test_prefix_backed_registry_queries_stay_multi_range(spark):
+    """Registry-level pin on representative two-phase migrants (the r8/r9
+    ECDF-family dissolution): their executed plans must still carry a
+    multi-partition range exchange — the property that made the migration
+    worth it."""
+    import re
+
+    for name in ("customer_pareto_deciles", "stat_mann_whitney_u"):
+        engine.clear_caches(spark)
+        df = _q(name, spark)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        parts = [
+            int(m) for m in re.findall(r"rangepartitioning\(.*?, (\d+)\)", plan)
+        ]
+        assert parts and max(parts) >= 2, f"{name}: range exchange lost ({parts})"
+    engine.clear_caches(spark)
