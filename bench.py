@@ -84,6 +84,11 @@ HEADLINE = [
     # migration exemplar (MWU now windowless end to end)
     "dedup_exact_substring_spans",
     "stat_mann_whitney_u",
+    # round-10 flagship surface: the full BPE training loop (3 unrolled
+    # merge rounds, vocabulary-bounded after one corpus pass) and the
+    # interleaved image-patch+text next-fit packer (applyInPandas shards)
+    "text_bpe_train_merges",
+    "multimodal_pack_interleaved",
 ]
 
 

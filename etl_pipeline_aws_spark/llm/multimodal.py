@@ -2626,3 +2626,138 @@ def multimodal_modality_mix_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("enc").cast("long").alias("total_encoded_bytes"),
         F.sum("units").cast("long").alias("total_units"),
     )
+
+
+MM_PATCH = 8  # ViT-style square patch edge (pixels); PPM_WIDTH % MM_PATCH == 0
+MM_PACK_CAPACITY = 320  # units (image patches + text tokens) per training bin
+
+_MM_PACK_ORACLE = f"""
+    WITH RECURSIVE docs AS (
+        SELECT source, doc_id,
+               CAST({PPM_WIDTH // MM_PATCH}
+                    * ((((LENGTH(text) + 2) // 3 + {PPM_WIDTH - 1})
+                        // {PPM_WIDTH} + {MM_PATCH - 1}) // {MM_PATCH})
+                    AS BIGINT) AS img,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS txt,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                    AS BIGINT) AS idx
+        FROM documents
+    ), walk AS (
+        SELECT source, idx, img, txt,
+               CAST(1 AS BIGINT) AS bin_idx, img + txt AS fill
+        FROM docs WHERE idx = 1
+        UNION ALL
+        SELECT d.source, d.idx, d.img, d.txt,
+               CASE WHEN w.fill + d.img + d.txt <= {MM_PACK_CAPACITY}
+                    THEN w.bin_idx ELSE w.bin_idx + 1 END,
+               CASE WHEN w.fill + d.img + d.txt <= {MM_PACK_CAPACITY}
+                    THEN w.fill + d.img + d.txt ELSE d.img + d.txt END
+        FROM walk w JOIN docs d ON d.source = w.source AND d.idx = w.idx + 1
+    )
+    SELECT source, CAST(bin_idx AS BIGINT) AS bin_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(img) AS BIGINT) AS image_units,
+           CAST(SUM(txt) AS BIGINT) AS text_units,
+           CAST(SUM(img + txt) AS BIGINT) AS fill_units,
+           CAST(GREATEST({MM_PACK_CAPACITY} - SUM(img + txt), 0) AS BIGINT)
+               AS pad_units
+    FROM walk GROUP BY source, bin_idx
+"""
+
+
+@query("multimodal_pack_interleaved", oracle=_MM_PACK_ORACLE)
+def multimodal_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved IMAGE-PATCH + TEXT sequence packing — the multimodal
+    twin of corpus_pack_next_fit (r9 verdict ask #5): each document
+    contributes its vision tokens (ViT-style {MM_PATCH}x{MM_PATCH} patches
+    of the doc's P6 image: (PPM_WIDTH/{MM_PATCH}) patch columns x
+    ceil(h/{MM_PATCH}) patch rows, with h the raster height priced by the
+    SAME closed form multimodal_modality_mix_card pins against the real
+    encoder) followed by its text tokens, and documents pack next-fit in
+    doc_id order per source into {MM_PACK_CAPACITY}-unit training bins —
+    a document never straddles a sequence boundary (the integrity rule
+    instruction-tuned multimodal recipes need).  Output: the per-(source,
+    bin) manifest with EXACT per-modality unit ledgers (image_units,
+    text_units, fill_units) plus the padding waste (capacity - fill;
+    an oversized document occupies a bin alone with pad 0) — the
+    padding-waste audit a mixed-modality batch loader prices its
+    throughput with.
+
+    Spark shape: identical to corpus_pack_next_fit — the greedy
+    recurrence is sequential WITHIN a source, so it runs as
+    applyInPandas, one Arrow batch per source and parallel across
+    sources (at 100 TB the key becomes (source, shard): same plan,
+    finer key).  The pre-pass is a narrow JVM-side projection to
+    (source, doc_id, img, txt) — neither text nor payload bytes enter
+    the Python worker.  Oracle: the identical walk as a recursive CTE
+    advancing all sources in lockstep, with the patch arithmetic inlined.
+
+    Conservation law (pinned by test): sum(image_units) + sum(text_units)
+    over bins == the corpus's per-doc patch + token totals, and per bin
+    fill_units == image_units + text_units — the ledger never creates or
+    destroys a unit."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        (
+            F.lit(PPM_WIDTH // MM_PATCH)
+            * F.expr(
+                f"((((length(text) + 2) div 3 + {PPM_WIDTH - 1})"
+                f" div {PPM_WIDTH}) + {MM_PATCH - 1}) div {MM_PATCH}"
+            )
+        )
+        .cast("long")
+        .alias("img"),
+        F.size(F.split("text", " ")).cast("long").alias("txt"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        source = pdf["source"].iloc[0]
+        out: list[tuple[str, int, int, int, int, int, int]] = []
+        bin_idx, n_docs, img_u, txt_u = 0, 0, 0, 0
+
+        def close() -> None:
+            fill = img_u + txt_u
+            out.append(
+                (
+                    source,
+                    bin_idx,
+                    n_docs,
+                    img_u,
+                    txt_u,
+                    fill,
+                    max(MM_PACK_CAPACITY - fill, 0),
+                )
+            )
+
+        for img, txt in zip(pdf["img"], pdf["txt"]):
+            units = int(img) + int(txt)
+            if bin_idx == 0 or img_u + txt_u + units > MM_PACK_CAPACITY:
+                if bin_idx > 0:
+                    close()
+                bin_idx += 1
+                n_docs, img_u, txt_u = 0, 0, 0
+            n_docs += 1
+            img_u += int(img)
+            txt_u += int(txt)
+        if bin_idx > 0:
+            close()
+        return pd.DataFrame(
+            out,
+            columns=[
+                "source",
+                "bin_idx",
+                "n_docs",
+                "image_units",
+                "text_units",
+                "fill_units",
+                "pad_units",
+            ],
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        pack,
+        "source string, bin_idx long, n_docs long, image_units long,"
+        " text_units long, fill_units long, pad_units long",
+    )

@@ -1397,6 +1397,170 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGE_ROUNDS = 3
+# Symbol-boundary separator for the merge rewrite.  A symbol sequence
+# [s1, s2, ..., sk] is encoded as SEP s1 SEP SEP s2 SEP SEP ... sk SEP —
+# every interior boundary carries exactly TWO separators, each end exactly
+# ONE.  Merging pair (L, R) is then the plain left-to-right string replace
+# of  SEP L SEP SEP R SEP  with  SEP L+R SEP : the consumed boundary halves
+# re-pair with the neighbors' remaining halves, so the invariant survives
+# the rewrite, consecutive occurrences ("abab") all merge in one pass, and
+# overlapping runs ("aaa" with L=R="a") merge greedily left-to-right —
+# exactly the list-fold semantics of the classic BPE trainer.  \x01 never
+# appears in text (enforced by filter, not assumed).
+_BPE_SEP = "\x01"
+
+
+def _bpe_merges_oracle() -> str:
+    sep = "chr(1)"
+    sep2 = f"{sep}||{sep}"
+
+    def round_ctes(i: int, prev_w: str) -> str:
+        return f"""
+    p{i} AS (
+        SELECT seq[CAST(i AS INT)] AS l, seq[CAST(i AS INT)+1] AS r,
+               SUM(n) AS c
+        FROM (
+            SELECT string_split(substr(s, 2, length(s) - 2), {sep2}) AS seq, n
+            FROM {prev_w}
+        ) t, LATERAL unnest(range(1, len(seq))) u(i)
+        GROUP BY 1, 2
+    ), b{i} AS (
+        SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+    ), w{i + 1} AS (
+        SELECT replace(s, {sep}||b.l||{sep2}||b.r||{sep},
+                          {sep}||b.l||b.r||{sep}) AS s, n
+        FROM {prev_w}, b{i} b
+    )"""
+
+    rounds = ",".join(
+        round_ctes(i, f"w{i}") for i in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS merge_round, l AS left_sym, r AS right_sym,"
+        f" CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(text, $${BPE_PRETOKEN_PATTERN}$$)) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok, COUNT(*) AS n FROM toks
+        WHERE NOT contains(tok, {sep}) GROUP BY tok
+    ), w1 AS (
+        SELECT {sep} || array_to_string(
+                   list_transform(range(1, length(tok) + 1),
+                                  i -> substring(tok, CAST(i AS INT), 1)),
+                   {sep2}) || {sep} AS s, n
+        FROM vocab
+    ),{rounds}
+    SELECT * FROM ({selects}) ORDER BY merge_round
+    """
+
+
+@query("text_bpe_train_merges", oracle=_bpe_merges_oracle())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING step 2 — the merge loop (Sennrich, Haddow & Birch
+    2016, "Neural Machine Translation of Rare Words with Subword Units"):
+    ``BPE_MERGE_ROUNDS`` unrolled rounds of [count adjacent symbol pairs
+    over the weighted distinct-pretoken vocabulary -> pick the most
+    frequent pair (count DESC, then (left, right) lexicographic — a total
+    order, so the pick is identical on both engines) -> rewrite every
+    occurrence greedily left-to-right].  Completes the public BPE story
+    that text_bpe_pair_counts (step 1) started.  Output: one row per
+    merge round with the learned (left, right) pair and its corpus count.
+
+    Spark-first plan, fully lazy — NO driver collect anywhere: each
+    round's argmax is an ``orderBy().limit(1)`` (TakeOrderedAndProject
+    over the vocabulary-sized pair table), and the merge rewrite reaches
+    the next round as a broadcast of that 1-row DataFrame crossJoined
+    into a JVM-side ``replace()`` on the boundary-encoded symbol string
+    (see _BPE_SEP invariant above) — the same classic trick that makes
+    BPE training corpus-size-independent after the first token count:
+    every post-vocab stage is VOCABULARY-sized regardless of corpus
+    size.  Per-round vocab frames are persisted (consumed by both the
+    argmax and the next rewrite; the engine's query-boundary
+    clear_caches reclaims them — the established contract).
+
+    100 TB: one corpus-sized token groupBy (map-side combined), then 3x
+    {vocab-sized shuffle agg + 1-row top-k + map-side rewrite}.  The
+    10x probe is expected flat because the vocabulary, not the corpus,
+    bounds every round."""
+    docs = load_table(spark, sf_dir, "documents")
+    sep2 = _BPE_SEP * 2
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_PATTERN), 0)
+        ).alias("tok")
+    )
+    vocab = (
+        toks.filter(~F.col("tok").contains(_BPE_SEP))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    words = vocab.select(
+        F.concat(
+            F.lit(_BPE_SEP),
+            F.array_join(
+                F.expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"),
+                sep2,
+            ),
+            F.lit(_BPE_SEP),
+        ).alias("s"),
+        "n",
+    ).persist()
+    bests = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        seqd = words.withColumn(
+            "seq", F.split(F.expr("substring(s, 2, length(s) - 2)"), sep2)
+        ).filter(F.size("seq") >= 2)  # sequence(1, 0) would DESCEND in Spark
+        pairs = seqd.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(seq) - 1),"
+                    " i -> struct(element_at(seq, i) AS l,"
+                    "             element_at(seq, i + 1) AS r))"
+                )
+            ).alias("p"),
+            "n",
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .persist()
+        )
+        bests.append(
+            best.select(
+                F.lit(rnd).alias("merge_round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("c").cast("long").alias("pair_count"),
+            )
+        )
+        if rnd < BPE_MERGE_ROUNDS:
+            words = (
+                words.crossJoin(F.broadcast(best))
+                .select(
+                    F.replace(
+                        F.col("s"),
+                        F.concat(
+                            F.lit(_BPE_SEP), "l", F.lit(sep2), "r", F.lit(_BPE_SEP)
+                        ),
+                        F.concat(F.lit(_BPE_SEP), "l", "r", F.lit(_BPE_SEP)),
+                    ).alias("s"),
+                    "n",
+                )
+                .persist()
+            )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("merge_round")
+
+
 @query(
     "text_zipf_histogram",
     oracle="""

@@ -1,0 +1,167 @@
+"""Round-10 additions: recompute tests for the BPE merge loop and the
+multimodal sequence packer, plus the oracle-parity checks the round's
+verdict asked for (r9 verdict asks #4 and #5)."""
+
+from __future__ import annotations
+
+import collections
+import re
+
+import etl_pipeline_aws_spark as engine
+from tests.conftest import SF_DIR
+from tests.oracle import compare, duckdb_con
+
+
+# ---------------------------------------------------------------------------
+# BPE merge loop (r9 verdict ask #4): Spark result == pure-Python BPE
+# trainer (the Sennrich et al. 2016 reference algorithm, written here from
+# the paper: count weighted adjacent pairs over the distinct-pretoken
+# vocabulary, take the argmax with a deterministic tie-break, rewrite
+# greedily left-to-right, repeat).
+# ---------------------------------------------------------------------------
+
+
+def _python_bpe_merges(texts: list[str], rounds: int) -> list[tuple]:
+    from etl_pipeline_aws_spark.llm.text import BPE_PRETOKEN_PATTERN
+
+    pat = re.compile(BPE_PRETOKEN_PATTERN)
+    vocab: collections.Counter = collections.Counter()
+    for t in texts:
+        for tok in pat.findall(t or ""):
+            if "\x01" not in tok:
+                vocab[tok] += 1
+    seqs = [[list(tok), n] for tok, n in vocab.items()]
+    merges = []
+    for rnd in range(1, rounds + 1):
+        cnt: collections.Counter = collections.Counter()
+        for syms, n in seqs:
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += n
+        (left, right), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rnd, left, right, c))
+        for item in seqs:
+            out: list[str] = []
+            for x in item[0]:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            item[0] = out
+    return merges
+
+
+def test_bpe_train_merges_matches_python_reference(spark):
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.llm.text import BPE_MERGE_ROUNDS
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, SF_DIR, "documents").select("text").collect()
+    ]
+    expected = _python_bpe_merges(texts, BPE_MERGE_ROUNDS)
+    got = [
+        (r["merge_round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in engine.all_queries()["text_bpe_train_merges"](
+            spark, SF_DIR
+        ).collect()
+    ]
+    assert got == expected
+    engine.clear_caches(spark)
+
+
+def test_bpe_train_merges_oracle_parity(spark):
+    con = duckdb_con(SF_DIR)
+    import __spark_entry__ as entry
+
+    name = "text_bpe_train_merges"
+    compare(
+        engine.all_queries()[name](spark, SF_DIR), con, entry.oracle_sql()[name]
+    )
+    engine.clear_caches(spark)
+
+
+def test_bpe_merge_rewrite_handles_adjacent_and_overlapping_runs(
+    spark, tmp_path
+):
+    """The boundary-encoded replace must equal the list-fold semantics on
+    the two classic traps: consecutive occurrences ('abab' -> both pairs
+    merge in one pass) and overlapping runs ('aaaa' with left==right ->
+    greedy left-to-right, two non-overlapping merges).  Exercised through
+    the real operator on a crafted corpus where those words dominate the
+    argmax."""
+    texts = ["abababab abababab", "aaaa aaaa aaaa", "abab zq"]
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = [
+        (r["merge_round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in engine.all_queries()["text_bpe_train_merges"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == _python_bpe_merges(texts, 3)
+    engine.clear_caches(spark)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal interleaved packing (r9 verdict ask #5): the per-modality unit
+# ledger must conserve — bins neither create nor destroy a patch or token —
+# and every bin must respect capacity unless it holds a single oversized doc.
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_pack_ledger_conservation(spark):
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.llm.multimodal import (
+        MM_PACK_CAPACITY,
+        MM_PATCH,
+        PPM_WIDTH,
+    )
+
+    bins = engine.all_queries()["multimodal_pack_interleaved"](
+        spark, SF_DIR
+    ).collect()
+    # independent per-doc totals straight from the table
+    per_doc = (
+        load_table(spark, SF_DIR, "documents")
+        .select(
+            (
+                F.lit(PPM_WIDTH // MM_PATCH)
+                * F.expr(
+                    f"((((length(text) + 2) div 3 + {PPM_WIDTH - 1})"
+                    f" div {PPM_WIDTH}) + {MM_PATCH - 1}) div {MM_PATCH}"
+                )
+            ).alias("img"),
+            F.size(F.split("text", " ")).alias("txt"),
+        )
+        .agg(
+            F.sum("img").alias("img"),
+            F.sum("txt").alias("txt"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert sum(b["image_units"] for b in bins) == per_doc["img"]
+    assert sum(b["text_units"] for b in bins) == per_doc["txt"]
+    assert sum(b["n_docs"] for b in bins) == per_doc["n"]
+    for b in bins:
+        assert b["fill_units"] == b["image_units"] + b["text_units"]
+        assert b["pad_units"] == max(MM_PACK_CAPACITY - b["fill_units"], 0)
+        # capacity respected except the lone-oversized-doc bin
+        assert b["fill_units"] <= MM_PACK_CAPACITY or b["n_docs"] == 1
+    engine.clear_caches(spark)
+
+
+def test_multimodal_pack_oracle_parity(spark):
+    con = duckdb_con(SF_DIR)
+    import __spark_entry__ as entry
+
+    name = "multimodal_pack_interleaved"
+    compare(
+        engine.all_queries()[name](spark, SF_DIR), con, entry.oracle_sql()[name]
+    )
+    engine.clear_caches(spark)

@@ -331,6 +331,9 @@ PROBE_QUERIES = [
     "stat_page_trend_test",
     "stat_jackknife_ratio_se",
     "ml_conformal_daily_interval",
+    # round-10 new operators
+    "text_bpe_train_merges",
+    "multimodal_pack_interleaved",
     # round-8 new operators
     "customer_pareto_deciles",
     "events_value_ecdf_deciles",
