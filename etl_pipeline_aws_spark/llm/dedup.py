@@ -1810,8 +1810,20 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # WITHIN clusters by cosine
 # --------------------------------------------------------------------------
 
-SEMDEDUP_K = 4  # coarse clusters (fixture-scale; production: n/avg_cluster)
+SEMDEDUP_K = 4  # minimum coarse clusters (fixture floor)
+SEMDEDUP_TARGET = 500  # target members per cluster: k = max(K, n DIV target)
 SEMDEDUP_TAU = 0.4  # within-cluster cosine dedup threshold
+
+# k scales with the table (r10: the 100x probe discipline) — a FIXED k
+# makes the within-cluster pair stage Σ|cluster|² ~ n²/k, i.e. quadratic
+# per decade of growth; k = n/target keeps cluster size ~constant so the
+# pair stage is ~n·target — linear, the posture the SemDeDup paper
+# prescribes.  Both engines derive k from the same COUNT so the fixture
+# scales (n=200 / n=2000 -> k=4) are bit-unchanged.
+_SEMDEDUP_K_SQL = (
+    f"GREATEST({SEMDEDUP_K}, (SELECT COUNT(*) FROM embeddings)"
+    f" // {SEMDEDUP_TARGET})"
+)
 
 _SEMDEDUP_ORACLE = f"""
 WITH x AS (
@@ -1823,7 +1835,8 @@ WITH x AS (
     SELECT vec_id, SQRT(list_sum(list(val * val ORDER BY pos))) AS nrm
     FROM x GROUP BY vec_id
 ), c1 AS (
-    SELECT vec_id AS cl, pos, val AS cv FROM x WHERE vec_id < {SEMDEDUP_K}
+    SELECT vec_id AS cl, pos, val AS cv FROM x
+    WHERE vec_id < {_SEMDEDUP_K_SQL}
 ), a1 AS (
     SELECT x.vec_id, c.cl,
            list_sum(list((x.val - c.cv) * (x.val - c.cv)
@@ -1904,7 +1917,10 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).persist()
-    cents = vecs.filter(F.col("vec_id") < SEMDEDUP_K).select(
+    # adaptive k (see _SEMDEDUP_K_SQL): one bounded count job, then the
+    # k-lowest-id init — identical arithmetic to the oracle's GREATEST
+    k = max(SEMDEDUP_K, vecs.count() // SEMDEDUP_TARGET)
+    cents = vecs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cl"), F.col("v").alias("cv")
     )
     dist_expr = F.aggregate(

@@ -1428,8 +1428,8 @@ def _bpe_merges_oracle() -> str:
     ), b{i} AS (
         SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1
     ), w{i + 1} AS (
-        SELECT replace(s, {sep}||b.l||{sep2}||b.r||{sep},
-                          {sep}||b.l||b.r||{sep}) AS s, n
+        SELECT tok, replace(s, {sep}||b.l||{sep2}||b.r||{sep},
+                               {sep}||b.l||b.r||{sep}) AS s, n
         FROM {prev_w}, b{i} b
     )"""
 
@@ -1449,7 +1449,8 @@ def _bpe_merges_oracle() -> str:
         SELECT tok, COUNT(*) AS n FROM toks
         WHERE NOT contains(tok, {sep}) GROUP BY tok
     ), w1 AS (
-        SELECT {sep} || array_to_string(
+        SELECT tok,
+               {sep} || array_to_string(
                    list_transform(range(1, length(tok) + 1),
                                   i -> substring(tok, CAST(i AS INT), 1)),
                    {sep2}) || {sep} AS s, n
@@ -1489,6 +1490,22 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds every round."""
     docs = load_table(spark, sf_dir, "documents")
     sep2 = _BPE_SEP * 2
+    bests, _ = _bpe_merge_chain(spark, sf_dir)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("merge_round")
+
+
+def _bpe_merge_chain(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE merge loop: returns (per-round 1-row merge DataFrames,
+    the post-all-merges vocabulary state (tok, s, n)).  The loop body is
+    documented on text_bpe_train_merges; the final words frame stays lazy
+    so the train op never pays for the last rewrite it doesn't consume."""
+    sep2 = _BPE_SEP * 2
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(
             F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_PATTERN), 0)
@@ -1500,6 +1517,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     words = vocab.select(
+        "tok",
         F.concat(
             F.lit(_BPE_SEP),
             F.array_join(
@@ -1540,25 +1558,114 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c").cast("long").alias("pair_count"),
             )
         )
-        if rnd < BPE_MERGE_ROUNDS:
-            words = (
-                words.crossJoin(F.broadcast(best))
-                .select(
-                    F.replace(
-                        F.col("s"),
-                        F.concat(
-                            F.lit(_BPE_SEP), "l", F.lit(sep2), "r", F.lit(_BPE_SEP)
-                        ),
-                        F.concat(F.lit(_BPE_SEP), "l", "r", F.lit(_BPE_SEP)),
-                    ).alias("s"),
-                    "n",
-                )
-                .persist()
+        rewritten = words.crossJoin(F.broadcast(best)).select(
+            "tok",
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit(_BPE_SEP), "l", F.lit(sep2), "r", F.lit(_BPE_SEP)),
+                F.concat(F.lit(_BPE_SEP), "l", "r", F.lit(_BPE_SEP)),
+            ).alias("s"),
+            "n",
+        )
+        words = rewritten.persist() if rnd < BPE_MERGE_ROUNDS else rewritten
+    return bests, words
+
+
+_BPE_COMPRESSION_ORACLE_TAIL = """
+    , sym AS (
+        SELECT tok,
+               ((length(s) - length(replace(s, chr(1), ''))) - 2) // 2 + 1
+                   AS k
+        FROM w{final}
+    ), src_toks AS (
+        SELECT source,
+               unnest(regexp_extract_all(text, $${pat}$$)) AS tok
+        FROM documents
+    ), src_vocab AS (
+        SELECT source, tok, COUNT(*) AS m
+        FROM src_toks WHERE NOT contains(tok, chr(1))
+        GROUP BY source, tok
+    )
+    SELECT v.source,
+           CAST(SUM(v.m) AS BIGINT) AS n_pretokens,
+           CAST(SUM(v.m * length(v.tok)) AS BIGINT) AS n_chars,
+           CAST(SUM(v.m * y.k) AS BIGINT) AS n_bpe_symbols,
+           CAST(SUM(v.m * y.k) AS DOUBLE) / SUM(v.m * length(v.tok))
+               AS symbols_per_char
+    FROM src_vocab v JOIN sym y ON y.tok = v.tok
+    GROUP BY v.source
+"""
+
+
+def _bpe_compression_oracle() -> str:
+    base = _bpe_merges_oracle()
+    # reuse the unrolled merge CTEs; drop the train op's final SELECT and
+    # append the per-source compression rollup over the w{rounds+1} state
+    chain = base[: base.rindex("SELECT * FROM")]
+    return chain + _BPE_COMPRESSION_ORACLE_TAIL.format(
+        final=BPE_MERGE_ROUNDS + 1, pat=BPE_PRETOKEN_PATTERN
+    )
+
+
+@query("text_bpe_compression_by_source", oracle=_bpe_compression_oracle())
+def text_bpe_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING step 3 — apply the corpus-learned merges back to the
+    corpus and price the result per SOURCE: pretoken count, character
+    count, post-merge symbol count, and symbols-per-char — the
+    "how much does k merges compress each feed" table a tokenizer-sizing
+    run reads (a feed whose compression lags the corpus average has
+    out-of-distribution character structure: code in a prose corpus,
+    wrong-language text, binary spillage).  Composes step 2
+    (text_bpe_train_merges) exactly: same chain, same merges.
+
+    Symbol counts come straight off the boundary encoding — a symbol
+    string with b separators holds (b-2)/2 + 1 symbols — so no re-parse
+    of the rewritten vocabulary is needed.  The per-source rollup joins
+    the (source, tok) occurrence counts (corpus-sized groupBy, map-side
+    combined) to the vocabulary-sized symbol table: the join's build
+    side is the vocabulary, the stream side per-source counts — both
+    bounded by vocab x sources, never by the corpus.  One int/int
+    division per row at the end; everything upstream exact integers."""
+    bests, words = _bpe_merge_chain(spark, sf_dir)
+    sym = words.select(
+        "tok",
+        (
+            (
+                F.length("s")
+                - F.length(F.replace(F.col("s"), F.lit(_BPE_SEP), F.lit("")))
+                - F.lit(2)
             )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out.orderBy("merge_round")
+            / F.lit(2)
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    src_vocab = (
+        docs.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_PATTERN), 0)
+            ).alias("tok"),
+        )
+        .filter(~F.col("tok").contains(_BPE_SEP))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        src_vocab.join(sym, "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("m").cast("long").alias("n_pretokens"),
+            F.sum(F.col("m") * F.length("tok")).cast("long").alias("n_chars"),
+            F.sum(F.col("m") * F.col("k")).cast("long").alias("n_bpe_symbols"),
+            (
+                F.sum(F.col("m") * F.col("k")).cast("double")
+                / F.sum(F.col("m") * F.length("tok"))
+            ).alias("symbols_per_char"),
+        )
+    )
 
 
 @query(

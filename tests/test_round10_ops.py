@@ -165,3 +165,68 @@ def test_multimodal_pack_oracle_parity(spark):
         engine.all_queries()[name](spark, SF_DIR), con, entry.oracle_sql()[name]
     )
     engine.clear_caches(spark)
+
+
+# ---------------------------------------------------------------------------
+# BPE step 3 (compression after learned merges): per-source ledger equals a
+# pure-Python re-application of the same merges.
+# ---------------------------------------------------------------------------
+
+
+def _python_bpe_compression(rows: list[tuple[str, str]], rounds: int):
+    """rows = (source, text).  Returns {source: (n_pretokens, n_chars,
+    n_bpe_symbols)} after applying the corpus-global merges."""
+    from etl_pipeline_aws_spark.llm.text import BPE_PRETOKEN_PATTERN
+
+    merges = _python_bpe_merges([t for _, t in rows], rounds)
+    pat = re.compile(BPE_PRETOKEN_PATTERN)
+
+    def encode_len(tok: str) -> int:
+        syms = list(tok)
+        for _, left, right, _ in merges:
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    cache: dict[str, int] = {}
+    per_src: dict[str, list[int]] = {}
+    for source, text in rows:
+        acc = per_src.setdefault(source, [0, 0, 0])
+        for tok in pat.findall(text or ""):
+            if "\x01" in tok:
+                continue
+            if tok not in cache:
+                cache[tok] = encode_len(tok)
+            acc[0] += 1
+            acc[1] += len(tok)
+            acc[2] += cache[tok]
+    return {s: tuple(v) for s, v in per_src.items()}
+
+
+def test_bpe_compression_matches_python_reference(spark):
+    from etl_pipeline_aws_spark.catalog import load_table
+    from etl_pipeline_aws_spark.llm.text import BPE_MERGE_ROUNDS
+
+    rows = [
+        (r["source"], r["text"])
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("source", "text")
+        .collect()
+    ]
+    want = _python_bpe_compression(rows, BPE_MERGE_ROUNDS)
+    got = {
+        r["source"]: (r["n_pretokens"], r["n_chars"], r["n_bpe_symbols"])
+        for r in engine.all_queries()["text_bpe_compression_by_source"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want
+    # merges only ever shrink, never below one symbol per pretoken
+    for n_pre, n_chars, n_sym in got.values():
+        assert n_pre <= n_sym <= n_chars
+    engine.clear_caches(spark)

@@ -333,6 +333,7 @@ PROBE_QUERIES = [
     "ml_conformal_daily_interval",
     # round-10 new operators
     "text_bpe_train_merges",
+    "text_bpe_compression_by_source",
     "multimodal_pack_interleaved",
     # round-8 new operators
     "customer_pareto_deciles",
@@ -401,7 +402,42 @@ SHAPE_OPS = (
 )
 
 
-def generate(spark, out_dir: str) -> None:
+_ALPHA_LO = "abcdefghijklmnopqrstuvwxyz"
+_ALPHA_UP = _ALPHA_LO.upper()
+_DIGITS = "0123456789"
+
+
+def _caesar_maps(i: int) -> tuple[str, str]:
+    """Per-copy character substitution (letters shift by i mod 26, digits
+    by i mod 10): copy i's text keeps every structural statistic of the
+    original — word lengths, whitespace, punctuation, repetition shape —
+    while its TOKENS land in a disjoint region of shingle space, so a
+    100x replica models '100x more unique data' instead of '100 exact
+    copies of the same corpus'.  Copies i and i+26 still collide (shift
+    wraps), leaving realistic bounded duplicate clusters (~copies/26
+    members) for the dedup operators to find."""
+    s, d = i % 26, i % 10
+    return (
+        _ALPHA_LO + _ALPHA_UP + _DIGITS,
+        _ALPHA_LO[s:] + _ALPHA_LO[:s] + _ALPHA_UP[s:] + _ALPHA_UP[:s]
+        + _DIGITS[d:] + _DIGITS[:d],
+    )
+
+
+def generate(
+    spark, out_dir: str, copies: int = COPIES, decollide: bool = False
+) -> None:
+    """Key-offset replica generator.  Default mode replicates every fact
+    row ``copies`` times with disjoint keys (the r5 10x-probe design).
+    ``decollide`` additionally perturbs the content-bearing tables so
+    duplicate-cluster sizes do NOT scale with ``copies``: documents get a
+    per-copy Caesar substitution (see _caesar_maps), embeddings a
+    per-copy cyclic rotation of the vector (norm-preserving, decollides
+    cosine structure; copies i and i+dim collide, bounding semantic-dup
+    clusters at ~copies/dim members).  Without this, a 100x replica hands
+    every near-dup operator duplicate clusters 100x the real-world size —
+    pair volume then grows quadratically as a DATA artifact the probe
+    would misattribute to the plan."""
     from pyspark.sql import functions as F
 
     from etl_pipeline_aws_spark.catalog import TABLES, load_table
@@ -410,15 +446,45 @@ def generate(spark, out_dir: str) -> None:
     for name in TABLES:
         src = load_table(spark, SRC_SF, name)
         cols = OFFSET_COLS[name]
-        parts = []
-        for i in range(COPIES if cols else 1):
-            df = src
+        if not cols:
+            out = src  # bounded dimensions replicate as-is
+        elif decollide and name in ("documents", "embeddings"):
+            # per-copy loop: these tables are small and need per-copy
+            # literal transforms (translate maps / rotation offsets)
+            parts = []
+            for i in range(copies):
+                df = src
+                for c in cols:
+                    df = df.withColumn(c, F.col(c) + F.lit(i * KEY_OFFSET))
+                if name == "documents":
+                    frm, to = _caesar_maps(i)
+                    df = df.withColumn("text", F.translate("text", frm, to))
+                else:
+                    dim = 64
+                    r = i % dim
+                    if r:
+                        df = df.withColumn(
+                            "embedding",
+                            F.expr(
+                                f"concat(slice(embedding, {r + 1},"
+                                f" size(embedding) - {r}),"
+                                f" slice(embedding, 1, {r}))"
+                            ),
+                        )
+                parts.append(df)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            # one scan + copy-index cross join: a 100-scan union plan
+            # compiles slowly; this shape scales to any copy count
+            rep = F.broadcast(
+                spark.range(copies).withColumnRenamed("id", "_copy")
+            )
+            df = src.crossJoin(rep)
             for c in cols:
-                df = df.withColumn(c, F.col(c) + F.lit(i * KEY_OFFSET))
-            parts.append(df)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+                df = df.withColumn(c, F.col(c) + F.col("_copy") * KEY_OFFSET)
+            out = df.drop("_copy")
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
         print(f"generated {name}", flush=True)
 
@@ -449,6 +515,17 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--regen", action="store_true")
     ap.add_argument("--only", help="comma-separated subset of PROBE_QUERIES")
+    ap.add_argument("--copies", type=int, default=COPIES)
+    ap.add_argument(
+        "--decollide",
+        action="store_true",
+        help="perturb documents/embeddings per copy (see generate docstring)",
+    )
+    ap.add_argument(
+        "--skip-small",
+        action="store_true",
+        help="probe only the replica (skip the sf0.1 pass)",
+    )
     args = ap.parse_args()
     if args.only:
         global PROBE_QUERIES
@@ -459,13 +536,15 @@ def main() -> None:
 
     spark = engine.get_spark("scale-probe")
     if args.regen or not os.path.isdir(args.out):
-        generate(spark, args.out)
+        generate(spark, args.out, copies=args.copies, decollide=args.decollide)
 
-    r_small = probe(spark, SRC_SF)
+    r_small = None if args.skip_small else probe(spark, SRC_SF)
     r_big = probe(spark, args.out)
 
     diffs = {}
     for name in PROBE_QUERIES:
+        if r_small is None:
+            break
         delta = {
             op: (r_small[name]["shape"][op], r_big[name]["shape"][op])
             for op in SHAPE_OPS
@@ -474,11 +553,17 @@ def main() -> None:
         if delta:
             diffs[name] = delta
     report = {
+        "copies": args.copies,
+        "decollide": args.decollide,
         "plan_shape_diffs": diffs,
         "timings": {
-            name: {"sf0.1": r_small[name]["sec"], "sf1": r_big[name]["sec"]}
+            name: {
+                "sf0.1": None if r_small is None else r_small[name]["sec"],
+                "replica": r_big[name]["sec"],
+            }
             for name in PROBE_QUERIES
         },
+        "shapes_replica": {n: r_big[n]["shape"] for n in PROBE_QUERIES},
     }
     print(json.dumps(report, indent=2))
     spark.stop()
