@@ -1928,17 +1928,30 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy("dist", "cl")
-    asg = (
-        vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "nrm", "cl", dist_expr.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", "cl")
-        .persist()
+    # E-step argmin WITHOUT the n×k sort window (r10 100x-probe rewrite):
+    # the old shape cross-joined the full vector rows with the centroids
+    # and ranked with row_number over (dist, cl) — an n×k-row SORT whose
+    # rows each carried the 64-double embedding (at the 100x replica:
+    # 80M rows × ~0.5 KB ≈ 40 GB through one window stage, 74.9 s).  Now
+    # only (vec_id, cl, dist) triples leave the scoring projection and
+    # min_by(cl, struct(dist, cl)) — the same (dist, cl) total order the
+    # oracle's ROW_NUMBER uses — collapses them map-side: the broadcast
+    # cross join keeps every vec's k rows in one input partition, so the
+    # partial aggregate emits ONE row per vector and the exchange moves
+    # n rows, not n×k.  Vectors and norms re-attach by a nodes-sized
+    # equi-join.  Re-probed 33.3 s at 100x (was 74.9 s) — the E-step is
+    # back to the n·k compute floor (which itself is the documented
+    # adaptive-k trade: k ~ n/target keeps the PAIR stage linear at the
+    # price of an n·k E-step; past k ≈ 4096 a production run swaps the
+    # exact assignment for the IVF tier's approximate one).
+    asg_ids = (
+        vecs.select("vec_id", "v")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cl", dist_expr.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.expr("min_by(cl, struct(dist, cl))").alias("cl"))
     )
+    asg = asg_ids.join(vecs, "vec_id").select("vec_id", "v", "nrm", "cl").persist()
     a, b = asg.alias("a"), asg.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda s, t: s * t),

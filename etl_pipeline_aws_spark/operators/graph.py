@@ -152,18 +152,39 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # degree-annotation join: hash-build on the NODES-sized deg side and
+    # stream the edges — the default SMJ sorts the full edge list, which
+    # the r10 100x probe measured as the dominant one-time cost (239M
+    # edge rows through two sorts)
     out_edges = (
-        edges.join(deg, "u").select(F.col("u").alias("eu"), "v", "d").persist()
+        edges.join(deg.hint("shuffle_hash"), "u")
+        .select(F.col("u").alias("eu"), "v", "d")
+        .persist()
     )
-    ranks = deg.select(
-        F.col("u").alias("node"), F.lit(PR_START).cast("long").alias("rank_val")
-    ).localCheckpoint()
+    # rank init from the PERSISTED edge list, not from deg: deg's lineage
+    # re-derives the whole co-pair self-join + distinct (the r10 100x
+    # probe measured that silent second derivation at ~40 s); distinct
+    # eu over the cached edges is one narrow-column shuffle instead
+    ranks = (
+        out_edges.select(F.col("eu").alias("node"))
+        .distinct()
+        .withColumn("rank_val", F.lit(PR_START).cast("long"))
+        .localCheckpoint()
+    )
     for _ in range(PR_ITERATIONS):
-        # shuffle-hash hint: SMJ would re-sort the 2.4M-row cached edge
-        # list EVERY round; hash build on the per-partition edge side
-        # skips five sorts (r6 n>=3 protocol: ~0.6-1 s warm, ~5 s cold)
-        contrib = ranks.join(
-            out_edges.hint("shuffle_hash"), F.col("node") == F.col("eu")
+        # shuffle-hash hint: SMJ would re-sort the cached edge list EVERY
+        # round (five sorts for five rounds — the r6 measured dominant
+        # cost).  The hint sits on RANKS so the hash table is built over
+        # the NODES-sized side and the EDGES side streams: at sf0.1 the
+        # two choices tie (2.4M edges build in-memory either way), but
+        # the r10 100x probe caught the edge-side build going
+        # super-linear (a 239M-row hash build per round spills; flipping
+        # the build to the 2M-row ranks side was worth ~50 s of the
+        # 314 s -> 135.5 s total rewrite).  Same rule a cluster planner
+        # applies: build on the provably node-bounded relation, stream
+        # the fact-sized one.
+        contrib = ranks.hint("shuffle_hash").join(
+            out_edges, F.col("node") == F.col("eu")
         ).select(
             F.col("v").alias("node"),
             F.expr("(rank_val * 17) div (20 * d)").alias("c"),
@@ -1404,7 +1425,11 @@ def graph_pagerank_bucketed_rounds(spark: SparkSession, sf_dir: str) -> DataFram
         pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    out_edges = edges.join(deg, "u").select(F.col("u").alias("eu"), "v", "d")
+    # hash-build on the nodes-sized deg side (r10 100x-probe fix, same
+    # rationale as graph_pagerank_parts: SMJ sorts the full edge list)
+    out_edges = edges.join(deg.hint("shuffle_hash"), "u").select(
+        F.col("u").alias("eu"), "v", "d"
+    )
     # the edge table is immutable layout investment: cached across runs
     _write_bucketed(
         spark, out_edges.repartition(N_BUCKETS, "eu"), t_edges, "eu"
@@ -1431,6 +1456,12 @@ def graph_pagerank_bucketed_rounds(spark: SparkSession, sf_dir: str) -> DataFram
             .saveAsTable(table)
         )
 
+    # ranks0 derives from deg ON PURPOSE here (unlike the localCheckpoint
+    # twin): the edge-table write job has just computed every shuffle in
+    # deg's lineage, so the scheduler reuses those map outputs and this
+    # job runs only deg's final reduce — measured cheaper at the 100x
+    # probe than re-scanning the 239M-row bucketed table through its
+    # N_BUCKETS-task read (389 s vs 336 s total with the re-scan)
     ranks0 = deg.select(
         F.col("u").alias("node"), F.lit(PR_START).cast("long").alias("rank_val")
     )

@@ -192,6 +192,8 @@ ALLOWED_NESTED_LOOP = {
     "text_unigram_surprisal_gate",  # 1-row corpus-total broadcast to |V| rows (q11 pattern)
     "corpus_dsir_importance_weights",  # 1-row LM-totals broadcast to |V| rows (q11 pattern)
     "text_bigram_holdout_surprisal",  # 1-row train-vocab-size broadcast to |V|² types (q11 pattern)
+    "text_bpe_train_merges",  # r10: 1-row argmax-merge broadcast per round onto the |V|-sized vocab (q11 pattern)
+    "text_bpe_compression_by_source",  # r10: same 1-row merge broadcasts (shared chain)
 }
 ALLOWED_PYTHON_EVAL = {
     "similarity_topk_lsh",  # Arrow-vectorized hyperplane signature (the point)

@@ -331,10 +331,12 @@ PROBE_QUERIES = [
     "stat_page_trend_test",
     "stat_jackknife_ratio_se",
     "ml_conformal_daily_interval",
-    # round-10 new operators
+    # round-10 new operators + the r9 bucketed twins (deep-probe tier)
     "text_bpe_train_merges",
     "text_bpe_compression_by_source",
     "multimodal_pack_interleaved",
+    "graph_connected_components_bucketed",
+    "graph_hits_bipartite_bucketed",
     # round-8 new operators
     "customer_pareto_deciles",
     "events_value_ecdf_deciles",
@@ -383,6 +385,10 @@ PROBE_QUERIES = [
     "customer_bgnbd_inputs",
     "stat_granger_causality_lag1",
 ]
+# a few names were appended by more than one round's session list; probe
+# each exactly once, first-occurrence order (graph_pagerank_parts ran
+# twice per pass before this)
+PROBE_QUERIES = list(dict.fromkeys(PROBE_QUERIES))
 
 # physical operators whose presence/count defines the plan's scale shape
 SHAPE_OPS = (
