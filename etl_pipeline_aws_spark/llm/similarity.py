@@ -1838,3 +1838,214 @@ def similarity_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# similarity_ivf_nprobe_recall — the recall-vs-cost dial, measured
+# --------------------------------------------------------------------------
+
+IVF_EVAL_CELLS = 8  # deterministic eval cells: the 8 lowest vec_ids' vectors
+IVF_EVAL_NPROBES = (1, 2, 4)
+
+
+def _ivf_nprobe_oracle() -> str:
+    probes = ",".join(f"({p})" for p in IVF_EVAL_NPROBES)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ), c AS (
+        SELECT vec_id AS cl, v AS cv, nrm AS cnrm FROM n
+        WHERE vec_id < {IVF_EVAL_CELLS}
+    ), asg AS (
+        SELECT vec_id, cl FROM (
+            SELECT n.vec_id, c.cl,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY list_sum(list_transform(
+                           range(1, len(n.v) + 1),
+                           i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))), c.cl
+                   ) AS rn
+            FROM n, c) t
+        WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+        WHERE vec_id < {N_QUERIES}
+    ), qc AS (
+        SELECT query_id, cl,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_sum(list_transform(
+                       range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+                       / (qnrm * cnrm) DESC, cl
+               ) AS crank
+        FROM q, c
+    ), exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, nb.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_sum(list_transform(
+                           range(1, len(q.qv) + 1), i -> q.qv[i] * nb.v[i]))
+                           / (q.qnrm * nb.nrm) DESC, nb.vec_id
+                   ) AS rn
+            FROM q JOIN n nb ON nb.vec_id <> q.query_id) t
+        WHERE rn <= {TOP_K}
+    ), allc AS (
+        SELECT qc.query_id, qc.crank, nb.vec_id AS neighbor_id,
+               list_sum(list_transform(
+                   range(1, len(q.qv) + 1), i -> q.qv[i] * nb.v[i]))
+                   / (q.qnrm * nb.nrm) AS cosine
+        FROM qc
+        JOIN asg a ON a.cl = qc.cl AND a.vec_id <> qc.query_id
+        JOIN n nb ON nb.vec_id = a.vec_id
+        JOIN q ON q.query_id = qc.query_id
+    ), per_np AS (
+        SELECT np, query_id, neighbor_id FROM (
+            SELECT u.np, ac.query_id, ac.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY u.np, ac.query_id
+                       ORDER BY ac.cosine DESC, ac.neighbor_id) AS rn
+            FROM allc ac JOIN (VALUES {probes}) u(np) ON ac.crank <= u.np) t
+        WHERE rn <= {TOP_K}
+    )
+    SELECT CAST(p.np AS BIGINT) AS nprobe,
+           CAST(SUM(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           CAST(SUM(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / {N_QUERIES * TOP_K} AS recall
+    FROM per_np p
+    LEFT JOIN exact ex ON ex.query_id = p.query_id
+                      AND ex.neighbor_id = p.neighbor_id
+    GROUP BY p.np
+    """
+
+
+@query("similarity_ivf_nprobe_recall", oracle=_ivf_nprobe_oracle())
+def similarity_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tier's OPERATING CURVE: recall@{TOP_K} of cell-restricted
+    search against exact cosine truth as a function of nprobe (1, 2, 4)
+    — the single table an ANN capacity plan reads ("how many cells must
+    each query touch for the recall the product needs?").  Complements
+    similarity_quantized_recall (rank fidelity of the int8 tier) and
+    embedding_matryoshka_recall (dimension truncation) with the third
+    axis every vector index trades on: probe fan-out.
+
+    Fully deterministic twin of the production IVF (similarity_topk_ivf
+    uses a seeded k-means fit, so it is rows-only): cells are one
+    E-step from the {IVF_EVAL_CELLS} lowest vec_ids (the kmeans/semdedup
+    convention), assignment argmin rides the slim min_by shape (the r10
+    E-step rewrite — only (vec_id, cl, dist) triples shuffle), query
+    cell ranking and all cosine folds gather terms in position order,
+    and every rank breaks ties on the id — bit-identical on both
+    engines, so recall here is EXACT, not estimated.
+
+    Scale: centroids and the 3-row nprobe fan are broadcasts; the
+    candidate join is an equi-join on cell id (pair volume =
+    sum over probed cells of |cell|, the IVF contract); the exact-truth
+    pass is the allowlisted broadcast-query brute tier that exists to
+    anchor evals like this one.  All windows partition by query."""
+    e = _normed(load_table(spark, sf_dir, "embeddings")).persist()
+    cents = e.filter(F.col("vec_id") < IVF_EVAL_CELLS).select(
+        F.col("vec_id").alias("cl"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    asg = (
+        e.select("vec_id", "v")
+        .crossJoin(F.broadcast(cents.select("cl", "cv")))
+        .select("vec_id", "cl", dist.alias("d"))
+        .groupBy("vec_id")
+        .agg(F.expr("min_by(cl, struct(d, cl))").alias("cl"))
+    )
+    nb = asg.join(e, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cl").alias("ncl"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nnrm"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    qc = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "qnrm",
+            "cl",
+            _cosine(F.col("qv"), F.col("cv"), F.col("qnrm"), F.col("cnrm")).alias(
+                "ccos"
+            ),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("ccos").desc(), "cl")
+            ),
+        )
+        .select("query_id", "qv", "qnrm", "cl", "crank")
+    )
+    ex_sims = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias(
+            "cosine"
+        ),
+    )
+    exact = (
+        ex_sims.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), "neighbor_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    allc = qc.join(
+        nb,
+        (F.col("ncl") == F.col("cl")) & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "crank",
+        "neighbor_id",
+        _cosine(F.col("qv"), F.col("nv"), F.col("qnrm"), F.col("nnrm")).alias(
+            "cosine"
+        ),
+    )
+    nps = spark.createDataFrame([(p,) for p in IVF_EVAL_NPROBES], "np int")
+    ivf_top = (
+        allc.join(F.broadcast(nps), F.col("crank") <= F.col("np"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("np", "query_id").orderBy(
+                    F.col("cosine").desc(), "neighbor_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select("np", "query_id", "neighbor_id")
+    )
+    per = ivf_top.join(exact, ["query_id", "neighbor_id"], "left")
+    return per.groupBy(F.col("np").cast("long").alias("nprobe")).agg(
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("hits"),
+        (
+            F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+            / F.lit(N_QUERIES * TOP_K)
+        ).alias("recall"),
+    )

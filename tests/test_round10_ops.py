@@ -230,3 +230,86 @@ def test_bpe_compression_matches_python_reference(spark):
     for n_pre, n_chars, n_sym in got.values():
         assert n_pre <= n_sym <= n_chars
     engine.clear_caches(spark)
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe recall sweep: numpy recompute + monotonicity invariant.
+# ---------------------------------------------------------------------------
+
+
+def _numpy_ivf_recall(emb, cells, n_queries, top_k, nprobes):
+    import numpy as np
+
+    emb = emb.sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    v = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    nrm = np.sqrt((v * v).sum(axis=1))
+    cv = v[np.argsort(ids)[:cells]]
+    d = ((v[:, None, :] - cv[None, :, :]) ** 2).sum(axis=2)
+    asg = d.argmin(axis=1)  # ties -> lowest cl (numpy default)
+    cos = (v @ v.T) / np.outer(nrm, nrm)
+    out = {}
+    qmask = ids < n_queries
+    for np_ in nprobes:
+        hits = 0
+        for qi in np.where(qmask)[0]:
+            order = sorted(
+                [j for j in range(len(ids)) if ids[j] != ids[qi]],
+                key=lambda j: (-cos[qi, j], ids[j]),
+            )
+            exact = {ids[j] for j in order[:top_k]}
+            cnrm = np.sqrt((cv * cv).sum(axis=1))
+            ccos = (cv @ v[qi]) / (cnrm * nrm[qi])
+            probe_cells = sorted(range(cells), key=lambda c: (-ccos[c], c))[:np_]
+            cand = [
+                j
+                for j in range(len(ids))
+                if asg[j] in probe_cells and ids[j] != ids[qi]
+            ]
+            cand.sort(key=lambda j: (-cos[qi, j], ids[j]))
+            got = {ids[j] for j in cand[:top_k]}
+            hits += len(exact & got)
+        out[np_] = hits
+    return out
+
+
+def test_similarity_ivf_nprobe_recall_matches_numpy(spark):
+    import pandas as pd
+
+    from etl_pipeline_aws_spark.llm.similarity import (
+        IVF_EVAL_CELLS,
+        IVF_EVAL_NPROBES,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    want = _numpy_ivf_recall(
+        emb, IVF_EVAL_CELLS, N_QUERIES, TOP_K, IVF_EVAL_NPROBES
+    )
+    rows = {
+        r["nprobe"]: r
+        for r in engine.all_queries()["similarity_ivf_nprobe_recall"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(rows) == set(IVF_EVAL_NPROBES)
+    for np_ in IVF_EVAL_NPROBES:
+        assert rows[np_]["hits"] == want[np_], np_
+        assert abs(rows[np_]["recall"] - want[np_] / (N_QUERIES * TOP_K)) < 1e-12
+    # the operating curve must be monotone: more probes never lose recall
+    probes = sorted(IVF_EVAL_NPROBES)
+    for a, b in zip(probes, probes[1:]):
+        assert rows[a]["hits"] <= rows[b]["hits"]
+    engine.clear_caches(spark)
+
+
+def test_similarity_ivf_nprobe_recall_oracle_parity(spark):
+    con = duckdb_con(SF_DIR)
+    import __spark_entry__ as entry
+
+    name = "similarity_ivf_nprobe_recall"
+    compare(
+        engine.all_queries()[name](spark, SF_DIR), con, entry.oracle_sql()[name]
+    )
+    engine.clear_caches(spark)

@@ -337,6 +337,7 @@ PROBE_QUERIES = [
     "multimodal_pack_interleaved",
     "graph_connected_components_bucketed",
     "graph_hits_bipartite_bucketed",
+    "similarity_ivf_nprobe_recall",
     # round-8 new operators
     "customer_pareto_deciles",
     "events_value_ecdf_deciles",
