@@ -798,6 +798,91 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_soft_weights",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({NGRAM_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS label
+        FROM reach GROUP BY src
+    ),
+    sizes AS (SELECT label, COUNT(*) AS csz FROM comp GROUP BY label),
+    w AS (
+        SELECT d.source,
+               COALESCE(s.csz, 1) AS csz,
+               1000000 // COALESCE(s.csz, 1) AS w_ppm
+        FROM documents d
+        LEFT JOIN comp c ON c.doc_id = d.doc_id
+        LEFT JOIN sizes s ON s.label = c.label
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_members,
+           CAST(SUM(w_ppm) AS BIGINT) AS weight_sum_ppm,
+           CAST(SUM(w_ppm) AS DOUBLE) / (COUNT(*) * 1000000) AS retention
+    FROM w GROUP BY source
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication — down-weight instead of drop: every document
+    gets sampling weight 1/|near-dup cluster| (ppm-exact integer), so a
+    training run sees each duplicated CONTENT once in expectation while
+    keeping every surface form available — the standard soft alternative
+    when hard dedup (dedup_cluster_keepers' keeper-only filter) would
+    discard formatting/boilerplate variation a model still needs some
+    exposure to.  Reported per source: docs, duplicate-cluster members,
+    the exact weight mass (ppm), and the retention ratio — the
+    "effective dataset size after duplicate-aware weighting" number a
+    mixing recipe consumes alongside corpus_domain_reweight_entropy.
+
+    Same scale path as every CC consumer: banded MinHash-LSH candidates
+    verified by exact Jaccard feed min-label components (no quadratic
+    shingle join; the plan guard pins it), cluster sizes are one
+    label-keyed count, and the weight join is docs ⋈ labels ⋈ sizes on
+    ids.  Integer arithmetic end to end (1e6 DIV size matches DuckDB //
+    for positive ints); the single retention division is the one float.
+    Oracle: DuckDB's recursive-CTE transitive closure over the exact
+    all-pairs graph — passing certifies the banded path found every
+    ≥-threshold edge, the dedup_cluster_keepers discipline."""
+    feats = minhash_feature_table(load_table(spark, sf_dir, "documents")).persist()
+    pairs = minhash_lsh_pairs(feats).select("doc_a", "doc_b")
+    labels = min_label_components(pairs)
+    feats.unpersist()
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("csz"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = (
+        docs.join(labels, "doc_id", "left")
+        .join(sizes, "label", "left")
+        .select(
+            "source",
+            F.coalesce("csz", F.lit(1)).alias("csz"),
+            F.expr("CAST(1000000 DIV COALESCE(csz, 1) AS BIGINT)").alias("w_ppm"),
+        )
+    )
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("csz") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_members"),
+        F.sum("w_ppm").cast("long").alias("weight_sum_ppm"),
+        (
+            F.sum("w_ppm").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000))
+        ).alias("retention"),
+    )
+
+
+@query(
     "dedup_normalized_text",
     oracle="""
     -- aggressive canonicalization before exact dedup: case, punctuation,

@@ -208,6 +208,7 @@ ALLOWED_PYTHON_EVAL = {
     "pipeline_hybrid_search_e2e",  # dup suppression rides the same MinHash kernel
     "dedup_threshold_sensitivity",  # tau sweep rides the same MinHash kernel
     "corpus_split_leakage_safe",  # split key = cluster rep from the same kernel
+    "dedup_soft_weights",  # r10: inverse-cluster-size weights ride the same MinHash kernel
     "dedup_embedding_lsh",  # Arrow-vectorized hyperplane signature
     "udf_pandas_vectorized",  # UDF surface demonstrations
     "udf_pandas_iter_series",  # iterator pandas UDF — the demonstrated API

@@ -313,3 +313,37 @@ def test_similarity_ivf_nprobe_recall_oracle_parity(spark):
         engine.all_queries()[name](spark, SF_DIR), con, entry.oracle_sql()[name]
     )
     engine.clear_caches(spark)
+
+
+# ---------------------------------------------------------------------------
+# Soft-dedup weights: mass conservation + cross-operator parity with the
+# hard-dedup keeper assignment (same CC kernel, same pair source).
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_soft_weights_mass_and_keeper_parity(spark):
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_aws_spark.catalog import load_table
+
+    qs = engine.all_queries()
+    soft = qs["dedup_soft_weights"](spark, SF_DIR).collect()
+    # retention bounded and exact per-row arithmetic
+    for r in soft:
+        assert 0 < r["retention"] <= 1.0
+        assert r["weight_sum_ppm"] <= r["n_docs"] * 1_000_000
+        assert r["weight_sum_ppm"] == round(r["retention"] * r["n_docs"] * 1_000_000)
+    engine.clear_caches(spark)
+    # every member of a >=2 cluster is exactly a row of the keepers output
+    keepers = qs["dedup_cluster_keepers"](spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    per_src = {
+        r["source"]: r["n"]
+        for r in keepers.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in soft:
+        assert r["n_dup_members"] == per_src.get(r["source"], 0), r["source"]
+    engine.clear_caches(spark)

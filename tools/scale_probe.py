@@ -338,6 +338,7 @@ PROBE_QUERIES = [
     "graph_connected_components_bucketed",
     "graph_hits_bipartite_bucketed",
     "similarity_ivf_nprobe_recall",
+    "dedup_soft_weights",
     # round-8 new operators
     "customer_pareto_deciles",
     "events_value_ecdf_deciles",
