@@ -419,16 +419,36 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, every round is one key shuffle, and the parts dim is dwarfed
     by facts — ER cost is catalog-sized, not corpus-sized."""
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type", "p_size")
-    a, b = part.alias("a"), part.alias("b")
+    # EXACT-COLLAPSE BEFORE FUZZY (r10 100x-probe rewrite): identical
+    # (name, type, size) rows are lev-0 duplicates by definition, so the
+    # expensive stages — the blocked levenshtein pair join and the CC
+    # loop — run over one node per DISTINCT name keyed by its group's
+    # min partkey.  The raw-row spelling made both stages quadratic in
+    # the duplicate rate: the (p_type, p_size) block key has FIXED
+    # cardinality (TPC-H vocabulary), so a 100x catalog multiplied
+    # per-block membership 100x and candidate pairs 10,000x (the 100x
+    # replica measured >25 min, dominated by ~2.4e11 levenshtein char
+    # ops and a 2M-node CC over ~200M lev-0 edges).  Every real ER
+    # system collapses exact duplicates first for exactly this reason;
+    # results are identical because the component's min nid IS the
+    # component's min partkey (each nid is already its name-group's
+    # minimum).
+    names = (
+        part.groupBy("p_name", "p_type", "p_size")
+        .agg(F.min("p_partkey").alias("nid"))
+        .persist()  # feeds the pair join, the label init, and the final
+        # map-back; the query-boundary clear_caches reclaims it
+    )
+    a, b = names.alias("a"), names.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.p_type") == F.col("b.p_type"))
             & (F.col("a.p_size") == F.col("b.p_size"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.nid") < F.col("b.nid")),
         )
         .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
-        .select(F.col("a.p_partkey").alias("src"), F.col("b.p_partkey").alias("dst"))
+        .select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"))
     )
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -439,8 +459,8 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the plan tree and the plan SHAPE varies with the data's diameter
     # (observed in the 10x probe as a 510-vs-850-join diff).  At 100 TB
     # this is the reliable-checkpoint pattern every iterative job needs.
-    labels = part.select(
-        F.col("p_partkey").alias("node"), F.col("p_partkey").alias("label")
+    labels = names.select(
+        F.col("nid").alias("node"), F.col("nid").alias("label")
     ).localCheckpoint()
     for _ in range(20):  # diameter bound; spelling clusters converge in 2-3
         neighbor_min = (
@@ -470,10 +490,16 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(
-        F.col("node").alias("p_partkey"),
-        F.col("label").alias("entity_id"),
-        (F.col("label") == F.col("node")).alias("is_canonical"),
+    # map the name-node component labels back onto every raw part row:
+    # entity_id = component min partkey (== the CC min label, see above)
+    return (
+        part.join(names, ["p_name", "p_type", "p_size"])
+        .join(labels, F.col("nid") == F.col("node"))
+        .select(
+            "p_partkey",
+            F.col("label").alias("entity_id"),
+            (F.col("p_partkey") == F.col("label")).alias("is_canonical"),
+        )
     )
 
 
