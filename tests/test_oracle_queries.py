@@ -61,6 +61,10 @@ HEAVY_ALLOWLIST = {
     # watermark-replay semantics ARE the operator): ~13-16 s warm,
     # flaked the r9 seal suite at 15.9 s under late-suite contention —
     # the stream_dsir_scoring ceiling class
+    "stream_stream_interval_join",  # dual availableNow streams + state
+    # store on both sides: ~12-15 s warm, flaked the r10 seal suite at
+    # 17.4 s under late-suite contention and passed a clean rerun —
+    # the same stream-ceiling class as stream_late_data_drop above
     "dedup_winnowing_pairs",  # ~10-12 s: BOTH engines md5-hash every
     # token 3-gram (the portable-hash tax text_winnowing_fingerprints
     # already pays — DuckDB's list-comprehension md5 dominates); the pair
