@@ -1488,8 +1488,6 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     {vocab-sized shuffle agg + 1-row top-k + map-side rewrite}.  The
     10x probe is expected flat because the vocabulary, not the corpus,
     bounds every round."""
-    docs = load_table(spark, sf_dir, "documents")
-    sep2 = _BPE_SEP * 2
     bests, _ = _bpe_merge_chain(spark, sf_dir)
     out = bests[0]
     for b in bests[1:]:

@@ -92,7 +92,17 @@ def clear_caches(spark: SparkSession) -> None:
     the sweep here is explicit: unpersist every persistent RDD the context
     still tracks (blocking, so the next query starts from a clean block
     manager), then drop Python references so the cleaner can collect the
-    JVM-side handles."""
+    JVM-side handles.
+
+    CONTRACT (r10 advice): this sweep also reaps ``localCheckpoint()``
+    blocks, and unlike catalog cache entries those are NON-RECOMPUTABLE —
+    the checkpoint truncated the lineage that could rebuild them.  A lazy
+    DataFrame returned by a builder is therefore UNUSABLE (hard
+    "checkpoint block not found" failure, not a slow recompute) after
+    clear_caches runs.  Consume every result you need — collect(),
+    write, or hash — BEFORE calling this; that consume-before-clear
+    ordering is exactly what bench.py, the oracle sweep, and the driver
+    gate already do."""
     spark.catalog.clearCache()
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()

@@ -33,6 +33,11 @@ HEAVY_ALLOWLIST = {
     "asof_join_maxby",  # same family
     "pipeline_dedup_e2e",  # recursive-CTE dup closure oracle is the cost
     "dedup_threshold_sensitivity",  # 9-threshold sweep over the LSH pairs
+    "dedup_soft_weights",  # same recursive-CTE transitive-closure oracle
+    # class as its two siblings above: ~15.9 s on a COLD first-in-session
+    # run (r10 advice — fails the soft ceiling when a pytest -k subset
+    # runs it first in a fresh JVM), ~9 s warm; the closure oracle, not
+    # the Spark plan, is the cost
     "subquery_recursive_cte",  # DuckDB recursive oracle dominates
     "graph_pagerank_parts",  # 10 iterative rounds, 7-12 s cold
     "graph_pagerank_bucketed_rounds",  # +6 bucketed table writes: the
@@ -57,14 +62,6 @@ HEAVY_ALLOWLIST = {
     "stream_heavy_hitters_cms",  # availableNow stream cold-start
     # dominates (~10 s of the ~14 s warm run); the probe side is k x d
     # rows — same cold-first-run class as stream_dsir_scoring
-    "stream_late_data_drop",  # two sequenced availableNow runs (the
-    # watermark-replay semantics ARE the operator): ~13-16 s warm,
-    # flaked the r9 seal suite at 15.9 s under late-suite contention —
-    # the stream_dsir_scoring ceiling class
-    "stream_stream_interval_join",  # dual availableNow streams + state
-    # store on both sides: ~12-15 s warm, flaked the r10 seal suite at
-    # 17.4 s under late-suite contention and passed a clean rerun —
-    # the same stream-ceiling class as stream_late_data_drop above
     "dedup_winnowing_pairs",  # ~10-12 s: BOTH engines md5-hash every
     # token 3-gram (the portable-hash tax text_winnowing_fingerprints
     # already pays — DuckDB's list-comprehension md5 dominates); the pair
@@ -77,6 +74,21 @@ HEAVY_ALLOWLIST = {
     # legitimately pays ~4 iterative stages the 15 s ceiling doesn't fit
     # under contention; each stage's plan is probe-verified in its parent
     # operator, so the residual cost is stage count, not a scale defect
+}
+
+# Streaming ops whose SOFT-budget enforcement moved to
+# tests/test_stream_budget.py (r10 verdict ask #6: the allowlist was
+# growing by CONTENTION — both of these flaked a seal suite only when a
+# wall-clock budget ran under late-suite load, oracle green both times).
+# The sweep here still runs their full oracle check and the HARD budget;
+# the soft ceiling is asserted on an isolated, contention-controlled
+# measurement instead, so suite load can neither flake them nor push
+# more names onto HEAVY_ALLOWLIST.
+STREAM_BUDGET_ISOLATED = {
+    "stream_late_data_drop",  # two sequenced availableNow runs (the
+    # watermark-replay semantics ARE the operator): ~13-16 s warm
+    "stream_stream_interval_join",  # dual availableNow streams + state
+    # store on both sides: ~12-15 s warm
 }
 
 
@@ -100,7 +112,7 @@ def test_query_matches_oracle(spark, con, name):
     compare(fn(spark, SF_DIR), con, sql)
     elapsed = time.monotonic() - t0
     assert elapsed < QUERY_BUDGET_S, f"{name} took {elapsed:.1f}s (budget {QUERY_BUDGET_S}s)"
-    if name not in HEAVY_ALLOWLIST:
+    if name not in HEAVY_ALLOWLIST and name not in STREAM_BUDGET_ISOLATED:
         assert elapsed < SOFT_BUDGET_S, (
             f"{name} took {elapsed:.1f}s — over the {SOFT_BUDGET_S}s soft "
             "ceiling; either optimize it or allowlist it with a rationale"
