@@ -36,12 +36,45 @@ from etl_pipeline_aws_spark.registry import query
 N_BUCKETS = 8
 SALT = 8
 
+# Adaptive bucket sizing for the iterative bucketed-rounds operators
+# (r10 verdict ask #1 — graph_pagerank_bucketed_rounds spent 389 s at the
+# 100x probe pushing 239M edge rows through a FIXTURE-CONSTANT 8 writer
+# tasks; SemDeDup's k got adaptive scaling the same round and the bucket
+# count did not).  adaptive_buckets() applies the identical discipline:
+# one bounded COUNT-derived integer, floor pinned at the fixture value so
+# every oracle-checked scale (sf0.001/0.01/0.1) keeps N_BUCKETS=8 buckets
+# bit-unchanged (bucket count is purely physical — it can never change an
+# answer — but keeping the fixture layout identical keeps the plan pins
+# and the probe baselines comparable round over round).
+BUCKET_TARGET_ROWS = 2_000_000  # ~rows per bucket (one writer task each)
+BUCKET_MAX = 4096  # runaway backstop: 4096 x 2M rows ≈ 8B-row state table
+
+
+def adaptive_buckets(n_rows: int) -> int:
+    """Bucket count for a bucketed state table expected to hold
+    ``n_rows``: the smallest power of two >= n_rows / BUCKET_TARGET_ROWS,
+    floored at the fixture N_BUCKETS and capped at BUCKET_MAX.  Power of
+    two keeps successive layouts divisor-compatible (Spark can coalesce
+    buckets across a 2^a / 2^b join side if that conf is enabled); the
+    floor keeps every fixture-scale layout byte-identical to the historic
+    N_BUCKETS=8 one."""
+    b = N_BUCKETS
+    while b < BUCKET_MAX and n_rows > b * BUCKET_TARGET_ROWS:
+        b <<= 1
+    return b
+
 
 def _sf_tag(sf_dir: str) -> str:
     return re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
 
 
-def _write_bucketed(spark: SparkSession, df: DataFrame, table: str, key: str) -> None:
+def _write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = N_BUCKETS,
+) -> None:
     """Idempotent bucketed-table write.  The warehouse directory outlives
     the session while the in-memory catalog does not, so a fresh session
     must clear a stale location before re-creating the table."""
@@ -52,7 +85,7 @@ def _write_bucketed(spark: SparkSession, df: DataFrame, table: str, key: str) ->
 
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
-    df.write.bucketBy(N_BUCKETS, key).sortBy(key).mode("overwrite").saveAsTable(table)
+    df.write.bucketBy(n_buckets, key).sortBy(key).mode("overwrite").saveAsTable(table)
 
 
 @query(
