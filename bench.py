@@ -89,6 +89,10 @@ HEADLINE = [
     # interleaved image-patch+text next-fit packer (applyInPandas shards)
     "text_bpe_train_merges",
     "multimodal_pack_interleaved",
+    # round-11 flagship surface: the forced-IVF two-level SemDeDup E-step
+    # (the tier embedding_semdedup switches to past k=64, hash-pinned by
+    # its own two-level oracle)
+    "embedding_semdedup_ivf",
 ]
 
 
@@ -182,10 +186,24 @@ def main() -> None:
             file=sys.stderr,
             flush=True,
         )
-        time.sleep(10)  # let a transient spike drain before the retry
+        # Cool-down (r10 verdict ask #5): BENCH_r10's retry started
+        # immediately, so the kept record's own loadavg_before (6.83 —
+        # self-load from the aborted attempt) failed the very gate that
+        # triggered the retry and the artifact again needed a footnote.
+        # Wait until the 1-min loadavg re-crosses the gate before
+        # re-attempting (capped at 5 min — on a genuinely busy host the
+        # retry proceeds and its verdict field records the contamination
+        # honestly instead of hanging the bench).
+        deadline = time.monotonic() + 300
+        while os.getloadavg()[0] > 3.0 and time.monotonic() < deadline:
+            time.sleep(10)
         attempts.append(run_suite())
 
     best = min(attempts, key=lambda s: sum(s["timings"].values()))
+    # r10 advice: the published timings deserve their OWN verdict — the
+    # retry keeps the lower total even if that attempt is itself dirty,
+    # and first_attempt_verdict only ever describes attempt 1.
+    kept_verdict = contaminated(best)
     timings, raw = best["timings"], best["raw"]
     total = round(sum(timings.values()), 4)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -210,6 +228,7 @@ def main() -> None:
                 },
                 "attempts": len(attempts),
                 "first_attempt_verdict": verdict or "clean",
+                "kept_attempt_verdict": kept_verdict or "clean",
             }
         )
     )

@@ -165,6 +165,9 @@ ALLOWED_NESTED_LOOP = {
     "pipeline_hybrid_search_e2e",  # same single-row query-vector broadcast (composition)
     "embedding_kmeans_lloyd",  # k-row centroid broadcast E-step (k=4; IVF-style blocked join is the large-k path)
     "embedding_semdedup",  # same k-row centroid broadcast E-step (kmeans design)
+    "embedding_semdedup_ivf",  # r11: the IVF two-level E-step — kc-row coarse-rep
+    # broadcast (vector + centroid routing) then an EQUI-join on the cell id;
+    # the broadcast sides are k- and kc-row by construction (kmeans design)
     "text_lang_id_naive_bayes",  # |languages|-row model-constants broadcast skeleton (q11 pattern)
     "stat_tukey_hsd_pairs",  # 5-row group-panel self-join into the 10 pairs (bounded catalog side)
     "similarity_metric_agreement",  # single-row query-vector broadcast (q11 pattern)

@@ -456,7 +456,7 @@ def generate(
         cols = OFFSET_COLS[name]
         if not cols:
             out = src  # bounded dimensions replicate as-is
-        elif decollide and name in ("documents", "embeddings"):
+        elif decollide and name in ("documents", "embeddings", "part"):
             # per-copy loop: these tables are small and need per-copy
             # literal transforms (translate maps / rotation offsets)
             parts = []
@@ -467,6 +467,14 @@ def generate(
                 if name == "documents":
                     frm, to = _caesar_maps(i)
                     df = df.withColumn("text", F.translate("text", frm, to))
+                elif name == "part":
+                    # r10 verdict ask #3: decollide part NAMES too, so the
+                    # entity-resolution probe models a catalog of genuinely
+                    # unique spellings (copies i and i+26 still collide,
+                    # bounding duplicate clusters at ~copies/26 members —
+                    # same wrap semantics as documents)
+                    frm, to = _caesar_maps(i)
+                    df = df.withColumn("p_name", F.translate("p_name", frm, to))
                 else:
                     dim = 64
                     r = i % dim
