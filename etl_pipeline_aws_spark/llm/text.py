@@ -3380,3 +3380,186 @@ def text_lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax window is partitioned per doc."""
     register_views(spark, sf_dir)
     return spark.sql(_nb_sql("explode(split(text, ' '))"))
+
+
+# --------------------------------------------------------------------------
+# text_symspell_correction — delete-neighborhood spell correction
+# --------------------------------------------------------------------------
+
+SPELL_DICT_MIN_FREQ = 5  # corpus frequency that admits a token to the dict
+SPELL_MAX_LEV = 2  # correction radius (matches the delete-2 neighborhood)
+
+_SPELL_ORACLE = f"""
+WITH toks0 AS (
+    SELECT doc_id, pos, tok FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents
+    ) t WHERE tok <> ''
+), toks AS (
+    -- planted corruption (the dq_format_conformance discipline: a fixture
+    -- with zero typos certifies nothing): every 17th doc's first token of
+    -- length >= 4 loses its second character
+    SELECT CASE WHEN doc_id % 17 = 0 AND pos = 1 AND len(tok) >= 4
+                THEN substr(tok, 1, 1) || substr(tok, 3)
+                ELSE tok END AS tok
+    FROM toks0
+), freq AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok
+), dict AS (
+    SELECT tok, n FROM freq WHERE n >= {SPELL_DICT_MIN_FREQ}
+), rare AS (
+    SELECT tok, n FROM freq WHERE n < {SPELL_DICT_MIN_FREQ}
+), rv AS (
+    SELECT DISTINCT tok,
+           unnest(list_transform(range(0, len(v1) + 1),
+               j -> CASE WHEN j = 0 THEN v1
+                    ELSE substr(v1, 1, j - 1) || substr(v1, j + 1) END)) AS v
+    FROM (
+        SELECT tok,
+               unnest(list_transform(range(0, len(tok) + 1),
+                   i -> CASE WHEN i = 0 THEN tok
+                        ELSE substr(tok, 1, i - 1) || substr(tok, i + 1) END)) AS v1
+        FROM rare
+    ) t1
+), dv AS (
+    SELECT DISTINCT tok,
+           unnest(list_transform(range(0, len(v1) + 1),
+               j -> CASE WHEN j = 0 THEN v1
+                    ELSE substr(v1, 1, j - 1) || substr(v1, j + 1) END)) AS v
+    FROM (
+        SELECT tok,
+               unnest(list_transform(range(0, len(tok) + 1),
+                   i -> CASE WHEN i = 0 THEN tok
+                        ELSE substr(tok, 1, i - 1) || substr(tok, i + 1) END)) AS v1
+        FROM dict
+    ) t1
+), cand AS (
+    SELECT DISTINCT r.tok AS q, d.tok AS c FROM rv r JOIN dv d ON d.v = r.v
+), scored AS (
+    SELECT q, c, CAST(levenshtein(q, c) AS BIGINT) AS lev
+    FROM cand WHERE levenshtein(q, c) <= {SPELL_MAX_LEV}
+), best AS (
+    SELECT q, c, lev, n FROM (
+        SELECT s.q, s.c, s.lev, d.n,
+               ROW_NUMBER() OVER (PARTITION BY s.q
+                                  ORDER BY s.lev, d.n DESC, s.c) AS rn
+        FROM scored s JOIN dict d ON d.tok = s.c
+    ) t WHERE rn = 1
+)
+SELECT b.q AS token,
+       r.n AS n_occurrences,
+       b.c AS correction,
+       b.lev AS lev,
+       b.n AS dict_freq
+FROM best b JOIN rare r ON r.tok = b.q
+"""
+
+
+@query("text_symspell_correction", oracle=_SPELL_ORACLE)
+def text_symspell_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven spell correction by SYMMETRIC-DELETE blocking (the
+    SymSpell/FastSS scheme, Bocek et al. 2007 — the same
+    delete-neighborhood theorem entity_resolution_parts uses for ER
+    blocking, here as the text-pipeline capability itself): tokens with
+    corpus frequency >= SPELL_DICT_MIN_FREQ form the dictionary; rarer
+    tokens are typo suspects; each suspect is corrected to its best
+    dictionary neighbor within levenshtein <= SPELL_MAX_LEV, found by
+    joining the two sides' <=2-character-deletion neighborhoods instead
+    of brute-forcing |rare| x |dict| edit distances.  Coverage is exact
+    (any lev<=2 pair shares its aligned matched subsequence, reachable
+    from both sides by <=2 deletions), so blocking changes cost, never
+    the answer — both engines block identically AND the lev residual
+    decides, a double determinism belt.  Best = (lev ASC, dict freq
+    DESC, word ASC), a total order.
+
+    The fixture corpus is a closed 31-word vocabulary with no natural
+    typos, so corruption is PLANTED deterministically (the
+    dq_format_conformance discipline): every 17th document's first
+    token of length >= 4 loses its second character on BOTH engines;
+    the operator must then recover the original words.
+
+    Scale: the dictionary explode is |dict| x ~L²/2 variants — vocab-
+    sized, not corpus-sized (the classic SymSpell trade: precompute the
+    dictionary neighborhood once, index it, probe per query token); the
+    join is an equi-join on the variant string; lev runs once per
+    DISTINCT candidate pair.  At 100 TB: token freq is one map-side-
+    combined groupBy, the neighborhood tables are vocabulary-bounded
+    broadcast candidates, and the correction report is |rare| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            F.when(
+                (F.col("doc_id") % 17 == 0)
+                & (F.col("pos0") == 0)
+                & (F.length("tok") >= 4),
+                F.expr("concat(substring(tok, 1, 1), substring(tok, 3, length(tok)))"),
+            )
+            .otherwise(F.col("tok"))
+            .alias("tok")
+        )
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # persisted: feeds dict, rare, and the final report join; the
+    # query-boundary clear_caches reclaims it
+    freq = freq.persist()
+    dictionary = freq.filter(F.col("n") >= SPELL_DICT_MIN_FREQ)
+    rare = freq.filter(F.col("n") < SPELL_DICT_MIN_FREQ)
+
+    del_once = "concat(substring({s}, 1, _p{i} - 1), substring({s}, _p{i} + 1, length({s})))"
+
+    def neighborhood(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_p1", F.explode(F.expr("sequence(0, length(tok))")))
+            .withColumn(
+                "v1",
+                F.when(F.col("_p1") == 0, F.col("tok")).otherwise(
+                    F.expr(del_once.format(s="tok", i=1))
+                ),
+            )
+            .withColumn("_p2", F.explode(F.expr("sequence(0, length(v1))")))
+            .withColumn(
+                "v",
+                F.when(F.col("_p2") == 0, F.col("v1")).otherwise(
+                    F.expr(del_once.format(s="v1", i=2))
+                ),
+            )
+            .select("tok", "n", "v")
+            .distinct()
+        )
+
+    rv = neighborhood(rare).alias("r")
+    dv = neighborhood(dictionary).alias("d")
+    cand = (
+        rv.join(dv, F.col("r.v") == F.col("d.v"))
+        .select(
+            F.col("r.tok").alias("q"),
+            F.col("d.tok").alias("c"),
+            F.col("d.n").alias("dn"),
+        )
+        .distinct()
+    )
+    lev = F.levenshtein(F.col("q"), F.col("c"))
+    best = (
+        cand.withColumn("lev", lev.cast("long"))
+        .filter(F.col("lev") <= SPELL_MAX_LEV)
+        .groupBy("q")
+        .agg(
+            F.expr("min_by(struct(c, dn, lev), struct(lev, -dn, c))").alias("b")
+        )
+        .select("q", F.col("b.c").alias("correction"),
+                F.col("b.lev").alias("lev"), F.col("b.dn").alias("dict_freq"))
+    )
+    return best.join(rare, best.q == rare.tok).select(
+        F.col("q").alias("token"),
+        F.col("n").alias("n_occurrences"),
+        "correction",
+        "lev",
+        "dict_freq",
+    )
