@@ -2598,3 +2598,122 @@ def pipeline_exact_substring_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens_after"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_bloom_prefilter — hand-built Bloom gate for cross-source ingest dedup
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 65536  # m: filter width in bits (2^16)
+BLOOM_SALTS = ("#1", "#2", "#3")  # k = 3 portable md5-derived hash functions
+
+_BLOOM_ORACLE = f"""
+WITH a AS (
+    SELECT DISTINCT sha256(text) AS key FROM documents
+    WHERE CAST(substr(source, 4) AS INT) % 2 = 0
+), b AS (
+    SELECT doc_id, sha256(text) AS key FROM documents
+    WHERE CAST(substr(source, 4) AS INT) % 2 = 1
+), apos AS (
+    SELECT DISTINCT unnest(list_transform(
+        {list(BLOOM_SALTS)},
+        s -> CAST(('0x' || substr(md5(key || s), 1, 8)) AS BIGINT)
+             % {BLOOM_BITS})) AS p
+    FROM a
+), bpos AS (
+    SELECT doc_id, key,
+           unnest(list_transform(
+               {list(BLOOM_SALTS)},
+               s -> CAST(('0x' || substr(md5(key || s), 1, 8)) AS BIGINT)
+                    % {BLOOM_BITS})) AS p
+    FROM b
+), probe AS (
+    SELECT bp.doc_id,
+           COUNT(DISTINCT bp.p) AS n_pos,
+           COUNT(DISTINCT CASE WHEN ap.p IS NOT NULL THEN bp.p END) AS n_hit
+    FROM bpos bp LEFT JOIN apos ap ON ap.p = bp.p
+    GROUP BY bp.doc_id
+), verdicts AS (
+    SELECT b.doc_id,
+           p.n_hit = p.n_pos AS bloom_hit,
+           EXISTS (SELECT 1 FROM a WHERE a.key = b.key) AS exact_dup
+    FROM b JOIN probe p ON p.doc_id = b.doc_id
+)
+SELECT bloom_hit, exact_dup, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM verdicts GROUP BY bloom_hit, exact_dup
+"""
+
+
+@query("dedup_bloom_prefilter", oracle=_BLOOM_ORACLE)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source ingest dedup with a HAND-BUILT Bloom prefilter — the
+    100 TB pattern where a new source is screened against the already-
+    ingested corpus WITHOUT joining against its full key set: the
+    ingested side (even-numbered sources) publishes a {BLOOM_BITS}-bit
+    Bloom filter (k = {len(BLOOM_SALTS)} hash functions) of its content
+    sha256 keys; each incoming (odd-source) document probes the filter;
+    only probe-positive docs would pay the exact key join.  Reported:
+    the (bloom_hit, exact_dup) confusion census — the (true, false)
+    cell IS the measured false-positive count the m/k sizing trades
+    against, and the (false, true) cell is structurally impossible
+    (Bloom filters have no false negatives; the oracle equality pins
+    exactly that).
+
+    Built portably instead of `bloom_filter_agg`: bit positions are
+    md5-derived integers (('0x'||substr(md5(key||salt),1,8)) % m — the
+    engine's established portable-hash pattern), the filter is the
+    DISTINCT position set, and membership = every distinct position of
+    the probe key present.  Both engines compute identical bits, so the
+    FP census is DuckDB-hash-checked — which a native
+    bloom_filter_agg / BloomFilter.mightContain can never be.
+
+    Scale: the filter build is one distinct over <= k·|ingested keys|
+    positions collapsed to <= m rows (a {BLOOM_BITS}-row table AT MOST,
+    broadcastable forever); the probe is a broadcast left join of k
+    rows per incoming doc against it; the exact-dup comparison joins
+    only on the key column.  At 100 TB the filter is the only state
+    that crosses the network — the point of the pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    keyed = docs.select(
+        "doc_id", F.sha2("text", 256).alias("key"), src_num.alias("sn")
+    )
+    a_keys = keyed.filter(F.col("sn") % 2 == 0).select("key").distinct()
+    b_docs = keyed.filter(F.col("sn") % 2 == 1).select("doc_id", "key")
+    salts = F.array(*[F.lit(s) for s in BLOOM_SALTS])
+    pos = F.explode(
+        F.transform(
+            salts,
+            lambda s: F.conv(
+                F.substring(F.md5(F.concat(F.col("key"), s)), 1, 8), 16, 10
+            ).cast("long")
+            % BLOOM_BITS,
+        )
+    ).alias("p")
+    apos = F.broadcast(a_keys.select(pos).distinct())
+    bpos = b_docs.select("doc_id", pos)
+    probe = (
+        bpos.join(apos.withColumnRenamed("p", "ap"), F.col("p") == F.col("ap"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("p").alias("n_pos"),
+            F.countDistinct(F.when(F.col("ap").isNotNull(), F.col("p"))).alias(
+                "n_hit"
+            ),
+        )
+    )
+    verdicts = (
+        b_docs.join(probe, "doc_id")
+        .join(
+            a_keys.withColumnRenamed("key", "akey"),
+            F.col("key") == F.col("akey"),
+            "left",
+        )
+        .select(
+            (F.col("n_hit") == F.col("n_pos")).alias("bloom_hit"),
+            F.col("akey").isNotNull().alias("exact_dup"),
+        )
+    )
+    return verdicts.groupBy("bloom_hit", "exact_dup").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
