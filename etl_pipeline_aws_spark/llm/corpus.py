@@ -2722,3 +2722,161 @@ def corpus_domain_reweight_entropy(spark: SparkSession, sf_dir: str) -> DataFram
     no unpartitioned window, no join fan-out)."""
     register_views(spark, sf_dir)
     return spark.sql(_DOMAIN_REWEIGHT_SPARK)
+
+
+# --------------------------------------------------------------------------
+# corpus_curriculum_phases — difficulty-ordered curriculum schedule
+# --------------------------------------------------------------------------
+
+CURRICULUM_PHASES = 4  # quartile phases: warmup -> hard tail
+
+
+_CURRICULUM_ORACLE = f"""
+WITH sized AS (
+    SELECT doc_id, n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           (n_chars * 1000) // len(string_split(text, ' ')) AS difficulty
+    FROM documents
+), pv AS (
+    SELECT difficulty, CAST(COUNT(*) AS BIGINT) AS c
+    FROM sized GROUP BY difficulty
+), cumv AS (
+    SELECT difficulty,
+           CAST(SUM(c) OVER (ORDER BY difficulty ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c,
+           CAST(SUM(c) OVER () AS BIGINT) AS n_total
+    FROM pv
+), phased AS (
+    SELECT difficulty,
+           ({CURRICULUM_PHASES} * cum_c - 1) // n_total + 1 AS phase
+    FROM cumv
+)
+SELECT CAST(p.phase AS BIGINT) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(MIN(s.difficulty) AS BIGINT) AS min_difficulty,
+       CAST(MAX(s.difficulty) AS BIGINT) AS max_difficulty
+FROM sized s JOIN phased p ON s.difficulty = p.difficulty
+GROUP BY p.phase
+"""
+
+
+@query("corpus_curriculum_phases", oracle=_CURRICULUM_ORACLE)
+def corpus_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule (Bengio et al. 2009: present easy
+    examples first): order the corpus by a difficulty proxy — mean
+    characters per token in exact permille, the cheap surrogate for
+    lexical complexity — and cut it into {CURRICULUM_PHASES} ECDF
+    quartile phases, reporting each phase's document count, token mass,
+    and difficulty span (the manifest a staged training run consumes).
+
+    Phases are VALUE-COHESIVE: every document sharing one difficulty
+    score lands in one phase (phase = ceil(P·cum/N) at the score's
+    inclusive ECDF position, exact integer arithmetic) — unlike NTILE,
+    which splits tied scores by arbitrary row order and is therefore
+    not reproducible across engines or partitionings.
+
+    Scale: difficulty is two-long metadata per doc (never text); the
+    per-score histogram is a map-side-combinable groupBy to a
+    |distinct-scores|-sized frame; the ECDF rides the two-phase
+    ranked_prefix_sum (functions/prefix.py — no unpartitioned window);
+    the score→phase map is score-count-sized and broadcast back onto
+    the metadata frame for the final per-phase rollup."""
+    from etl_pipeline_aws_spark.functions.prefix import ranked_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    sized = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.expr("(n_chars * 1000) div size(split(text, ' '))").alias("difficulty"),
+    )
+    pv = sized.groupBy("difficulty").agg(F.count("*").cast("long").alias("c"))
+    ranked, totals = ranked_prefix_sum(pv, [F.asc("difficulty")], ["c"])
+    n_total = int(totals["c"])
+    phased = ranked.select(
+        "difficulty",
+        F.expr(f"({CURRICULUM_PHASES} * cum_c - 1) div {n_total} + 1").alias("phase"),
+    )
+    return (
+        sized.join(F.broadcast(phased), "difficulty")
+        .groupBy(F.col("phase").cast("long").alias("phase"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.min("difficulty").cast("long").alias("min_difficulty"),
+            F.max("difficulty").cast("long").alias("max_difficulty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_quality_quota_trim — per-source quality-ranked token quota
+# --------------------------------------------------------------------------
+
+QUALITY_QUOTA_TOKENS = 600  # token budget per source shard
+
+
+_QUALITY_QUOTA_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           (len(list_distinct(string_split(text, ' '))) * 1000)
+               // len(string_split(text, ' ')) AS quality
+    FROM documents
+), ranked AS (
+    SELECT doc_id, source, n_tokens, CAST(quality AS BIGINT) AS quality,
+           SUM(n_tokens) OVER (PARTITION BY source
+                               ORDER BY quality DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM scored
+)
+SELECT doc_id, source, n_tokens, quality,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked
+WHERE cum_tokens <= {QUALITY_QUOTA_TOKENS}
+"""
+
+
+@query("corpus_quality_quota_trim", oracle=_QUALITY_QUOTA_ORACLE)
+def corpus_quality_quota_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked per-source token quota — the selection complement
+    to corpus_token_budget_fill (which fills in ARRIVAL order): rank each
+    source's documents by a quality proxy (type-token ratio in exact
+    permille — distinct tokens per token, the cheap lexical-diversity
+    screen) and keep the BEST documents until the next one would breach
+    the {QUALITY_QUOTA_TOKENS}-token source quota.  This is the "cap
+    every domain, keep its highest-quality slice" recipe that stops one
+    crawl domain from flooding the mix while keeping its best mass.
+
+    Determinism: quality and the running token sum are exact BIGINTs;
+    the order (quality DESC, doc_id) is total, so the cut document is
+    the same on both engines — no float score can flip a boundary.
+
+    Scale: token/distinct counts are a narrow per-doc scalar pass (the
+    window input is three longs per doc, never text); the running sum is
+    a window PARTITIONED by source — each of the ~10^4 domains of a real
+    crawl is an independent task, no global order exists anywhere."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.expr(
+            "(size(array_distinct(split(text, ' '))) * 1000)"
+            " div size(split(text, ' '))"
+        ).alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= QUALITY_QUOTA_TOKENS)
+        .select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
+    )

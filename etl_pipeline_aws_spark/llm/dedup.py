@@ -2717,3 +2717,119 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdicts.groupBy("bloom_hit", "exact_dup").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_cdc_chunks — content-defined chunking duplicate-chunk census
+# --------------------------------------------------------------------------
+
+CDC_WINDOW = 12  # chars hashed to decide a boundary
+CDC_DIVISOR = 16  # P(boundary) = 1/16 -> ~16-char expected chunks
+
+
+_CDC_CHUNKS_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, text, length(text) AS L FROM documents
+), b AS (
+    SELECT doc_id, text, L,
+           CASE WHEN L >= {CDC_WINDOW} + 1 THEN
+               list_filter(range(2, L - {CDC_WINDOW} + 2),
+                   i -> CAST(('0x' || substr(md5(substring(text, i, {CDC_WINDOW})),
+                                             1, 8)) AS BIGINT)
+                        % {CDC_DIVISOR} = 0)
+           ELSE CAST([] AS BIGINT[]) END AS bpos
+    FROM d
+), seg AS (
+    SELECT doc_id,
+           list_concat([CAST(1 AS BIGINT)], bpos) AS starts,
+           list_concat(bpos, [L + 1]) AS ends,
+           text
+    FROM b
+), ch AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(starts) + 1),
+                                 j -> substring(text, CAST(starts[j] AS INT),
+                                                CAST(ends[j] - starts[j] AS INT))))
+               AS chunk
+    FROM seg
+)
+SELECT md5(chunk) AS chunk_hash,
+       CAST(length(chunk) AS BIGINT) AS chunk_len,
+       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ch
+GROUP BY chunk
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+@query("dedup_cdc_chunks", oracle=_CDC_CHUNKS_ORACLE)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) duplicate-chunk census — the
+    storage-dedup primitive (LBFS, Muthitacharoen et al. SOSP'01;
+    FastCDC, Xia et al. ATC'16): cut every document at positions where a
+    rolling window hash satisfies ``h % {CDC_DIVISOR} == 0``, so chunk
+    boundaries are CONTENT-anchored — an insertion early in a document
+    shifts only the chunks it touches, never the whole tail (the failure
+    mode of fixed-size chunking).  Identical passages shared across
+    documents therefore produce identical chunks wherever they sit, and
+    the census reports every chunk seen in >= 2 documents with its
+    occurrence and document counts — the sub-document complement to
+    dedup_exact (whole doc) and dedup_paragraph_chunks (separator-cut).
+
+    Portability: the boundary predicate hashes the {CDC_WINDOW}-char
+    window through md5 (the one hash both engines share — the winnowing
+    discipline); a production run swaps in a gear/Rabin rolling hash
+    inside mapInPandas (O(1) per position instead of O(W)) with the SAME
+    boundary semantics — the chunk census downstream is unchanged.
+
+    Scale: boundary selection and chunk extraction are per-document
+    higher-order expressions (filter/transform over a position sequence
+    — JVM-side, no explode until chunks exist); the census is one
+    map-side-combinable groupBy on the chunk hash.  No pair join exists
+    anywhere — cross-document structure emerges from the groupBy, so the
+    cost is linear in corpus bytes at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("L")
+    )
+    boundary_ok = (
+        "CAST(conv(substring(md5(substring(text, i, "
+        f"{CDC_WINDOW})), 1, 8), 16, 10) AS BIGINT) % {CDC_DIVISOR} = 0"
+    )
+    seg = docs.withColumn(
+        "bpos",
+        F.expr(
+            f"CASE WHEN L >= {CDC_WINDOW} + 1 THEN "
+            f"filter(sequence(2L, L - {CDC_WINDOW} + 2 - 1), i -> {boundary_ok}) "
+            "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+        ),
+    ).selectExpr(
+        "doc_id",
+        "text",
+        "concat(array(1L), bpos) AS starts",
+        "concat(bpos, array(L + 1)) AS ends",
+    )
+    chunks = seg.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(starts)), "
+                "j -> substring(text, CAST(starts[j-1] AS INT), "
+                "CAST(ends[j-1] - starts[j-1] AS INT)))"
+            )
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.md5("chunk").alias("chunk_hash"),
+            F.length("chunk").cast("long").alias("chunk_len"),
+            "n_occ",
+            "n_docs",
+        )
+    )

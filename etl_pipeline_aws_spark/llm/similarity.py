@@ -2049,3 +2049,129 @@ def similarity_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(N_QUERIES * TOP_K)
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# similarity_knn_classify — k-NN label classification with holdout accuracy
+# --------------------------------------------------------------------------
+
+KNN_K = 5  # neighbors per test vector
+KNN_HOLDOUT_MOD = 20  # vec_id % 20 == 0 -> test split (5% holdout)
+
+
+_KNN_CLASSIFY_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+    SELECT vec_id, label, v,
+           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+    FROM e
+), t AS (
+    SELECT * FROM n WHERE vec_id % {KNN_HOLDOUT_MOD} = 0
+), tr AS (
+    SELECT * FROM n WHERE vec_id % {KNN_HOLDOUT_MOD} <> 0
+), sims AS (
+    SELECT t.vec_id AS test_id, t.label AS true_label,
+           tr.vec_id AS cand_id, tr.label AS cand_label,
+           list_sum(list_transform(range(1, len(t.v) + 1),
+                                   i -> t.v[i] * tr.v[i]))
+               / (t.nrm * tr.nrm) AS cosine
+    FROM t, tr
+), knn AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY test_id
+                                     ORDER BY cosine DESC, cand_id) AS rn
+        FROM sims)
+    WHERE rn <= {KNN_K}
+), votes AS (
+    SELECT test_id, true_label, cand_label, COUNT(*) AS c
+    FROM knn GROUP BY test_id, true_label, cand_label
+), pred AS (
+    SELECT test_id, true_label, cand_label AS pred_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY test_id
+                                     ORDER BY c DESC, cand_label) AS rn2
+        FROM votes)
+    WHERE rn2 = 1
+)
+SELECT CAST(true_label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+           / COUNT(*) AS accuracy
+FROM pred GROUP BY true_label
+"""
+
+
+@query("similarity_knn_classify", oracle=_KNN_CLASSIFY_ORACLE)
+def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding column with a deterministic
+    holdout: vectors with vec_id % {KNN_HOLDOUT_MOD} == 0 are the test
+    split, each classified by majority vote of its KNN_K nearest
+    training vectors under exact cosine (ties: vote count DESC then
+    label ASC — a total order, so the prediction is reproducible).
+    Output: per-class test count, correct count, and accuracy — the
+    classifier complement to embedding_knn_label_eval (which asks the
+    SPACE question via leave-one-out 1-NN agreement; this op asks the
+    MODEL question: k-vote generalization from a train split to a
+    disjoint holdout).
+
+    Determinism: the cosine fold is the engine's bit-identical
+    dot-product discipline (similarity_topk_bruteforce's verified
+    left-to-right fold, same on DuckDB); ranks break ties by cand_id;
+    vote counts and correctness are exact BIGINTs; accuracy is the one
+    int/int double division (identical IEEE result on both engines).
+
+    Scale: the test split broadcasts (a holdout is sample-sized by
+    construction); the train side streams through one scan — the same
+    shape as similarity_topk_bruteforce.  At 100 TB the exact scan
+    swaps for the IVF route (similarity_ivf_topk): classify against
+    nprobe/ncells of the corpus, identical vote/rollup tail since the
+    vote input is (test_id, label, rank) metadata either way."""
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    test = F.broadcast(
+        e.filter(F.col("vec_id") % KNN_HOLDOUT_MOD == 0).select(
+            F.col("vec_id").alias("test_id"),
+            F.col("label").alias("true_label"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    train = e.filter(F.col("vec_id") % KNN_HOLDOUT_MOD != 0)
+    sims = test.join(train, F.col("vec_id") % KNN_HOLDOUT_MOD != 0).select(
+        "test_id",
+        "true_label",
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        _cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")).alias(
+            "cosine"
+        ),
+    )
+    knn = (
+        sims.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("test_id").orderBy(F.col("cosine").desc(), "cand_id")
+            ),
+        )
+        .filter(F.col("rn") <= KNN_K)
+    )
+    votes = knn.groupBy("test_id", "true_label", "cand_label").agg(
+        F.count("*").alias("c")
+    )
+    pred = (
+        votes.withColumn(
+            "rn2",
+            F.row_number().over(
+                W.partitionBy("test_id").orderBy(F.col("c").desc(), "cand_label")
+            ),
+        )
+        .filter(F.col("rn2") == 1)
+        .select("test_id", "true_label", F.col("cand_label").alias("pred_label"))
+    )
+    correct = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return pred.groupBy(F.col("true_label").cast("long").alias("label")).agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        (F.sum(correct).cast("double") / F.count("*")).alias("accuracy"),
+    )

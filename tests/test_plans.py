@@ -178,6 +178,7 @@ ALLOWED_NESTED_LOOP = {
     "governance_row_level_policy",  # 1-row leakage-count broadcast per principal (q11 pattern)
     "similarity_two_stage_rerank",  # broadcast query set; int8 coarse pass (same design)
     "similarity_quantized_recall",  # r9: same broadcast-query-set design (dual ranking)
+    "similarity_knn_classify",  # r11: broadcast holdout panel (bruteforce design)
     "similarity_ivf_nprobe_recall",  # r10: broadcast centroid panel + query set + 3-row nprobe fan (eval anchor)
     "embedding_similarity_histogram",  # broadcast query set; bounded 21-bucket output
     "corpus_epoch_upsampling",  # 1-row global quota broadcast (q11 pattern)
