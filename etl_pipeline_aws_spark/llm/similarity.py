@@ -2057,6 +2057,12 @@ def similarity_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_K = 5  # neighbors per test vector
 KNN_HOLDOUT_MOD = 20  # vec_id % 20 == 0 -> test split (5% holdout)
+# The eval panel is BOUNDED: holdout members with vec_id below this cap.
+# Both fixtures sit fully under it (every vec_id qualifies), while at
+# corpus scale the panel stops growing with the data — the unit-of-
+# evaluation lesson embedding_knn_label_eval's unbounded-LOO probe
+# taught (947 s at the 10x replica before its panel was capped).
+KNN_HOLDOUT_CAP = 10_000
 
 
 _KNN_CLASSIFY_ORACLE = f"""
@@ -2067,7 +2073,8 @@ WITH e AS (
            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
     FROM e
 ), t AS (
-    SELECT * FROM n WHERE vec_id % {KNN_HOLDOUT_MOD} = 0
+    SELECT * FROM n
+    WHERE vec_id % {KNN_HOLDOUT_MOD} = 0 AND vec_id < {KNN_HOLDOUT_CAP}
 ), tr AS (
     SELECT * FROM n WHERE vec_id % {KNN_HOLDOUT_MOD} <> 0
 ), sims AS (
@@ -2122,15 +2129,21 @@ def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote counts and correctness are exact BIGINTs; accuracy is the one
     int/int double division (identical IEEE result on both engines).
 
-    Scale: the test split broadcasts (a holdout is sample-sized by
-    construction); the train side streams through one scan — the same
-    shape as similarity_topk_bruteforce.  At 100 TB the exact scan
-    swaps for the IVF route (similarity_ivf_topk): classify against
-    nprobe/ncells of the corpus, identical vote/rollup tail since the
-    vote input is (test_id, label, rank) metadata either way."""
+    Scale: the broadcast test split is a BOUNDED panel (holdout members
+    under KNN_HOLDOUT_CAP — both fixtures qualify in full, a 100 TB
+    corpus caps at the same few-hundred evaluated vectors), so cost is
+    panel x corpus — LINEAR in the train side, never quadratic; the
+    train side streams through one scan, the bruteforce design.  At
+    100 TB the exact scan additionally swaps for the IVF route
+    (similarity_topk_ivf): classify against nprobe/ncells of the
+    corpus, identical vote/rollup tail since the vote input is
+    (test_id, label, rank) metadata either way."""
     e = _normed(load_table(spark, sf_dir, "embeddings"))
     test = F.broadcast(
-        e.filter(F.col("vec_id") % KNN_HOLDOUT_MOD == 0).select(
+        e.filter(
+            (F.col("vec_id") % KNN_HOLDOUT_MOD == 0)
+            & (F.col("vec_id") < KNN_HOLDOUT_CAP)
+        ).select(
             F.col("vec_id").alias("test_id"),
             F.col("label").alias("true_label"),
             F.col("v").alias("qv"),

@@ -89,6 +89,10 @@ STREAM_BUDGET_ISOLATED = {
     # watermark-replay semantics ARE the operator): ~13-16 s warm
     "stream_stream_interval_join",  # dual availableNow streams + state
     # store on both sides: ~12-15 s warm
+    "stream_session_append",  # r11 seal suite: 15.2 s under late-suite
+    # load (oracle green; the 1.3% overshoot is the same contention
+    # class as the two entries above — session-window state store +
+    # availableNow cold start)
 }
 
 

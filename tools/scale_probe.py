@@ -331,6 +331,14 @@ PROBE_QUERIES = [
     "stat_page_trend_test",
     "stat_jackknife_ratio_se",
     "ml_conformal_daily_interval",
+    # round-11 new operators
+    "text_symspell_correction",
+    "dedup_bloom_prefilter",
+    "embedding_semdedup_ivf",
+    "corpus_curriculum_phases",
+    "corpus_quality_quota_trim",
+    "similarity_knn_classify",
+    "dedup_cdc_chunks",
     # round-10 new operators + the r9 bucketed twins (deep-probe tier)
     "text_bpe_train_merges",
     "text_bpe_compression_by_source",
