@@ -240,6 +240,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Cross-ROUND comparability: the fixed-work calibration loop
+                # in the compact line lets a reader normalize totals across
+                # rounds recorded on different host shares (r11: the
+                # identical loop measured 0.236 s vs r10's 0.132 s — a 1.8x
+                # slower CPU share that inflated every query, not a
+                # regression; the detail line always carried it, but the
+                # compact line is what gets diffed).
+                "calib_sec": best["calib_before"],
             }
         )
     )
