@@ -421,6 +421,66 @@ _ER_ORACLE = """
 """
 
 
+ER_DELETE_BLOCK_MIN_NAMES = 50_000  # switch point for the delete-variant
+# candidate generator: below it, fixture-class catalogs, the plain
+# (type, size) block join is cheaper; above it, block membership is what
+# goes quadratic and the SymSpell neighborhood bounds it
+
+
+def _er_delete_blocked_pairs(names):
+    """Symmetric-delete-blocked candidate pairs (see the operator
+    docstring's coverage theorem): del<=2 = {delete one char or none}
+    applied twice over the DISTINCT-names frame (position 0 = "no
+    delete"), per-name variant dedup, then the (type, size, variant)
+    equi-self-join with the lev<=2 residual."""
+    del_once = "concat(substring({s}, 1, _p{i} - 1), substring({s}, _p{i} + 1, length({s})))"
+    variants = (
+        names.withColumn(
+            "_p1", F.explode(F.expr("sequence(0, length(p_name))"))
+        )
+        .withColumn(
+            "v1",
+            F.when(F.col("_p1") == 0, F.col("p_name")).otherwise(
+                F.expr(del_once.format(s="p_name", i=1))
+            ),
+        )
+        .withColumn("_p2", F.explode(F.expr("sequence(0, length(v1))")))
+        .withColumn(
+            "variant",
+            F.when(F.col("_p2") == 0, F.col("v1")).otherwise(
+                F.expr(del_once.format(s="v1", i=2))
+            ),
+        )
+        .select("p_type", "p_size", "nid", "p_name", "variant")
+        .distinct()
+        # both sides of the self-join scan this frame: persist so the
+        # explode chain runs once (query-boundary clear_caches reclaims)
+        .persist()
+    )
+    va, vb = variants.alias("a"), variants.alias("b")
+    # a pair can share several variants, so dedup on the nid pair BEFORE
+    # the levenshtein residual
+    return (
+        va.join(
+            vb,
+            (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.nid") < F.col("b.nid")),
+        )
+        .select(
+            F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"),
+            F.col("a.p_name").alias("na"), F.col("b.p_name").alias("nb"),
+        )
+        .distinct()
+        .filter(F.levenshtein(F.col("na"), F.col("nb")) <= 2)
+        .select("src", "dst")
+        # the symmetrizing union below scans pairs twice; persist so the
+        # variant self-join runs once (clear_caches reclaims)
+        .persist()
+    )
+
+
 @query("entity_resolution_parts", oracle=_ER_ORACLE)
 def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution over the parts catalog: blocked fuzzy
@@ -464,10 +524,16 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions (lev-close pairs) instead of block membership: the
     decollided 100x probe's per-copy alphabets are disjoint, so
     candidates scale with the ~copies/26 genuine collisions, not with
-    copies².  At 100 TB: blocking bounds the quadratic strictly within
-    (type, size, variant) cells, every CC round is one key shuffle, and
-    the parts dim is dwarfed by facts — ER cost is catalog-sized, not
-    corpus-sized."""
+    copies².  The generator is TIERED (r11): below
+    ER_DELETE_BLOCK_MIN_NAMES distinct names the plain (type, size)
+    block join runs instead — value-identical by the theorem (the
+    lev<=2 residual decides membership under either generator) and
+    cheaper where block membership is still fixture-small; the switch
+    is one COUNT over the persisted names frame, the SemDeDup
+    adaptive-k discipline.  At 100 TB: blocking bounds the quadratic
+    strictly within (type, size, variant) cells, every CC round is one
+    key shuffle, and the parts dim is dwarfed by facts — ER cost is
+    catalog-sized, not corpus-sized."""
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type", "p_size")
     # EXACT-COLLAPSE BEFORE FUZZY (r10 100x-probe rewrite): identical
     # (name, type, size) rows are lev-0 duplicates by definition, so the
@@ -489,56 +555,37 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # feeds the pair join, the label init, and the final
         # map-back; the query-boundary clear_caches reclaims it
     )
-    # symmetric-delete neighborhood (see docstring theorem): del<=2 =
-    # {delete one char or none} applied twice.  Two bounded explodes
-    # over the DISTINCT-names frame (position 0 = "no delete"), then
-    # per-name variant dedup.
-    del_once = "concat(substring({s}, 1, _p{i} - 1), substring({s}, _p{i} + 1, length({s})))"
-    variants = (
-        names.withColumn(
-            "_p1", F.explode(F.expr("sequence(0, length(p_name))"))
+    # ADAPTIVE GENERATOR SWITCH (r11, same COUNT-arithmetic discipline as
+    # SemDeDup's adaptive k and the bucketed twins' adaptive width): the
+    # two candidate generators below are VALUE-IDENTICAL — both are
+    # filtered by the same lev<=2 residual, and the delete-neighborhood
+    # covers every lev<=2 pair by the docstring theorem while the
+    # (type, size) block trivially covers everything in-block — so the
+    # choice is purely a cost decision.  At fixture-like cardinality the
+    # plain block join wins (no ~120-variants-per-name explode to build,
+    # ~+1.6 s at sf0.1); once the DISTINCT-name frame is large enough
+    # that fixed-vocabulary block membership drives candidates quadratic
+    # (the decollided 100x replica: 323k names, 175M block-pairs vs 105k
+    # delete-blocked), the neighborhood pays for itself.  The count is
+    # one metadata-sized job over the already-persisted names frame.
+    n_names = names.count()
+    if n_names <= ER_DELETE_BLOCK_MIN_NAMES:
+        na, nb = names.alias("a"), names.alias("b")
+        pairs = (
+            na.join(
+                nb,
+                (F.col("a.p_type") == F.col("b.p_type"))
+                & (F.col("a.p_size") == F.col("b.p_size"))
+                & (F.col("a.nid") < F.col("b.nid")),
+            )
+            .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+            .select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"))
+            # the symmetrizing union below scans pairs twice; persist so
+            # the block self-join runs once (clear_caches reclaims)
+            .persist()
         )
-        .withColumn(
-            "v1",
-            F.when(F.col("_p1") == 0, F.col("p_name")).otherwise(
-                F.expr(del_once.format(s="p_name", i=1))
-            ),
-        )
-        .withColumn("_p2", F.explode(F.expr("sequence(0, length(v1))")))
-        .withColumn(
-            "variant",
-            F.when(F.col("_p2") == 0, F.col("v1")).otherwise(
-                F.expr(del_once.format(s="v1", i=2))
-            ),
-        )
-        .select("p_type", "p_size", "nid", "p_name", "variant")
-        .distinct()
-        # both sides of the self-join scan this frame: persist so the
-        # explode chain runs once (query-boundary clear_caches reclaims)
-        .persist()
-    )
-    va, vb = variants.alias("a"), variants.alias("b")
-    # a pair can share several variants, so dedup on the nid pair BEFORE
-    # the levenshtein residual
-    pairs = (
-        va.join(
-            vb,
-            (F.col("a.p_type") == F.col("b.p_type"))
-            & (F.col("a.p_size") == F.col("b.p_size"))
-            & (F.col("a.variant") == F.col("b.variant"))
-            & (F.col("a.nid") < F.col("b.nid")),
-        )
-        .select(
-            F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"),
-            F.col("a.p_name").alias("na"), F.col("b.p_name").alias("nb"),
-        )
-        .distinct()
-        .filter(F.levenshtein(F.col("na"), F.col("nb")) <= 2)
-        .select("src", "dst")
-        # the symmetrizing union below scans pairs twice; persist so the
-        # variant self-join runs once (clear_caches reclaims)
-        .persist()
-    )
+    else:
+        pairs = _er_delete_blocked_pairs(names)
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
