@@ -2833,3 +2833,159 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_bbit_eval — b-bit minwise sketch accuracy census
+# --------------------------------------------------------------------------
+
+BBIT_K = 32  # independent minwise hash functions
+BBIT_MASK = 4  # keep b=2 bits: sig_j = min-hash_j mod 4
+# Li & Koenig 2010 ("b-Bit Minwise Hashing", WWW): with b bits the expected
+# agreement is C + (1-C)*J with C = 1/2^b, so J-hat = (A - C)/(1 - C).
+
+
+_BBIT_EVAL_ORACLE = f"""
+    WITH pairs AS ({{jac}}),
+    toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= 3
+                    THEN list_distinct([array_to_string(ws[i:i+2], ' ')
+                                        for i in range(1, len(ws) - 1)])
+                    ELSE [] END AS s
+        FROM toks
+    ), pdocs AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL SELECT doc_b FROM pairs)
+    ), sigs AS (
+        SELECT sh.doc_id,
+               list_transform(range(0, {BBIT_K}), j ->
+                   list_min(list_transform(s, x ->
+                       CAST(('0x' || substr(md5(x || '#' || CAST(j AS VARCHAR)),
+                                            1, 8)) AS BIGINT)))
+                   % {BBIT_MASK}) AS sig
+        FROM sh JOIN pdocs ON sh.doc_id = pdocs.doc_id
+    ), agree AS (
+        SELECT p.doc_a, p.doc_b, p.jaccard,
+               CAST(list_sum(list_transform(range(1, {BBIT_K} + 1),
+                   j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END))
+                    AS BIGINT) AS n_agree
+        FROM pairs p
+        JOIN sigs sa ON p.doc_a = sa.doc_id
+        JOIN sigs sb ON p.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard, n_agree,
+           (n_agree / {BBIT_K}.0 - 1.0 / {BBIT_MASK}) / (1.0 - 1.0 / {BBIT_MASK})
+               AS est_jaccard,
+           abs((n_agree / {BBIT_K}.0 - 1.0 / {BBIT_MASK})
+               / (1.0 - 1.0 / {BBIT_MASK}) - jaccard) AS abs_err
+    FROM agree
+"""
+
+
+def _bbit_oracle() -> str:
+    return _BBIT_EVAL_ORACLE.format(jac=NGRAM_JACCARD_ORACLE)
+
+
+@query("dedup_minhash_bbit_eval", oracle=_bbit_oracle)
+def dedup_minhash_bbit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise sketch accuracy census (Li & Koenig, WWW 2010): for
+    every verified near-dup pair (the exact 3-gram-Jaccard >= 0.5 set),
+    compare the TRUE Jaccard against the estimate a 2-bit minwise
+    signature recovers — J-hat = (A - 1/4) / (3/4) over K={BBIT_K}
+    agreement trials.  This prices the 100 TB sketch-storage decision
+    honestly: 2-bit signatures cost 1/16 of the 32-bit minhash rows the
+    LSH tier stores, and the census shows exactly what estimation error
+    that compression buys on this corpus's real duplicate pairs.
+
+    Determinism: minwise hashes are md5-derived integers (the portable
+    salt scheme the Bloom prefilter uses — h_j(x) = md5(x || '#' || j)
+    low-32-hex), so signatures are bit-identical on both engines; the
+    b-bit truncation keeps the LOW bits of the FULL minimum (mod 4 after
+    the min, never before — truncating first would change the argmin);
+    n_agree is an exact BIGINT fold and the estimator arithmetic uses
+    the identical expression text on both engines.
+
+    Scale: signatures are computed ONLY for documents that appear in a
+    candidate pair (a semi-join — the eval is pair-driven, so the
+    K x |shingles| md5 work never touches the non-duplicate majority);
+    at production scale the same signatures come free from the LSH
+    tier's existing minhash pass, and the b-bit census is one zip_with
+    fold per candidate pair — linear in pairs, constant per pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = _shingles(docs).persist()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .persist()  # feeds the pair-doc semi-join and the final join
+    )
+    pdocs = (
+        jac.select(F.col("doc_a").alias("doc_id"))
+        .union(jac.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    toks = docs.withColumn("ws", F.split(F.lower(F.trim(F.col("text"))), " "))
+    sh = toks.select(
+        "doc_id",
+        F.when(
+            F.size("ws") >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("ws", i, 3)),
+                )
+            ),
+        ).otherwise(F.array()).alias("s"),
+    )
+    sigs = sh.join(pdocs, "doc_id").select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {BBIT_K} - 1), j -> "
+            "array_min(transform(s, x -> "
+            "CAST(conv(substr(md5(concat(x, '#', CAST(j AS STRING))), 1, 8), "
+            f"16, 10) AS BIGINT))) % {BBIT_MASK})"
+        ).alias("sig"),
+    )
+    est = (
+        F.col("n_agree") / F.lit(float(BBIT_K)) - F.lit(1.0) / F.lit(BBIT_MASK)
+    ) / (F.lit(1.0) - F.lit(1.0) / F.lit(BBIT_MASK))
+    return (
+        jac.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")), "doc_b")
+        .withColumn(
+            "n_agree",
+            F.aggregate(
+                F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("long"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "n_agree",
+            est.alias("est_jaccard"),
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+    )

@@ -339,6 +339,7 @@ PROBE_QUERIES = [
     "corpus_quality_quota_trim",
     "similarity_knn_classify",
     "dedup_cdc_chunks",
+    "dedup_minhash_bbit_eval",
     # round-10 new operators + the r9 bucketed twins (deep-probe tier)
     "text_bpe_train_merges",
     "text_bpe_compression_by_source",
