@@ -2914,7 +2914,19 @@ def dedup_minhash_bbit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     K x |shingles| md5 work never touches the non-duplicate majority);
     at production scale the same signatures come free from the LSH
     tier's existing minhash pass, and the b-bit census is one zip_with
-    fold per candidate pair — linear in pairs, constant per pair."""
+    fold per candidate pair — linear in pairs, constant per pair.  The
+    pair SOURCE here is the exact shingle self-join — the oracle-anchored
+    brute tier the Jaccard family deliberately keeps (see
+    dedup_containment_ngram's posture note), and its cost dominates the
+    100x probe (~298 s, ~23x): on high-overlap corpora the quadratic
+    lives in the DATA (within-vocabulary doc pairs genuinely share
+    shingles), so candidate FILTERS cannot save it — an exact PPJoin
+    prefix+length filter was implemented and measured WORSE (>8x) at
+    100x because nothing prunes and the per-candidate array shipping
+    replaces the brute join's compact map-side-combined partial counts;
+    the production fix is a different pair source (the LSH band join),
+    not a better exact filter, and the b-bit tail is unchanged under
+    either source."""
     docs = load_table(spark, sf_dir, "documents")
     ex = _shingles(docs).persist()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

@@ -66,6 +66,10 @@ HEAVY_ALLOWLIST = {
     # token 3-gram (the portable-hash tax text_winnowing_fingerprints
     # already pays — DuckDB's list-comprehension md5 dominates); the pair
     # join itself is capped-posting cheap
+    "dedup_minhash_bbit_eval",  # r11: ~4 s warm but ~14-17 s on a COLD
+    # first-in-session run — whole-stage codegen of the K=32-salt md5
+    # minwise forest dominates the first compile, the winnowing
+    # portable-hash class; DuckDB side 0.4 s
     "pipeline_hybrid_search_e2e",  # ~13 s warm (r8 verdict #7): a FIVE-
     # stage serving composition — BM25 pass + dense pass + RRF fusion +
     # LSH-banded dup closure (iterative min-label rounds, each a join
