@@ -42,6 +42,12 @@ HEAVY_ALLOWLIST = {
     "graph_pagerank_parts",  # 10 iterative rounds, 7-12 s cold
     "graph_pagerank_bucketed_rounds",  # +6 bucketed table writes: the
     # durability cost the cluster-mode demo deliberately pays per round
+    "graph_connected_components",  # r11: the recursive-CTE closure ORACLE
+    # alone is ~5 s at sf0.01; 9 pointer-jump rounds x ~0.7 s fixed
+    # per-round cost + cold-session edge build land the full check at
+    # ~15-27 s depending on session warmth/contention (measured r11, after
+    # the loop was optimized ~30%: fused convergence flag, one-scan edge
+    # symmetrize).  Same profile as its allowlisted siblings below.
     "graph_connected_components_bucketed",  # same cluster-mode trade as
     # the bucketed pagerank: ~4 converge rounds x (bucketed state write +
     # exchange-free edge join); ~20 s with the recursive-CTE oracle, the
