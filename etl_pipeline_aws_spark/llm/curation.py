@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from etl_pipeline_aws_spark.catalog import load_table, register_views
+from etl_pipeline_aws_spark.catalog import cpu_parallel, load_table, register_views
 from etl_pipeline_aws_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -665,69 +665,84 @@ def pipeline_curation_screens_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
     and the char-bigram gibberish floor all applied per document, the
     survivors assigned their leakage-safe fold (exact-duplicate group
     keeper mod {KFOLD_K}), and the output reduced to the (fold × lang)
-    loader manifest with token totals.  Composing them in one plan is
-    the point: Catalyst shares the single tokenization explode between
-    the token-stat and bigram-stat branches instead of re-scanning text
-    per screen.
+    loader manifest with token totals.
 
-    Scale: every per-doc statistic reduces on doc_id (the corpus's
-    natural partitioner) and joins back doc-keyed — co-partitioned,
-    no skew (doc stats are 1 row each); the md5 keeper window is the
-    dedup tier's shuffle.  One final 25-cell rollup."""
+    r11 OPTIMIZATION (guide §2.3/§2.4 — remove shuffles outright): every
+    per-document statistic here depends only on that document's text, so
+    the former three explode→groupBy branches (token counts, word-bigram
+    counts, char-bigram counts: 6 exchanges of corpus-token-scale rows)
+    plus three doc-keyed joins are replaced by ONE row-local projection
+    over the scan — higher-order array functions compute tok/dtok/topn/
+    dup_ppm/div_ppm per row, the token array bound ONCE via a transform
+    lambda behind an explode fence (the winnowing CollapseProject
+    lesson: without the Generate boundary the optimizer inlines the
+    split() into every consumer).  The only remaining exchanges are the
+    md5 keeper window and the final 25-cell rollup — and the window
+    input is pre-filtered and projected to 4 narrow columns.
+
+    Filter-before-keeper-window is VALUE-IDENTICAL to the oracle's
+    filter-after: keeper groups are md5(text) groups, every member
+    shares the same text, every funnel statistic is a pure function of
+    text, so a group passes or fails ATOMICALLY — the min doc_id over a
+    surviving group equals the min over the original group.  (Per-doc
+    stats match the exploded spellings exactly: tok = size(split),
+    dup_ppm over the same '|'-encoded adjacent pairs, div_ppm guarded to
+    length>=2 / size>=2 to reproduce the inner joins' drop of bigramless
+    docs.)  Verified by the unchanged oracle at sf0.001/0.01/0.1.
+
+    Scale: one corpus scan, one narrow keeper exchange, one bounded
+    rollup — strictly fewer shuffled bytes than the branch-and-join
+    spelling at any scale.  (cpu_parallel on the scan was A/B-measured
+    NEUTRAL-to-worse at sf0.1 — the row-local HOF pass is not the
+    bottleneck — so the scan stays shuffle-free.)"""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    tok_c = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
-    tok_stats = tok_c.groupBy("doc_id").agg(
-        F.sum("n").cast("long").alias("tok"),
-        F.count(F.lit(1)).cast("long").alias("dtok"),
-        F.max("n").cast("long").alias("topn"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bi = toks.select(
+    one = "CAST(1 AS BIGINT)"
+    word_stats = F.expr(f"""
+        transform(array(split(text, ' ')), ws -> named_struct(
+            'tok', CAST(size(ws) AS BIGINT),
+            'dtok', CAST(size(array_distinct(ws)) AS BIGINT),
+            'topn', aggregate(array_sort(ws),
+                named_struct('prev', CAST(NULL AS STRING),
+                             'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+                (acc, x) -> named_struct('prev', x,
+                    'run', IF(x <=> acc.prev, acc.run + {one}, {one}),
+                    'best', GREATEST(acc.best,
+                        IF(x <=> acc.prev, acc.run + {one}, {one}))),
+                acc -> acc.best),
+            'dup_ppm', CASE WHEN size(ws) >= 2 THEN CAST(
+                (size(ws) - 1 - size(array_distinct(
+                    transform(sequence(1, size(ws) - 1),
+                        i -> concat(element_at(ws, i), '|', element_at(ws, i + 1))))))
+                * 1000000 DIV (size(ws) - 1) AS BIGINT) END
+        ))
+    """)
+    div_ppm = F.expr("""
+        CASE WHEN length(text) >= 2 THEN CAST(
+            size(array_distinct(transform(sequence(1, length(text) - 1),
+                i -> substring(text, i, 2))))
+            * 1000000 DIV (length(text) - 1) AS BIGINT) END
+    """)
+    stats = docs.select(
         "doc_id",
-        F.concat_ws("|", F.col("w"), F.lead("w").over(w)).alias("bg"),
-        F.lead("w").over(w).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull())
-    bi_c = bi.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
-    bi_stats = bi_c.groupBy("doc_id").agg(
-        F.expr("(sum(n) - count(*)) * 1000000 div sum(n)")
-        .cast("long")
-        .alias("dup_ppm")
-    )
-    cb = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
-            )
-        ).alias("bg"),
-    )
-    cb_stats = cb.groupBy("doc_id").agg(
-        F.expr("count(distinct bg) * 1000000 div count(*)")
-        .cast("long")
-        .alias("div_ppm")
-    )
-    folded = (
-        docs.select(
-            "doc_id",
-            "lang",
-            F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("keeper_id"),
-        )
-        .join(tok_stats, "doc_id")
-        .join(bi_stats, "doc_id")
-        .join(cb_stats, "doc_id")
-    )
-    survivors = folded.filter(
+        "lang",
+        F.md5("text").alias("h"),
+        F.explode(word_stats).alias("s"),
+        div_ppm.alias("div_ppm"),
+    ).select("doc_id", "lang", "h", "div_ppm", "s.*")
+    survivors = stats.filter(
         (F.col("tok") >= FUNNEL_MIN_TOK)
         & (F.col("tok") <= FUNNEL_MAX_TOK)
         & (F.col("dtok") * 100 >= F.col("tok") * FUNNEL_MIN_DISTINCT_PCT)
         & (F.col("topn") * FUNNEL_TOP_TOKEN_DIV <= F.col("tok"))
         & (F.col("dup_ppm") <= REP_DUP_FLAG_PPM)
         & (F.col("div_ppm") >= CHAR_DIV_FLOOR_PPM)
+    ).select("doc_id", "lang", "tok", "h")
+    folded = survivors.select(
+        "lang",
+        "tok",
+        F.min("doc_id").over(Window.partitionBy("h")).alias("keeper_id"),
     )
-    return survivors.groupBy(
+    return folded.groupBy(
         (F.col("keeper_id") % KFOLD_K).cast("long").alias("fold"), "lang"
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

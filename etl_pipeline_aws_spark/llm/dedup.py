@@ -1806,8 +1806,12 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     values: a fingerprint shared by hundreds of docs is boilerplate
     (text_boilerplate_ngrams' job), and without the cap its pairs grow
     quadratically (measured 116 s at sf0.1; capped: see the r8 probe
-    table).  Per-doc selection is row-local array code, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    table).  Per-doc selection is row-local array code, no shuffle —
+    and CPU-dense (one md5 per token trigram), so the scan is
+    cpu_parallel'd (r11: a single-row-group table ran the whole md5
+    kernel on ONE task; spreading it measured 3.9 → 2.8 s median at
+    sf0.1; a no-op at 100 TB where the scan out-splits the cores)."""
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents"))
     ws = F.split("text", " ")
     grams = F.when(
         F.size(ws) >= 3,
@@ -1854,27 +1858,38 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fps").cast("long").alias("n_fps"),
         F.explode("fps").alias("fp"),
     )
-    w_cap = Window.partitionBy("fp").orderBy("doc_id")
-    posting = (
-        posting_all.withColumn("pr", F.row_number().over(w_cap))
-        .filter(F.col("pr") <= WINNOW_POSTING_CAP)
-        .drop("pr")
+    # r11 (guide §2.4): the capped posting lists pair up ROW-LOCALLY.
+    # The former spelling shuffled the postings TWICE (a row_number
+    # window to cap, then a fp-keyed self-join whose both sides re-ran
+    # the explode) and re-grouped the join output.  One groupBy now
+    # collects each fingerprint's posting list, caps it to the
+    # WINNOW_POSTING_CAP lowest doc_ids (slice of the sorted list —
+    # identical members to the window's rank filter since doc_id is
+    # unique per posting), and emits the a<b pairs via a nested
+    # transform — the pair set is byte-identical to the self-join's.
+    caps = posting_all.groupBy("fp").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("doc_id", "n_fps"))),
+            1,
+            WINNOW_POSTING_CAP,
+        ).alias("ds")
     )
-    a = posting.alias("a")
-    b = posting.alias("b")
+    pair_rows = caps.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) ->"
+                " transform(slice(ds, i + 2, size(ds)), b ->"
+                " struct(a.doc_id AS doc_a, b.doc_id AS doc_b,"
+                " a.n_fps AS n_fps_a, b.n_fps AS n_fps_b))))"
+            )
+        ).alias("p")
+    ).select("p.*")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        pair_rows.groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shared"),
-            F.max("a.n_fps").cast("long").alias("n_fps_a"),
-            F.max("b.n_fps").cast("long").alias("n_fps_b"),
+            F.max("n_fps_a").cast("long").alias("n_fps_a"),
+            F.max("n_fps_b").cast("long").alias("n_fps_b"),
         )
         .filter(F.col("n_shared") >= WINNOW_PAIR_MIN_SHARED)
     )
@@ -2369,8 +2384,12 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference semantics: the C++/Rust suffix-array pipeline of
     github.com/google-research/deduplicate-text-datasets re-expressed
-    as rolling-hash postings (no suffix array needed at fixed K)."""
-    docs = load_table(spark, sf_dir, "documents")
+    as rolling-hash postings (no suffix array needed at fixed K).
+
+    r11: the scan is cpu_parallel'd — the per-window md5 kernel is
+    CPU-dense row-local work, and a single-row-group table ran it all
+    on ONE task (the winnowing fix; no-op at 100 TB)."""
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents"))
     arrs = docs.select(
         "doc_id",
         "source",

@@ -171,14 +171,32 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined contribution aggregation."""
     li = load_table(spark, sf_dir, "lineitem")
     pairs = _copair_join(li.select("l_orderkey", "l_partkey")).distinct()
-    edges = pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
-        pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    # r11: symmetrize via one explode, not a two-branch union — the union
+    # evaluated the self-join+distinct subtree once per branch in the
+    # cache-materialization job (the CC-loop fix, guide §2.3)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("pa").alias("u"), F.col("pb").alias("v")),
+                    F.struct(F.col("pb").alias("u"), F.col("pa").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     # degree-annotation join: hash-build on the NODES-sized deg side and
     # stream the edges — the default SMJ sorts the full edge list, which
     # the r10 100x probe measured as the dominant one-time cost (239M
     # edge rows through two sorts)
+    # The degree join's own exchange on u leaves out_edges cached
+    # hashpartitioning(u) — the key every round's join needs — so the
+    # per-round plan exchanges only the nodes-sized ranks frame already.
+    # (r11 interleaved A/B: adding an explicit repartition("eu") before
+    # the persist was NEUTRAL at sf0.1 — median 4.02 vs 4.05 s — because
+    # the join output partitioning is already the loop's requirement; the
+    # extra exchange only re-moves the edges once for nothing.)
     out_edges = (
         edges.join(deg.hint("shuffle_hash"), "u")
         .select(F.col("u").alias("eu"), "v", "d")
