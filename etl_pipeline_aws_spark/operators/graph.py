@@ -613,9 +613,18 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the plan tree and the plan SHAPE varies with the data's diameter
     # (observed in the 10x probe as a 510-vs-850-join diff).  At 100 TB
     # this is the reliable-checkpoint pattern every iterative job needs.
-    labels = names.select(
-        F.col("nid").alias("node"), F.col("nid").alias("label")
-    ).localCheckpoint()
+    # r11 (guide §2.3): propagate labels over EDGE ENDPOINTS only —
+    # a name-node with no fuzzy edge can never change its label, so the
+    # former all-names label frame paid every round's three joins for
+    # rows that were constants.  Endpoint nodes are typically a small
+    # fraction of the catalog (spelling variants, not the whole
+    # vocabulary); singletons re-attach at the map-back via coalesce.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
     for _ in range(20):  # diameter bound; spelling clusters converge in 2-3
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -625,34 +634,34 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # eager=False: the convergence probe below is the round's ONLY
         # action — it materializes the lazy checkpoint as a side effect,
         # halving the jobs per round vs eager-checkpoint-then-count
-        # (measured 4.0 s -> ~2.5 s at sf0.1 over ~4 rounds)
+        # (measured 4.0 s -> ~2.5 s at sf0.1 over ~4 rounds).  The
+        # convergence flag is FUSED into the round projection (the CC
+        # fix): the old spelling re-joined new vs old labels each round.
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                (F.coalesce("nmin", "label") < F.col("label")).alias("chg"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") < F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
     # map the name-node component labels back onto every raw part row:
-    # entity_id = component min partkey (== the CC min label, see above)
+    # entity_id = component min partkey (== the CC min label, see above);
+    # edgeless name-nodes keep their own nid (left join + coalesce)
+    entity = F.coalesce("label", "nid")
     return (
         part.join(names, ["p_name", "p_type", "p_size"])
-        .join(labels, F.col("nid") == F.col("node"))
+        .join(labels, F.col("nid") == F.col("node"), "left")
         .select(
             "p_partkey",
-            F.col("label").alias("entity_id"),
-            (F.col("p_partkey") == F.col("label")).alias("is_canonical"),
+            entity.alias("entity_id"),
+            (F.col("p_partkey") == entity).alias("is_canonical"),
         )
     )
 

@@ -1395,8 +1395,15 @@ def lakehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     two fixes that took this query from 22–25 s to ~2 s at sf0.01."""
     import tempfile
 
-    o = load_table(spark, sf_dir, "orders").withColumn(
-        "od", F.col("o_orderdate").cast("date")
+    # r11 (guide §2.3/§6): project to the columns the logical-table read
+    # consumes BEFORE the staged generation writes — the old spelling
+    # wrote all 9 orders columns to both generations and read back 2;
+    # the write is the operator's dominant cost and ~75% of its bytes
+    # were never consumed.  The partition-evolution mechanics (month
+    # dirs for history, day dirs for the hot tail, dual-layout union
+    # read, pruning on each generation's own key) are unchanged.
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("od"), "o_totalprice"
     )
     # .first() is ZONE STAGING (picking where the fixture's spec boundary
     # falls), not query-path work — the logical-table read below is fully

@@ -66,3 +66,36 @@ def test_operator_index_is_current():
     assert committed == gen_operator_index.render(), (
         "OPERATORS.md stale: rerun tools/gen_operator_index.py"
     )
+
+
+def test_schema_cache_returns_same_data_and_schema(spark):
+    """r11: load_table hands the reader a cached schema (skipping per-call
+    footer inference).  The cached read must be indistinguishable from a
+    direct spark.read.parquet — same schema, same rows."""
+    from etl_pipeline_aws_spark.catalog import _SCHEMA_CACHE, table_path
+
+    sf = "/root/testdata/sf0.001"
+    cached = load_table(spark, sf, "nation")
+    direct = spark.read.parquet(table_path(sf, "nation"))
+    assert cached.schema == direct.schema
+    assert sorted(map(tuple, cached.collect())) == sorted(map(tuple, direct.collect()))
+    assert table_path(sf, "nation") in _SCHEMA_CACHE
+
+
+def test_register_views_idempotent_and_sf_switch_reregisters(spark):
+    """r11: register_views skips the ~0.5 s re-registration when the same
+    sf_dir is already current, and MUST re-register when it changes —
+    a multi-SF sweep reading stale views would silently compare the wrong
+    scale factor."""
+    from etl_pipeline_aws_spark.catalog import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    n_small = spark.table("nation").count()
+    c_small = spark.table("customer").count()
+    register_views(spark, "/root/testdata/sf0.01")
+    c_big = spark.table("customer").count()
+    assert c_big > c_small  # views really switched
+    register_views(spark, "/root/testdata/sf0.01")  # no-op path
+    assert spark.table("customer").count() == c_big
+    register_views(spark, "/root/testdata/sf0.001")
+    assert spark.table("nation").count() == n_small
