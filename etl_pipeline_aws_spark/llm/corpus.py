@@ -1645,11 +1645,16 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = vecs.crossJoin(F.broadcast(c)).select(
             "vec_id", "cl", dist_expr.alias("dist")
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cl")
+        # r11 (the SemDeDup E-step rewrite applied here, guide §2.3): the
+        # argmin is min(struct(dist, cl)) — the same (dist, cl) total
+        # order as the former row_number window, but map-side combinable:
+        # the broadcast cross join keeps each vec's k rows in one input
+        # partition, so the partial aggregate emits ONE row per vector
+        # and the exchange moves n rows, not n×k through a sort window.
         asg = (
-            a.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            a.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cl")).alias("m"))
+            .select("vec_id", F.col("m.cl").alias("cl"), F.col("m.dist").alias("dist"))
         )
         asg = asg.persist()
         asg.count()
