@@ -2694,10 +2694,38 @@ _DOMAIN_REWEIGHT_ORACLE = _domain_reweight_sql(
     "SELECT source, unnest(string_split(text, ' ')) AS w FROM documents",
     "//",
 )
-_DOMAIN_REWEIGHT_SPARK = _domain_reweight_sql(
-    "SELECT source, explode(split(text, ' ')) AS w FROM documents",
-    "DIV",
+
+# Spark side, r11: only the corpus-scale prefix (toks -> cells -> src_tot
+# -> terms -> ent -> joined).  The old full-SQL spelling referenced the
+# `fences` and `raw` CTEs through THREE distinct scalar subqueries, and
+# Spark's ReuseSubquery only dedups IDENTICAL subqueries — the plan
+# re-derived the whole token-explode aggregation pipeline once per
+# subquery (~4 corpus passes; 9 parquet scans / 74 Exchanges in the
+# before plan).  The |sources|-row `joined` core is now checkpointed and
+# the fence/boost/ppm arithmetic runs as 1-row broadcast folds over it —
+# ONE corpus pass at any scale.  The arithmetic below is textually the
+# same as the oracle's; only the plumbing changed.
+_DOMAIN_REWEIGHT_JOINED_SPARK = """
+WITH toks AS (
+    SELECT source, explode(split(text, ' ')) AS w FROM documents
+), cells AS (
+    SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks WHERE w <> '' GROUP BY source, w
+), src_tot AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens FROM cells GROUP BY source
+), terms AS (
+    SELECT c.source,
+           CAST(FLOOR(-(CAST(c.c AS DOUBLE) / CAST(t.n_tokens AS DOUBLE))
+                * LOG2(CAST(c.c AS DOUBLE) / CAST(t.n_tokens AS DOUBLE))
+                * 1000000000e0) AS BIGINT) AS term_e9
+    FROM cells c JOIN src_tot t ON c.source = t.source
+), ent AS (
+    SELECT source, CAST(SUM(term_e9) AS BIGINT) AS h_e9
+    FROM terms GROUP BY source
 )
+SELECT t.source, t.n_tokens, e.h_e9
+FROM src_tot t JOIN ent e ON t.source = e.source
+"""
 
 
 @query("corpus_domain_reweight_entropy", oracle=_DOMAIN_REWEIGHT_ORACLE)
@@ -2721,12 +2749,45 @@ def corpus_domain_reweight_entropy(spark: SparkSession, sf_dir: str) -> DataFram
     boost exponents, and raw weights are exact BIGINTs; the single
     weight_ppm division is the only raw-double op.
 
-    Scale: one documents scan exploded to tokens (map-side combinable
-    groupBy to |sources|×|V| cells), a |V|-bounded entropy fold, and
-    |sources|-row arithmetic with scalar-subquery fences (guard-clean —
-    no unpartitioned window, no join fan-out)."""
+    Scale (r11 rewrite, guide §2.4): ONE documents scan exploded to
+    tokens (map-side combinable groupBy to |sources|×|V| cells), a
+    |V|-bounded entropy fold, then the |sources|-row core is
+    localCheckpoint'ed and the fence/boost/ppm arithmetic runs as 1-row
+    broadcast folds over it.  The former scalar-subquery spelling
+    re-derived the corpus pipeline once per distinct subquery (~4 corpus
+    passes — ReuseSubquery only dedups identical subqueries); the
+    checkpointed core makes it exactly one pass at any scale."""
     register_views(spark, sf_dir)
-    return spark.sql(_DOMAIN_REWEIGHT_SPARK)
+    joined = spark.sql(_DOMAIN_REWEIGHT_JOINED_SPARK).localCheckpoint()
+    fences = joined.agg(
+        F.min("h_e9").cast("long").alias("hmin"),
+        F.max("h_e9").cast("long").alias("hmax"),
+    )
+    raw = joined.crossJoin(F.broadcast(fences)).select(
+        "source",
+        "n_tokens",
+        "h_e9",
+        F.expr(
+            f"CAST(({DOREMI_STEPS} * (h_e9 - hmin))"
+            " DIV GREATEST(CAST(1 AS BIGINT), hmax - hmin) AS BIGINT)"
+        ).alias("boost_exp"),
+    ).withColumn(
+        "w_raw",
+        F.expr(
+            "CAST(n_tokens * CAST(ROUND(POWER(2e0, CAST(boost_exp AS DOUBLE)), 0)"
+            " AS BIGINT) AS BIGINT)"
+        ),
+    )
+    tot = raw.agg(F.sum("w_raw").cast("long").alias("w_tot"))
+    return raw.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "h_e9",
+        "boost_exp",
+        F.expr(
+            "CAST(w_raw AS DOUBLE) * 1000000e0 / CAST(w_tot AS DOUBLE)"
+        ).alias("weight_ppm"),
+    )
 
 
 # --------------------------------------------------------------------------

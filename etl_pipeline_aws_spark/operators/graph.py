@@ -383,35 +383,52 @@ def _lp_label_frame(li: DataFrame) -> tuple[DataFrame, DataFrame]:
     pairs = co_occurrence_pairs(li, LP_MIN_SUPPORT, distinct_items=False).select(
         "pa", "pb"
     )
-    edges = pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
-        pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
-    ).persist()
-    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
-        "lbl", F.col("node")
-    )
-    for _ in range(LP_ROUNDS):
-        # Persist + materialize each round's labels, then release the
-        # previous round: the round-r plan references round r-1 TWICE (as
-        # the node being updated and as every neighbor), so without a
-        # cache the branched lineage re-executes the whole prior chain
-        # per reference (measured 11.9 s -> 6.1 s at sf0.01); the eager
-        # count is what lets the PRIOR round's cache be dropped instead
-        # of pinning every round until the final action (the same
-        # materialize-then-unpersist round discipline as the
-        # connected-components loop in llm/dedup.py).
-        prev = labels.persist()
-        prev.count()
-        nb = prev.select(F.col("node").alias("nb_node"), F.col("lbl").alias("nb_lbl"))
-        labels = (
-            prev.join(edges, F.col("node") == F.col("u"))
-            .join(nb, F.col("v") == F.col("nb_node"))
-            .groupBy("node", "lbl")
-            .agg(F.min("nb_lbl").alias("min_nb"))
-            .select("node", F.least(F.col("lbl"), F.col("min_nb")).alias("lbl"))
-            .persist()
+    # r11: one-scan explode symmetrize (the CC fix — the union form
+    # evaluated the co-pair aggregation subtree once per branch in the
+    # cache-materialization job).
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("pa").alias("u"), F.col("pb").alias("v")),
+                    F.struct(F.col("pb").alias("u"), F.col("pa").alias("v")),
+                )
+            ).alias("e")
         )
-        labels.count()
-        prev.unpersist()
+        .select("e.u", "e.v")
+        .persist()
+    )
+    # Round 1 folds CLOSED-FORM: with l0(n) = n, round 1's update
+    # least(l0(n), min over neighbors of l0(nb)) is just least(n, min v)
+    # — one aggregation over the cached edges, no join (r11; the old
+    # loop paid the full two-join round for the identity labels).
+    labels = (
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("mn"))
+        .select("node", F.least(F.col("node"), F.col("mn")).alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(LP_ROUNDS - 1):
+        # Remaining rounds: attach labels to the neighbor END of each
+        # edge first (2 narrow columns into the groupBy instead of the
+        # old prev⋈edges⋈nb chain's 5), min per node, then one
+        # nodes-sized join to fold with the node's own label.  Each
+        # round is localCheckpoint'ed — same lineage-truncation role as
+        # the old persist+count, one action instead of two.
+        nb = labels.select(F.col("node").alias("nb_node"), F.col("lbl").alias("nb_lbl"))
+        nmin = (
+            edges.join(nb, F.col("v") == F.col("nb_node"))
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("nb_lbl").alias("mn"))
+        )
+        # inner join: every node has >= 1 edge (nodes are edge endpoints
+        # by construction) and every neighbor carries a label, so nmin
+        # covers every node — matches the old inner-join semantics.
+        labels = (
+            labels.join(nmin, "node")
+            .select("node", F.least(F.col("lbl"), F.col("mn")).alias("lbl"))
+            .localCheckpoint()
+        )
     return edges, labels
 
 
@@ -1958,9 +1975,16 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst")
         .persist()
     )
+    # r11: SEED the labels with the first propagation fold — with
+    # label0(n) = n, round 1's update least(n, min over neighbors) is a
+    # plain aggregation over the cached edges, no join and no jump (the
+    # LP closed-form round-1 fix).  The fixpoint is unchanged (same
+    # monotone min-update, any schedule converges to component minima);
+    # the loop below just starts one hop closer.
     labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("mn"))
+        .select("node", F.least(F.col("node"), F.col("mn")).alias("label"))
         .localCheckpoint()
     )
     for _ in range(25):  # log2(diameter) + slack; each round checkpointed

@@ -196,6 +196,9 @@ ALLOWED_NESTED_LOOP = {
     "graph_modularity",  # 1-row global edge-count broadcast (q11 pattern)
     "text_unigram_surprisal_gate",  # 1-row corpus-total broadcast to |V| rows (q11 pattern)
     "corpus_dsir_importance_weights",  # 1-row LM-totals broadcast to |V| rows (q11 pattern)
+    "corpus_domain_reweight_entropy",  # r11: 1-row fence/total broadcasts onto the
+    # checkpointed |sources|-row core (q11 pattern; replaced the scalar
+    # subqueries that re-derived the corpus pipeline once per subquery)
     "text_bigram_holdout_surprisal",  # 1-row train-vocab-size broadcast to |V|² types (q11 pattern)
     "text_bpe_train_merges",  # r10: 1-row argmax-merge broadcast per round onto the |V|-sized vocab (q11 pattern)
     "text_bpe_compression_by_source",  # r10: same 1-row merge broadcasts (shared chain)
