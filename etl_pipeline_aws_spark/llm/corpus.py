@@ -2146,17 +2146,22 @@ def dsir_bigram_counts(docs: DataFrame) -> DataFrame:
     stage shared by the batch selector and its streaming twin
     (streaming/stream_queries.py:stream_dsir_scoring): a doc's bigram
     counts depend only on that doc, so ANY micro-batch split yields the
-    batch answer."""
-    tok = docs.select(
-        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    wnd = Window.partitionBy("doc_id").orderBy("pos")
-    b = tok.select(
-        "doc_id",
-        "source",
-        F.concat_ws("|", F.col("w"), F.lead("w").over(wnd)).alias("bg"),
-        F.lead("w").over(wnd).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull())
+    batch answer.
+
+    r11 (guide §2.4): bigrams are ADJACENT elements of the split array —
+    row-local, no posexplode + doc-partitioned lead window (that spelling
+    exchanged every token once just to look one position ahead).  The
+    token array binds once in a transform lambda; docs with < 2 tokens
+    yield an empty array and vanish in the explode, exactly the old
+    lead-IS-NOT-NULL filter.  One exchange (the count groupBy) remains."""
+    bgs = F.expr("""
+        transform(array(split(text, ' ')), ws ->
+            CASE WHEN size(ws) >= 2 THEN
+                transform(sequence(1, size(ws) - 1),
+                    i -> concat(element_at(ws, i), '|', element_at(ws, i + 1)))
+            ELSE array() END)[0]
+    """)
+    b = docs.select("doc_id", "source", F.explode(bgs).alias("bg"))
     return b.groupBy("doc_id", "source", "bg").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )

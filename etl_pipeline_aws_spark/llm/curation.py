@@ -181,34 +181,49 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate mass, worst top-bigram share, and the count of documents
     over the {REP_DUP_FLAG_PPM} ppm gate.
 
-    Bigrams ride a per-doc ordered window (lead over token position),
-    so the measure sees true adjacency, not a bag; ratios are
-    floor-scaled integers.
+    Bigrams see true adjacency, not a bag; ratios are floor-scaled
+    integers.
 
-    Scale: posexplode → per-doc lead window (shuffles once on doc_id,
-    the natural partitioner — documents are parallel units) → two
-    map-side-combinable folds.  Window partitions are document-sized,
-    never corpus-sized."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bg = docs.select(
-        "doc_id",
-        "source",
-        F.concat_ws("|", F.col("w"), F.lead("w").over(w)).alias("bg"),
-        F.lead("w").over(w).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull())
-    c = bg.groupBy("doc_id", "source", "bg").agg(F.count(F.lit(1)).alias("n"))
-    g = c.groupBy("doc_id", "source").agg(
-        F.sum("n").cast("long").alias("tot"),
-        F.count(F.lit(1)).cast("long").alias("dst"),
-        F.max("n").cast("long").alias("mx"),
-    )
-    scored = g.select(
-        "source",
-        F.expr("(tot - dst) * 1000000 div tot").alias("dup_ppm"),
-        F.expr("mx * 1000000 div tot").alias("top_ppm"),
+    Scale (r11 rewrite, guide §2.4): every per-doc statistic here —
+    total bigrams (size-1), distinct bigrams, and the max bigram
+    multiplicity (a sorted-run fold) — is a pure function of the doc's
+    own token array, so the former posexplode → doc-partitioned lead
+    window → two groupBy reductions (three token-scale exchanges)
+    collapse into ONE row-local projection (the curation-screens
+    pattern: array bound once in a transform lambda behind an explode
+    fence); the only exchange left is the |sources|-row rollup.  Docs
+    with < 2 tokens drop exactly as the old lead-IS-NOT-NULL filter
+    dropped them (guarded CASE → empty explode)."""
+    one = "CAST(1 AS BIGINT)"
+    stats = F.expr(f"""
+        transform(array(split(text, ' ')), ws ->
+            CASE WHEN size(ws) >= 2 THEN
+                transform(
+                    array(transform(sequence(1, size(ws) - 1),
+                        i -> concat(element_at(ws, i), '|', element_at(ws, i + 1)))),
+                    bgs -> named_struct(
+                        'tot', CAST(size(bgs) AS BIGINT),
+                        'dst', CAST(size(array_distinct(bgs)) AS BIGINT),
+                        'mx', aggregate(array_sort(bgs),
+                            named_struct('prev', CAST(NULL AS STRING),
+                                         'run', CAST(0 AS BIGINT),
+                                         'best', CAST(0 AS BIGINT)),
+                            (acc, x) -> named_struct('prev', x,
+                                'run', IF(x <=> acc.prev, acc.run + {one}, {one}),
+                                'best', GREATEST(acc.best,
+                                    IF(x <=> acc.prev, acc.run + {one}, {one}))),
+                            acc -> acc.best)))
+            ELSE CAST(array() AS ARRAY<STRUCT<tot:BIGINT,dst:BIGINT,mx:BIGINT>>)
+            END)[0]
+    """)
+    scored = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(stats).alias("g"))
+        .select(
+            "source",
+            F.expr("(g.tot - g.dst) * 1000000 div g.tot").alias("dup_ppm"),
+            F.expr("g.mx * 1000000 div g.tot").alias("top_ppm"),
+        )
     )
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -2699,23 +2699,28 @@ def text_bigram_holdout_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame
     token-bounded), floor-scaled to µnats; per-doc totals are exact
     integer dot products and the per-source mean is a floor division.
 
-    Scale: the bigram TF shuffle (doc-partitioned lead window, the
-    text-family standard); the LM join runs on the distinct-type table
-    (|V|²-bounded broadcast side), never per token.  The fold split is
-    a row-local predicate — no data movement to hold out."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    from pyspark.sql.window import Window
-
-    wnd = Window.partitionBy("doc_id").orderBy("pos")
-    b = docs.select(
+    Scale: bigram pairs are ADJACENT elements of the split array —
+    row-local (r11, guide §2.4: the former posexplode + doc-partitioned
+    lead window exchanged every token once just to look one ahead); the
+    only token-scale exchange is the count groupBy.  The LM join runs
+    on the distinct-type table (|V|²-bounded broadcast side), never per
+    token.  The fold split is a row-local predicate — no data movement
+    to hold out."""
+    pair_arr = F.expr("""
+        transform(array(split(text, ' ')), ws ->
+            CASE WHEN size(ws) >= 2 THEN
+                transform(sequence(1, size(ws) - 1),
+                    i -> struct(element_at(ws, i) AS w1,
+                                element_at(ws, i + 1) AS w2))
+            ELSE CAST(array() AS ARRAY<STRUCT<w1:STRING,w2:STRING>>)
+            END)[0]
+    """)
+    b = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         (F.col("doc_id") % 2).alias("fold"),
-        F.col("w").alias("w1"),
-        F.lead("w").over(wnd).alias("w2"),
-    ).filter(F.col("w2").isNotNull())
+        F.explode(pair_arr).alias("p"),
+    ).select("doc_id", "source", "fold", "p.w1", "p.w2")
     bg = b.groupBy("doc_id", "source", "fold", "w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
