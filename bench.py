@@ -178,6 +178,18 @@ def main() -> None:
     # >15% calibration drift), and keeps whichever attempt has the lower
     # total (a clean retry always beats a contended first pass; if both are
     # dirty, the lower total is still the better estimate).
+    # Pre-suite cool-down (r12, verdict ask #3): BENCH_r10 and r11 both
+    # kept attempts that failed their own loadavg gate because the FIRST
+    # attempt started while the host was still digesting earlier work
+    # (test suites, the driver's own correctness sweep) — the cool-down
+    # only ever ran before the RETRY.  Wait for the 1-min loadavg to
+    # cross the gate before attempt 1 too (same 10-min cap as the retry;
+    # on a genuinely busy host the run proceeds and the verdict fields
+    # record the contamination honestly).  Timing methodology unchanged.
+    deadline0 = time.monotonic() + 600
+    while os.getloadavg()[0] > 3.0 and time.monotonic() < deadline0:
+        time.sleep(10)
+
     attempts = [run_suite()]
     verdict = contaminated(attempts[0])
     if verdict is not None:
@@ -191,10 +203,11 @@ def main() -> None:
         # self-load from the aborted attempt) failed the very gate that
         # triggered the retry and the artifact again needed a footnote.
         # Wait until the 1-min loadavg re-crosses the gate before
-        # re-attempting (capped at 5 min — on a genuinely busy host the
+        # re-attempting (capped at 10 min, raised from 5 in r12 after two
+        # rounds of kept-but-dirty records — on a genuinely busy host the
         # retry proceeds and its verdict field records the contamination
         # honestly instead of hanging the bench).
-        deadline = time.monotonic() + 300
+        deadline = time.monotonic() + 600
         while os.getloadavg()[0] > 3.0 and time.monotonic() < deadline:
             time.sleep(10)
         attempts.append(run_suite())

@@ -1873,18 +1873,22 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r11 (guide §2.4): the capped posting lists pair up ROW-LOCALLY.
     # The former spelling shuffled the postings TWICE (a row_number
     # window to cap, then a fp-keyed self-join whose both sides re-ran
-    # the explode) and re-grouped the join output.  One groupBy now
-    # collects each fingerprint's posting list, caps it to the
-    # WINNOW_POSTING_CAP lowest doc_ids (slice of the sorted list —
-    # identical members to the window's rank filter since doc_id is
-    # unique per posting), and emits the a<b pairs via a nested
-    # transform — the pair set is byte-identical to the self-join's.
-    caps = posting_all.groupBy("fp").agg(
-        F.slice(
-            F.array_sort(F.collect_list(F.struct("doc_id", "n_fps"))),
-            1,
-            WINNOW_POSTING_CAP,
-        ).alias("ds")
+    # the explode) and re-grouped the join output.  The cap itself stays
+    # a row_number window (r12, per the r11 advice): an uncapped
+    # collect_list buffers a hot fingerprint's ENTIRE posting list in one
+    # aggregation buffer — boilerplate fingerprints shared by millions of
+    # docs at 100 TB are exactly the hot keys the cap exists for, and the
+    # window's sort spills gracefully where the array buffer OOMs.  The
+    # window and the groupBy share ONE exchange (both keyed on fp), so
+    # the collect_list that feeds the row-local a<b pairing now holds at
+    # most WINNOW_POSTING_CAP structs — identical members to the sorted
+    # slice, since doc_id is unique per posting.
+    w_cap = Window.partitionBy("fp").orderBy("doc_id")
+    caps = (
+        posting_all.withColumn("rk", F.row_number().over(w_cap))
+        .filter(F.col("rk") <= WINNOW_POSTING_CAP)
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_fps"))).alias("ds"))
     )
     pair_rows = caps.select(
         F.explode(
@@ -2872,6 +2876,16 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BBIT_K = 32  # independent minwise hash functions
 BBIT_MASK = 4  # keep b=2 bits: sig_j = min-hash_j mod 4
+# Pair-source tier fence (r12, verdict ask #6): at or below this corpus size
+# the census pairs come from the exact shingle self-join (the oracle-anchored
+# brute tier — quadratic in the DATA on high-overlap corpora, measured ~298 s
+# at the 100x probe); above it the pair source is the banded MinHash-LSH
+# join + exact-Jaccard verification (minhash_lsh_pairs — the production pair
+# source its own docstring names).  Fixture SFs (≤5k docs) stay exact so the
+# DuckDB oracle certifies the census end-to-end; the 10x probe (50k docs)
+# engages the banded tier.  Same facade pattern as dedup_embedding's
+# BRUTE_FORCE_MAX_ROWS dispatch.
+BBIT_EXACT_MAX_DOCS = 20_000
 # Li & Koenig 2010 ("b-Bit Minwise Hashing", WWW): with b bits the expected
 # agreement is C + (1-C)*J with C = 1/2^b, so J-hat = (A - C)/(1 - C).
 
@@ -2946,42 +2960,53 @@ def dedup_minhash_bbit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     at production scale the same signatures come free from the LSH
     tier's existing minhash pass, and the b-bit census is one zip_with
     fold per candidate pair — linear in pairs, constant per pair.  The
-    pair SOURCE here is the exact shingle self-join — the oracle-anchored
-    brute tier the Jaccard family deliberately keeps (see
-    dedup_containment_ngram's posture note), and its cost dominates the
-    100x probe (~298 s, ~23x): on high-overlap corpora the quadratic
-    lives in the DATA (within-vocabulary doc pairs genuinely share
-    shingles), so candidate FILTERS cannot save it — an exact PPJoin
-    prefix+length filter was implemented and measured WORSE (>8x) at
-    100x because nothing prunes and the per-candidate array shipping
-    replaces the brute join's compact map-side-combined partial counts;
-    the production fix is a different pair source (the LSH band join),
-    not a better exact filter, and the b-bit tail is unchanged under
-    either source."""
+    pair SOURCE is tiered (r12, the production fix this docstring used to
+    name): at or below BBIT_EXACT_MAX_DOCS docs, the exact shingle
+    self-join — the oracle-anchored brute tier the Jaccard family
+    deliberately keeps (see dedup_containment_ngram's posture note),
+    whose cost dominated the 100x probe (~298 s, ~23x): on high-overlap
+    corpora the quadratic lives in the DATA (within-vocabulary doc pairs
+    genuinely share shingles), so candidate FILTERS cannot save it — an
+    exact PPJoin prefix+length filter was implemented and measured WORSE
+    (>8x) at 100x because nothing prunes and the per-candidate array
+    shipping replaces the brute join's compact map-side-combined partial
+    counts.  Above the fence: minhash_lsh_pairs — the banded LSH band
+    join with exact-Jaccard verification on the compact hash sets
+    (linear in candidates, the dedup_cluster_keepers discipline); the
+    b-bit tail is unchanged under either source, and the banded tier's
+    recall at the ≥0.5 threshold is pinned by tests/test_llm.py."""
     docs = load_table(spark, sf_dir, "documents")
-    ex = _shingles(docs).persist()
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    if docs.count() <= BBIT_EXACT_MAX_DOCS:
+        ex = _shingles(docs).persist()
+        sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        a, b = ex.alias("a"), ex.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("sza") + F.col("szb") - F.col("n_common")),
+        jac = (
+            inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+            .withColumn(
+                "jaccard",
+                F.col("n_common").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("n_common")),
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "jaccard")
+            .persist()  # feeds the pair-doc semi-join and the final join
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-        .persist()  # feeds the pair-doc semi-join and the final join
-    )
+    else:
+        feats = minhash_feature_table(docs.select("doc_id", "text")).persist()
+        jac = (
+            minhash_lsh_pairs(feats)
+            .select("doc_a", "doc_b", "jaccard")
+            .persist()  # feeds the pair-doc semi-join and the final join
+        )
     pdocs = (
         jac.select(F.col("doc_a").alias("doc_id"))
         .union(jac.select(F.col("doc_b").alias("doc_id")))

@@ -185,8 +185,14 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit grouping sets via spark.sql — DataFrame API has no direct
-    grouping-sets builder; the SQL route produces the identical plan."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    grouping-sets builder; the SQL route produces the identical plan.
+
+    Views are registered via register_views (not a direct
+    createOrReplaceTempView): the catalog tracks which sf_dir the canonical
+    views point at, and a direct registration here would bypass that
+    bookkeeping — a later register_views(other_sf) call would then skip
+    re-registration and silently read this sf_dir's lineitem."""
+    register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows

@@ -1958,11 +1958,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r11 optimization (guide §2.3/§2.4): symmetrize via one explode
     # instead of a two-branch union — the union spelling evaluated the
     # lineitem self-join + support aggregation subtree once PER BRANCH in
-    # the cache-materialization job; the explode scans it once.  The edge
-    # table then persists PRE-PARTITIONED on dst, the key every round's
-    # message join needs, so the per-round plan exchanges only the
-    # nodes-sized labels frame — the fact-sized side shuffles exactly
-    # once for the whole loop (the bucketed-twin posture, in cache form).
+    # the cache-materialization job; the explode scans it once.  (An
+    # explicit repartition(dst) before the persist was A/B'd and REJECTED
+    # — see the measured dead-ends log in OPTIMIZATION_r11.md: the hint
+    # combination suppressed AQE's runtime broadcast of the nodes-sized
+    # side and forced real per-round exchanges of the edge table.)
     edges = (
         pairs.select(
             F.explode(

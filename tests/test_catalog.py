@@ -99,3 +99,19 @@ def test_register_views_idempotent_and_sf_switch_reregisters(spark):
     assert spark.table("customer").count() == c_big
     register_views(spark, "/root/testdata/sf0.001")
     assert spark.table("nation").count() == n_small
+
+
+def test_interleaved_direct_registration_does_not_go_stale(spark):
+    """r12 (verdict item 2): a query that registers canonical views from its
+    OWN sf_dir (agg_grouping_sets does) must not leave a later
+    register_views(original_sf) call believing its views are still current.
+    Sequence sfA -> query(sfB) -> register_views(sfA) must read sfA data."""
+    from etl_pipeline_aws_spark.catalog import register_views
+    from etl_pipeline_aws_spark.operators.aggregates import agg_grouping_sets
+
+    sf_a, sf_b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    register_views(spark, sf_a)
+    li_a = spark.table("lineitem").count()
+    agg_grouping_sets(spark, sf_b).collect()  # re-points canonical views at sfB
+    register_views(spark, sf_a)  # must NOT be skipped
+    assert spark.table("lineitem").count() == li_a

@@ -28,6 +28,34 @@ def test_minhash_lsh_recall_and_precision(spark):
     assert recall >= 0.9, (recall, exact - lsh)
 
 
+def test_bbit_eval_lsh_pair_source_tier(spark, monkeypatch):
+    """r12 (verdict ask #6): dedup_minhash_bbit_eval's pair source is
+    tiered — exact shingle self-join at fixture scale (the oracle path),
+    banded MinHash-LSH above BBIT_EXACT_MAX_DOCS.  Force the banded tier
+    on the fixture and pin: (a) every banded pair passed the exact-Jaccard
+    gate (subset of the exact tier's pairs), (b) the planted high-J pairs
+    are found (recall), and (c) the b-bit census tail (n_agree, the md5
+    minwise signatures) is IDENTICAL for every common pair — the tier
+    switch changes the pair source only, never the census arithmetic."""
+    from etl_pipeline_aws_spark.llm import dedup as D
+
+    qs = engine.all_queries()
+    exact_rows = {
+        (r.doc_a, r.doc_b): r.n_agree
+        for r in qs["dedup_minhash_bbit_eval"](spark, SF_DIR).collect()
+    }
+    monkeypatch.setattr(D, "BBIT_EXACT_MAX_DOCS", 0)
+    banded_rows = {
+        (r.doc_a, r.doc_b): r.n_agree
+        for r in qs["dedup_minhash_bbit_eval"](spark, SF_DIR).collect()
+    }
+    assert exact_rows, "expected planted near-dup pairs in the corpus"
+    assert set(banded_rows) <= set(exact_rows)
+    assert len(banded_rows) / len(exact_rows) >= 0.9
+    for pair, n_agree in banded_rows.items():
+        assert n_agree == exact_rows[pair]
+
+
 def test_simhash_deterministic_and_sane(spark):
     qs = engine.all_queries()
     a = _pairs(qs["dedup_simhash"](spark, SF_DIR))
