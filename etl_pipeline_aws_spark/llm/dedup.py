@@ -694,10 +694,10 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     dedup_cluster_keepers and pipeline_dedup_e2e.
 
     Log-bounded DataFrame joins, not driver-side graph state: each round
-    every node takes the min label among itself and its neighbors;
-    per-round persists are released as soon as the next round lands, and
-    the only driver action is the 1-row convergence probe.  Rounds =
-    graph diameter (duplicate clusters are shallow — 2-3 in practice)."""
+    every node takes the min label among itself and its neighbors; each
+    round is EAGERLY localCheckpoint()ed, and the only driver action is
+    the 1-row convergence probe.  Rounds = graph diameter (duplicate
+    clusters are shallow — 2-3 in practice)."""
     # r11 (guide §2.3): symmetrize via one explode, not a two-branch
     # union — the union form evaluated the UPSTREAM PAIR PIPELINE once
     # per branch inside the cache-materialization job (for the
@@ -716,13 +716,28 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
         .select("e.src", "e.dst")
         .persist()
     )
+    # r12 (guide §2.4/§5, the two fixes the CC loop already measured):
+    # 1. SEED with the closed-form round-1 fold — label0 = least(node,
+    #    min neighbor) is a plain aggregation over the cached edges (no
+    #    join); pair/triple clusters then converge in ONE loop round
+    #    (the probe round) instead of two.  Fixpoint unchanged: the
+    #    monotone min-update converges to component minima under any
+    #    schedule.
+    # 2. Each round localCheckpoint(eager=True)s instead of persist():
+    #    the lazy persist was only ever materialized BY the limit(1)
+    #    convergence probe, which short-circuits — unread partitions
+    #    stayed unmaterialized and recomputed through lineage in the
+    #    NEXT round, cascading all the way back to the pair pipeline
+    #    once the previous round's cache was unpersisted (the CC loop
+    #    measured this exact trap at 7.5-9.6 s vs 6.5-7.3 s eager;
+    #    here: dedup_cluster_keepers 3.4 -> ~2.5 s at sf0.1).
     labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("label", F.col("doc_id"))
-        .persist()
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("mn"))
+        .select("doc_id", F.least(F.col("doc_id"), F.col("mn")).alias("label"))
+        .localCheckpoint()
     )
-    label_cache = None  # the persisted frame behind `labels`, once flagged
-    for _ in range(20):  # diameter bound; real clusters converge in 2-3
+    for _ in range(20):  # diameter bound; real clusters converge in 1-2
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
@@ -738,13 +753,9 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
                 F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
                 (F.coalesce("nmin", "label") < F.col("label")).alias("_chg"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = flagged.filter(F.col("_chg")).limit(1).count()
-        # unpersist the PERSISTED frame from the previous round (a derived
-        # .drop() projection would not release the underlying cache)
-        (label_cache if label_cache is not None else labels).unpersist()
-        label_cache = flagged
         labels = flagged.drop("_chg")
         if changed == 0:
             break
