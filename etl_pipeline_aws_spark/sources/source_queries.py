@@ -1657,15 +1657,28 @@ def parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for codec in ("zstd", "gzip"):
         out = os.path.join(zone, codec)
         li.write.mode("overwrite").option("compression", codec).parquet(out)
-        part = next(
-            f for f in sorted(os.listdir(out)) if f.endswith(".parquet")
-        )
-        meta = pq.ParquetFile(os.path.join(out, part)).metadata
-        claimed = meta.row_group(0).column(0).compression.lower()
-        if claimed != codec:
-            raise AssertionError(
-                f"requested {codec}, footer says {claimed}"
-            )
+        # Assert the codec on every part file that actually holds rows: a
+        # write task with an empty input split emits a 0-row-group part
+        # file whose footer has no column chunks to inspect (observed at
+        # sf0.1 — a 3-split scan writes one empty part; indexing
+        # row_group(0) there raised "0 out of bounds" and the op failed
+        # at exactly the bench scale).  Empty parts carry no data bytes,
+        # so they cannot hide a codec fall-back.
+        checked = 0
+        for part in sorted(os.listdir(out)):
+            if not part.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(out, part)).metadata
+            if meta.num_row_groups == 0:
+                continue
+            claimed = meta.row_group(0).column(0).compression.lower()
+            if claimed != codec:
+                raise AssertionError(
+                    f"requested {codec}, footer says {claimed}"
+                )
+            checked += 1
+        if checked == 0:
+            raise AssertionError(f"no non-empty {codec} part files written")
         back = spark.read.parquet(out)
         outs.append(
             back.agg(
