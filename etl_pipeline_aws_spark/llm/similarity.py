@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import load_table, register_views
+from etl_pipeline_aws_spark.catalog import cpu_parallel, load_table, register_views
 from etl_pipeline_aws_spark.registry import query, rows_only_query
 
 N_QUERIES = 10  # vec_id < 10 are the query set
@@ -1113,9 +1113,20 @@ def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id < KNN_EVAL_PANEL), so cost is panel x corpus — linear in
     the corpus, not quadratic (the unbounded LOO measured 947 s at the
     10x replica; the panel is the unit of evaluation).  The shape is
-    the allowlisted bruteforce design."""
-    e = _normed(load_table(spark, sf_dir, "embeddings"))
-    a = e.filter(F.col("vec_id") < KNN_EVAL_PANEL).select(
+    the allowlisted bruteforce design.
+
+    r12 (guide §2.5/§2.3, the dedup_embedding_cosine fixes applied
+    here): the panel×corpus cosine kernel is CPU-bound interpreted HOF
+    work whose parallelism was capped by the SCAN's split count — the
+    single-row-group fixture table evaluated ALL panel×corpus cosines
+    in ONE task; cpu_parallel spreads the stream side (a no-op at
+    scale).  And the top-1 pick is max_by (same (cos DESC, nb_id) total
+    order, map-side combinable) instead of a row_number sort window
+    over the full panel×corpus frame — measured 9.5 → 0.9 s at sf0.1."""
+    e = _normed(cpu_parallel(load_table(spark, sf_dir, "embeddings")))
+    a = _normed(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") < KNN_EVAL_PANEL
+    ).select(
         F.col("vec_id").alias("aid"), F.col("label").alias("true_label"),
         F.col("v").alias("av"), F.col("nrm").alias("anrm"),
     )
@@ -1130,8 +1141,15 @@ def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cos_ppm"),
     )
-    w = W.partitionBy("aid").orderBy(F.col("cos_ppm").desc(), "nb_id")
-    top1 = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # top-1 per panel row: max over the lexicographic (cos_ppm, -nb_id)
+    # key == the window's (cos_ppm DESC, nb_id ASC) first row; nb_id is
+    # unique per aid so the key is tie-free
+    top1 = sims.groupBy("aid").agg(
+        F.max_by(
+            F.struct("true_label", "nb_label"),
+            F.struct(F.col("cos_ppm"), (-F.col("nb_id")).alias("neg_id")),
+        ).alias("b")
+    ).select(F.col("b.true_label").alias("true_label"), F.col("b.nb_label").alias("nb_label"))
     agg = top1.groupBy(F.col("true_label").alias("label")).agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         F.sum(F.when(F.col("nb_label") == F.col("true_label"), 1).otherwise(0))
@@ -1204,9 +1222,18 @@ def embedding_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: panel x corpus like embedding_knn_label_eval (the
     measured-and-documented fix there); mining MORE pairs raises the
     panel, never the exponent — and at corpus scale the candidate side
-    routes through the ANN tiers."""
-    e = _normed(load_table(spark, sf_dir, "embeddings"))
-    a = e.filter(F.col("vec_id") < CONTRASTIVE_PANEL).select(
+    routes through the ANN tiers.
+
+    r12 (the knn_label_eval fixes applied here): cpu_parallel spreads
+    the single-row-group corpus scan across cores (the panel×corpus
+    cosine kernel otherwise runs in ONE task), and the per-(anchor,
+    side) top-1 is a conditional max over the lexicographic
+    (cos_ppm, -cand_id) struct — the window's (cos DESC, cand ASC)
+    first row, map-side combinable, no panel×corpus sort."""
+    e = _normed(cpu_parallel(load_table(spark, sf_dir, "embeddings")))
+    a = _normed(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") < CONTRASTIVE_PANEL
+    ).select(
         F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label"),
         F.col("v").alias("av"), F.col("nrm").alias("anrm"),
     )
@@ -1221,19 +1248,22 @@ def embedding_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cos_ppm"),
     )
-    w = W.partitionBy("anchor_id", "is_same").orderBy(
-        F.col("cos_ppm").desc(), "cand_id"
-    )
-    top = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return top.groupBy("anchor_id", "label").agg(
-        F.max(F.when(F.col("is_same") == 1, F.col("cand_id"))).alias("pos_id"),
-        F.max(F.when(F.col("is_same") == 1, F.col("cos_ppm"))).alias("pos_cos_ppm"),
-        F.max(F.when(F.col("is_same") == 0, F.col("cand_id"))).alias("neg_id"),
-        F.max(F.when(F.col("is_same") == 0, F.col("cos_ppm"))).alias("neg_cos_ppm"),
-        (
-            F.max(F.when(F.col("is_same") == 1, F.col("cos_ppm")))
-            - F.max(F.when(F.col("is_same") == 0, F.col("cos_ppm")))
-        ).alias("margin_ppm"),
+    # best candidate per side: max over (cos_ppm, -cand_id) == the old
+    # (anchor, is_same)-window's rn=1 row; cand_id unique => tie-free
+    def best(side: int):
+        return F.max(
+            F.when(
+                F.col("is_same") == side,
+                F.struct(F.col("cos_ppm"), (-F.col("cand_id")).alias("ni"), "cand_id"),
+            )
+        )
+
+    return sims.groupBy("anchor_id", "label").agg(
+        best(1)["cand_id"].alias("pos_id"),
+        best(1)["cos_ppm"].alias("pos_cos_ppm"),
+        best(0)["cand_id"].alias("neg_id"),
+        best(0)["cos_ppm"].alias("neg_cos_ppm"),
+        (best(1)["cos_ppm"] - best(0)["cos_ppm"]).alias("margin_ppm"),
     )
 
 
@@ -2137,10 +2167,14 @@ def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the exact scan additionally swaps for the IVF route
     (similarity_topk_ivf): classify against nprobe/ncells of the
     corpus, identical vote/rollup tail since the vote input is
-    (test_id, label, rank) metadata either way."""
-    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    (test_id, label, rank) metadata either way.
+
+    r12: cpu_parallel on the train side — the panel×train cosine kernel
+    is CPU-bound interpreted HOF work and the single-row-group fixture
+    scan ran it in ONE task (the knn_label_eval fix; no-op at scale)."""
+    e = _normed(cpu_parallel(load_table(spark, sf_dir, "embeddings")))
     test = F.broadcast(
-        e.filter(
+        _normed(load_table(spark, sf_dir, "embeddings")).filter(
             (F.col("vec_id") % KNN_HOLDOUT_MOD == 0)
             & (F.col("vec_id") < KNN_HOLDOUT_CAP)
         ).select(
