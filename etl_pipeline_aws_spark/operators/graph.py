@@ -1285,26 +1285,33 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = co_occurrence_pairs(li, LP_MIN_SUPPORT, distinct_items=False).select(
         "pa", "pb"
     )
-    edges = pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
-        pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
-    ).persist()
+    # r12: one-scan explode symmetrize (the CC/pagerank/LP r11 fix — the
+    # two-branch union evaluated the co-pair subtree once PER BRANCH in
+    # the cache-materialization job)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("pa").alias("u"), F.col("pb").alias("v")),
+                    F.struct(F.col("pb").alias("u"), F.col("pa").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .persist()
+    )
     seeds = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .filter(F.col("node") % BFS_SEED_MOD == 0)
     )
     visited = seeds.withColumn("hop", F.lit(0).cast("int"))
-    round_caches: list[DataFrame] = []
     for i in range(1, BFS_MAX_HOPS + 1):
-        cur = visited.persist()
-        cur.count()
-        for c in round_caches:
-            c.unpersist()
-        round_caches = [cur]
-        # The hop-(i-1) frontier is re-read FROM the materialized cache
-        # (filter on the hop column) rather than kept as a live plan —
-        # a dangling frontier plan would re-execute the whole prior
-        # chain once its round's cache is released.
+        # r12: eager localCheckpoint (1 job/round) replaces the
+        # persist()+count() pair (2 jobs/round) — the r11 LP-round fix;
+        # the branched lineage (frontier filter, anti join, union) then
+        # reads materialized blocks, never re-executing the prior chain.
+        cur = visited.localCheckpoint()
         frontier = cur.filter(F.col("hop") == i - 1).select("node")
         nxt = (
             frontier.join(edges, frontier["node"] == edges["u"])
@@ -1315,10 +1322,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = cur.unionByName(
             new_nodes.withColumn("hop", F.lit(i).cast("int"))
         )
-    final = visited.persist()
-    final.count()
-    for c in round_caches:
-        c.unpersist()
+    final = visited.localCheckpoint()
     edges.unpersist()
     return final.groupBy("hop").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
