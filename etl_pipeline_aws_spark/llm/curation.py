@@ -707,10 +707,17 @@ def pipeline_curation_screens_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: one corpus scan, one narrow keeper exchange, one bounded
     rollup — strictly fewer shuffled bytes than the branch-and-join
-    spelling at any scale.  (cpu_parallel on the scan was A/B-measured
-    NEUTRAL-to-worse at sf0.1 — the row-local HOF pass is not the
-    bottleneck — so the scan stays shuffle-free.)"""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    spelling at any scale.  The scan is cpu_parallel'd (r12): the r11
+    A/B at sf0.1 measured it neutral (2.67 vs 2.71 s) and left it out,
+    but the 10x probe exposed the real regime — the replica's documents
+    table is ONE row group, so the whole row-local HOF kernel ran in
+    ONE task at any core count (19.8 s at 32 cores, 22.4 s at 8: an
+    8-vs-32 ratio of 1.13 on pure per-row CPU work).  With the
+    round-robin spread the same probe runs 19.8 -> 3.3 s at 32 cores;
+    a no-op at 100 TB where the scan out-splits the cores."""
+    docs = cpu_parallel(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     one = "CAST(1 AS BIGINT)"
     word_stats = F.expr(f"""
         transform(array(split(text, ' ')), ws -> named_struct(
@@ -728,22 +735,27 @@ def pipeline_curation_screens_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
                 (size(ws) - 1 - size(array_distinct(
                     transform(sequence(1, size(ws) - 1),
                         i -> concat(element_at(ws, i), '|', element_at(ws, i + 1))))))
-                * 1000000 DIV (size(ws) - 1) AS BIGINT) END
+                * 1000000 DIV (size(ws) - 1) AS BIGINT) END,
+            'div_ppm', CASE WHEN length(text) >= 2 THEN CAST(
+                size(array_distinct(transform(sequence(1, length(text) - 1),
+                    i -> substring(text, i, 2))))
+                * 1000000 DIV (length(text) - 1) AS BIGINT) END
         ))
     """)
-    div_ppm = F.expr("""
-        CASE WHEN length(text) >= 2 THEN CAST(
-            size(array_distinct(transform(sequence(1, length(text) - 1),
-                i -> substring(text, i, 2))))
-            * 1000000 DIV (length(text) - 1) AS BIGINT) END
-    """)
+    # div_ppm lives INSIDE the generated struct (r12): as a free-standing
+    # projection its funnel predicate depended only on `text`, so Catalyst
+    # pushed the filter below the cpu_parallel round-robin exchange into
+    # the SCAN stage — the whole char-bigram kernel then ran at the
+    # scan's parallelism (one task on a single-row-group table; the 10x
+    # probe measured the survivors stage at 20.2 s vs 3.8 s for the stats
+    # projection alone).  A predicate on a Generate output cannot sink
+    # below the Generate, which sits above the exchange.
     stats = docs.select(
         "doc_id",
         "lang",
         F.md5("text").alias("h"),
         F.explode(word_stats).alias("s"),
-        div_ppm.alias("div_ppm"),
-    ).select("doc_id", "lang", "h", "div_ppm", "s.*")
+    ).select("doc_id", "lang", "h", "s.*")
     survivors = stats.filter(
         (F.col("tok") >= FUNNEL_MIN_TOK)
         & (F.col("tok") <= FUNNEL_MAX_TOK)
