@@ -2834,9 +2834,14 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     — JVM-side, no explode until chunks exist); the census is one
     map-side-combinable groupBy on the chunk hash.  No pair join exists
     anywhere — cross-document structure emerges from the groupBy, so the
-    cost is linear in corpus bytes at any scale."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.length("text").alias("L")
+    cost is linear in corpus bytes at any scale.  The scan is
+    cpu_parallel'd (r12): one md5 per text position is the most CPU-dense
+    kernel in the dedup family, and a single-row-group table ran it all
+    in ONE task (10x probe: 33 s; spread: 4.5 s; no-op at 100 TB)."""
+    docs = cpu_parallel(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", F.length("text").alias("L")
+        )
     )
     boundary_ok = (
         "CAST(conv(substring(md5(substring(text, i, "
