@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_aws_spark.catalog import load_table, register_views
+from etl_pipeline_aws_spark.catalog import cpu_parallel, load_table, register_views
 from etl_pipeline_aws_spark.registry import query, rows_only_query
 
 # Shared tokenization: whitespace split (the documents table is
@@ -2295,7 +2295,21 @@ _TRI_BODY_ORACLE = """SELECT DISTINCT doc_id, lang, substring(text, i, 3) AS g
 _TRI_BODY_SPARK = """SELECT doc_id, lang,
            explode(array_distinct(transform(sequence(1, length(text) - 2),
                                             i -> substring(text, i, 3)))) AS g
-    FROM documents WHERE length(text) >= 3"""
+    FROM _docs_tri_spread WHERE length(text) >= 3"""
+
+
+def _register_tri_docs(spark: SparkSession, sf_dir: str) -> None:
+    """Private spread view for the char-trigram consumers (r12): the
+    trigram array build + row-local distinct is CPU-dense per-row work
+    whose parallelism was capped by the scan's split count — on a
+    single-row-group table the whole kernel ran in ONE task (10x probe:
+    24 s; spread: 4.8 s, identical rows).  cpu_parallel's guard makes
+    this a no-op once scans out-split cores; the `_`-prefixed view name
+    keeps the canonical `documents` registration untouched (the
+    register_views bookkeeping contract)."""
+    cpu_parallel(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).createOrReplaceTempView("_docs_tri_spread")
 
 _CHAR_LANG_ORACLE = _char_lang_sql(_TRI_BODY_ORACLE)
 _CHAR_LANG_SPARK = _char_lang_sql(_TRI_BODY_SPARK)
@@ -2325,6 +2339,7 @@ def text_lang_id_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 3×{CHAR_LANG_PROFILE_K}-row profile broadcast — classification
     cost scales with corpus trigram volume, never vocabulary²."""
     register_views(spark, sf_dir)
+    _register_tri_docs(spark, sf_dir)
     return spark.sql(_CHAR_LANG_SPARK)
 
 
@@ -2624,6 +2639,7 @@ def stat_mcnemar_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     there); the marker side is a narrow map; the pairing is one doc_id
     join and a single fold."""
     register_views(spark, sf_dir)
+    _register_tri_docs(spark, sf_dir)
     return spark.sql(
         _mcnemar_sql(
             _TRI_BODY_SPARK,
