@@ -93,6 +93,14 @@ HEADLINE = [
     # (the tier embedding_semdedup switches to past k=64, hash-pinned by
     # its own two-level oracle)
     "embedding_semdedup_ivf",
+    # round-12 additions (additions-only per the bench contract): the two
+    # heaviest end-to-end pipelines — never benched before r12 (the r11
+    # verdict's ask #5) and both rebuilt around the eager-checkpointed
+    # min-label kernel this round — plus the LOO embedding eval whose
+    # panel×corpus kernel was the registry's largest untouched warm cost
+    "pipeline_hybrid_search_e2e",
+    "pipeline_dedup_e2e",
+    "embedding_knn_label_eval",
 ]
 
 
