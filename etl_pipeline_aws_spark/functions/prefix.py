@@ -166,3 +166,42 @@ def ranked_ntile(
         + 1
     )
     return idx_df.withColumn("_tile", tile.cast("int")).drop("_idx")
+
+
+def disc_quantile_bounds(
+    df: DataFrame,
+    value_col: str,
+    fracs: list[float],
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """1-row frame of DISCRETE quantile picks ``b0..b{k-1}`` over
+    ``value_col`` — bound_i is the smallest data value whose cumulative
+    fraction reaches ``fracs[i]`` (PERCENTILE_DISC semantics, an actual
+    data value, never interpolated) — computed two-phase instead of via
+    k ``percentile_disc`` aggregates (r12, guide §2.3/§5): each
+    ``percentile_disc`` buffers its OWN value→count map of the whole
+    column in one final reducer, so k fences cost k redundant maps and
+    a single-reducer footprint that grows with the column's distinct
+    count.  Here one (value, count) histogram rides ranked_prefix_sum
+    (every stage parallel; the driver holds only the n_ranges-row
+    offsets) and the k picks are k conditional MINs over the annotated
+    histogram.  Verified value-identical to the ``percentile_disc``
+    spelling (and the DuckDB ``quantile_disc`` oracle twins) on all
+    fixture SFs for its adopters.  Callers broadcast the result.
+    """
+    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    annotated, totals = ranked_prefix_sum(
+        hist, [F.col(value_col)], ["cnt"], n_ranges
+    )
+    n = int(totals["cnt"])
+    return annotated.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum_cnt").cast("double") / F.lit(float(n)) >= q,
+                    F.col(value_col),
+                )
+            ).alias(f"b{i}")
+            for i, q in enumerate(fracs)
+        ]
+    )

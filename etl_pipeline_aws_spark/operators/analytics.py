@@ -3427,26 +3427,20 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Decile fences are DISCRETE percentile picks riding a single-row
     broadcast (the feature_quantile_binning machinery aimed at model
-    eval); rates are exact integer floor basis points.  No float
-    anywhere.
+    eval — since r12 the shared two-phase disc_quantile_bounds helper,
+    replacing nine single-reducer percentile_disc maps); rates are
+    exact integer floor basis points.  No float anywhere.
 
-    Scale: one boundary aggregation + one grouped count — two
-    partial-aggregated passes, 10-row output."""
+    Scale: one histogram + prefix-sum boundary pass + one grouped
+    count — all partial-aggregated/parallel, 10-row output."""
+    from etl_pipeline_aws_spark.functions.prefix import disc_quantile_bounds
+
     o = load_table(spark, sf_dir, "orders")
     pts = o.select(
         F.col("o_totalprice").alias("score"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("label"),
     )
-    bounds = F.broadcast(
-        pts.agg(
-            *[
-                F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY score)").alias(
-                    f"b{i}"
-                )
-                for i, q in enumerate(_CALIB_FRACS)
-            ]
-        )
-    )
+    bounds = F.broadcast(disc_quantile_bounds(pts, "score", _CALIB_FRACS))
     dec_expr = F.lit(1)
     for i in range(len(_CALIB_FRACS)):
         dec_expr = dec_expr + F.when(F.col("score") > F.col(f"b{i}"), 1).otherwise(0)
