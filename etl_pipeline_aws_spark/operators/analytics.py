@@ -4375,9 +4375,13 @@ _PR_CURVE_ORACLE = _pr_curve_sql("""
     FROM (SELECT quantile_disc(score, 0.1) AS t1, quantile_disc(score, 0.2) AS t2, quantile_disc(score, 0.3) AS t3, quantile_disc(score, 0.4) AS t4, quantile_disc(score, 0.5) AS t5, quantile_disc(score, 0.6) AS t6, quantile_disc(score, 0.7) AS t7, quantile_disc(score, 0.8) AS t8, quantile_disc(score, 0.9) AS t9 FROM pts) one
     CROSS JOIN (SELECT CAST(unnest(range(1, 10)) AS INT) AS k) ks
 """).format(idiv="//")
+# Spark thresholds ride the shared two-phase disc_quantile_bounds helper
+# (r12 — the nine percentile_disc aggregates each buffered their own
+# single-reducer value→count map; see ml_calibration_bins), registered by
+# the builder as the private 1-row view below.
 _PR_CURVE_SPARK = _pr_curve_sql("""
-    SELECT stack(9, 1, t1, 2, t2, 3, t3, 4, t4, 5, t5, 6, t6, 7, t7, 8, t8, 9, t9) AS (k, t)
-    FROM (SELECT percentile_disc(0.1) WITHIN GROUP (ORDER BY score) AS t1, percentile_disc(0.2) WITHIN GROUP (ORDER BY score) AS t2, percentile_disc(0.3) WITHIN GROUP (ORDER BY score) AS t3, percentile_disc(0.4) WITHIN GROUP (ORDER BY score) AS t4, percentile_disc(0.5) WITHIN GROUP (ORDER BY score) AS t5, percentile_disc(0.6) WITHIN GROUP (ORDER BY score) AS t6, percentile_disc(0.7) WITHIN GROUP (ORDER BY score) AS t7, percentile_disc(0.8) WITHIN GROUP (ORDER BY score) AS t8, percentile_disc(0.9) WITHIN GROUP (ORDER BY score) AS t9 FROM pts) one
+    SELECT stack(9, 1, b0, 2, b1, 3, b2, 4, b3, 5, b4, 6, b5, 7, b6, 8, b7, 9, b8) AS (k, t)
+    FROM _pr_thresholds_one
 """).format(idiv="DIV")
 
 
